@@ -1,0 +1,245 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.util.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.mutable
+
+/** Typed row for the a12 serializer/Encoder round-trip — public because
+  * Catalyst's generated code instantiates it.
+  */
+case class OrderRow(
+    o_orderkey: Long, o_custkey: Long, o_orderstatus: String,
+    o_totalprice: Double, o_orderdate: java.sql.Timestamp,
+    o_orderpriority: String)
+
+/** SURVEY.md §2 Tier A — the reference's own operator surface
+  * (sources, map, reduce, reducemap, parters, sorted reduce input,
+  * collect, sinks, serializers, iteration, wordcount), re-expressed
+  * Spark-first. Each entry is a declared query with a DuckDB oracle.
+  */
+object TierA {
+
+  /** a16 / flagship: the canonical Mrs program [mrs: examples/wordcount.py].
+    * Relational form so Catalyst plans it: scan → generate(explode) →
+    * partial agg → shuffle on word → final agg → sort. At 100 TB the
+    * map-side partial aggregation bounds shuffle volume by vocabulary
+    * size per partition — the thing Mrs (no combiner) could never do.
+    */
+  def wordcount(spark: SparkSession, d: String): DataFrame =
+    documents(spark, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+
+  private def a1(spark: SparkSession, d: String): DataFrame =
+    // Mrs job.file_data + TextReader: a source of (position, line) pairs
+    // [mrs: mrs/fileformats.py]. Here: columnar parquet scan instead of
+    // line-splitting — the scan parallelizes by row-group at any scale.
+    documents(spark, d).select(col("doc_id"), col("text")).orderBy("doc_id")
+
+  private def a2(spark: SparkSession, d: String): DataFrame = {
+    // Mrs job.local_data(pairs): driver-literal pairs become a dataset
+    // [mrs: mrs/datasets.py LocalData].
+    import spark.implicits._
+    Seq((1, "alpha"), (2, "beta"), (3, "gamma"), (4, "delta"))
+      .toDF("k", "v").orderBy("k")
+  }
+
+  private def a3(spark: SparkSession, d: String): DataFrame = {
+    // Mrs map stage via the generic helper: one pair in, 0..n out.
+    import spark.implicits._
+    val src = documents(spark, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+    CoreMR.mapData[Long, String, Long, String](
+      src, (id, text) => text.split(" ").iterator.map(w => (id, w)))
+      .toDF("doc_id", "word").orderBy("doc_id", "word")
+  }
+
+  private def a4(spark: SparkSession, d: String): DataFrame = {
+    // Mrs reduce stage: reducer sees (key, all values). Counts + an
+    // exact integral sum (l_quantity is integral — FIXTURES.md).
+    import spark.implicits._
+    val src = lineitem(spark, d)
+      .select(col("l_returnflag"), col("l_quantity")).as[(String, Double)]
+    CoreMR.reduceData[String, Double, (Long, Long)](
+      src,
+      (_, vs) => {
+        var cnt = 0L; var qty = 0L
+        vs.foreach { v => cnt += 1; qty += v.toLong }
+        Iterator.single((cnt, qty))
+      })
+      .map { case (k, (cnt, qty)) => (k, cnt, qty) }
+      .toDF("key", "cnt", "qty_total").orderBy("key")
+  }
+
+  private def a5(spark: SparkSession, d: String): DataFrame = {
+    // Mrs reducemap: fused reduce→map, one shuffle [mrs: mrs/task.py].
+    import spark.implicits._
+    val src = lineitem(spark, d)
+      .select(col("l_returnflag"), col("l_linenumber")).as[(String, Int)]
+    CoreMR.reduceMapData[String, Int, Long, String, Long](
+      src,
+      (_, vs) => Iterator.single(vs.size.toLong),
+      (k, cnt) => Iterator.single((s"f_${k.toLowerCase}", cnt)))
+      .toDF("key", "cnt").orderBy("key")
+  }
+
+  private def a6(spark: SparkSession, d: String): DataFrame =
+    // Mrs hash_partition. Declared output uses the md5-derived portable
+    // hash so DuckDB reproduces the routing exactly; the real Spark
+    // HashPartitioner is exercised in CoreMRSpec (engine-internal hash
+    // must never reach an oracled output — SURVEY §7.4 #4).
+    lineitem(spark, d)
+      .select(pmod(portableHash(col("l_orderkey")), lit(8)).as("pid"))
+      .groupBy("pid").agg(count(lit(1)).as("cnt"))
+      .orderBy("pid")
+
+  private def a7(spark: SparkSession, d: String): DataFrame =
+    // Mrs mod_partition: int(key) % n — portable as-is.
+    lineitem(spark, d)
+      .select(CoreMR.modPartitionId(col("l_orderkey"), 8).as("pid"))
+      .groupBy("pid").agg(count(lit(1)).as("cnt"))
+      .orderBy("pid")
+
+  private def a8(spark: SparkSession, d: String): DataFrame = {
+    // Mrs sorted reduce input: buckets are sorted, then equal keys are
+    // grouped by scanning runs [mrs: mrs/bucket.py, mrs/task.py]. Spark
+    // native: repartition on the key + sortWithinPartitions, then a
+    // single streaming pass groups consecutive runs — no hash table,
+    // spill-free, the exact shape of Spark's own sort-based aggregate.
+    import spark.implicits._
+    val ev = events(spark, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, Long)]
+    ev.repartition(8, col("user_id"))
+      .sortWithinPartitions("user_id", "ts_us")
+      .mapPartitions { it =>
+        val buf = it.buffered
+        new Iterator[(Long, Long, Long, Long)] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): (Long, Long, Long, Long) = {
+            val (u, first) = buf.head
+            var cnt = 0L; var last = first
+            while (buf.hasNext && buf.head._1 == u) {
+              last = buf.next()._2; cnt += 1
+            }
+            (u, cnt, first / 1000000L, last / 1000000L)
+          }
+        }
+      }
+      .toDF("user_id", "cnt", "first_s", "last_s").orderBy("user_id")
+  }
+
+  private def a9(spark: SparkSession, d: String): DataFrame = {
+    // Mrs ds.fetchall(): pull a *small* dataset to the driver
+    // [mrs: mrs/datasets.py]. Only ever legal for dimension-sized data —
+    // region is 5 rows at any scale factor.
+    val rows = region(spark, d).collect().toIndexedSeq
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), region(spark, d).schema)
+      .orderBy("r_regionkey")
+  }
+
+  private def a10(spark: SparkSession, d: String): DataFrame = {
+    // Mrs TextWriter/TextReader round-trip: key<TAB>value lines
+    // [mrs: mrs/fileformats.py].
+    val out = "/root/repo/target/qtmp/a10_sink_text"
+    nation(spark, d)
+      .select(concat_ws("\t", col("n_nationkey"), col("n_name")).as("value"))
+      .write.mode("overwrite").text(out)
+    val lines = spark.read.text(out)
+    lines
+      .select(split(col("value"), "\t").as("kv"))
+      .select(
+        element_at(col("kv"), 1).cast("int").as("n_nationkey"),
+        element_at(col("kv"), 2).as("n_name"))
+      .orderBy("n_nationkey")
+  }
+
+  private def a11(spark: SparkSession, d: String): DataFrame = {
+    // Mrs BinWriter/BinReader: lossless typed round-trip — here parquet,
+    // carrying an array<float> column through intact.
+    val out = "/root/repo/target/qtmp/a11_sink_binary"
+    embeddings(spark, d).write.mode("overwrite").parquet(out)
+    spark.read.parquet(out)
+      .select(
+        col("vec_id"), col("label"),
+        size(col("embedding")).cast("long").as("dim"),
+        element_at(col("embedding"), 1).cast("double").as("e0"))
+      .orderBy("vec_id")
+  }
+
+  private def a12(spark: SparkSession, d: String): DataFrame = {
+    // Mrs pluggable serializers ⇒ Spark Encoders: a typed
+    // Dataset[case class] pass keeps Tungsten's binary format end-to-end
+    // [mrs: mrs/serializers.py].
+    import spark.implicits._
+    orders(spark, d).as[OrderRow]
+      .filter(_.o_totalprice > 100000.0)
+      .map(o => (o.o_orderkey, o.o_orderstatus, o.o_totalprice))
+      .toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  private def a13(spark: SparkSession, d: String): DataFrame = {
+    // Mrs IterativeMR [mrs: mrs/mapreduce.py]: driver-controlled loop to
+    // a fixpoint. Hierarchical aggregation: per-partition partial counts,
+    // then rounds of halving repartition+merge until one partition
+    // remains — the convergence test (parts > 1) and per-round
+    // materialization mirror producer/consumer scheduling.
+    import spark.implicits._
+    var cur = lineitem(spark, d)
+      .select(col("l_returnflag")).as[String]
+      .repartition(8)
+      .mapPartitions { it =>
+        val m = mutable.HashMap.empty[String, Long]
+        it.foreach(k => m.update(k, m.getOrElse(k, 0L) + 1L))
+        m.iterator
+      }
+    var parts = 8
+    while (parts > 1) {
+      parts = (parts + 1) / 2
+      cur = cur.repartition(parts, col("_1"))
+        .mapPartitions { it =>
+          val m = mutable.HashMap.empty[String, Long]
+          it.foreach { case (k, c) => m.update(k, m.getOrElse(k, 0L) + c) }
+          m.iterator
+        }
+    }
+    cur.toDF("key", "cnt").orderBy("key")
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("a1_source_text", a1 _, Some(
+      "SELECT doc_id, text FROM documents ORDER BY doc_id")),
+    QueryDef("a2_source_local", a2 _, Some(
+      "SELECT * FROM (VALUES (1,'alpha'),(2,'beta'),(3,'gamma'),(4,'delta')) t(k, v) ORDER BY k")),
+    QueryDef("a3_map", a3 _, Some(
+      "SELECT doc_id, word FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) ORDER BY doc_id, word")),
+    QueryDef("a4_reduce", a4 _, Some(
+      "SELECT l_returnflag AS key, count(*)::BIGINT AS cnt, sum(l_quantity::BIGINT)::BIGINT AS qty_total FROM lineitem GROUP BY 1 ORDER BY 1")),
+    QueryDef("a5_reducemap", a5 _, Some(
+      "SELECT 'f_' || lower(l_returnflag) AS key, count(*)::BIGINT AS cnt FROM lineitem GROUP BY 1 ORDER BY 1")),
+    QueryDef("a6_partition_hash", a6 _, Some(
+      s"SELECT ${duckHash("l_orderkey")} % 8 AS pid, count(*)::BIGINT AS cnt FROM lineitem GROUP BY 1 ORDER BY 1")),
+    QueryDef("a7_partition_mod", a7 _, Some(
+      "SELECT l_orderkey % 8 AS pid, count(*)::BIGINT AS cnt FROM lineitem GROUP BY 1 ORDER BY 1")),
+    QueryDef("a8_sort_in_reduce", a8 _, Some(
+      "SELECT user_id, count(*)::BIGINT AS cnt, floor(epoch(min(ts)))::BIGINT AS first_s, floor(epoch(max(ts)))::BIGINT AS last_s FROM events GROUP BY 1 ORDER BY 1")),
+    QueryDef("a9_collect", a9 _, Some(
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")),
+    QueryDef("a10_sink_text", a10 _, Some(
+      "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey")),
+    QueryDef("a11_sink_binary", a11 _, Some(
+      "SELECT vec_id, label, len(embedding)::BIGINT AS dim, embedding[1]::DOUBLE AS e0 FROM embeddings ORDER BY vec_id")),
+    QueryDef("a12_serializers", a12 _, Some(
+      "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_totalprice > 100000 ORDER BY o_orderkey")),
+    QueryDef("a13_iterative", a13 _, Some(
+      "SELECT l_returnflag AS key, count(*)::BIGINT AS cnt FROM lineitem GROUP BY 1 ORDER BY 1")),
+    QueryDef("a16_wordcount", (s, d) => wordcount(s, d), Some(
+      "SELECT word, count(*)::BIGINT AS cnt FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) GROUP BY word ORDER BY cnt DESC, word")),
+  )
+}

@@ -1,0 +1,66 @@
+package graft.util
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Schema-typed loaders for the driver-generated parquet corpus
+  * (FIXTURES.md) plus shared oracle-parity helpers.
+  *
+  * Scale notes: every loader is a plain parquet scan, so Catalyst
+  * pushes filters and prunes columns down to the file reader
+  * (`PushedFilters`/`ReadSchema` in `.explain`). On a real cluster the
+  * same code reads a partitioned table; nothing here assumes a single
+  * file.
+  */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
+    * read natively. Read nanos as long (legacy conf), then integer-divide
+    * to µs (`div`, not `/` — ns epochs exceed 2^53, double division would
+    * lose precision) and rebuild a TimestampType column. The corpus has
+    * no sub-µs components (verified via DuckDB), so this is lossless and
+    * matches DuckDB's µs view of the same file exactly.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Portable 60-bit hash: identical in Spark and DuckDB.
+    * Spark: `conv(substr(md5(x),1,15),16,10)`;
+    * DuckDB: `('0x'||substr(md5(x),1,15))::BIGINT`.
+    * Never use Spark's `hash`/`xxhash64` in an oracled output
+    * (SURVEY.md §7.4 #4).
+    */
+  def portableHash(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** DuckDB-side rendering of [[portableHash]] for oracle strings. */
+  def duckHash(expr: String): String =
+    s"('0x' || substr(md5(($expr)::VARCHAR), 1, 15))::BIGINT"
+
+  /** Exact, order-independent sum of a 2-decimal money column: cast to
+    * DECIMAL first (exact integer arithmetic under the hood), sum, then
+    * cast the final value to DOUBLE. Both engines produce the identical
+    * IEEE double because they convert the same exact decimal value.
+    */
+  def moneySum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** Same idea for 4-decimal derived money (e.g. price*(1-discount)):
+    * the true product of two 2dp values is exactly on the 4dp grid, so
+    * the double→decimal(18,4) rounding is unambiguous on both engines.
+    */
+  def moneySum4(c: Column): Column = sum(c.cast("decimal(18,4)")).cast("double")
+}
