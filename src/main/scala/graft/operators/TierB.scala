@@ -1,0 +1,383 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.util.Tables._
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+
+/** Mutable accumulator for [[QtyFloorAvg]] — top-level public for
+  * Catalyst codegen + Encoder derivation.
+  */
+case class QtyAcc(var cnt: Long, var sum: Long)
+
+/** b24: a typed UDAF (`Aggregator`) — exact integer floor-average of an
+  * integral-valued double column. Mrs's whole premise is user code as
+  * operator [mrs: mrs/mapreduce.py]; this is the Spark-native typed
+  * extension point (partial-aggregating, codegen-compatible — unlike
+  * anything Mrs could do).
+  */
+object QtyFloorAvg extends Aggregator[Double, QtyAcc, Long] {
+  override def zero: QtyAcc = QtyAcc(0L, 0L)
+  override def reduce(b: QtyAcc, a: Double): QtyAcc = {
+    b.cnt += 1; b.sum += a.toLong; b
+  }
+  override def merge(x: QtyAcc, y: QtyAcc): QtyAcc =
+    QtyAcc(x.cnt + y.cnt, x.sum + y.sum)
+  override def finish(b: QtyAcc): Long = if (b.cnt == 0) 0L else b.sum / b.cnt
+  override def bufferEncoder: Encoder[QtyAcc] = Encoders.product[QtyAcc]
+  override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+}
+
+/** SURVEY.md §2 Tier B — relational operator coverage. In the reference
+  * these exist only as user-space MR patterns (reduce-side join, map-side
+  * join, per-key heaps...); here they are declarative Spark SQL so
+  * Catalyst supplies pushdown, pruning, join selection, partial
+  * aggregation and AQE. Scaladoc on each op names the MR pattern it
+  * replaces and the 100 TB consideration.
+  */
+object TierB {
+
+  /** b1: scan+filter+project — the "map that drops/keeps pairs" pattern.
+    * Both the predicate and the 3-column projection reach the parquet
+    * reader (PushedFilters/ReadSchema), so a 100 TB scan reads only the
+    * needed column chunks and skips row groups by min/max stats.
+    */
+  private def b1(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** b2: reduce-side equi join ⇒ shuffled join on the key; Catalyst/AQE
+    * pick SMJ vs shuffled-hash by size, and AQE splits skewed partitions.
+    */
+  private def b2(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "c_name", "o_totalprice")
+      .orderBy("o_orderkey")
+
+  /** b3: map-side join ⇒ explicit `broadcast()` of the small dimension —
+    * at 100 TB the fact side never shuffles; part ships to every executor.
+    */
+  private def b3(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(broadcast(part(s, d).filter(col("p_size") < 10)),
+        col("l_partkey") === col("p_partkey"))
+      .select("l_orderkey", "l_linenumber", "p_brand", "p_type")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** b4: existence joins — left semi + left anti (no payload from the
+    * right side ⇒ no row multiplication, broadcastable when small).
+    */
+  private def b4(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).select("c_custkey")
+    val o = orders(s, d).select("o_custkey")
+    val semi = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), lit("has").as("tag"))
+    val anti = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), lit("none").as("tag"))
+    semi.union(anti).orderBy("c_custkey", "tag")
+  }
+
+  /** b5: left outer join — reduce emits null-padded rows for missing
+    * side. NULLS FIRST pinned on both engines (defaults differ).
+    */
+  private def b5(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_outer")
+      .select("c_custkey", "o_orderkey")
+      .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_first)
+
+  /** b6: non-equi (range) join: events within (ts, ts+1h] of another
+    * event of the same user. The equi key (user_id) keeps it a shuffled
+    * hash/SMJ join with a range residual — never a cartesian. At 100 TB
+    * the same shape holds; skew on hot users is AQE's skew-join case.
+    */
+  private def b6(s: SparkSession, d: String): DataFrame = {
+    val a = events(s, d).select(col("user_id"), col("ts").as("ts_a"))
+    val b = events(s, d).select(col("user_id").as("user_b"), col("ts").as("ts_b"))
+    a.join(b,
+        col("user_id") === col("user_b") &&
+          col("ts_b") > col("ts_a") &&
+          col("ts_b") <= col("ts_a") + expr("INTERVAL 1 HOUR"))
+      .groupBy("user_id").agg(count(lit(1)).as("pairs"))
+      .orderBy("user_id")
+  }
+
+  /** b7: TPC-H Q1-shape hash aggregation. Money sums go through exact
+    * DECIMAL (order-independent ⇒ bit-identical to DuckDB); Spark plans
+    * partial + final agg, so shuffle volume is #groups, not #rows.
+    */
+  private def b7(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("cnt"),
+        moneySum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base"),
+        moneySum4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("sum_disc_price"),
+      )
+      .withColumn("avg_qty", col("sum_qty") / col("cnt"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** b8: exact distinct aggregation — Spark expands to a two-phase
+    * partial-distinct plan; at scale prefer b9's sketch when exactness
+    * isn't required.
+    */
+  private def b8(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("dparts"),
+        countDistinct(col("l_suppkey")).as("dsupps"))
+      .orderBy("l_returnflag")
+
+  /** b9: HLL++ sketch distinct — constant memory per group at any scale;
+    * not reproducible in DuckDB (different sketch) ⇒ no-oracle by design
+    * (SURVEY §2 B9).
+    */
+  private def b9(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_dparts"))
+      .orderBy("l_returnflag")
+
+  /** b10: rollup (grouping sets) — one shuffle computes all grouping
+    * levels; Mrs would run one reduce pass per level.
+    */
+  private def b10(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"), moneySum(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("cnt"), col("sum_qty"))
+      .orderBy("flag", "status")
+
+  /** b11: ranking window — sort within key partitions only (no global
+    * sort); deterministic via the o_orderkey tiebreaker.
+    */
+  private def b11(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        row_number().over(w).cast("long").as("rn"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** b12: analytic frame — 3-row sliding sum per user ordered by time.
+    * Rounded to the 2dp grid the true value lies on, so engine-internal
+    * summation order (Spark running frame vs DuckDB segment tree) can't
+    * flip the hash.
+    */
+  private def b12(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(-2, Window.currentRow)
+    events(s, d)
+      .select(col("event_id"), col("user_id"),
+        round(sum(col("value")).over(w), 2).as("run_sum"))
+      .orderBy("event_id")
+  }
+
+  /** b13: lead/lag — adjacent-value pairing the MR way needs a sorted
+    * reduce and manual state; here a single window pass.
+    */
+  private def b13(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"),
+        lag(col("value"), 1).over(w).as("prev_value"))
+      .orderBy("event_id")
+  }
+
+  /** b14: global sort + limit — Spark plans TakeOrderedAndProject:
+    * per-partition top-k then a k-sized driver merge, never a full global
+    * sort. The Mrs equivalent forced everything through one reducer.
+    */
+  private def b14(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+
+  /** b15: top-k per group — window rank then filter; AQE handles group
+    * skew. (A bounded-heap Aggregator is the 100 TB alternative if the
+    * per-group row count is huge; see SURVEY §4.2.)
+    */
+  private def b15(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).cast("long").as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** b16: set operations (distinct semantics, like SQL). */
+  private def b16(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).select(col("o_custkey").as("k"))
+    val c = customer(s, d).select(col("c_custkey").as("k"))
+    def cnt(df: DataFrame, tag: String): DataFrame =
+      df.agg(count(lit(1)).as("cnt")).select(lit(tag).as("op"), col("cnt"))
+    cnt(o.union(c).distinct(), "union_distinct")
+      .union(cnt(o.intersect(c), "intersect"))
+      .union(cnt(o.except(c), "except"))
+      .orderBy("op")
+  }
+
+  /** b17: exact row dedup — `dropDuplicates` ⇒ hash aggregate on all
+    * columns (partial+final, so duplicate-heavy data collapses map-side).
+    */
+  private def b17(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select("l_returnflag", "l_linestatus")
+      .dropDuplicates()
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** b18: string scalar functions — all codegen'd built-ins, no UDFs. */
+  private def b18(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .select(
+        col("p_partkey"),
+        lower(col("p_name")).as("lname"),
+        upper(col("p_brand")).as("ubrand"),
+        substring(col("p_type"), 1, 4).as("t4"),
+        length(col("p_name")).as("len"),
+        concat(col("p_brand"), lit(":"), col("p_type")).as("bt"),
+        col("p_name").like("%bolt%").as("has_bolt"),
+        regexp_extract(col("p_brand"), "([0-9]+)", 1).as("brandnum"))
+      .orderBy("p_partkey")
+
+  /** b19: date/time scalar functions (UTC-pinned on both engines). */
+  private def b19(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        quarter(col("o_orderdate")).as("q"),
+        date_trunc("month", col("o_orderdate")).as("mon"),
+        datediff(col("o_orderdate"), to_date(lit("1995-01-01"))).as("days_since"))
+      .orderBy("o_orderkey")
+
+  /** b20: math scalar functions; 6dp rounding absorbs libm last-ulp
+    * differences between JVM and C implementations.
+    */
+  private def b20(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .select(
+        col("p_partkey"),
+        round(sqrt(col("p_retailprice")), 6).as("sq"),
+        round(log(col("p_retailprice")), 6).as("lnp"),
+        abs(col("p_size") - 10).as("ab"),
+        pow(col("p_size"), 2).as("pw"))
+      .orderBy("p_partkey")
+
+  /** b21: array functions over `array<float>` — exact-only ops (size,
+    * first element, sign count); float comparisons are exact, no fp
+    * arithmetic reaches the output.
+    */
+  private def b21(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        element_at(col("embedding"), 1).cast("double").as("e0"),
+        size(filter(col("embedding"), x => x > lit(0.0f))).cast("long").as("n_pos"))
+      .orderBy("vec_id")
+
+  /** b22: JSON extraction from the `events.props` string column. */
+  private def b22(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_val"))
+      .orderBy("event_id")
+
+  /** b23: scalar + IN subqueries via spark.sql — Catalyst decorrelates;
+    * the scalar subquery materializes once as a broadcast value.
+    */
+  private def b23(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("g_orders")
+    customer(s, d).createOrReplaceTempView("g_customer")
+    s.sql(
+      """SELECT o_orderkey, o_totalprice FROM g_orders
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM g_orders)
+        |  AND o_custkey IN (SELECT c_custkey FROM g_customer
+        |                    WHERE c_mktsegment = 'BUILDING')
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** b24: the UDF/UDAF surface — scalar Scala UDF + typed Aggregator
+    * registered via functions.udaf (generator-style UDTFs are a3/a16's
+    * explode). UDFs break codegen fusion, so the rest of this library
+    * uses them only where built-ins genuinely can't express the logic.
+    */
+  private def b24(s: SparkSession, d: String): DataFrame = {
+    val tag = udf((flag: String) => "f_" + flag.toLowerCase)
+    val floorAvg = udaf(QtyFloorAvg)
+    lineitem(s, d)
+      .groupBy(tag(col("l_returnflag")).as("key"))
+      .agg(floorAvg(col("l_quantity")).as("qty_floor_avg"),
+        count(lit(1)).as("cnt"))
+      .orderBy("key")
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("b1_scan_filter_project", b1 _, Some(
+      "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24 ORDER BY l_orderkey, l_linenumber")),
+    QueryDef("b2_join_inner_hash", b2 _, Some(
+      "SELECT o_orderkey, c_name, o_totalprice FROM orders JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey")),
+    QueryDef("b3_join_broadcast", b3 _, Some(
+      "SELECT l_orderkey, l_linenumber, p_brand, p_type FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_size < 10 ORDER BY l_orderkey, l_linenumber")),
+    QueryDef("b4_join_semi_anti", b4 _, Some(
+      "SELECT c_custkey, 'has' AS tag FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders) UNION ALL SELECT c_custkey, 'none' AS tag FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders) ORDER BY c_custkey, tag")),
+    QueryDef("b5_join_outer", b5 _, Some(
+      "SELECT c_custkey, o_orderkey FROM customer LEFT JOIN orders ON c_custkey = o_custkey ORDER BY c_custkey, o_orderkey NULLS FIRST")),
+    QueryDef("b6_join_theta_range", b6 _, Some(
+      "SELECT a.user_id, count(*)::BIGINT AS pairs FROM events a JOIN events b ON a.user_id = b.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR GROUP BY 1 ORDER BY 1")),
+    QueryDef("b7_agg_hash", b7 _, Some(
+      "SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS cnt, sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty, sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_base, sum((l_extendedprice * (1.0 - l_discount))::DECIMAL(18,4))::DOUBLE AS sum_disc_price, sum(l_quantity::DECIMAL(18,2))::DOUBLE / count(*) AS avg_qty FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2")),
+    QueryDef("b8_agg_distinct", b8 _, Some(
+      "SELECT l_returnflag, count(DISTINCT l_partkey)::BIGINT AS dparts, count(DISTINCT l_suppkey)::BIGINT AS dsupps FROM lineitem GROUP BY 1 ORDER BY 1")),
+    QueryDef("b9_agg_approx_distinct", b9 _, None),
+    QueryDef("b10_grouping_sets", b10 _, Some(
+      "SELECT coalesce(l_returnflag, 'ALL') AS flag, coalesce(l_linestatus, 'ALL') AS status, count(*)::BIGINT AS cnt, sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY 1, 2")),
+    QueryDef("b11_window_rank", b11 _, Some(
+      "SELECT o_custkey, o_orderkey, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders ORDER BY o_custkey, rn")),
+    QueryDef("b12_window_frame", b12 _, Some(
+      "SELECT event_id, user_id, round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS run_sum FROM events ORDER BY event_id")),
+    QueryDef("b13_window_lead_lag", b13 _, Some(
+      "SELECT event_id, user_id, value, lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value FROM events ORDER BY event_id")),
+    QueryDef("b14_sort_limit", b14 _, Some(
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100")),
+    QueryDef("b15_topk_per_group", b15 _, Some(
+      "SELECT * FROM (SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn")),
+    QueryDef("b16_set_ops", b16 _, Some(
+      "SELECT 'union_distinct' AS op, count(*)::BIGINT AS cnt FROM (SELECT o_custkey AS k FROM orders UNION SELECT c_custkey FROM customer) UNION ALL SELECT 'intersect', count(*)::BIGINT FROM (SELECT o_custkey AS k FROM orders INTERSECT SELECT c_custkey FROM customer) UNION ALL SELECT 'except', count(*)::BIGINT FROM (SELECT o_custkey AS k FROM orders EXCEPT SELECT c_custkey FROM customer) ORDER BY op")),
+    QueryDef("b17_dedup_exact", b17 _, Some(
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY 1, 2")),
+    QueryDef("b18_scalar_string", b18 _, Some(
+      "SELECT p_partkey, lower(p_name) AS lname, upper(p_brand) AS ubrand, substr(p_type, 1, 4) AS t4, length(p_name)::INTEGER AS len, p_brand || ':' || p_type AS bt, (p_name LIKE '%bolt%') AS has_bolt, regexp_extract(p_brand, '[0-9]+') AS brandnum FROM part ORDER BY p_partkey")),
+    QueryDef("b19_scalar_date", b19 _, Some(
+      "SELECT o_orderkey, year(o_orderdate)::INTEGER AS y, month(o_orderdate)::INTEGER AS m, quarter(o_orderdate)::INTEGER AS q, date_trunc('month', o_orderdate)::TIMESTAMP AS mon, datediff('day', DATE '1995-01-01', o_orderdate::DATE)::INTEGER AS days_since FROM orders ORDER BY o_orderkey")),
+    QueryDef("b20_scalar_math", b20 _, Some(
+      "SELECT p_partkey, round(sqrt(p_retailprice), 6) AS sq, round(ln(p_retailprice), 6) AS lnp, abs(p_size - 10)::INTEGER AS ab, pow(p_size, 2) AS pw FROM part ORDER BY p_partkey")),
+    QueryDef("b21_scalar_array", b21 _, Some(
+      "SELECT vec_id, len(embedding)::BIGINT AS dim, embedding[1]::DOUBLE AS e0, len(list_filter(embedding, x -> x > 0))::BIGINT AS n_pos FROM embeddings ORDER BY vec_id")),
+    QueryDef("b22_scalar_map_json", b22 _, Some(
+      "SELECT event_id, json_extract_string(props, '$.k')::INTEGER AS k_val FROM events ORDER BY event_id")),
+    QueryDef("b23_subquery", b23 _, Some(
+      "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') ORDER BY o_orderkey")),
+    QueryDef("b24_udf_surface", b24 _, Some(
+      "SELECT 'f_' || lower(l_returnflag) AS key, (sum(l_quantity::BIGINT) // count(*))::BIGINT AS qty_floor_avg, count(*)::BIGINT AS cnt FROM lineitem GROUP BY 1 ORDER BY 1")),
+  )
+}
