@@ -1,0 +1,408 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.util.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import scala.collection.mutable
+
+/** SURVEY.md §2 Tier C — LLM-data-pipeline operators (dedup family,
+  * similarity search, text analysis, multimodal plumbing). No reference
+  * counterpart (mandated by the north star, BASELINE.json:6).
+  *
+  * Hash portability: every oracled hash is md5-derived (identical hex in
+  * Spark and DuckDB); Spark's `hash`/`xxhash64` never reach declared
+  * outputs. Vector math runs in typed `mapPartitions` over primitive
+  * arrays — Spark's higher-order functions are interpreted (no codegen),
+  * which is orders of magnitude too slow for 10^9-element loops.
+  */
+object TierC {
+
+  /** Words column, reused by several text ops. */
+  private def withWords(df: DataFrame): DataFrame =
+    df.withColumn("w", split(col("text"), " "))
+
+  /** Distinct word-3-gram shingles (docs with ≥3 words). */
+  private def withShingles(df: DataFrame): DataFrame =
+    withWords(df)
+      .filter(size(col("w")) >= 3)
+      .withColumn("shingles", array_distinct(expr(
+        "transform(sequence(0, size(w)-3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))")))
+
+  /** c1: exact text dedup — hash-groupBy on the full text. At 100 TB,
+    * group on sha2(text) instead of raw text to cut shuffle width;
+    * partial aggregation collapses duplicates map-side either way.
+    */
+  private def c1(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy("text")
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n"))
+      .select("keeper", "n")
+      .orderBy("keeper")
+
+  /** c2: MinHash-LSH near-dup: shingle → per-band min-hash → band
+    * buckets. Bands with n_docs > 1 are the candidate-pair buckets; the
+    * output IS the LSH table, so the whole pipeline (shingling, hash
+    * family, banding) is oracle-checked. Portable hash family:
+    * md5(band || '|' || shingle), one hash per band — at scale swap in
+    * more rows/band without changing the shape. Join-free until the
+    * final bucket aggregation; shuffle keys are (doc, band) then
+    * (band, minhash).
+    */
+  private def c2(s: SparkSession, d: String): DataFrame =
+    withShingles(documents(s, d))
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .select(col("doc_id"), col("sh"), explode(expr("sequence(0, 3)")).as("band"))
+      .groupBy("doc_id", "band")
+      .agg(min(md5(concat(col("band").cast("string"), lit("|"), col("sh"))))
+        .as("minhash"))
+      .groupBy("band", "minhash")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy("band", "minhash")
+
+  /** Typed row for vector ops: (id, embedding). */
+  private def vecs(s: SparkSession, d: String) = {
+    import s.implicits._
+    embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+  }
+
+  private def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** c3: brute-force cosine top-k — THE distributed kNN baseline shape:
+    * broadcast the (small, bounded) probe set, stream candidates once,
+    * keep a bounded per-partition top-k, then a tiny global re-rank.
+    * No crossJoin materialization, no full-sim shuffle: shuffle volume
+    * is #partitions × #probes × k rows. The 100 TB upgrade is c15's LSH
+    * bucketing (prune candidates), same inner loop.
+    */
+  private def c3(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = 5
+    val probes = vecs(s, d).filter(_._1 % 50 == 0).collect()
+    val bc = s.sparkContext.broadcast(probes)
+    val partials = vecs(s, d)
+      .mapPartitions { it =>
+        val ps = bc.value
+        // per-probe bounded top-k by (sim desc, vec_id asc): dequeue()
+        // must evict the WORST element, so the ordering ranks worse as
+        // greater (explicit instance — an implicit val here can
+        // self-resolve and silently invert).
+        val worstFirst = new Ordering[(Double, Long)] {
+          def compare(x: (Double, Long), y: (Double, Long)): Int = {
+            val c = java.lang.Double.compare(y._1, x._1) // smaller sim = worse
+            if (c != 0) c else java.lang.Long.compare(x._2, y._2) // bigger id = worse
+          }
+        }
+        val heaps = mutable.HashMap.empty[Long, mutable.PriorityQueue[(Double, Long)]]
+        it.foreach { case (cid, cemb) =>
+          ps.foreach { case (pid, pemb) =>
+            if (cid != pid) {
+              val sim = cosine(pemb, cemb)
+              val h = heaps.getOrElseUpdate(pid,
+                mutable.PriorityQueue.empty[(Double, Long)](worstFirst))
+              h.enqueue((sim, cid))
+              if (h.size > k) h.dequeue()
+            }
+          }
+        }
+        heaps.iterator.flatMap { case (pid, h) =>
+          h.iterator.map { case (sim, cid) => (pid, cid, sim) }
+        }
+      }
+      .toDF("probe_id", "neighbor_id", "sim_raw")
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("sim_raw").desc, col("neighbor_id").asc)
+    partials
+      .select(col("probe_id"), col("neighbor_id"), col("sim_raw"),
+        row_number().over(w).cast("long").as("rank"))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"),
+        round(col("sim_raw"), 4).as("sim"))
+      .orderBy("probe_id", "rank")
+  }
+
+  /** c4: tokenize + bigrams + counts (generator + agg; vocabulary-sized
+    * result after map-side partial agg).
+    */
+  private def c4(s: SparkSession, d: String): DataFrame =
+    withWords(documents(s, d))
+      .filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(w)-2), i -> concat(w[i], ' ', w[i+1]))"))
+        .as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram"))
+
+  /** c5: TF-IDF — two aggregations + a join; df side is
+    * vocabulary-sized, so it broadcasts at any corpus scale.
+    */
+  private def c5(s: SparkSession, d: String): DataFrame = {
+    val tok = withWords(documents(s, d))
+      .select(col("doc_id"), explode(col("w")).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy("term")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val n = documents(s, d).count().toDouble
+    tf.join(broadcast(df), "term")
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * log(lit(n) / col("df")), 6).as("tfidf"))
+      .orderBy("doc_id", "term")
+  }
+
+  /** c6: per-(lang, source) corpus profile; exact interpolated median
+    * (Spark `percentile` ≡ DuckDB `quantile_cont`).
+    */
+  private def c6(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("cnt"),
+        avg(col("n_chars")).as("avg_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        percentile(col("n_chars"), lit(0.5)).as("med_chars"))
+      .orderBy("lang", "source")
+
+  /** c7: multimodal join — text row ⋈ vector row, the array<float>
+    * column carried through the shuffle intact.
+    */
+  private def c7(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .join(embeddings(s, d), col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("lang"), col("label"),
+        size(col("embedding")).cast("long").as("dim"),
+        element_at(col("embedding"), 1).cast("double").as("e0"))
+      .orderBy("doc_id")
+
+  /** c8: SimHash (16-bit here; 64-bit at scale is the same plan) over
+    * distinct words: portable word hash → per-bit ±1 votes → sign bits
+    * recombined. Two shuffles on (doc, bit) then (doc) — both partial-
+    * aggregated. Near-dup docs are equal/close simhash values.
+    */
+  private def c8(s: SparkSession, d: String): DataFrame =
+    withWords(documents(s, d))
+      .select(col("doc_id"), explode(array_distinct(col("w"))).as("word"))
+      .withColumn("h", portableHash(col("word")))
+      .select(col("doc_id"), col("h"), explode(expr("sequence(0, 15)")).as("j"))
+      .groupBy("doc_id", "j")
+      .agg(sum(when(expr("(h >> j) & 1 = 1"), 1).otherwise(-1)).as("s"))
+      .groupBy("doc_id")
+      .agg(sum(expr("CASE WHEN s >= 0 THEN shiftleft(1L, cast(j AS int)) ELSE 0L END"))
+        .cast("long").as("simhash"))
+      .orderBy("doc_id")
+
+  /** c9: n-gram Jaccard scoring on candidate pairs (adjacent doc ids
+    * here; in production the pairs come from c2's LSH buckets — scoring
+    * shape is identical): |A∩B| / |A∪B| over distinct shingle sets.
+    */
+  private def c9(s: SparkSession, d: String): DataFrame = {
+    val sh = withShingles(documents(s, d)).select(col("doc_id"), col("shingles"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb"))
+    a.join(b, col("doc_b") === col("doc_a") + 1)
+      .select(col("doc_a"), col("doc_b"),
+        round(
+          size(array_intersect(col("sa"), col("sb"))).cast("double") /
+            size(array_union(col("sa"), col("sb"))).cast("double"), 6)
+          .as("jaccard"))
+      .orderBy("doc_a")
+  }
+
+  /** c10: embedding-cosine near-dup, bucket-blocked (vec_id div 100):
+    * groupByKey on the block, all-pairs inside each ~100-vector block in
+    * primitive loops. At 100 TB the block key becomes an LSH bucket
+    * (c15) — same group-local all-pairs kernel.
+    */
+  private def c10(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val thr = 0.3
+    vecs(s, d)
+      .groupByKey { case (id, _) => id / 100 }
+      .flatMapGroups { (_, it) =>
+        val grp = it.toArray.sortBy(_._1)
+        for {
+          i <- grp.indices.iterator
+          j <- (i + 1) until grp.length
+          sim = cosine(grp(i)._2, grp(j)._2)
+          if sim > thr
+        } yield (grp(i)._1, grp(j)._1, sim)
+      }
+      .toDF("vec_a", "vec_b", "sim_raw")
+      .select(col("vec_a"), col("vec_b"), round(col("sim_raw"), 4).as("sim"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** c11: language-ID heuristic — marker-word ratios (function words vs
+    * query-vocab words), pure codegen'd expressions.
+    */
+  private def c11(s: SparkSession, d: String): DataFrame =
+    withWords(documents(s, d))
+      .withColumn("n", size(col("w")))
+      .withColumn("en_cnt",
+        size(expr("filter(w, x -> x IN ('the','a','of','and','to'))")))
+      .withColumn("q_cnt",
+        size(expr("filter(w, x -> x IN ('scan','join','filter','group','sort'))")))
+      .select(col("doc_id"),
+        when(col("en_cnt") * 10 >= col("n"), "en")
+          .when(col("q_cnt") * 4 >= col("n"), "tech")
+          .otherwise("unk").as("pred"),
+        col("lang").as("labeled"))
+      .orderBy("doc_id")
+
+  /** c12: quality scoring — length/stopword features and a bounded
+    * score. Ratio outputs are floor'd basis points, not round(): the
+    * raw doubles are bit-identical across engines (same IEEE ops on
+    * same inputs) but round() at an exactly-representable half (e.g.
+    * score = 0.83725) resolves differently in Spark vs DuckDB —
+    * observed live at sf0.001, doc 275. floor has no half case.
+    */
+  private def c12(s: SparkSession, d: String): DataFrame = {
+    def bp(c: org.apache.spark.sql.Column) =
+      floor(c * 10000.0).cast("long")
+    withWords(documents(s, d))
+      .withColumn("n_words", size(col("w")).cast("long"))
+      .withColumn("stop_cnt",
+        size(expr("filter(w, x -> x IN ('the','a','of','and','to'))")).cast("long"))
+      .select(
+        col("doc_id"), col("n_words"), col("n_chars"),
+        bp(col("n_chars").cast("double") / col("n_words")).as("avg_wlen_bp"),
+        bp(col("stop_cnt").cast("double") / col("n_words")).as("stop_ratio_bp"),
+        bp(
+          least(col("n_words").cast("double") / 100.0, lit(1.0)) * 0.4 +
+            (lit(1.0) - col("stop_cnt").cast("double") / col("n_words")) * 0.6)
+          .as("score_bp"))
+      .orderBy("doc_id")
+  }
+
+  /** c13: token counting — whitespace tokens, distinct tokens, and a
+    * BPE-ish estimate (chars/4, the standard byte-pair heuristic).
+    */
+  private def c13(s: SparkSession, d: String): DataFrame =
+    withWords(documents(s, d))
+      .select(
+        col("doc_id"),
+        size(col("w")).cast("long").as("ws_tokens"),
+        size(array_distinct(col("w"))).cast("long").as("distinct_tokens"),
+        ceil(col("n_chars").cast("double") / 4.0).cast("long").as("bpe_est"))
+      .orderBy("doc_id")
+
+  /** c14: document fingerprinting — whole-content md5 plus a min-word
+    * hash (winnowing-style selective fingerprint, portable).
+    */
+  private def c14(s: SparkSession, d: String): DataFrame =
+    withWords(documents(s, d))
+      .select(col("doc_id"), md5(col("text")).as("fp"),
+        array_min(expr("transform(w, x -> md5(x))")).as("min_word_fp"))
+      .orderBy("doc_id")
+
+  /** c15: sign-random-projection LSH over embeddings — the ANN scale
+    * path: 8 deterministic hyperplanes → 8-bit bucket; candidates are
+    * then searched per-bucket (c10's kernel). Engine-side PRNG (seeded)
+    * is not portable to DuckDB ⇒ declared no-oracle; the driver records
+    * a rows-only check, and LlmPipelineSpec asserts the invariants
+    * (bucket count ≤ 256, every vector bucketed exactly once).
+    */
+  private def c15(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    val planes = Array.fill(8, 64)(rnd.nextGaussian())
+    val bc = s.sparkContext.broadcast(planes)
+    vecs(s, d)
+      .mapPartitions { it =>
+        val ps = bc.value
+        it.map { case (id, emb) =>
+          var bucket = 0
+          var p = 0
+          while (p < ps.length) {
+            var dot = 0.0; var i = 0
+            while (i < emb.length) { dot += ps(p)(i) * emb(i); i += 1 }
+            if (dot >= 0) bucket |= (1 << p)
+            p += 1
+          }
+          (bucket, id)
+        }
+      }
+      .toDF("bucket", "vec_id")
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("vec_id")).as("min_vec"), max(col("vec_id")).as("max_vec"))
+      .orderBy("bucket")
+  }
+
+  /** c16: multimodal binary plumbing — media as opaque binary columns
+    * with typed metadata. The decode step is a deterministic STUB (real
+    * image/audio libs aren't in this container — see the build brief);
+    * the Spark-side plumbing is real: binary column through a typed
+    * mapPartitions batch kernel (the Scala analogue of mapInPandas),
+    * emitting schema'd features.
+    */
+  private def c16(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          // STUB decode: real impl would decode image/audio here.
+          val b0 = if (bytes.nonEmpty) bytes(0).toInt & 0xff else -1
+          var headSum = 0L
+          var i = 0
+          while (i < math.min(16, bytes.length)) {
+            headSum += (bytes(i).toInt & 0xff); i += 1
+          }
+          (id, bytes.length.toLong, b0, headSum)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "b0", "head_sum")
+      .orderBy("doc_id")
+  }
+
+  private val shinglesSql =
+    "SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) WHERE len(w) >= 3"
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("c1_dedup_exact_text", c1 _, Some(
+      "SELECT min(doc_id) AS keeper, count(*)::BIGINT AS n FROM documents GROUP BY text ORDER BY keeper")),
+    QueryDef("c2_dedup_near_minhash", c2 _, Some(
+      s"WITH sh AS (SELECT doc_id, unnest(s) AS sh FROM ($shinglesSql)), mh AS (SELECT doc_id, b.band, min(md5(band::VARCHAR || '|' || sh)) AS minhash FROM sh, (VALUES (0),(1),(2),(3)) b(band) GROUP BY doc_id, b.band) SELECT band, minhash, count(*)::BIGINT AS n_docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc FROM mh GROUP BY band, minhash ORDER BY band, minhash")),
+    QueryDef("c3_similarity_topk", c3 _, Some(
+      "WITH probes AS (SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pe FROM embeddings WHERE vec_id % 50 = 0), cand AS (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings), sims AS (SELECT probe_id, vec_id, list_cosine_similarity(pe, ce) AS sim FROM probes, cand WHERE vec_id != probe_id), ranked AS (SELECT probe_id, vec_id, sim, row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank FROM sims) SELECT probe_id, rank::BIGINT AS rank, vec_id AS neighbor_id, round(sim, 4) AS sim FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank")),
+    QueryDef("c4_text_tokenize_ngram", c4 _, Some(
+      "SELECT bigram, count(*)::BIGINT AS cnt FROM (SELECT unnest(list_transform(generate_series(1, len(w)-1), i -> w[i] || ' ' || w[i+1])) AS bigram FROM (SELECT string_split(text, ' ') AS w FROM documents) WHERE len(w) >= 2) GROUP BY bigram ORDER BY cnt DESC, bigram")),
+    QueryDef("c5_text_tfidf", c5 _, Some(
+      "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2), df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY 1), n AS (SELECT count(*)::DOUBLE AS n FROM documents) SELECT tf.doc_id, tf.term, round(tf.tf * ln(n.n / df.df), 6) AS tfidf FROM tf JOIN df USING (term), n ORDER BY doc_id, term")),
+    QueryDef("c6_text_lang_stats", c6 _, Some(
+      "SELECT lang, source, count(*)::BIGINT AS cnt, avg(n_chars) AS avg_chars, min(n_chars) AS min_chars, max(n_chars) AS max_chars, quantile_cont(n_chars, 0.5) AS med_chars FROM documents GROUP BY 1, 2 ORDER BY 1, 2")),
+    QueryDef("c7_multimodal_join", c7 _, Some(
+      "SELECT doc_id, lang, label, len(embedding)::BIGINT AS dim, embedding[1]::DOUBLE AS e0 FROM documents JOIN embeddings ON doc_id = vec_id ORDER BY doc_id")),
+    QueryDef("c8_dedup_simhash", c8 _, Some(
+      s"WITH words AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word FROM documents), wh AS (SELECT doc_id, ${duckHash("word")} AS h FROM words), bits AS (SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s FROM wh, (SELECT unnest(generate_series(0, 15)) AS j) GROUP BY doc_id, j) SELECT doc_id, sum(CASE WHEN s >= 0 THEN 1::BIGINT << j ELSE 0 END)::BIGINT AS simhash FROM bits GROUP BY doc_id ORDER BY doc_id")),
+    QueryDef("c9_dedup_ngram_jaccard", c9 _, Some(
+      s"WITH sh AS ($shinglesSql) SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, round(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s))::DOUBLE, 6) AS jaccard FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1 ORDER BY doc_a")),
+    QueryDef("c10_dedup_embedding", c10 _, Some(
+      "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim FROM embeddings a JOIN embeddings b ON (a.vec_id // 100) = (b.vec_id // 100) AND a.vec_id < b.vec_id WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.3 ORDER BY vec_a, vec_b")),
+    QueryDef("c11_text_lang_id", c11 _, Some(
+      "SELECT doc_id, CASE WHEN len(list_filter(w, x -> x IN ('the','a','of','and','to'))) * 10 >= len(w) THEN 'en' WHEN len(list_filter(w, x -> x IN ('scan','join','filter','group','sort'))) * 4 >= len(w) THEN 'tech' ELSE 'unk' END AS pred, lang AS labeled FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents) ORDER BY doc_id")),
+    QueryDef("c12_text_quality", c12 _, Some(
+      "SELECT doc_id, len(w)::BIGINT AS n_words, n_chars, floor(n_chars::DOUBLE / len(w) * 10000)::BIGINT AS avg_wlen_bp, floor(sc::DOUBLE / len(w) * 10000)::BIGINT AS stop_ratio_bp, floor((least(len(w)::DOUBLE / 100.0, 1.0) * 0.4 + (1.0 - sc::DOUBLE / len(w)) * 0.6) * 10000)::BIGINT AS score_bp FROM (SELECT doc_id, n_chars, w, len(list_filter(w, x -> x IN ('the','a','of','and','to'))) AS sc FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents)) ORDER BY doc_id")),
+    QueryDef("c13_token_count", c13 _, Some(
+      "SELECT doc_id, len(w)::BIGINT AS ws_tokens, len(list_distinct(w))::BIGINT AS distinct_tokens, ceil(n_chars::DOUBLE / 4.0)::BIGINT AS bpe_est FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents) ORDER BY doc_id")),
+    QueryDef("c14_fingerprint", c14 _, Some(
+      "SELECT doc_id, md5(text) AS fp, list_min(list_transform(string_split(text, ' '), x -> md5(x))) AS min_word_fp FROM documents ORDER BY doc_id")),
+    QueryDef("c15_ann_lsh", c15 _, None),
+    QueryDef("c16_multimodal_binary", c16 _, Some(
+      "SELECT doc_id, length(text)::BIGINT AS n_bytes, ascii(substr(text, 1, 1)) AS b0, list_sum(list_transform(generate_series(1, least(16, length(text))), i -> ascii(substr(text, i, 1))))::BIGINT AS head_sum FROM documents ORDER BY doc_id")),
+  )
+}
