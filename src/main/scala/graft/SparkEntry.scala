@@ -11,7 +11,8 @@ object SparkEntry {
     operators.TierA.wordcount(spark, "/root/testdata/sf0.001")
 
   private lazy val all: Seq[QueryDef] =
-    operators.TierA.defs ++ operators.TierB.defs ++ operators.TierC.defs
+    operators.TierA.defs ++ operators.TierB.defs ++
+      operators.TierC.defs ++ operators.TierD.defs
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

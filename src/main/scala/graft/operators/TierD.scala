@@ -1,0 +1,99 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.util.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2 Tier D — streaming semantics. The reference has no
+  * streaming at all; each op here is declared as a batch query with a
+  * streaming-compatible shape (oracle-able in DuckDB), and the true
+  * Structured Streaming twins live in [[graft.streaming.StreamingDemo]]
+  * (declared as d5/d6).
+  *
+  * Time discipline: event time only, µs precision end-to-end, outputs
+  * floor'd to epoch seconds or date_trunc'd (SURVEY §7.4 #3).
+  */
+object TierD {
+
+  /** d1: tumbling 1h window aggregation ≡ groupBy(date_trunc) — for
+    * tumbling windows the mapping is exact. Partial agg means shuffle
+    * volume is #windows × #types regardless of input size.
+    */
+  private def d1(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), moneySum(col("value")).as("sum_value"))
+      .orderBy("h", "event_type")
+
+  /** d2: sliding 1h/15min window — each event belongs to exactly 4
+    * windows; explode the offsets, then it's a tumbling agg on the
+    * 900 s grid. Window starts as epoch seconds (BIGINT) for exact
+    * cross-engine parity.
+    */
+  private def d2(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_type"), col("ts"), explode(expr("sequence(0, 3)")).as("j"))
+      .select(expr("(unix_timestamp(ts) div 900 - j) * 900").as("ws"),
+        col("event_type"))
+      .groupBy("ws", "event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("ws", "event_type")
+
+  /** d3: session windows (30 min gap) the portable way: lag + gap flag +
+    * running sum per user = session ids — one shuffle on user_id, all
+    * window passes share the same partitioning/sort. Gap compare in
+    * exact integer µs.
+    */
+  private def d3(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("prev", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev").isNull || col("ts_us") - col("prev") > 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)).cast("long"))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("cnt"),
+        expr("min(ts_us) div 1000000").as("start_s"),
+        expr("max(ts_us) div 1000000").as("end_s"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** d4: stateful dedup / late-duplicate suppression (batch twin of
+    * `dropDuplicatesWithinWatermark`): first event per
+    * (user, type, minute) by event time.
+    */
+  private def d4(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type", "minute_ts")
+      .orderBy("ts", "event_id")
+    events(s, d)
+      .withColumn("minute_ts", date_trunc("minute", col("ts")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_type", "minute_ts", "event_id")
+      .orderBy("user_id", "event_type", "minute_ts")
+  }
+
+  private val d3Sql =
+    "WITH e AS (SELECT user_id, ts, event_id, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), m AS (SELECT user_id, ts, event_id, CASE WHEN prev IS NULL OR date_diff('microsecond', prev, ts) > 1800000000 THEN 1 ELSE 0 END AS is_new FROM e), s AS (SELECT user_id, ts, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM m) SELECT user_id, session_id::BIGINT AS session_id, count(*)::BIGINT AS cnt, floor(epoch(min(ts)))::BIGINT AS start_s, floor(epoch(max(ts)))::BIGINT AS end_s FROM s GROUP BY 1, 2 ORDER BY 1, 2"
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("d1_window_tumbling", d1 _, Some(
+      "SELECT date_trunc('hour', ts) AS h, event_type, count(*)::BIGINT AS cnt, sum(value::DECIMAL(18,2))::DOUBLE AS sum_value FROM events GROUP BY 1, 2 ORDER BY 1, 2")),
+    QueryDef("d2_window_sliding", d2 _, Some(
+      "SELECT ws, event_type, count(*)::BIGINT AS cnt FROM (SELECT (floor(epoch(ts)/900)::BIGINT - j.j) * 900 AS ws, event_type FROM events, (VALUES (0),(1),(2),(3)) j(j)) GROUP BY 1, 2 ORDER BY 1, 2")),
+    QueryDef("d3_window_session", d3 _, Some(d3Sql)),
+    QueryDef("d4_stateful_dedup", d4 _, Some(
+      "WITH r AS (SELECT user_id, event_type, date_trunc('minute', ts) AS minute_ts, event_id, row_number() OVER (PARTITION BY user_id, event_type, date_trunc('minute', ts) ORDER BY ts, event_id) AS rn FROM events) SELECT user_id, event_type, minute_ts, event_id FROM r WHERE rn = 1 ORDER BY 1, 2, 3")),
+    QueryDef("d5_stream_tumbling",
+      (s, d) => graft.streaming.StreamingDemo.tumblingCounts(s, d), Some(
+        "SELECT date_trunc('hour', ts) AS h, event_type, count(*)::BIGINT AS cnt FROM events GROUP BY 1, 2 ORDER BY 1, 2")),
+    QueryDef("d6_stream_sessionize",
+      (s, d) => graft.streaming.StreamingDemo.sessionize(s, d), Some(d3Sql)),
+  )
+}

@@ -1,0 +1,112 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+import scala.collection.mutable
+
+/** Typed event for streaming sessionization. */
+case class Ev(user_id: Long, ts_us: Long, event_id: Long)
+
+/** Session summary emitted by the stateful operator. */
+case class SessionOut(
+    user_id: Long, session_id: Long, cnt: Long, start_s: Long, end_s: Long)
+
+/** SURVEY.md §2 Tier D — true Structured Streaming twins (d5/d6).
+  *
+  * The reference has no streaming; these are the Spark-native stream
+  * operators a large pipeline needs: file-source `readStream` →
+  * event-time watermark → windowed aggregation (d5), and
+  * `flatMapGroupsWithState` custom session state (d6). Both process the
+  * events table as a bounded stream (processAllAvailable), so results
+  * are deterministic and DuckDB-oracled — the same code runs unbounded
+  * on a real source; only the sink/trigger wiring changes.
+  *
+  * Scale: state is keyed (window×type for d5, user for d6) and lives in
+  * the state store per partition — no driver state; watermark bounds
+  * state retention on unbounded input.
+  */
+object StreamingDemo {
+
+  private val gapUs = 1800000000L // 30 min session gap, exact µs
+
+  /** File-source stream over the events parquet with the ns→µs
+    * normalization (schema pins `ts` to long nanos; see Tables.events).
+    */
+  private def eventStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // The file source needs a directory; pathGlobFilter narrows it to
+    // the events file inside the scale-factor dir.
+    s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Run a bounded stream to completion into a memory sink and return
+    * the (small, aggregated) result as a batch DataFrame that outlives
+    * the sink.
+    */
+  private def runToBatch(s: SparkSession, name: String,
+      build: DataFrame => DataFrame, mode: String, df: DataFrame): DataFrame = {
+    val q = build(df).writeStream
+      .queryName(name).format("memory").outputMode(mode).start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val res = s.table(name)
+    s.createDataFrame(res.collectAsList(), res.schema)
+  }
+
+  /** d5: readStream → watermark → tumbling 1h window count. Complete
+    * mode over the bounded stream ⇒ identical to the batch tumbling agg.
+    */
+  def tumblingCounts(s: SparkSession, d: String): DataFrame =
+    runToBatch(s, "d5_mem",
+      df => df.withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt")),
+      "complete", eventStream(s, d))
+      .select(col("window.start").as("h"), col("event_type"), col("cnt"))
+      .orderBy("h", "event_type")
+
+  /** d6: `flatMapGroupsWithState` sessionization — per-user custom
+    * state, 30 min gap, emits one row per closed session. Matches the
+    * batch lag+cumsum twin (d3) exactly on the bounded stream.
+    */
+  def sessionize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = eventStream(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      .as[Ev]
+    val sessions = ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[Ev], _: GroupState[Long]) =>
+          val evs = it.toArray.sortBy(e => (e.ts_us, e.event_id))
+          val out = mutable.ArrayBuffer.empty[SessionOut]
+          var sid = 0L; var cnt = 0L; var start = 0L; var last = 0L
+          evs.foreach { e =>
+            if (cnt == 0L) {
+              sid += 1; start = e.ts_us; last = e.ts_us; cnt = 1
+            } else if (e.ts_us - last > gapUs) {
+              out += SessionOut(user, sid, cnt, start / 1000000L, last / 1000000L)
+              sid += 1; start = e.ts_us; last = e.ts_us; cnt = 1
+            } else {
+              last = e.ts_us; cnt += 1
+            }
+          }
+          if (cnt > 0L)
+            out += SessionOut(user, sid, cnt, start / 1000000L, last / 1000000L)
+          out.iterator
+      }
+    val q = sessions.writeStream
+      .queryName("d6_mem").format("memory").outputMode("append").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val res = s.table("d6_mem")
+    s.createDataFrame(res.collectAsList(), res.schema)
+      .orderBy("user_id", "session_id")
+  }
+}
