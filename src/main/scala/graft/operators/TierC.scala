@@ -390,6 +390,22 @@ object TierC {
       .orderBy("doc_id")
   }
 
+  /** c17: the custom-Expression extension point (SURVEY §7.3) in a
+    * declared query: native codegen'd `cosine_sim` (graft.functions)
+    * scoring adjacent-id vector pairs inside whole-stage codegen — no
+    * UDF serialization, no interpreted HOF.
+    */
+  private def c17(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val a = embeddings(s, d)
+      .select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = embeddings(s, d)
+      .select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    a.join(b, col("vec_b") === col("vec_a") + 1)
+      .selectExpr("vec_a", "vec_b", "round(cosine_sim(ea, eb), 4) AS sim")
+      .orderBy("vec_a")
+  }
+
   private val shinglesSql =
     "SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) WHERE len(w) >= 3"
 
@@ -423,6 +439,8 @@ object TierC {
     QueryDef("c14_fingerprint", c14 _, Some(
       "SELECT doc_id, md5(text) AS fp, list_min(list_transform(string_split(text, ' '), x -> md5(x))) AS min_word_fp FROM documents ORDER BY doc_id")),
     QueryDef("c15_ann_lsh", c15 _, None),
+    QueryDef("c17_similarity_native_expr", c17 _, Some(
+      "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1 ORDER BY vec_a")),
     QueryDef("c16_multimodal_binary", c16 _, Some(
       "SELECT doc_id, length(text)::BIGINT AS n_bytes, ascii(substr(text, 1, 1)) AS b0, list_sum(list_transform(generate_series(1, least(16, length(text))), i -> ascii(substr(text, i, 1))))::BIGINT AS head_sum FROM documents ORDER BY doc_id")),
   )
