@@ -331,6 +331,49 @@ object TierB {
       .orderBy("key")
   }
 
+  /** b25: bucketed co-located join — both sides written bucketed+sorted
+    * on the join key (8 buckets), so the sort-merge join reads bucket i
+    * against bucket i with NO shuffle of either side (no
+    * `Exchange hashpartitioning` in the plan; asserted in
+    * RelationalPlanSpec). This is THE 100 TB fact-to-fact join answer
+    * when neither side broadcasts: pay the partitioning once at write
+    * time, join for free forever after. merge hint pins SMJ so the
+    * small test dim doesn't get broadcast and hide the demonstration.
+    */
+  private def b25(s: SparkSession, d: String): DataFrame = {
+    val base = "/root/repo/target/qtmp/b25"
+    orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .option("path", s"$base/orders").saveAsTable("b25_orders")
+    customer(s, d).select("c_custkey", "c_name")
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .option("path", s"$base/customer").saveAsTable("b25_customer")
+    s.table("b25_orders").hint("merge")
+      .join(s.table("b25_customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey")
+      .agg(count(lit(1)).as("n_orders"), moneySum(col("o_totalprice")).as("total"))
+      .orderBy("c_custkey")
+  }
+
+  /** b26: salted skew-safe aggregation — two-phase: spread each hot key
+    * over 16 salt sub-keys (first shuffle distributes the skew), then
+    * merge the 16 partials (second shuffle is #keys × 16 rows, tiny).
+    * Result is identical to the direct agg (sums are exact DECIMAL, so
+    * re-association is lossless) — which is exactly why it oracles
+    * against the plain GROUP BY.
+    */
+  private def b26(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .withColumn("salt", pmod(col("l_orderkey"), lit(16)))
+      .groupBy("l_returnflag", "salt")
+      .agg(count(lit(1)).as("pc"),
+        sum(col("l_quantity").cast("decimal(18,2)")).as("pq"))
+      .groupBy("l_returnflag")
+      .agg(sum(col("pc")).as("cnt"), sum(col("pq")).cast("double").as("sum_qty"))
+      .orderBy("l_returnflag")
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("b1_scan_filter_project", b1 _, Some(
       "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24 ORDER BY l_orderkey, l_linenumber")),
@@ -377,6 +420,10 @@ object TierB {
       "SELECT event_id, json_extract_string(props, '$.k')::INTEGER AS k_val FROM events ORDER BY event_id")),
     QueryDef("b23_subquery", b23 _, Some(
       "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') ORDER BY o_orderkey")),
+    QueryDef("b25_join_bucketed", b25 _, Some(
+      "SELECT c_custkey, count(*)::BIGINT AS n_orders, sum(o_totalprice::DECIMAL(18,2))::DOUBLE AS total FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1 ORDER BY 1")),
+    QueryDef("b26_agg_salted", b26 _, Some(
+      "SELECT l_returnflag, count(*)::BIGINT AS cnt, sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty FROM lineitem GROUP BY 1 ORDER BY 1")),
     QueryDef("b24_udf_surface", b24 _, Some(
       "SELECT 'f_' || lower(l_returnflag) AS key, (sum(l_quantity::BIGINT) // count(*))::BIGINT AS qty_floor_avg, count(*)::BIGINT AS cnt FROM lineitem GROUP BY 1 ORDER BY 1")),
   )

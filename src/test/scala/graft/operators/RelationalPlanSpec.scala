@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Physical-plan assertions (SURVEY §4.2): the scale claims in the
+  * Scaladoc are checked against the actual executed plans, not taken on
+  * faith.
+  */
+class RelationalPlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001)
+      .queryExecution.executedPlan.toString
+
+  test("b1: filters and projection are pushed into the parquet scan") {
+    val p = plan("b1_scan_filter_project")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThanOrEqual(l_discount,0.05)"), p)
+    // pruned read schema: no l_partkey/l_shipdate in the scan
+    assert(!p.contains("l_shipdate"), p)
+  }
+
+  test("b3: dimension join is a BroadcastHashJoin") {
+    val p = plan("b3_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("b25: bucketed join has no shuffle (no Exchange hashpartitioning)") {
+    val p = plan("b25_join_bucketed")
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("b7: aggregation is partial (map-side) before the exchange") {
+    val p = plan("b7_agg_hash")
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p)
+  }
+
+  test("b14: global sort+limit plans TakeOrderedAndProject, not full sort") {
+    val p = plan("b14_sort_limit")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+}
