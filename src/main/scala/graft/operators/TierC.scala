@@ -50,38 +50,20 @@ object TierC {
     * final bucket aggregation; shuffle keys are (doc, band) then
     * (band, minhash).
     */
-  private def c2(s: SparkSession, d: String): DataFrame = {
-    // Shingling via typed flatMap (JIT'd tight loop) — Spark's
-    // higher-order array functions are interpreted and 3-4x slower on
-    // this hot path. Duplicate shingles are kept: min() is identical
-    // over the multiset, so skipping distinct saves a pass.
-    import s.implicits._
-    val sh = documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .as[(Long, Seq[String])]
-      .flatMap { case (id, w) =>
-        (0 until w.length - 2).iterator
-          .map(i => (id, w(i) + " " + w(i + 1) + " " + w(i + 2)))
-      }
-      .toDF("doc_id", "sh")
-    // One md5 per shingle; the 4 band hashes are disjoint 8-hex-char
-    // substrings (independent-enough family, portable to DuckDB).
-    // Map-side partial min collapses each partition to #docs rows
-    // before the only wide shuffle.
-    sh.withColumn("h", md5(col("sh")))
-      .groupBy("doc_id")
-      .agg(
-        min(substring(col("h"), 1, 8)).as("m0"),
-        min(substring(col("h"), 9, 8)).as("m1"),
-        min(substring(col("h"), 17, 8)).as("m2"),
-        min(substring(col("h"), 25, 8)).as("m3"))
-      .selectExpr("doc_id",
-        "stack(4, 0, m0, 1, m1, 2, m2, 3, m3) AS (band, minhash)")
+  /** Shingling runs as a typed flatMap (JIT'd tight loop — Spark's
+    * higher-order array functions are interpreted and 3-4x slower on
+    * this hot path); one md5 per shingle, 4 disjoint 8-hex-char
+    * substrings as the band hash family (portable to DuckDB); map-side
+    * partial min collapses each partition to #docs rows before the only
+    * wide shuffle. Duplicate shingles are kept: min() is identical over
+    * the multiset. See [[bandMinhash]].
+    */
+  private def c2(s: SparkSession, d: String): DataFrame =
+    bandMinhash(s, d)
       .groupBy("band", "minhash")
       .agg(count(lit(1)).as("n_docs"),
         min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
       .orderBy("band", "minhash")
-  }
 
   /** Typed row for vector ops: (id, embedding). */
   private def vecs(s: SparkSession, d: String) = {
@@ -406,6 +388,124 @@ object TierC {
       .orderBy("vec_a")
   }
 
+  /** Per-doc (band, minhash) rows — c2's LSH signature table, shared by
+    * c18's candidate-pair generation.
+    */
+  private def bandMinhash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .as[(Long, Seq[String])]
+      .flatMap { case (id, w) =>
+        (0 until w.length - 2).iterator
+          .map(i => (id, w(i) + " " + w(i + 1) + " " + w(i + 2)))
+      }
+      .toDF("doc_id", "sh")
+      .withColumn("h", md5(col("sh")))
+      .groupBy("doc_id")
+      .agg(
+        min(substring(col("h"), 1, 8)).as("m0"),
+        min(substring(col("h"), 9, 8)).as("m1"),
+        min(substring(col("h"), 17, 8)).as("m2"),
+        min(substring(col("h"), 25, 8)).as("m3"))
+      .selectExpr("doc_id",
+        "stack(4, 0, m0, 1, m1, 2, m2, 3, m3) AS (band, minhash)")
+  }
+
+  /** c18: duplicate-cluster resolution — the dedup endgame: LSH
+    * candidate pairs → connected components → canonical doc (min id)
+    * per cluster. Components via iterative min-label propagation
+    * (driver loop, converges in O(component diameter) rounds; the
+    * monotone label-sum is the convergence test, so no extra join to
+    * detect change). At 100 TB this is the standard large-graph CC
+    * pattern: edges stay partitioned, each round is one join + one agg.
+    */
+  private def c18(s: SparkSession, d: String): DataFrame = {
+    val mh = bandMinhash(s, d)
+    val a = mh.select(col("band").as("ba"), col("minhash").as("ha"), col("doc_id").as("u"))
+    val b = mh.select(col("band").as("bb"), col("minhash").as("hb"), col("doc_id").as("v"))
+    val pairs = a.join(b,
+        col("ba") === col("bb") && col("ha") === col("hb") && col("u") < col("v"))
+      .select("u", "v").distinct()
+    // localCheckpoint (not cache): each round's plan must NOT chain on
+    // the previous round's, or the lineage doubles per iteration and
+    // planning itself OOMs the driver — the classic iterative-Spark trap.
+    val edges = pairs.union(pairs.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+    var labels = documents(s, d)
+      .select(col("doc_id"), col("doc_id").as("label")).localCheckpoint()
+    var prevSum = Long.MaxValue
+    var curSum = labels.agg(sum("label")).head().getLong(0)
+    var iter = 0
+    while (curSum < prevSum && iter < 50) {
+      val prop = edges.join(labels, edges("v") === labels("doc_id"))
+        .select(col("u").as("pid"), col("label").as("nlabel"))
+        .groupBy("pid").agg(min("nlabel").as("minn"))
+      val next = labels.join(prop, labels("doc_id") === prop("pid"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("minn"), col("label"))).as("label"))
+        .localCheckpoint()
+      prevSum = curSum
+      curSum = next.agg(sum("label")).head().getLong(0)
+      labels = next
+      iter += 1
+    }
+    labels.select(col("doc_id"), col("label").as("cluster_id")).orderBy("doc_id")
+  }
+
+  /** c19: IVF-style ANN — the other scale path next to c15's LSH: a
+    * coarse codebook (deterministic stand-in: the first 8 vectors)
+    * partitions the corpus into cells; probes search only their own
+    * cell. Assignment is a broadcast-codebook map pass; per-cell search
+    * is a group-local primitive loop (c10's kernel). argmin over
+    * squared L2 == argmin over DuckDB's list_distance (monotonic).
+    */
+  private def c19(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val all = vecs(s, d)
+    val cents = all.filter(_._1 < 8).collect().sortBy(_._1)
+    val bc = s.sparkContext.broadcast(cents)
+    val assigned = all.filter(_._1 >= 8)
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, emb) =>
+          var best = -1L; var bd = Double.MaxValue
+          cs.foreach { case (cid, ce) =>
+            var i = 0; var acc = 0.0
+            while (i < emb.length) {
+              val diff = ce(i).toDouble - emb(i).toDouble
+              acc += diff * diff; i += 1
+            }
+            if (acc < bd) { bd = acc; best = cid } // ascending cid ⇒ tie keeps smaller
+          }
+          (best, id, emb)
+        }
+      }
+    assigned.groupByKey(_._1)
+      .flatMapGroups { (cell, it) =>
+        val members = it.toArray
+        members.iterator
+          .filter(_._2 % 100 == 0)
+          .flatMap { case (_, pid, pemb) =>
+            var bestId = -1L; var bestSim = -2.0
+            members.foreach { case (_, mid, memb) =>
+              if (mid != pid) {
+                val sim = cosine(pemb, memb)
+                if (sim > bestSim || (sim == bestSim && mid < bestId)) {
+                  bestSim = sim; bestId = mid
+                }
+              }
+            }
+            if (bestId >= 0) Iterator.single((pid, cell, bestId, bestSim))
+            else Iterator.empty
+          }
+      }
+      .toDF("probe_id", "cell", "neighbor_id", "sim_raw")
+      .select(col("probe_id"), col("cell"), col("neighbor_id"),
+        round(col("sim_raw"), 4).as("sim"))
+      .orderBy("probe_id")
+  }
+
   private val shinglesSql =
     "SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) WHERE len(w) >= 3"
 
@@ -439,6 +539,10 @@ object TierC {
     QueryDef("c14_fingerprint", c14 _, Some(
       "SELECT doc_id, md5(text) AS fp, list_min(list_transform(string_split(text, ' '), x -> md5(x))) AS min_word_fp FROM documents ORDER BY doc_id")),
     QueryDef("c15_ann_lsh", c15 _, None),
+    QueryDef("c18_dedup_cluster", c18 _, Some(
+      s"WITH RECURSIVE sh AS (SELECT doc_id, unnest(s) AS sh FROM ($shinglesSql)), mh AS (SELECT doc_id, b.band, min(substr(md5(sh), 1 + b.band * 8, 8)) AS minhash FROM sh, (VALUES (0),(1),(2),(3)) b(band) GROUP BY doc_id, b.band), pairs AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v FROM mh a JOIN mh b ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id), edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs), reach(u, r) AS (SELECT doc_id, doc_id FROM documents UNION SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u) SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u ORDER BY doc_id")),
+    QueryDef("c19_ann_ivf", c19 _, Some(
+      "WITH cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings WHERE vec_id < 8), assigned AS (SELECT e.vec_id, e.embedding::DOUBLE[] AS emb, (SELECT c.cid FROM cent c ORDER BY list_distance(c.ce, e.embedding::DOUBLE[]), c.cid LIMIT 1) AS cell FROM embeddings e WHERE e.vec_id >= 8), probes AS (SELECT vec_id AS probe_id, emb AS pe, cell FROM assigned WHERE vec_id % 100 = 0), ranked AS (SELECT p.probe_id, p.cell, m.vec_id AS neighbor_id, list_cosine_similarity(p.pe, m.emb) AS sim, row_number() OVER (PARTITION BY p.probe_id ORDER BY list_cosine_similarity(p.pe, m.emb) DESC, m.vec_id) AS rn FROM probes p JOIN assigned m ON m.cell = p.cell AND m.vec_id != p.probe_id) SELECT probe_id, cell, neighbor_id, round(sim, 4) AS sim FROM ranked WHERE rn = 1 ORDER BY probe_id")),
     QueryDef("c17_similarity_native_expr", c17 _, Some(
       "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1 ORDER BY vec_a")),
     QueryDef("c16_multimodal_binary", c16 _, Some(

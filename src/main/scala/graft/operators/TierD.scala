@@ -79,6 +79,21 @@ object TierD {
       .orderBy("user_id", "event_type", "minute_ts")
   }
 
+  /** d7: Spark's native `session_window` operator (batch form — the
+    * same expression drives streaming with a watermark; the batch run
+    * is deterministic and thus oracle-able). Note the boundary
+    * semantics differ from d3: session_window splits when the gap is
+    * `>= gapDuration` (windows are half-open `[e, e+gap)`), while d3's
+    * lag formulation splits on strictly `>` — the oracle encodes `>=`.
+    */
+  private def d7(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("start_s"), col("cnt"))
+      .orderBy("user_id", "start_s")
+
   private val d3Sql =
     "WITH e AS (SELECT user_id, ts, event_id, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), m AS (SELECT user_id, ts, event_id, CASE WHEN prev IS NULL OR date_diff('microsecond', prev, ts) > 1800000000 THEN 1 ELSE 0 END AS is_new FROM e), s AS (SELECT user_id, ts, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM m) SELECT user_id, session_id::BIGINT AS session_id, count(*)::BIGINT AS cnt, floor(epoch(min(ts)))::BIGINT AS start_s, floor(epoch(max(ts)))::BIGINT AS end_s FROM s GROUP BY 1, 2 ORDER BY 1, 2"
 
@@ -95,5 +110,7 @@ object TierD {
         "SELECT date_trunc('hour', ts) AS h, event_type, count(*)::BIGINT AS cnt FROM events GROUP BY 1, 2 ORDER BY 1, 2")),
     QueryDef("d6_stream_sessionize",
       (s, d) => graft.streaming.StreamingDemo.sessionize(s, d), Some(d3Sql)),
+    QueryDef("d7_session_window_native", d7 _, Some(
+      "WITH e AS (SELECT user_id, ts, event_id, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), m AS (SELECT user_id, ts, CASE WHEN prev IS NULL OR date_diff('microsecond', prev, ts) >= 1800000000 THEN 1 ELSE 0 END AS is_new FROM e), s AS (SELECT user_id, ts, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM m) SELECT user_id, floor(epoch(min(ts)))::BIGINT AS start_s, count(*)::BIGINT AS cnt FROM s GROUP BY user_id, sid ORDER BY 1, 2")),
   )
 }
