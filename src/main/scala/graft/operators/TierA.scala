@@ -212,7 +212,38 @@ object TierA {
     cur.toDF("key", "cnt").orderBy("key")
   }
 
+  /** a17: CSV sink/source round-trip (the reference's extension-driven
+    * writer selection [mrs: mrs/fileformats.py]; CSV is the delimited
+    * sibling of TextWriter).
+    */
+  private def a17(spark: SparkSession, d: String): DataFrame = {
+    val out = "/root/repo/target/qtmp/a17_sink_csv"
+    nation(spark, d).write.mode("overwrite")
+      .option("header", "true").csv(out)
+    spark.read
+      .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+      .option("header", "true").csv(out)
+      .select("n_nationkey", "n_name")
+      .orderBy("n_nationkey")
+  }
+
+  /** a18: JSON-lines sink/source round-trip. Explicit read schema: JSON
+    * inference would widen int32 to long and break schema parity.
+    */
+  private def a18(spark: SparkSession, d: String): DataFrame = {
+    val out = "/root/repo/target/qtmp/a18_sink_json"
+    region(spark, d).write.mode("overwrite").json(out)
+    spark.read
+      .schema("r_regionkey INT, r_name STRING")
+      .json(out)
+      .orderBy("r_regionkey")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("a17_sink_csv", a17 _, Some(
+      "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey")),
+    QueryDef("a18_sink_json", a18 _, Some(
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")),
     QueryDef("a1_source_text", a1 _, Some(
       "SELECT doc_id, text FROM documents ORDER BY doc_id")),
     QueryDef("a2_source_local", a2 _, Some(

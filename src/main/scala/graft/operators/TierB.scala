@@ -374,7 +374,60 @@ object TierB {
       .agg(sum(col("pc")).as("cnt"), sum(col("pq")).cast("double").as("sum_qty"))
       .orderBy("l_returnflag")
 
+  /** b27: approximate quantile sketch — constant-memory per group at any
+    * scale (the quantile sibling of b9's HLL); engine-specific sketch ⇒
+    * no-oracle by design.
+    */
+  private def b27(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(100))
+        .as("approx_median_price"))
+      .orderBy("l_returnflag")
+
+  /** b28: distribution window functions — ntile/percent_rank/cume_dist/
+    * first_value. Raw doubles are exact integer ratios computed
+    * identically on both engines; no rounding needed.
+    */
+  private def b28(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    orders(s, d)
+      .select(col("o_orderkey"),
+        ntile(4).over(w).cast("long").as("nt"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        first_value(col("o_orderkey")).over(w).as("fv"))
+      .orderBy("o_orderkey")
+  }
+
+  /** b29: pivot — one shuffle computes the cross-tab; value list pinned
+    * explicitly so the output schema is deterministic.
+    */
+  private def b29(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(count(lit(1)))
+      .orderBy("l_returnflag")
+
+  /** b30: unpivot (melt) — wide→long reshape, a Generate (no shuffle). */
+  private def b30(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .select(col("p_partkey"), col("p_retailprice").as("price"),
+        col("p_size").cast("double").as("size"))
+      .unpivot(Array(col("p_partkey")),
+        Array(col("price"), col("size")), "name", "value")
+      .orderBy("p_partkey", "name")
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("b27_agg_approx_quantile", b27 _, None),
+    QueryDef("b28_window_distribution", b28 _, Some(
+      "SELECT o_orderkey, ntile(4) OVER w AS nt, percent_rank() OVER w AS pr, cume_dist() OVER w AS cd, first_value(o_orderkey) OVER w AS fv FROM orders WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey) ORDER BY o_orderkey")),
+    QueryDef("b29_pivot", b29 _, Some(
+      "SELECT * FROM (PIVOT lineitem ON l_linestatus USING count(*) GROUP BY l_returnflag) ORDER BY l_returnflag")),
+    QueryDef("b30_unpivot", b30 _, Some(
+      "SELECT p_partkey, name, value FROM (UNPIVOT (SELECT p_partkey, p_retailprice AS price, p_size::DOUBLE AS size FROM part) ON price, size INTO NAME name VALUE value) ORDER BY p_partkey, name")),
     QueryDef("b1_scan_filter_project", b1 _, Some(
       "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24 ORDER BY l_orderkey, l_linenumber")),
     QueryDef("b2_join_inner_hash", b2 _, Some(

@@ -388,6 +388,20 @@ object TierC {
       .orderBy("vec_a")
   }
 
+  /** c20: text normalization/cleaning — trim, digit redaction, space
+    * collapse (the standard pre-dedup cleanup pass); declared output is
+    * the normalized-content fingerprint + length so the full normalized
+    * string is checked without shipping it.
+    */
+  private def c20(s: SparkSession, d: String): DataFrame = {
+    val norm = regexp_replace(
+      regexp_replace(trim(col("text")), "[0-9]+", "#"), " +", " ")
+    documents(s, d)
+      .select(col("doc_id"), md5(norm).as("norm_fp"),
+        length(norm).cast("long").as("norm_len"))
+      .orderBy("doc_id")
+  }
+
   /** Per-doc (band, minhash) rows — c2's LSH signature table, shared by
     * c18's candidate-pair generation.
     */
@@ -539,6 +553,8 @@ object TierC {
     QueryDef("c14_fingerprint", c14 _, Some(
       "SELECT doc_id, md5(text) AS fp, list_min(list_transform(string_split(text, ' '), x -> md5(x))) AS min_word_fp FROM documents ORDER BY doc_id")),
     QueryDef("c15_ann_lsh", c15 _, None),
+    QueryDef("c20_text_normalize", c20 _, Some(
+      "SELECT doc_id, md5(regexp_replace(regexp_replace(trim(text), '[0-9]+', '#', 'g'), ' +', ' ', 'g')) AS norm_fp, length(regexp_replace(regexp_replace(trim(text), '[0-9]+', '#', 'g'), ' +', ' ', 'g'))::BIGINT AS norm_len FROM documents ORDER BY doc_id")),
     QueryDef("c18_dedup_cluster", c18 _, Some(
       s"WITH RECURSIVE sh AS (SELECT doc_id, unnest(s) AS sh FROM ($shinglesSql)), mh AS (SELECT doc_id, b.band, min(substr(md5(sh), 1 + b.band * 8, 8)) AS minhash FROM sh, (VALUES (0),(1),(2),(3)) b(band) GROUP BY doc_id, b.band), pairs AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v FROM mh a JOIN mh b ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id), edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs), reach(u, r) AS (SELECT doc_id, doc_id FROM documents UNION SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u) SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u ORDER BY doc_id")),
     QueryDef("c19_ann_ivf", c19 _, Some(
