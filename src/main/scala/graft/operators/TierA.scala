@@ -239,7 +239,27 @@ object TierA {
       .orderBy("r_regionkey")
   }
 
+  /** a19: HexWriter/HexReader analogue [mrs: mrs/fileformats.py] —
+    * serialized rows as hex text lines, losslessly round-tripped:
+    * key<TAB>hex(value) out, unhex back in.
+    */
+  private def a19(spark: SparkSession, d: String): DataFrame = {
+    val out = "/root/repo/target/qtmp/a19_sink_hex"
+    nation(spark, d)
+      .select(concat_ws("\t", col("n_nationkey"),
+        hex(col("n_name").cast("binary"))).as("value"))
+      .write.mode("overwrite").text(out)
+    spark.read.text(out)
+      .select(split(col("value"), "\t").as("kv"))
+      .select(
+        element_at(col("kv"), 1).cast("int").as("n_nationkey"),
+        unhex(element_at(col("kv"), 2)).cast("string").as("n_name"))
+      .orderBy("n_nationkey")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("a19_sink_hex", a19 _, Some(
+      "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey")),
     QueryDef("a17_sink_csv", a17 _, Some(
       "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey")),
     QueryDef("a18_sink_json", a18 _, Some(

@@ -402,6 +402,36 @@ object TierC {
       .orderBy("doc_id")
   }
 
+  /** c21: deterministic stratified sampling — hash-based (md5 mod 100),
+    * NOT rand(): reproducible across runs/engines/cluster sizes, which
+    * is what a training-data pipeline actually needs. Per-stratum rates
+    * (en 50%, others 20%) via CASE on the hash bucket.
+    */
+  private def c21(s: SparkSession, d: String): DataFrame = {
+    val bucket = pmod(portableHash(col("doc_id")), lit(100))
+    documents(s, d)
+      .withColumn("bucket", bucket)
+      .filter(
+        (col("lang") === "en" && col("bucket") < 50) ||
+          (col("lang") =!= "en" && col("bucket") < 20))
+      .select("doc_id", "lang", "bucket")
+      .orderBy("doc_id")
+  }
+
+  /** c22: train/val/test split assignment — hash ranges 80/10/10 on the
+    * doc id; the declared output is the per-(lang, split) contingency
+    * table, which pins every row's assignment.
+    */
+  private def c22(s: SparkSession, d: String): DataFrame = {
+    val bucket = pmod(portableHash(col("doc_id")), lit(100))
+    documents(s, d)
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("min_doc"))
+      .orderBy("lang", "split")
+  }
+
   /** Per-doc (band, minhash) rows — c2's LSH signature table, shared by
     * c18's candidate-pair generation.
     */
@@ -553,6 +583,10 @@ object TierC {
     QueryDef("c14_fingerprint", c14 _, Some(
       "SELECT doc_id, md5(text) AS fp, list_min(list_transform(string_split(text, ' '), x -> md5(x))) AS min_word_fp FROM documents ORDER BY doc_id")),
     QueryDef("c15_ann_lsh", c15 _, None),
+    QueryDef("c21_sample_stratified", c21 _, Some(
+      s"SELECT doc_id, lang, ${duckHash("doc_id")} % 100 AS bucket FROM documents WHERE (lang = 'en' AND ${duckHash("doc_id")} % 100 < 50) OR (lang != 'en' AND ${duckHash("doc_id")} % 100 < 20) ORDER BY doc_id")),
+    QueryDef("c22_train_split", c22 _, Some(
+      s"SELECT lang, CASE WHEN ${duckHash("doc_id")} % 100 < 80 THEN 'train' WHEN ${duckHash("doc_id")} % 100 < 90 THEN 'val' ELSE 'test' END AS split, count(*)::BIGINT AS cnt, min(doc_id) AS min_doc FROM documents GROUP BY 1, 2 ORDER BY 1, 2")),
     QueryDef("c20_text_normalize", c20 _, Some(
       "SELECT doc_id, md5(regexp_replace(regexp_replace(trim(text), '[0-9]+', '#', 'g'), ' +', ' ', 'g')) AS norm_fp, length(regexp_replace(regexp_replace(trim(text), '[0-9]+', '#', 'g'), ' +', ' ', 'g'))::BIGINT AS norm_len FROM documents ORDER BY doc_id")),
     QueryDef("c18_dedup_cluster", c18 _, Some(
