@@ -144,18 +144,16 @@ object TierA {
   }
 
   private def a10(spark: SparkSession, d: String): DataFrame = {
-    // Mrs TextWriter/TextReader round-trip: key<TAB>value lines
-    // [mrs: mrs/fileformats.py].
+    // Mrs TextWriter/TextReader round-trip: key<TAB>value lines via the
+    // library API [mrs: mrs/fileformats.py].
     val out = "/root/repo/target/qtmp/a10_sink_text"
-    nation(spark, d)
-      .select(concat_ws("\t", col("n_nationkey"), col("n_name")).as("value"))
-      .write.mode("overwrite").text(out)
-    val lines = spark.read.text(out)
-    lines
-      .select(split(col("value"), "\t").as("kv"))
-      .select(
-        element_at(col("kv"), 1).cast("int").as("n_nationkey"),
-        element_at(col("kv"), 2).as("n_name"))
+    graft.sources.PairFiles.writeText(
+      nation(spark, d).select(
+        col("n_nationkey").cast("string").as("key"), col("n_name").as("value")),
+      out)
+    graft.sources.PairFiles.readText(spark, out)
+      .select(col("key").cast("int").as("n_nationkey"),
+        col("value").as("n_name"))
       .orderBy("n_nationkey")
   }
 
@@ -163,8 +161,8 @@ object TierA {
     // Mrs BinWriter/BinReader: lossless typed round-trip — here parquet,
     // carrying an array<float> column through intact.
     val out = "/root/repo/target/qtmp/a11_sink_binary"
-    embeddings(spark, d).write.mode("overwrite").parquet(out)
-    spark.read.parquet(out)
+    graft.sources.PairFiles.writeBin(embeddings(spark, d), out)
+    graft.sources.PairFiles.readBin(spark, out)
       .select(
         col("vec_id"), col("label"),
         size(col("embedding")).cast("long").as("dim"),
@@ -245,15 +243,13 @@ object TierA {
     */
   private def a19(spark: SparkSession, d: String): DataFrame = {
     val out = "/root/repo/target/qtmp/a19_sink_hex"
-    nation(spark, d)
-      .select(concat_ws("\t", col("n_nationkey"),
-        hex(col("n_name").cast("binary"))).as("value"))
-      .write.mode("overwrite").text(out)
-    spark.read.text(out)
-      .select(split(col("value"), "\t").as("kv"))
-      .select(
-        element_at(col("kv"), 1).cast("int").as("n_nationkey"),
-        unhex(element_at(col("kv"), 2)).cast("string").as("n_name"))
+    graft.sources.PairFiles.writeHex(
+      nation(spark, d).select(
+        col("n_nationkey").cast("string").as("key"), col("n_name").as("value")),
+      out)
+    graft.sources.PairFiles.readHex(spark, out)
+      .select(col("key").cast("int").as("n_nationkey"),
+        col("value").as("n_name"))
       .orderBy("n_nationkey")
   }
 

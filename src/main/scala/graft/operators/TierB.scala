@@ -366,7 +366,8 @@ object TierB {
     */
   private def b26(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
-      .withColumn("salt", pmod(col("l_orderkey"), lit(16)))
+      .withColumn("salt",
+        pmod(col("l_orderkey"), lit(graft.util.GraftConf.saltBuckets(s))))
       .groupBy("l_returnflag", "salt")
       .agg(count(lit(1)).as("pc"),
         sum(col("l_quantity").cast("decimal(18,2)")).as("pq"))

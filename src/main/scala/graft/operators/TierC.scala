@@ -23,12 +23,17 @@ object TierC {
   private def withWords(df: DataFrame): DataFrame =
     df.withColumn("w", split(col("text"), " "))
 
-  /** Distinct word-3-gram shingles (docs with ≥3 words). */
-  private def withShingles(df: DataFrame): DataFrame =
+  /** Distinct word-n-gram shingles (docs with ≥n words); n from
+    * `graft.shingle.size` (GraftConf, default 3 — oracles assume the
+    * default).
+    */
+  private def withShingles(s: SparkSession, df: DataFrame): DataFrame = {
+    val n = graft.util.GraftConf.shingleSize(s)
     withWords(df)
-      .filter(size(col("w")) >= 3)
+      .filter(size(col("w")) >= n)
       .withColumn("shingles", array_distinct(expr(
-        "transform(sequence(0, size(w)-3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))")))
+        s"transform(sequence(0, size(w)-$n), i -> array_join(slice(w, i+1, $n), ' '))")))
+  }
 
   /** c1: exact text dedup — hash-groupBy on the full text. At 100 TB,
     * group on sha2(text) instead of raw text to cut shuffle width;
@@ -91,7 +96,7 @@ object TierC {
     */
   private def c3(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val k = 5
+    val k = graft.util.GraftConf.similarityK(s)
     val probes = vecs(s, d).filter(_._1 % 50 == 0).collect()
     val bc = s.sparkContext.broadcast(probes)
     val partials = vecs(s, d)
@@ -211,7 +216,7 @@ object TierC {
     * shape is identical): |A∩B| / |A∪B| over distinct shingle sets.
     */
   private def c9(s: SparkSession, d: String): DataFrame = {
-    val sh = withShingles(documents(s, d)).select(col("doc_id"), col("shingles"))
+    val sh = withShingles(s, documents(s, d)).select(col("doc_id"), col("shingles"))
     val a = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa"))
     val b = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb"))
     a.join(b, col("doc_b") === col("doc_a") + 1)
@@ -437,12 +442,13 @@ object TierC {
     */
   private def bandMinhash(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    val n = graft.util.GraftConf.shingleSize(s)
     documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .as[(Long, Seq[String])]
       .flatMap { case (id, w) =>
-        (0 until w.length - 2).iterator
-          .map(i => (id, w(i) + " " + w(i + 1) + " " + w(i + 2)))
+        (0 to w.length - n).iterator
+          .map(i => (id, w.slice(i, i + n).mkString(" ")))
       }
       .toDF("doc_id", "sh")
       .withColumn("h", md5(col("sh")))

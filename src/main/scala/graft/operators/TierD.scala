@@ -47,12 +47,13 @@ object TierD {
     * exact integer µs.
     */
   private def d3(s: SparkSession, d: String): DataFrame = {
+    val gapUs = graft.util.GraftConf.sessionGapSec(s) * 1000000L
     val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     events(s, d)
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
       .withColumn("prev", lag(col("ts_us"), 1).over(byUser))
       .withColumn("is_new",
-        when(col("prev").isNull || col("ts_us") - col("prev") > 1800000000L, 1)
+        when(col("prev").isNull || col("ts_us") - col("prev") > gapUs, 1)
           .otherwise(0))
       .withColumn("session_id",
         sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding,
@@ -88,7 +89,8 @@ object TierD {
     */
   private def d7(s: SparkSession, d: String): DataFrame =
     events(s, d)
-      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .groupBy(session_window(col("ts"),
+        s"${graft.util.GraftConf.sessionGapSec(s)} seconds"), col("user_id"))
       .agg(count(lit(1)).as("cnt"))
       .select(col("user_id"),
         unix_timestamp(col("session_window.start")).as("start_s"), col("cnt"))

@@ -29,7 +29,11 @@ case class SessionOut(
   */
 object StreamingDemo {
 
-  private val gapUs = 1800000000L // 30 min session gap, exact µs
+  /** Session gap in exact µs, from `graft.session.gap.sec`
+    * (default 30 min — oracles assume the default).
+    */
+  private def gapUsOf(s: SparkSession): Long =
+    graft.util.GraftConf.sessionGapSec(s) * 1000000L
 
   /** File-source stream over the events parquet with the ns→µs
     * normalization (schema pins `ts` to long nanos; see Tables.events).
@@ -78,6 +82,7 @@ object StreamingDemo {
     */
   def sessionize(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    val gapUs = gapUsOf(s)
     val ev = eventStream(s, d)
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
       .as[Ev]

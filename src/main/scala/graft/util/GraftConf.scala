@@ -1,0 +1,30 @@
+package graft.util
+
+import org.apache.spark.sql.SparkSession
+
+/** The reference's `mrs.param` option system re-expressed on Spark conf
+  * [mrs: mrs/param.py]: program-level knobs with defaults, settable via
+  * `--conf graft.*=...` / `spark.conf.set`, read at query-build time.
+  * `--mrs-reduce-tasks` ⇔ `spark.sql.shuffle.partitions` (stock conf);
+  * the knobs below are graft's own operator parameters.
+  */
+object GraftConf {
+  private def get(s: SparkSession, key: String, default: String): String =
+    s.conf.getOption(key).getOrElse(default)
+
+  /** Word-shingle width for MinHash/Jaccard (c2/c9/c18). */
+  def shingleSize(s: SparkSession): Int =
+    get(s, "graft.shingle.size", "3").toInt
+
+  /** Session gap in seconds (d3/d6/d7). */
+  def sessionGapSec(s: SparkSession): Long =
+    get(s, "graft.session.gap.sec", "1800").toLong
+
+  /** Top-k for similarity search (c3). */
+  def similarityK(s: SparkSession): Int =
+    get(s, "graft.similarity.k", "5").toInt
+
+  /** Salt fan-out for skew-safe aggregation (b26). */
+  def saltBuckets(s: SparkSession): Int =
+    get(s, "graft.salt.buckets", "16").toInt
+}
