@@ -96,8 +96,11 @@ object GraftFunctions {
 
 /** `spark.sql.extensions`-style registration:
   * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`.
+  * Injects the cosine_sim function and the as-of join planner strategy.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.inject(e)
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+  }
 }

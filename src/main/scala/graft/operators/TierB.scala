@@ -421,7 +421,64 @@ object TierB {
         Array(col("price"), col("size")), "name", "value")
       .orderBy("p_partkey", "name")
 
+  /** b31: AS-OF join — each purchase matched to the same user's latest
+    * click at-or-before it. Spark has no asof join operator; the
+    * Spark-native plan is union-tag + sort-within-key +
+    * `last(_, ignoreNulls)` carry-forward: ONE shuffle on the key, one
+    * window pass — strictly better than the naive range-join + argmax
+    * (which materializes every candidate pair). Clicks sort before
+    * purchases at equal ts (side 0 < 1), giving at-or-before (>=)
+    * semantics, matching DuckDB's `ASOF JOIN ... ON p.ts >= c.ts`.
+    * Gap computed in exact integer µs (floor of double epoch diff can
+    * flip at integer-second boundaries).
+    */
+  private def b31(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), lit(0).as("side"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), lit(1).as("side"))
+    val w = Window.partitionBy("user_id")
+      .orderBy("ts_us", "side", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.union(purchases)
+      .withColumn("click_id",
+        last(when(col("side") === 0, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("click_us",
+        last(when(col("side") === 0, col("ts_us")), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(
+        col("event_id").as("purchase_id"), col("user_id"), col("click_id"),
+        expr("(ts_us - click_us) div 1000000").as("gap_s"))
+      .orderBy("purchase_id")
+  }
+
+  /** b32: the SAME as-of semantics as b31 but through the full custom
+    * operator stack — graft.plans.AsOfJoinPlan/Strategy/Exec (custom
+    * LogicalPlan + SparkStrategy + sort-merge SparkPlan). b31, b32 and
+    * DuckDB's native ASOF JOIN triangulate each other.
+    */
+  private def b32(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), unix_micros(col("ts")).as("p_us"),
+        col("event_id").as("purchase_id"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), unix_micros(col("ts")).as("c_us"),
+        col("event_id").as("click_id"))
+    graft.plans.AsOfJoin.join(p, c, "p_user", "p_us", "c_user", "c_us")
+      .select(col("purchase_id"), col("p_user").as("user_id"), col("click_id"),
+        expr("(p_us - c_us) div 1000000").as("gap_s"))
+      .orderBy("purchase_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("b32_join_asof_native", b32 _, Some(
+      "SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id, (date_diff('microsecond', c.ts, p.ts) // 1000000)::BIGINT AS gap_s FROM (SELECT * FROM events WHERE event_type = 'purchase') p ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c ON p.user_id = c.user_id AND p.ts >= c.ts ORDER BY purchase_id")),
+    QueryDef("b31_join_asof", b31 _, Some(
+      "SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id, (date_diff('microsecond', c.ts, p.ts) // 1000000)::BIGINT AS gap_s FROM (SELECT * FROM events WHERE event_type = 'purchase') p ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c ON p.user_id = c.user_id AND p.ts >= c.ts ORDER BY purchase_id")),
     QueryDef("b27_agg_approx_quantile", b27 _, None),
     QueryDef("b28_window_distribution", b28 _, Some(
       "SELECT o_orderkey, ntile(4) OVER w AS nt, percent_rank() OVER w AS pr, cume_dist() OVER w AS cd, first_value(o_orderkey) OVER w AS fv FROM orders WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey) ORDER BY o_orderkey")),

@@ -1,0 +1,146 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** The full custom-operator stack (SURVEY §7.3 / guide §"Custom
+  * operator"): an AS-OF join Spark lacks as a first-class operator —
+  * each left row matched to the right row with the greatest time
+  * at-or-before the left's time, per key.
+  *
+  * Logical node → planner [[AsOfJoinStrategy]] → physical
+  * [[AsOfJoinExec]], injected via `graft.functions.GraftExtensions`
+  * (or per-session with [[AsOfJoin.strategy]]).
+  *
+  * v1 restriction: key and time expressions must evaluate to LongType
+  * (covers id keys + µs epoch times); lifting to arbitrary orderable
+  * types means swapping the long comparisons for `Ordering[InternalRow]`.
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKey: Expression, leftTime: Expression,
+    rightKey: Expression, rightTime: Expression)
+  extends BinaryNode {
+  // right side is null-padded when unmatched
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Physical sort-merge as-of join.
+  *
+  * Scale contract: EnsureRequirements gives both sides the same hash
+  * partitioning on the key (one shuffle each, same as an equi join) and
+  * a per-partition (key, time) sort; the merge itself is a single
+  * streaming pass holding ONE buffered right row — O(1) memory per
+  * partition regardless of input size, no candidate-pair blowup.
+  */
+case class AsOfJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    leftKey: Expression, leftTime: Expression,
+    rightKey: Expression, rightTime: Expression)
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) ::
+      ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(
+      Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+      Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lk = leftKey
+    val lt = leftTime
+    val rk = rightKey
+    val rt = rightTime
+    left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
+      val lkProj = UnsafeProjection.create(Seq(lk, lt), lOut)
+      val rkProj = UnsafeProjection.create(Seq(rk, rt), rOut)
+      val nullRight = new GenericInternalRow(rOut.size)
+      val joined = new JoinedRow
+      val rBuf = rIt.buffered
+      var lastRight: InternalRow = null
+      var lastRightKey = 0L
+      lIt.map { l =>
+        val lkt = lkProj(l)
+        val lKey = lkt.getLong(0)
+        val lTime = lkt.getLong(1)
+        var advance = true
+        while (advance && rBuf.hasNext) {
+          val rkt = rkProj(rBuf.head)
+          val rKey = rkt.getLong(0)
+          val rTime = rkt.getLong(1)
+          if (rKey < lKey || (rKey == lKey && rTime <= lTime)) {
+            // rows are reused by the upstream iterator: copy on retain
+            lastRight = rBuf.next().copy()
+            lastRightKey = rKey
+          } else {
+            advance = false
+          }
+        }
+        if (lastRight != null && lastRightKey == lKey) joined(l, lastRight)
+        else joined(l, nullRight)
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Planner strategy mapping the logical node to the physical one. */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, lt, rk, rt) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt) :: Nil
+    case _ => Nil
+  }
+}
+
+/** User-facing API: `AsOfJoin.join(left, right, "k", "t", "k2", "t2")`.
+  * Registers the strategy on the live session via the public
+  * `spark.experimental.extraStrategies` hook (idempotent); the
+  * `GraftExtensions` injector covers the `spark.sql.extensions` path.
+  */
+object AsOfJoin {
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val cur = spark.experimental.extraStrategies
+    if (!cur.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies = cur :+ AsOfJoinStrategy
+  }
+
+  def join(
+      left: org.apache.spark.sql.DataFrame,
+      right: org.apache.spark.sql.DataFrame,
+      leftKey: String, leftTime: String,
+      rightKey: String, rightTime: String): org.apache.spark.sql.DataFrame = {
+    val spark = left.sparkSession
+    register(spark)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $n not in ${p.output.map(_.name).mkString(",")}"))
+    org.apache.spark.sql.graft.Bridge.ofRows(spark,
+      AsOfJoinPlan(lPlan, rPlan,
+        attr(lPlan, leftKey), attr(lPlan, leftTime),
+        attr(rPlan, rightKey), attr(rPlan, rightTime)))
+  }
+}
