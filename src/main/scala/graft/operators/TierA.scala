@@ -253,7 +253,25 @@ object TierA {
       .orderBy("n_nationkey")
   }
 
+  /** a20: hive-style partitioned sink + partition-pruned source — the
+    * layout that makes 100 TB scans cheap: `partitionBy(lang)` writes
+    * one directory per value; the read-back filter becomes a
+    * PartitionFilter (whole directories skipped, verified in
+    * RelationalPlanSpec), not a data filter.
+    */
+  private def a20(spark: SparkSession, d: String): DataFrame = {
+    val out = "/root/repo/target/qtmp/a20_partitioned"
+    documents(spark, d).write.mode("overwrite")
+      .partitionBy("lang").parquet(out)
+    spark.read.parquet(out)
+      .filter(col("lang") === "en")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("a20_sink_partitioned", a20 _, Some(
+      "SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en' ORDER BY doc_id")),
     QueryDef("a19_sink_hex", a19 _, Some(
       "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey")),
     QueryDef("a17_sink_csv", a17 _, Some(

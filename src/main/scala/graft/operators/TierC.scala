@@ -407,6 +407,29 @@ object TierC {
       .orderBy("doc_id")
   }
 
+  /** c23: data profiling — per-column null/distinct/min/max stats, the
+    * validation pass every ingest pipeline runs before training. One
+    * aggregation over the table; each stat is a partial-aggregating
+    * built-in, so the pass is a single scan at any scale.
+    */
+  private def c23(s: SparkSession, d: String): DataFrame = {
+    val doc = documents(s, d)
+    val stats = doc.agg(
+      count(lit(1)).as("rows"),
+      sum(when(col("text").isNull, 1L).otherwise(0L)).as("null_text"),
+      countDistinct(col("lang")).as("d_lang"),
+      countDistinct(col("source")).as("d_source"),
+      min(col("n_chars")).as("min_chars"),
+      max(col("n_chars")).as("max_chars"),
+      min(col("doc_id")).as("min_id"),
+      max(col("doc_id")).as("max_id"))
+    stats.selectExpr(
+      "stack(8, 'rows', rows, 'null_text', null_text, 'd_lang', d_lang, " +
+        "'d_source', d_source, 'min_chars', min_chars, 'max_chars', max_chars, " +
+        "'min_id', min_id, 'max_id', max_id) AS (stat, value)")
+      .orderBy("stat")
+  }
+
   /** c21: deterministic stratified sampling — hash-based (md5 mod 100),
     * NOT rand(): reproducible across runs/engines/cluster sizes, which
     * is what a training-data pipeline actually needs. Per-stratum rates
@@ -589,6 +612,8 @@ object TierC {
     QueryDef("c14_fingerprint", c14 _, Some(
       "SELECT doc_id, md5(text) AS fp, list_min(list_transform(string_split(text, ' '), x -> md5(x))) AS min_word_fp FROM documents ORDER BY doc_id")),
     QueryDef("c15_ann_lsh", c15 _, None),
+    QueryDef("c23_profile", c23 _, Some(
+      "SELECT stat, value FROM (SELECT count(*)::BIGINT AS rows, sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_text, count(DISTINCT lang)::BIGINT AS d_lang, count(DISTINCT source)::BIGINT AS d_source, min(n_chars)::BIGINT AS min_chars, max(n_chars)::BIGINT AS max_chars, min(doc_id)::BIGINT AS min_id, max(doc_id)::BIGINT AS max_id FROM documents) UNPIVOT (value FOR stat IN (rows, null_text, d_lang, d_source, min_chars, max_chars, min_id, max_id)) ORDER BY stat")),
     QueryDef("c21_sample_stratified", c21 _, Some(
       s"SELECT doc_id, lang, ${duckHash("doc_id")} % 100 AS bucket FROM documents WHERE (lang = 'en' AND ${duckHash("doc_id")} % 100 < 50) OR (lang != 'en' AND ${duckHash("doc_id")} % 100 < 20) ORDER BY doc_id")),
     QueryDef("c22_train_split", c22 _, Some(

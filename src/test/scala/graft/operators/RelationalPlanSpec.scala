@@ -31,6 +31,13 @@ class RelationalPlanSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
+  test("a20: partitioned read prunes partitions (filter becomes PartitionFilter)") {
+    val p = plan("a20_sink_partitioned")
+    assert(p.contains("PartitionFilters: [isnotnull(lang"), p)
+    // the lang predicate must NOT appear as a data filter on the scan
+    assert(!p.contains("PushedFilters: [IsNotNull(lang)"), p)
+  }
+
   test("b7: aggregation is partial (map-side) before the exchange") {
     val p = plan("b7_agg_hash")
     assert(p.contains("partial_sum") || p.contains("partial_count"), p)
