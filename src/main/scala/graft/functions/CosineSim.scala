@@ -85,13 +85,26 @@ object GraftFunctions {
     CosineSim(children(0), children(1))
   }
 
+  private val kmvInfo = new ExpressionInfo(
+    classOf[KmvDistinct].getCanonicalName, "kmv_distinct")
+
+  private val kmvBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 1, "kmv_distinct takes exactly 1 argument")
+    KmvDistinct(children.head)
+  }
+
   /** Runtime registration into an existing session (idempotent). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("cosine_sim"), info, builder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("kmv_distinct"), kmvInfo, kmvBuilder)
+  }
 
-  private[functions] def inject(e: SparkSessionExtensions): Unit =
+  private[functions] def inject(e: SparkSessionExtensions): Unit = {
     e.injectFunction((FunctionIdentifier("cosine_sim"), info, builder))
+    e.injectFunction((FunctionIdentifier("kmv_distinct"), kmvInfo, kmvBuilder))
+  }
 }
 
 /** `spark.sql.extensions`-style registration:

@@ -269,7 +269,26 @@ object TierA {
       .orderBy("doc_id")
   }
 
+  /** a21: the custom Mrs `mod_partition` Partitioner in a real RDD
+    * shuffle — `reduceByKey(new ModParter(8), ...)`, then each task
+    * reports its actual partition id; the invariant pid == key % 8 is
+    * what the oracle checks for every key.
+    */
+  private def a21(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    lineitem(spark, d)
+      .select(col("l_orderkey")).rdd.map(r => (r.getLong(0), 1L))
+      .reduceByKey(new CoreMR.ModParter(8), _ + _)
+      .mapPartitionsWithIndex { (pid, it) =>
+        it.map { case (k, cnt) => (pid, k, cnt) }
+      }
+      .toDF("pid", "l_orderkey", "cnt")
+      .orderBy("l_orderkey")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("a21_rdd_partitioner", a21 _, Some(
+      "SELECT (l_orderkey % 8)::INTEGER AS pid, l_orderkey, count(*)::BIGINT AS cnt FROM lineitem GROUP BY 1, 2 ORDER BY l_orderkey")),
     QueryDef("a20_sink_partitioned", a20 _, Some(
       "SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en' ORDER BY doc_id")),
     QueryDef("a19_sink_hex", a19 _, Some(

@@ -474,7 +474,23 @@ object TierB {
       .orderBy("purchase_id")
   }
 
+  /** b33: the KMV sketch (custom TypedImperativeAggregate,
+    * graft.functions.KmvDistinct) — a deterministic, portable
+    * approximate-distinct that the oracle reproduces EXACTLY (unlike
+    * b9's HLL). Constant 64×8 bytes of state per group.
+    */
+  private def b33(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(expr("kmv_distinct(l_partkey)").as("est_dparts"),
+        countDistinct(col("l_partkey")).as("true_dparts"))
+      .orderBy("l_returnflag")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("b33_agg_kmv_sketch", b33 _, Some(
+      "WITH h AS (SELECT DISTINCT l_returnflag AS flag, ('0x' || substr(md5(l_partkey::VARCHAR), 1, 15))::BIGINT AS hv FROM lineitem), r AS (SELECT flag, hv, row_number() OVER (PARTITION BY flag ORDER BY hv) AS rn FROM h), e AS (SELECT flag, CASE WHEN max(rn) < 64 THEN max(rn) ELSE floor(63.0 * 1152921504606846976.0 / max(CASE WHEN rn = 64 THEN hv END))::BIGINT END AS est_dparts FROM r GROUP BY flag) SELECT e.flag AS l_returnflag, e.est_dparts, t.true_dparts FROM e JOIN (SELECT l_returnflag AS flag, count(DISTINCT l_partkey)::BIGINT AS true_dparts FROM lineitem GROUP BY 1) t ON e.flag = t.flag ORDER BY l_returnflag")),
     QueryDef("b32_join_asof_native", b32 _, Some(
       "SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id, (date_diff('microsecond', c.ts, p.ts) // 1000000)::BIGINT AS gap_s FROM (SELECT * FROM events WHERE event_type = 'purchase') p ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c ON p.user_id = c.user_id AND p.ts >= c.ts ORDER BY purchase_id")),
     QueryDef("b31_join_asof", b31 _, Some(

@@ -112,6 +112,9 @@ object TierD {
         "SELECT date_trunc('hour', ts) AS h, event_type, count(*)::BIGINT AS cnt FROM events GROUP BY 1, 2 ORDER BY 1, 2")),
     QueryDef("d6_stream_sessionize",
       (s, d) => graft.streaming.StreamingDemo.sessionize(s, d), Some(d3Sql)),
+    QueryDef("d8_stream_dedup",
+      (s, d) => graft.streaming.StreamingDemo.streamDedup(s, d), Some(
+        "SELECT DISTINCT user_id, event_type, date_trunc('minute', ts) AS minute_ts FROM events ORDER BY 1, 2, 3")),
     QueryDef("d7_session_window_native", d7 _, Some(
       "WITH e AS (SELECT user_id, ts, event_id, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), m AS (SELECT user_id, ts, CASE WHEN prev IS NULL OR date_diff('microsecond', prev, ts) >= 1800000000 THEN 1 ELSE 0 END AS is_new FROM e), s AS (SELECT user_id, ts, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM m) SELECT user_id, floor(epoch(min(ts)))::BIGINT AS start_s, count(*)::BIGINT AS cnt FROM s GROUP BY user_id, sid ORDER BY 1, 2")),
   )

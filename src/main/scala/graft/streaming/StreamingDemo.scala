@@ -76,6 +76,21 @@ object StreamingDemo {
       .select(col("window.start").as("h"), col("event_type"), col("cnt"))
       .orderBy("h", "event_type")
 
+  /** d8: true streaming dedup — `dropDuplicatesWithinWatermark` on
+    * (user, type, minute). Which duplicate row survives is
+    * nondeterministic, so the declared output is the deduped KEY SET
+    * (deterministic and equal to the batch DISTINCT on the bounded
+    * stream). State is bounded by the watermark on unbounded input.
+    */
+  def streamDedup(s: SparkSession, d: String): DataFrame =
+    runToBatch(s, "d8_mem",
+      df => df.withColumn("minute_ts", date_trunc("minute", col("ts")))
+        .withWatermark("minute_ts", "1 hour")
+        .dropDuplicatesWithinWatermark("user_id", "event_type", "minute_ts")
+        .select("user_id", "event_type", "minute_ts"),
+      "append", eventStream(s, d))
+      .orderBy("user_id", "event_type", "minute_ts")
+
   /** d6: `flatMapGroupsWithState` sessionization — per-user custom
     * state, 30 min gap, emits one row per closed session. Matches the
     * batch lag+cumsum twin (d3) exactly on the bounded stream.
