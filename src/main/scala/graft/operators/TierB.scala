@@ -421,6 +421,19 @@ object TierB {
         Array(col("price"), col("size")), "name", "value")
       .orderBy("p_partkey", "name")
 
+  /** b34: cube — all 2^n grouping combinations in one shuffle
+    * (completes the grouping-sets family next to b10's rollup).
+    */
+  private def b34(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"), moneySum(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("cnt"), col("sum_qty"))
+      .orderBy("flag", "status")
+
   /** b31: AS-OF join — each purchase matched to the same user's latest
     * click at-or-before it. Spark has no asof join operator; the
     * Spark-native plan is union-tag + sort-within-key +
@@ -489,6 +502,8 @@ object TierB {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("b34_cube", b34 _, Some(
+      "SELECT coalesce(l_returnflag, 'ALL') AS flag, coalesce(l_linestatus, 'ALL') AS status, count(*)::BIGINT AS cnt, sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) ORDER BY 1, 2")),
     QueryDef("b33_agg_kmv_sketch", b33 _, Some(
       "WITH h AS (SELECT DISTINCT l_returnflag AS flag, ('0x' || substr(md5(l_partkey::VARCHAR), 1, 15))::BIGINT AS hv FROM lineitem), r AS (SELECT flag, hv, row_number() OVER (PARTITION BY flag ORDER BY hv) AS rn FROM h), e AS (SELECT flag, CASE WHEN max(rn) < 64 THEN max(rn) ELSE floor(63.0 * 1152921504606846976.0 / max(CASE WHEN rn = 64 THEN hv END))::BIGINT END AS est_dparts FROM r GROUP BY flag) SELECT e.flag AS l_returnflag, e.est_dparts, t.true_dparts FROM e JOIN (SELECT l_returnflag AS flag, count(DISTINCT l_partkey)::BIGINT AS true_dparts FROM lineitem GROUP BY 1) t ON e.flag = t.flag ORDER BY l_returnflag")),
     QueryDef("b32_join_asof_native", b32 _, Some(
