@@ -407,6 +407,48 @@ object TierC {
       .orderBy("doc_id")
   }
 
+  /** c24: repetition scoring (Gopher-style quality signal): fraction of
+    * repeated words and bigrams per doc — high repetition flags
+    * low-quality/generated text. Exact integer ratios as floor'd basis
+    * points.
+    */
+  private def c24(s: SparkSession, d: String): DataFrame =
+    withWords(documents(s, d))
+      .filter(size(col("w")) >= 2)
+      .withColumn("bigrams", expr(
+        "transform(sequence(0, size(w)-2), i -> concat(w[i], ' ', w[i+1]))"))
+      .select(
+        col("doc_id"),
+        floor((lit(1.0) - size(array_distinct(col("w"))).cast("double") /
+          size(col("w"))) * 10000).cast("long").as("rep_word_bp"),
+        floor((lit(1.0) - size(array_distinct(col("bigrams"))).cast("double") /
+          size(col("bigrams"))) * 10000).cast("long").as("rep_bigram_bp"))
+      .orderBy("doc_id")
+
+  /** c25: benchmark decontamination — n-gram overlap of each train doc
+    * against the eval set's shingles (docs 0-9 stand in for an eval
+    * benchmark). The eval n-gram set is vocabulary-sized, so it
+    * broadcasts at any corpus scale; the overlap count is an exact
+    * semi-join aggregate per doc. Docs above a threshold would be
+    * dropped before training.
+    */
+  private def c25(s: SparkSession, d: String): DataFrame = {
+    val sh = withShingles(s, documents(s, d))
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val evalSet = sh.filter(col("doc_id") < 10)
+      .select(col("sh")).distinct()
+    val train = sh.filter(col("doc_id") >= 10)
+    train
+      .join(broadcast(evalSet.withColumn("hit", lit(1))), Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("overlap"))
+      .withColumn("overlap_bp",
+        floor(col("overlap").cast("double") / col("n_shingles") * 10000)
+          .cast("long"))
+      .orderBy("doc_id")
+  }
+
   /** c23: data profiling — per-column null/distinct/min/max stats, the
     * validation pass every ingest pipeline runs before training. One
     * aggregation over the table; each stat is a partial-aggregating
@@ -612,6 +654,10 @@ object TierC {
     QueryDef("c14_fingerprint", c14 _, Some(
       "SELECT doc_id, md5(text) AS fp, list_min(list_transform(string_split(text, ' '), x -> md5(x))) AS min_word_fp FROM documents ORDER BY doc_id")),
     QueryDef("c15_ann_lsh", c15 _, None),
+    QueryDef("c24_text_repetition", c24 _, Some(
+      "SELECT doc_id, floor((1.0 - len(list_distinct(w))::DOUBLE / len(w)) * 10000)::BIGINT AS rep_word_bp, floor((1.0 - len(list_distinct(bg))::DOUBLE / len(bg)) * 10000)::BIGINT AS rep_bigram_bp FROM (SELECT doc_id, w, list_transform(generate_series(1, len(w)-1), i -> w[i] || ' ' || w[i+1]) AS bg FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) WHERE len(w) >= 2) ORDER BY doc_id")),
+    QueryDef("c25_decontaminate", c25 _, Some(
+      s"WITH sh AS (SELECT doc_id, unnest(s) AS sh FROM ($shinglesSql)), ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 10), tr AS (SELECT s.doc_id, s.sh, CASE WHEN ev.sh IS NULL THEN 0 ELSE 1 END AS hit FROM sh s LEFT JOIN ev ON s.sh = ev.sh WHERE s.doc_id >= 10) SELECT doc_id, count(*)::BIGINT AS n_shingles, sum(hit)::BIGINT AS overlap, floor(sum(hit)::DOUBLE / count(*) * 10000)::BIGINT AS overlap_bp FROM tr GROUP BY doc_id ORDER BY doc_id")),
     QueryDef("c23_profile", c23 _, Some(
       "SELECT stat, value FROM (SELECT count(*)::BIGINT AS rows, sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_text, count(DISTINCT lang)::BIGINT AS d_lang, count(DISTINCT source)::BIGINT AS d_source, min(n_chars)::BIGINT AS min_chars, max(n_chars)::BIGINT AS max_chars, min(doc_id)::BIGINT AS min_id, max(doc_id)::BIGINT AS max_id FROM documents) UNPIVOT (value FOR stat IN (rows, null_text, d_lang, d_source, min_chars, max_chars, min_id, max_id)) ORDER BY stat")),
     QueryDef("c21_sample_stratified", c21 _, Some(
