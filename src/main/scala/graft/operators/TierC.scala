@@ -46,22 +46,14 @@ object TierC {
       .select("keeper", "n")
       .orderBy("keeper")
 
-  /** c2: MinHash-LSH near-dup: shingle → per-band min-hash → band
-    * buckets. Bands with n_docs > 1 are the candidate-pair buckets; the
-    * output IS the LSH table, so the whole pipeline (shingling, hash
-    * family, banding) is oracle-checked. Portable hash family:
-    * md5(band || '|' || shingle), one hash per band — at scale swap in
-    * more rows/band without changing the shape. Join-free until the
-    * final bucket aggregation; shuffle keys are (doc, band) then
-    * (band, minhash).
-    */
-  /** Shingling runs as a typed flatMap (JIT'd tight loop — Spark's
-    * higher-order array functions are interpreted and 3-4x slower on
-    * this hot path); one md5 per shingle, 4 disjoint 8-hex-char
-    * substrings as the band hash family (portable to DuckDB); map-side
-    * partial min collapses each partition to #docs rows before the only
-    * wide shuffle. Duplicate shingles are kept: min() is identical over
-    * the multiset. See [[bandMinhash]].
+  /** c2: MinHash-LSH near-dup: shingle → banded min-hash signature →
+    * band buckets. Buckets with n_docs > 1 are the candidate-pair sets;
+    * the output IS the LSH table, so the whole pipeline (shingling,
+    * hash family, banding) is oracle-checked. Signature shape is the
+    * production (bands × rowsPerBand) = 16×4 S-curve — see
+    * [[bandMinhash]] for the portable affine family and the kernel.
+    * Join-free until the final bucket aggregation; the only wide
+    * shuffle is keyed (band, signature).
     */
   private def c2(s: SparkSession, d: String): DataFrame =
     bandMinhash(s, d)
@@ -97,7 +89,12 @@ object TierC {
   private def c3(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val k = graft.util.GraftConf.similarityK(s)
-    val probes = vecs(s, d).filter(_._1 % 50 == 0).collect()
+    val maxProbes = graft.util.GraftConf.similarityProbes(s)
+    // Deterministic probe cap (lowest ids win): broadcast size is O(cap)
+    // no matter how large the corpus grows.
+    val probes = vecs(s, d).filter(_._1 % 50 == 0)
+      .orderBy(col("vec_id")).limit(maxProbes)
+      .as[(Long, Array[Float])].collect()
     val bc = s.sparkContext.broadcast(probes)
     val partials = vecs(s, d)
       .mapPartitions { it =>
@@ -317,26 +314,44 @@ object TierC {
 
   /** c15: sign-random-projection LSH over embeddings — the ANN scale
     * path: 8 deterministic hyperplanes → 8-bit bucket; candidates are
-    * then searched per-bucket (c10's kernel). Engine-side PRNG (seeded)
-    * is not portable to DuckDB ⇒ declared no-oracle; the driver records
-    * a rows-only check, and LlmPipelineSpec asserts the invariants
-    * (bucket count ≤ 256, every vector bucketed exactly once).
+    * then searched per-bucket (c10's kernel). The planes are md5-derived
+    * integer weights (b33's determinism trick) and the embedding is
+    * quantized to a 2^-10 grid, so every dot product is EXACT integer
+    * arithmetic — bit-identical in any engine, which is what makes this
+    * sketch oracle-able (round 1's `scala.util.Random` Gaussians were
+    * JVM-only and forced a rows-only check). Uniform ±8 integer weights
+    * are a symmetric projection family: for sign-LSH any symmetric
+    * distribution preserves the collision-probability ∝ angle property.
     */
+  private[operators] def lshPlanes(nPlanes: Int, dim: Int): Array[Array[Long]] = {
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(nPlanes, dim) { (p, i) =>
+      val hex = mdig.digest(s"$p:$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 17L) - 8L
+    }
+  }
+
   private def c15(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val rnd = new scala.util.Random(42)
-    val planes = Array.fill(8, 64)(rnd.nextGaussian())
-    val bc = s.sparkContext.broadcast(planes)
+    val bc = s.sparkContext.broadcast(lshPlanes(8, 64))
     vecs(s, d)
       .mapPartitions { it =>
         val ps = bc.value
         it.map { case (id, emb) =>
-          var bucket = 0
+          // Quantize once per vector: floor(v * 1024) — float→double is
+          // exact, ×2^10 is exact, floor is exact ⇒ identical in DuckDB.
+          val q = new Array[Long](emb.length)
+          var i = 0
+          while (i < emb.length) {
+            q(i) = math.floor(emb(i).toDouble * 1024.0).toLong; i += 1
+          }
+          var bucket = 0L
           var p = 0
           while (p < ps.length) {
-            var dot = 0.0; var i = 0
-            while (i < emb.length) { dot += ps(p)(i) * emb(i); i += 1 }
-            if (dot >= 0) bucket |= (1 << p)
+            var dot = 0L; var j = 0
+            while (j < q.length) { dot += ps(p)(j) * q(j); j += 1 }
+            if (dot >= 0L) bucket |= (1L << p)
             p += 1
           }
           (bucket, id)
@@ -502,29 +517,64 @@ object TierC {
       .orderBy("lang", "split")
   }
 
-  /** Per-doc (band, minhash) rows — c2's LSH signature table, shared by
-    * c18's candidate-pair generation.
+  /** Per-doc (band, minhash-signature) rows — c2's LSH table, shared by
+    * c18's candidate-pair generation. Production-shape signature:
+    * bands × rowsPerBand (default 16×4 = 64) hash functions from a
+    * portable affine family over the shingle's 32-bit md5 prefix:
+    * `h_j(x) = (a_j * base(x) + b_j) mod 2^32`, with odd 31-bit `a_j`
+    * and 32-bit `b_j` themselves md5-derived — all exact BIGINT
+    * arithmetic, so DuckDB reproduces every signature bit-for-bit.
+    * A pair is a candidate iff some band's full row-vector matches
+    * (the classic (16,4) S-curve), instead of round 1's 4×1 toy.
+    * One md5 per shingle; the 64 affine taps are JIT'd integer ops in a
+    * typed mapPartitions kernel (HOFs are interpreted — 4-5× slower);
+    * each partition emits `bands` rows per doc, so the only wide
+    * shuffle stays (band, signature)-keyed.
     */
   private def bandMinhash(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val n = graft.util.GraftConf.shingleSize(s)
+    val bands = graft.util.GraftConf.minhashBands(s)
+    val rowsPerBand = graft.util.GraftConf.minhashRows(s)
+    val nHash = bands * rowsPerBand
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    def hex8(sv: String): Long = java.lang.Long.parseLong(
+      mdig.digest(sv.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16)
+    val as = Array.tabulate(nHash)(j => (hex8(s"a:$j") % 2147483648L) | 1L)
+    val bs = Array.tabulate(nHash)(j => hex8(s"b:$j"))
     documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .as[(Long, Seq[String])]
-      .flatMap { case (id, w) =>
-        (0 to w.length - n).iterator
-          .map(i => (id, w.slice(i, i + n).mkString(" ")))
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, w) =>
+          if (w.length < n) Iterator.empty
+          else {
+            val words = w.toArray
+            val mins = Array.fill(nHash)(Long.MaxValue)
+            var i = 0
+            while (i <= words.length - n) {
+              val sh = words.slice(i, i + n).mkString(" ")
+              val dig = md.digest(sh.getBytes("UTF-8"))
+              var base = 0L; var bi = 0
+              while (bi < 4) { base = (base << 8) | (dig(bi) & 0xffL); bi += 1 }
+              var j = 0
+              while (j < nHash) {
+                val h = (as(j) * base + bs(j)) & 0xFFFFFFFFL
+                if (h < mins(j)) mins(j) = h
+                j += 1
+              }
+              i += 1
+            }
+            (0 until bands).iterator.map { b =>
+              val sig = (0 until rowsPerBand)
+                .map(r => mins(b * rowsPerBand + r)).mkString(",")
+              (id, b.toLong, sig)
+            }
+          }
+        }
       }
-      .toDF("doc_id", "sh")
-      .withColumn("h", md5(col("sh")))
-      .groupBy("doc_id")
-      .agg(
-        min(substring(col("h"), 1, 8)).as("m0"),
-        min(substring(col("h"), 9, 8)).as("m1"),
-        min(substring(col("h"), 17, 8)).as("m2"),
-        min(substring(col("h"), 25, 8)).as("m3"))
-      .selectExpr("doc_id",
-        "stack(4, 0, m0, 1, m1, 2, m2, 3, m3) AS (band, minhash)")
+      .toDF("doc_id", "band", "minhash")
   }
 
   /** c18: duplicate-cluster resolution — the dedup endgame: LSH
@@ -624,13 +674,24 @@ object TierC {
   private val shinglesSql =
     "SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) WHERE len(w) >= 3"
 
+  /** DuckDB rendering of [[bandMinhash]] (defaults 16×4): CTE chain
+    * ending in `sig(doc_id, band, minhash)`. Exact BIGINT arithmetic
+    * throughout — mirrors the Scala kernel bit-for-bit.
+    */
+  private val minhashCtes =
+    s"sh AS (SELECT doc_id, unnest(s) AS sh FROM ($shinglesSql)), " +
+      "coef AS (SELECT t.j, ((('0x'||substr(md5('a:'||t.j::VARCHAR),1,8))::BIGINT % 2147483648) | 1) AS a, ('0x'||substr(md5('b:'||t.j::VARCHAR),1,8))::BIGINT AS b FROM range(64) t(j)), " +
+      "mbase AS (SELECT doc_id, ('0x'||substr(md5(sh),1,8))::BIGINT AS h FROM sh), " +
+      "mh AS (SELECT mbase.doc_id, coef.j, min((coef.a * mbase.h + coef.b) & 4294967295) AS m FROM mbase, coef GROUP BY 1, 2), " +
+      "sig AS (SELECT doc_id, (j // 4)::BIGINT AS band, string_agg(m::VARCHAR, ',' ORDER BY j) AS minhash FROM mh GROUP BY 1, 2)"
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("c1_dedup_exact_text", c1 _, Some(
       "SELECT min(doc_id) AS keeper, count(*)::BIGINT AS n FROM documents GROUP BY text ORDER BY keeper")),
     QueryDef("c2_dedup_near_minhash", c2 _, Some(
-      s"WITH sh AS (SELECT doc_id, unnest(s) AS sh FROM ($shinglesSql)), mh AS (SELECT doc_id, b.band, min(substr(md5(sh), 1 + b.band * 8, 8)) AS minhash FROM sh, (VALUES (0),(1),(2),(3)) b(band) GROUP BY doc_id, b.band) SELECT band, minhash, count(*)::BIGINT AS n_docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc FROM mh GROUP BY band, minhash ORDER BY band, minhash")),
+      s"WITH $minhashCtes SELECT band, minhash, count(*)::BIGINT AS n_docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc FROM sig GROUP BY 1, 2 ORDER BY 1, 2")),
     QueryDef("c3_similarity_topk", c3 _, Some(
-      "WITH probes AS (SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pe FROM embeddings WHERE vec_id % 50 = 0), cand AS (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings), sims AS (SELECT probe_id, vec_id, list_cosine_similarity(pe, ce) AS sim FROM probes, cand WHERE vec_id != probe_id), ranked AS (SELECT probe_id, vec_id, sim, row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank FROM sims) SELECT probe_id, rank::BIGINT AS rank, vec_id AS neighbor_id, round(sim, 4) AS sim FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank")),
+      "WITH probes AS (SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pe FROM embeddings WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 32), cand AS (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings), sims AS (SELECT probe_id, vec_id, list_cosine_similarity(pe, ce) AS sim FROM probes, cand WHERE vec_id != probe_id), ranked AS (SELECT probe_id, vec_id, sim, row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank FROM sims) SELECT probe_id, rank::BIGINT AS rank, vec_id AS neighbor_id, round(sim, 4) AS sim FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank")),
     QueryDef("c4_text_tokenize_ngram", c4 _, Some(
       "SELECT bigram, count(*)::BIGINT AS cnt FROM (SELECT unnest(list_transform(generate_series(1, len(w)-1), i -> w[i] || ' ' || w[i+1])) AS bigram FROM (SELECT string_split(text, ' ') AS w FROM documents) WHERE len(w) >= 2) GROUP BY bigram ORDER BY cnt DESC, bigram")),
     QueryDef("c5_text_tfidf", c5 _, Some(
@@ -653,7 +714,8 @@ object TierC {
       "SELECT doc_id, len(w)::BIGINT AS ws_tokens, len(list_distinct(w))::BIGINT AS distinct_tokens, ceil(n_chars::DOUBLE / 4.0)::BIGINT AS bpe_est FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents) ORDER BY doc_id")),
     QueryDef("c14_fingerprint", c14 _, Some(
       "SELECT doc_id, md5(text) AS fp, list_min(list_transform(string_split(text, ' '), x -> md5(x))) AS min_word_fp FROM documents ORDER BY doc_id")),
-    QueryDef("c15_ann_lsh", c15 _, None),
+    QueryDef("c15_ann_lsh", c15 _, Some(
+      "WITH planes AS (SELECT p.p, i.i, ((('0x'||substr(md5(p.p::VARCHAR || ':' || i.i::VARCHAR),1,15))::BIGINT % 17) - 8) AS w FROM range(8) p(p), range(64) i(i)), q AS (SELECT vec_id, i.i, floor(embedding[i.i+1]::DOUBLE * 1024)::BIGINT AS qv FROM embeddings, range(64) i(i)), dots AS (SELECT q.vec_id, planes.p, sum(planes.w * q.qv)::BIGINT AS dot FROM q JOIN planes ON q.i = planes.i GROUP BY 1, 2), buckets AS (SELECT vec_id, sum(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bucket FROM dots GROUP BY 1) SELECT bucket, count(*)::BIGINT AS n_vecs, min(vec_id) AS min_vec, max(vec_id) AS max_vec FROM buckets GROUP BY 1 ORDER BY 1")),
     QueryDef("c24_text_repetition", c24 _, Some(
       "SELECT doc_id, floor((1.0 - len(list_distinct(w))::DOUBLE / len(w)) * 10000)::BIGINT AS rep_word_bp, floor((1.0 - len(list_distinct(bg))::DOUBLE / len(bg)) * 10000)::BIGINT AS rep_bigram_bp FROM (SELECT doc_id, w, list_transform(generate_series(1, len(w)-1), i -> w[i] || ' ' || w[i+1]) AS bg FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) WHERE len(w) >= 2) ORDER BY doc_id")),
     QueryDef("c25_decontaminate", c25 _, Some(
@@ -667,7 +729,7 @@ object TierC {
     QueryDef("c20_text_normalize", c20 _, Some(
       "SELECT doc_id, md5(regexp_replace(regexp_replace(trim(text), '[0-9]+', '#', 'g'), ' +', ' ', 'g')) AS norm_fp, length(regexp_replace(regexp_replace(trim(text), '[0-9]+', '#', 'g'), ' +', ' ', 'g'))::BIGINT AS norm_len FROM documents ORDER BY doc_id")),
     QueryDef("c18_dedup_cluster", c18 _, Some(
-      s"WITH RECURSIVE sh AS (SELECT doc_id, unnest(s) AS sh FROM ($shinglesSql)), mh AS (SELECT doc_id, b.band, min(substr(md5(sh), 1 + b.band * 8, 8)) AS minhash FROM sh, (VALUES (0),(1),(2),(3)) b(band) GROUP BY doc_id, b.band), pairs AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v FROM mh a JOIN mh b ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id), edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs), reach(u, r) AS (SELECT doc_id, doc_id FROM documents UNION SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u) SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u ORDER BY doc_id")),
+      s"WITH RECURSIVE $minhashCtes, pairs AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v FROM sig a JOIN sig b ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id), edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs), reach(u, r) AS (SELECT doc_id, doc_id FROM documents UNION SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u) SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u ORDER BY doc_id")),
     QueryDef("c19_ann_ivf", c19 _, Some(
       "WITH cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings WHERE vec_id < 8), assigned AS (SELECT e.vec_id, e.embedding::DOUBLE[] AS emb, (SELECT c.cid FROM cent c ORDER BY list_distance(c.ce, e.embedding::DOUBLE[]), c.cid LIMIT 1) AS cell FROM embeddings e WHERE e.vec_id >= 8), probes AS (SELECT vec_id AS probe_id, emb AS pe, cell FROM assigned WHERE vec_id % 100 = 0), ranked AS (SELECT p.probe_id, p.cell, m.vec_id AS neighbor_id, list_cosine_similarity(p.pe, m.emb) AS sim, row_number() OVER (PARTITION BY p.probe_id ORDER BY list_cosine_similarity(p.pe, m.emb) DESC, m.vec_id) AS rn FROM probes p JOIN assigned m ON m.cell = p.cell AND m.vec_id != p.probe_id) SELECT probe_id, cell, neighbor_id, round(sim, 4) AS sim FROM ranked WHERE rn = 1 ORDER BY probe_id")),
     QueryDef("c17_similarity_native_expr", c17 _, Some(
