@@ -146,7 +146,7 @@ object TierA {
   private def a10(spark: SparkSession, d: String): DataFrame = {
     // Mrs TextWriter/TextReader round-trip: key<TAB>value lines via the
     // library API [mrs: mrs/fileformats.py].
-    val out = "/root/repo/target/qtmp/a10_sink_text"
+    val out = graft.util.TmpDir.path("a10_sink_text")
     graft.sources.PairFiles.writeText(
       nation(spark, d).select(
         col("n_nationkey").cast("string").as("key"), col("n_name").as("value")),
@@ -160,7 +160,7 @@ object TierA {
   private def a11(spark: SparkSession, d: String): DataFrame = {
     // Mrs BinWriter/BinReader: lossless typed round-trip — here parquet,
     // carrying an array<float> column through intact.
-    val out = "/root/repo/target/qtmp/a11_sink_binary"
+    val out = graft.util.TmpDir.path("a11_sink_binary")
     graft.sources.PairFiles.writeBin(embeddings(spark, d), out)
     graft.sources.PairFiles.readBin(spark, out)
       .select(
@@ -215,7 +215,7 @@ object TierA {
     * sibling of TextWriter).
     */
   private def a17(spark: SparkSession, d: String): DataFrame = {
-    val out = "/root/repo/target/qtmp/a17_sink_csv"
+    val out = graft.util.TmpDir.path("a17_sink_csv")
     nation(spark, d).write.mode("overwrite")
       .option("header", "true").csv(out)
     spark.read
@@ -229,7 +229,7 @@ object TierA {
     * inference would widen int32 to long and break schema parity.
     */
   private def a18(spark: SparkSession, d: String): DataFrame = {
-    val out = "/root/repo/target/qtmp/a18_sink_json"
+    val out = graft.util.TmpDir.path("a18_sink_json")
     region(spark, d).write.mode("overwrite").json(out)
     spark.read
       .schema("r_regionkey INT, r_name STRING")
@@ -242,7 +242,7 @@ object TierA {
     * key<TAB>hex(value) out, unhex back in.
     */
   private def a19(spark: SparkSession, d: String): DataFrame = {
-    val out = "/root/repo/target/qtmp/a19_sink_hex"
+    val out = graft.util.TmpDir.path("a19_sink_hex")
     graft.sources.PairFiles.writeHex(
       nation(spark, d).select(
         col("n_nationkey").cast("string").as("key"), col("n_name").as("value")),
@@ -260,7 +260,7 @@ object TierA {
     * RelationalPlanSpec), not a data filter.
     */
   private def a20(spark: SparkSession, d: String): DataFrame = {
-    val out = "/root/repo/target/qtmp/a20_partitioned"
+    val out = graft.util.TmpDir.path("a20_partitioned")
     documents(spark, d).write.mode("overwrite")
       .partitionBy("lang").parquet(out)
     spark.read.parquet(out)

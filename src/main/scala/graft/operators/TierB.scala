@@ -135,14 +135,22 @@ object TierB {
         countDistinct(col("l_suppkey")).as("dsupps"))
       .orderBy("l_returnflag")
 
-  /** b9: HLL++ sketch distinct — constant memory per group at any scale;
-    * not reproducible in DuckDB (different sketch) ⇒ no-oracle by design
-    * (SURVEY §2 B9).
+  /** b9: HLL++ sketch distinct — constant memory per group at any
+    * scale. The sketch itself is engine-internal, so the declared output
+    * is the b33 est-vs-true pattern: the exact twin column plus the
+    * sketch-within-rsd invariant (rsd 0.02, asserted at 5× slack). The
+    * oracle states the invariant as TRUE — if the HLL ever drifts out of
+    * bound, the hash compare fails loudly instead of going unchecked.
     */
   private def b9(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
       .groupBy("l_returnflag")
-      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_dparts"))
+      .agg(
+        countDistinct(col("l_partkey")).as("exact_dparts"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("hll"))
+      .select(col("l_returnflag"), col("exact_dparts"),
+        (abs(col("hll") - col("exact_dparts")) <=
+          col("exact_dparts") * 0.10 + 1).as("hll_ok"))
       .orderBy("l_returnflag")
 
   /** b10: rollup (grouping sets) — one shuffle computes all grouping
@@ -341,7 +349,7 @@ object TierB {
     * small test dim doesn't get broadcast and hide the demonstration.
     */
   private def b25(s: SparkSession, d: String): DataFrame = {
-    val base = "/root/repo/target/qtmp/b25"
+    val base = graft.util.TmpDir.path("b25")
     orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
       .write.mode("overwrite").format("parquet")
       .bucketBy(8, "o_custkey").sortBy("o_custkey")
@@ -375,16 +383,33 @@ object TierB {
       .agg(sum(col("pc")).as("cnt"), sum(col("pq")).cast("double").as("sum_qty"))
       .orderBy("l_returnflag")
 
-  /** b27: approximate quantile sketch — constant-memory per group at any
-    * scale (the quantile sibling of b9's HLL); engine-specific sketch ⇒
-    * no-oracle by design.
+  /** b27: approximate quantile sketch — constant-memory per group at
+    * any scale (the quantile sibling of b9's HLL). Three portable
+    * declarations around the engine-internal sketch: the exact
+    * interpolated median (prices as integer cents, so interpolation is
+    * the c6-proven int midpoint on both engines), a deterministic
+    * 10%-hash-sample median (a real sampling sketch DuckDB reproduces
+    * bit-for-bit), and the percentile_approx-within-1% invariant
+    * (accuracy 10000 ⇒ rank error ≤ 0.01%), oracled as TRUE.
     */
-  private def b27(s: SparkSession, d: String): DataFrame =
+  private def b27(s: SparkSession, d: String): DataFrame = {
+    val cents = round(col("l_extendedprice") * 100).cast("long")
+    val keyHash = portableHash(
+      concat_ws(":", col("l_orderkey"), col("l_linenumber")))
     lineitem(s, d)
+      .withColumn("cents", cents)
+      .withColumn("in_sample", pmod(keyHash, lit(10)) === 0)
       .groupBy("l_returnflag")
-      .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(100))
-        .as("approx_median_price"))
+      .agg(
+        percentile(col("cents"), lit(0.5)).as("p50_exact"),
+        percentile(when(col("in_sample"), col("cents")), lit(0.5))
+          .as("p50_sample"),
+        percentile_approx(col("cents"), lit(0.5), lit(10000)).as("pa"))
+      .select(col("l_returnflag"), col("p50_exact"), col("p50_sample"),
+        (abs(col("pa") - col("p50_exact")) <= col("p50_exact") * 0.01)
+          .as("approx_ok"))
       .orderBy("l_returnflag")
+  }
 
   /** b28: distribution window functions — ntile/percent_rank/cume_dist/
     * first_value. Raw doubles are exact integer ratios computed
@@ -510,7 +535,8 @@ object TierB {
       "SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id, (date_diff('microsecond', c.ts, p.ts) // 1000000)::BIGINT AS gap_s FROM (SELECT * FROM events WHERE event_type = 'purchase') p ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c ON p.user_id = c.user_id AND p.ts >= c.ts ORDER BY purchase_id")),
     QueryDef("b31_join_asof", b31 _, Some(
       "SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id, (date_diff('microsecond', c.ts, p.ts) // 1000000)::BIGINT AS gap_s FROM (SELECT * FROM events WHERE event_type = 'purchase') p ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c ON p.user_id = c.user_id AND p.ts >= c.ts ORDER BY purchase_id")),
-    QueryDef("b27_agg_approx_quantile", b27 _, None),
+    QueryDef("b27_agg_approx_quantile", b27 _, Some(
+      s"WITH li AS (SELECT l_returnflag, round(l_extendedprice * 100)::BIGINT AS cents, (${duckHash("l_orderkey::VARCHAR || ':' || l_linenumber::VARCHAR")} % 10 = 0) AS in_sample FROM lineitem) SELECT l_returnflag, quantile_cont(cents, 0.5) AS p50_exact, quantile_cont(cents, 0.5) FILTER (WHERE in_sample) AS p50_sample, TRUE AS approx_ok FROM li GROUP BY 1 ORDER BY 1")),
     QueryDef("b28_window_distribution", b28 _, Some(
       "SELECT o_orderkey, ntile(4) OVER w AS nt, percent_rank() OVER w AS pr, cume_dist() OVER w AS cd, first_value(o_orderkey) OVER w AS fv FROM orders WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey) ORDER BY o_orderkey")),
     QueryDef("b29_pivot", b29 _, Some(
@@ -533,7 +559,8 @@ object TierB {
       "SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS cnt, sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty, sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_base, sum((l_extendedprice * (1.0 - l_discount))::DECIMAL(18,4))::DOUBLE AS sum_disc_price, sum(l_quantity::DECIMAL(18,2))::DOUBLE / count(*) AS avg_qty FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2")),
     QueryDef("b8_agg_distinct", b8 _, Some(
       "SELECT l_returnflag, count(DISTINCT l_partkey)::BIGINT AS dparts, count(DISTINCT l_suppkey)::BIGINT AS dsupps FROM lineitem GROUP BY 1 ORDER BY 1")),
-    QueryDef("b9_agg_approx_distinct", b9 _, None),
+    QueryDef("b9_agg_approx_distinct", b9 _, Some(
+      "SELECT l_returnflag, count(DISTINCT l_partkey)::BIGINT AS exact_dparts, TRUE AS hll_ok FROM lineitem GROUP BY 1 ORDER BY 1")),
     QueryDef("b10_grouping_sets", b10 _, Some(
       "SELECT coalesce(l_returnflag, 'ALL') AS flag, coalesce(l_linestatus, 'ALL') AS status, count(*)::BIGINT AS cnt, sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY 1, 2")),
     QueryDef("b11_window_rank", b11 _, Some(
