@@ -210,6 +210,56 @@ object TierA {
     cur.toDF("key", "cnt").orderBy("key")
   }
 
+  /** a22: Mrs examples parity — iterative Monte-Carlo pi estimation in
+    * the GeneratorCallbackMR shape [mrs: examples/pi/, mrs/mapreduce.py]:
+    * a generator schedules batch N+1's Spark job BEFORE consuming batch
+    * N's result (async submission on a Future = Mrs's overlapped
+    * iteration), the driver folds each batch into the running estimate
+    * and applies the convergence test (`graft.pi.tol.bp`; default 0 runs
+    * all rounds, keeping the trajectory deterministic for the oracle).
+    * Points are md5-derived — 13 hex chars / 2^52 is an exact double in
+    * [0,1) on any engine — rand() would differ per engine/partitioning.
+    * Output is the per-round cumulative state (last row = converged
+    * estimate); pi_bp is exact integer arithmetic (40000·inside ÷ pts).
+    */
+  private def a22(spark: SparkSession, d: String): DataFrame = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import spark.implicits._
+    val nBatches = 10
+    val batchSize = 10000L
+    val tolBp = spark.conf.getOption("graft.pi.tol.bp").map(_.toLong).getOrElse(0L)
+    def coord(axis: String) =
+      conv(substring(md5(concat(lit(axis + ":"), col("id").cast("string"))),
+        1, 13), 16, 10).cast("long").cast("double") / lit(4503599627370496.0)
+    def insideCount(b: Int): Future[Long] = Future {
+      val x = coord("x"); val y = coord("y")
+      spark.range(b * batchSize, (b + 1) * batchSize)
+        .select((x * x + y * y < 1.0).cast("long").as("in"))
+        .agg(sum("in")).head().getLong(0)
+    }
+    val rows = mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    var ptsCum = 0L; var insCum = 0L; var prevBp = -1L
+    var b = 0
+    var nextF = insideCount(0)
+    var go = true
+    while (go && b < nBatches) {
+      val curF = nextF
+      // Overlap: round b+1 is submitted while round b is still running.
+      if (b + 1 < nBatches) nextF = insideCount(b + 1)
+      val inside = Await.result(curF, Duration.Inf)
+      ptsCum += batchSize; insCum += inside
+      val bp = 40000L * insCum / ptsCum
+      rows += ((b.toLong, ptsCum, insCum, bp))
+      if (tolBp > 0 && prevBp >= 0 && math.abs(bp - prevBp) <= tolBp) go = false
+      prevBp = bp
+      b += 1
+    }
+    rows.toSeq.toDF("batch", "points_cum", "inside_cum", "pi_bp")
+      .orderBy("batch")
+  }
+
   /** a17: CSV sink/source round-trip (the reference's extension-driven
     * writer selection [mrs: mrs/fileformats.py]; CSV is the delimited
     * sibling of TextWriter).
@@ -323,6 +373,8 @@ object TierA {
       "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_totalprice > 100000 ORDER BY o_orderkey")),
     QueryDef("a13_iterative", a13 _, Some(
       "SELECT l_returnflag AS key, count(*)::BIGINT AS cnt FROM lineitem GROUP BY 1 ORDER BY 1")),
+    QueryDef("a22_pi_iterative", a22 _, Some(
+      "WITH pts AS (SELECT t.i AS id, (t.i // 10000)::BIGINT AS batch, ('0x'||substr(md5('x:'||t.i::VARCHAR),1,13))::BIGINT / 4503599627370496.0 AS x, ('0x'||substr(md5('y:'||t.i::VARCHAR),1,13))::BIGINT / 4503599627370496.0 AS y FROM range(100000) t(i)), per AS (SELECT batch, count(*)::BIGINT AS pts, sum(CASE WHEN x*x + y*y < 1.0 THEN 1 ELSE 0 END)::BIGINT AS inside FROM pts GROUP BY 1), cum AS (SELECT batch, sum(pts) OVER (ORDER BY batch)::BIGINT AS points_cum, sum(inside) OVER (ORDER BY batch)::BIGINT AS inside_cum FROM per) SELECT batch, points_cum, inside_cum, ((40000 * inside_cum) // points_cum)::BIGINT AS pi_bp FROM cum ORDER BY batch")),
     QueryDef("a16_wordcount", (s, d) => wordcount(s, d), Some(
       "SELECT word, count(*)::BIGINT AS cnt FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) GROUP BY word ORDER BY cnt DESC, word")),
   )
