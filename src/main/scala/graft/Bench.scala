@@ -14,7 +14,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -22,11 +22,34 @@ object Bench {
       // default so a lone large parquet still fans out across cores.
       .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Tuning passthrough: SPARK_GRAFT_CONF="k=v;k=v" (dev experiments).
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.contains('='))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); builder.config(k, v)
+      })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warmup so the first timed query doesn't absorb
     // whole-stage-codegen compiler startup (~3-4 s once per JVM).
     spark.range(100000).selectExpr("sum(id * 2)").collect()
+    // Streaming-engine warmup (microbatch planner, state store, file
+    // source/sink commit-log classes load once per JVM): a 10-row
+    // file-source stream through an agg + a file sink, mirroring d5-d8.
+    try {
+      val wsrc = graft.util.TmpDir.fresh("warm-src")
+      spark.range(10).write.parquet(wsrc)
+      val wsink = graft.util.TmpDir.fresh("warm-sink")
+      val wckpt = graft.util.TmpDir.fresh("warm-ckpt")
+      val q1 = spark.readStream.schema("id LONG").parquet(wsrc)
+        .writeStream.format("parquet").option("path", wsink)
+        .option("checkpointLocation", wckpt).outputMode("append").start()
+      q1.processAllAvailable(); q1.stop()
+      val q2 = spark.readStream.schema("id LONG").parquet(wsrc)
+        .groupBy("id").count()
+        .writeStream.format("memory").queryName("warm_mem")
+        .outputMode("complete").start()
+      q2.processAllAvailable(); q2.stop()
+    } catch { case _: Throwable => () }
     // Cache the shared scans once: `documents` alone is read ~15× across
     // the query set; Spark's CacheManager swaps any sameResult parquet
     // scan for the InMemoryRelation, so per-query file-listing + scan

@@ -235,7 +235,9 @@ object TierA {
         1, 13), 16, 10).cast("long").cast("double") / lit(4503599627370496.0)
     def insideCount(b: Int): Future[Long] = Future {
       val x = coord("x"); val y = coord("y")
-      spark.range(b * batchSize, (b + 1) * batchSize)
+      // 4 slices per 10k-point batch: a 32-task stage for a tiny batch
+      // is pure scheduler overhead (size slices to the cluster at scale).
+      spark.range(b * batchSize, (b + 1) * batchSize, 1, 4)
         .select((x * x + y * y < 1.0).cast("long").as("in"))
         .agg(sum("in")).head().getLong(0)
     }

@@ -35,6 +35,31 @@ object TierC {
         s"transform(sequence(0, size(w)-$n), i -> array_join(slice(w, i+1, $n), ' '))")))
   }
 
+  /** Distinct (doc_id, shingle) rows via a typed kernel — the hot-path
+    * twin of [[withShingles]] for consumers that explode anyway (c25):
+    * Spark's HOF `transform`+`array_distinct`+`explode` chain is
+    * interpreted, the JIT'd loop is ~3× faster at sf0.1.
+    */
+  private def shingleRows(s: SparkSession, df: DataFrame): DataFrame = {
+    import s.implicits._
+    val n = graft.util.GraftConf.shingleSize(s)
+    df.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, w) =>
+          if (w.length < n) Iterator.empty
+          else {
+            val seen = new java.util.HashSet[String]()
+            val words = w.toArray
+            (0 to words.length - n).iterator.flatMap { i =>
+              val sh = words.slice(i, i + n).mkString(" ")
+              if (seen.add(sh)) Iterator.single((id, sh)) else Iterator.empty
+            }
+          }
+        }
+      }.toDF("doc_id", "sh")
+  }
+
   /** c1: exact text dedup — hash-groupBy on the full text. At 100 TB,
     * group on sha2(text) instead of raw text to cut shuffle width;
     * partial aggregation collapses duplicates map-side either way.
@@ -448,8 +473,7 @@ object TierC {
     * dropped before training.
     */
   private def c25(s: SparkSession, d: String): DataFrame = {
-    val sh = withShingles(s, documents(s, d))
-      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val sh = shingleRows(s, documents(s, d))
     val evalSet = sh.filter(col("doc_id") < 10)
       .select(col("sh")).distinct()
     val train = sh.filter(col("doc_id") >= 10)
@@ -595,10 +619,12 @@ object TierC {
     // localCheckpoint (not cache): each round's plan must NOT chain on
     // the previous round's, or the lineage doubles per iteration and
     // planning itself OOMs the driver — the classic iterative-Spark trap.
+    // LAZY checkpoints: the convergence agg right after is the action
+    // that materializes them, so each round costs ONE job, not two.
     val edges = pairs.union(pairs.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var labels = documents(s, d)
-      .select(col("doc_id"), col("doc_id").as("label")).localCheckpoint()
+      .select(col("doc_id"), col("doc_id").as("label")).localCheckpoint(false)
     var prevSum = Long.MaxValue
     var curSum = labels.agg(sum("label")).head().getLong(0)
     var iter = 0
@@ -609,7 +635,7 @@ object TierC {
       val next = labels.join(prop, labels("doc_id") === prop("pid"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("minn"), col("label"))).as("label"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       prevSum = curSum
       curSum = next.agg(sum("label")).head().getLong(0)
       labels = next

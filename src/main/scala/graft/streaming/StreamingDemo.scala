@@ -35,6 +35,22 @@ object StreamingDemo {
   private def gapUsOf(s: SparkSession): Long =
     graft.util.GraftConf.sessionGapSec(s) * 1000000L
 
+  /** Run `body` with a bounded stream-state partition count: a stream's
+    * state-store count is fixed at its first checkpoint from
+    * `spark.sql.shuffle.partitions`, and each store is its own
+    * checkpoint directory of fsync'd delta files — at demo scale that
+    * init dominates the query. Production sizes this to throughput
+    * (`graft.stream.partitions`); batch queries are untouched (the
+    * session value is restored).
+    */
+  private def withStreamPartitions[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    val n = s.conf.getOption("graft.stream.partitions").getOrElse("8")
+    s.conf.set(key, n)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** File-source stream over the events parquet with the ns→µs
     * normalization (schema pins `ts` to long nanos; see Tables.events).
     */
@@ -88,11 +104,11 @@ object StreamingDemo {
     * mode over the bounded stream ⇒ identical to the batch tumbling agg.
     */
   def tumblingCounts(s: SparkSession, d: String): DataFrame =
-    runToBatch(s, "d5_mem",
+    withStreamPartitions(s) { runToBatch(s, "d5_mem",
       df => df.withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("cnt")),
-      "complete", eventStream(s, d))
+      "complete", eventStream(s, d)) }
       .select(col("window.start").as("h"), col("event_type"), col("cnt"))
       .orderBy("h", "event_type")
 
@@ -103,12 +119,12 @@ object StreamingDemo {
     * stream). State is bounded by the watermark on unbounded input.
     */
   def streamDedup(s: SparkSession, d: String): DataFrame =
-    runToFiles(s, "d8",
+    withStreamPartitions(s) { runToFiles(s, "d8",
       df => df.withColumn("minute_ts", date_trunc("minute", col("ts")))
         .withWatermark("minute_ts", "1 hour")
         .dropDuplicatesWithinWatermark("user_id", "event_type", "minute_ts")
         .select("user_id", "event_type", "minute_ts"),
-      eventStream(s, d))
+      eventStream(s, d)) }
       .orderBy("user_id", "event_type", "minute_ts")
 
   /** d6: `flatMapGroupsWithState` sessionization — per-user custom
@@ -144,11 +160,13 @@ object StreamingDemo {
       }
     val sink = graft.util.TmpDir.fresh("d6-sink")
     val ckpt = graft.util.TmpDir.fresh("d6-ckpt")
-    val q = sessions.writeStream
-      .format("parquet").option("path", sink)
-      .option("checkpointLocation", ckpt)
-      .outputMode("append").start()
-    try { q.processAllAvailable() } finally { q.stop() }
+    withStreamPartitions(s) {
+      val q = sessions.writeStream
+        .format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try { q.processAllAvailable() } finally { q.stop() }
+    }
     s.read.parquet(sink).orderBy("user_id", "session_id")
   }
 }
