@@ -29,6 +29,7 @@ object Bench {
       })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.util.GraftProfiler.install(spark)
     // JVM/codegen warmup so the first timed query doesn't absorb
     // whole-stage-codegen compiler startup (~3-4 s once per JVM).
     spark.range(100000).selectExpr("sum(id * 2)").collect()

@@ -19,6 +19,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.util.GraftProfiler.install(spark)
     new java.io.File(outDir).mkdirs()
     // Cache shared scans once (same rationale as Bench: `documents` is
     // read ~15× across the query set; CacheManager substitutes any

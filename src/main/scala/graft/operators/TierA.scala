@@ -210,6 +210,98 @@ object TierA {
     cur.toDF("key", "cnt").orderBy("key")
   }
 
+  /** a23: Mrs examples parity — k-means on the embeddings table in the
+    * IterativeMR shape [mrs: examples/, mrs/mapreduce.py]: driver loop,
+    * one distributed assign+partial-sum pass per round (mapPartitions
+    * kernel emits per-cluster partials; an RDD reduceByKey merges them —
+    * classic MR combine), centroids re-broadcast each round. Integer-
+    * lattice variant for engine portability: vectors quantized to the
+    * 2^-10 grid (c15's trick), distances exact BIGINT, centroid update
+    * floor(sum/cnt) — every round is bit-reproducible in DuckDB, so the
+    * full 3-round trajectory is oracled (assignment counts + inertia
+    * against pre-update centroids + post-update centroid sums). Empty
+    * clusters keep their previous centroid. Knobs: `graft.kmeans.k`,
+    * `graft.kmeans.iters` (oracle assumes defaults 4 and 3).
+    */
+  private def a23(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val k = spark.conf.getOption("graft.kmeans.k").map(_.toInt).getOrElse(4)
+    val iters =
+      spark.conf.getOption("graft.kmeans.iters").map(_.toInt).getOrElse(3)
+    val dim = 64
+    val q = embeddings(spark, d).select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, e) =>
+        (id, e.map(v => math.floor(v.toDouble * 1024.0).toLong))
+      }
+    var cents: Array[Array[Long]] =
+      q.filter(_._1 < k).collect().sortBy(_._1).map(_._2)
+    // per cluster: (members, inertia vs pre-update centroid, new centroid)
+    var stats: Array[(Long, Long, Array[Long])] = null
+    for (_ <- 1 to iters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val agg = q.mapPartitions { it =>
+        val cs = bc.value
+        val kk = cs.length
+        val cnt = new Array[Long](kk)
+        val inr = new Array[Long](kk)
+        val sums = Array.ofDim[Long](kk, dim)
+        it.foreach { case (_, qv) =>
+          var best = 0; var bd = Long.MaxValue
+          var c = 0
+          while (c < kk) {
+            var dist = 0L; var i = 0
+            while (i < dim) {
+              val df = qv(i) - cs(c)(i); dist += df * df; i += 1
+            }
+            if (dist < bd) { bd = dist; best = c } // tie keeps smaller c
+            c += 1
+          }
+          cnt(best) += 1; inr(best) += bd
+          var i = 0
+          while (i < dim) { sums(best)(i) += qv(i); i += 1 }
+        }
+        (0 until kk).iterator.map(c => (c, (cnt(c), inr(c), sums(c))))
+      }.rdd.reduceByKey {
+        (x: (Long, Long, Array[Long]), y: (Long, Long, Array[Long])) =>
+          (x._1 + y._1, x._2 + y._2,
+            Array.tabulate(dim)(i => x._3(i) + y._3(i)))
+      }.collect().toMap
+      val newCents = Array.tabulate(k) { c =>
+        agg.get(c) match {
+          case Some((cn, _, ss)) if cn > 0 =>
+            Array.tabulate(dim)(i => math.floor(ss(i).toDouble / cn).toLong)
+          case _ => cents(c)
+        }
+      }
+      stats = Array.tabulate(k) { c =>
+        val (cn, ir, _) = agg.getOrElse(c, (0L, 0L, null))
+        (cn, ir, newCents(c))
+      }
+      cents = newCents
+    }
+    stats.zipWithIndex
+      .map { case ((cn, ir, ct), c) => (c.toLong, cn, ir, ct.sum) }
+      .toSeq.toDF("cluster", "n_members", "inertia", "cent_sum")
+      .orderBy("cluster")
+  }
+
+  /** DuckDB unrolling of a23's 3 rounds — same integer arithmetic. */
+  private val kmeansOracleSql: String = {
+    def round(n: Int, prev: String): String =
+      s"a$n AS (SELECT q0.vec_id, p.c, sum((q0.q - p.m)*(q0.q - p.m))::BIGINT AS dist FROM q0 JOIN $prev p USING (i) GROUP BY 1, 2), " +
+        s"b$n AS (SELECT vec_id, c, dist FROM a$n QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) = 1), " +
+        s"u$n AS (SELECT b$n.c, q0.i, floor(sum(q0.q)::DOUBLE / count(*))::BIGINT AS m FROM b$n JOIN q0 USING (vec_id) GROUP BY 1, 2), " +
+        s"c$n AS (SELECT p.c, p.i, coalesce(u$n.m, p.m) AS m FROM $prev p LEFT JOIN u$n ON u$n.c = p.c AND u$n.i = p.i)"
+    "WITH q0 AS (SELECT vec_id, i.i AS i, floor(embedding[i.i+1]::DOUBLE * 1024)::BIGINT AS q FROM embeddings, range(64) i(i)), " +
+      "c0 AS (SELECT vec_id AS c, i, q AS m FROM q0 WHERE vec_id < 4), " +
+      (1 to 3).map(n => round(n, if (n == 1) "c0" else s"c${n - 1}"))
+        .mkString(", ") +
+      ", n AS (SELECT c, count(*)::BIGINT AS n_members, sum(dist)::BIGINT AS inertia FROM b3 GROUP BY 1)" +
+      ", s AS (SELECT c, sum(m)::BIGINT AS cent_sum FROM c3 GROUP BY 1) " +
+      "SELECT s.c AS cluster, coalesce(n.n_members, 0)::BIGINT AS n_members, coalesce(n.inertia, 0)::BIGINT AS inertia, s.cent_sum FROM s LEFT JOIN n USING (c) ORDER BY cluster"
+  }
+
   /** a22: Mrs examples parity — iterative Monte-Carlo pi estimation in
     * the GeneratorCallbackMR shape [mrs: examples/pi/, mrs/mapreduce.py]:
     * a generator schedules batch N+1's Spark job BEFORE consuming batch
@@ -375,6 +467,7 @@ object TierA {
       "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_totalprice > 100000 ORDER BY o_orderkey")),
     QueryDef("a13_iterative", a13 _, Some(
       "SELECT l_returnflag AS key, count(*)::BIGINT AS cnt FROM lineitem GROUP BY 1 ORDER BY 1")),
+    QueryDef("a23_kmeans_iterative", a23 _, Some(kmeansOracleSql)),
     QueryDef("a22_pi_iterative", a22 _, Some(
       "WITH pts AS (SELECT t.i AS id, (t.i // 10000)::BIGINT AS batch, ('0x'||substr(md5('x:'||t.i::VARCHAR),1,13))::BIGINT / 4503599627370496.0 AS x, ('0x'||substr(md5('y:'||t.i::VARCHAR),1,13))::BIGINT / 4503599627370496.0 AS y FROM range(100000) t(i)), per AS (SELECT batch, count(*)::BIGINT AS pts, sum(CASE WHEN x*x + y*y < 1.0 THEN 1 ELSE 0 END)::BIGINT AS inside FROM pts GROUP BY 1), cum AS (SELECT batch, sum(pts) OVER (ORDER BY batch)::BIGINT AS points_cum, sum(inside) OVER (ORDER BY batch)::BIGINT AS inside_cum FROM per) SELECT batch, points_cum, inside_cum, ((40000 * inside_cum) // points_cum)::BIGINT AS pi_bp FROM cum ORDER BY batch")),
     QueryDef("a16_wordcount", (s, d) => wordcount(s, d), Some(

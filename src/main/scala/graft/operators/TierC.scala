@@ -609,13 +609,20 @@ object TierC {
     * detect change). At 100 TB this is the standard large-graph CC
     * pattern: edges stay partitioned, each round is one join + one agg.
     */
-  private def c18(s: SparkSession, d: String): DataFrame = {
+  /** LSH candidate pairs (u < v) from [[bandMinhash]] bucket collisions —
+    * shared by c18 (clustering) and c26 (verification pipeline).
+    */
+  private def candidatePairs(s: SparkSession, d: String): DataFrame = {
     val mh = bandMinhash(s, d)
     val a = mh.select(col("band").as("ba"), col("minhash").as("ha"), col("doc_id").as("u"))
     val b = mh.select(col("band").as("bb"), col("minhash").as("hb"), col("doc_id").as("v"))
-    val pairs = a.join(b,
+    a.join(b,
         col("ba") === col("bb") && col("ha") === col("hb") && col("u") < col("v"))
       .select("u", "v").distinct()
+  }
+
+  private def c18(s: SparkSession, d: String): DataFrame = {
+    val pairs = candidatePairs(s, d)
     // localCheckpoint (not cache): each round's plan must NOT chain on
     // the previous round's, or the lineage doubles per iteration and
     // planning itself OOMs the driver — the classic iterative-Spark trap.
@@ -697,6 +704,41 @@ object TierC {
       .orderBy("probe_id")
   }
 
+  /** c26: the near-dup pipeline END-TO-END — LSH candidate generation
+    * (c2's buckets) → exact n-gram Jaccard verification (c9's scoring,
+    * but over the REAL candidate pairs, not a stand-in) → duplicate
+    * verdict at `graft.dedup.jaccard.bp` (default 0.8). All integer
+    * arithmetic: |A∩B| via a shingle equi-join restricted to candidate
+    * pairs, jaccard_bp = 10000·inter ÷ (|A|+|B|−inter) integer-divided.
+    * Scale shape: the candidate set is LSH-bounded (never all-pairs),
+    * the intersection join is keyed on (doc, shingle), and sizes come
+    * from one partial-aggregated pass over the shingle table.
+    */
+  private def c26(s: SparkSession, d: String): DataFrame = {
+    val thrBp = s.conf.getOption("graft.dedup.jaccard.bp")
+      .map(_.toLong).getOrElse(8000L)
+    val pairs = candidatePairs(s, d)
+    val sh = shingleRows(s, documents(s, d))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val shu = sh.select(col("doc_id").as("ud"), col("sh").as("shu"))
+    val shv = sh.select(col("doc_id").as("vd"), col("sh").as("shv"))
+    val inter = pairs
+      .join(shu, col("u") === col("ud"))
+      .join(shv, col("v") === col("vd") && col("shu") === col("shv"))
+      .groupBy("u", "v").agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select(col("doc_id").as("sad"), col("nsh").as("na")),
+        col("u") === col("sad"))
+      .join(sizes.select(col("doc_id").as("sbd"), col("nsh").as("nb")),
+        col("v") === col("sbd"))
+      .join(inter, Seq("u", "v"), "left")
+      .select(col("u").as("doc_a"), col("v").as("doc_b"),
+        expr("(10000 * coalesce(inter, CAST(0 AS BIGINT))) div " +
+          "(na + nb - coalesce(inter, CAST(0 AS BIGINT)))").as("jaccard_bp"))
+      .withColumn("is_dup", col("jaccard_bp") >= thrBp)
+      .orderBy("doc_a", "doc_b")
+  }
+
   private val shinglesSql =
     "SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) WHERE len(w) >= 3"
 
@@ -756,6 +798,8 @@ object TierC {
       "SELECT doc_id, md5(regexp_replace(regexp_replace(trim(text), '[0-9]+', '#', 'g'), ' +', ' ', 'g')) AS norm_fp, length(regexp_replace(regexp_replace(trim(text), '[0-9]+', '#', 'g'), ' +', ' ', 'g'))::BIGINT AS norm_len FROM documents ORDER BY doc_id")),
     QueryDef("c18_dedup_cluster", c18 _, Some(
       s"WITH RECURSIVE $minhashCtes, pairs AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v FROM sig a JOIN sig b ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id), edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs), reach(u, r) AS (SELECT doc_id, doc_id FROM documents UNION SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u) SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u ORDER BY doc_id")),
+    QueryDef("c26_dedup_pipeline", c26 _, Some(
+      s"WITH $minhashCtes, pairs AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v FROM sig a JOIN sig b ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id), sizes AS (SELECT doc_id, count(*)::BIGINT AS nsh FROM sh GROUP BY 1), inter AS (SELECT p.u, p.v, count(*)::BIGINT AS inter FROM pairs p JOIN sh a ON a.doc_id = p.u JOIN sh b ON b.doc_id = p.v AND b.sh = a.sh GROUP BY 1, 2) SELECT p.u AS doc_a, p.v AS doc_b, ((10000 * coalesce(i.inter, 0)) // (sa.nsh + sb.nsh - coalesce(i.inter, 0)))::BIGINT AS jaccard_bp, ((10000 * coalesce(i.inter, 0)) // (sa.nsh + sb.nsh - coalesce(i.inter, 0))) >= 8000 AS is_dup FROM pairs p JOIN sizes sa ON sa.doc_id = p.u JOIN sizes sb ON sb.doc_id = p.v LEFT JOIN inter i ON i.u = p.u AND i.v = p.v ORDER BY doc_a, doc_b")),
     QueryDef("c19_ann_ivf", c19 _, Some(
       "WITH cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings WHERE vec_id < 8), assigned AS (SELECT e.vec_id, e.embedding::DOUBLE[] AS emb, (SELECT c.cid FROM cent c ORDER BY list_distance(c.ce, e.embedding::DOUBLE[]), c.cid LIMIT 1) AS cell FROM embeddings e WHERE e.vec_id >= 8), probes AS (SELECT vec_id AS probe_id, emb AS pe, cell FROM assigned WHERE vec_id % 100 = 0), ranked AS (SELECT p.probe_id, p.cell, m.vec_id AS neighbor_id, list_cosine_similarity(p.pe, m.emb) AS sim, row_number() OVER (PARTITION BY p.probe_id ORDER BY list_cosine_similarity(p.pe, m.emb) DESC, m.vec_id) AS rn FROM probes p JOIN assigned m ON m.cell = p.cell AND m.vec_id != p.probe_id) SELECT probe_id, cell, neighbor_id, round(sim, 4) AS sim FROM ranked WHERE rn = 1 ORDER BY probe_id")),
     QueryDef("c17_similarity_native_expr", c17 _, Some(
