@@ -21,6 +21,9 @@ object Bench {
       // Single-file-per-table corpus: split files finer than the 128 MB
       // default so a lone large parquet still fans out across cores.
       .config("spark.sql.files.maxPartitionBytes", "16m")
+      // RDD-path demos (CoreMR) shuffle case classes; Kryo beats Java
+      // serialization 2-5x there. SQL rows use Tungsten either way.
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.ui.enabled", "false")
     // Tuning passthrough: SPARK_GRAFT_CONF="k=v;k=v" (dev experiments).
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.contains('='))

@@ -333,16 +333,16 @@ object TierA {
         .select((x * x + y * y < 1.0).cast("long").as("in"))
         .agg(sum("in")).head().getLong(0)
     }
+    // The generator runs AHEAD of consumption (Mrs's generator yields
+    // every job; callbacks fold results in batch order as they land) —
+    // all rounds are in flight at once, the driver consumes in order.
+    val futures = (0 until nBatches).map(insideCount)
     val rows = mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
     var ptsCum = 0L; var insCum = 0L; var prevBp = -1L
     var b = 0
-    var nextF = insideCount(0)
     var go = true
     while (go && b < nBatches) {
-      val curF = nextF
-      // Overlap: round b+1 is submitted while round b is still running.
-      if (b + 1 < nBatches) nextF = insideCount(b + 1)
-      val inside = Await.result(curF, Duration.Inf)
+      val inside = Await.result(futures(b), Duration.Inf)
       ptsCum += batchSize; insCum += inside
       val bp = 40000L * insCum / ptsCum
       rows += ((b.toLong, ptsCum, insCum, bp))

@@ -473,7 +473,8 @@ object TierC {
     * dropped before training.
     */
   private def c25(s: SparkSession, d: String): DataFrame = {
-    val sh = shingleRows(s, documents(s, d))
+    // checkpointed: the eval-set branch and the train branch both read it
+    val sh = shingleRows(s, documents(s, d)).localCheckpoint(false)
     val evalSet = sh.filter(col("doc_id") < 10)
       .select(col("sh")).distinct()
     val train = sh.filter(col("doc_id") >= 10)
@@ -613,7 +614,9 @@ object TierC {
     * shared by c18 (clustering) and c26 (verification pipeline).
     */
   private def candidatePairs(s: SparkSession, d: String): DataFrame = {
-    val mh = bandMinhash(s, d)
+    // Lazy checkpoint: the signature kernel (one md5 per shingle) must
+    // run ONCE, not once per self-join branch.
+    val mh = bandMinhash(s, d).localCheckpoint(false)
     val a = mh.select(col("band").as("ba"), col("minhash").as("ha"), col("doc_id").as("u"))
     val b = mh.select(col("band").as("bb"), col("minhash").as("hb"), col("doc_id").as("v"))
     a.join(b,
@@ -718,7 +721,8 @@ object TierC {
     val thrBp = s.conf.getOption("graft.dedup.jaccard.bp")
       .map(_.toLong).getOrElse(8000L)
     val pairs = candidatePairs(s, d)
-    val sh = shingleRows(s, documents(s, d))
+    // checkpointed: reused by sizes + both sides of the intersection join
+    val sh = shingleRows(s, documents(s, d)).localCheckpoint(false)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     val shu = sh.select(col("doc_id").as("ud"), col("sh").as("shu"))
     val shv = sh.select(col("doc_id").as("vd"), col("sh").as("shv"))

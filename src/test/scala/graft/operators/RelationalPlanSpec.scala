@@ -47,4 +47,21 @@ class RelationalPlanSpec extends SparkSpec {
     val p = plan("b14_sort_limit")
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("c26: dedup pipeline never plans a cartesian product") {
+    val p = plan("c26_dedup_pipeline")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("c25: eval n-gram set is broadcast, not shuffled, into the probe join") {
+    val p = plan("c25_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("b6: theta/range join keeps its equi key (no nested-loop over all pairs)") {
+    val p = plan("b6_join_theta_range")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
