@@ -369,6 +369,19 @@ object TierA {
       .orderBy("n_nationkey")
   }
 
+  /** a24: ORC sink/source round-trip — the columnar sibling of a10/a17
+    * (extension-selected writer parity [mrs: mrs/fileformats.py]); ORC
+    * preserves the typed schema exactly, so no explicit read schema is
+    * needed (unlike csv/json).
+    */
+  private def a24(spark: SparkSession, d: String): DataFrame = {
+    val out = graft.util.TmpDir.path("a24_sink_orc")
+    supplier(spark, d).write.mode("overwrite").orc(out)
+    spark.read.orc(out)
+      .select("s_suppkey", "s_name", "s_nationkey")
+      .orderBy("s_suppkey")
+  }
+
   /** a18: JSON-lines sink/source round-trip. Explicit read schema: JSON
     * inference would widen int32 to long and break schema parity.
     */
@@ -437,6 +450,8 @@ object TierA {
       "SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en' ORDER BY doc_id")),
     QueryDef("a19_sink_hex", a19 _, Some(
       "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey")),
+    QueryDef("a24_sink_orc", a24 _, Some(
+      "SELECT s_suppkey, s_name, s_nationkey FROM supplier ORDER BY s_suppkey")),
     QueryDef("a17_sink_csv", a17 _, Some(
       "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey")),
     QueryDef("a18_sink_json", a18 _, Some(

@@ -127,6 +127,35 @@ object StreamingDemo {
       eventStream(s, d)) }
       .orderBy("user_id", "event_type", "minute_ts")
 
+  /** d9: stream-stream inner join — click→purchase attribution within
+    * 1 h per user. Both sides are watermarked branches of the same
+    * file-source stream; the time-range condition is what lets Spark
+    * bound the join state on unbounded input (rows older than
+    * watermark+range are evicted from the state store). Append mode:
+    * inner matches emit as found — file sink, no driver materialization.
+    * Bounded input ⇒ the emitted set equals the batch join, so it's
+    * DuckDB-oracled.
+    */
+  def streamJoin(s: SparkSession, d: String): DataFrame =
+    withStreamPartitions(s) { runToFiles(s, "d9",
+      df => {
+        val clicks = df.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("click_ts"),
+            col("event_id").as("click_id"))
+          .withWatermark("click_ts", "2 hours")
+        val purchases = df.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+            col("event_id").as("purchase_id"))
+          .withWatermark("p_ts", "2 hours")
+        clicks.join(purchases,
+          col("user_id") === col("p_user") &&
+            col("p_ts") >= col("click_ts") &&
+            col("p_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+          .select("user_id", "click_id", "purchase_id")
+      },
+      eventStream(s, d)) }
+      .orderBy("user_id", "click_id", "purchase_id")
+
   /** d6: `flatMapGroupsWithState` sessionization — per-user custom
     * state, 30 min gap, emits one row per closed session. Matches the
     * batch lag+cumsum twin (d3) exactly on the bounded stream.
