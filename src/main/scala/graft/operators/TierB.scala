@@ -459,6 +459,48 @@ object TierB {
         col("cnt"), col("sum_qty"))
       .orderBy("flag", "status")
 
+  /** b35: Count-Min sketch — the frequency sibling of b9's HLL and
+    * b27's quantile sketch, built by COMPOSITION (no engine internals):
+    * depth 3 × width 64 counters, md5-derived bucket hashes, estimate =
+    * min over rows. Everything is deterministic integer arithmetic, so
+    * unlike the engine sketches the CMS estimate itself is reproduced
+    * bit-for-bit by DuckDB — no invariant flag needed. Scale shape: the
+    * sketch is a 192-cell partial-aggregated table (broadcastable at any
+    * corpus size); true counts join it only for the declared est-vs-true
+    * output.
+    */
+  private def b35(s: SparkSession, d: String): DataFrame = {
+    val keys = lineitem(s, d).select(col("l_suppkey").cast("long").as("key"))
+    def bucketOf(j: org.apache.spark.sql.Column, k: org.apache.spark.sql.Column) =
+      pmod(portableHash(concat_ws(":", j, k)), lit(64))
+    val cms = keys
+      .select(col("key"), explode(expr("sequence(0, 2)")).as("j"))
+      .withColumn("bucket", bucketOf(col("j"), col("key")))
+      .groupBy("j", "bucket").agg(count(lit(1)).as("c"))
+    val tru = keys.groupBy("key").agg(count(lit(1)).as("true_cnt"))
+    tru
+      .select(col("key"), col("true_cnt"), explode(expr("sequence(0, 2)")).as("j"))
+      .withColumn("bucket", bucketOf(col("j"), col("key")))
+      .join(broadcast(cms), Seq("j", "bucket"))
+      .groupBy("key", "true_cnt").agg(min(col("c")).as("cms_cnt"))
+      .orderBy(col("true_cnt").desc, col("key")).limit(10)
+  }
+
+  /** b36: RANGE window frame over event time — trailing-1h event count
+    * per user. The frame bound is exact integer µs on both engines
+    * (fractional epoch doubles would disagree at the boundary); RANGE
+    * includes ts peers, so the result is order-independent within ties.
+    */
+  private def b36(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us")
+      .rangeBetween(-3600L * 1000000L, 0)
+    events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .select(col("user_id"), col("event_id"),
+        count(lit(1)).over(w).as("trailing_1h"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** b31: AS-OF join — each purchase matched to the same user's latest
     * click at-or-before it. Spark has no asof join operator; the
     * Spark-native plan is union-tag + sort-within-key +
@@ -527,6 +569,10 @@ object TierB {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("b35_agg_countmin", b35 _, Some(
+      s"WITH k AS (SELECT l_suppkey::BIGINT AS key FROM lineitem), cms AS (SELECT j.j, ${duckHash("j.j::VARCHAR || ':' || k.key::VARCHAR")} % 64 AS bucket, count(*)::BIGINT AS c FROM k, range(3) j(j) GROUP BY 1, 2), tru AS (SELECT key, count(*)::BIGINT AS true_cnt FROM k GROUP BY 1) SELECT t.key, t.true_cnt, min(c.c) AS cms_cnt FROM tru t JOIN cms c ON c.bucket = ${duckHash("c.j::VARCHAR || ':' || t.key::VARCHAR")} % 64 GROUP BY 1, 2 ORDER BY true_cnt DESC, key LIMIT 10")),
+    QueryDef("b36_window_range_interval", b36 _, Some(
+      "SELECT user_id, event_id, (count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))::BIGINT AS trailing_1h FROM events ORDER BY user_id, event_id")),
     QueryDef("b34_cube", b34 _, Some(
       "SELECT coalesce(l_returnflag, 'ALL') AS flag, coalesce(l_linestatus, 'ALL') AS status, count(*)::BIGINT AS cnt, sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) ORDER BY 1, 2")),
     QueryDef("b33_agg_kmv_sketch", b33 _, Some(
