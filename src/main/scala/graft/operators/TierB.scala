@@ -473,11 +473,15 @@ object TierB {
     val keys = lineitem(s, d).select(col("l_suppkey").cast("long").as("key"))
     def bucketOf(j: org.apache.spark.sql.Column, k: org.apache.spark.sql.Column) =
       pmod(portableHash(concat_ws(":", j, k)), lit(64))
-    val cms = keys
-      .select(col("key"), explode(expr("sequence(0, 2)")).as("j"))
-      .withColumn("bucket", bucketOf(col("j"), col("key")))
-      .groupBy("j", "bucket").agg(count(lit(1)).as("c"))
+    // Pre-aggregate counts per key BEFORE hashing (map-side partial agg
+    // collapses the stream; one md5 per distinct key × depth, not per
+    // row — cell values are identical: Σ count(key) over keys in cell).
     val tru = keys.groupBy("key").agg(count(lit(1)).as("true_cnt"))
+      .localCheckpoint(false)
+    val cms = tru
+      .select(col("key"), col("true_cnt"), explode(expr("sequence(0, 2)")).as("j"))
+      .withColumn("bucket", bucketOf(col("j"), col("key")))
+      .groupBy("j", "bucket").agg(sum(col("true_cnt")).as("c"))
     tru
       .select(col("key"), col("true_cnt"), explode(expr("sequence(0, 2)")).as("j"))
       .withColumn("bucket", bucketOf(col("j"), col("key")))

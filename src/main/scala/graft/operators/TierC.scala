@@ -633,7 +633,11 @@ object TierC {
     // that materializes them, so each round costs ONE job, not two.
     val edges = pairs.union(pairs.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint(false)
-    var labels = documents(s, d)
+    // Only edge-incident vertices iterate: singletons (the overwhelming
+    // majority of a deduped corpus — think 5B docs, thousands of dup
+    // pairs at 100 TB) never change label, so they are joined back once
+    // at the end instead of riding through every propagation round.
+    var labels = edges.select(col("u").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("label")).localCheckpoint(false)
     var prevSum = Long.MaxValue
     var curSum = labels.agg(sum("label")).head().getLong(0)
@@ -651,7 +655,11 @@ object TierC {
       labels = next
       iter += 1
     }
-    labels.select(col("doc_id"), col("label").as("cluster_id")).orderBy("doc_id")
+    documents(s, d).select(col("doc_id"))
+      .join(broadcast(labels), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      .orderBy("doc_id")
   }
 
   /** c19: IVF-style ANN — the other scale path next to c15's LSH: a

@@ -46,7 +46,10 @@ object StreamingDemo {
   private def withStreamPartitions[T](s: SparkSession)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
-    val n = s.conf.getOption("graft.stream.partitions").getOrElse("8")
+    // never RAISE the count above the session's (a local[4] session
+    // should not get 8 state stores)
+    val n = s.conf.getOption("graft.stream.partitions")
+      .getOrElse(math.min(prev.toInt, 8).toString)
     s.conf.set(key, n)
     try body finally s.conf.set(key, prev)
   }
