@@ -655,8 +655,11 @@ object TierC {
       labels = next
       iter += 1
     }
+    // plain left join (no broadcast hint): the resolved-label side is
+    // dup-pair-sized — usually tiny, but at a high dup rate it isn't,
+    // and AQE picks broadcast exactly when it fits.
     documents(s, d).select(col("doc_id"))
-      .join(broadcast(labels), Seq("doc_id"), "left")
+      .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("label"), col("doc_id")).as("cluster_id"))
       .orderBy("doc_id")
