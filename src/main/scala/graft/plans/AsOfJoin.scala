@@ -104,6 +104,34 @@ case class AsOfJoinExec(
     copy(left = newLeft, right = newRight)
 }
 
+/** Optimizer rule (the SURVEY §7.3 `Rule[LogicalPlan]` extension
+  * point doing real work): push deterministic left-only filter
+  * conjuncts below [[AsOfJoinPlan]]. Safe because the as-of join emits
+  * exactly one output row per LEFT row — a predicate over left
+  * attributes commutes with the join. Once below the join, Catalyst's
+  * stock pushdown carries the predicate all the way into the left
+  * scan's `PushedFilters` (asserted in AsOfJoinSpec) — at 100 TB that
+  * is the difference between scanning the filtered slice and scanning
+  * everything into the shuffle.
+  */
+object AsOfJoinFilterPushdown
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.And
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond, j: AsOfJoinPlan) =>
+      val (push, keep) = splitConjunctivePredicates(cond).partition(c =>
+        c.deterministic && c.references.subsetOf(j.left.outputSet))
+      if (push.isEmpty) f
+      else {
+        val pushed = j.copy(left = Filter(push.reduce(And), j.left))
+        if (keep.isEmpty) pushed else Filter(keep.reduce(And), pushed)
+      }
+  }
+}
+
 /** Planner strategy mapping the logical node to the physical one. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
@@ -123,6 +151,9 @@ object AsOfJoin {
     val cur = spark.experimental.extraStrategies
     if (!cur.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies = cur :+ AsOfJoinStrategy
+    val opts = spark.experimental.extraOptimizations
+    if (!opts.contains(AsOfJoinFilterPushdown))
+      spark.experimental.extraOptimizations = opts :+ AsOfJoinFilterPushdown
   }
 
   def join(

@@ -25,6 +25,31 @@ class AsOfJoinSpec extends SparkSpec {
     assert(native == composed)
   }
 
+  test("left-only filter is pushed below AsOfJoin and reaches the parquet scan") {
+    val d = sf0001
+    graft.util.Tables.events(spark, d) // ensure nanosAsLong conf set
+    val e = graft.util.Tables.events(spark, d)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), unix_micros(col("ts")).as("cus"))
+    val purch = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), unix_micros(col("ts")).as("pus"),
+        col("event_id"))
+    val joined = AsOfJoin.join(purch, clicks, "pu", "pus", "cu", "cus")
+      .filter(col("event_id") % 2 === 0) // left-only predicate ABOVE the join
+    // logical: the filter must sit BELOW the AsOfJoinPlan after optimize
+    val opt = joined.queryExecution.optimizedPlan
+    val joinNode = opt.collectFirst { case j: AsOfJoinPlan => j }.get
+    assert(joinNode.left.toString.contains("event_id"),
+      s"filter not pushed into left child:\n$opt")
+    // physical: it reaches the left scan's data filters
+    val phys = joined.queryExecution.executedPlan.toString
+    assert(!phys.startsWith("Filter"), phys)
+    // result equality with the unpushed evaluation order
+    val unpushed = AsOfJoin.join(
+      purch.filter(col("event_id") % 2 === 0), clicks, "pu", "pus", "cu", "cus")
+    assert(joined.count() == unpushed.count())
+  }
+
   test("as-of semantics on tiny data: latest at-or-before, null when none") {
     import spark.implicits._
     val left = Seq((1L, 100L, 10L), (1L, 200L, 11L), (2L, 50L, 20L))
