@@ -286,6 +286,86 @@ object TierA {
       .orderBy("cluster")
   }
 
+  /** a25: Mrs examples parity — particle swarm optimization, THE
+    * workload Mrs was built for (McNabb/Lund/Seppi, PyHPC@SC12 ran PSO
+    * on Mrs) [mrs: examples/], in the IterativeMR shape: particles live
+    * distributed, each round is one map pass (velocity/position/pbest
+    * update) plus one tiny collect for the global best, which is
+    * re-broadcast. Sphere objective f(x)=Σx², 32 particles × 4 dims ×
+    * 3 rounds. Integer-lattice dynamics for portability: positions on
+    * the 1/1024 grid, md5-derived init and per-round r1/r2, every
+    * update term an exact `floor(int/2^k)` — DuckDB replays the entire
+    * swarm trajectory bit-for-bit (velocity, pbest carry, gbest argmin
+    * with (f, pid) tie-break).
+    */
+  private def a25(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val nP = 32; val dim = 4; val iters = 3
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h13(sv: String): Long = java.lang.Long.parseLong(
+      md.digest(sv.getBytes("UTF-8")).take(7)
+        .map("%02x".format(_)).mkString.take(13), 16)
+    // r1/r2 are data-independent — derived on the driver, shipped in the
+    // closure (Mrs would ship them in the job params).
+    val r1s = Array.tabulate(iters + 1, nP)((t, p) => h13(s"r1:$t:$p") % 1025L)
+    val r2s = Array.tabulate(iters + 1, nP)((t, p) => h13(s"r2:$t:$p") % 1025L)
+    // Swarm init is driver-side (hash constants, MessageDigest isn't
+    // serializable) then distributed; Mrs likewise seeds in the master.
+    val init = (0 until nP).map { p =>
+      val x = Array.tabulate(dim)(i => h13(s"x:$p:$i") % 16384L - 8192L)
+      val f = x.map(q => q * q).sum
+      (p.toLong, x, Array.fill(dim)(0L), x.clone(), f)
+    }
+    var parts = init.toDS().repartition(4).localCheckpoint(false)
+    for (t <- 1 to iters) {
+      val snap = parts.map { case (pid, _, _, px, fp) => (fp, pid, px) }
+        .collect()
+      val g = snap.minBy(sn => (sn._1, sn._2))._3
+      val r1t = r1s(t); val r2t = r2s(t)
+      parts = parts.map { case (pid, x, v, px, fp) =>
+        val r1 = r1t(pid.toInt); val r2 = r2t(pid.toInt)
+        val nv = Array.tabulate(dim) { i =>
+          math.floor(v(i) / 2.0).toLong +
+            math.floor(r1 * (px(i) - x(i)) / 1024.0).toLong +
+            math.floor(r2 * (g(i) - x(i)) / 1024.0).toLong
+        }
+        val nx = Array.tabulate(dim)(i => x(i) + nv(i))
+        val nf = nx.map(q => q * q).sum
+        if (nf < fp) (pid, nx, nv, nx.clone(), nf)
+        else (pid, nx, nv, px, fp)
+      }.localCheckpoint(false)
+    }
+    val fin = parts.map { case (pid, _, _, px, fp) => (pid, fp, px.sum) }
+      .collect().sortBy(_._1)
+    val gb = fin.minBy(r => (r._2, r._1))._1
+    fin.map { case (pid, fp, ps) => (pid, fp, ps, pid == gb) }
+      .toSeq.toDF("pid", "f_pbest", "pbest_sum", "is_gbest")
+      .orderBy("pid")
+  }
+
+  /** DuckDB unrolling of a25's 3 swarm rounds — same integer lattice. */
+  private val psoOracleSql: String = {
+    def h13(sv: String) = s"(('0x'||substr(md5($sv),1,13))::BIGINT"
+    def rnd(t: Int): String = {
+      val p = t - 1
+      s"r$t AS (SELECT pr.p AS pid, ${h13(s"'r1:$t:'||pr.p::VARCHAR")} % 1025) AS r1, ${h13(s"'r2:$t:'||pr.p::VARCHAR")} % 1025) AS r2 FROM range(32) pr(p)), " +
+        s"v$t AS (SELECT x.pid, x.i, (floor(v.v/2.0) + floor(r.r1*(pb.px - x.x)/1024.0) + floor(r.r2*(g.g - x.x)/1024.0))::BIGINT AS v FROM x$p x JOIN v$p v ON v.pid = x.pid AND v.i = x.i JOIN pb$p pb ON pb.pid = x.pid AND pb.i = x.i JOIN g$p g ON g.i = x.i JOIN r$t r ON r.pid = x.pid), " +
+        s"x$t AS (SELECT x.pid, x.i, (x.x + nv.v)::BIGINT AS x FROM x$p x JOIN v$t nv ON nv.pid = x.pid AND nv.i = x.i), " +
+        s"f$t AS (SELECT pid, sum(x*x)::BIGINT AS f FROM x$t GROUP BY 1), " +
+        s"bet$t AS (SELECT f$t.pid, f$t.f < fpb$p.f AS b, f$t.f AS fn, fpb$p.f AS fo FROM f$t JOIN fpb$p ON fpb$p.pid = f$t.pid), " +
+        s"pb$t AS (SELECT pb.pid, pb.i, CASE WHEN b.b THEN xt.x ELSE pb.px END AS px FROM pb$p pb JOIN x$t xt ON xt.pid = pb.pid AND xt.i = pb.i JOIN bet$t b ON b.pid = pb.pid), " +
+        s"fpb$t AS (SELECT pid, CASE WHEN b THEN fn ELSE fo END AS f FROM bet$t), " +
+        s"g$t AS (SELECT i, px AS g FROM pb$t WHERE pid = (SELECT pid FROM fpb$t ORDER BY f, pid LIMIT 1))"
+    }
+    s"WITH x0 AS (SELECT pr.p AS pid, i.i AS i, (${h13("'x:'||pr.p::VARCHAR||':'||i.i::VARCHAR")} % 16384) - 8192) AS x FROM range(32) pr(p), range(4) i(i)), " +
+      "v0 AS (SELECT pid, i, 0::BIGINT AS v FROM x0), " +
+      "pb0 AS (SELECT pid, i, x AS px FROM x0), " +
+      "fpb0 AS (SELECT pid, sum(x*x)::BIGINT AS f FROM x0 GROUP BY 1), " +
+      "g0 AS (SELECT i, px AS g FROM pb0 WHERE pid = (SELECT pid FROM fpb0 ORDER BY f, pid LIMIT 1)), " +
+      (1 to 3).map(rnd).mkString(", ") +
+      " SELECT f.pid, f.f AS f_pbest, s.ps AS pbest_sum, (row_number() OVER (ORDER BY f.f, f.pid)) = 1 AS is_gbest FROM fpb3 f JOIN (SELECT pid, sum(px)::BIGINT AS ps FROM pb3 GROUP BY 1) s ON s.pid = f.pid ORDER BY f.pid"
+  }
+
   /** DuckDB unrolling of a23's 3 rounds — same integer arithmetic. */
   private val kmeansOracleSql: String = {
     def round(n: Int, prev: String): String =
@@ -483,6 +563,7 @@ object TierA {
     QueryDef("a13_iterative", a13 _, Some(
       "SELECT l_returnflag AS key, count(*)::BIGINT AS cnt FROM lineitem GROUP BY 1 ORDER BY 1")),
     QueryDef("a23_kmeans_iterative", a23 _, Some(kmeansOracleSql)),
+    QueryDef("a25_pso_iterative", a25 _, Some(psoOracleSql)),
     QueryDef("a22_pi_iterative", a22 _, Some(
       "WITH pts AS (SELECT t.i AS id, (t.i // 10000)::BIGINT AS batch, ('0x'||substr(md5('x:'||t.i::VARCHAR),1,13))::BIGINT / 4503599627370496.0 AS x, ('0x'||substr(md5('y:'||t.i::VARCHAR),1,13))::BIGINT / 4503599627370496.0 AS y FROM range(100000) t(i)), per AS (SELECT batch, count(*)::BIGINT AS pts, sum(CASE WHEN x*x + y*y < 1.0 THEN 1 ELSE 0 END)::BIGINT AS inside FROM pts GROUP BY 1), cum AS (SELECT batch, sum(pts) OVER (ORDER BY batch)::BIGINT AS points_cum, sum(inside) OVER (ORDER BY batch)::BIGINT AS inside_cum FROM per) SELECT batch, points_cum, inside_cum, ((40000 * inside_cum) // points_cum)::BIGINT AS pi_bp FROM cum ORDER BY batch")),
     QueryDef("a16_wordcount", (s, d) => wordcount(s, d), Some(

@@ -718,6 +718,38 @@ object TierC {
       .orderBy("probe_id")
   }
 
+  /** c27: int8 embedding quantization — the storage-compression pass a
+    * 100 TB embedding store runs before indexing (4× smaller than f32,
+    * recall barely moves): per-vector absmax scale, q_i = floor(v_i /
+    * scale · 127) ∈ [-127, 127]. Declared output pins every quantized
+    * byte via exact integer aggregates (sum/min/max) plus the scale in
+    * basis points. Division by an arbitrary float is IEEE-deterministic,
+    * and floor makes the grid landing identical on both engines; zero
+    * vectors are guarded to q = 0.
+    */
+  private def c27(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    vecs(s, d)
+      .map { case (id, e) =>
+        var scale = 0.0
+        var i = 0
+        while (i < e.length) {
+          val a = math.abs(e(i).toDouble); if (a > scale) scale = a; i += 1
+        }
+        var qsum = 0L; var qmin = Long.MaxValue; var qmax = Long.MinValue
+        i = 0
+        while (i < e.length) {
+          val q = if (scale == 0.0) 0L
+            else math.floor(e(i).toDouble / scale * 127.0).toLong
+          qsum += q; if (q < qmin) qmin = q; if (q > qmax) qmax = q
+          i += 1
+        }
+        (id, math.floor(scale * 10000.0).toLong, qsum, qmin, qmax)
+      }
+      .toDF("vec_id", "scale_bp", "qsum", "qmin", "qmax")
+      .orderBy("vec_id")
+  }
+
   /** c26: the near-dup pipeline END-TO-END — LSH candidate generation
     * (c2's buckets) → exact n-gram Jaccard verification (c9's scoring,
     * but over the REAL candidate pairs, not a stand-in) → duplicate
@@ -813,6 +845,8 @@ object TierC {
       "SELECT doc_id, md5(regexp_replace(regexp_replace(trim(text), '[0-9]+', '#', 'g'), ' +', ' ', 'g')) AS norm_fp, length(regexp_replace(regexp_replace(trim(text), '[0-9]+', '#', 'g'), ' +', ' ', 'g'))::BIGINT AS norm_len FROM documents ORDER BY doc_id")),
     QueryDef("c18_dedup_cluster", c18 _, Some(
       s"WITH RECURSIVE $minhashCtes, pairs AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v FROM sig a JOIN sig b ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id), edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs), reach(u, r) AS (SELECT doc_id, doc_id FROM documents UNION SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u) SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u ORDER BY doc_id")),
+    QueryDef("c27_embedding_quantize", c27 _, Some(
+      "WITH v AS (SELECT vec_id, i.i, embedding[i.i+1]::DOUBLE AS x FROM embeddings, range(64) i(i)), sc AS (SELECT vec_id, max(abs(x)) AS scale FROM v GROUP BY 1), q AS (SELECT v.vec_id, CASE WHEN sc.scale = 0 THEN 0 ELSE floor(v.x / sc.scale * 127)::BIGINT END AS q, sc.scale FROM v JOIN sc ON sc.vec_id = v.vec_id) SELECT vec_id, floor(any_value(scale) * 10000)::BIGINT AS scale_bp, sum(q)::BIGINT AS qsum, min(q)::BIGINT AS qmin, max(q)::BIGINT AS qmax FROM q GROUP BY vec_id ORDER BY vec_id")),
     QueryDef("c26_dedup_pipeline", c26 _, Some(
       s"WITH $minhashCtes, pairs AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v FROM sig a JOIN sig b ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id), sizes AS (SELECT doc_id, count(*)::BIGINT AS nsh FROM sh GROUP BY 1), inter AS (SELECT p.u, p.v, count(*)::BIGINT AS inter FROM pairs p JOIN sh a ON a.doc_id = p.u JOIN sh b ON b.doc_id = p.v AND b.sh = a.sh GROUP BY 1, 2) SELECT p.u AS doc_a, p.v AS doc_b, ((10000 * coalesce(i.inter, 0)) // (sa.nsh + sb.nsh - coalesce(i.inter, 0)))::BIGINT AS jaccard_bp, ((10000 * coalesce(i.inter, 0)) // (sa.nsh + sb.nsh - coalesce(i.inter, 0))) >= 8000 AS is_dup FROM pairs p JOIN sizes sa ON sa.doc_id = p.u JOIN sizes sb ON sb.doc_id = p.v LEFT JOIN inter i ON i.u = p.u AND i.v = p.v ORDER BY doc_a, doc_b")),
     QueryDef("c19_ann_ivf", c19 _, Some(
