@@ -50,6 +50,38 @@ class AsOfJoinSpec extends SparkSpec {
     assert(joined.count() == unpushed.count())
   }
 
+  test("fuzz: AsOfJoinExec == reference semantics on random inputs") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    val genCase = for {
+      nl <- Gen.choose(0, 40)
+      left <- Gen.listOfN(nl, for {
+        k <- Gen.choose(0L, 4L); t <- Gen.choose(0L, 30L)
+      } yield (k, t))
+      // right (k,t) pairs kept DISTINCT: among equal (k,t) rows the
+      // operator's pick is unspecified, like any sort-merge tie
+      rightKT <- Gen.listOf(for {
+        k <- Gen.choose(0L, 4L); t <- Gen.choose(0L, 30L)
+      } yield (k, t)).map(_.distinct)
+    } yield (left, rightKT)
+    forAllN(genCase, 15) { case (leftRows, rightKT) =>
+      val left = leftRows.zipWithIndex
+        .map { case ((k, t), i) => (k, t, i.toLong) }
+      val right = rightKT.map { case (k, t) => (k, t, k * 1000 + t) }
+      val out = AsOfJoin.join(
+        left.toDF("k", "t", "lid"), right.toDF("k2", "t2", "rid"),
+        "k", "t", "k2", "t2")
+        .select("lid", "rid").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .sortBy(identity).toSeq
+      val expect = left.map { case (k, t, lid) =>
+        val cand = right.filter(r => r._1 == k && r._2 <= t)
+        lid -> (if (cand.isEmpty) -1L else cand.maxBy(_._2)._3)
+      }.sortBy(identity)
+      assert(out == expect, s"left=$left right=$right")
+    }
+  }
+
   test("as-of semantics on tiny data: latest at-or-before, null when none") {
     import spark.implicits._
     val left = Seq((1L, 100L, 10L), (1L, 200L, 11L), (2L, 50L, 20L))
