@@ -619,6 +619,9 @@ object TierC {
     val mh = bandMinhash(s, d).localCheckpoint(false)
     val a = mh.select(col("band").as("ba"), col("minhash").as("ha"), col("doc_id").as("u"))
     val b = mh.select(col("band").as("bb"), col("minhash").as("hb"), col("doc_id").as("v"))
+    // NOT checkpointed: consumers reference this multiple times, but the
+    // expensive kernel (mh) is block-backed above, so re-running the
+    // cheap pair join beats paying a materialization barrier (measured).
     a.join(b,
         col("ba") === col("bb") && col("ha") === col("hb") && col("u") < col("v"))
       .select("u", "v").distinct()
