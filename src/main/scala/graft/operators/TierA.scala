@@ -286,6 +286,18 @@ object TierA {
       .orderBy("cluster")
   }
 
+  /** a26: custom DataSource V2 in a declared query — the generated
+    * (id, md5(id)) pair table with the `id >= 9000` bound PUSHED into
+    * the source (it narrows the generated range itself; no post-scan
+    * filter remains — plan-asserted in SourcesSpec). See
+    * [[graft.sources.PairGenSource]].
+    */
+  private def a26(spark: SparkSession, d: String): DataFrame =
+    spark.read.format("pairgen")
+      .option("rows", "10000").option("slices", "8").load()
+      .filter(col("id") >= lit(9000L))
+      .orderBy("id")
+
   /** a25: Mrs examples parity — particle swarm optimization, THE
     * workload Mrs was built for (McNabb/Lund/Seppi, PyHPC@SC12 ran PSO
     * on Mrs) [mrs: examples/], in the IterativeMR shape: particles live
@@ -564,6 +576,8 @@ object TierA {
       "SELECT l_returnflag AS key, count(*)::BIGINT AS cnt FROM lineitem GROUP BY 1 ORDER BY 1")),
     QueryDef("a23_kmeans_iterative", a23 _, Some(kmeansOracleSql)),
     QueryDef("a25_pso_iterative", a25 _, Some(psoOracleSql)),
+    QueryDef("a26_source_custom", a26 _, Some(
+      "SELECT t.i AS id, md5(t.i::VARCHAR) AS value FROM range(10000) t(i) WHERE t.i >= 9000 ORDER BY id")),
     QueryDef("a22_pi_iterative", a22 _, Some(
       "WITH pts AS (SELECT t.i AS id, (t.i // 10000)::BIGINT AS batch, ('0x'||substr(md5('x:'||t.i::VARCHAR),1,13))::BIGINT / 4503599627370496.0 AS x, ('0x'||substr(md5('y:'||t.i::VARCHAR),1,13))::BIGINT / 4503599627370496.0 AS y FROM range(100000) t(i)), per AS (SELECT batch, count(*)::BIGINT AS pts, sum(CASE WHEN x*x + y*y < 1.0 THEN 1 ELSE 0 END)::BIGINT AS inside FROM pts GROUP BY 1), cum AS (SELECT batch, sum(pts) OVER (ORDER BY batch)::BIGINT AS points_cum, sum(inside) OVER (ORDER BY batch)::BIGINT AS inside_cum FROM per) SELECT batch, points_cum, inside_cum, ((40000 * inside_cum) // points_cum)::BIGINT AS pi_bp FROM cum ORDER BY batch")),
     QueryDef("a16_wordcount", (s, d) => wordcount(s, d), Some(

@@ -1,0 +1,130 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter, GreaterThanOrEqual, LessThan}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom DataSource V2 — the source-side extension point completing
+  * the matrix next to the custom Expression / Aggregate / LogicalPlan /
+  * Strategy / Rule (SURVEY §7.3): a deterministic (id, value=md5(id))
+  * pair generator, the Mrs "source module" shape [mrs: mrs/fileformats
+  * .py] as a first-class Spark table.
+  *
+  * Scale surface demonstrated:
+  *  - `planInputPartitions` splits the id range into `slices` splits —
+  *    the reader parallelizes like any file source;
+  *  - `SupportsPushDownFilters`: `id >= / <` bounds narrow the
+  *    GENERATED range (the analogue of parquet row-group skipping) and
+  *    are removed from the post-scan filter;
+  *  - `SupportsPushDownRequiredColumns`: unreferenced columns are never
+  *    materialized.
+  *
+  * Usage: `spark.read.format("pairgen").option("rows", n)
+  * .option("slices", p).load()`.
+  */
+class PairGenSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "pairgen"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    PairGenSource.schema
+  override def getTable(
+      schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new PairGenTable(
+      properties.getOrDefault("rows", "1000").toLong,
+      properties.getOrDefault("slices", "4").toInt)
+}
+
+object PairGenSource {
+  val schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("value", StringType, nullable = false)))
+}
+
+private[sources] class PairGenTable(rows: Long, slices: Int)
+    extends Table with SupportsRead {
+  override def name(): String = s"pairgen($rows)"
+  override def schema(): StructType = PairGenSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new PairGenScanBuilder(rows, slices)
+}
+
+private[sources] class PairGenScanBuilder(rows: Long, slices: Int)
+    extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private var lo = 0L
+  private var hi = rows
+  private var pushed = Array.empty[Filter]
+  private var required: StructType = PairGenSource.schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (sup, unsup) = filters.partition {
+      case GreaterThanOrEqual("id", _: java.lang.Number) => true
+      case LessThan("id", _: java.lang.Number)           => true
+      case _                                             => false
+    }
+    sup.foreach {
+      case GreaterThanOrEqual("id", v: java.lang.Number) =>
+        lo = math.max(lo, v.longValue())
+      case LessThan("id", v: java.lang.Number) =>
+        hi = math.min(hi, v.longValue())
+      case _ => ()
+    }
+    pushed = sup
+    unsup // residual filters Spark must still evaluate: none of ours
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new PairGenScan(lo, hi, slices, required)
+}
+
+private[sources] class PairGenScan(
+    lo: Long, hi: Long, slices: Int, required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"PairGenScan range=[$lo,$hi) cols=${required.fieldNames.mkString(",")}"
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = math.max(1, slices)
+    val span = math.max(0L, hi - lo)
+    (0 until n).map { i =>
+      PairGenPartition(lo + span * i / n, lo + span * (i + 1) / n): InputPartition
+    }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PairGenReaderFactory(required)
+}
+
+private[sources] case class PairGenPartition(start: Long, end: Long)
+    extends InputPartition
+
+private[sources] class PairGenReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[PairGenPartition]
+    new PartitionReader[InternalRow] {
+      private var cur = p.start - 1
+      private val md = java.security.MessageDigest.getInstance("MD5")
+      private val fields = required.fieldNames
+      override def next(): Boolean = { cur += 1; cur < p.end }
+      override def get(): InternalRow = InternalRow.fromSeq(fields.toSeq.map {
+        case "id" => cur
+        case "value" => UTF8String.fromString(
+          md.digest(cur.toString.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString)
+      })
+      override def close(): Unit = ()
+    }
+  }
+}

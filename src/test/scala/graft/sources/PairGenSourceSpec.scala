@@ -1,0 +1,47 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** DSv2 source: pushdown reaches the scan, pruning reaches the reader
+  * schema, split planning parallelizes the range.
+  */
+class PairGenSourceSpec extends SparkSpec {
+
+  private def load(rows: Int, slices: Int) =
+    spark.read.format("pairgen")
+      .option("rows", rows.toString).option("slices", slices.toString).load()
+
+  test("short name resolves via DataSourceRegister and content is deterministic") {
+    val df = load(100, 4)
+    assert(df.count() == 100)
+    val r = df.filter(col("id") === 7L).head()
+    // md5("7")
+    assert(r.getString(1) == "8f14e45fceea167a5a36dedd4bea2543")
+  }
+
+  test("id bounds are pushed into the source (no post-scan Filter node)") {
+    val df = load(10000, 8)
+      .filter(col("id") >= lit(9000L) && col("id") < lit(9500L))
+    assert(df.count() == 500)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BatchScan"), p)
+    // the bounds narrowed the generated range itself...
+    assert(p.contains("range=[9000,9500)"), p)
+    // ...and no post-scan Filter node remains ("RuntimeFilters: []" is
+    // part of the scan line, not a Filter node)
+    assert(!p.contains("Filter ("), s"filter not fully pushed:\n$p")
+  }
+
+  test("column pruning reaches the scan schema") {
+    val df = load(1000, 4).select("value")
+    val scan = df.queryExecution.executedPlan.collectLeaves().head
+    assert(scan.schema.fieldNames.sameElements(Array("value")), scan.schema)
+  }
+
+  test("range splits across the requested slices") {
+    val df = load(1000, 8)
+    assert(df.rdd.getNumPartitions == 8)
+    assert(df.agg(sum("id")).head().getLong(0) == 999L * 1000L / 2L)
+  }
+}
