@@ -115,6 +115,10 @@ object TierD {
     QueryDef("d8_stream_dedup",
       (s, d) => graft.streaming.StreamingDemo.streamDedup(s, d), Some(
         "SELECT DISTINCT user_id, event_type, date_trunc('minute', ts) AS minute_ts FROM events ORDER BY 1, 2, 3")),
+    QueryDef("d10_stream_transform_state",
+      (s, d) => graft.streaming.StreamingDemo.transformWithStateCounts(s, d),
+      Some(
+        "SELECT user_id, count(*)::BIGINT AS cnt FROM events GROUP BY 1 ORDER BY 1")),
     QueryDef("d9_stream_join",
       (s, d) => graft.streaming.StreamingDemo.streamJoin(s, d), Some(
         "SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id FROM events c JOIN events p ON p.user_id = c.user_id AND c.event_type = 'click' AND p.event_type = 'purchase' AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR ORDER BY 1, 2, 3")),

@@ -9,6 +9,30 @@ import scala.collection.mutable
 /** Typed event for streaming sessionization. */
 case class Ev(user_id: Long, ts_us: Long, event_id: Long)
 
+/** d10's `StatefulProcessor` — Spark 4's arbitrary-state API
+  * (`transformWithState`): per-user running event count in a
+  * `ValueState`, emitted per microbatch. Requires the RocksDB state
+  * store provider.
+  */
+class UserCountProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, Ev, (Long, Long)] {
+  @transient private var cnt: org.apache.spark.sql.streaming.ValueState[Long] = _
+  override def init(
+      outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    cnt = getHandle.getValueState[Long]("cnt",
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+  override def handleInputRows(
+      key: Long, rows: Iterator[Ev],
+      tv: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Long)] = {
+    val n = (if (cnt.exists()) cnt.get() else 0L) + rows.size
+    cnt.update(n)
+    Iterator.single((key, n))
+  }
+}
+
 /** Session summary emitted by the stateful operator. */
 case class SessionOut(
     user_id: Long, session_id: Long, cnt: Long, start_s: Long, end_s: Long)
@@ -158,6 +182,47 @@ object StreamingDemo {
       },
       eventStream(s, d)) }
       .orderBy("user_id", "click_id", "purchase_id")
+
+  /** d10: `transformWithState` — Spark 4's new arbitrary-state
+    * operator (the successor of d6's `flatMapGroupsWithState`): typed
+    * `ValueState` per user via a [[UserCountProcessor]], RocksDB state
+    * store (the production store for large state — spills off-heap,
+    * changelog-checkpoints). Bounded input in one microbatch ⇒ each
+    * user emits exactly its total count == the batch GROUP BY, so the
+    * output is DuckDB-oracled.
+    */
+  def transformWithStateCounts(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = eventStream(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"))
+      .as[Ev]
+    val counted = ev.groupByKey(_.user_id)
+      .transformWithState(new UserCountProcessor(),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+      .toDF("user_id", "cnt")
+    val sink = graft.util.TmpDir.fresh("d10-sink")
+    val ckpt = graft.util.TmpDir.fresh("d10-ckpt")
+    withStreamPartitions(s) {
+      val pKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(pKey)
+      s.conf.set(pKey, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val q = counted.writeStream
+          .format("parquet").option("path", sink)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").start()
+        try { q.processAllAvailable() } finally { q.stop() }
+      } finally {
+        prev match {
+          case Some(v) => s.conf.set(pKey, v)
+          case None    => s.conf.unset(pKey)
+        }
+      }
+    }
+    s.read.parquet(sink).orderBy("user_id")
+  }
 
   /** d6: `flatMapGroupsWithState` sessionization — per-user custom
     * state, 30 min gap, emits one row per closed session. Matches the
