@@ -721,6 +721,43 @@ object TierC {
       .orderBy("probe_id")
   }
 
+  /** c28: sequence packing — assign each doc its start position in the
+    * concatenated fixed-capacity training sequences (capacity
+    * `graft.pack.capacity` tokens, default 256): the pass that turns a
+    * deduped corpus into packed LM training rows. The global running
+    * token offset is a DISTRIBUTED TWO-LEVEL PREFIX SUM, not a global
+    * single-partition window: per-block totals (one partial-agg pass) →
+    * driver cumsum over the block-offset table (N/blockSize rows; at
+    * petabyte scale add another level of the same primitive) →
+    * broadcast-joined back, plus a within-block window whose partitions
+    * are bounded by blockSize. All integer arithmetic.
+    */
+  private def c28(s: SparkSession, d: String): DataFrame = {
+    val cap = s.conf.getOption("graft.pack.capacity").map(_.toLong).getOrElse(256L)
+    val blockSize = 100L
+    val toks = withWords(documents(s, d))
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_tok"),
+        expr(s"doc_id div $blockSize").as("blk"))
+    val blockTotals = toks.groupBy("blk").agg(sum("n_tok").as("tot"))
+      .orderBy("blk").collect()
+    var acc = 0L
+    val offsets = blockTotals.map { r =>
+      val o = (r.getAs[Long]("blk"), acc); acc += r.getAs[Long]("tot"); o
+    }
+    val offDf = s.createDataFrame(offsets.toSeq.map(t => (t._1, t._2)))
+      .toDF("blk", "blk_off")
+    val w = Window.partitionBy("blk").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .withColumn("local_before", coalesce(sum("n_tok").over(w), lit(0L)))
+      .join(broadcast(offDf), Seq("blk"))
+      .withColumn("before", col("local_before") + col("blk_off"))
+      .select(col("doc_id"),
+        expr(s"before div $cap").as("start_bin"),
+        pmod(col("before"), lit(cap)).cast("long").as("start_offset"))
+      .orderBy("doc_id")
+  }
+
   /** c27: int8 embedding quantization — the storage-compression pass a
     * 100 TB embedding store runs before indexing (4× smaller than f32,
     * recall barely moves): per-vector absmax scale, q_i = floor(v_i /
@@ -848,6 +885,8 @@ object TierC {
       "SELECT doc_id, md5(regexp_replace(regexp_replace(trim(text), '[0-9]+', '#', 'g'), ' +', ' ', 'g')) AS norm_fp, length(regexp_replace(regexp_replace(trim(text), '[0-9]+', '#', 'g'), ' +', ' ', 'g'))::BIGINT AS norm_len FROM documents ORDER BY doc_id")),
     QueryDef("c18_dedup_cluster", c18 _, Some(
       s"WITH RECURSIVE $minhashCtes, pairs AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v FROM sig a JOIN sig b ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id), edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs), reach(u, r) AS (SELECT doc_id, doc_id FROM documents UNION SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u) SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u ORDER BY doc_id")),
+    QueryDef("c28_sequence_packing", c28 _, Some(
+      "WITH toks AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tok FROM documents), c AS (SELECT doc_id, coalesce(sum(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS before FROM toks) SELECT doc_id, (before // 256)::BIGINT AS start_bin, (before % 256)::BIGINT AS start_offset FROM c ORDER BY doc_id")),
     QueryDef("c27_embedding_quantize", c27 _, Some(
       "WITH v AS (SELECT vec_id, i.i, embedding[i.i+1]::DOUBLE AS x FROM embeddings, range(64) i(i)), sc AS (SELECT vec_id, max(abs(x)) AS scale FROM v GROUP BY 1), q AS (SELECT v.vec_id, CASE WHEN sc.scale = 0 THEN 0 ELSE floor(v.x / sc.scale * 127)::BIGINT END AS q, sc.scale FROM v JOIN sc ON sc.vec_id = v.vec_id) SELECT vec_id, floor(any_value(scale) * 10000)::BIGINT AS scale_bp, sum(q)::BIGINT AS qsum, min(q)::BIGINT AS qmin, max(q)::BIGINT AS qmax FROM q GROUP BY vec_id ORDER BY vec_id")),
     QueryDef("c26_dedup_pipeline", c26 _, Some(
