@@ -115,6 +115,9 @@ object TierD {
     QueryDef("d8_stream_dedup",
       (s, d) => graft.streaming.StreamingDemo.streamDedup(s, d), Some(
         "SELECT DISTINCT user_id, event_type, date_trunc('minute', ts) AS minute_ts FROM events ORDER BY 1, 2, 3")),
+    QueryDef("d11_stream_static_join",
+      (s, d) => graft.streaming.StreamingDemo.streamStaticJoin(s, d), Some(
+        "SELECT e.event_id, e.user_id, n.n_name FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey ORDER BY event_id")),
     QueryDef("d10_stream_transform_state",
       (s, d) => graft.streaming.StreamingDemo.transformWithStateCounts(s, d),
       Some(

@@ -183,6 +183,25 @@ object StreamingDemo {
       eventStream(s, d)) }
       .orderBy("user_id", "click_id", "purchase_id")
 
+  /** d11: stream-STATIC join — the stateless dimension-enrichment
+    * pattern (stream side joins a batch table; the static side is
+    * re-planned per microbatch, broadcast when small). No state store,
+    * no watermark needed — append-safe by construction. Key is the
+    * deterministic user→nation bucket (the corpus has no user dim
+    * table).
+    */
+  def streamStaticJoin(s: SparkSession, d: String): DataFrame = {
+    val dim = graft.util.Tables.nation(s, d)
+      .select(col("n_nationkey"), col("n_name"))
+    withStreamPartitions(s) { runToFiles(s, "d11",
+      df => df
+        .withColumn("nk", pmod(col("user_id"), lit(25)).cast("int"))
+        .join(dim, col("nk") === col("n_nationkey"))
+        .select(col("event_id"), col("user_id"), col("n_name")),
+      eventStream(s, d)) }
+      .orderBy("event_id")
+  }
+
   /** d10: `transformWithState` — Spark 4's new arbitrary-state
     * operator (the successor of d6's `flatMapGroupsWithState`): typed
     * `ValueState` per user via a [[UserCountProcessor]], RocksDB state
