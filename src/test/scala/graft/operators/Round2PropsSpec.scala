@@ -60,6 +60,28 @@ class Round2PropsSpec extends SparkSpec {
       streamed.select("user_id", "click_id", "purchase_id")).isEmpty)
   }
 
+  test("c27: quantized values stay in the int8 envelope") {
+    q("c27_embedding_quantize").collect().foreach { r =>
+      val qmin = r.getAs[Long]("qmin"); val qmax = r.getAs[Long]("qmax")
+      assert(qmin >= -127L && qmax <= 127L && qmin <= qmax, r.toString)
+      assert(r.getAs[Long]("scale_bp") >= 0L)
+    }
+  }
+
+  test("c28: packing offsets are a contiguous token layout") {
+    val rows = q("c28_sequence_packing")
+      .orderBy(col("doc_id")).collect()
+    val cap = 256L
+    // global positions strictly increase doc over doc and bins never skip
+    var last = -1L
+    rows.foreach { r =>
+      val pos = r.getAs[Long]("start_bin") * cap + r.getAs[Long]("start_offset")
+      assert(pos > last, s"non-monotone at $r")
+      assert(r.getAs[Long]("start_offset") < cap, r.toString)
+      last = pos
+    }
+  }
+
   test("c15: every vector lands in exactly one of <=256 buckets") {
     val rows = q("c15_ann_lsh").collect()
     assert(rows.length <= 256)
