@@ -236,6 +236,11 @@ object TierA {
       }
     var cents: Array[Array[Long]] =
       q.filter(_._1 < k).collect().sortBy(_._1).map(_._2)
+    // Cluster index = seed array position, and the oracle keys clusters
+    // by vec_id — a gap in vec_ids 0..k-1 would silently misalign them
+    // (or throw ArrayIndexOutOfBounds below). Fail fast instead.
+    require(cents.length == k,
+      s"a23 expects seed vectors with vec_id 0..${k - 1}; found ${cents.length}")
     // per cluster: (members, inertia vs pre-update centroid, new centroid)
     var stats: Array[(Long, Long, Array[Long])] = null
     for (_ <- 1 to iters) {

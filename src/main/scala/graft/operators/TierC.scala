@@ -642,10 +642,15 @@ object TierC {
     // at the end instead of riding through every propagation round.
     var labels = edges.select(col("u").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("label")).localCheckpoint(false)
+    // sum() over zero rows is NULL — a clean corpus with no LSH bucket
+    // collisions has no edge-incident vertices at all, and the loop
+    // must fall straight through to the identity join below.
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum("label"), lit(0L))).head().getLong(0)
     var prevSum = Long.MaxValue
-    var curSum = labels.agg(sum("label")).head().getLong(0)
+    var curSum = labelSum(labels)
     var iter = 0
-    while (curSum < prevSum && iter < 50) {
+    while (curSum > 0 && curSum < prevSum && iter < 50) {
       val prop = edges.join(labels, edges("v") === labels("doc_id"))
         .select(col("u").as("pid"), col("label").as("nlabel"))
         .groupBy("pid").agg(min("nlabel").as("minn"))
@@ -654,7 +659,7 @@ object TierC {
           least(col("label"), coalesce(col("minn"), col("label"))).as("label"))
         .localCheckpoint(false)
       prevSum = curSum
-      curSum = next.agg(sum("label")).head().getLong(0)
+      curSum = labelSum(next)
       labels = next
       iter += 1
     }

@@ -119,12 +119,16 @@ object StreamingDemo {
       build: DataFrame => DataFrame, df: DataFrame): DataFrame = {
     val sink = graft.util.TmpDir.fresh(s"$name-sink")
     val ckpt = graft.util.TmpDir.fresh(s"$name-ckpt")
-    val q = build(df).writeStream
+    val out = build(df)
+    val q = out.writeStream
       .format("parquet").option("path", sink)
       .option("checkpointLocation", ckpt)
       .outputMode("append").start()
     try { q.processAllAvailable() } finally { q.stop() }
-    s.read.parquet(sink)
+    // Read back with the stream's known schema: a legitimately empty
+    // result (e.g. no join match in-window at a tiny SF) must return an
+    // empty frame, not die on parquet schema inference.
+    s.read.schema(out.schema).parquet(sink)
   }
 
   /** d5: readStream → watermark → tumbling 1h window count. Complete
@@ -240,7 +244,15 @@ object StreamingDemo {
         }
       }
     }
-    s.read.parquet(sink).orderBy("user_id")
+    // The sink holds one row per (user, microbatch) with the RUNNING
+    // count; under a single batch that is exactly the final count, but
+    // a maxFilesPerTrigger passthrough could split the bounded input
+    // into several batches, each appending an intermediate count. The
+    // final count per user is the max, making the declared output
+    // batch-partitioning-independent.
+    s.read.schema(counted.schema).parquet(sink)
+      .groupBy("user_id").agg(max("cnt").as("cnt"))
+      .orderBy("user_id")
   }
 
   /** d6: `flatMapGroupsWithState` sessionization — per-user custom
@@ -283,6 +295,7 @@ object StreamingDemo {
         .outputMode("append").start()
       try { q.processAllAvailable() } finally { q.stop() }
     }
-    s.read.parquet(sink).orderBy("user_id", "session_id")
+    s.read.schema(sessions.schema).parquet(sink)
+      .orderBy("user_id", "session_id")
   }
 }

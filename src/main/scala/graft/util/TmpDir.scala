@@ -10,12 +10,31 @@ import java.util.concurrent.atomic.AtomicInteger
   * must not see a prior run's files (streaming append sinks).
   */
 object TmpDir {
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
   lazy val base: String = {
     val root = sys.props.getOrElse("graft.tmp.dir",
       new java.io.File("target/qtmp").getAbsolutePath)
-    val d = new java.io.File(root,
+    val rootF = new java.io.File(root)
+    // Repeated Bench/Verify/test JVMs would otherwise accumulate sink
+    // output without bound: delete our own base on exit, and sweep
+    // siblings a crashed JVM left behind (age-gated so a concurrently
+    // running JVM's live base is never touched).
+    val staleMs = 6L * 3600 * 1000
+    val now = System.currentTimeMillis()
+    val stale = rootF.listFiles()
+    if (stale != null)
+      stale.filter(f => f.isDirectory && now - f.lastModified() > staleMs)
+        .foreach(deleteRecursively)
+    val d = new java.io.File(rootF,
       java.util.UUID.randomUUID.toString.take(8))
     d.mkdirs()
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try deleteRecursively(d) catch { case _: Throwable => () }))
     d.getAbsolutePath
   }
 
