@@ -90,19 +90,26 @@ object TierB {
       .select("c_custkey", "o_orderkey")
       .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_first)
 
-  /** b6: non-equi (range) join: events within (ts, ts+1h] of another
-    * event of the same user. The equi key (user_id) keeps it a shuffled
-    * hash/SMJ join with a range residual — never a cartesian. At 100 TB
-    * the same shape holds; skew on hot users is AQE's skew-join case.
+  /** b6: non-equi (range) "join" semantics — per-user count of event
+    * pairs (a,b) with ts_b in (ts_a, ts_a+1h] — computed with ZERO
+    * joins. A self-join with a range residual keeps the equi key (so
+    * never cartesian), but Spark's SMJ evaluates the residual per
+    * buffered pair: O(events-per-key²) per key, the classic skew
+    * scale-killer on a hot user. Instead: one shuffle on user_id, sort
+    * by time, and a forward RANGE frame (exact integer µs, value-based
+    * so equal-ts peers are excluded just like `ts_b > ts_a`) counts
+    * each event's partners; summing per user gives the pair count in
+    * O(n log n) per key. Users with no in-window pair are filtered to
+    * match the inner-join's output.
     */
   private def b6(s: SparkSession, d: String): DataFrame = {
-    val a = events(s, d).select(col("user_id"), col("ts").as("ts_a"))
-    val b = events(s, d).select(col("user_id").as("user_b"), col("ts").as("ts_b"))
-    a.join(b,
-        col("user_id") === col("user_b") &&
-          col("ts_b") > col("ts_a") &&
-          col("ts_b") <= col("ts_a") + expr("INTERVAL 1 HOUR"))
-      .groupBy("user_id").agg(count(lit(1)).as("pairs"))
+    val w = Window.partitionBy("user_id").orderBy("us")
+      .rangeBetween(1L, 3600L * 1000000L)
+    events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .select(col("user_id"), count(lit(1)).over(w).as("fwd"))
+      .groupBy("user_id").agg(sum("fwd").as("pairs"))
+      .filter(col("pairs") > 0)
       .orderBy("user_id")
   }
 

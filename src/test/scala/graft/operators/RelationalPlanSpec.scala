@@ -59,9 +59,9 @@ class RelationalPlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
-  test("b6: theta/range join keeps its equi key (no nested-loop over all pairs)") {
+  test("b6: range-pair count is join-free (window frame, no per-key quadratic SMJ)") {
     val p = plan("b6_join_theta_range")
-    assert(!p.contains("CartesianProduct"), p)
-    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
   }
 }
