@@ -732,14 +732,16 @@ object TierC {
     * deduped corpus into packed LM training rows. The global running
     * token offset is a DISTRIBUTED TWO-LEVEL PREFIX SUM, not a global
     * single-partition window: per-block totals (one partial-agg pass) →
-    * driver cumsum over the block-offset table (N/blockSize rows; at
-    * petabyte scale add another level of the same primitive) →
+    * driver cumsum over the block-offset table (N/blockSize rows) →
     * broadcast-joined back, plus a within-block window whose partitions
-    * are bounded by blockSize. All integer arithmetic.
+    * are bounded by blockSize. `graft.pack.block` (default 1e6) balances
+    * the two levels at ~O(√N) each — 5B docs ⇒ 5 000 driver rows and
+    * 1M-row block windows. All integer arithmetic, so the result is
+    * identical under ANY block size (property-tested).
     */
   private def c28(s: SparkSession, d: String): DataFrame = {
-    val cap = s.conf.getOption("graft.pack.capacity").map(_.toLong).getOrElse(256L)
-    val blockSize = 100L
+    val cap = graft.util.GraftConf.packCapacity(s)
+    val blockSize = graft.util.GraftConf.packBlock(s)
     val toks = withWords(documents(s, d))
       .select(col("doc_id"), size(col("w")).cast("long").as("n_tok"),
         expr(s"doc_id div $blockSize").as("blk"))

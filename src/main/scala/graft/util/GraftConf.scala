@@ -43,4 +43,17 @@ object GraftConf {
   /** Salt fan-out for skew-safe aggregation (b26). */
   def saltBuckets(s: SparkSession): Int =
     get(s, "graft.salt.buckets", "16").toInt
+
+  /** Sequence-packing capacity in tokens per training row (c28). */
+  def packCapacity(s: SparkSession): Long =
+    get(s, "graft.pack.capacity", "256").toLong
+
+  /** Sequence-packing prefix-sum block size (c28): docs per block in
+    * the two-level distributed cumsum. The driver holds one row per
+    * block, the within-block window holds one block per partition —
+    * so the default 1e6 keeps BOTH sides ~O(√N)-bounded for corpora up
+    * to ~1e12 docs (5B docs ⇒ 5 000 driver rows, 1M-row windows).
+    */
+  def packBlock(s: SparkSession): Long =
+    get(s, "graft.pack.block", "1000000").toLong
 }

@@ -82,6 +82,32 @@ class Round2PropsSpec extends SparkSpec {
     }
   }
 
+  test("c28: layout is dense+gapless and identical under a non-default block size") {
+    val base = q("c28_sequence_packing").orderBy("doc_id").collect()
+    // Shrink the block size to force many blocks (default 1e6 gives one
+    // block at test scale): the two-level prefix sum must produce the
+    // exact same global layout regardless of how it is blocked.
+    spark.conf.set("graft.pack.block", "7")
+    val blocked =
+      try q("c28_sequence_packing").orderBy("doc_id").collect()
+      finally spark.conf.unset("graft.pack.block")
+    assert(base.sameElements(blocked),
+      "layout changed under graft.pack.block=7")
+    // dense: consecutive docs' global positions differ by exactly the
+    // previous doc's token count (no gap, no overlap)
+    val toks = graft.util.Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .orderBy("doc_id").collect().map(_.getAs[Long]("n"))
+    val cap = 256L
+    var expectPos = 0L
+    base.zipWithIndex.foreach { case (r, i) =>
+      val pos = r.getAs[Long]("start_bin") * cap + r.getAs[Long]("start_offset")
+      assert(pos == expectPos, s"gap at doc $i: $pos != $expectPos")
+      expectPos += toks(i)
+    }
+  }
+
   test("c15: every vector lands in exactly one of <=256 buckets") {
     val rows = q("c15_ann_lsh").collect()
     assert(rows.length <= 256)
