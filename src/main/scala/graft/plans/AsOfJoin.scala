@@ -16,15 +16,21 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * [[AsOfJoinExec]], injected via `graft.functions.GraftExtensions`
   * (or per-session with [[AsOfJoin.strategy]]).
   *
-  * v1 restriction: key and time expressions must evaluate to LongType
-  * (covers id keys + µs epoch times); lifting to arbitrary orderable
-  * types means swapping the long comparisons for `Ordering[InternalRow]`.
+  * Key and time may be ANY orderable type (string keys, timestamp or
+  * decimal times, …): the merge compares through the type's interpreted
+  * ordering, with a primitive fast path when both sides are physically
+  * long (ids, epoch µs, TimestampType). Left/right key and time types
+  * must match pairwise.
   */
 case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, leftTime: Expression,
     rightKey: Expression, rightTime: Expression)
   extends BinaryNode {
+  require(leftKey.dataType == rightKey.dataType,
+    s"as-of key types differ: ${leftKey.dataType} vs ${rightKey.dataType}")
+  require(leftTime.dataType == rightTime.dataType,
+    s"as-of time types differ: ${leftTime.dataType} vs ${rightTime.dataType}")
   // right side is null-padded when unmatched
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -61,6 +67,17 @@ case class AsOfJoinExec(
       Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
       Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
 
+  /** Types whose InternalRow representation is a primitive long, so the
+    * merge can compare with `getLong` and never box.
+    */
+  private def physicallyLong(t: org.apache.spark.sql.types.DataType): Boolean =
+    t match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => true
+      case _ => false
+    }
+
   override protected def doExecute(): RDD[InternalRow] = {
     val lOut = left.output
     val rOut = right.output
@@ -68,6 +85,9 @@ case class AsOfJoinExec(
     val lt = leftTime
     val rk = rightKey
     val rt = rightTime
+    val keyType = leftKey.dataType
+    val timeType = leftTime.dataType
+    val fastPath = physicallyLong(keyType) && physicallyLong(timeType)
     left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
       val lkProj = UnsafeProjection.create(Seq(lk, lt), lOut)
       val rkProj = UnsafeProjection.create(Seq(rk, rt), rOut)
@@ -75,26 +95,57 @@ case class AsOfJoinExec(
       val joined = new JoinedRow
       val rBuf = rIt.buffered
       var lastRight: InternalRow = null
-      var lastRightKey = 0L
-      lIt.map { l =>
-        val lkt = lkProj(l)
-        val lKey = lkt.getLong(0)
-        val lTime = lkt.getLong(1)
-        var advance = true
-        while (advance && rBuf.hasNext) {
-          val rkt = rkProj(rBuf.head)
-          val rKey = rkt.getLong(0)
-          val rTime = rkt.getLong(1)
-          if (rKey < lKey || (rKey == lKey && rTime <= lTime)) {
-            // rows are reused by the upstream iterator: copy on retain
-            lastRight = rBuf.next().copy()
-            lastRightKey = rKey
-          } else {
-            advance = false
+      if (fastPath) {
+        var lastRightKey = 0L
+        lIt.map { l =>
+          val lkt = lkProj(l)
+          val lKey = lkt.getLong(0)
+          val lTime = lkt.getLong(1)
+          var advance = true
+          while (advance && rBuf.hasNext) {
+            val rkt = rkProj(rBuf.head)
+            val rKey = rkt.getLong(0)
+            val rTime = rkt.getLong(1)
+            if (rKey < lKey || (rKey == lKey && rTime <= lTime)) {
+              // rows are reused by the upstream iterator: copy on retain
+              lastRight = rBuf.next().copy()
+              lastRightKey = rKey
+            } else {
+              advance = false
+            }
           }
+          if (lastRight != null && lastRightKey == lKey) joined(l, lastRight)
+          else joined(l, nullRight)
         }
-        if (lastRight != null && lastRightKey == lKey) joined(l, lastRight)
-        else joined(l, nullRight)
+      } else {
+        val keyOrd =
+          org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(keyType)
+        val timeOrd =
+          org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(timeType)
+        var lastRightKey: Any = null
+        lIt.map { l =>
+          val lkt = lkProj(l)
+          val lKey = lkt.get(0, keyType)
+          val lTime = lkt.get(1, timeType)
+          var advance = true
+          while (advance && rBuf.hasNext) {
+            val rkt = rkProj(rBuf.head)
+            val rKey = rkt.get(0, keyType)
+            val rTime = rkt.get(1, timeType)
+            val kc = keyOrd.compare(rKey, lKey)
+            if (kc < 0 || (kc == 0 && timeOrd.compare(rTime, lTime) <= 0)) {
+              lastRight = rBuf.next().copy()
+              // the projection buffer is reused: deep-copy the retained
+              // key (UTF8String/Decimal would otherwise be clobbered)
+              lastRightKey = InternalRow.copyValue(rKey)
+            } else {
+              advance = false
+            }
+          }
+          if (lastRight != null && keyOrd.compare(lastRightKey, lKey) == 0)
+            joined(l, lastRight)
+          else joined(l, nullRight)
+        }
       }
     }
   }

@@ -82,6 +82,52 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("generalized types: string key + TimestampType time, direct join") {
+    import spark.implicits._
+    val left = Seq(("u1", 100L, 10L), ("u1", 200L, 11L), ("u2", 50L, 20L))
+      .toDF("k", "us", "lid").withColumn("t", timestamp_micros(col("us")))
+    val right = Seq(("u1", 100L, 90L), ("u1", 150L, 91L), ("u1", 300L, 92L))
+      .toDF("k2", "us2", "rid").withColumn("t2", timestamp_micros(col("us2")))
+    val out = AsOfJoin.join(left, right, "k", "t", "k2", "t2")
+      .select(col("lid"), col("rid"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(out == Map(10L -> 90L, 11L -> 91L, 20L -> -1L))
+  }
+
+  test("fuzz: interpreted path (string key, decimal time) == primitive long path") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    val genCase = for {
+      nl <- Gen.choose(0, 25)
+      left <- Gen.listOfN(nl, for {
+        k <- Gen.choose(0L, 4L); t <- Gen.choose(0L, 30L)
+      } yield (k, t))
+      rightKT <- Gen.listOf(for {
+        k <- Gen.choose(0L, 4L); t <- Gen.choose(0L, 30L)
+      } yield (k, t)).map(_.distinct)
+    } yield (left, rightKT)
+    forAllN(genCase, 8) { case (leftRows, rightKT) =>
+      val left = leftRows.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+      val right = rightKT.map { case (k, t) => (k, t, k * 1000 + t) }
+      def run(l: org.apache.spark.sql.DataFrame,
+              r: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+        AsOfJoin.join(l, r, "k", "t", "k2", "t2")
+          .select("lid", "rid").collect()
+          .map(x => x.getLong(0) -> (if (x.isNullAt(1)) -1L else x.getLong(1)))
+          .sortBy(identity).toSeq
+      // single-digit keys: string sort order == numeric sort order, so
+      // both paths see identically-sorted partitions
+      def widen(df: org.apache.spark.sql.DataFrame, k: String, t: String) = df
+        .withColumn(k, concat(lit("key-"), col(k)))
+        .withColumn(t, col(t).cast("decimal(10,2)"))
+      val longOut = run(left.toDF("k", "t", "lid"), right.toDF("k2", "t2", "rid"))
+      val genOut = run(widen(left.toDF("k", "t", "lid"), "k", "t"),
+        widen(right.toDF("k2", "t2", "rid"), "k2", "t2"))
+      assert(genOut == longOut, s"left=$left right=$right")
+    }
+  }
+
   test("as-of semantics on tiny data: latest at-or-before, null when none") {
     import spark.implicits._
     val left = Seq((1L, 100L, 10L), (1L, 200L, 11L), (2L, 50L, 20L))
