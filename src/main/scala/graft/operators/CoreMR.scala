@@ -91,4 +91,54 @@ object CoreMR {
     * non-negative keys.
     */
   def modPartitionId(key: Column, n: Int): Column = pmod(key, lit(n))
+
+  /** Mrs `IterativeMR` (SURVEY §3.1 EP3) [mrs: mrs/mapreduce.py]:
+    * driver-controlled iteration. `producer(state, round)` builds and
+    * submits round `round`'s work (1-based) and returns the new state;
+    * `consumer(state, round)` folds it and returns false to stop —
+    * exactly Mrs's producer/consumer split, with Spark actions standing
+    * in for `job.wait`. Convergence control stays ON THE DRIVER and the
+    * per-round state should be O(model) (centroids, a swarm, partition
+    * counts) — never O(data).
+    */
+  def iterate[S](init: S, maxRounds: Int = Int.MaxValue)(
+      producer: (S, Int) => S)(
+      consumer: (S, Int) => Boolean): S = {
+    var s = init
+    var t = 0
+    var go = true
+    while (go && t < maxRounds) {
+      t += 1
+      s = producer(s, t)
+      go = consumer(s, t)
+    }
+    s
+  }
+
+  /** Mrs `GeneratorCallbackMR` (SURVEY §3.1 EP3) [mrs: mrs/mapreduce.py]:
+    * overlapped iteration — the generator schedules EVERY batch's job
+    * up-front (all Spark jobs in flight concurrently; the local and
+    * cluster schedulers interleave them), while the callback consumes
+    * results strictly in batch order, folding `state` and returning
+    * `(newState, continue)`; `continue = false` stops consuming (later
+    * in-flight batches are simply dropped, like Mrs halting its
+    * generator).
+    */
+  def generate[R, S](init: S, nBatches: Int)(
+      generator: Int => scala.concurrent.Future[R])(
+      callback: (S, R, Int) => (S, Boolean)): S = {
+    import scala.concurrent.{Await, duration}
+    val futures = (0 until nBatches).map(generator)
+    var s = init
+    var b = 0
+    var go = true
+    while (go && b < nBatches) {
+      val r = Await.result(futures(b), duration.Duration.Inf)
+      val (ns, cont) = callback(s, r, b)
+      s = ns
+      go = cont
+      b += 1
+    }
+    s
+  }
 }

@@ -183,13 +183,13 @@ object TierA {
   }
 
   private def a13(spark: SparkSession, d: String): DataFrame = {
-    // Mrs IterativeMR [mrs: mrs/mapreduce.py]: driver-controlled loop to
-    // a fixpoint. Hierarchical aggregation: per-partition partial counts,
-    // then rounds of halving repartition+merge until one partition
-    // remains — the convergence test (parts > 1) and per-round
-    // materialization mirror producer/consumer scheduling.
+    // Mrs IterativeMR via CoreMR.iterate [mrs: mrs/mapreduce.py]:
+    // driver-controlled loop to a fixpoint. Hierarchical aggregation:
+    // per-partition partial counts, then rounds of halving
+    // repartition+merge until one partition remains — the producer
+    // submits each round, the consumer is the convergence test.
     import spark.implicits._
-    var cur = lineitem(spark, d)
+    val init = lineitem(spark, d)
       .select(col("l_returnflag")).as[String]
       .repartition(8)
       .mapPartitions { it =>
@@ -197,17 +197,17 @@ object TierA {
         it.foreach(k => m.update(k, m.getOrElse(k, 0L) + 1L))
         m.iterator
       }
-    var parts = 8
-    while (parts > 1) {
-      parts = (parts + 1) / 2
-      cur = cur.repartition(parts, col("_1"))
+    val (fin, _) = CoreMR.iterate((init, 8)) { case ((ds, parts), _) =>
+      val np = (parts + 1) / 2
+      val merged = ds.repartition(np, col("_1"))
         .mapPartitions { it =>
           val m = mutable.HashMap.empty[String, Long]
           it.foreach { case (k, c) => m.update(k, m.getOrElse(k, 0L) + c) }
           m.iterator
         }
-    }
-    cur.toDF("key", "cnt").orderBy("key")
+      (merged, np)
+    } { case ((_, parts), _) => parts > 1 }
+    fin.toDF("key", "cnt").orderBy("key")
   }
 
   /** a23: Mrs examples parity — k-means on the embeddings table in the
@@ -234,7 +234,7 @@ object TierA {
       .map { case (id, e) =>
         (id, e.map(v => math.floor(v.toDouble * 1024.0).toLong))
       }
-    var cents: Array[Array[Long]] =
+    val cents: Array[Array[Long]] =
       q.filter(_._1 < k).collect().sortBy(_._1).map(_._2)
     // Cluster index = seed array position, and the oracle keys clusters
     // by vec_id — a gap in vec_ids 0..k-1 would silently misalign them
@@ -242,49 +242,52 @@ object TierA {
     require(cents.length == k,
       s"a23 expects seed vectors with vec_id 0..${k - 1}; found ${cents.length}")
     // per cluster: (members, inertia vs pre-update centroid, new centroid)
-    var stats: Array[(Long, Long, Array[Long])] = null
-    for (_ <- 1 to iters) {
-      val bc = spark.sparkContext.broadcast(cents)
-      val agg = q.mapPartitions { it =>
-        val cs = bc.value
-        val kk = cs.length
-        val cnt = new Array[Long](kk)
-        val inr = new Array[Long](kk)
-        val sums = Array.ofDim[Long](kk, dim)
-        it.foreach { case (_, qv) =>
-          var best = 0; var bd = Long.MaxValue
-          var c = 0
-          while (c < kk) {
-            var dist = 0L; var i = 0
-            while (i < dim) {
-              val df = qv(i) - cs(c)(i); dist += df * df; i += 1
+    // CoreMR.iterate drives the rounds: the producer is one distributed
+    // assign+partial-sum pass (state stays O(k·dim) on the driver).
+    val (_, stats) = CoreMR.iterate(
+      (cents, null: Array[(Long, Long, Array[Long])]), iters) {
+      case ((cur, _), _) =>
+        val bc = spark.sparkContext.broadcast(cur)
+        val agg = q.mapPartitions { it =>
+          val cs = bc.value
+          val kk = cs.length
+          val cnt = new Array[Long](kk)
+          val inr = new Array[Long](kk)
+          val sums = Array.ofDim[Long](kk, dim)
+          it.foreach { case (_, qv) =>
+            var best = 0; var bd = Long.MaxValue
+            var c = 0
+            while (c < kk) {
+              var dist = 0L; var i = 0
+              while (i < dim) {
+                val df = qv(i) - cs(c)(i); dist += df * df; i += 1
+              }
+              if (dist < bd) { bd = dist; best = c } // tie keeps smaller c
+              c += 1
             }
-            if (dist < bd) { bd = dist; best = c } // tie keeps smaller c
-            c += 1
+            cnt(best) += 1; inr(best) += bd
+            var i = 0
+            while (i < dim) { sums(best)(i) += qv(i); i += 1 }
           }
-          cnt(best) += 1; inr(best) += bd
-          var i = 0
-          while (i < dim) { sums(best)(i) += qv(i); i += 1 }
+          (0 until kk).iterator.map(c => (c, (cnt(c), inr(c), sums(c))))
+        }.rdd.reduceByKey {
+          (x: (Long, Long, Array[Long]), y: (Long, Long, Array[Long])) =>
+            (x._1 + y._1, x._2 + y._2,
+              Array.tabulate(dim)(i => x._3(i) + y._3(i)))
+        }.collect().toMap
+        val newCents = Array.tabulate(k) { c =>
+          agg.get(c) match {
+            case Some((cn, _, ss)) if cn > 0 =>
+              Array.tabulate(dim)(i => math.floor(ss(i).toDouble / cn).toLong)
+            case _ => cur(c)
+          }
         }
-        (0 until kk).iterator.map(c => (c, (cnt(c), inr(c), sums(c))))
-      }.rdd.reduceByKey {
-        (x: (Long, Long, Array[Long]), y: (Long, Long, Array[Long])) =>
-          (x._1 + y._1, x._2 + y._2,
-            Array.tabulate(dim)(i => x._3(i) + y._3(i)))
-      }.collect().toMap
-      val newCents = Array.tabulate(k) { c =>
-        agg.get(c) match {
-          case Some((cn, _, ss)) if cn > 0 =>
-            Array.tabulate(dim)(i => math.floor(ss(i).toDouble / cn).toLong)
-          case _ => cents(c)
+        val roundStats = Array.tabulate(k) { c =>
+          val (cn, ir, _) = agg.getOrElse(c, (0L, 0L, null))
+          (cn, ir, newCents(c))
         }
-      }
-      stats = Array.tabulate(k) { c =>
-        val (cn, ir, _) = agg.getOrElse(c, (0L, 0L, null))
-        (cn, ir, newCents(c))
-      }
-      cents = newCents
-    }
+        (newCents, roundStats)
+    } { (_, _) => true }
     stats.zipWithIndex
       .map { case ((cn, ir, ct), c) => (c.toLong, cn, ir, ct.sum) }
       .toSeq.toDF("cluster", "n_members", "inertia", "cent_sum")
@@ -333,13 +336,15 @@ object TierA {
       val f = x.map(q => q * q).sum
       (p.toLong, x, Array.fill(dim)(0L), x.clone(), f)
     }
-    var parts = init.toDS().repartition(4).localCheckpoint(false)
-    for (t <- 1 to iters) {
-      val snap = parts.map { case (pid, _, _, px, fp) => (fp, pid, px) }
-        .collect()
-      val g = snap.minBy(sn => (sn._1, sn._2))._3
+    val parts = CoreMR.iterate(
+      init.toDS().repartition(4).localCheckpoint(false), iters) { (cur, t) =>
+      // gbest via aggregation, NOT a swarm collect: min_by over the
+      // (f_pbest, pid) struct returns ONE row (the argmin's pbest
+      // position) regardless of swarm size.
+      val g = cur.select(min_by(col("_4"), struct(col("_5"), col("_1"))))
+        .head().getAs[scala.collection.Seq[Long]](0).toArray
       val r1t = r1s(t); val r2t = r2s(t)
-      parts = parts.map { case (pid, x, v, px, fp) =>
+      cur.map { case (pid, x, v, px, fp) =>
         val r1 = r1t(pid.toInt); val r2 = r2t(pid.toInt)
         val nv = Array.tabulate(dim) { i =>
           math.floor(v(i) / 2.0).toLong +
@@ -351,7 +356,7 @@ object TierA {
         if (nf < fp) (pid, nx, nv, nx.clone(), nf)
         else (pid, nx, nv, px, fp)
       }.localCheckpoint(false)
-    }
+    } { (_, _) => true }
     val fin = parts.map { case (pid, _, _, px, fp) => (pid, fp, px.sum) }
       .collect().sortBy(_._1)
     val gb = fin.minBy(r => (r._2, r._1))._1
@@ -412,8 +417,7 @@ object TierA {
     * estimate); pi_bp is exact integer arithmetic (40000·inside ÷ pts).
     */
   private def a22(spark: SparkSession, d: String): DataFrame = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
+    import scala.concurrent.Future
     import scala.concurrent.ExecutionContext.Implicits.global
     import spark.implicits._
     val nBatches = 10
@@ -430,24 +434,20 @@ object TierA {
         .select((x * x + y * y < 1.0).cast("long").as("in"))
         .agg(sum("in")).head().getLong(0)
     }
-    // The generator runs AHEAD of consumption (Mrs's generator yields
-    // every job; callbacks fold results in batch order as they land) —
-    // all rounds are in flight at once, the driver consumes in order.
-    val futures = (0 until nBatches).map(insideCount)
-    val rows = mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
-    var ptsCum = 0L; var insCum = 0L; var prevBp = -1L
-    var b = 0
-    var go = true
-    while (go && b < nBatches) {
-      val inside = Await.result(futures(b), Duration.Inf)
-      ptsCum += batchSize; insCum += inside
-      val bp = 40000L * insCum / ptsCum
-      rows += ((b.toLong, ptsCum, insCum, bp))
-      if (tolBp > 0 && prevBp >= 0 && math.abs(bp - prevBp) <= tolBp) go = false
-      prevBp = bp
-      b += 1
+    // CoreMR.generate schedules every batch up-front (overlapped
+    // iteration — Mrs's generator yields every job; callbacks fold
+    // results in batch order as they land).
+    final case class Pi(rows: Vector[(Long, Long, Long, Long)],
+      pts: Long, ins: Long, prevBp: Long)
+    val st = CoreMR.generate(Pi(Vector.empty, 0L, 0L, -1L), nBatches)(
+      insideCount) { (s, inside, b) =>
+      val pts = s.pts + batchSize
+      val ins = s.ins + inside
+      val bp = 40000L * ins / pts
+      val stop = tolBp > 0 && s.prevBp >= 0 && math.abs(bp - s.prevBp) <= tolBp
+      (Pi(s.rows :+ ((b.toLong, pts, ins, bp)), pts, ins, bp), !stop)
     }
-    rows.toSeq.toDF("batch", "points_cum", "inside_cum", "pi_bp")
+    st.rows.toDF("batch", "points_cum", "inside_cum", "pi_bp")
       .orderBy("batch")
   }
 

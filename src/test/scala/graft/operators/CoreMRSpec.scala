@@ -60,6 +60,58 @@ class CoreMRSpec extends SparkSpec {
     }
   }
 
+  test("iterate: producer runs once per round, consumer=false stops the loop") {
+    val trace = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
+    val out = CoreMR.iterate(0, maxRounds = 100) { (s, t) =>
+      trace += (("produce", t)); s + t
+    } { (s, t) =>
+      trace += (("consume", t)); s < 6 // stops after 1+2+3
+    }
+    assert(out == 6)
+    assert(trace.toSeq == Seq(("produce", 1), ("consume", 1),
+      ("produce", 2), ("consume", 2), ("produce", 3), ("consume", 3)))
+  }
+
+  test("iterate: maxRounds bounds a never-converging loop") {
+    var n = 0
+    CoreMR.iterate((), maxRounds = 5)((_, _) => n += 1)((_, _) => true)
+    assert(n == 5)
+  }
+
+  test("generate: every batch is scheduled before the first result is consumed") {
+    import java.util.concurrent.atomic.AtomicInteger
+    import scala.concurrent.{Future, Promise}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val scheduled = new AtomicInteger(0)
+    val gate = Promise[Unit]()
+    val seenAtFirstCallback = new AtomicInteger(-1)
+    def gen(b: Int): Future[Int] = {
+      scheduled.incrementAndGet()
+      // batch 0 resolves only after ALL generators ran — if generate
+      // consumed lazily batch-by-batch this would deadlock, so passing
+      // proves the overlap (all jobs in flight before consumption).
+      if (scheduled.get() == 4) gate.trySuccess(())
+      gate.future.map(_ => b * 10)
+    }
+    val sum = CoreMR.generate(0, 4)(gen) { (s, r, b) =>
+      if (b == 0) seenAtFirstCallback.set(scheduled.get())
+      (s + r, true)
+    }
+    assert(sum == 0 + 10 + 20 + 30)
+    assert(seenAtFirstCallback.get() == 4)
+  }
+
+  test("generate: callback continue=false stops consuming remaining batches") {
+    import scala.concurrent.Future
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val consumed = scala.collection.mutable.ArrayBuffer.empty[Int]
+    CoreMR.generate((), 6)(b => Future.successful(b)) { (_, r, _) =>
+      consumed += r
+      ((), r < 2)
+    }
+    assert(consumed.toSeq == Seq(0, 1, 2))
+  }
+
   test("wordcount flagship matches hand count on a tiny corpus") {
     import spark.implicits._
     val docs = Seq((1L, "x y x"), (2L, "y z")).toDF("doc_id", "text")
