@@ -674,29 +674,69 @@ object TierC {
   }
 
   /** c19: IVF-style ANN — the other scale path next to c15's LSH: a
-    * coarse codebook (deterministic stand-in: the first 8 vectors)
-    * partitions the corpus into cells; probes search only their own
-    * cell. Assignment is a broadcast-codebook map pass; per-cell search
-    * is a group-local primitive loop (c10's kernel). argmin over
-    * squared L2 == argmin over DuckDB's list_distance (monotonic).
+    * TRAINED coarse codebook partitions the corpus into cells; probes
+    * search only their own cell. Training = 2 Lloyd rounds of a23's
+    * integer-lattice k-means (vectors on the 2^-10 grid, exact BIGINT
+    * distances, floor(sum/cnt) centroid update) seeded from the first 8
+    * vectors — every round bit-reproducible in DuckDB, so the trained
+    * codebook itself is part of the oracle. Assignment is a
+    * broadcast-codebook map pass in exact integer space; per-cell
+    * search is a group-local primitive loop (c10's kernel).
     */
   private def c19(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    val kc = 8; val trainRounds = 2; val dim = 64
     val all = vecs(s, d)
-    val cents = all.filter(_._1 < 8).collect().sortBy(_._1)
+    def quant(e: Array[Float]): Array[Long] =
+      e.map(v => math.floor(v.toDouble * 1024.0).toLong)
+    val q = all.map { case (id, e) => (id, quant(e)) }
+    val seeds = q.filter(_._1 < kc).collect().sortBy(_._1).map(_._2)
+    require(seeds.length == kc,
+      s"c19 expects seed vectors with vec_id 0..${kc - 1}; found ${seeds.length}")
+    val cents = CoreMR.iterate(seeds, trainRounds) { (cur, _) =>
+      val bcc = s.sparkContext.broadcast(cur)
+      val agg = q.mapPartitions { it =>
+        val cs = bcc.value
+        val cnt = new Array[Long](kc)
+        val sums = Array.ofDim[Long](kc, dim)
+        it.foreach { case (_, qv) =>
+          var best = 0; var bd = Long.MaxValue
+          var c = 0
+          while (c < kc) {
+            var dist = 0L; var i = 0
+            while (i < dim) { val df = qv(i) - cs(c)(i); dist += df * df; i += 1 }
+            if (dist < bd) { bd = dist; best = c } // tie keeps smaller c
+            c += 1
+          }
+          cnt(best) += 1
+          var i = 0
+          while (i < dim) { sums(best)(i) += qv(i); i += 1 }
+        }
+        (0 until kc).iterator.map(c => (c, (cnt(c), sums(c))))
+      }.rdd.reduceByKey { (x, y) =>
+        (x._1 + y._1, Array.tabulate(dim)(i => x._2(i) + y._2(i)))
+      }.collect().toMap
+      Array.tabulate(kc) { c =>
+        agg.get(c) match {
+          case Some((cn, ss)) if cn > 0 =>
+            Array.tabulate(dim)(i => math.floor(ss(i).toDouble / cn).toLong)
+          case _ => cur(c)
+        }
+      }
+    } { (_, _) => true }
     val bc = s.sparkContext.broadcast(cents)
-    val assigned = all.filter(_._1 >= 8)
+    val assigned = all.filter(_._1 >= kc)
       .mapPartitions { it =>
         val cs = bc.value
         it.map { case (id, emb) =>
-          var best = -1L; var bd = Double.MaxValue
-          cs.foreach { case (cid, ce) =>
-            var i = 0; var acc = 0.0
-            while (i < emb.length) {
-              val diff = ce(i).toDouble - emb(i).toDouble
-              acc += diff * diff; i += 1
-            }
-            if (acc < bd) { bd = acc; best = cid } // ascending cid ⇒ tie keeps smaller
+          val qv = quant(emb)
+          var best = 0L; var bd = Long.MaxValue
+          var c = 0
+          while (c < kc) {
+            var dist = 0L; var i = 0
+            while (i < dim) { val df = qv(i) - cs(c)(i); dist += df * df; i += 1 }
+            if (dist < bd) { bd = dist; best = c } // ascending c ⇒ tie keeps smaller
+            c += 1
           }
           (best, id, emb)
         }
@@ -724,6 +764,26 @@ object TierC {
       .select(col("probe_id"), col("cell"), col("neighbor_id"),
         round(col("sim_raw"), 4).as("sim"))
       .orderBy("probe_id")
+  }
+
+  /** DuckDB mirror of c19: unrolls the 2 integer-lattice training
+    * rounds (a23's recurrence, k=8, dim=64), then the exact-integer
+    * cell assignment and the per-cell cosine top-1.
+    */
+  private val ivfOracleSql: String = {
+    def round(n: Int, prev: String): String =
+      s"a$n AS (SELECT q0.vec_id, p.c, sum((q0.q - p.m)*(q0.q - p.m))::BIGINT AS dist FROM q0 JOIN $prev p USING (i) GROUP BY 1, 2), " +
+        s"b$n AS (SELECT vec_id, c, dist FROM a$n QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) = 1), " +
+        s"u$n AS (SELECT b$n.c, q0.i, floor(sum(q0.q)::DOUBLE / count(*))::BIGINT AS m FROM b$n JOIN q0 USING (vec_id) GROUP BY 1, 2), " +
+        s"c$n AS (SELECT p.c, p.i, coalesce(u$n.m, p.m) AS m FROM $prev p LEFT JOIN u$n ON u$n.c = p.c AND u$n.i = p.i)"
+    "WITH q0 AS (SELECT vec_id, i.i AS i, floor(embedding[i.i+1]::DOUBLE * 1024)::BIGINT AS q FROM embeddings, range(64) i(i)), " +
+      "c0 AS (SELECT vec_id AS c, i, q AS m FROM q0 WHERE vec_id < 8), " +
+      (1 to 2).map(n => round(n, if (n == 1) "c0" else s"c${n - 1}"))
+        .mkString(", ") +
+      ", asg AS (SELECT t.vec_id, t.c AS cell FROM (SELECT q0.vec_id, p.c, sum((q0.q - p.m)*(q0.q - p.m))::BIGINT AS dist FROM q0 JOIN c2 p USING (i) WHERE q0.vec_id >= 8 GROUP BY 1, 2) t QUALIFY row_number() OVER (PARTITION BY t.vec_id ORDER BY t.dist, t.c) = 1)" +
+      ", probes AS (SELECT vec_id AS probe_id, cell FROM asg WHERE vec_id % 100 = 0)" +
+      ", ranked AS (SELECT p.probe_id, p.cell, m.vec_id AS neighbor_id, list_cosine_similarity(pe.embedding::DOUBLE[], me.embedding::DOUBLE[]) AS sim, row_number() OVER (PARTITION BY p.probe_id ORDER BY list_cosine_similarity(pe.embedding::DOUBLE[], me.embedding::DOUBLE[]) DESC, m.vec_id) AS rn FROM probes p JOIN asg m ON m.cell = p.cell AND m.vec_id != p.probe_id JOIN embeddings pe ON pe.vec_id = p.probe_id JOIN embeddings me ON me.vec_id = m.vec_id) " +
+      "SELECT probe_id, cell, neighbor_id, round(sim, 4) AS sim FROM ranked WHERE rn = 1 ORDER BY probe_id"
   }
 
   /** c28: sequence packing — assign each doc its start position in the
@@ -898,8 +958,7 @@ object TierC {
       "WITH v AS (SELECT vec_id, i.i, embedding[i.i+1]::DOUBLE AS x FROM embeddings, range(64) i(i)), sc AS (SELECT vec_id, max(abs(x)) AS scale FROM v GROUP BY 1), q AS (SELECT v.vec_id, CASE WHEN sc.scale = 0 THEN 0 ELSE floor(v.x / sc.scale * 127)::BIGINT END AS q, sc.scale FROM v JOIN sc ON sc.vec_id = v.vec_id) SELECT vec_id, floor(any_value(scale) * 10000)::BIGINT AS scale_bp, sum(q)::BIGINT AS qsum, min(q)::BIGINT AS qmin, max(q)::BIGINT AS qmax FROM q GROUP BY vec_id ORDER BY vec_id")),
     QueryDef("c26_dedup_pipeline", c26 _, Some(
       s"WITH $minhashCtes, pairs AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v FROM sig a JOIN sig b ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id), sizes AS (SELECT doc_id, count(*)::BIGINT AS nsh FROM sh GROUP BY 1), inter AS (SELECT p.u, p.v, count(*)::BIGINT AS inter FROM pairs p JOIN sh a ON a.doc_id = p.u JOIN sh b ON b.doc_id = p.v AND b.sh = a.sh GROUP BY 1, 2) SELECT p.u AS doc_a, p.v AS doc_b, ((10000 * coalesce(i.inter, 0)) // (sa.nsh + sb.nsh - coalesce(i.inter, 0)))::BIGINT AS jaccard_bp, ((10000 * coalesce(i.inter, 0)) // (sa.nsh + sb.nsh - coalesce(i.inter, 0))) >= 8000 AS is_dup FROM pairs p JOIN sizes sa ON sa.doc_id = p.u JOIN sizes sb ON sb.doc_id = p.v LEFT JOIN inter i ON i.u = p.u AND i.v = p.v ORDER BY doc_a, doc_b")),
-    QueryDef("c19_ann_ivf", c19 _, Some(
-      "WITH cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings WHERE vec_id < 8), assigned AS (SELECT e.vec_id, e.embedding::DOUBLE[] AS emb, (SELECT c.cid FROM cent c ORDER BY list_distance(c.ce, e.embedding::DOUBLE[]), c.cid LIMIT 1) AS cell FROM embeddings e WHERE e.vec_id >= 8), probes AS (SELECT vec_id AS probe_id, emb AS pe, cell FROM assigned WHERE vec_id % 100 = 0), ranked AS (SELECT p.probe_id, p.cell, m.vec_id AS neighbor_id, list_cosine_similarity(p.pe, m.emb) AS sim, row_number() OVER (PARTITION BY p.probe_id ORDER BY list_cosine_similarity(p.pe, m.emb) DESC, m.vec_id) AS rn FROM probes p JOIN assigned m ON m.cell = p.cell AND m.vec_id != p.probe_id) SELECT probe_id, cell, neighbor_id, round(sim, 4) AS sim FROM ranked WHERE rn = 1 ORDER BY probe_id")),
+    QueryDef("c19_ann_ivf", c19 _, Some(ivfOracleSql)),
     QueryDef("c17_similarity_native_expr", c17 _, Some(
       "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1 ORDER BY vec_a")),
     QueryDef("c16_multimodal_binary", c16 _, Some(

