@@ -24,9 +24,25 @@ object Tables {
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
+  /** get/putIfAbsent rather than computeIfAbsent: `events` composes on
+    * `table`, and a nested computeIfAbsent on the same map throws
+    * "Recursive update". A racing duplicate build is harmless (both
+    * DataFrames are equivalent; one wins the putIfAbsent).
+    */
+  private def memoized(key: (SparkSession, String, String))(
+      mk: => DataFrame): DataFrame = {
+    val hit = memo.get(key)
+    if (hit != null) hit
+    else {
+      memo.putIfAbsent(key, mk)
+      memo.get(key)
+    }
+  }
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    memo.computeIfAbsent((spark, sfDir, name),
-      _ => spark.read.parquet(s"$sfDir/$name.parquet"))
+    memoized((spark, sfDir, name)) {
+      spark.read.parquet(s"$sfDir/$name.parquet")
+    }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
@@ -43,11 +59,11 @@ object Tables {
     * matches DuckDB's µs view of the same file exactly.
     */
   def events(s: SparkSession, d: String): DataFrame =
-    memo.computeIfAbsent((s, d, "events#ts"), _ => {
+    memoized((s, d, "events#ts")) {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       table(s, d, "events")
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    })
+    }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
