@@ -766,6 +766,95 @@ object TierC {
       .orderBy("probe_id")
   }
 
+  /** c29: deterministic epoch shuffle + sharding — the reproducible
+    * "new data order each epoch" pass a training job runs: shard =
+    * md5(seed:doc_id) % nShards routes docs, within-shard position
+    * ranks by the same hash (tie: doc_id). Seed knob
+    * `graft.shuffle.seed` (oracle assumes default "epoch0"). One
+    * shuffle; each shard's sort sees corpus/nShards rows, so at 100 TB
+    * raise nShards until a shard fits an executor's sort budget — the
+    * order is hash-determined, so resharding never changes it.
+    */
+  private def c29(s: SparkSession, d: String): DataFrame = {
+    val seed = s.conf.getOption("graft.shuffle.seed").getOrElse("epoch0")
+    val nShards = 8
+    val w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    documents(s, d)
+      .select(col("doc_id"),
+        portableHash(concat(lit(seed), lit(":"), col("doc_id").cast("string")))
+          .as("h"))
+      .withColumn("shard", pmod(col("h"), lit(nShards)))
+      .select(col("doc_id"), col("shard"),
+        (row_number().over(w) - 1).cast("long").as("pos"))
+      .orderBy("doc_id")
+  }
+
+  /** c30: corpus-adaptive stopword filtering — drop the corpus's own
+    * glue words: global top-20 terms by frequency (tie: term) form the
+    * stop list; per doc, kept-vs-total token counts. The stop list is
+    * top-k-sized at any corpus scale → broadcast into the probe side;
+    * both aggregations are partial (map-side) first.
+    */
+  private def c30(s: SparkSession, d: String): DataFrame = {
+    val tok = withWords(documents(s, d))
+      .select(col("doc_id"), explode(col("w")).as("term"))
+    val top = tok.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(20)
+      .select(col("term"), lit(1L).as("is_stop"))
+    tok.join(broadcast(top), Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("is_stop").isNull, 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("doc_id")
+  }
+
+  /** c31: source-weighted data mixing — the mixture-sampling pass that
+    * up/down-weights sources before training. Keep rate is derived
+    * from the source name (rate_bp = 9500 − 450·srcnum), the keep
+    * decision is a deterministic md5 bucket per doc, and the output is
+    * the per-source audit (total, kept, rate). One scan + partial agg;
+    * no side table to join at all.
+    */
+  private def c31(s: SparkSession, d: String): DataFrame = {
+    val srcnum = substring(col("source"), 4, 10).cast("long")
+    val rate = (lit(9500L) - lit(450L) * srcnum).as("rate_bp")
+    val bucket =
+      pmod(portableHash(concat(lit("mix:"), col("doc_id").cast("string"))),
+        lit(10000))
+    documents(s, d)
+      .select(col("source"), rate, bucket.as("b"))
+      .groupBy("source", "rate_bp")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("b") < col("rate_bp"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("source")
+  }
+
+  /** c32: multi-rule curation gate — the Gopher/C4-style quality gate:
+    * per-doc integer stats (token count, mean token length ×100,
+    * top-term share in bp) gate each doc with the FIRST failing rule
+    * as the verdict. All stats are exact integer arithmetic (`div`),
+    * so verdicts are bit-identical across engines; one scan, two
+    * partial aggregations, no joins.
+    */
+  private def c32(s: SparkSession, d: String): DataFrame =
+    withWords(documents(s, d))
+      .select(col("doc_id"), explode(col("w")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"),
+        sum(length(col("term")).cast("long") * col("c")).as("sum_len"),
+        max("c").as("max_c"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("(100 * sum_len) div n_tokens").as("len_bp"),
+        expr("(10000 * max_c) div n_tokens").as("rep_bp"))
+      .withColumn("verdict",
+        when(col("n_tokens") < 20, "too_short")
+          .when(col("n_tokens") > 90, "too_long")
+          .when(col("len_bp") < 350 || col("len_bp") > 700, "word_len")
+          .when(col("rep_bp") > 1500, "repetitive")
+          .otherwise("keep"))
+      .orderBy("doc_id")
+
   /** DuckDB mirror of c19: unrolls the 2 integer-lattice training
     * rounds (a23's recurrence, k=8, dim=64), then the exact-integer
     * cell assignment and the per-cell cosine top-1.
@@ -963,5 +1052,13 @@ object TierC {
       "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1 ORDER BY vec_a")),
     QueryDef("c16_multimodal_binary", c16 _, Some(
       "SELECT doc_id, length(text)::BIGINT AS n_bytes, ascii(substr(text, 1, 1)) AS b0, list_sum(list_transform(generate_series(1, least(16, length(text))), i -> ascii(substr(text, i, 1))))::BIGINT AS head_sum FROM documents ORDER BY doc_id")),
+    QueryDef("c29_epoch_shuffle", c29 _, Some(
+      s"WITH h AS (SELECT doc_id, ${duckHash("'epoch0:'||doc_id::VARCHAR")} AS h FROM documents) SELECT doc_id, h % 8 AS shard, (row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - 1)::BIGINT AS pos FROM h ORDER BY doc_id")),
+    QueryDef("c30_stopword_filter", c30 _, Some(
+      "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), top AS (SELECT term FROM tok GROUP BY term ORDER BY count(*) DESC, term LIMIT 20) SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(CASE WHEN term IN (SELECT term FROM top) THEN 0 ELSE 1 END)::BIGINT AS n_kept FROM tok GROUP BY 1 ORDER BY 1")),
+    QueryDef("c31_source_mix", c31 _, Some(
+      s"SELECT source, 9500 - 450 * substr(source, 4)::BIGINT AS rate_bp, count(*)::BIGINT AS n_total, sum(CASE WHEN ${duckHash("'mix:'||doc_id::VARCHAR")} % 10000 < 9500 - 450 * substr(source, 4)::BIGINT THEN 1 ELSE 0 END)::BIGINT AS n_kept FROM documents GROUP BY 1, 2 ORDER BY 1")),
+    QueryDef("c32_curation_gate", c32 _, Some(
+      "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), tc AS (SELECT doc_id, term, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2), st AS (SELECT doc_id, sum(c)::BIGINT AS n_tokens, sum(length(term) * c)::BIGINT AS sum_len, max(c)::BIGINT AS max_c FROM tc GROUP BY 1), g AS (SELECT doc_id, n_tokens, (100 * sum_len) // n_tokens AS len_bp, (10000 * max_c) // n_tokens AS rep_bp FROM st) SELECT doc_id, n_tokens, len_bp, rep_bp, CASE WHEN n_tokens < 20 THEN 'too_short' WHEN n_tokens > 90 THEN 'too_long' WHEN len_bp < 350 OR len_bp > 700 THEN 'word_len' WHEN rep_bp > 1500 THEN 'repetitive' ELSE 'keep' END AS verdict FROM g ORDER BY doc_id")),
   )
 }

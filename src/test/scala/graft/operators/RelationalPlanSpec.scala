@@ -59,6 +59,11 @@ class RelationalPlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("c30: the top-k stop list is broadcast, not shuffled, into the token join") {
+    val p = plan("c30_stopword_filter")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("b6: range-pair count is join-free (window frame, no per-key quadratic SMJ)") {
     val p = plan("b6_join_theta_range")
     assert(!p.contains("Join"), p)

@@ -72,6 +72,25 @@ class Round3PropsSpec extends SparkSpec {
     }
   }
 
+  test("c29: shuffle is a permutation — dense 0..n-1 positions per shard, every doc once") {
+    val rows = q("c29_epoch_shuffle").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val total = graft.util.Tables.documents(spark, sf0001).count()
+    assert(rows.length.toLong == total)
+    assert(rows.map(_._1).distinct.length == rows.length, "doc duplicated")
+    rows.groupBy(_._2).foreach { case (shard, mem) =>
+      val pos = mem.map(_._3).sorted
+      assert(pos.sameElements(0L until pos.length), s"shard $shard not dense")
+    }
+    // a different seed produces a different order (the knob works)
+    spark.conf.set("graft.shuffle.seed", "epoch1")
+    val other =
+      try q("c29_epoch_shuffle").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      finally spark.conf.unset("graft.shuffle.seed")
+    assert(!rows.sameElements(other), "seed did not change the order")
+  }
+
   test("b6: window-count result equals the naive self-join on the tiny SF") {
     val fast = q("b6_join_theta_range").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
