@@ -306,6 +306,25 @@ object TierA {
       .filter(col("id") >= lit(9000L))
       .orderBy("id")
 
+  /** a27: custom DataSource V2 WRITE path in a declared query — nation
+    * written through the `pairsink` V2 table (the reference's TextWriter
+    * `key<TAB>value` format [mrs: mrs/fileformats.py] with a real
+    * task→driver two-phase commit; see
+    * [[graft.sources.PairSinkSource]]), read back with the Mrs
+    * TextReader ([[graft.sources.PairFiles.readText]]).
+    */
+  private def a27(spark: SparkSession, d: String): DataFrame = {
+    val out = graft.util.TmpDir.path("a27_sink_custom")
+    nation(spark, d)
+      .select(col("n_nationkey").cast("string"), col("n_name"))
+      .write.format("pairsink").mode("overwrite")
+      .option("path", out).save()
+    graft.sources.PairFiles.readText(spark, out)
+      .select(col("key").cast("int").as("n_nationkey"),
+        col("value").as("n_name"))
+      .orderBy("n_nationkey")
+  }
+
   /** a25: Mrs examples parity — particle swarm optimization, THE
     * workload Mrs was built for (McNabb/Lund/Seppi, PyHPC@SC12 ran PSO
     * on Mrs) [mrs: examples/], in the IterativeMR shape: particles live
@@ -583,6 +602,8 @@ object TierA {
     QueryDef("a25_pso_iterative", a25 _, Some(psoOracleSql)),
     QueryDef("a26_source_custom", a26 _, Some(
       "SELECT t.i AS id, md5(t.i::VARCHAR) AS value FROM range(10000) t(i) WHERE t.i >= 9000 ORDER BY id")),
+    QueryDef("a27_sink_custom", a27 _, Some(
+      "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey")),
     QueryDef("a22_pi_iterative", a22 _, Some(
       "WITH pts AS (SELECT t.i AS id, (t.i // 10000)::BIGINT AS batch, ('0x'||substr(md5('x:'||t.i::VARCHAR),1,13))::BIGINT / 4503599627370496.0 AS x, ('0x'||substr(md5('y:'||t.i::VARCHAR),1,13))::BIGINT / 4503599627370496.0 AS y FROM range(100000) t(i)), per AS (SELECT batch, count(*)::BIGINT AS pts, sum(CASE WHEN x*x + y*y < 1.0 THEN 1 ELSE 0 END)::BIGINT AS inside FROM pts GROUP BY 1), cum AS (SELECT batch, sum(pts) OVER (ORDER BY batch)::BIGINT AS points_cum, sum(inside) OVER (ORDER BY batch)::BIGINT AS inside_cum FROM per) SELECT batch, points_cum, inside_cum, ((40000 * inside_cum) // points_cum)::BIGINT AS pi_bp FROM cum ORDER BY batch")),
     QueryDef("a16_wordcount", (s, d) => wordcount(s, d), Some(
