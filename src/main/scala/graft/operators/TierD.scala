@@ -125,6 +125,9 @@ object TierD {
     QueryDef("d9_stream_join",
       (s, d) => graft.streaming.StreamingDemo.streamJoin(s, d), Some(
         "SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id FROM events c JOIN events p ON p.user_id = c.user_id AND c.event_type = 'click' AND p.event_type = 'purchase' AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR ORDER BY 1, 2, 3")),
+    QueryDef("d12_stream_custom_source",
+      (s, d) => graft.streaming.StreamingDemo.streamCustomSource(s, d), Some(
+        "SELECT t.i AS id, md5(t.i::VARCHAR) AS value FROM range(10000) t(i) WHERE t.i % 97 = 0 ORDER BY id")),
     QueryDef("d7_session_window_native", d7 _, Some(
       "WITH e AS (SELECT user_id, ts, event_id, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), m AS (SELECT user_id, ts, CASE WHEN prev IS NULL OR date_diff('microsecond', prev, ts) >= 1800000000 THEN 1 ELSE 0 END AS is_new FROM e), s AS (SELECT user_id, ts, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM m) SELECT user_id, floor(epoch(min(ts)))::BIGINT AS start_s, count(*)::BIGINT AS cnt FROM s GROUP BY user_id, sid ORDER BY 1, 2")),
   )

@@ -38,7 +38,8 @@ class PairGenSource extends TableProvider with DataSourceRegister {
       properties: util.Map[String, String]): Table =
     new PairGenTable(
       properties.getOrDefault("rows", "1000").toLong,
-      properties.getOrDefault("slices", "4").toInt)
+      properties.getOrDefault("slices", "4").toInt,
+      properties.getOrDefault("batchRows", "1000").toLong)
 }
 
 object PairGenSource {
@@ -47,17 +48,18 @@ object PairGenSource {
     StructField("value", StringType, nullable = false)))
 }
 
-private[sources] class PairGenTable(rows: Long, slices: Int)
+private[sources] class PairGenTable(rows: Long, slices: Int, batchRows: Long)
     extends Table with SupportsRead {
   override def name(): String = s"pairgen($rows)"
   override def schema(): StructType = PairGenSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new PairGenScanBuilder(rows, slices)
+    new PairGenScanBuilder(rows, slices, batchRows)
 }
 
-private[sources] class PairGenScanBuilder(rows: Long, slices: Int)
+private[sources] class PairGenScanBuilder(
+    rows: Long, slices: Int, batchRows: Long)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var lo = 0L
@@ -84,14 +86,18 @@ private[sources] class PairGenScanBuilder(rows: Long, slices: Int)
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new PairGenScan(lo, hi, slices, required)
+  override def build(): Scan =
+    new PairGenScan(lo, hi, slices, batchRows, required)
 }
 
 private[sources] class PairGenScan(
-    lo: Long, hi: Long, slices: Int, required: StructType)
+    lo: Long, hi: Long, slices: Int, batchRows: Long, required: StructType)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(
+      checkpointLocation: String): streaming.MicroBatchStream =
+    new PairGenMicroBatchStream(lo, hi, slices, batchRows, required)
   override def description(): String =
     s"PairGenScan range=[$lo,$hi) cols=${required.fieldNames.mkString(",")}"
   override def planInputPartitions(): Array[InputPartition] = {
@@ -107,6 +113,54 @@ private[sources] class PairGenScan(
 
 private[sources] case class PairGenPartition(start: Long, end: Long)
     extends InputPartition
+
+/** Offset = how many ids have been emitted so far (a long, JSON-encoded
+  * for the checkpoint log).
+  */
+private[sources] case class PairGenOffset(pos: Long)
+    extends streaming.Offset {
+  override def json(): String = pos.toString
+}
+
+/** MicroBatchStream over the same deterministic range: each trigger
+  * advances at most `batchRows` ids, so the bounded table drains in
+  * ceil(span/batchRows) batches — the custom STREAMING source extension
+  * point, exactly-once by construction (offsets are pure positions in a
+  * deterministic sequence; replaying [start,end) regenerates identical
+  * rows, like a Kafka offset range).
+  */
+private[sources] class PairGenMicroBatchStream(
+    lo: Long, hi: Long, slices: Int, batchRows: Long, required: StructType)
+    extends streaming.MicroBatchStream {
+  private val step = math.max(1L, batchRows)
+  // Available data advances one step per trigger poll until the range
+  // drains (after a checkpoint restart the cursor re-advances from lo;
+  // triggers whose end <= committed start plan zero partitions, so
+  // replay is harmless and the stream re-catches up).
+  private var avail = lo
+  override def initialOffset(): streaming.Offset = PairGenOffset(lo)
+  override def latestOffset(): streaming.Offset = {
+    avail = math.min(hi, avail + step)
+    PairGenOffset(avail)
+  }
+  override def deserializeOffset(json: String): streaming.Offset =
+    PairGenOffset(json.toLong)
+  override def planInputPartitions(
+      start: streaming.Offset, end: streaming.Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[PairGenOffset].pos
+    val e = end.asInstanceOf[PairGenOffset].pos
+    // within a batch, split like the batch scan does
+    val n = math.max(1, slices)
+    val span = math.max(0L, e - s)
+    (0 until n).map { i =>
+      PairGenPartition(s + span * i / n, s + span * (i + 1) / n): InputPartition
+    }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PairGenReaderFactory(required)
+  override def commit(end: streaming.Offset): Unit = ()
+  override def stop(): Unit = ()
+}
 
 private[sources] class PairGenReaderFactory(required: StructType)
     extends PartitionReaderFactory {

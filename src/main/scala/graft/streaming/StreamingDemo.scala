@@ -298,4 +298,22 @@ object StreamingDemo {
     s.read.schema(sessions.schema).parquet(sink)
       .orderBy("user_id", "session_id")
   }
+
+  /** d12: custom DSv2 STREAMING source — the pairgen table read through
+    * its `MicroBatchStream` (the range drains in `batchRows`-sized
+    * triggers; offsets are positions in a deterministic sequence, so a
+    * replayed batch regenerates identical rows — Kafka-offset-style
+    * exactly-once). Stateless filter+project into a parquet file sink;
+    * the declared output is independent of how the range was batched.
+    */
+  def streamCustomSource(s: SparkSession, d: String): DataFrame = {
+    val src = s.readStream.format("pairgen")
+      .option("rows", "10000").option("slices", "4")
+      .option("batchRows", "1000").load()
+    withStreamPartitions(s) {
+      runToFiles(s, "d12",
+        df => df.filter(col("id") % 97 === 0).select(col("id"), col("value")),
+        src)
+    }.orderBy("id")
+  }
 }

@@ -44,4 +44,22 @@ class PairGenSourceSpec extends SparkSpec {
     assert(df.rdd.getNumPartitions == 8)
     assert(df.agg(sum("id")).head().getLong(0) == 999L * 1000L / 2L)
   }
+
+  test("microbatch stream drains the range in batchRows-sized triggers, no loss/dup") {
+    val q = spark.readStream.format("pairgen")
+      .option("rows", "50").option("slices", "2")
+      .option("batchRows", "10").load()
+      .writeStream.queryName("pairgen_mb").format("memory")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("pairgen_mb").collect()
+    assert(rows.length == 50, s"expected 50 rows, got ${rows.length}")
+    assert(rows.map(_.getLong(0)).sorted.sameElements(0L until 50L))
+    // rate limit respected: the 50-id range cannot fit in fewer than 5
+    // non-empty microbatches at batchRows=10
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length >= 5, q.recentProgress.map(_.numInputRows).toSeq)
+    assert(batches.forall(_.numInputRows <= 10),
+      batches.map(_.numInputRows).toSeq)
+  }
 }
