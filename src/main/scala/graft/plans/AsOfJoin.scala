@@ -214,8 +214,16 @@ object AsOfJoin {
       rightKey: String, rightTime: String): org.apache.spark.sql.DataFrame = {
     val spark = left.sparkSession
     register(spark)
-    val lPlan = left.queryExecution.analyzed
-    val rPlan = right.queryExecution.analyzed
+    import org.apache.spark.sql.functions.col
+    // SQL join semantics: a null key or time never matches. Filtering
+    // up front (rather than special-casing the merge) keeps the
+    // comparators null-free and pushes into both scans. The left side
+    // keeps its null rows OUT of the output like an inner-equi join
+    // would on the key — as-of is "equi on key, argmax on time".
+    val l2 = left.where(col(leftKey).isNotNull && col(leftTime).isNotNull)
+    val r2 = right.where(col(rightKey).isNotNull && col(rightTime).isNotNull)
+    val lPlan = l2.queryExecution.analyzed
+    val rPlan = r2.queryExecution.analyzed
     def attr(p: LogicalPlan, n: String): Attribute =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(

@@ -128,6 +128,21 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("null keys/times never match and never reach the comparators") {
+    import spark.implicits._
+    val left = Seq((Some("u1"), Some(100L), 10L), (None, Some(50L), 20L),
+      (Some("u1"), None, 30L)).toDF("k", "t", "lid")
+    val right = Seq((Some("u1"), Some(90L), 90L), (None, Some(80L), 91L))
+      .toDF("k2", "t2", "rid")
+    val out = AsOfJoin.join(left, right, "k", "t", "k2", "t2")
+      .select("lid", "rid").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    // only the fully-non-null left row survives; the null-keyed right
+    // row is never a candidate
+    assert(out == Map(10L -> 90L))
+  }
+
   test("as-of semantics on tiny data: latest at-or-before, null when none") {
     import spark.implicits._
     val left = Seq((1L, 100L, 10L), (1L, 200L, 11L), (2L, 50L, 20L))
