@@ -512,6 +512,36 @@ object TierB {
       .orderBy("user_id", "event_id")
   }
 
+  /** b37: generalized TWO-TABLE interval join at scale — click→purchase
+    * pairs of the same user within [click, click+1h]. b6's window trick
+    * needs both sides in one sorted stream; across two tables the
+    * scalable form is TIME-BUCKETING: each click replicates to its
+    * window's (at most) two 1h buckets, purchases carry their own
+    * bucket, and the join becomes a pure EQUI join on (user, bucket)
+    * with the exact interval as a cheap residual — per-key groups are
+    * bounded by one user-hour of traffic, never a user's whole history
+    * (the SMJ-residual blowup b6 had). Each matching pair appears in
+    * exactly one bucket (the purchase's own), so no dedup pass.
+    */
+  private def b37(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val hourUs = 3600L * 1000000L
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("cus"),
+        col("event_id").as("click_id"))
+      .withColumn("bkt",
+        explode(array(expr(s"cus div $hourUs"), expr(s"cus div $hourUs") + 1)))
+    val purch = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), unix_micros(col("ts")).as("pus"),
+        col("event_id").as("purchase_id"),
+        expr(s"unix_micros(ts) div $hourUs").as("pbkt"))
+    clicks.join(purch,
+        col("user_id") === col("pu") && col("bkt") === col("pbkt") &&
+          col("pus") >= col("cus") && col("pus") <= col("cus") + hourUs)
+      .select("user_id", "click_id", "purchase_id")
+      .orderBy("user_id", "click_id", "purchase_id")
+  }
+
   /** b31: AS-OF join — each purchase matched to the same user's latest
     * click at-or-before it. Spark has no asof join operator; the
     * Spark-native plan is union-tag + sort-within-key +
@@ -584,6 +614,8 @@ object TierB {
       s"WITH k AS (SELECT l_suppkey::BIGINT AS key FROM lineitem), cms AS (SELECT j.j, ${duckHash("j.j::VARCHAR || ':' || k.key::VARCHAR")} % 64 AS bucket, count(*)::BIGINT AS c FROM k, range(3) j(j) GROUP BY 1, 2), tru AS (SELECT key, count(*)::BIGINT AS true_cnt FROM k GROUP BY 1) SELECT t.key, t.true_cnt, min(c.c) AS cms_cnt FROM tru t JOIN cms c ON c.bucket = ${duckHash("c.j::VARCHAR || ':' || t.key::VARCHAR")} % 64 GROUP BY 1, 2 ORDER BY true_cnt DESC, key LIMIT 10")),
     QueryDef("b36_window_range_interval", b36 _, Some(
       "SELECT user_id, event_id, (count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))::BIGINT AS trailing_1h FROM events ORDER BY user_id, event_id")),
+    QueryDef("b37_join_interval_bucketed", b37 _, Some(
+      "SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id FROM events c JOIN events p ON p.user_id = c.user_id AND c.event_type = 'click' AND p.event_type = 'purchase' AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR ORDER BY 1, 2, 3")),
     QueryDef("b34_cube", b34 _, Some(
       "SELECT coalesce(l_returnflag, 'ALL') AS flag, coalesce(l_linestatus, 'ALL') AS status, count(*)::BIGINT AS cnt, sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) ORDER BY 1, 2")),
     QueryDef("b33_agg_kmv_sketch", b33 _, Some(

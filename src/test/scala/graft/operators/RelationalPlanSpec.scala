@@ -69,4 +69,12 @@ class RelationalPlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
     assert(p.contains("Window"), p)
   }
+
+  test("b37: interval join runs as a bucketed EQUI join (no cartesian/nested-loop)") {
+    val p = plan("b37_join_interval_bucketed")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the bucket column is part of the equi key
+    assert(p.contains("bkt"), p)
+  }
 }
