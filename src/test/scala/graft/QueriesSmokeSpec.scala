@@ -18,11 +18,17 @@ class QueriesSmokeSpec extends SparkSpec {
   }
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
-    test(s"$name runs at sf0.001, rows > 0, distinct column names") {
+    test(s"$name runs at sf0.001, rows > 0, distinct column names, sane plan") {
       val df = fn(spark, sf0001)
       val cols = df.columns.toSeq
       assert(cols.distinct == cols, s"duplicate output columns: $cols")
       assert(df.count() > 0, s"$name returned no rows")
+      // blanket scale audit: NO declared query may plan an all-pairs
+      // join — the two shapes that silently explode at 100 TB
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$name plans a nested loop:\n$p")
     }
   }
 
