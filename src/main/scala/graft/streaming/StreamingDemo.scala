@@ -307,9 +307,12 @@ object StreamingDemo {
     * the declared output is independent of how the range was batched.
     */
   def streamCustomSource(s: SparkSession, d: String): DataFrame = {
+    // 5 microbatches: enough to prove the rate limit drives multiple
+    // triggers (the source spec asserts the limit precisely on a small
+    // stream) without paying 10+ trigger rounds in every bench pass
     val src = s.readStream.format("pairgen")
       .option("rows", "10000").option("slices", "4")
-      .option("batchRows", "1000").load()
+      .option("batchRows", "2000").load()
     withStreamPartitions(s) {
       runToFiles(s, "d12",
         df => df.filter(col("id") % 97 === 0).select(col("id"), col("value")),
