@@ -776,7 +776,7 @@ object TierC {
     * order is hash-determined, so resharding never changes it.
     */
   private def c29(s: SparkSession, d: String): DataFrame = {
-    val seed = s.conf.getOption("graft.shuffle.seed").getOrElse("epoch0")
+    val seed = graft.util.GraftConf.shuffleSeed(s)
     val nShards = 8
     val w = Window.partitionBy("shard").orderBy("h", "doc_id")
     documents(s, d)

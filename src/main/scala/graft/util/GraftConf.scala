@@ -56,4 +56,11 @@ object GraftConf {
     */
   def packBlock(s: SparkSession): Long =
     get(s, "graft.pack.block", "1000000").toLong
+
+  /** Epoch-shuffle seed (c29): any string; each value is a fully
+    * reproducible, independent corpus permutation (oracle assumes the
+    * default).
+    */
+  def shuffleSeed(s: SparkSession): String =
+    get(s, "graft.shuffle.seed", "epoch0")
 }
