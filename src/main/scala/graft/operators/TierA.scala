@@ -536,7 +536,12 @@ object TierA {
     val out = graft.util.TmpDir.path("a20_partitioned")
     documents(spark, d).write.mode("overwrite")
       .partitionBy("lang").parquet(out)
-    spark.read.parquet(out)
+    // explicit schema (partition column last, like the layout): an
+    // EMPTY partitioned write leaves nothing to infer from, and an
+    // empty corpus must read back as an empty frame, not fail
+    spark.read
+      .schema("doc_id BIGINT, text STRING, source STRING, n_chars BIGINT, lang STRING")
+      .parquet(out)
       .filter(col("lang") === "en")
       .select(col("doc_id"), col("lang"), col("n_chars"))
       .orderBy("doc_id")
