@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.QueryDef
 import graft.util.Tables._
-import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
@@ -512,6 +512,49 @@ object TierB {
       .orderBy("user_id", "event_id")
   }
 
+  /** b38: Bloom filter by composition — the join-pruning sketch next to
+    * b35's Count-Min: the distinct returned-part key set is folded into
+    * a 256-bit / 4-hash bloom (five 63-bit words via `bit_or` of shifted
+    * md5-derived bits — partial-agg'd, so the build shuffles 5 words
+    * however large the key set), then a 50-key probe set is checked
+    * with a broadcast join against the words. Declared output pairs
+    * `might_contain` with the exact membership: no false negatives by
+    * construction, and the md5-derived bits make the false POSITIVES
+    * identical on both engines, so the sketch itself is oracled
+    * bit-for-bit. At 100 TB this is the semi-join pre-filter that
+    * skips shuffling probe-side rows that cannot match.
+    */
+  private def b38(s: SparkSession, d: String): DataFrame = {
+    val hashes = 4
+    def bit(key: Column, j: Int): Column =
+      pmod(portableHash(concat(lit(s"bloom:$j:"), key.cast("string"))),
+        lit(256L))
+    val keys = lineitem(s, d).filter(col("l_returnflag") === "R")
+      .select(col("l_partkey")).distinct()
+    val words = keys
+      .select(explode(array((0 until hashes).map(j =>
+        bit(col("l_partkey"), j)): _*)).as("b"))
+      .select(expr("b div 63").as("w"),
+        expr("shiftleft(1L, cast(b % 63 as int))").as("m"))
+      .groupBy("w").agg(expr("bit_or(m)").as("word"))
+    val probes = part(s, d).filter(col("p_partkey") < 50)
+      .select(col("p_partkey"))
+    val probeBits = probes
+      .select(col("p_partkey"), explode(array((0 until hashes).map(j =>
+        bit(col("p_partkey"), j)): _*)).as("b"))
+      .select(col("p_partkey"), expr("b div 63").as("w"),
+        expr("shiftleft(1L, cast(b % 63 as int))").as("m"))
+    val might = probeBits.join(broadcast(words), Seq("w"))
+      .groupBy("p_partkey")
+      .agg(expr("bool_and((word & m) != 0)").as("might_contain"))
+    val actual = probes.join(keys,
+        probes("p_partkey") === keys("l_partkey"), "left")
+      .select(col("p_partkey"), col("l_partkey").isNotNull.as("truly_contains"))
+    might.join(actual, Seq("p_partkey"))
+      .select("p_partkey", "might_contain", "truly_contains")
+      .orderBy("p_partkey")
+  }
+
   /** b37: generalized TWO-TABLE interval join at scale — click→purchase
     * pairs of the same user within [click, click+1h]. b6's window trick
     * needs both sides in one sorted stream; across two tables the
@@ -614,6 +657,8 @@ object TierB {
       s"WITH k AS (SELECT l_suppkey::BIGINT AS key FROM lineitem), cms AS (SELECT j.j, ${duckHash("j.j::VARCHAR || ':' || k.key::VARCHAR")} % 64 AS bucket, count(*)::BIGINT AS c FROM k, range(3) j(j) GROUP BY 1, 2), tru AS (SELECT key, count(*)::BIGINT AS true_cnt FROM k GROUP BY 1) SELECT t.key, t.true_cnt, min(c.c) AS cms_cnt FROM tru t JOIN cms c ON c.bucket = ${duckHash("c.j::VARCHAR || ':' || t.key::VARCHAR")} % 64 GROUP BY 1, 2 ORDER BY true_cnt DESC, key LIMIT 10")),
     QueryDef("b36_window_range_interval", b36 _, Some(
       "SELECT user_id, event_id, (count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))::BIGINT AS trailing_1h FROM events ORDER BY user_id, event_id")),
+    QueryDef("b38_agg_bloom", b38 _, Some(
+      s"WITH keys AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_returnflag = 'R'), bits AS (SELECT (${duckHash("'bloom:'||j.j::VARCHAR||':'||l_partkey::VARCHAR")} % 256) AS b FROM keys, range(4) j(j)), words AS (SELECT b // 63 AS w, bit_or(1::BIGINT << (b % 63)::INT) AS word FROM bits GROUP BY 1), probes AS (SELECT p_partkey FROM part WHERE p_partkey < 50), pb AS (SELECT p_partkey, (${duckHash("'bloom:'||j.j::VARCHAR||':'||p_partkey::VARCHAR")} % 256) AS b FROM probes, range(4) j(j)), chk AS (SELECT p.p_partkey, bool_and((w.word & (1::BIGINT << (p.b % 63)::INT)) != 0) AS might_contain FROM pb p JOIN words w ON w.w = p.b // 63 GROUP BY 1) SELECT c.p_partkey, c.might_contain, (t.p_partkey IN (SELECT l_partkey FROM keys)) AS truly_contains FROM chk c JOIN probes t ON t.p_partkey = c.p_partkey ORDER BY 1")),
     QueryDef("b37_join_interval_bucketed", b37 _, Some(
       "SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id FROM events c JOIN events p ON p.user_id = c.user_id AND c.event_type = 'click' AND p.event_type = 'purchase' AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR ORDER BY 1, 2, 3")),
     QueryDef("b34_cube", b34 _, Some(

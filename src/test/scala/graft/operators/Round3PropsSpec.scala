@@ -91,6 +91,15 @@ class Round3PropsSpec extends SparkSpec {
     assert(!rows.sameElements(other), "seed did not change the order")
   }
 
+  test("b38: bloom filter has no false negatives (member ⇒ might_contain)") {
+    val rows = q("b38_agg_bloom").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val might = r.getBoolean(1); val truly = r.getBoolean(2)
+      assert(!truly || might, s"false negative at ${r.getLong(0)}")
+    }
+  }
+
   test("b6: window-count result equals the naive self-join on the tiny SF") {
     val fast = q("b6_join_theta_range").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
