@@ -647,21 +647,23 @@ object TierC {
     // must fall straight through to the identity join below.
     def labelSum(df: DataFrame): Long =
       df.agg(coalesce(sum("label"), lit(0L))).head().getLong(0)
-    var prevSum = Long.MaxValue
-    var curSum = labelSum(labels)
-    var iter = 0
-    while (curSum > 0 && curSum < prevSum && iter < 50) {
-      val prop = edges.join(labels, edges("v") === labels("doc_id"))
-        .select(col("u").as("pid"), col("label").as("nlabel"))
-        .groupBy("pid").agg(min("nlabel").as("minn"))
-      val next = labels.join(prop, labels("doc_id") === prop("pid"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("minn"), col("label"))).as("label"))
-        .localCheckpoint(false)
-      prevSum = curSum
-      curSum = labelSum(next)
-      labels = next
-      iter += 1
+    val initSum = labelSum(labels)
+    if (initSum > 0) {
+      // CoreMR.iterate drives min-label propagation to its fixpoint:
+      // the label-sum scalar is both the convergence test and the
+      // action that materializes each round's lazy checkpoint.
+      val (fin, _, _) = CoreMR.iterate((labels, Long.MaxValue, initSum), 50) {
+        case ((cur, _, curSum), _) =>
+          val prop = edges.join(cur, edges("v") === cur("doc_id"))
+            .select(col("u").as("pid"), col("label").as("nlabel"))
+            .groupBy("pid").agg(min("nlabel").as("minn"))
+          val next = cur.join(prop, cur("doc_id") === prop("pid"), "left")
+            .select(col("doc_id"),
+              least(col("label"), coalesce(col("minn"), col("label"))).as("label"))
+            .localCheckpoint(false)
+          (next, curSum, labelSum(next))
+      } { case ((_, prevSum, curSum), _) => curSum < prevSum }
+      labels = fin
     }
     // plain left join (no broadcast hint): the resolved-label side is
     // dup-pair-sized — usually tiny, but at a high dup rate it isn't,
