@@ -128,21 +128,37 @@ private[sources] case class PairGenOffset(pos: Long)
   * point, exactly-once by construction (offsets are pure positions in a
   * deterministic sequence; replaying [start,end) regenerates identical
   * rows, like a Kafka offset range).
+  *
+  * Rate limiting goes through [[streaming.SupportsAdmissionControl]] —
+  * the engine hands `latestOffset(start, limit)` the CURRENT start
+  * offset, so the cursor is stateless and restart-safe. (A mutable
+  * cursor advanced from `lo` in the no-arg `latestOffset` regresses the
+  * offset log after a checkpoint restart — the engine polls it BEFORE
+  * replaying committed offsets — and the following batch re-plans
+  * already-committed ids: duplicate rows, caught by
+  * PairGenSourceSpec's stop/start test.)
   */
 private[sources] class PairGenMicroBatchStream(
     lo: Long, hi: Long, slices: Int, batchRows: Long, required: StructType)
-    extends streaming.MicroBatchStream {
+    extends streaming.MicroBatchStream
+    with streaming.SupportsAdmissionControl {
   private val step = math.max(1L, batchRows)
-  // Available data advances one step per trigger poll until the range
-  // drains (after a checkpoint restart the cursor re-advances from lo;
-  // triggers whose end <= committed start plan zero partitions, so
-  // replay is harmless and the stream re-catches up).
-  private var avail = lo
   override def initialOffset(): streaming.Offset = PairGenOffset(lo)
-  override def latestOffset(): streaming.Offset = {
-    avail = math.min(hi, avail + step)
-    PairGenOffset(avail)
+  override def latestOffset(): streaming.Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is used when SupportsAdmissionControl is implemented")
+  override def getDefaultReadLimit: streaming.ReadLimit =
+    streaming.ReadLimit.maxRows(step)
+  override def latestOffset(
+      start: streaming.Offset, limit: streaming.ReadLimit): streaming.Offset = {
+    val s = start.asInstanceOf[PairGenOffset].pos
+    val cap = limit match {
+      case r: streaming.ReadMaxRows => r.maxRows()
+      case _                        => step
+    }
+    PairGenOffset(math.min(hi, s + math.max(1L, cap)))
   }
+  override def reportLatestOffset(): streaming.Offset = PairGenOffset(hi)
   override def deserializeOffset(json: String): streaming.Offset =
     PairGenOffset(json.toLong)
   override def planInputPartitions(

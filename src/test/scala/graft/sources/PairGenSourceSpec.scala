@@ -45,6 +45,31 @@ class PairGenSourceSpec extends SparkSpec {
     assert(df.agg(sum("id")).head().getLong(0) == 999L * 1000L / 2L)
   }
 
+  test("checkpoint restart resumes from committed offsets — exactly-once across stop/start") {
+    val sink = graft.util.TmpDir.fresh("pairgen-restart-sink")
+    val ckpt = graft.util.TmpDir.fresh("pairgen-restart-ckpt")
+    def start() = spark.readStream.format("pairgen")
+      .option("rows", "60").option("slices", "2")
+      .option("batchRows", "10").load()
+      .writeStream.format("parquet").option("path", sink)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    // run 1: stop after at least two committed batches, mid-range
+    val q1 = start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      while (q1.recentProgress.count(_.numInputRows > 0) < 2 &&
+          System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(q1.recentProgress.count(_.numInputRows > 0) >= 2, "no progress")
+    } finally q1.stop()
+    // run 2: a FRESH query on the same checkpoint must resume, not replay
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val ids = spark.read.schema("id LONG, value STRING").parquet(sink)
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.sameElements(0L until 60L),
+      s"not exactly-once: ${ids.length} rows, dups=${ids.length - ids.distinct.length}")
+  }
+
   test("microbatch stream drains the range in batchRows-sized triggers, no loss/dup") {
     val q = spark.readStream.format("pairgen")
       .option("rows", "50").option("slices", "2")
