@@ -22,13 +22,17 @@ object TmpDir {
     val rootF = new java.io.File(root)
     // Repeated Bench/Verify/test JVMs would otherwise accumulate sink
     // output without bound: delete our own base on exit, and sweep
-    // siblings a crashed JVM left behind (age-gated so a concurrently
-    // running JVM's live base is never touched).
+    // siblings a crashed JVM left behind. The sweep matches ONLY our
+    // own 8-hex-char base names — the root is user-configurable and may
+    // be a shared scratch dir holding unrelated data — and is age-gated
+    // so a concurrently running JVM's live base is never touched.
     val staleMs = 6L * 3600 * 1000
     val now = System.currentTimeMillis()
     val stale = rootF.listFiles()
     if (stale != null)
-      stale.filter(f => f.isDirectory && now - f.lastModified() > staleMs)
+      stale.filter(f => f.isDirectory &&
+          f.getName.matches("[0-9a-f]{8}") &&
+          now - f.lastModified() > staleMs)
         .foreach(deleteRecursively)
     val d = new java.io.File(rootF,
       java.util.UUID.randomUUID.toString.take(8))
