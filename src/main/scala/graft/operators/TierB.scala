@@ -544,9 +544,12 @@ object TierB {
         bit(col("p_partkey"), j)): _*)).as("b"))
       .select(col("p_partkey"), expr("b div 63").as("w"),
         expr("shiftleft(1L, cast(b % 63 as int))").as("m"))
-    val might = probeBits.join(broadcast(words), Seq("w"))
+    // LEFT join: a word no build key hashed into has no row, and its
+    // bits are definitionally UNSET (coalesce to 0) — an inner join
+    // would drop the probe's row and report a definite-no as maybe
+    val might = probeBits.join(broadcast(words), Seq("w"), "left")
       .groupBy("p_partkey")
-      .agg(expr("bool_and((word & m) != 0)").as("might_contain"))
+      .agg(expr("bool_and((coalesce(word, 0L) & m) != 0)").as("might_contain"))
     val actual = probes.join(keys,
         probes("p_partkey") === keys("l_partkey"), "left")
       .select(col("p_partkey"), col("l_partkey").isNotNull.as("truly_contains"))
@@ -658,7 +661,7 @@ object TierB {
     QueryDef("b36_window_range_interval", b36 _, Some(
       "SELECT user_id, event_id, (count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))::BIGINT AS trailing_1h FROM events ORDER BY user_id, event_id")),
     QueryDef("b38_agg_bloom", b38 _, Some(
-      s"WITH keys AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_returnflag = 'R'), bits AS (SELECT (${duckHash("'bloom:'||j.j::VARCHAR||':'||l_partkey::VARCHAR")} % 256) AS b FROM keys, range(4) j(j)), words AS (SELECT b // 63 AS w, bit_or(1::BIGINT << (b % 63)::INT) AS word FROM bits GROUP BY 1), probes AS (SELECT p_partkey FROM part WHERE p_partkey < 50), pb AS (SELECT p_partkey, (${duckHash("'bloom:'||j.j::VARCHAR||':'||p_partkey::VARCHAR")} % 256) AS b FROM probes, range(4) j(j)), chk AS (SELECT p.p_partkey, bool_and((w.word & (1::BIGINT << (p.b % 63)::INT)) != 0) AS might_contain FROM pb p JOIN words w ON w.w = p.b // 63 GROUP BY 1) SELECT c.p_partkey, c.might_contain, (t.p_partkey IN (SELECT l_partkey FROM keys)) AS truly_contains FROM chk c JOIN probes t ON t.p_partkey = c.p_partkey ORDER BY 1")),
+      s"WITH keys AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_returnflag = 'R'), bits AS (SELECT (${duckHash("'bloom:'||j.j::VARCHAR||':'||l_partkey::VARCHAR")} % 256) AS b FROM keys, range(4) j(j)), words AS (SELECT b // 63 AS w, bit_or(1::BIGINT << (b % 63)::INT) AS word FROM bits GROUP BY 1), probes AS (SELECT p_partkey FROM part WHERE p_partkey < 50), pb AS (SELECT p_partkey, (${duckHash("'bloom:'||j.j::VARCHAR||':'||p_partkey::VARCHAR")} % 256) AS b FROM probes, range(4) j(j)), chk AS (SELECT p.p_partkey, bool_and((coalesce(w.word, 0) & (1::BIGINT << (p.b % 63)::INT)) != 0) AS might_contain FROM pb p LEFT JOIN words w ON w.w = p.b // 63 GROUP BY 1) SELECT c.p_partkey, c.might_contain, (t.p_partkey IN (SELECT l_partkey FROM keys)) AS truly_contains FROM chk c JOIN probes t ON t.p_partkey = c.p_partkey ORDER BY 1")),
     QueryDef("b37_join_interval_bucketed", b37 _, Some(
       "SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id FROM events c JOIN events p ON p.user_id = c.user_id AND c.event_type = 'click' AND p.event_type = 'purchase' AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR ORDER BY 1, 2, 3")),
     QueryDef("b34_cube", b34 _, Some(

@@ -100,6 +100,33 @@ class Round3PropsSpec extends SparkSpec {
     }
   }
 
+  test("b38: probes hitting words no build key touched still report (regression)") {
+    import spark.implicits._
+    // ONE build key ⇒ ≤4 of the 5 words populated: with the old inner
+    // join, probes whose bits land in an absent word were dropped or
+    // misreported; the left join must emit all 50 probes with the
+    // exact bloom verdict.
+    val dir = graft.util.TmpDir.fresh("bloom-tiny")
+    Seq((1L, 7L, "R")).toDF("l_orderkey", "l_partkey", "l_returnflag")
+      .write.parquet(s"$dir/lineitem.parquet")
+    (0L until 50L).toDF("p_partkey").write.parquet(s"$dir/part.parquet")
+    val rows = SparkEntry.queries("b38_agg_bloom")(spark, dir).collect()
+    assert(rows.length == 50, s"probes dropped: ${rows.length}")
+    // independent bloom replay
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(sv: String): Long = java.lang.Long.parseLong(
+      md.digest(sv.getBytes("UTF-8")).take(8)
+        .map("%02x".format(_)).mkString.take(15), 16)
+    def bits(k: Long): Seq[Long] = (0 until 4).map(j => h(s"bloom:$j:$k") % 256)
+    val set = bits(7L).toSet
+    rows.foreach { r =>
+      val k = r.getLong(0)
+      val expectMight = bits(k).forall(set.contains)
+      assert(r.getBoolean(1) == expectMight, s"probe $k")
+      assert(r.getBoolean(2) == (k == 7L), s"probe $k membership")
+    }
+  }
+
   test("b6: window-count result equals the naive self-join on the tiny SF") {
     val fast = q("b6_join_theta_range").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
