@@ -231,9 +231,7 @@ object TierA {
     val dim = 64
     val q = embeddings(spark, d).select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
-      .map { case (id, e) =>
-        (id, e.map(v => math.floor(v.toDouble * 1024.0).toLong))
-      }
+      .map { case (id, e) => (id, IntLattice.quantize(e)) }
     val cents: Array[Array[Long]] =
       q.filter(_._1 < k).collect().sortBy(_._1).map(_._2)
     // Cluster index = seed array position, and the oracle keys clusters
@@ -242,46 +240,15 @@ object TierA {
     require(cents.length == k,
       s"a23 expects seed vectors with vec_id 0..${k - 1}; found ${cents.length}")
     // per cluster: (members, inertia vs pre-update centroid, new centroid)
-    // CoreMR.iterate drives the rounds: the producer is one distributed
-    // assign+partial-sum pass (state stays O(k·dim) on the driver).
+    // CoreMR.iterate drives the rounds; the producer is one distributed
+    // IntLattice.round pass (state stays O(k·dim) on the driver; the
+    // oracle-sensitive tie/floor/empty-cluster rules live in IntLattice,
+    // shared with c19's codebook training).
     val (_, stats) = CoreMR.iterate(
       (cents, null: Array[(Long, Long, Array[Long])]), iters) {
       case ((cur, _), _) =>
-        val bc = spark.sparkContext.broadcast(cur)
-        val agg = q.mapPartitions { it =>
-          val cs = bc.value
-          val kk = cs.length
-          val cnt = new Array[Long](kk)
-          val inr = new Array[Long](kk)
-          val sums = Array.ofDim[Long](kk, dim)
-          it.foreach { case (_, qv) =>
-            var best = 0; var bd = Long.MaxValue
-            var c = 0
-            while (c < kk) {
-              var dist = 0L; var i = 0
-              while (i < dim) {
-                val df = qv(i) - cs(c)(i); dist += df * df; i += 1
-              }
-              if (dist < bd) { bd = dist; best = c } // tie keeps smaller c
-              c += 1
-            }
-            cnt(best) += 1; inr(best) += bd
-            var i = 0
-            while (i < dim) { sums(best)(i) += qv(i); i += 1 }
-          }
-          (0 until kk).iterator.map(c => (c, (cnt(c), inr(c), sums(c))))
-        }.rdd.reduceByKey {
-          (x: (Long, Long, Array[Long]), y: (Long, Long, Array[Long])) =>
-            (x._1 + y._1, x._2 + y._2,
-              Array.tabulate(dim)(i => x._3(i) + y._3(i)))
-        }.collect().toMap
-        val newCents = Array.tabulate(k) { c =>
-          agg.get(c) match {
-            case Some((cn, _, ss)) if cn > 0 =>
-              Array.tabulate(dim)(i => math.floor(ss(i).toDouble / cn).toLong)
-            case _ => cur(c)
-          }
-        }
+        val agg = IntLattice.round(q, cur, dim)
+        val newCents = IntLattice.update(cur, agg, dim)
         val roundStats = Array.tabulate(k) { c =>
           val (cn, ir, _) = agg.getOrElse(c, (0L, 0L, null))
           (cn, ir, newCents(c))

@@ -689,58 +689,22 @@ object TierC {
     import s.implicits._
     val kc = 8; val trainRounds = 2; val dim = 64
     val all = vecs(s, d)
-    def quant(e: Array[Float]): Array[Long] =
-      e.map(v => math.floor(v.toDouble * 1024.0).toLong)
-    val q = all.map { case (id, e) => (id, quant(e)) }
+    val q = all.map { case (id, e) => (id, IntLattice.quantize(e)) }
     val seeds = q.filter(_._1 < kc).collect().sortBy(_._1).map(_._2)
     require(seeds.length == kc,
       s"c19 expects seed vectors with vec_id 0..${kc - 1}; found ${seeds.length}")
+    // a23's Lloyd recurrence, shared via IntLattice (one copy of the
+    // oracle-sensitive tie/floor/empty-cluster rules)
     val cents = CoreMR.iterate(seeds, trainRounds) { (cur, _) =>
-      val bcc = s.sparkContext.broadcast(cur)
-      val agg = q.mapPartitions { it =>
-        val cs = bcc.value
-        val cnt = new Array[Long](kc)
-        val sums = Array.ofDim[Long](kc, dim)
-        it.foreach { case (_, qv) =>
-          var best = 0; var bd = Long.MaxValue
-          var c = 0
-          while (c < kc) {
-            var dist = 0L; var i = 0
-            while (i < dim) { val df = qv(i) - cs(c)(i); dist += df * df; i += 1 }
-            if (dist < bd) { bd = dist; best = c } // tie keeps smaller c
-            c += 1
-          }
-          cnt(best) += 1
-          var i = 0
-          while (i < dim) { sums(best)(i) += qv(i); i += 1 }
-        }
-        (0 until kc).iterator.map(c => (c, (cnt(c), sums(c))))
-      }.rdd.reduceByKey { (x, y) =>
-        (x._1 + y._1, Array.tabulate(dim)(i => x._2(i) + y._2(i)))
-      }.collect().toMap
-      Array.tabulate(kc) { c =>
-        agg.get(c) match {
-          case Some((cn, ss)) if cn > 0 =>
-            Array.tabulate(dim)(i => math.floor(ss(i).toDouble / cn).toLong)
-          case _ => cur(c)
-        }
-      }
+      IntLattice.update(cur, IntLattice.round(q, cur, dim), dim)
     } { (_, _) => true }
     val bc = s.sparkContext.broadcast(cents)
     val assigned = all.filter(_._1 >= kc)
       .mapPartitions { it =>
         val cs = bc.value
         it.map { case (id, emb) =>
-          val qv = quant(emb)
-          var best = 0L; var bd = Long.MaxValue
-          var c = 0
-          while (c < kc) {
-            var dist = 0L; var i = 0
-            while (i < dim) { val df = qv(i) - cs(c)(i); dist += df * df; i += 1 }
-            if (dist < bd) { bd = dist; best = c } // ascending c ⇒ tie keeps smaller
-            c += 1
-          }
-          (best, id, emb)
+          val (best, _) = IntLattice.assign(IntLattice.quantize(emb), cs, dim)
+          (best.toLong, id, emb)
         }
       }
     assigned.groupByKey(_._1)

@@ -20,6 +20,12 @@ object Tables {
     * plan work). One DataFrame per (session, dir, table) removes that
     * fixed per-query cost; entries die with the JVM (sessions here are
     * process-scoped).
+    *
+    * CONTRACT: table dirs are IMMUTABLE for the session (true for the
+    * read-only testdata corpus these loaders serve). The memo pins the
+    * first read's file listing, so an in-place rewrite of a memoized
+    * path would read stale files — never route mutable sink dirs
+    * through these loaders (sinks use TmpDir + direct spark.read).
     */
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
