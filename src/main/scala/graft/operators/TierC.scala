@@ -821,6 +821,65 @@ object TierC {
           .otherwise("keep"))
       .orderBy("doc_id")
 
+  /** c33: INCREMENTAL dedup — a new batch (doc_id ∈ [400, 500)) merged
+    * against the existing index (every other doc): the daily-ingest
+    * shape next to c26's full-corpus pipeline. New docs LSH-bucket with
+    * the same 16×4 signatures and join against the INDEX side's buckets
+    * only — candidate traffic is new×collisions, never index×index —
+    * then exact shingle-Jaccard scores each candidate and every new doc
+    * reports its candidate count, best index match (tie: smaller id)
+    * and verdict. New docs with no collision (or too short to shingle)
+    * still report, with no match. At 100 TB the index's bucket table is
+    * a materialized artifact the ingest job probes (b25's bucketed
+    * layout); here both sides derive from one corpus scan.
+    */
+  private def c33(s: SparkSession, d: String): DataFrame = {
+    val thrBp = s.conf.getOption("graft.dedup.jaccard.bp")
+      .map(_.toLong).getOrElse(8000L)
+    val isNew = col("doc_id") >= 400 && col("doc_id") < 500
+    val mh = bandMinhash(s, d).localCheckpoint(false)
+    val newB = mh.filter(isNew)
+      .select(col("band").as("ba"), col("minhash").as("ha"), col("doc_id").as("u"))
+    val idxB = mh.filter(!isNew)
+      .select(col("band").as("bb"), col("minhash").as("hb"), col("doc_id").as("v"))
+    val pairs = newB.join(idxB,
+        col("ba") === col("bb") && col("ha") === col("hb"))
+      .select("u", "v").distinct().localCheckpoint(false)
+    val sh = shingleRows(s, documents(s, d)).localCheckpoint(false)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("ud"), col("sh").as("shu")),
+        col("u") === col("ud"))
+      .join(sh.select(col("doc_id").as("vd"), col("sh").as("shv")),
+        col("v") === col("vd") && col("shu") === col("shv"))
+      .groupBy("u", "v").agg(count(lit(1)).as("inter"))
+    val scored = pairs
+      .join(sizes.select(col("doc_id").as("sad"), col("nsh").as("na")),
+        col("u") === col("sad"))
+      .join(sizes.select(col("doc_id").as("sbd"), col("nsh").as("nb")),
+        col("v") === col("sbd"))
+      .join(inter, Seq("u", "v"), "left")
+      .select(col("u"), col("v"),
+        expr("(10000 * coalesce(inter, CAST(0 AS BIGINT))) div " +
+          "(na + nb - coalesce(inter, CAST(0 AS BIGINT)))").as("bp"))
+    val best = scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("u").orderBy(col("bp").desc, col("v"))))
+      .filter(col("rn") === 1)
+      .select(col("u").as("bu"), col("v").as("best_match"), col("bp"))
+    val nCand = scored.groupBy("u").agg(count(lit(1)).as("cand"))
+      .select(col("u").as("cu"), col("cand"))
+    documents(s, d).filter(isNew).select(col("doc_id").as("new_id"))
+      .join(nCand, col("new_id") === col("cu"), "left")
+      .join(best, col("new_id") === col("bu"), "left")
+      .select(col("new_id"),
+        coalesce(col("cand"), lit(0L)).as("n_cand"),
+        col("best_match"),
+        coalesce(col("bp"), lit(0L)).as("best_bp"))
+      .withColumn("is_dup", col("best_bp") >= thrBp)
+      .orderBy("new_id")
+  }
+
   /** DuckDB mirror of c19: unrolls the 2 integer-lattice training
     * rounds (a23's recurrence, k=8, dim=64), then the exact-integer
     * cell assignment and the per-cell cosine top-1.
@@ -1013,6 +1072,8 @@ object TierC {
       "WITH v AS (SELECT vec_id, i.i, embedding[i.i+1]::DOUBLE AS x FROM embeddings, range(64) i(i)), sc AS (SELECT vec_id, max(abs(x)) AS scale FROM v GROUP BY 1), q AS (SELECT v.vec_id, CASE WHEN sc.scale = 0 THEN 0 ELSE floor(v.x / sc.scale * 127)::BIGINT END AS q, sc.scale FROM v JOIN sc ON sc.vec_id = v.vec_id) SELECT vec_id, floor(any_value(scale) * 10000)::BIGINT AS scale_bp, sum(q)::BIGINT AS qsum, min(q)::BIGINT AS qmin, max(q)::BIGINT AS qmax FROM q GROUP BY vec_id ORDER BY vec_id")),
     QueryDef("c26_dedup_pipeline", c26 _, Some(
       s"WITH $minhashCtes, pairs AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v FROM sig a JOIN sig b ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id), sizes AS (SELECT doc_id, count(*)::BIGINT AS nsh FROM sh GROUP BY 1), inter AS (SELECT p.u, p.v, count(*)::BIGINT AS inter FROM pairs p JOIN sh a ON a.doc_id = p.u JOIN sh b ON b.doc_id = p.v AND b.sh = a.sh GROUP BY 1, 2) SELECT p.u AS doc_a, p.v AS doc_b, ((10000 * coalesce(i.inter, 0)) // (sa.nsh + sb.nsh - coalesce(i.inter, 0)))::BIGINT AS jaccard_bp, ((10000 * coalesce(i.inter, 0)) // (sa.nsh + sb.nsh - coalesce(i.inter, 0))) >= 8000 AS is_dup FROM pairs p JOIN sizes sa ON sa.doc_id = p.u JOIN sizes sb ON sb.doc_id = p.v LEFT JOIN inter i ON i.u = p.u AND i.v = p.v ORDER BY doc_a, doc_b")),
+    QueryDef("c33_dedup_incremental", c33 _, Some(
+      s"WITH $minhashCtes, newb AS (SELECT * FROM sig WHERE doc_id >= 400 AND doc_id < 500), idxb AS (SELECT * FROM sig WHERE doc_id < 400 OR doc_id >= 500), pairs AS (SELECT DISTINCT n.doc_id AS u, i.doc_id AS v FROM newb n JOIN idxb i ON n.band = i.band AND n.minhash = i.minhash), sizes AS (SELECT doc_id, count(*)::BIGINT AS nsh FROM sh GROUP BY 1), inter AS (SELECT p.u, p.v, count(*)::BIGINT AS inter FROM pairs p JOIN sh a ON a.doc_id = p.u JOIN sh b ON b.doc_id = p.v AND b.sh = a.sh GROUP BY 1, 2), scored AS (SELECT p.u, p.v, ((10000 * coalesce(i.inter, 0)) // (sa.nsh + sb.nsh - coalesce(i.inter, 0)))::BIGINT AS bp FROM pairs p JOIN sizes sa ON sa.doc_id = p.u JOIN sizes sb ON sb.doc_id = p.v LEFT JOIN inter i ON i.u = p.u AND i.v = p.v), best AS (SELECT u, v, bp, row_number() OVER (PARTITION BY u ORDER BY bp DESC, v) AS rn FROM scored), agg AS (SELECT u, count(*)::BIGINT AS n_cand FROM scored GROUP BY 1) SELECT doc.doc_id AS new_id, coalesce(a.n_cand, 0)::BIGINT AS n_cand, b.v AS best_match, coalesce(b.bp, 0)::BIGINT AS best_bp, coalesce(b.bp, 0) >= 8000 AS is_dup FROM documents doc LEFT JOIN agg a ON a.u = doc.doc_id LEFT JOIN best b ON b.u = doc.doc_id AND b.rn = 1 WHERE doc.doc_id >= 400 AND doc.doc_id < 500 ORDER BY new_id")),
     QueryDef("c19_ann_ivf", c19 _, Some(ivfOracleSql)),
     QueryDef("c17_similarity_native_expr", c17 _, Some(
       "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1 ORDER BY vec_a")),
