@@ -228,10 +228,14 @@ object TierA {
     val k = spark.conf.getOption("graft.kmeans.k").map(_.toInt).getOrElse(4)
     val iters =
       spark.conf.getOption("graft.kmeans.iters").map(_.toInt).getOrElse(3)
+    require(iters >= 1, s"a23 needs graft.kmeans.iters >= 1 (got $iters)")
     val dim = 64
+    // checkpointed: the scan+quantize kernel feeds the seed collect plus
+    // one IntLattice.round per training iteration
     val q = embeddings(spark, d).select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .map { case (id, e) => (id, IntLattice.quantize(e)) }
+      .localCheckpoint(false)
     val cents: Array[Array[Long]] =
       q.filter(_._1 < k).collect().sortBy(_._1).map(_._2)
     // Cluster index = seed array position, and the oracle keys clusters

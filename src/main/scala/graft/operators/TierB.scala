@@ -38,6 +38,13 @@ object QtyFloorAvg extends Aggregator[Double, QtyAcc, Long] {
   */
 object TierB {
 
+  /** Click→purchase pairs within [click, click+1h] — ONE copy of the
+    * interval semantics, asserted by both the batch bucketed join (b37)
+    * and the streaming stream-stream join (d9).
+    */
+  private[operators] val intervalJoinOracleSql: String =
+    "SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id FROM events c JOIN events p ON p.user_id = c.user_id AND c.event_type = 'click' AND p.event_type = 'purchase' AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR ORDER BY 1, 2, 3"
+
   /** b1: scan+filter+project — the "map that drops/keeps pairs" pattern.
     * Both the predicate and the 3-column projection reach the parquet
     * reader (PushedFilters/ReadSchema), so a 100 TB scan reads only the
@@ -106,6 +113,9 @@ object TierB {
     val w = Window.partitionBy("user_id").orderBy("us")
       .rangeBetween(1L, 3600L * 1000000L)
     events(s, d)
+      // the join this replaces was an equi join on user_id, which drops
+      // NULL keys; a window PARTITION BY would group them instead
+      .filter(col("user_id").isNotNull)
       .select(col("user_id"), unix_micros(col("ts")).as("us"))
       .select(col("user_id"), count(lit(1)).over(w).as("fwd"))
       .groupBy("user_id").agg(sum("fwd").as("pairs"))
@@ -529,8 +539,10 @@ object TierB {
     def bit(key: Column, j: Int): Column =
       pmod(portableHash(concat(lit(s"bloom:$j:"), key.cast("string"))),
         lit(256L))
+    // checkpointed: the distinct over the filtered scan feeds BOTH the
+    // words build and the exact-membership twin below
     val keys = lineitem(s, d).filter(col("l_returnflag") === "R")
-      .select(col("l_partkey")).distinct()
+      .select(col("l_partkey")).distinct().localCheckpoint(false)
     val words = keys
       .select(explode(array((0 until hashes).map(j =>
         bit(col("l_partkey"), j)): _*)).as("b"))
@@ -538,7 +550,7 @@ object TierB {
         expr("shiftleft(1L, cast(b % 63 as int))").as("m"))
       .groupBy("w").agg(expr("bit_or(m)").as("word"))
     val probes = part(s, d).filter(col("p_partkey") < 50)
-      .select(col("p_partkey"))
+      .select(col("p_partkey")).localCheckpoint(false)
     val probeBits = probes
       .select(col("p_partkey"), explode(array((0 until hashes).map(j =>
         bit(col("p_partkey"), j)): _*)).as("b"))
@@ -663,7 +675,7 @@ object TierB {
     QueryDef("b38_agg_bloom", b38 _, Some(
       s"WITH keys AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_returnflag = 'R'), bits AS (SELECT (${duckHash("'bloom:'||j.j::VARCHAR||':'||l_partkey::VARCHAR")} % 256) AS b FROM keys, range(4) j(j)), words AS (SELECT b // 63 AS w, bit_or(1::BIGINT << (b % 63)::INT) AS word FROM bits GROUP BY 1), probes AS (SELECT p_partkey FROM part WHERE p_partkey < 50), pb AS (SELECT p_partkey, (${duckHash("'bloom:'||j.j::VARCHAR||':'||p_partkey::VARCHAR")} % 256) AS b FROM probes, range(4) j(j)), chk AS (SELECT p.p_partkey, bool_and((coalesce(w.word, 0) & (1::BIGINT << (p.b % 63)::INT)) != 0) AS might_contain FROM pb p LEFT JOIN words w ON w.w = p.b // 63 GROUP BY 1) SELECT c.p_partkey, c.might_contain, (t.p_partkey IN (SELECT l_partkey FROM keys)) AS truly_contains FROM chk c JOIN probes t ON t.p_partkey = c.p_partkey ORDER BY 1")),
     QueryDef("b37_join_interval_bucketed", b37 _, Some(
-      "SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id FROM events c JOIN events p ON p.user_id = c.user_id AND c.event_type = 'click' AND p.event_type = 'purchase' AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR ORDER BY 1, 2, 3")),
+      TierB.intervalJoinOracleSql)),
     QueryDef("b34_cube", b34 _, Some(
       "SELECT coalesce(l_returnflag, 'ALL') AS flag, coalesce(l_linestatus, 'ALL') AS status, count(*)::BIGINT AS cnt, sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) ORDER BY 1, 2")),
     QueryDef("b33_agg_kmv_sketch", b33 _, Some(

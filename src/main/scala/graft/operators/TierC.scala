@@ -689,7 +689,10 @@ object TierC {
     import s.implicits._
     val kc = 8; val trainRounds = 2; val dim = 64
     val all = vecs(s, d)
+    // checkpointed: the scan+quantize kernel feeds the seed collect plus
+    // one IntLattice.round per training iteration
     val q = all.map { case (id, e) => (id, IntLattice.quantize(e)) }
+      .localCheckpoint(false)
     val seeds = q.filter(_._1 < kc).collect().sortBy(_._1).map(_._2)
     require(seeds.length == kc,
       s"c19 expects seed vectors with vec_id 0..${kc - 1}; found ${seeds.length}")
@@ -846,22 +849,7 @@ object TierC {
         col("ba") === col("bb") && col("ha") === col("hb"))
       .select("u", "v").distinct().localCheckpoint(false)
     val sh = shingleRows(s, documents(s, d)).localCheckpoint(false)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
-    val inter = pairs
-      .join(sh.select(col("doc_id").as("ud"), col("sh").as("shu")),
-        col("u") === col("ud"))
-      .join(sh.select(col("doc_id").as("vd"), col("sh").as("shv")),
-        col("v") === col("vd") && col("shu") === col("shv"))
-      .groupBy("u", "v").agg(count(lit(1)).as("inter"))
-    val scored = pairs
-      .join(sizes.select(col("doc_id").as("sad"), col("nsh").as("na")),
-        col("u") === col("sad"))
-      .join(sizes.select(col("doc_id").as("sbd"), col("nsh").as("nb")),
-        col("v") === col("sbd"))
-      .join(inter, Seq("u", "v"), "left")
-      .select(col("u"), col("v"),
-        expr("(10000 * coalesce(inter, CAST(0 AS BIGINT))) div " +
-          "(na + nb - coalesce(inter, CAST(0 AS BIGINT)))").as("bp"))
+    val scored = jaccardBp(pairs, sh)
     val best = scored
       .withColumn("rn", row_number().over(
         Window.partitionBy("u").orderBy(col("bp").desc, col("v"))))
@@ -925,8 +913,7 @@ object TierC {
     val offsets = blockTotals.map { r =>
       val o = (r.getAs[Long]("blk"), acc); acc += r.getAs[Long]("tot"); o
     }
-    val offDf = s.createDataFrame(offsets.toSeq.map(t => (t._1, t._2)))
-      .toDF("blk", "blk_off")
+    val offDf = s.createDataFrame(offsets.toSeq).toDF("blk", "blk_off")
     val w = Window.partitionBy("blk").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     toks
@@ -981,18 +968,20 @@ object TierC {
     * the intersection join is keyed on (doc, shingle), and sizes come
     * from one partial-aggregated pass over the shingle table.
     */
-  private def c26(s: SparkSession, d: String): DataFrame = {
-    val thrBp = s.conf.getOption("graft.dedup.jaccard.bp")
-      .map(_.toLong).getOrElse(8000L)
-    val pairs = candidatePairs(s, d)
-    // checkpointed: reused by sizes + both sides of the intersection join
-    val sh = shingleRows(s, documents(s, d)).localCheckpoint(false)
+  /** Exact integer shingle-Jaccard over candidate pairs — ONE copy of
+    * the oracle-sensitive scoring rules (coalesce-to-0 intersection,
+    * |A|+|B|-|A∩B| denominator, 10000-bp floor division), shared by the
+    * full-corpus pipeline (c26) and the incremental merge (c33).
+    * `pairs` has columns (u, v); `sh` is (doc_id, sh) distinct shingle
+    * rows; returns (u, v, bp).
+    */
+  private def jaccardBp(pairs: DataFrame, sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
-    val shu = sh.select(col("doc_id").as("ud"), col("sh").as("shu"))
-    val shv = sh.select(col("doc_id").as("vd"), col("sh").as("shv"))
     val inter = pairs
-      .join(shu, col("u") === col("ud"))
-      .join(shv, col("v") === col("vd") && col("shu") === col("shv"))
+      .join(sh.select(col("doc_id").as("ud"), col("sh").as("shu")),
+        col("u") === col("ud"))
+      .join(sh.select(col("doc_id").as("vd"), col("sh").as("shv")),
+        col("v") === col("vd") && col("shu") === col("shv"))
       .groupBy("u", "v").agg(count(lit(1)).as("inter"))
     pairs
       .join(sizes.select(col("doc_id").as("sad"), col("nsh").as("na")),
@@ -1000,9 +989,20 @@ object TierC {
       .join(sizes.select(col("doc_id").as("sbd"), col("nsh").as("nb")),
         col("v") === col("sbd"))
       .join(inter, Seq("u", "v"), "left")
-      .select(col("u").as("doc_a"), col("v").as("doc_b"),
+      .select(col("u"), col("v"),
         expr("(10000 * coalesce(inter, CAST(0 AS BIGINT))) div " +
-          "(na + nb - coalesce(inter, CAST(0 AS BIGINT)))").as("jaccard_bp"))
+          "(na + nb - coalesce(inter, CAST(0 AS BIGINT)))").as("bp"))
+  }
+
+  private def c26(s: SparkSession, d: String): DataFrame = {
+    val thrBp = s.conf.getOption("graft.dedup.jaccard.bp")
+      .map(_.toLong).getOrElse(8000L)
+    val pairs = candidatePairs(s, d)
+    // checkpointed: reused by sizes + both sides of the intersection join
+    val sh = shingleRows(s, documents(s, d)).localCheckpoint(false)
+    jaccardBp(pairs, sh)
+      .select(col("u").as("doc_a"), col("v").as("doc_b"),
+        col("bp").as("jaccard_bp"))
       .withColumn("is_dup", col("jaccard_bp") >= thrBp)
       .orderBy("doc_a", "doc_b")
   }

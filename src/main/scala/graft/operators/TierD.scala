@@ -124,7 +124,7 @@ object TierD {
         "SELECT user_id, count(*)::BIGINT AS cnt FROM events GROUP BY 1 ORDER BY 1")),
     QueryDef("d9_stream_join",
       (s, d) => graft.streaming.StreamingDemo.streamJoin(s, d), Some(
-        "SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id FROM events c JOIN events p ON p.user_id = c.user_id AND c.event_type = 'click' AND p.event_type = 'purchase' AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR ORDER BY 1, 2, 3")),
+        TierB.intervalJoinOracleSql)),
     QueryDef("d12_stream_custom_source",
       (s, d) => graft.streaming.StreamingDemo.streamCustomSource(s, d), Some(
         "SELECT t.i AS id, md5(t.i::VARCHAR) AS value FROM range(10000) t(i) WHERE t.i % 97 = 0 ORDER BY id")),
