@@ -19,10 +19,15 @@ import org.apache.spark.sql.functions._
   */
 object PairFiles {
 
-  /** Mrs TextWriter: one `key<TAB>value` line per pair. */
+  /** Mrs TextWriter: one `key<TAB>value` line per pair. Null fields
+    * write as empty (concat_ws would DROP the tab for a null, shifting
+    * the value into the key on read-back — or crashing element_at
+    * under ANSI mode).
+    */
   def writeText(pairs: DataFrame, path: String): Unit =
     pairs
-      .select(concat_ws("\t", col("key"), col("value")).as("value"))
+      .select(concat(coalesce(col("key"), lit("")), lit("\t"),
+        coalesce(col("value"), lit(""))).as("value"))
       .write.mode("overwrite").text(path)
 
   /** Mrs TextReader: lines back to (key, value) string pairs. */
@@ -38,8 +43,8 @@ object PairFiles {
     */
   def writeHex(pairs: DataFrame, path: String): Unit =
     pairs
-      .select(concat_ws("\t", col("key"),
-        hex(col("value").cast("binary"))).as("value"))
+      .select(concat(coalesce(col("key"), lit("")), lit("\t"),
+        coalesce(hex(col("value").cast("binary")), lit(""))).as("value"))
       .write.mode("overwrite").text(path)
 
   /** Mrs HexReader. */

@@ -46,6 +46,18 @@ object PairGenSource {
   val schema: StructType = StructType(Seq(
     StructField("id", LongType, nullable = false),
     StructField("value", StringType, nullable = false)))
+
+  /** One range-splitting rule for the batch scan AND the microbatch
+    * stream (a skew/clamp tweak to one must hit both).
+    */
+  private[sources] def splitRange(
+      lo: Long, hi: Long, slices: Int): Array[InputPartition] = {
+    val n = math.max(1, slices)
+    val span = math.max(0L, hi - lo)
+    (0 until n).map { i =>
+      PairGenPartition(lo + span * i / n, lo + span * (i + 1) / n): InputPartition
+    }.toArray
+  }
 }
 
 private[sources] class PairGenTable(rows: Long, slices: Int, batchRows: Long)
@@ -100,13 +112,8 @@ private[sources] class PairGenScan(
     new PairGenMicroBatchStream(lo, hi, slices, batchRows, required)
   override def description(): String =
     s"PairGenScan range=[$lo,$hi) cols=${required.fieldNames.mkString(",")}"
-  override def planInputPartitions(): Array[InputPartition] = {
-    val n = math.max(1, slices)
-    val span = math.max(0L, hi - lo)
-    (0 until n).map { i =>
-      PairGenPartition(lo + span * i / n, lo + span * (i + 1) / n): InputPartition
-    }.toArray
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    PairGenSource.splitRange(lo, hi, slices)
   override def createReaderFactory(): PartitionReaderFactory =
     new PairGenReaderFactory(required)
 }
@@ -153,25 +160,21 @@ private[sources] class PairGenMicroBatchStream(
       start: streaming.Offset, limit: streaming.ReadLimit): streaming.Offset = {
     val s = start.asInstanceOf[PairGenOffset].pos
     val cap = limit match {
-      case r: streaming.ReadMaxRows => r.maxRows()
+      case r: streaming.ReadMaxRows => math.max(1L, r.maxRows())
       case _                        => step
     }
-    PairGenOffset(math.min(hi, s + math.max(1L, cap)))
+    // subtract, don't add: s + cap overflows for extreme batchRows and
+    // a wrapped-negative offset would regress the log forever
+    PairGenOffset(if (cap >= hi - s) hi else s + cap)
   }
   override def reportLatestOffset(): streaming.Offset = PairGenOffset(hi)
   override def deserializeOffset(json: String): streaming.Offset =
     PairGenOffset(json.toLong)
   override def planInputPartitions(
-      start: streaming.Offset, end: streaming.Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[PairGenOffset].pos
-    val e = end.asInstanceOf[PairGenOffset].pos
-    // within a batch, split like the batch scan does
-    val n = math.max(1, slices)
-    val span = math.max(0L, e - s)
-    (0 until n).map { i =>
-      PairGenPartition(s + span * i / n, s + span * (i + 1) / n): InputPartition
-    }.toArray
-  }
+      start: streaming.Offset, end: streaming.Offset): Array[InputPartition] =
+    // within a batch, split exactly like the batch scan does
+    PairGenSource.splitRange(start.asInstanceOf[PairGenOffset].pos,
+      end.asInstanceOf[PairGenOffset].pos, slices)
   override def createReaderFactory(): PartitionReaderFactory =
     new PairGenReaderFactory(required)
   override def commit(end: streaming.Offset): Unit = ()
@@ -186,14 +189,31 @@ private[sources] class PairGenReaderFactory(required: StructType)
     new PartitionReader[InternalRow] {
       private var cur = p.start - 1
       private val md = java.security.MessageDigest.getInstance("MD5")
-      private val fields = required.fieldNames
+      private val hexChars = "0123456789abcdef".toCharArray
+      private def md5Hex(v: Long): UTF8String = {
+        val dig = md.digest(java.lang.Long.toString(v).getBytes("UTF-8"))
+        val out = new Array[Char](32)
+        var i = 0
+        while (i < 16) {
+          out(i * 2) = hexChars((dig(i) >> 4) & 0xf)
+          out(i * 2 + 1) = hexChars(dig(i) & 0xf)
+          i += 1
+        }
+        UTF8String.fromString(new String(out))
+      }
+      // column generators resolved ONCE per reader, not per row (the
+      // per-row path allocates nothing but the emitted values)
+      private val gens: Array[Long => Any] = required.fieldNames.map {
+        case "id"    => (v: Long) => v: Any
+        case "value" => (v: Long) => md5Hex(v): Any
+      }
       override def next(): Boolean = { cur += 1; cur < p.end }
-      override def get(): InternalRow = InternalRow.fromSeq(fields.toSeq.map {
-        case "id" => cur
-        case "value" => UTF8String.fromString(
-          md.digest(cur.toString.getBytes("UTF-8"))
-            .map("%02x".format(_)).mkString)
-      })
+      override def get(): InternalRow = {
+        val vals = new Array[Any](gens.length)
+        var i = 0
+        while (i < gens.length) { vals(i) = gens(i)(cur); i += 1 }
+        InternalRow.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+      }
       override def close(): Unit = ()
     }
   }

@@ -9,6 +9,11 @@ import scala.collection.mutable
 /** Typed event for streaming sessionization. */
 case class Ev(user_id: Long, ts_us: Long, event_id: Long)
 
+/** d6's per-user state: the session-id counter plus the OPEN session
+  * carried across microbatches (top-level public for Catalyst codegen).
+  */
+case class SessState(sid: Long, cnt: Long, start: Long, last: Long)
+
 /** d10's `StatefulProcessor` — Spark 4's arbitrary-state API
   * (`transformWithState`): per-user running event count in a
   * `ValueState`, emitted per microbatch. Requires the RocksDB state
@@ -83,15 +88,18 @@ object StreamingDemo {
     */
   private def eventStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    // The file source needs a directory; pathGlobFilter narrows it to
-    // the events file inside the scale-factor dir.
-    s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val schema = graft.util.Tables.eventsRawSchema
+    // events.parquet may be a single file (this corpus) or a directory
+    // of part files (standard multi-file output). pathGlobFilter
+    // matches LEAF names, so the single-file case needs the filter on
+    // the parent dir while the directory case reads the dir itself —
+    // the filter would silently exclude every part-* file.
+    val f = new java.io.File(d, "events.parquet")
+    val src =
+      if (f.isDirectory) s.readStream.schema(schema).parquet(f.getAbsolutePath)
+      else s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+    graft.util.Tables.normalizeEventTs(src)
   }
 
   /** Run a bounded stream to completion into a memory sink and return
@@ -105,7 +113,11 @@ object StreamingDemo {
       .queryName(name).format("memory").outputMode(mode).start()
     try { q.processAllAvailable() } finally { q.stop() }
     val res = s.table(name)
-    s.createDataFrame(res.collectAsList(), res.schema)
+    val out = s.createDataFrame(res.collectAsList(), res.schema)
+    // the memory sink's temp view would otherwise pin the collected
+    // rows (and the query name) for the session's lifetime
+    s.catalog.dropTempView(name): Unit
+    out
   }
 
   /** Run a bounded append-mode stream into a parquet FILE sink and read
@@ -256,8 +268,13 @@ object StreamingDemo {
   }
 
   /** d6: `flatMapGroupsWithState` sessionization — per-user custom
-    * state, 30 min gap, emits one row per closed session. Matches the
-    * batch lag+cumsum twin (d3) exactly on the bounded stream.
+    * state (the session-id counter plus the open session) genuinely
+    * carried across microbatches, 30 min gap. Each batch emits the
+    * sessions it closed plus a SNAPSHOT of the still-open session; the
+    * read-back merges snapshots per (user, session_id) by taking the
+    * most complete one (d10's batch-partitioning-independence trick),
+    * so the declared output matches the d3 oracle whether the bounded
+    * input arrived in one microbatch or many.
     */
   def sessionize(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -266,12 +283,14 @@ object StreamingDemo {
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
       .as[Ev]
     val sessions = ev.groupByKey(_.user_id)
-      .flatMapGroupsWithState[Long, SessionOut](
+      .flatMapGroupsWithState[SessState, SessionOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (user: Long, it: Iterator[Ev], _: GroupState[Long]) =>
+        (user: Long, it: Iterator[Ev], state: GroupState[SessState]) =>
           val evs = it.toArray.sortBy(e => (e.ts_us, e.event_id))
           val out = mutable.ArrayBuffer.empty[SessionOut]
-          var sid = 0L; var cnt = 0L; var start = 0L; var last = 0L
+          var (sid, cnt, start, last) = state.getOption
+            .map(st => (st.sid, st.cnt, st.start, st.last))
+            .getOrElse((0L, 0L, 0L, 0L))
           evs.foreach { e =>
             if (cnt == 0L) {
               sid += 1; start = e.ts_us; last = e.ts_us; cnt = 1
@@ -282,20 +301,21 @@ object StreamingDemo {
               last = e.ts_us; cnt += 1
             }
           }
+          // snapshot the open session (it may close or grow next batch)
           if (cnt > 0L)
             out += SessionOut(user, sid, cnt, start / 1000000L, last / 1000000L)
+          state.update(SessState(sid, cnt, start, last))
           out.iterator
       }
-    val sink = graft.util.TmpDir.fresh("d6-sink")
-    val ckpt = graft.util.TmpDir.fresh("d6-ckpt")
+    // a session snapshotted in batch N and grown/closed in batch N+1
+    // appears more than once with the same session_id: keep the most
+    // complete row (cnt only ever grows; start is fixed; last grows)
     withStreamPartitions(s) {
-      val q = sessions.writeStream
-        .format("parquet").option("path", sink)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append").start()
-      try { q.processAllAvailable() } finally { q.stop() }
+      runToFiles(s, "d6", _ => sessions.toDF, ev.toDF)
     }
-    s.read.schema(sessions.schema).parquet(sink)
+      .groupBy("user_id", "session_id")
+      .agg(max("cnt").as("cnt"), min("start_s").as("start_s"),
+        max("end_s").as("end_s"))
       .orderBy("user_id", "session_id")
   }
 

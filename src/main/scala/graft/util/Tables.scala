@@ -57,18 +57,31 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  /** Raw parquet schema of the events table with `ts` as nanos-long —
+    * shared with the streaming file source (StreamingDemo) so the two
+    * read paths cannot drift.
+    */
+  val eventsRawSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING")
+
+  /** The shared ns→µs normalization: integer-divide (`div`, not `/` —
+    * ns epochs exceed 2^53, double division would lose precision) and
+    * rebuild a TimestampType column. The corpus has no sub-µs
+    * components (verified via DuckDB), so this is lossless and matches
+    * DuckDB's µs view of the same file exactly.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-    * read natively. Read nanos as long (legacy conf), then integer-divide
-    * to µs (`div`, not `/` — ns epochs exceed 2^53, double division would
-    * lose precision) and rebuild a TimestampType column. The corpus has
-    * no sub-µs components (verified via DuckDB), so this is lossless and
-    * matches DuckDB's µs view of the same file exactly.
+    * read natively: read nanos as long (legacy conf), then normalize.
     */
   def events(s: SparkSession, d: String): DataFrame =
     memoized((s, d, "events#ts")) {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      table(s, d, "events")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      normalizeEventTs(table(s, d, "events"))
     }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

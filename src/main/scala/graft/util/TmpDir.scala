@@ -42,11 +42,21 @@ object TmpDir {
     d.getAbsolutePath
   }
 
+  /** Keep the base's mtime current so a long-running JVM that created
+    * all its sinks early is never mistaken for a crashed one by another
+    * JVM's age-gated sweep.
+    */
+  private def touched(p: String): String = {
+    new java.io.File(base).setLastModified(System.currentTimeMillis()): Unit
+    p
+  }
+
   /** Stable within the JVM — fine for overwrite-mode batch sinks. */
-  def path(name: String): String = s"$base/$name"
+  def path(name: String): String = touched(s"$base/$name")
 
   private val ctr = new AtomicInteger(0)
 
   /** Unique per call — for append-mode streaming sinks/checkpoints. */
-  def fresh(name: String): String = s"$base/$name-${ctr.incrementAndGet()}"
+  def fresh(name: String): String =
+    touched(s"$base/$name-${ctr.incrementAndGet()}")
 }
