@@ -667,7 +667,69 @@ object TierB {
       .orderBy("l_returnflag")
   }
 
+  /** b39: salted SKEW join — the join sibling of b26's salted
+    * aggregation. When one probe-side key is hot (think one supplier
+    * carrying 10% of a 100 TB lineitem), a plain shuffled join lands the
+    * whole key on one task. Salting spreads it: replicate the SMALL side
+    * ×S with an explicit salt column, give each probe row a deterministic
+    * salt in [0, S), and join on (key, salt) — the hot key now occupies S
+    * tasks. The result is salt-invariant, so the oracle is the plain
+    * join. `shuffle_hash` hint keeps the demo honest (AQE would otherwise
+    * broadcast the 10-row supplier side and trivially dodge the skew).
+    * This is exactly what AQE skew-join does adaptively; the manual form
+    * works when AQE can't see the skew (e.g. skew introduced by an
+    * upstream operator in the same stage).
+    */
+  private def b39(s: SparkSession, d: String): DataFrame = {
+    val salts = 16
+    val sup = supplier(s, d)
+      .select(col("s_suppkey"), col("s_name"),
+        explode(sequence(lit(0L), lit(salts - 1L))).as("s_salt"))
+    val li = lineitem(s, d)
+      .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"),
+        pmod(portableHash(col("l_orderkey")), lit(salts.toLong)).as("salt"))
+    li.join(sup.hint("shuffle_hash"),
+        li("l_suppkey") === sup("s_suppkey") && li("salt") === sup("s_salt"))
+      .groupBy("s_suppkey", "s_name")
+      .agg(count(lit(1)).as("cnt"),
+        moneySum4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** b40: the full-SQL star join — a 5-table TPC-H-Q5-shaped query
+    * through `spark.sql`, end-to-end Catalyst: filter pushdown into both
+    * fact scans, join reordering, broadcast of every dimension
+    * (region/nation/customer all « the 10 MB threshold), partial
+    * aggregation before the final 1-row-per-nation shuffle. This is the
+    * query shape the whole Tier B exists for; at 100 TB the plan is
+    * scan-local except one nation-keyed exchange.
+    */
+  private def b40(s: SparkSession, d: String): DataFrame = {
+    lineitem(s, d).createOrReplaceTempView("g_lineitem")
+    orders(s, d).createOrReplaceTempView("g_orders")
+    customer(s, d).createOrReplaceTempView("g_customer")
+    nation(s, d).createOrReplaceTempView("g_nation")
+    region(s, d).createOrReplaceTempView("g_region")
+    s.sql(
+      """SELECT n_name, count(*) AS cnt,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |                AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM g_lineitem
+        |JOIN g_orders   ON l_orderkey = o_orderkey
+        |JOIN g_customer ON o_custkey = c_custkey
+        |JOIN g_nation   ON c_nationkey = n_nationkey
+        |JOIN g_region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND o_orderstatus = 'F'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin)
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("b39_join_skew_salted", b39 _, Some(
+      "SELECT s_suppkey, s_name, count(*)::BIGINT AS cnt, sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4))::DOUBLE AS revenue FROM lineitem JOIN supplier ON l_suppkey = s_suppkey GROUP BY 1, 2 ORDER BY 1")),
+    QueryDef("b40_sql_star_join", b40 _, Some(
+      "SELECT n_name, count(*)::BIGINT AS cnt, sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4))::DOUBLE AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA' AND o_orderstatus = 'F' GROUP BY n_name ORDER BY revenue DESC, n_name")),
     QueryDef("b35_agg_countmin", b35 _, Some(
       s"WITH k AS (SELECT l_suppkey::BIGINT AS key FROM lineitem), cms AS (SELECT j.j, ${duckHash("j.j::VARCHAR || ':' || k.key::VARCHAR")} % 64 AS bucket, count(*)::BIGINT AS c FROM k, range(3) j(j) GROUP BY 1, 2), tru AS (SELECT key, count(*)::BIGINT AS true_cnt FROM k GROUP BY 1) SELECT t.key, t.true_cnt, min(c.c) AS cms_cnt FROM tru t JOIN cms c ON c.bucket = ${duckHash("c.j::VARCHAR || ':' || t.key::VARCHAR")} % 64 GROUP BY 1, 2 ORDER BY true_cnt DESC, key LIMIT 10")),
     QueryDef("b36_window_range_interval", b36 _, Some(

@@ -1007,6 +1007,116 @@ object TierC {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** c34: context-window chunking — every doc becomes overlapping
+    * fixed-capacity token chunks (capacity 64, stride 48 ⇒ 16-token
+    * overlap), the pass that turns a raw corpus into training-context
+    * rows. Pure map-side: `sequence` generates the chunk starts,
+    * `explode` fans out, `slice` cuts the window — no shuffle at all
+    * until the declared ORDER BY, and none in production (chunks stream
+    * straight to the sink). Declared output pins each chunk by md5, so
+    * the oracle verifies the exact slicing/stride arithmetic.
+    */
+  private def c34(s: SparkSession, d: String): DataFrame = {
+    val cap = 64; val stride = 48L
+    documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      // split never yields an empty array (worst case [""]), so the
+      // sequence stop `size-1` is always >= 0
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0L), size(col("w")).cast("long") - 1,
+          lit(stride))).as("st"))
+      .select(col("doc_id"),
+        expr(s"st div $stride").as("chunk_idx"),
+        col("st").as("start_tok"),
+        slice(col("w"), (col("st") + 1).cast("int"), lit(cap)).as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        size(col("chunk")).cast("long").as("n_tok"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_fp"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** c35: PII redaction — the scrubbing pass every training corpus gets
+    * before release: emails → `<EMAIL>`, long digit runs (ids, phones)
+    * → `<ID>`, with per-doc match counts for audit. The synthetic corpus
+    * carries no PII, so the op first injects a deterministic email +
+    * numeric id derived from doc_id (making every count non-trivial),
+    * then redacts. Patterns are RE2-safe (no backtracking constructs) so
+    * Spark's Java regex and DuckDB's RE2 agree byte-for-byte; redaction
+    * order is oracled via the md5 of the fully-redacted text. Pure
+    * map-side — codegen'd `regexp_replace`, no shuffle.
+    */
+  private def c35(s: SparkSession, d: String): DataFrame = {
+    val emailPat = "[a-z0-9.]+@[a-z0-9.]+"
+    val idPat = "[0-9][0-9][0-9]+"
+    documents(s, d)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" contact user"),
+          col("doc_id").cast("string"), lit("@mail.example id "),
+          (col("doc_id") * 7919 + 100003).cast("string")).as("t"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("t"), lit(emailPat), lit(0)))
+          .cast("long").as("n_email"),
+        regexp_replace(col("t"), emailPat, "<EMAIL>").as("t1"))
+      .select(col("doc_id"), col("n_email"),
+        size(regexp_extract_all(col("t1"), lit(idPat), lit(0)))
+          .cast("long").as("n_id"),
+        regexp_replace(col("t1"), idPat, "<ID>").as("red"))
+      .select(col("doc_id"), col("n_email"), col("n_id"),
+        md5(col("red")).as("red_fp"),
+        length(col("red")).cast("long").as("red_len"))
+      .orderBy("doc_id")
+  }
+
+  /** c36: Bloom-filter decontamination — c25's exact broadcast-set
+    * overlap is the small-eval-set shape; when the eval suite is huge
+    * (or there are hundreds of them), the 100 TB shape is a BLOOM of the
+    * eval shingles broadcast to executors and probed map-side. Build:
+    * b38's deterministic md5 bloom (4 hashes, 4032 bits folded into 64
+    * 63-bit words) over the eval shingle set; the word table is
+    * filter-sized (64 rows — the bounded-collect discipline, SCALE.md
+    * §4), inlined as a literal array so probing is pure codegen'd
+    * map-side work with ZERO extra shuffles. Declared output carries the
+    * exact twin (c25's semi-join) and the no-false-negative invariant
+    * `flagged >= overlap` per doc; false positives are md5-determined,
+    * so the oracle reproduces them bit-for-bit.
+    */
+  private def c36(s: SparkSession, d: String): DataFrame = {
+    val hashes = 4; val bits = 4032L; val nWords = 64
+    def bitOf(c: org.apache.spark.sql.Column, j: Int): org.apache.spark.sql.Column =
+      pmod(portableHash(concat(lit(s"bf:$j:"), c)), lit(bits))
+    // checkpointed: feeds the eval branch (bloom build + exact twin) and
+    // the train branch
+    val sh = shingleRows(s, documents(s, d)).localCheckpoint(false)
+    val evalSh = sh.filter(col("doc_id") < 10)
+      .select(col("sh")).distinct().localCheckpoint(false)
+    val words = evalSh
+      .select(explode(array((0 until hashes).map(j =>
+        bitOf(col("sh"), j)): _*)).as("b"))
+      .select(expr("b div 63").as("w"),
+        expr("shiftleft(1L, cast(b % 63 as int))").as("m"))
+      .groupBy("w").agg(expr("bit_or(m)").as("word"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wordArr = array((0 until nWords).map(w =>
+      lit(words.getOrElse(w.toLong, 0L))): _*)
+    val might = expr((0 until hashes).map(j =>
+      s"(element_at(bf_words, cast(b$j div 63 as int) + 1) & " +
+        s"shiftleft(1L, cast(b$j % 63 as int))) != 0").mkString(" AND "))
+    val probed = (0 until hashes).foldLeft(
+        sh.filter(col("doc_id") >= 10)
+          .join(broadcast(evalSh.withColumn("hit", lit(1))), Seq("sh"), "left")
+          .withColumn("bf_words", wordArr)) {
+        case (df, j) => df.withColumn(s"b$j", bitOf(col("sh"), j))
+      }
+    probed
+      .withColumn("might", might)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(col("might").cast("int")).cast("long").as("flagged"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("overlap"))
+      .withColumn("bloom_ok", col("flagged") >= col("overlap"))
+      .orderBy("doc_id")
+  }
+
   private val shinglesSql =
     "SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) WHERE len(w) >= 3"
 
@@ -1022,6 +1132,12 @@ object TierC {
       "sig AS (SELECT doc_id, (j // 4)::BIGINT AS band, string_agg(m::VARCHAR, ',' ORDER BY j) AS minhash FROM mh GROUP BY 1, 2)"
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("c34_doc_chunk", c34 _, Some(
+      "WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), st AS (SELECT doc_id, w, unnest(range(0, len(w), 48)) AS s FROM t) SELECT doc_id, (s // 48)::BIGINT AS chunk_idx, s::BIGINT AS start_tok, len(w[(s+1)::INT:(s+64)::INT])::BIGINT AS n_tok, md5(array_to_string(w[(s+1)::INT:(s+64)::INT], ' ')) AS chunk_fp FROM st ORDER BY doc_id, chunk_idx")),
+    QueryDef("c35_pii_redact", c35 _, Some(
+      "WITH p AS (SELECT doc_id, text || ' contact user' || doc_id::VARCHAR || '@mail.example id ' || (doc_id * 7919 + 100003)::VARCHAR AS t FROM documents), e AS (SELECT doc_id, len(regexp_extract_all(t, '[a-z0-9.]+@[a-z0-9.]+'))::BIGINT AS n_email, regexp_replace(t, '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g') AS t1 FROM p) SELECT doc_id, n_email, len(regexp_extract_all(t1, '[0-9][0-9][0-9]+'))::BIGINT AS n_id, md5(regexp_replace(t1, '[0-9][0-9][0-9]+', '<ID>', 'g')) AS red_fp, length(regexp_replace(t1, '[0-9][0-9][0-9]+', '<ID>', 'g'))::BIGINT AS red_len FROM e ORDER BY doc_id")),
+    QueryDef("c36_decontaminate_bloom", c36 _, Some(
+      s"WITH sh AS (SELECT doc_id, unnest(s) AS sh FROM ($shinglesSql)), ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 10), bits AS (SELECT (${duckHash("'bf:'||j.j::VARCHAR||':'||sh")} % 4032) AS b FROM ev, range(4) j(j)), words AS (SELECT b // 63 AS w, bit_or(1::BIGINT << (b % 63)::INT) AS word FROM bits GROUP BY 1), tr AS (SELECT doc_id, sh FROM sh WHERE doc_id >= 10), pb AS (SELECT doc_id, sh, (${duckHash("'bf:'||j.j::VARCHAR||':'||sh")} % 4032) AS b FROM tr, range(4) j(j)), chk AS (SELECT doc_id, sh, bool_and((coalesce(w.word, 0) & (1::BIGINT << (pb.b % 63)::INT)) != 0) AS might FROM pb LEFT JOIN words w ON w.w = pb.b // 63 GROUP BY 1, 2), ex AS (SELECT t.doc_id, t.sh, (ev.sh IS NOT NULL) AS hit FROM tr t LEFT JOIN ev ON ev.sh = t.sh) SELECT c.doc_id, count(*)::BIGINT AS n_shingles, sum(CASE WHEN c.might THEN 1 ELSE 0 END)::BIGINT AS flagged, sum(CASE WHEN e.hit THEN 1 ELSE 0 END)::BIGINT AS overlap, (sum(CASE WHEN c.might THEN 1 ELSE 0 END) >= sum(CASE WHEN e.hit THEN 1 ELSE 0 END)) AS bloom_ok FROM chk c JOIN ex e ON e.doc_id = c.doc_id AND e.sh = c.sh GROUP BY 1 ORDER BY 1")),
     QueryDef("c1_dedup_exact_text", c1 _, Some(
       "SELECT min(doc_id) AS keeper, count(*)::BIGINT AS n FROM documents GROUP BY text ORDER BY keeper")),
     QueryDef("c2_dedup_near_minhash", c2 _, Some(

@@ -128,6 +128,9 @@ object TierD {
     QueryDef("d12_stream_custom_source",
       (s, d) => graft.streaming.StreamingDemo.streamCustomSource(s, d), Some(
         "SELECT t.i AS id, md5(t.i::VARCHAR) AS value FROM range(10000) t(i) WHERE t.i % 97 = 0 ORDER BY id")),
+    QueryDef("d13_stream_foreach_batch",
+      (s, d) => graft.streaming.StreamingDemo.foreachBatchMerge(s, d), Some(
+        "SELECT user_id, count(*)::BIGINT AS cnt, sum(round(value * 100)::BIGINT)::BIGINT AS val_cents FROM events GROUP BY 1 ORDER BY 1")),
     QueryDef("d7_session_window_native", d7 _, Some(
       "WITH e AS (SELECT user_id, ts, event_id, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), m AS (SELECT user_id, ts, CASE WHEN prev IS NULL OR date_diff('microsecond', prev, ts) >= 1800000000 THEN 1 ELSE 0 END AS is_new FROM e), s AS (SELECT user_id, ts, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM m) SELECT user_id, floor(epoch(min(ts)))::BIGINT AS start_s, count(*)::BIGINT AS cnt FROM s GROUP BY user_id, sid ORDER BY 1, 2")),
   )

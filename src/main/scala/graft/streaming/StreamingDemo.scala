@@ -339,4 +339,58 @@ object StreamingDemo {
         src)
     }.orderBy("id")
   }
+
+  /** d13: `foreachBatch` incremental merge — the production pattern for
+    * sinks Structured Streaming can't write natively (upserts into a
+    * warehouse table): each microbatch is aggregated and MERGED into a
+    * versioned state table. The events source is re-written as three
+    * files and streamed with `maxFilesPerTrigger=1`, so the merge
+    * genuinely runs across multiple batches. Per-user partials are
+    * integer cents (exactly associative), so the merged final state
+    * equals the one-shot batch aggregate no matter how the input is
+    * batched — which is exactly what the oracle checks. State versions
+    * are written as parquet per batch (read-merge-write, the idempotent
+    * upsert shape); the driver holds only the current version PATH,
+    * never rows.
+    */
+  def foreachBatchMerge(s: SparkSession, d: String): DataFrame = {
+    val srcDir = graft.util.TmpDir.fresh("d13-src")
+    val ev = graft.util.Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+    ev.repartition(3).write.parquet(srcDir)
+    val stateBase = graft.util.TmpDir.fresh("d13-state")
+    val stateSchema = "user_id LONG, cnt LONG, val_cents LONG"
+    val cur = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val src = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val mergeBatch: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      Long) => Unit = { (batch, id) =>
+      val agg = batch.groupBy("user_id")
+        .agg(count(lit(1)).as("cnt"), sum("cents").as("val_cents"))
+      val merged = Option(cur.get()) match {
+        case Some(prev) =>
+          s.read.schema(stateSchema).parquet(prev).union(agg)
+            .groupBy("user_id")
+            .agg(sum("cnt").as("cnt"), sum("val_cents").as("val_cents"))
+        case None => agg
+      }
+      val out = s"$stateBase/v$id"
+      merged.write.parquet(out)
+      cur.set(out)
+    }
+    withStreamPartitions(s) {
+      val q = src.writeStream
+        .foreachBatch(mergeBatch)
+        .option("checkpointLocation", graft.util.TmpDir.fresh("d13-ckpt"))
+        .start()
+      try { q.processAllAvailable() } finally { q.stop() }
+    }
+    Option(cur.get()) match {
+      case Some(fin) => s.read.schema(stateSchema).parquet(fin).orderBy("user_id")
+      case None => s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(stateSchema))
+    }
+  }
 }
