@@ -685,9 +685,12 @@ object TierB {
     val sup = supplier(s, d)
       .select(col("s_suppkey"), col("s_name"),
         explode(sequence(lit(0L), lit(salts - 1L))).as("s_salt"))
+    // the salt never reaches the declared output, so it needs no md5
+    // portability — any deterministic spread works, and pmod on the key
+    // is free where portableHash would md5 every fact row
     val li = lineitem(s, d)
       .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"),
-        pmod(portableHash(col("l_orderkey")), lit(salts.toLong)).as("salt"))
+        pmod(col("l_orderkey"), lit(salts.toLong)).as("salt"))
     li.join(sup.hint("shuffle_hash"),
         li("l_suppkey") === sup("s_suppkey") && li("salt") === sup("s_salt"))
       .groupBy("s_suppkey", "s_name")

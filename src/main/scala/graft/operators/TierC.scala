@@ -1117,6 +1117,26 @@ object TierC {
       .orderBy("doc_id")
   }
 
+  /** c37: per-label embedding centroids — the mean-pooled class
+    * prototype pass (classifier init, cluster summaries, dataset
+    * cartography). Fully relational: `posexplode` fans each vector into
+    * (pos, component) rows, one partial-aggregated shuffle keyed
+    * (label, pos) sums them — at 100 TB that is 64·|labels| reduce rows
+    * regardless of corpus size, the same shape as a 64-column groupBy.
+    * Components quantized to the 2^-10 grid (a23/c19's IntLattice trick)
+    * and centroid = floor(sum/cnt), so every value is exact cross-engine.
+    */
+  private def c37(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy("label", "pos")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("col").cast("double") * 1024.0)).as("qsum"))
+      .select(col("label").cast("long").as("label"),
+        col("pos").cast("long").as("pos"), col("n"), col("qsum"),
+        floor(col("qsum").cast("double") / col("n")).as("centroid_q"))
+      .orderBy("label", "pos")
+
   private val shinglesSql =
     "SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) WHERE len(w) >= 3"
 
@@ -1132,6 +1152,8 @@ object TierC {
       "sig AS (SELECT doc_id, (j // 4)::BIGINT AS band, string_agg(m::VARCHAR, ',' ORDER BY j) AS minhash FROM mh GROUP BY 1, 2)"
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("c37_embedding_centroid", c37 _, Some(
+      "SELECT label::BIGINT AS label, i.i::BIGINT AS pos, count(*)::BIGINT AS n, sum(floor(embedding[i.i+1]::DOUBLE * 1024))::BIGINT AS qsum, floor(sum(floor(embedding[i.i+1]::DOUBLE * 1024))::DOUBLE / count(*))::BIGINT AS centroid_q FROM embeddings, range(64) i(i) GROUP BY 1, 2 ORDER BY 1, 2")),
     QueryDef("c34_doc_chunk", c34 _, Some(
       "WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), st AS (SELECT doc_id, w, unnest(range(0, len(w), 48)) AS s FROM t) SELECT doc_id, (s // 48)::BIGINT AS chunk_idx, s::BIGINT AS start_tok, len(w[(s+1)::INT:(s+64)::INT])::BIGINT AS n_tok, md5(array_to_string(w[(s+1)::INT:(s+64)::INT], ' ')) AS chunk_fp FROM st ORDER BY doc_id, chunk_idx")),
     QueryDef("c35_pii_redact", c35 _, Some(

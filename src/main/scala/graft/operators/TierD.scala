@@ -128,6 +128,9 @@ object TierD {
     QueryDef("d12_stream_custom_source",
       (s, d) => graft.streaming.StreamingDemo.streamCustomSource(s, d), Some(
         "SELECT t.i AS id, md5(t.i::VARCHAR) AS value FROM range(10000) t(i) WHERE t.i % 97 = 0 ORDER BY id")),
+    QueryDef("d14_stream_watermark_append",
+      (s, d) => graft.streaming.StreamingDemo.watermarkAppend(s, d), Some(
+        "WITH m AS (SELECT max(ts) AS mx FROM events), a AS (SELECT date_trunc('hour', ts) AS ws, event_type, count(*)::BIGINT AS cnt FROM events GROUP BY 1, 2) SELECT floor(epoch(ws))::BIGINT AS start_s, event_type, cnt FROM a, m WHERE ws + INTERVAL 2 HOUR <= mx ORDER BY 1, 2")),
     QueryDef("d13_stream_foreach_batch",
       (s, d) => graft.streaming.StreamingDemo.foreachBatchMerge(s, d), Some(
         "SELECT user_id, count(*)::BIGINT AS cnt, sum(round(value * 100)::BIGINT)::BIGINT AS val_cents FROM events GROUP BY 1 ORDER BY 1")),

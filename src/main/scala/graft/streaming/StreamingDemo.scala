@@ -340,6 +340,30 @@ object StreamingDemo {
     }.orderBy("id")
   }
 
+  /** d14: watermarked APPEND-mode windowed aggregation — the semantic
+    * d5 (complete mode) deliberately avoids: append emits a window only
+    * once the watermark (max event time − 1 h) passes its end, i.e. the
+    * window provably can't change. On a bounded stream the engine runs a
+    * final no-new-data batch after the last data batch advances the
+    * watermark, evicting every closed window; windows the watermark
+    * never passes (the last hour of the stream) are intentionally ABSENT
+    * from the output — exactly what the oracle states. This is the
+    * production shape for incremental sinks (only finalized windows ever
+    * reach the table, no upserts needed).
+    */
+  def watermarkAppend(s: SparkSession, d: String): DataFrame = {
+    val ev = eventStream(s, d)
+    withStreamPartitions(s) {
+      runToFiles(s, "d14",
+        df => df.withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(expr("unix_micros(window.start) div 1000000").as("start_s"),
+            col("event_type"), col("cnt")),
+        ev)
+    }.orderBy("start_s", "event_type")
+  }
+
   /** d13: `foreachBatch` incremental merge — the production pattern for
     * sinks Structured Streaming can't write natively (upserts into a
     * warehouse table): each microbatch is aggregated and MERGED into a

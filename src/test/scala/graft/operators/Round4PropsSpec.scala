@@ -104,6 +104,46 @@ class Round4PropsSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("c37: centroids match a direct driver-side recompute on the quantized grid") {
+    import spark.implicits._
+    val vecs = graft.util.Tables.embeddings(spark, sf0001)
+      .select(col("label").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    val expect = vecs.groupBy(_._1).flatMap { case (label, vs) =>
+      (0 until 64).map { pos =>
+        val qs = vs.map(v => math.floor(v._2(pos).toDouble * 1024.0).toLong)
+        val qsum = qs.sum
+        (label, pos.toLong) ->
+          (vs.length.toLong, qsum, math.floor(qsum.toDouble / vs.length).toLong)
+      }
+    }
+    val got = q("c37_embedding_centroid")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.length == expect.size)
+    got.foreach { case (label, pos, n, qsum, cq) =>
+      assert(expect((label, pos)) == ((n, qsum, cq)))
+    }
+  }
+
+  test("d14: append mode emits exactly the windows the watermark closed") {
+    import spark.implicits._
+    val ev = graft.util.Tables.events(spark, sf0001)
+    val mx = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val expect = ev
+      .groupBy(expr("unix_micros(date_trunc('hour', ts)) div 1000000")
+        .as("start_s"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      // window end <= watermark = max event time - 1h (inclusive)
+      .filter((col("start_s") + 7200) * 1000000L <= mx)
+      .orderBy("start_s", "event_type")
+      .as[(Long, String, Long)].collect()
+    val got = q("d14_stream_watermark_append")
+      .as[(Long, String, Long)].collect()
+    assert(got.toSeq == expect.toSeq)
+    // the open tail (last hour of the stream) is really absent
+    assert(got.map(_._1).max < mx / 1000000L - 3600)
+  }
+
   test("d13: merged foreachBatch state equals the one-shot batch aggregate") {
     val merged = q("d13_stream_foreach_batch").collect()
     val batch = graft.util.Tables.events(spark, sf0001)
