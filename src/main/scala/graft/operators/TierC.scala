@@ -849,16 +849,18 @@ object TierC {
         col("ba") === col("bb") && col("ha") === col("hb"))
       .select("u", "v").distinct().localCheckpoint(false)
     val sh = shingleRows(s, documents(s, d)).localCheckpoint(false)
-    val scored = jaccardBp(pairs, sh)
-    val best = scored
+    // ONE pass over the scored pairs: best match (row_number) and the
+    // candidate count (count over the same u-partition) share a single
+    // u-keyed shuffle — round 3 scanned the whole jaccard join tree
+    // twice and joined the two aggregates back together
+    val best = jaccardBp(pairs, sh)
       .withColumn("rn", row_number().over(
         Window.partitionBy("u").orderBy(col("bp").desc, col("v"))))
+      .withColumn("cand", count(lit(1)).over(Window.partitionBy("u")))
       .filter(col("rn") === 1)
-      .select(col("u").as("bu"), col("v").as("best_match"), col("bp"))
-    val nCand = scored.groupBy("u").agg(count(lit(1)).as("cand"))
-      .select(col("u").as("cu"), col("cand"))
+      .select(col("u").as("bu"), col("v").as("best_match"), col("bp"),
+        col("cand"))
     documents(s, d).filter(isNew).select(col("doc_id").as("new_id"))
-      .join(nCand, col("new_id") === col("cu"), "left")
       .join(best, col("new_id") === col("bu"), "left")
       .select(col("new_id"),
         coalesce(col("cand"), lit(0L)).as("n_cand"),
@@ -975,7 +977,12 @@ object TierC {
     * `pairs` has columns (u, v); `sh` is (doc_id, sh) distinct shingle
     * rows; returns (u, v, bp).
     */
-  private def jaccardBp(pairs: DataFrame, sh: DataFrame): DataFrame = {
+  /** Per-candidate-pair shingle overlap counts (u, v, na, nb, inter) —
+    * the shared substrate under Jaccard (c26/c33) and containment (c38)
+    * scoring: sizes from one partial-agg pass, |A∩B| via the keyed
+    * (doc, shingle) equi-join restricted to the pairs.
+    */
+  private def pairOverlap(pairs: DataFrame, sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     val inter = pairs
       .join(sh.select(col("doc_id").as("ud"), col("sh").as("shu")),
@@ -989,10 +996,14 @@ object TierC {
       .join(sizes.select(col("doc_id").as("sbd"), col("nsh").as("nb")),
         col("v") === col("sbd"))
       .join(inter, Seq("u", "v"), "left")
-      .select(col("u"), col("v"),
-        expr("(10000 * coalesce(inter, CAST(0 AS BIGINT))) div " +
-          "(na + nb - coalesce(inter, CAST(0 AS BIGINT)))").as("bp"))
+      .select(col("u"), col("v"), col("na"), col("nb"),
+        coalesce(col("inter"), lit(0L)).as("inter"))
   }
+
+  private def jaccardBp(pairs: DataFrame, sh: DataFrame): DataFrame =
+    pairOverlap(pairs, sh)
+      .select(col("u"), col("v"),
+        expr("(10000 * inter) div (na + nb - inter)").as("bp"))
 
   private def c26(s: SparkSession, d: String): DataFrame = {
     val thrBp = s.conf.getOption("graft.dedup.jaccard.bp")
@@ -1117,6 +1128,23 @@ object TierC {
       .orderBy("doc_id")
   }
 
+  /** c38: near-CONTAINMENT detection — the dedup-family case Jaccard
+    * misses: a short doc quoted wholesale inside a long one scores low
+    * Jaccard (the union is large) but containment |A∩B|/min(|A|,|B|)
+    * ≈ 1. Same LSH-bounded candidate pairs and keyed overlap substrate
+    * as c26; only the denominator changes. Verdict at 90% containment.
+    */
+  private def c38(s: SparkSession, d: String): DataFrame = {
+    val pairs = candidatePairs(s, d)
+    // checkpointed: reused by sizes + both sides of the intersection join
+    val sh = shingleRows(s, documents(s, d)).localCheckpoint(false)
+    pairOverlap(pairs, sh)
+      .select(col("u").as("doc_a"), col("v").as("doc_b"),
+        expr("(10000 * inter) div least(na, nb)").as("containment_bp"))
+      .withColumn("is_contained", col("containment_bp") >= 9000)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** c37: per-label embedding centroids — the mean-pooled class
     * prototype pass (classifier init, cluster summaries, dataset
     * cartography). Fully relational: `posexplode` fans each vector into
@@ -1152,6 +1180,8 @@ object TierC {
       "sig AS (SELECT doc_id, (j // 4)::BIGINT AS band, string_agg(m::VARCHAR, ',' ORDER BY j) AS minhash FROM mh GROUP BY 1, 2)"
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("c38_dedup_containment", c38 _, Some(
+      s"WITH $minhashCtes, pairs AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v FROM sig a JOIN sig b ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id), sizes AS (SELECT doc_id, count(*)::BIGINT AS nsh FROM sh GROUP BY 1), inter AS (SELECT p.u, p.v, count(*)::BIGINT AS inter FROM pairs p JOIN sh a ON a.doc_id = p.u JOIN sh b ON b.doc_id = p.v AND b.sh = a.sh GROUP BY 1, 2) SELECT p.u AS doc_a, p.v AS doc_b, ((10000 * coalesce(i.inter, 0)) // least(sa.nsh, sb.nsh))::BIGINT AS containment_bp, ((10000 * coalesce(i.inter, 0)) // least(sa.nsh, sb.nsh)) >= 9000 AS is_contained FROM pairs p JOIN sizes sa ON sa.doc_id = p.u JOIN sizes sb ON sb.doc_id = p.v LEFT JOIN inter i ON i.u = p.u AND i.v = p.v ORDER BY doc_a, doc_b")),
     QueryDef("c37_embedding_centroid", c37 _, Some(
       "SELECT label::BIGINT AS label, i.i::BIGINT AS pos, count(*)::BIGINT AS n, sum(floor(embedding[i.i+1]::DOUBLE * 1024))::BIGINT AS qsum, floor(sum(floor(embedding[i.i+1]::DOUBLE * 1024))::DOUBLE / count(*))::BIGINT AS centroid_q FROM embeddings, range(64) i(i) GROUP BY 1, 2 ORDER BY 1, 2")),
     QueryDef("c34_doc_chunk", c34 _, Some(

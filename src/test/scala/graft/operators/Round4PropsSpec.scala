@@ -144,6 +144,19 @@ class Round4PropsSpec extends SparkSpec {
     assert(got.map(_._1).max < mx / 1000000L - 3600)
   }
 
+  test("c38: containment dominates jaccard on the same candidate pairs") {
+    import spark.implicits._
+    val jac = SparkEntry.queries("c26_dedup_pipeline")(spark, sf0001)
+      .select("doc_a", "doc_b", "jaccard_bp")
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val con = q("c38_dedup_containment")
+      .select("doc_a", "doc_b", "containment_bp")
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(con.keySet == jac.keySet)        // same LSH candidate set
+    // |A∩B|/min ≥ |A∩B|/|A∪B| always
+    con.foreach { case (k, c) => assert(c >= jac(k), s"$k: $c < ${jac(k)}") }
+  }
+
   test("d13: merged foreachBatch state equals the one-shot batch aggregate") {
     val merged = q("d13_stream_foreach_batch").collect()
     val batch = graft.util.Tables.events(spark, sf0001)
