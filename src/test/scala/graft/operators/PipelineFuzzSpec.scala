@@ -61,6 +61,51 @@ class PipelineFuzzSpec extends SparkSpec {
     }
   }
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("c34 chunks match brute-force slicing on random corpora") {
+    forAllN(genCorpus, 5) { texts =>
+      val d = writeCorpus(texts)
+      val got = SparkEntry.queries("c34_doc_chunk")(spark, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getString(4))))
+      val expect = texts.zipWithIndex.flatMap { case (t, i) =>
+        val w = t.split(" ", -1)
+        (0 until w.length by 48).map { s =>
+          val chunk = w.slice(s, math.min(s + 64, w.length))
+          (i.toLong, (s / 48).toLong) ->
+            ((s.toLong, chunk.length.toLong, md5hex(chunk.mkString(" "))))
+        }
+      }
+      assert(got.toMap == expect.toMap,
+        s"chunks diverge: got ${got.length}, expect ${expect.length}")
+    }
+  }
+
+  test("c38 containment scores match brute-force shingle sets; pair set == c26's") {
+    forAllN(genCorpus, 5) { texts =>
+      val d = writeCorpus(texts)
+      def shingles(t: String): Set[String] = {
+        val w = t.split(" ", -1)
+        (0 to w.length - 3).map(i => w.slice(i, i + 3).mkString(" ")).toSet
+      }
+      val sh = texts.zipWithIndex
+        .map { case (t, i) => i.toLong -> shingles(t) }.toMap
+      val con = SparkEntry.queries("c38_dedup_containment")(spark, d)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val jacPairs = SparkEntry.queries("c26_dedup_pipeline")(spark, d)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(con.keySet == jacPairs)
+      con.foreach { case ((u, v), bp) =>
+        val inter = (sh(u) & sh(v)).size.toLong
+        val expect = 10000L * inter / math.min(sh(u).size, sh(v).size)
+        assert(bp == expect, s"pair ($u,$v): $bp != $expect")
+      }
+    }
+  }
+
   test("c30 kept counts match brute force (top-20 stop list, ties by term)") {
     forAllN(genCorpus, 5) { texts =>
       val d = writeCorpus(texts)
