@@ -728,7 +728,43 @@ object TierB {
         |ORDER BY revenue DESC, n_name""".stripMargin)
   }
 
+  /** b41: bloom-PRUNED join — the runtime-filter pattern: build a
+    * deterministic md5 bloom over the selective (filtered dimension)
+    * side's join keys, inline it as a literal array (BloomLit, the c36
+    * machinery), and prune the fact side MAP-SIDE before its exchange.
+    * At 100 TB this is the difference between shuffling 6 B lineitem
+    * rows and shuffling the ~5% that can possibly match — exactly what
+    * Spark's own runtime bloom filters / DPP do when thresholds let
+    * them; the manual form is explicit and always on. The join result
+    * is bloom-invariant (no false negatives; false positives die in the
+    * join), so the oracle is the plain join. SMJ-hinted: against a
+    * dimension this size Spark would broadcast and there'd be no
+    * exchange to prune — the hint models the large-dimension case the
+    * pattern exists for.
+    */
+  private def b41(s: SparkSession, d: String): DataFrame = {
+    import graft.util.BloomLit
+    val hashes = 4
+    // checkpointed: the filtered dim feeds the bloom build + the join
+    val dim = part(s, d).filter(col("p_size") < 10)
+      .select(col("p_partkey"), col("p_brand")).localCheckpoint(false)
+    val wordArr = BloomLit.wordsArray(dim, col("p_partkey"), "jb", hashes)
+    val pruned = BloomLit.withMight(
+        lineitem(s, d).select(col("l_partkey"), col("l_extendedprice"),
+          col("l_discount")),
+        col("l_partkey"), wordArr, "jb", hashes, "bf_keep")
+      .filter(col("bf_keep")).drop("bf_keep")
+    pruned.join(dim.hint("merge"), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("cnt"),
+        moneySum4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+      .orderBy("p_brand")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("b41_join_bloom_pruned", b41 _, Some(
+      "SELECT p_brand, count(*)::BIGINT AS cnt, sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4))::DOUBLE AS revenue FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_size < 10 GROUP BY 1 ORDER BY 1")),
     QueryDef("b39_join_skew_salted", b39 _, Some(
       "SELECT s_suppkey, s_name, count(*)::BIGINT AS cnt, sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4))::DOUBLE AS revenue FROM lineitem JOIN supplier ON l_suppkey = s_suppkey GROUP BY 1, 2 ORDER BY 1")),
     QueryDef("b40_sql_star_join", b40 _, Some(

@@ -104,6 +104,26 @@ class Round4PropsSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("b41: bloom-pruned join equals the plain join; prune sits below the exchange") {
+    import graft.util.Tables._
+    val got = q("b41_join_bloom_pruned").collect()
+    val plain = lineitem(spark, sf0001)
+      .join(part(spark, sf0001).filter(col("p_size") < 10),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("cnt"),
+        moneySum4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+      .orderBy("p_brand").collect()
+    assert(got.toSeq == plain.toSeq)
+    val p = plan("b41_join_bloom_pruned")
+    assert(p.contains("SortMergeJoin"), p)
+    // the might-contain conjunction is a Filter on the fact scan side,
+    // i.e. evaluated before the join's exchange
+    assert(p.contains("element_at"), p)
+    assert(p.indexOf("element_at") > p.indexOf("SortMergeJoin"), p)
+  }
+
   test("c37: centroids match a direct driver-side recompute on the quantized grid") {
     import spark.implicits._
     val vecs = graft.util.Tables.embeddings(spark, sf0001)
