@@ -745,26 +745,35 @@ object TierB {
   private def b41(s: SparkSession, d: String): DataFrame = {
     import graft.util.BloomLit
     val hashes = 4
+    // 64512 bits (1024 words, an 8 KB literal) holds the one-brand key
+    // set at ~10 bits/key up to ~6k keys — FP well under 1%, so the
+    // prune passes ~the matching 4% of the fact table, not all of it.
+    // portable=false: the FPs never reach the declared output, so the
+    // probe uses codegen'd xxhash64 instead of md5 — the probe side is
+    // the fact table, and per-row hash cost is the whole bill.
+    val bloomBits = 63L * 1024
     // checkpointed: the filtered dim feeds the bloom build + the join
-    val dim = part(s, d).filter(col("p_size") < 10)
-      .select(col("p_partkey"), col("p_brand")).localCheckpoint(false)
-    val wordArr = BloomLit.wordsArray(dim, col("p_partkey"), "jb", hashes)
+    val dim = part(s, d).filter(col("p_brand") === "Brand#13")
+      .select(col("p_partkey"), col("p_type")).localCheckpoint(false)
+    val wordArr = BloomLit.wordsArray(dim, col("p_partkey"), "jb", hashes,
+      bloomBits, portable = false)
     val pruned = BloomLit.withMight(
         lineitem(s, d).select(col("l_partkey"), col("l_extendedprice"),
           col("l_discount")),
-        col("l_partkey"), wordArr, "jb", hashes, "bf_keep")
+        col("l_partkey"), wordArr, "jb", hashes, "bf_keep",
+        bloomBits, portable = false)
       .filter(col("bf_keep")).drop("bf_keep")
     pruned.join(dim.hint("merge"), col("l_partkey") === col("p_partkey"))
-      .groupBy("p_brand")
+      .groupBy("p_type")
       .agg(count(lit(1)).as("cnt"),
         moneySum4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .as("revenue"))
-      .orderBy("p_brand")
+      .orderBy("p_type")
   }
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("b41_join_bloom_pruned", b41 _, Some(
-      "SELECT p_brand, count(*)::BIGINT AS cnt, sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4))::DOUBLE AS revenue FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_size < 10 GROUP BY 1 ORDER BY 1")),
+      "SELECT p_type, count(*)::BIGINT AS cnt, sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4))::DOUBLE AS revenue FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_brand = 'Brand#13' GROUP BY 1 ORDER BY 1")),
     QueryDef("b39_join_skew_salted", b39 _, Some(
       "SELECT s_suppkey, s_name, count(*)::BIGINT AS cnt, sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4))::DOUBLE AS revenue FROM lineitem JOIN supplier ON l_suppkey = s_suppkey GROUP BY 1, 2 ORDER BY 1")),
     QueryDef("b40_sql_star_join", b40 _, Some(

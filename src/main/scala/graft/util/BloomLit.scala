@@ -17,27 +17,42 @@ import org.apache.spark.sql.functions._
   * DuckDB oracle reproduces them bit-for-bit.
   */
 object BloomLit {
-  val bits = 4032L
-  val nWords = 64
+  /** c36's oracled shape: 4032 bits = 64 words. */
+  val defaultBits = 4032L
 
-  def bitOf(prefix: String, c: Column, j: Int): Column =
-    pmod(Tables.portableHash(concat(lit(prefix + ":" + j + ":"),
-      c.cast("string"))), lit(bits))
+  private def nWords(bits: Long): Int = ((bits + 62) / 63).toInt
 
-  /** Build the 64-word filter from `keys` (must be bounded — the
-    * collect is the documented O(k) driver crossing) and return it as a
-    * literal array column.
+  /** Bit index for hash j. `portable` hashes are md5-derived — required
+    * whenever false positives reach a DECLARED output (c36), since the
+    * oracle must reproduce them. When the result is bloom-invariant
+    * (b41's prune: FPs die in the join), `portable = false` uses
+    * codegen'd xxhash64 — ~10× cheaper per probe row, which matters
+    * when the probe side is the 100 TB fact table.
+    */
+  def bitOf(prefix: String, c: Column, j: Int, bits: Long = defaultBits,
+      portable: Boolean = true): Column =
+    if (portable)
+      pmod(Tables.portableHash(concat(lit(prefix + ":" + j + ":"),
+        c.cast("string"))), lit(bits))
+    else pmod(xxhash64(lit(prefix), lit(j), c), lit(bits))
+
+  /** Build the filter from `keys` (must be bounded — the collect is the
+    * documented O(k) driver crossing) and return it as a literal array
+    * column. Size `bits` to the build side: ~10 bits/key keeps the FP
+    * rate under 1%; the array costs bits/8 bytes per TASK BINARY, so
+    * even 64512 bits (1024 words) is an 8 KB literal.
     */
   def wordsArray(keys: DataFrame, key: Column, prefix: String,
-      hashes: Int): Column = {
+      hashes: Int, bits: Long = defaultBits, portable: Boolean = true): Column = {
     val words = keys
       .select(explode(array((0 until hashes).map(j =>
-        bitOf(prefix, key, j)): _*)).as("b"))
+        bitOf(prefix, key, j, bits, portable)): _*)).as("b"))
       .select(expr("b div 63").as("w"),
         expr("shiftleft(1L, cast(b % 63 as int))").as("m"))
       .groupBy("w").agg(expr("bit_or(m)").as("word"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    array((0 until nWords).map(w => lit(words.getOrElse(w.toLong, 0L))): _*)
+    array((0 until nWords(bits)).map(w =>
+      lit(words.getOrElse(w.toLong, 0L))): _*)
   }
 
   /** Add a boolean `out` column — the might-contain verdict for `key`
@@ -46,10 +61,11 @@ object BloomLit {
     * an integer div and `shiftleft` takes only a literal shift.)
     */
   def withMight(df: DataFrame, key: Column, wordArr: Column, prefix: String,
-      hashes: Int, out: String): DataFrame = {
+      hashes: Int, out: String, bits: Long = defaultBits,
+      portable: Boolean = true): DataFrame = {
     val base = df.withColumn("bf_words", wordArr)
     val withBits = (0 until hashes).foldLeft(base) { case (acc, j) =>
-      acc.withColumn(s"bf_b$j", bitOf(prefix, key, j))
+      acc.withColumn(s"bf_b$j", bitOf(prefix, key, j, bits, portable))
     }
     val might = expr((0 until hashes).map(j =>
       s"(element_at(bf_words, cast(bf_b$j div 63 as int) + 1) & " +

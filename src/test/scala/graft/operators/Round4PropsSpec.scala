@@ -108,13 +108,13 @@ class Round4PropsSpec extends SparkSpec {
     import graft.util.Tables._
     val got = q("b41_join_bloom_pruned").collect()
     val plain = lineitem(spark, sf0001)
-      .join(part(spark, sf0001).filter(col("p_size") < 10),
+      .join(part(spark, sf0001).filter(col("p_brand") === "Brand#13"),
         col("l_partkey") === col("p_partkey"))
-      .groupBy("p_brand")
+      .groupBy("p_type")
       .agg(count(lit(1)).as("cnt"),
         moneySum4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .as("revenue"))
-      .orderBy("p_brand").collect()
+      .orderBy("p_type").collect()
     assert(got.toSeq == plain.toSeq)
     val p = plan("b41_join_bloom_pruned")
     assert(p.contains("SortMergeJoin"), p)
