@@ -55,7 +55,18 @@ object TierC {
       graft.util.GraftConf.minhashBands(s), graft.util.GraftConf.minhashRows(s))
     val hit = idxMemo.get(key)
     if (hit != null) hit
-    else { idxMemo.putIfAbsent(key, mk); idxMemo.get(key) }
+    else {
+      // Unlike Tables' memo (lazy plans), entries here pin MATERIALIZED
+      // checkpoint blocks. A session iterating many corpus dirs (fuzz
+      // tests) would grow storage without bound, so past a small cap the
+      // memo is cleared — dropping the strong refs lets the
+      // ContextCleaner reclaim the blocks by GC, restoring the
+      // pre-memo behavior for the many-corpus case while the
+      // one-corpus-per-JVM case (Bench/Verify) keeps the full benefit.
+      if (idxMemo.size >= 8) idxMemo.clear()
+      idxMemo.putIfAbsent(key, mk)
+      idxMemo.get(key)
+    }
   }
 
   /** The (doc_id, shingle) index, materialized once per corpus. */
@@ -645,8 +656,8 @@ object TierC {
     * shared by c18 (clustering) and c26 (verification pipeline).
     */
   private def candidatePairs(s: SparkSession, d: String): DataFrame = {
-    // Lazy checkpoint: the signature kernel (one md5 per shingle) must
-    // run ONCE, not once per self-join branch.
+    // the memoized index runs the signature kernel (one md5 per
+    // shingle) ONCE, not once per self-join branch or per query
     val mh = minhashIndex(s, d)
     val a = mh.select(col("band").as("ba"), col("minhash").as("ha"), col("doc_id").as("u"))
     val b = mh.select(col("band").as("bb"), col("minhash").as("hb"), col("doc_id").as("v"))
@@ -1001,17 +1012,12 @@ object TierC {
     * the intersection join is keyed on (doc, shingle), and sizes come
     * from one partial-aggregated pass over the shingle table.
     */
-  /** Exact integer shingle-Jaccard over candidate pairs — ONE copy of
-    * the oracle-sensitive scoring rules (coalesce-to-0 intersection,
-    * |A|+|B|-|A∩B| denominator, 10000-bp floor division), shared by the
-    * full-corpus pipeline (c26) and the incremental merge (c33).
-    * `pairs` has columns (u, v); `sh` is (doc_id, sh) distinct shingle
-    * rows; returns (u, v, bp).
-    */
   /** Per-candidate-pair shingle overlap counts (u, v, na, nb, inter) —
     * the shared substrate under Jaccard (c26/c33) and containment (c38)
     * scoring: sizes from one partial-agg pass, |A∩B| via the keyed
-    * (doc, shingle) equi-join restricted to the pairs.
+    * (doc, shingle) equi-join restricted to the pairs, coalesced to 0
+    * for disjoint pairs. `pairs` has columns (u, v); `sh` is (doc_id,
+    * sh) distinct shingle rows.
     */
   private def pairOverlap(pairs: DataFrame, sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
@@ -1031,6 +1037,11 @@ object TierC {
         coalesce(col("inter"), lit(0L)).as("inter"))
   }
 
+  /** Exact integer shingle-Jaccard over candidate pairs — ONE copy of
+    * the oracle-sensitive scoring rule (|A|+|B|−|A∩B| denominator,
+    * 10000-bp floor division), shared by the full-corpus pipeline (c26)
+    * and the incremental merge (c33). Returns (u, v, bp).
+    */
   private def jaccardBp(pairs: DataFrame, sh: DataFrame): DataFrame =
     pairOverlap(pairs, sh)
       .select(col("u"), col("v"),
@@ -1040,7 +1051,6 @@ object TierC {
     val thrBp = s.conf.getOption("graft.dedup.jaccard.bp")
       .map(_.toLong).getOrElse(8000L)
     val pairs = candidatePairs(s, d)
-    // checkpointed: reused by sizes + both sides of the intersection join
     val sh = shingleIndex(s, d)
     jaccardBp(pairs, sh)
       .select(col("u").as("doc_a"), col("v").as("doc_b"),
@@ -1125,9 +1135,8 @@ object TierC {
   private def c36(s: SparkSession, d: String): DataFrame = {
     import graft.util.BloomLit
     val hashes = 4
-    // checkpointed: feeds the eval branch (bloom build + exact twin) and
-    // the train branch
     val sh = shingleIndex(s, d)
+    // checkpointed: feeds the bloom build AND the exact-twin join
     val evalSh = sh.filter(col("doc_id") < 10)
       .select(col("sh")).distinct().localCheckpoint(false)
     val wordArr = BloomLit.wordsArray(evalSh, col("sh"), "bf", hashes)
@@ -1151,7 +1160,6 @@ object TierC {
     */
   private def c38(s: SparkSession, d: String): DataFrame = {
     val pairs = candidatePairs(s, d)
-    // checkpointed: reused by sizes + both sides of the intersection join
     val sh = shingleIndex(s, d)
     pairOverlap(pairs, sh)
       .select(col("u").as("doc_a"), col("v").as("doc_b"),

@@ -63,14 +63,21 @@ object BloomLit {
   def withMight(df: DataFrame, key: Column, wordArr: Column, prefix: String,
       hashes: Int, out: String, bits: Long = defaultBits,
       portable: Boolean = true): DataFrame = {
-    val base = df.withColumn("bf_words", wordArr)
+    // scratch columns are prefix-namespaced so a caller column can't be
+    // silently clobbered and dropped; collisions fail fast instead
+    val wc = s"${prefix}_bfw"
+    def bc(j: Int) = s"${prefix}_bfb$j"
+    val clash = df.columns.toSet
+      .intersect((wc +: (0 until hashes).map(bc)).toSet)
+    require(clash.isEmpty, s"BloomLit scratch columns collide: $clash")
+    val base = df.withColumn(wc, wordArr)
     val withBits = (0 until hashes).foldLeft(base) { case (acc, j) =>
-      acc.withColumn(s"bf_b$j", bitOf(prefix, key, j, bits, portable))
+      acc.withColumn(bc(j), bitOf(prefix, key, j, bits, portable))
     }
     val might = expr((0 until hashes).map(j =>
-      s"(element_at(bf_words, cast(bf_b$j div 63 as int) + 1) & " +
-        s"shiftleft(1L, cast(bf_b$j % 63 as int))) != 0").mkString(" AND "))
+      s"(element_at($wc, cast(${bc(j)} div 63 as int) + 1) & " +
+        s"shiftleft(1L, cast(${bc(j)} % 63 as int))) != 0").mkString(" AND "))
     withBits.withColumn(out, might)
-      .drop(("bf_words" +: (0 until hashes).map(j => s"bf_b$j")): _*)
+      .drop((wc +: (0 until hashes).map(bc)): _*)
   }
 }
