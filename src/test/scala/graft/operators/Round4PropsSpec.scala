@@ -84,6 +84,13 @@ class Round4PropsSpec extends SparkSpec {
     assert(rows.forall { case (e, i, d) => e == 1L && i == 1L && d == 24L })
   }
 
+  test("c34/c35 are map-side — no hash exchange before the declared sort") {
+    for (n <- Seq("c34_doc_chunk", "c35_pii_redact")) {
+      val p = plan(n)
+      assert(!p.contains("Exchange hashpartitioning"), s"$n:\n$p")
+    }
+  }
+
   test("c36: no false negatives, real false positives, exact twin matches c25") {
     import spark.implicits._
     val rows = q("c36_decontaminate_bloom")
