@@ -65,7 +65,10 @@ object TierC {
       // one-corpus-per-JVM case (Bench/Verify) keeps the full benefit.
       if (idxMemo.size >= 8) idxMemo.clear()
       idxMemo.putIfAbsent(key, mk)
-      idxMemo.get(key)
+      // a concurrent clear() can race away the entry we just put; the
+      // un-memoized plan is always a correct fallback
+      val v = idxMemo.get(key)
+      if (v != null) v else mk
     }
   }
 

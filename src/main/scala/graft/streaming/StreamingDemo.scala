@@ -375,7 +375,10 @@ object StreamingDemo {
     * batched — which is exactly what the oracle checks. State versions
     * are written as parquet per batch (read-merge-write, the idempotent
     * upsert shape); the driver holds only the current version PATH,
-    * never rows.
+    * never rows. (The up-front rewrite of the bounded source into three
+    * files is DEMO harness only — it exists to force multiple
+    * microbatches; production points `readStream` at the real arriving
+    * stream and pays no copy.)
     */
   def foreachBatchMerge(s: SparkSession, d: String): DataFrame = {
     val srcDir = graft.util.TmpDir.fresh("d13-src")
