@@ -771,7 +771,127 @@ object TierB {
       .orderBy("p_type")
   }
 
+  /** b42: heavy hitters at bounded memory — Misra-Gries summaries per
+    * partition (capacity k ⇒ O(k) state however long the stream), union
+    * of survivors as the candidate set, then ONE exact recount
+    * restricted to candidates via broadcast semi-join, thresholded at
+    * φ = 1/40 of the stream. The MG guarantee — any item with global
+    * count > n/(k+1) survives at least one partition's summary, and
+    * per-partition summaries inherit it — means k ≥ 1/φ gives NO false
+    * negatives from pass 1, and the exact recount kills all false
+    * positives, so the declared output equals the plain
+    * GROUP BY … HAVING (the oracle). At 100 TB the full histogram is
+    * vocabulary-wide (billions of keys); this plan shuffles only the
+    * bounded candidate set (≤ k·partitions rows — here lossless since
+    * the synthetic vocab < k, but the state bound is what ships). The
+    * token-count agg (`tot`) is a map-side partial count, not a second
+    * full shuffle.
+    */
+  private def b42(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val phi = 40L
+    val cap = 64 // ≥ 1/φ ⇒ Misra-Gries no-false-negative guarantee
+    val tok = documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+    val cands = tok.as[String].mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { w =>
+        if (m.contains(w)) m(w) += 1L
+        else if (m.size < cap) m(w) = 1L
+        else { // MG eviction: decrement every counter, drop zeros
+          m.mapValuesInPlace((_, v) => v - 1L)
+          m.filterInPlace((_, v) => v > 0L)
+        }
+      }
+      m.keysIterator
+    }.toDF("w").distinct()
+    // stream length as a driver scalar — a map-side partial count whose
+    // result is O(1) (SCALE.md §4 bounded-collect discipline); joining
+    // a 1-row total instead would plan the NestedLoopJoin the blanket
+    // plan audit bans
+    val n = tok.count()
+    tok.join(broadcast(cands), Seq("w"), "left_semi")
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * phi >= n)
+      .select(col("w").as("token"), col("cnt"))
+      .orderBy("token")
+  }
+
+  /** Arithmetic-only 16-bit interleave of two masked columns — div/mod
+    * renders identically in Spark SQL (`div`) and DuckDB (`//`), so ONE
+    * generator yields both the operator expression and its oracle.
+    */
+  private def zWeave(x: String, y: String, intDiv: String): String =
+    (0 until 16).map { i =>
+      s"(($x $intDiv ${1L << i}) % 2) * ${1L << (2 * i)} + " +
+        s"(($y $intDiv ${1L << i}) % 2) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+
+  /** b43: Z-ORDER layout clustering — the multi-dimensional data-layout
+    * operator behind file skipping: interleave the bits of two filter
+    * dimensions into one sort key, cluster storage by it, and scans
+    * filtering on EITHER dimension skip most files via min/max stats —
+    * what a 1-D sort only gives its leading column. Declared output is
+    * the per-bucket (zkey high bits) count + min/max rectangle of both
+    * dims: tight rectangles ARE the prune-ability, and they're
+    * deterministic (no sampling), hence oracle-able. Production write:
+    * `repartitionByRange($"zkey").sortWithinPartitions($"zkey")` →
+    * parquet row-group stats — the range partitioner's sampled split
+    * points don't change WHAT is clustered, only file boundaries. The
+    * stats query is one partial-agg'd groupBy: scan-local at any scale.
+    */
+  private def b43(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select((col("l_partkey") % 65536).as("px"),
+        (col("l_suppkey") % 65536).as("sx"))
+      .withColumn("zkey", expr(zWeave("px", "sx", "div")))
+      .groupBy(expr("zkey div 1048576").as("bucket"))
+      .agg(count(lit(1)).as("cnt"),
+        min("px").as("min_pk"), max("px").as("max_pk"),
+        min("sx").as("min_sk"), max("sx").as("max_sk"))
+      .orderBy("bucket")
+
+  /** b44: funnel / sequence-pattern detection (MATCH_RECOGNIZE-lite) —
+    * per user, the earliest view→click→purchase chain with each step
+    * within 24 h of the previous, plus the count of converting
+    * purchases. The scalable shape is b31's carry-forward trick twice
+    * over ONE user-keyed sort: last qualifying view under each row,
+    * then last qualifying click (a click is qualifying iff a view
+    * precedes it within the step window), then purchases test the
+    * carried click — no self-joins, no per-key quadratic blowup (the
+    * naive 3-way range join is exactly b6's scale-killer squared). Both
+    * window passes share partitioning+ordering ⇒ one Exchange+Sort.
+    */
+  private def b44(s: SparkSession, d: String): DataFrame = {
+    val stepUs = 86400L * 1000000L
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events(s, d)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("last_view",
+        last(when(col("event_type") === "view", col("us")),
+          ignoreNulls = true).over(w))
+      .withColumn("last_ck",
+        last(when(col("event_type") === "click" &&
+          col("last_view").isNotNull &&
+          col("us") - col("last_view") <= stepUs, col("us")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase" && col("last_ck").isNotNull &&
+        col("us") - col("last_ck") <= stepUs)
+      .groupBy("user_id")
+      .agg(min("us").as("funnel_us"), count(lit(1)).as("n_conversions"))
+      .orderBy("user_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("b42_heavy_hitters", b42 _, Some(
+      "WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents) SELECT w AS token, count(*)::BIGINT AS cnt FROM tok GROUP BY w HAVING count(*) * 40 >= (SELECT count(*) FROM tok) ORDER BY token")),
+    QueryDef("b43_zorder_layout", b43 _, Some(
+      s"WITH b AS (SELECT l_partkey % 65536 AS px, l_suppkey % 65536 AS sx FROM lineitem), z AS (SELECT px, sx, (${zWeave("px", "sx", "//")}) AS zkey FROM b) SELECT (zkey // 1048576)::BIGINT AS bucket, count(*)::BIGINT AS cnt, min(px)::BIGINT AS min_pk, max(px)::BIGINT AS max_pk, min(sx)::BIGINT AS min_sk, max(sx)::BIGINT AS max_sk FROM z GROUP BY 1 ORDER BY 1")),
+    QueryDef("b44_funnel_pattern", b44 _, Some(
+      "WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events WHERE event_type IN ('view','click','purchase')), st AS (SELECT user_id, event_type, us, event_id, last_value(CASE WHEN event_type='view' THEN us END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view FROM e), ck AS (SELECT user_id, event_type, us, event_id, last_value(CASE WHEN event_type='click' AND last_view IS NOT NULL AND us - last_view <= 86400000000 THEN us END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_ck FROM st) SELECT user_id, min(us) AS funnel_us, count(*)::BIGINT AS n_conversions FROM ck WHERE event_type='purchase' AND last_ck IS NOT NULL AND us - last_ck <= 86400000000 GROUP BY user_id ORDER BY user_id")),
     QueryDef("b41_join_bloom_pruned", b41 _, Some(
       "SELECT p_type, count(*)::BIGINT AS cnt, sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4))::DOUBLE AS revenue FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_brand = 'Brand#13' GROUP BY 1 ORDER BY 1")),
     QueryDef("b39_join_skew_salted", b39 _, Some(

@@ -1191,6 +1191,100 @@ object TierC {
         floor(col("qsum").cast("double") / col("n")).as("centroid_q"))
       .orderBy("label", "pos")
 
+  /** c39: duplicated-PASSAGE detection — the exact-substring-dedup
+    * statistic (Lee et al. 2021, "Deduplicating Training Data Makes
+    * Language Models Better"): for every word position, is the 5-gram
+    * starting there shared with ANY other document? Per-doc fraction of
+    * such positions is the span-level dup signal that document-level
+    * Jaccard (c9/c26) misses — boilerplate headers, quoted passages.
+    * Shape at 100 TB: positional grams are map-side generated; the
+    * shared-gram set is one distinct + partial-agg'd count keyed on the
+    * gram; the verdict join ships one BOOLEAN per distinct gram (never
+    * the posting list), so a boilerplate gram in 10^8 docs still joins
+    * as a single row. (The suffix-array formulation is only needed for
+    * arbitrary-length match discovery; fixed-n span coverage is pure
+    * shuffle-parallel.)
+    */
+  private def c39(s: SparkSession, d: String): DataFrame = {
+    val n = 5
+    // positional (NON-distinct) grams: one row per word offset
+    val pos = documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(w)-$n), i -> array_join(slice(w, i+1, $n), ' '))"))
+        .as("gram"))
+    // grams appearing in >= 2 distinct docs, reduced to one flag row each
+    val dup = pos.select("gram", "doc_id").distinct()
+      .groupBy("gram").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("gram"), lit(1).as("is_dup"))
+    pos.join(dup, Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pos"),
+        sum(coalesce(col("is_dup"), lit(0))).cast("long").as("dup_pos"))
+      .withColumn("dup_bp",
+        floor(col("dup_pos") * lit(10000.0) / col("n_pos")).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  /** c40: tokenizer-vocabulary induction statistics — the two counts a
+    * BPE trainer needs: the word-level vocabulary with frequencies
+    * (top-k declared) and the adjacent character-pair counts WEIGHTED by
+    * word frequency (the argmax of round 1 of BPE merge training).
+    * The classic BPE trick is load-bearing for scale: pair counts are
+    * computed over the DISTINCT-word table (vocabulary-sized) with each
+    * word's corpus count as the weight — the token stream is touched
+    * exactly once, by the word-count partial agg; the expensive
+    * char-pair fan-out runs on |vocab| rows, not |corpus| tokens.
+    */
+  private def c40(s: SparkSession, d: String): DataFrame = {
+    val wc = documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false) // feeds both the top-k and the pair fan-out
+    val topWords = wc
+      .orderBy(col("cnt").desc, col("w")).limit(25)
+      .select(lit("word").as("kind"), col("w").as("sym"), col("cnt"))
+    val topPairs = wc
+      .filter(length(col("w")) >= 2)
+      .select(col("cnt"), explode(expr(
+        "transform(sequence(1, length(w)-1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy("pair").agg(sum(col("cnt")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair")).limit(25)
+      .select(lit("pair").as("kind"), col("pair").as("sym"), col("cnt"))
+    topWords.union(topPairs).orderBy(col("kind"), col("cnt").desc, col("sym"))
+  }
+
+  /** c41: unigram-LM surprisal scoring — the CCNet/perplexity-filter
+    * shape: train a unigram LM on the corpus itself (one word-count
+    * agg), score every doc by its mean per-token surprisal, flag
+    * outliers. Cross-engine hazard: -log2(p) is transcendental and NOT
+    * bit-stable across engines, so surprisal is the exact INTEGER floor
+    * ⌊log2(total/cnt)⌋ computed as `length(bin(total div cnt)) - 1` —
+    * bit-length arithmetic both engines reproduce exactly. Scale shape:
+    * the LM is vocabulary-sized and broadcast; the scoring join never
+    * shuffles the corpus.
+    */
+  private def c41(s: SparkSession, d: String): DataFrame = {
+    val tok = documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val wc = tok.groupBy("w").agg(count(lit(1)).as("cnt"))
+    // corpus total via an all-rows window over the VOCAB-sized count
+    // table (bounded single partition; a 1-row cross join would plan
+    // the NestedLoopJoin the blanket plan audit bans)
+    val lm = wc
+      .withColumn("n", sum("cnt").over(Window.partitionBy()))
+      .select(col("w"),
+        (length(bin(expr("n div cnt"))) - 1).cast("long").as("bits"))
+    tok.join(broadcast(lm), Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("bits").as("sur_sum"))
+      .select(col("doc_id"), col("n_words"), col("sur_sum"),
+        expr("sur_sum * 10000 div n_words").as("avg_sur_bp"))
+      .orderBy("doc_id")
+  }
+
   private val shinglesSql =
     "SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) WHERE len(w) >= 3"
 
@@ -1279,6 +1373,12 @@ object TierC {
       "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), top AS (SELECT term FROM tok GROUP BY term ORDER BY count(*) DESC, term LIMIT 20) SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(CASE WHEN term IN (SELECT term FROM top) THEN 0 ELSE 1 END)::BIGINT AS n_kept FROM tok GROUP BY 1 ORDER BY 1")),
     QueryDef("c31_source_mix", c31 _, Some(
       s"SELECT source, 9500 - 450 * substr(source, 4)::BIGINT AS rate_bp, count(*)::BIGINT AS n_total, sum(CASE WHEN ${duckHash("'mix:'||doc_id::VARCHAR")} % 10000 < 9500 - 450 * substr(source, 4)::BIGINT THEN 1 ELSE 0 END)::BIGINT AS n_kept FROM documents GROUP BY 1, 2 ORDER BY 1")),
+    QueryDef("c39_dup_passage", c39 _, Some(
+      "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), pos AS (SELECT doc_id, array_to_string(ws[i+1:i+5], ' ') AS gram FROM w, LATERAL (SELECT unnest(range(0, len(ws)-4)) AS i) t WHERE len(ws) >= 5), dup AS (SELECT gram FROM pos GROUP BY gram HAVING count(DISTINCT doc_id) >= 2) SELECT p.doc_id, count(*)::BIGINT AS n_pos, count(d.gram)::BIGINT AS dup_pos, floor(count(d.gram) * 10000.0 / count(*))::BIGINT AS dup_bp FROM pos p LEFT JOIN dup d ON p.gram = d.gram GROUP BY p.doc_id ORDER BY p.doc_id")),
+    QueryDef("c40_vocab_bpe", c40 _, Some(
+      "WITH wc AS (SELECT w, count(*)::BIGINT AS cnt FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY w), pc AS (SELECT substr(w, i, 2) AS pair, sum(cnt)::BIGINT AS cnt FROM wc, LATERAL (SELECT unnest(range(1, length(w))) AS i) t WHERE length(w) >= 2 GROUP BY 1), topw AS (SELECT 'word' AS kind, w AS sym, cnt FROM wc ORDER BY cnt DESC, w LIMIT 25), topp AS (SELECT 'pair' AS kind, pair AS sym, cnt FROM pc ORDER BY cnt DESC, pair LIMIT 25) SELECT kind, sym, cnt FROM (SELECT * FROM topw UNION ALL SELECT * FROM topp) ORDER BY kind, cnt DESC, sym")),
+    QueryDef("c41_lm_surprisal", c41 _, Some(
+      "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents), wc AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w), tot AS (SELECT count(*) AS n FROM tok), sur AS (SELECT w, (length(bin((n // cnt)::BIGINT)) - 1)::BIGINT AS bits FROM wc, tot) SELECT t.doc_id, count(*)::BIGINT AS n_words, sum(s.bits)::BIGINT AS sur_sum, (sum(s.bits) * 10000 // count(*))::BIGINT AS avg_sur_bp FROM tok t JOIN sur s ON t.w = s.w GROUP BY t.doc_id ORDER BY t.doc_id")),
     QueryDef("c32_curation_gate", c32 _, Some(
       "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), tc AS (SELECT doc_id, term, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2), st AS (SELECT doc_id, sum(c)::BIGINT AS n_tokens, sum(length(term) * c)::BIGINT AS sum_len, max(c)::BIGINT AS max_c FROM tc GROUP BY 1), g AS (SELECT doc_id, n_tokens, (100 * sum_len) // n_tokens AS len_bp, (10000 * max_c) // n_tokens AS rep_bp FROM st) SELECT doc_id, n_tokens, len_bp, rep_bp, CASE WHEN n_tokens < 20 THEN 'too_short' WHEN n_tokens > 90 THEN 'too_long' WHEN len_bp < 350 OR len_bp > 700 THEN 'word_len' WHEN rep_bp > 1500 THEN 'repetitive' ELSE 'keep' END AS verdict FROM g ORDER BY doc_id")),
   )

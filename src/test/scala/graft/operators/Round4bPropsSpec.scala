@@ -1,0 +1,195 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.functions._
+
+/** Round-4 second batch: heavy hitters (b42), Z-order layout (b43),
+  * funnel detection (b44), duplicated-passage stats (c39), BPE vocab
+  * stats (c40), unigram surprisal (c41). Each checked against an
+  * independent driver-side recomputation on the sf0.001 fixtures plus
+  * the structural invariant its Scaladoc claims.
+  */
+class Round4bPropsSpec extends SparkSpec {
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf0001)
+
+  private lazy val docs: Array[(Long, Array[String])] =
+    graft.util.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ")))
+
+  test("b42: two-pass MG result equals the exact GROUP BY ... HAVING") {
+    val toks = docs.flatMap(_._2)
+    val n = toks.length.toLong
+    val exact = toks.groupBy(identity).view
+      .mapValues(_.length.toLong)
+      .filter { case (_, c) => c * 40 >= n }
+      .toSeq.sortBy(_._1)
+    val got = q("b42_heavy_hitters").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == exact)
+  }
+
+  test("b42: Misra-Gries kernel keeps every φ-heavy item at any partitioning") {
+    // adversarial stream: one heavy item interleaved with many rare ones
+    forAllN(org.scalacheck.Gen.chooseNum(1, 5)) { parts =>
+      import spark.implicits._
+      val heavy = Seq.fill(400)("HH")
+      val noise = (1 to 600).map(i => s"w$i")
+      val stream = (heavy ++ noise).zipWithIndex
+        .sortBy { case (_, i) => (i * 7919) % 1000 } // deterministic shuffle
+        .map(_._1)
+      val df = spark.createDataset(stream).repartition(parts).toDF("text")
+        .withColumn("doc_id", monotonically_increasing_id())
+      // run the same shape as b42 over this corpus via a temp dir? The
+      // kernel itself is what the declared query wraps; assert through
+      // the public query on real data is covered above — here check the
+      // MG bound directly: heavy freq 400/1000 > 1/40 ⇒ must survive.
+      val cap = 64
+      val survivors = df.select(col("text")).as[String]
+        .mapPartitions { it =>
+          val m = scala.collection.mutable.HashMap.empty[String, Long]
+          it.foreach { w =>
+            if (m.contains(w)) m(w) += 1L
+            else if (m.size < cap) m(w) = 1L
+            else {
+              m.mapValuesInPlace((_, v) => v - 1L)
+              m.filterInPlace((_, v) => v > 0L)
+            }
+          }
+          m.keysIterator
+        }.collect().toSet
+      assert(survivors.contains("HH"), s"parts=$parts")
+    }
+  }
+
+  test("b43: zkey interleave round-trips both dimensions and buckets nest") {
+    val rows = q("b43_zorder_layout").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (cnt, minPk, maxPk, minSk, maxSk) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(cnt > 0 && minPk <= maxPk && minSk <= maxSk)
+    }
+    // the interleave is invertible: decode(weave(x, y)) == (x, y)
+    def weave(x: Long, y: Long): Long =
+      (0 until 16).map { i =>
+        (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }.sum
+    def decode(z: Long): (Long, Long) = {
+      var x = 0L; var y = 0L
+      (0 until 16).foreach { i =>
+        x |= ((z >> (2 * i)) & 1L) << i
+        y |= ((z >> (2 * i + 1)) & 1L) << i
+      }
+      (x, y)
+    }
+    forAllN(org.scalacheck.Gen.zip(
+      org.scalacheck.Gen.chooseNum(0L, 65535L),
+      org.scalacheck.Gen.chooseNum(0L, 65535L))) { case (x, y) =>
+      assert(decode(weave(x, y)) == ((x, y)))
+    }
+  }
+
+  test("b43: bucket rectangles are tighter than the unclustered table") {
+    // Z-order's whole point: per-bucket min/max ranges of BOTH dims are
+    // narrow. Every bucket (zkey div 2^20 fixes partkey bits 10.. and
+    // suppkey bits 9..) must span < the full table range on each dim.
+    val li = graft.util.Tables.lineitem(spark, sf0001)
+      .agg(max(col("l_partkey") % 65536), max(col("l_suppkey") % 65536))
+      .collect()(0)
+    val (pkRange, skRange) = (li.getLong(0), li.getLong(1))
+    val rows = q("b43_zorder_layout").collect()
+    if (rows.length > 1) rows.foreach { r =>
+      assert(r.getLong(3) - r.getLong(2) <= pkRange)
+      assert(r.getLong(5) - r.getLong(4) < skRange,
+        s"bucket ${r.getLong(0)} spans the full suppkey range")
+    }
+  }
+
+  test("b44: funnel result matches a sequential per-user replay") {
+    val step = 86400L * 1000000L
+    val ev = graft.util.Tables.events(spark, sf0001)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val expected = ev.groupBy(_._1).toSeq.flatMap { case (user, rows) =>
+      var lastView = -1L; var lastClick = -1L
+      val conv = scala.collection.mutable.ArrayBuffer.empty[Long]
+      rows.sortBy(r => (r._3, r._4)).foreach { case (_, typ, us, _) =>
+        // carried state excludes the current row (window is ... AND 1
+        // PRECEDING), so test-then-update order matters only for rows
+        // of the same kind — and a row never qualifies against itself
+        typ match {
+          case "purchase" =>
+            if (lastClick >= 0 && us - lastClick <= step) conv += us
+          case "click" =>
+            if (lastView >= 0 && us - lastView <= step) lastClick = us
+          case "view" => lastView = us
+        }
+      }
+      if (conv.isEmpty) None else Some((user, conv.min, conv.length.toLong))
+    }.sortBy(_._1)
+    val got = q("b44_funnel_pattern").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+  }
+
+  test("b44: both window passes share one Exchange+Sort") {
+    val p = q("b44_funnel_pattern").queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(exchanges == 1, p)
+  }
+
+  test("c39: per-doc dup stats match brute-force positional 5-grams") {
+    val grams = docs.filter(_._2.length >= 5).flatMap { case (id, w) =>
+      (0 to w.length - 5).map(i => (id, w.slice(i, i + 5).mkString(" ")))
+    }
+    val dup = grams.distinct.groupBy(_._2).view
+      .mapValues(_.length).filter(_._2 >= 2).keySet.toSet
+    val expected = grams.groupBy(_._1).view.map { case (id, g) =>
+      val nPos = g.length.toLong
+      val dupPos = g.count(p => dup.contains(p._2)).toLong
+      (id, nPos, dupPos, dupPos * 10000L / nPos)
+    }.toSeq.sortBy(_._1)
+    val got = q("c39_dup_passage").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+  }
+
+  test("c40: pair counts are word counts weighted by frequency") {
+    val wc = docs.flatMap(_._2).groupBy(identity).view.mapValues(_.length.toLong)
+    val pairCnt = scala.collection.mutable.HashMap.empty[String, Long]
+    wc.foreach { case (w, c) =>
+      (0 until w.length - 1).foreach { i =>
+        val p = w.substring(i, i + 2)
+        pairCnt(p) = pairCnt.getOrElse(p, 0L) + c
+      }
+    }
+    val expectedPairs = pairCnt.toSeq.sortBy { case (p, c) => (-c, p) }.take(25)
+    val gotPairs = q("c40_vocab_bpe").filter(col("kind") === "pair")
+      .orderBy(col("cnt").desc, col("sym")).collect()
+      .map(r => (r.getString(1), r.getLong(2))).toSeq
+    assert(gotPairs == expectedPairs)
+    val gotWords = q("c40_vocab_bpe").filter(col("kind") === "word").collect()
+    assert(gotWords.length == math.min(25, wc.size))
+  }
+
+  test("c41: surprisal is the exact bit-length floor-log2 of inverse frequency") {
+    val toks = docs.flatMap { case (id, w) => w.map((id, _)) }
+    val n = toks.length.toLong
+    val wc = toks.groupBy(_._2).view.mapValues(_.length.toLong)
+    def bits(cnt: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(n / cnt)
+    val expected = toks.groupBy(_._1).view.map { case (id, t) =>
+      val sum = t.map(x => bits(wc(x._2))).sum
+      (id, t.length.toLong, sum, sum * 10000L / t.length)
+    }.toSeq.sortBy(_._1)
+    val got = q("c41_lm_surprisal").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    // the most frequent word carries the fewest bits, never negative
+    assert(expected.forall(_._3 >= 0))
+  }
+}
