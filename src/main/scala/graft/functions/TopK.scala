@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Bounded top-k-per-group as a typed `Aggregator` — SURVEY §7.3's
+  * flagged scale upgrade for B15. The window-function form
+  * (`row_number` over a partition) must shuffle and SORT every row of
+  * every group; this aggregator carries at most k (sortkey, id) pairs
+  * per group and partial-aggregates map-side, so the exchange moves k
+  * rows per group per input partition instead of the whole table — at
+  * 100 TB with a bounded k that is the difference between a top-k and
+  * a global sort of the fact table.
+  *
+  * Ordering is (sortkey DESC, id ASC) — the same total order b15
+  * declares, so the two plans are result-identical and b15's oracle
+  * applies verbatim. The buffer is kept sorted; insert is a linear
+  * scan (k is small by contract — this is a top-k, not a sort).
+  */
+final case class TopKByScore(k: Int)
+    extends Aggregator[(Long, Double), Seq[(Double, Long)], Seq[(Long, Double)]] {
+
+  require(k > 0, s"TopKByScore needs k > 0 (got $k)")
+
+  private def better(a: (Double, Long), b: (Double, Long)): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
+  private def insert(buf: Seq[(Double, Long)], e: (Double, Long)): Seq[(Double, Long)] = {
+    if (buf.length == k && !better(e, buf.last)) buf
+    else {
+      val i = buf.indexWhere(b => better(e, b))
+      val pos = if (i < 0) buf.length else i
+      ((buf.take(pos) :+ e) ++ buf.drop(pos)).take(k)
+    }
+  }
+
+  override def zero: Seq[(Double, Long)] = Vector.empty
+
+  override def reduce(buf: Seq[(Double, Long)], in: (Long, Double)): Seq[(Double, Long)] =
+    insert(buf, (in._2, in._1))
+
+  override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+    b.foldLeft(a)(insert)
+
+  override def finish(buf: Seq[(Double, Long)]): Seq[(Long, Double)] =
+    buf.map { case (score, id) => (id, score) }
+
+  override def bufferEncoder: Encoder[Seq[(Double, Long)]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[(Long, Double)]] = ExpressionEncoder()
+}

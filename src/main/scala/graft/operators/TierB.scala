@@ -885,7 +885,69 @@ object TierB {
       .orderBy("user_id")
   }
 
+  /** b45: batch CDC merge — the MERGE INTO / upsert pattern as a plain
+    * FULL OUTER join of the current snapshot against a change batch
+    * (updates / deletes / inserts), the batch twin of d13's
+    * foreachBatch streaming merge. The change batch is derived
+    * deterministically from the snapshot itself (keys %10==3 update,
+    * %10==7 delete, %100==0 spawn an insert above the key space) so the
+    * op needs no side table. Declared output is the per-change-kind
+    * audit (count + exact cents sum over the NEXT snapshot) a
+    * production merge job emits alongside its write. One key-keyed
+    * shuffle at any scale; balances in integer cents (floor(×100) is
+    * the same IEEE double op on both engines).
+    */
+  private def b45(s: SparkSession, d: String): DataFrame = {
+    val snap = customer(s, d).select(col("c_custkey").as("key"),
+      floor(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+    val upd = snap.filter(col("key") % 10 === 3)
+      .select(col("key"), (col("bal_cents") + 10000).as("new_bal"),
+        lit("U").as("op"))
+    val del = snap.filter(col("key") % 10 === 7)
+      .select(col("key"), lit(0L).as("new_bal"), lit("D").as("op"))
+    val ins = snap.filter(col("key") % 100 === 0)
+      .select((col("key") + 1000000).as("key"), col("bal_cents").as("new_bal"),
+        lit("I").as("op"))
+    snap.join(upd.union(del).union(ins), Seq("key"), "full_outer")
+      .select(
+        when(col("op").isNull, "unchanged").when(col("op") === "U", "updated")
+          .when(col("op") === "D", "deleted").otherwise("inserted")
+          .as("change"),
+        when(col("op") === "D", lit(null).cast("long"))
+          .when(col("op").isNull, col("bal_cents"))
+          .otherwise(col("new_bal")).as("bal"))
+      .groupBy("change")
+      .agg(count(lit(1)).as("cnt"), sum("bal").as("bal_cents_sum"))
+      .orderBy("change")
+  }
+
+  /** b46: bounded top-k per group via the typed `Aggregator` extension
+    * point ([[graft.functions.TopKByScore]]) — the scale twin of b15's
+    * window form. `row_number() OVER (PARTITION BY …)` must move and
+    * sort EVERY order of every customer through the exchange; the
+    * aggregator carries ≤ k rows per group and partial-aggregates
+    * map-side (ObjectHashAggregate partial → final, plan-asserted), so
+    * the shuffle traffic is k·|groups| regardless of fact-table size.
+    * Same declared total order (price DESC, orderkey ASC) ⇒ b15's
+    * oracle verbatim — the two plans are provably result-identical.
+    */
+  private def b46(s: SparkSession, d: String): DataFrame = {
+    val topk = udaf(graft.functions.TopKByScore(3))
+    orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(topk(col("o_orderkey"), col("o_totalprice")).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")))
+      .select(col("o_custkey"), col("col._1").as("o_orderkey"),
+        col("col._2").as("o_totalprice"),
+        (col("pos") + 1).cast("long").as("rn"))
+      .orderBy("o_custkey", "rn")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("b46_topk_agg", b46 _, Some(
+      "SELECT * FROM (SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn")),
+    QueryDef("b45_merge_cdc", b45 _, Some(
+      "WITH snap AS (SELECT c_custkey AS key, floor(c_acctbal * 100)::BIGINT AS bal_cents FROM customer), batch AS (SELECT key, bal_cents + 10000 AS new_bal, 'U' AS op FROM snap WHERE key % 10 = 3 UNION ALL SELECT key, 0, 'D' FROM snap WHERE key % 10 = 7 UNION ALL SELECT key + 1000000, bal_cents, 'I' FROM snap WHERE key % 100 = 0), m AS (SELECT CASE WHEN b.op IS NULL THEN 'unchanged' WHEN b.op = 'U' THEN 'updated' WHEN b.op = 'D' THEN 'deleted' ELSE 'inserted' END AS change, CASE WHEN b.op = 'D' THEN NULL WHEN b.op IS NULL THEN s.bal_cents ELSE b.new_bal END AS bal FROM snap s FULL OUTER JOIN batch b USING (key)) SELECT change, count(*)::BIGINT AS cnt, sum(bal)::BIGINT AS bal_cents_sum FROM m GROUP BY 1 ORDER BY 1")),
     QueryDef("b42_heavy_hitters", b42 _, Some(
       "WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents) SELECT w AS token, count(*)::BIGINT AS cnt FROM tok GROUP BY w HAVING count(*) * 40 >= (SELECT count(*) FROM tok) ORDER BY token")),
     QueryDef("b43_zorder_layout", b43 _, Some(

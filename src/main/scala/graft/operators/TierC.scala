@@ -1285,6 +1285,126 @@ object TierC {
       .orderBy("doc_id")
   }
 
+  /** c42: fixed-size eval holdout — exactly min(k, |stratum|) docs per
+    * source, selected by ranking on the portable md5 hash (a
+    * deterministic without-replacement sample: hash order is
+    * indistinguishable from random but reproducible across engines,
+    * cluster layouts and reruns — same rationale as c21/c22, which
+    * sample by RATE; the fixed-COUNT form is what an eval-set builder
+    * needs). One window pass per stratum: at 100 TB this is a standard
+    * top-k-per-group shuffle (b15's shape), never a global sort; k rows
+    * per stratum is all that survives the filter.
+    */
+  private def c42(s: SparkSession, d: String): DataFrame = {
+    val k = 20
+    val w = Window.partitionBy("source")
+      .orderBy(col("pick"), col("doc_id"))
+    documents(s, d)
+      .select(col("doc_id"), col("source"),
+        md5(concat(lit("hold:"), col("doc_id").cast("string"))).as("pick"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("source"), col("rk").cast("long").as("rk"))
+      .orderBy("source", "rk")
+  }
+
+  /** c43: product-quantization encode — the compression half of IVF-PQ
+    * next to c19's coarse quantizer and c27's scalar int8: the 64-dim
+    * vector splits into 4 subspaces of 16 dims; each subspace trains
+    * its own 4-centroid codebook (2 Lloyd rounds on c15's integer
+    * lattice, seeds = vec_id 0..3's subvectors — the a23/c19
+    * recurrence, so every trained centroid is bit-reproducible in the
+    * oracle); a vector then stores 4 small codes instead of 64 floats
+    * (production: 8 bits × 8..16 subspaces). All 4 subspaces train in
+    * ONE combine-style pass per round (per-partition counts+sums for
+    * every (subspace, centroid) together, one reduceByKey on 16 keys),
+    * and encode is a stateless broadcast map — the vectors themselves
+    * never shuffle, at any corpus size. Declared output = the full
+    * code table plus the exact integer quantization error, which pins
+    * every centroid of every codebook.
+    */
+  private def c43(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val nSub = 4; val subDim = 16; val kc = 4; val rounds = 2
+    val q = vecs(s, d).map { case (id, e) => (id, IntLattice.quantize(e)) }
+      .localCheckpoint(false)
+    val seeds = q.filter(_._1 < kc).collect().sortBy(_._1).map(_._2)
+    require(seeds.length == kc,
+      s"c43 expects seed vectors with vec_id 0..${kc - 1}; found ${seeds.length}")
+    var books: Array[Array[Array[Long]]] = Array.tabulate(nSub)(m =>
+      seeds.map(v => v.slice(m * subDim, (m + 1) * subDim)))
+    for (_ <- 1 to rounds) {
+      val bc = s.sparkContext.broadcast(books)
+      val agg = q.rdd.mapPartitions { it =>
+        val bs = bc.value
+        val cnt = Array.ofDim[Long](nSub, kc)
+        val sums = Array.ofDim[Long](nSub, kc, subDim)
+        it.foreach { case (_, qv) =>
+          var m = 0
+          while (m < nSub) {
+            val sv = java.util.Arrays.copyOfRange(qv, m * subDim, (m + 1) * subDim)
+            val (best, _) = IntLattice.assign(sv, bs(m), subDim)
+            cnt(m)(best) += 1
+            var i = 0
+            while (i < subDim) { sums(m)(best)(i) += sv(i); i += 1 }
+            m += 1
+          }
+        }
+        for { m <- (0 until nSub).iterator; c <- (0 until kc).iterator }
+          yield ((m, c), (cnt(m)(c), sums(m)(c)))
+      }.reduceByKey { (x, y) =>
+        (x._1 + y._1, Array.tabulate(subDim)(i => x._2(i) + y._2(i)))
+      }.collect().toMap
+      books = Array.tabulate(nSub) { m =>
+        Array.tabulate(kc) { c =>
+          agg.get((m, c)) match {
+            case Some((cn, ss)) if cn > 0 =>
+              // floor(sum/cnt), same empty-cluster keep rule as IntLattice
+              Array.tabulate(subDim)(i => math.floor(ss(i).toDouble / cn).toLong)
+            case _ => books(m)(c)
+          }
+        }
+      }
+    }
+    val bcF = s.sparkContext.broadcast(books)
+    q.mapPartitions { it =>
+      val bs = bcF.value
+      it.map { case (id, qv) =>
+        var err = 0L
+        val codes = new Array[Long](nSub)
+        var m = 0
+        while (m < nSub) {
+          val sv = java.util.Arrays.copyOfRange(qv, m * subDim, (m + 1) * subDim)
+          val (best, bd) = IntLattice.assign(sv, bs(m), subDim)
+          codes(m) = best.toLong; err += bd
+          m += 1
+        }
+        (id, codes(0), codes(1), codes(2), codes(3), err)
+      }
+    }.toDF("vec_id", "c0", "c1", "c2", "c3", "err")
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB twin of c43's per-subspace Lloyd recurrence — ivfOracleSql's
+    * CTE chain with a `sub = i // 16` key threaded through, so all 4
+    * codebooks train in the same SQL pass. Centroids are keyed (c, i):
+    * the subspace is determined by i, so codes from different
+    * subspaces never collide on an i.
+    */
+  private val pqOracleSql: String = {
+    def round(n: Int, prev: String): String =
+      s"a$n AS (SELECT q0.vec_id, q0.sub, p.c, sum((q0.q - p.m)*(q0.q - p.m))::BIGINT AS dist FROM q0 JOIN $prev p USING (i) GROUP BY 1, 2, 3), " +
+        s"b$n AS (SELECT vec_id, sub, c, dist FROM a$n QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, c) = 1), " +
+        s"u$n AS (SELECT b$n.c, q0.i, floor(sum(q0.q)::DOUBLE / count(*))::BIGINT AS m FROM b$n JOIN q0 ON q0.vec_id = b$n.vec_id AND q0.sub = b$n.sub GROUP BY 1, 2), " +
+        s"c$n AS (SELECT p.c, p.i, coalesce(u$n.m, p.m) AS m FROM $prev p LEFT JOIN u$n ON u$n.c = p.c AND u$n.i = p.i)"
+    "WITH q0 AS (SELECT vec_id, i.i AS i, (i.i // 16)::BIGINT AS sub, floor(embedding[i.i+1]::DOUBLE * 1024)::BIGINT AS q FROM embeddings, range(64) i(i)), " +
+      "c0 AS (SELECT vec_id AS c, i, q AS m FROM q0 WHERE vec_id < 4), " +
+      (1 to 2).map(n => round(n, if (n == 1) "c0" else s"c${n - 1}"))
+        .mkString(", ") +
+      ", asg AS (SELECT t.vec_id, t.sub, t.c, t.dist FROM (SELECT q0.vec_id, q0.sub, p.c, sum((q0.q - p.m)*(q0.q - p.m))::BIGINT AS dist FROM q0 JOIN c2 p USING (i) GROUP BY 1, 2, 3) t QUALIFY row_number() OVER (PARTITION BY t.vec_id, t.sub ORDER BY t.dist, t.c) = 1) " +
+      "SELECT vec_id, max(CASE WHEN sub = 0 THEN c END)::BIGINT AS c0, max(CASE WHEN sub = 1 THEN c END)::BIGINT AS c1, max(CASE WHEN sub = 2 THEN c END)::BIGINT AS c2, max(CASE WHEN sub = 3 THEN c END)::BIGINT AS c3, sum(dist)::BIGINT AS err FROM asg GROUP BY vec_id ORDER BY vec_id"
+  }
+
   private val shinglesSql =
     "SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) WHERE len(w) >= 3"
 
@@ -1363,6 +1483,7 @@ object TierC {
     QueryDef("c33_dedup_incremental", c33 _, Some(
       s"WITH $minhashCtes, newb AS (SELECT * FROM sig WHERE doc_id >= 400 AND doc_id < 500), idxb AS (SELECT * FROM sig WHERE doc_id < 400 OR doc_id >= 500), pairs AS (SELECT DISTINCT n.doc_id AS u, i.doc_id AS v FROM newb n JOIN idxb i ON n.band = i.band AND n.minhash = i.minhash), sizes AS (SELECT doc_id, count(*)::BIGINT AS nsh FROM sh GROUP BY 1), inter AS (SELECT p.u, p.v, count(*)::BIGINT AS inter FROM pairs p JOIN sh a ON a.doc_id = p.u JOIN sh b ON b.doc_id = p.v AND b.sh = a.sh GROUP BY 1, 2), scored AS (SELECT p.u, p.v, ((10000 * coalesce(i.inter, 0)) // (sa.nsh + sb.nsh - coalesce(i.inter, 0)))::BIGINT AS bp FROM pairs p JOIN sizes sa ON sa.doc_id = p.u JOIN sizes sb ON sb.doc_id = p.v LEFT JOIN inter i ON i.u = p.u AND i.v = p.v), best AS (SELECT u, v, bp, row_number() OVER (PARTITION BY u ORDER BY bp DESC, v) AS rn FROM scored), agg AS (SELECT u, count(*)::BIGINT AS n_cand FROM scored GROUP BY 1) SELECT doc.doc_id AS new_id, coalesce(a.n_cand, 0)::BIGINT AS n_cand, b.v AS best_match, coalesce(b.bp, 0)::BIGINT AS best_bp, coalesce(b.bp, 0) >= 8000 AS is_dup FROM documents doc LEFT JOIN agg a ON a.u = doc.doc_id LEFT JOIN best b ON b.u = doc.doc_id AND b.rn = 1 WHERE doc.doc_id >= 400 AND doc.doc_id < 500 ORDER BY new_id")),
     QueryDef("c19_ann_ivf", c19 _, Some(ivfOracleSql)),
+    QueryDef("c43_ann_pq", c43 _, Some(pqOracleSql)),
     QueryDef("c17_similarity_native_expr", c17 _, Some(
       "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1 ORDER BY vec_a")),
     QueryDef("c16_multimodal_binary", c16 _, Some(
@@ -1373,6 +1494,8 @@ object TierC {
       "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), top AS (SELECT term FROM tok GROUP BY term ORDER BY count(*) DESC, term LIMIT 20) SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(CASE WHEN term IN (SELECT term FROM top) THEN 0 ELSE 1 END)::BIGINT AS n_kept FROM tok GROUP BY 1 ORDER BY 1")),
     QueryDef("c31_source_mix", c31 _, Some(
       s"SELECT source, 9500 - 450 * substr(source, 4)::BIGINT AS rate_bp, count(*)::BIGINT AS n_total, sum(CASE WHEN ${duckHash("'mix:'||doc_id::VARCHAR")} % 10000 < 9500 - 450 * substr(source, 4)::BIGINT THEN 1 ELSE 0 END)::BIGINT AS n_kept FROM documents GROUP BY 1, 2 ORDER BY 1")),
+    QueryDef("c42_eval_holdout", c42 _, Some(
+      "WITH r AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source ORDER BY md5('hold:' || doc_id::VARCHAR), doc_id) AS rk FROM documents) SELECT doc_id, source, rk::BIGINT AS rk FROM r WHERE rk <= 20 ORDER BY source, rk")),
     QueryDef("c39_dup_passage", c39 _, Some(
       "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), pos AS (SELECT doc_id, array_to_string(ws[i+1:i+5], ' ') AS gram FROM w, LATERAL (SELECT unnest(range(0, len(ws)-4)) AS i) t WHERE len(ws) >= 5), dup AS (SELECT gram FROM pos GROUP BY gram HAVING count(DISTINCT doc_id) >= 2) SELECT p.doc_id, count(*)::BIGINT AS n_pos, count(d.gram)::BIGINT AS dup_pos, floor(count(d.gram) * 10000.0 / count(*))::BIGINT AS dup_bp FROM pos p LEFT JOIN dup d ON p.gram = d.gram GROUP BY p.doc_id ORDER BY p.doc_id")),
     QueryDef("c40_vocab_bpe", c40 _, Some(

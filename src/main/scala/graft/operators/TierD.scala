@@ -125,6 +125,9 @@ object TierD {
     QueryDef("d9_stream_join",
       (s, d) => graft.streaming.StreamingDemo.streamJoin(s, d), Some(
         TierB.intervalJoinOracleSql)),
+    QueryDef("d15_stream_outer_join",
+      (s, d) => graft.streaming.StreamingDemo.streamOuterJoin(s, d), Some(
+        "WITH c AS (SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type = 'click' AND floor(epoch(ts))::BIGINT + 14400 <= (SELECT floor(epoch(max(ts)))::BIGINT FROM events)), p AS (SELECT user_id, ts AS p_ts, event_id AS purchase_id FROM events WHERE event_type = 'purchase') SELECT c.user_id, c.click_id, p.purchase_id FROM c LEFT JOIN p ON p.user_id = c.user_id AND p.p_ts >= c.ts AND p.p_ts <= c.ts + INTERVAL 1 HOUR ORDER BY 1, 2, 3")),
     QueryDef("d12_stream_custom_source",
       (s, d) => graft.streaming.StreamingDemo.streamCustomSource(s, d), Some(
         "SELECT t.i AS id, md5(t.i::VARCHAR) AS value FROM range(10000) t(i) WHERE t.i % 97 = 0 ORDER BY id")),

@@ -199,6 +199,50 @@ object StreamingDemo {
       eventStream(s, d)) }
       .orderBy("user_id", "click_id", "purchase_id")
 
+  /** d15: stream-stream LEFT OUTER join — d9's attribution join plus
+    * the rows d9 cannot express: clicks that never converted. An outer
+    * null-extended row may only be emitted once the watermark PROVES no
+    * future purchase can match (the click's whole 1 h range is below
+    * it), i.e. on state eviction — on a bounded stream the final
+    * no-data batch does that for every closed click (d14's eviction
+    * mechanism applied to join state). Clicks near the end of the
+    * stream are provably-open (null-vs-match undecidable), so the
+    * declared output pins the decidable region identically on both
+    * engines: clicks with floor-second ts + 4 h ≤ floor-second max ts
+    * (2 h watermark delay + 1 h join range + 1 h margin clear of the
+    * eviction boundary's strictness). Floor-to-second on BOTH sides
+    * makes the cutoff arithmetic identical integers on both engines —
+    * the events table is ns-precision, Spark µs — so the region
+    * boundary itself can never drift.
+    */
+  def streamOuterJoin(s: SparkSession, d: String): DataFrame = {
+    // bounded driver scalar (one row) pinning the closed region
+    val mxS = graft.util.Tables.events(s, d)
+      .agg(max(expr("unix_micros(ts) div 1000000"))).head().getLong(0)
+    val raw = withStreamPartitions(s) { runToFiles(s, "d15",
+      df => {
+        val clicks = df.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("click_ts"),
+            col("event_id").as("click_id"))
+          .withWatermark("click_ts", "2 hours")
+        val purchases = df.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+            col("event_id").as("purchase_id"))
+          .withWatermark("p_ts", "2 hours")
+        clicks.join(purchases,
+          col("user_id") === col("p_user") &&
+            col("p_ts") >= col("click_ts") &&
+            col("p_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+          "left_outer")
+          .select(col("user_id"), col("click_ts"), col("click_id"),
+            col("purchase_id"))
+      },
+      eventStream(s, d)) }
+    raw.filter(expr("unix_micros(click_ts) div 1000000") + 14400L <= mxS)
+      .select("user_id", "click_id", "purchase_id")
+      .orderBy("user_id", "click_id", "purchase_id")
+  }
+
   /** d11: stream-STATIC join — the stateless dimension-enrichment
     * pattern (stream side joins a batch table; the static side is
     * re-planned per microbatch, broadcast when small). No state store,

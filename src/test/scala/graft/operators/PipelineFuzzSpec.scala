@@ -106,6 +106,69 @@ class PipelineFuzzSpec extends SparkSpec {
     }
   }
 
+  test("c39 dup-passage stats match brute force on random corpora") {
+    forAllN(genCorpus, 5) { texts =>
+      val d = writeCorpus(texts)
+      val grams = texts.zipWithIndex.flatMap { case (t, i) =>
+        val w = t.split(" ", -1)
+        (0 to w.length - 5).map(j => (i.toLong, w.slice(j, j + 5).mkString(" ")))
+      }
+      val dup = grams.distinct.groupBy(_._2).view
+        .mapValues(_.size).filter(_._2 >= 2).keySet.toSet
+      val expected = grams.groupBy(_._1).view.map { case (id, g) =>
+        val dp = g.count(p => dup.contains(p._2)).toLong
+        id -> ((g.size.toLong, dp, dp * 10000L / g.size))
+      }.toMap
+      val got = SparkEntry.queries("c39_dup_passage")(spark, d).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      assert(got == expected)
+    }
+  }
+
+  /** Random bounded event streams with deliberate timestamp ties (grid
+    * timestamps) — exercises the (us, event_id) tie-break in b44's
+    * carry-forward windows.
+    */
+  private val genEvents: Gen[List[(Long, Long, Long, String)]] = for {
+    n <- Gen.choose(0, 120)
+    evs <- Gen.listOfN(n, for {
+      user <- Gen.choose(0L, 4L)
+      slot <- Gen.choose(0L, 60L) // hours on a grid => frequent ties
+      typ <- Gen.oneOf("view", "click", "purchase", "signup")
+    } yield (user, slot * 3600L * 1000000L, typ))
+  } yield evs.zipWithIndex.map { case ((u, us, t), i) => (i.toLong, u, us, t) }
+
+  test("b44 funnel matches a sequential replay on random event streams") {
+    forAllN(genEvents, 8) { evs =>
+      import spark.implicits._
+      val dir = graft.util.TmpDir.fresh("fuzz-events")
+      evs.map { case (id, u, us, t) => (id, us * 1000L, u, t, 1.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.parquet(s"$dir/events.parquet")
+      val step = 86400L * 1000000L
+      val expected = evs.filter(e => e._4 != "signup")
+        .groupBy(_._2).toSeq.flatMap { case (user, rows) =>
+          var lastView = -1L; var lastClick = -1L
+          val conv = scala.collection.mutable.ArrayBuffer.empty[Long]
+          rows.sortBy(r => (r._3, r._1)).foreach { case (_, _, us, typ) =>
+            typ match {
+              case "purchase" =>
+                if (lastClick >= 0 && us - lastClick <= step) conv += us
+              case "click" =>
+                if (lastView >= 0 && us - lastView <= step) lastClick = us
+              case _ => lastView = us
+            }
+          }
+          if (conv.isEmpty) None
+          else Some((user, conv.min, conv.length.toLong))
+        }.sortBy(_._1)
+      val got = SparkEntry.queries("b44_funnel_pattern")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == expected, s"events=${evs.take(20)}...")
+    }
+  }
+
   test("c30 kept counts match brute force (top-20 stop list, ties by term)") {
     forAllN(genCorpus, 5) { texts =>
       val d = writeCorpus(texts)

@@ -177,6 +177,142 @@ class Round4bPropsSpec extends SparkSpec {
     assert(gotWords.length == math.min(25, wc.size))
   }
 
+  test("b45: CDC audit is conserved — every snapshot and batch row lands in exactly one change kind") {
+    val snap = graft.util.Tables.customer(spark, sf0001)
+      .select(col("c_custkey")).collect().map(_.getLong(0))
+    val byChange = q("b45_merge_cdc").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val upd = snap.count(_ % 10 == 3).toLong
+    val del = snap.count(_ % 10 == 7).toLong
+    val ins = snap.count(_ % 100 == 0).toLong
+    assert(byChange("updated") == upd)
+    assert(byChange("deleted") == del)
+    assert(byChange("inserted") == ins)
+    assert(byChange("unchanged") == snap.length - upd - del)
+    // the deleted group carries no balance (tombstones)
+    val delRow = q("b45_merge_cdc")
+      .filter(col("change") === "deleted").collect()(0)
+    assert(delRow.isNullAt(2))
+  }
+
+  test("c42: exactly min(k, stratum) docs per source, dense ranks, deterministic") {
+    import spark.implicits._
+    val sizes = graft.util.Tables.documents(spark, sf0001)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    val rows = q("c42_eval_holdout")
+      .select("source", "rk").as[(String, Long)].collect()
+    val bySrc = rows.groupBy(_._1)
+    assert(bySrc.keySet == sizes.keySet.filter(s => sizes(s) > 0))
+    bySrc.foreach { case (src, rs) =>
+      val expect = math.min(20L, sizes(src))
+      assert(rs.length.toLong == expect, src)
+      assert(rs.map(_._2).sorted.toSeq == (1L to expect))
+    }
+    // reruns pick the identical holdout (hash order, not rand())
+    val again = q("c42_eval_holdout")
+      .select("source", "rk").as[(String, Long)].collect()
+    assert(rows.toSeq == again.toSeq)
+  }
+
+  test("b46: aggregator top-k equals the window form row-for-row, partial-aggregated") {
+    val win = q("b15_topk_per_group").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val agg = q("b46_topk_agg").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(agg.toSeq == win.toSeq)
+    // the scale claim: an ObjectHashAggregate partial stage runs BELOW
+    // the exchange, so only k rows per group per partition shuffle
+    val p = q("b46_topk_agg").queryExecution.executedPlan.toString
+    assert(p.contains("ObjectHashAggregate"), p.take(800))
+    assert(p.contains("partial_topkbyscore"), p.take(800))
+  }
+
+  test("b46: TopKByScore kernel — bound, order, merge associativity on random input") {
+    val topk = graft.functions.TopKByScore(3)
+    forAllN(org.scalacheck.Gen.listOf(for {
+      id <- org.scalacheck.Gen.choose(0L, 50L)
+      price <- org.scalacheck.Gen.oneOf(1.0, 2.0, 3.0, 7.5) // force ties
+    } yield (id, price)), 30) { rows =>
+      // reference: full sort of ALL rows (duplicates kept), top 3
+      val ref = rows.map { case (id, p) => (p, id) }
+        .sorted(Ordering.Tuple2(Ordering[Double].reverse, Ordering[Long])).take(3)
+      val whole = rows.foldLeft(topk.zero)(topk.reduce)
+      assert(whole == ref)
+      // any split point merges to the same answer (map-side partials)
+      val cut = rows.length / 2
+      val (l, r) = rows.splitAt(cut)
+      val merged = topk.merge(
+        l.foldLeft(topk.zero)(topk.reduce), r.foldLeft(topk.zero)(topk.reduce))
+      assert(merged == ref)
+    }
+  }
+
+  test("d15: stream outer join equals the batch left join over the closed region") {
+    import org.apache.spark.sql.functions.{expr, max}
+    val ev = graft.util.Tables.events(spark, sf0001)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val mxS = ev.agg(max(expr("unix_micros(ts) div 1000000"))).head().getLong(0)
+    val clicks = ev.filter(col("event_type") === "click")
+      .filter(expr("unix_micros(ts) div 1000000") + 14400L <= mxS)
+      .select(col("user_id"), col("ts").as("cts"), col("event_id").as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"),
+        col("event_id").as("purchase_id"))
+    val expect = clicks.join(purchases,
+        col("user_id") === col("pu") && col("pts") >= col("cts") &&
+          col("pts") <= col("cts") + expr("INTERVAL 1 HOUR"), "left_outer")
+      .select(col("user_id"), col("click_id"), col("purchase_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).sorted
+    val got = q("d15_stream_outer_join").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).sorted
+    assert(got.toSeq == expect.toSeq)
+    // the outer half is real: some closed clicks never converted
+    assert(got.exists(_._3 == -1L))
+    assert(got.exists(_._3 != -1L))
+  }
+
+  test("c43: PQ codes and quantization error match a driver-side reimplementation") {
+    val em = graft.util.Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).toArray.map(v => math.floor(v.toDouble * 1024.0).toLong)))
+      .sortBy(_._1)
+    val nSub = 4; val subDim = 16; val kc = 4
+    def slice(v: Array[Long], m: Int) = v.slice(m * subDim, (m + 1) * subDim)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def nearest(v: Array[Long], book: Array[Array[Long]]): (Int, Long) =
+      book.zipWithIndex.map { case (c, i) => (d2(v, c), i) }.min match {
+        case (dist, i) => (i, dist)
+      }
+    var books = Array.tabulate(nSub)(m => (0 until kc).map(c => slice(em(c)._2, m)).toArray)
+    for (_ <- 1 to 2) {
+      books = Array.tabulate(nSub) { m =>
+        val assigned = em.map { case (_, v) => (nearest(slice(v, m), books(m))._1, slice(v, m)) }
+        Array.tabulate(kc) { c =>
+          val mine = assigned.filter(_._1 == c).map(_._2)
+          if (mine.isEmpty) books(m)(c)
+          else Array.tabulate(subDim)(i =>
+            math.floor(mine.map(_(i)).sum.toDouble / mine.length).toLong)
+        }
+      }
+    }
+    val expect = em.map { case (id, v) =>
+      val enc = (0 until nSub).map(m => nearest(slice(v, m), books(m)))
+      (id, enc(0)._1.toLong, enc(1)._1.toLong, enc(2)._1.toLong, enc(3)._1.toLong,
+        enc.map(_._2).sum)
+    }
+    val got = q("c43_ann_pq").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == expect.toSeq)
+    // quantization really compresses: codes are 2 bits each
+    assert(got.forall(t => Seq(t._2, t._3, t._4, t._5).forall(c => c >= 0 && c < 4)))
+  }
+
   test("c41: surprisal is the exact bit-length floor-log2 of inverse frequency") {
     val toks = docs.flatMap { case (id, w) => w.map((id, _)) }
     val n = toks.length.toLong
