@@ -5,13 +5,18 @@ import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 
 /** Bounded top-k-per-group as a typed `Aggregator` — SURVEY §7.3's
-  * flagged scale upgrade for B15. The window-function form
-  * (`row_number` over a partition) must shuffle and SORT every row of
-  * every group; this aggregator carries at most k (sortkey, id) pairs
-  * per group and partial-aggregates map-side, so the exchange moves k
-  * rows per group per input partition instead of the whole table — at
-  * 100 TB with a bounded k that is the difference between a top-k and
-  * a global sort of the fact table.
+  * flagged scale upgrade for B15. Spark ≥ 3.5 already bounds the
+  * window form's SHUFFLE (`InferWindowGroupLimit` plants a Partial
+  * `WindowGroupLimit` below the exchange, so only ~k rows per group
+  * per map partition move) — but that plan still pays a FULL local
+  * sort of every scanned partition on the map side and a second sort
+  * on the reduce side, because WindowGroupLimit is a rank filter over
+  * sorted input, not an aggregate. This aggregator removes the sorts
+  * entirely: ObjectHashAggregate streams O(n·k) buffer updates
+  * map-side and merges bounded k-row buffers reduce-side — no sort
+  * operator anywhere below the final presentation ORDER BY
+  * (plan-asserted). At 100 TB the map-side n·log n over every scan
+  * partition is the term that matters.
   *
   * Ordering is (sortkey DESC, id ASC) — the same total order b15
   * declares, so the two plans are result-identical and b15's oracle

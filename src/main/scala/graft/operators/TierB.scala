@@ -922,14 +922,16 @@ object TierB {
   }
 
   /** b46: bounded top-k per group via the typed `Aggregator` extension
-    * point ([[graft.functions.TopKByScore]]) — the scale twin of b15's
-    * window form. `row_number() OVER (PARTITION BY …)` must move and
-    * sort EVERY order of every customer through the exchange; the
-    * aggregator carries ≤ k rows per group and partial-aggregates
-    * map-side (ObjectHashAggregate partial → final, plan-asserted), so
-    * the shuffle traffic is k·|groups| regardless of fact-table size.
-    * Same declared total order (price DESC, orderkey ASC) ⇒ b15's
-    * oracle verbatim — the two plans are provably result-identical.
+    * point ([[graft.functions.TopKByScore]]) — the sort-free twin of
+    * b15's window form. Spark ≥ 3.5 already bounds b15's shuffle
+    * (Partial `WindowGroupLimit` below the exchange), but that plan
+    * still fully SORTS every scanned partition map-side and re-sorts
+    * reduce-side; the aggregator form replaces both sorts with
+    * ObjectHashAggregate partial → final (plan-asserted: no sort below
+    * the presentation ORDER BY), streaming O(n·k) updates into ≤ k-row
+    * buffers. Same declared total order (price DESC, orderkey ASC) ⇒
+    * b15's oracle verbatim — the two plans are provably
+    * result-identical.
     */
   private def b46(s: SparkSession, d: String): DataFrame = {
     val topk = udaf(graft.functions.TopKByScore(3))

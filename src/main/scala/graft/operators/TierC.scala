@@ -1385,6 +1385,31 @@ object TierC {
       .orderBy("vec_id")
   }
 
+  /** c44: canonical-document selection — the dedup ENDGAME policy c18
+    * stops short of: inside every duplicate cluster, choose the one
+    * document that survives (longest n_chars, tie → smallest doc_id —
+    * the usual keep-the-longest-member policy) and emit the audit a
+    * production dedup job reports (cluster size + keeper). Reuses
+    * c18's cluster assignment; the rank window and the audit aggregate
+    * are BOTH keyed by cluster_id, so the aggregate rides the window's
+    * exchange — and cluster cardinality is duplicate-sized (tiny),
+    * however large the corpus.
+    */
+  private def c44(s: SparkSession, d: String): DataFrame = {
+    val clusters = c18(s, d).select(col("doc_id"), col("cluster_id"))
+    val len = documents(s, d).select(col("doc_id"), col("n_chars"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    clusters.join(len, Seq("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(when(col("rk") === 1, col("doc_id"))).as("kept_doc_id"),
+        max(when(col("rk") === 1, col("n_chars"))).as("kept_n_chars"))
+      .filter(col("n_members") >= 2)
+      .orderBy("cluster_id")
+  }
+
   /** DuckDB twin of c43's per-subspace Lloyd recurrence — ivfOracleSql's
     * CTE chain with a `sub = i // 16` key threaded through, so all 4
     * codebooks train in the same SQL pass. Centroids are keyed (c, i):
@@ -1418,6 +1443,12 @@ object TierC {
       "mbase AS (SELECT doc_id, ('0x'||substr(md5(sh),1,8))::BIGINT AS h FROM sh), " +
       "mh AS (SELECT mbase.doc_id, coef.j, min((coef.a * mbase.h + coef.b) & 4294967295) AS m FROM mbase, coef GROUP BY 1, 2), " +
       "sig AS (SELECT doc_id, (j // 4)::BIGINT AS band, string_agg(m::VARCHAR, ',' ORDER BY j) AS minhash FROM mh GROUP BY 1, 2)"
+
+  /** Shared c18/c44 CTE chain: LSH candidate pairs → symmetric edge set
+    * → recursive reachability (connected components by min label).
+    */
+  private val clusterCtes =
+    s"$minhashCtes, pairs AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v FROM sig a JOIN sig b ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id), edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs), reach(u, r) AS (SELECT doc_id, doc_id FROM documents UNION SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u)"
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("c38_dedup_containment", c38 _, Some(
@@ -1473,7 +1504,9 @@ object TierC {
     QueryDef("c20_text_normalize", c20 _, Some(
       "SELECT doc_id, md5(regexp_replace(regexp_replace(trim(text), '[0-9]+', '#', 'g'), ' +', ' ', 'g')) AS norm_fp, length(regexp_replace(regexp_replace(trim(text), '[0-9]+', '#', 'g'), ' +', ' ', 'g'))::BIGINT AS norm_len FROM documents ORDER BY doc_id")),
     QueryDef("c18_dedup_cluster", c18 _, Some(
-      s"WITH RECURSIVE $minhashCtes, pairs AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v FROM sig a JOIN sig b ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id), edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs), reach(u, r) AS (SELECT doc_id, doc_id FROM documents UNION SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u) SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u ORDER BY doc_id")),
+      s"WITH RECURSIVE $clusterCtes SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u ORDER BY doc_id")),
+    QueryDef("c44_dedup_canonical", c44 _, Some(
+      s"WITH RECURSIVE $clusterCtes, cl AS (SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u), j AS (SELECT cl.cluster_id, cl.doc_id, d.n_chars, row_number() OVER (PARTITION BY cl.cluster_id ORDER BY d.n_chars DESC, cl.doc_id) AS rk FROM cl JOIN documents d ON d.doc_id = cl.doc_id) SELECT cluster_id, count(*)::BIGINT AS n_members, max(CASE WHEN rk = 1 THEN doc_id END)::BIGINT AS kept_doc_id, max(CASE WHEN rk = 1 THEN n_chars END)::BIGINT AS kept_n_chars FROM j GROUP BY cluster_id HAVING count(*) >= 2 ORDER BY cluster_id")),
     QueryDef("c28_sequence_packing", c28 _, Some(
       "WITH toks AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tok FROM documents), c AS (SELECT doc_id, coalesce(sum(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS before FROM toks) SELECT doc_id, (before // 256)::BIGINT AS start_bin, (before % 256)::BIGINT AS start_offset FROM c ORDER BY doc_id")),
     QueryDef("c27_embedding_quantize", c27 _, Some(

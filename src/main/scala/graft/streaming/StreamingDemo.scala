@@ -42,6 +42,79 @@ class UserCountProcessor
 case class SessionOut(
     user_id: Long, session_id: Long, cnt: Long, start_s: Long, end_s: Long)
 
+/** d16's per-user open session (top-level public for Catalyst codegen). */
+case class OpenSession(start_us: Long, last_us: Long, n: Long)
+
+/** d16's `StatefulProcessor` with EVENT-TIME TIMERS — the capability
+  * that distinguishes `transformWithState` from the older
+  * `flatMapGroupsWithState` (d6 must re-see a user to notice their
+  * session timed out; a timer fires on watermark advance alone).
+  * Sessions closed by a later in-batch event emit inline; the trailing
+  * OPEN session is closed by an inactivity timer registered at
+  * last_event + gap — re-registered (old timers deleted) every time
+  * the user speaks again, fired by the engine when the event-time
+  * watermark passes it, including the final no-data batch of a bounded
+  * stream. State per user is one `OpenSession` + at most one live
+  * timer, however long the stream runs.
+  */
+class SessionTimerProcessor(gapUs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, Ev, (Long, Long, Long, Long)] {
+  @transient private var open:
+    org.apache.spark.sql.streaming.ValueState[OpenSession] = _
+  override def init(
+      outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    open = getHandle.getValueState[OpenSession]("open",
+      org.apache.spark.sql.Encoders.product[OpenSession],
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  private def emit(key: Long, o: OpenSession): (Long, Long, Long, Long) =
+    (key, o.start_us / 1000000L, o.last_us / 1000000L, o.n)
+
+  override def handleInputRows(
+      key: Long, rows: Iterator[Ev],
+      tv: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Long, Long, Long)] = {
+    // within a batch the engine hands all of the key's rows at once,
+    // unordered — sort by the same (ts, event_id) total order as the
+    // oracle's windows
+    val sorted = rows.toArray.sortBy(e => (e.ts_us, e.event_id))
+    val out = mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    var cur: Option[OpenSession] = if (open.exists()) Some(open.get()) else None
+    sorted.foreach { e =>
+      cur match {
+        case Some(o) if e.ts_us - o.last_us < gapUs =>
+          cur = Some(OpenSession(o.start_us, math.max(o.last_us, e.ts_us), o.n + 1))
+        case Some(o) =>
+          out += emit(key, o)
+          cur = Some(OpenSession(e.ts_us, e.ts_us, 1))
+        case None =>
+          cur = Some(OpenSession(e.ts_us, e.ts_us, 1))
+      }
+    }
+    cur.foreach { o =>
+      open.update(o)
+      // exactly one live timer per user: drop stale ones (an earlier
+      // batch's shorter deadline would close the extended session early)
+      getHandle.listTimers().foreach(t =>
+        getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer((o.last_us + gapUs) / 1000L)
+    }
+    out.iterator
+  }
+
+  override def handleExpiredTimer(
+      key: Long,
+      tv: org.apache.spark.sql.streaming.TimerValues,
+      info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[(Long, Long, Long, Long)] = {
+    if (open.exists()) {
+      val o = open.get()
+      open.clear()
+      Iterator.single(emit(key, o))
+    } else Iterator.empty
+  }
+}
+
 /** SURVEY.md §2 Tier D — true Structured Streaming twins (d5/d6).
   *
   * The reference has no streaming; these are the Spark-native stream
@@ -216,9 +289,12 @@ object StreamingDemo {
     * boundary itself can never drift.
     */
   def streamOuterJoin(s: SparkSession, d: String): DataFrame = {
-    // bounded driver scalar (one row) pinning the closed region
-    val mxS = graft.util.Tables.events(s, d)
-      .agg(max(expr("unix_micros(ts) div 1000000"))).head().getLong(0)
+    // bounded driver scalar (one row) pinning the closed region; an
+    // empty events table has no max — every region is open, nothing
+    // may emit (the filter below then keeps zero rows)
+    val mxRow = graft.util.Tables.events(s, d)
+      .agg(max(expr("unix_micros(ts) div 1000000"))).head()
+    val mxS = if (mxRow.isNullAt(0)) Long.MinValue else mxRow.getLong(0)
     val raw = withStreamPartitions(s) { runToFiles(s, "d15",
       df => {
         val clicks = df.filter(col("event_type") === "click")
@@ -309,6 +385,60 @@ object StreamingDemo {
     s.read.schema(counted.schema).parquet(sink)
       .groupBy("user_id").agg(max("cnt").as("cnt"))
       .orderBy("user_id")
+  }
+
+  /** d16: `transformWithState` with EVENT-TIME TIMERS — inactivity
+    * sessionization where the CLOSE signal is the watermark, not a new
+    * event: in-batch closures emit inline, and the trailing open
+    * session emits when its timer (last event + 30 min) is passed by
+    * the event-time watermark — on a bounded stream, in the engine's
+    * final no-data batch (d14's eviction mechanism driving user code).
+    * Sessions too close to the end of the stream are undecidable
+    * (their timer provably can't have fired), so the declared output
+    * pins the closed region with floor-second integer arithmetic
+    * identical on both engines: end_s + 12 600 ≤ max ts in seconds
+    * (30 min gap + 2 h watermark delay + 1 h margin clear of the
+    * ms-level timer/watermark strictness).
+    */
+  def transformWithStateTimers(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val gapUs = 1800L * 1000000L
+    val mxRow = graft.util.Tables.events(s, d)
+      .agg(max(expr("unix_micros(ts) div 1000000"))).head()
+    val mxS = if (mxRow.isNullAt(0)) Long.MinValue else mxRow.getLong(0)
+    val ev = eventStream(s, d)
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"))
+      .as[Ev]
+    val sessions = ev.groupByKey(_.user_id)
+      .transformWithState(new SessionTimerProcessor(gapUs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+      .toDF("user_id", "start_s", "end_s", "cnt")
+    val sink = graft.util.TmpDir.fresh("d16-sink")
+    val ckpt = graft.util.TmpDir.fresh("d16-ckpt")
+    withStreamPartitions(s) {
+      val pKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(pKey)
+      s.conf.set(pKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val q = sessions.writeStream
+          .format("parquet").option("path", sink)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").start()
+        try { q.processAllAvailable() } finally { q.stop() }
+      } finally {
+        prev match {
+          case Some(v) => s.conf.set(pKey, v)
+          case None    => s.conf.unset(pKey)
+        }
+      }
+    }
+    s.read.schema(sessions.schema).parquet(sink)
+      .filter(col("end_s") + 12600L <= mxS)
+      .orderBy("user_id", "start_s")
   }
 
   /** d6: `flatMapGroupsWithState` sessionization — per-user custom

@@ -225,6 +225,16 @@ class Round4bPropsSpec extends SparkSpec {
     val p = q("b46_topk_agg").queryExecution.executedPlan.toString
     assert(p.contains("ObjectHashAggregate"), p.take(800))
     assert(p.contains("partial_topkbyscore"), p.take(800))
+    // ...and unlike the window form, it is SORT-FREE below the
+    // presentation ORDER BY: exactly one Sort in the whole plan
+    assert(p.split("\\bSort \\[").length - 1 == 1, p.take(1200))
+    // the window form (b15) relies on Spark's own WindowGroupLimit to
+    // bound the shuffle — assert it's really there (Partial, map-side),
+    // and that it pays the sorts b46 avoids
+    val pw = q("b15_topk_per_group").queryExecution.executedPlan.toString
+    assert(pw.contains("WindowGroupLimit"), pw.take(1200))
+    assert(pw.contains("Partial"), pw.take(1200))
+    assert(pw.split("\\bSort \\[").length - 1 >= 3, pw.take(1200))
   }
 
   test("b46: TopKByScore kernel — bound, order, merge associativity on random input") {
@@ -311,6 +321,52 @@ class Round4bPropsSpec extends SparkSpec {
     assert(got.toSeq == expect.toSeq)
     // quantization really compresses: codes are 2 bits each
     assert(got.forall(t => Seq(t._2, t._3, t._4, t._5).forall(c => c >= 0 && c < 4)))
+  }
+
+  test("d16: timer-closed sessions equal a sequential replay over the closed region") {
+    import org.apache.spark.sql.functions.expr
+    val ev = graft.util.Tables.events(spark, sf0001)
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val mxS = ev.map(_._2).max / 1000000L
+    val gap = 1800L * 1000000L
+    val expect = ev.groupBy(_._1).toSeq.flatMap { case (user, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      val sessions = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      var start = -1L; var last = -1L; var n = 0L
+      sorted.foreach { case (_, us, _) =>
+        if (start < 0) { start = us; last = us; n = 1 }
+        else if (us - last < gap) { last = us; n += 1 }
+        else { sessions += ((start, last, n)); start = us; last = us; n = 1 }
+      }
+      if (start >= 0) sessions += ((start, last, n))
+      sessions.map { case (s0, l, c) => (user, s0 / 1000000L, l / 1000000L, c) }
+    }.filter(t => t._3 + 12600L <= mxS).sorted
+    val got = q("d16_stream_timer_session").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+    assert(got.toSeq == expect)
+    // the timer half is real: closed sessions exist, and the open tail
+    // (last 12600 s) is really absent
+    assert(got.nonEmpty)
+    assert(got.forall(_._3 + 12600L <= mxS))
+  }
+
+  test("c44: keeper is the longest member (tie: smallest id) of every real cluster") {
+    val cl = q("c18_dedup_cluster").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val len = graft.util.Tables.documents(spark, sf0001)
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = cl.groupBy(_._2).filter(_._2.length >= 2).map { case (cid, ms) =>
+      val members = ms.map(_._1)
+      val keeper = members.minBy(id => (-len(id), id))
+      (cid, members.length.toLong, keeper, len(keeper))
+    }.toSeq.sortBy(_._1)
+    val got = q("c44_dedup_canonical").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expect)
+    // every cluster loses at least one member; the keeper is a member
+    assert(got.forall(_._2 >= 2))
   }
 
   test("c41: surprisal is the exact bit-length floor-log2 of inverse frequency") {
