@@ -24,33 +24,46 @@ import org.apache.spark.sql.expressions.Aggregator
   * scan (k is small by contract — this is a top-k, not a sort).
   */
 final case class TopKByScore(k: Int)
-    extends Aggregator[(Long, Double), Seq[(Double, Long)], Seq[(Long, Double)]] {
+    extends Aggregator[(Long, Double),
+      scala.collection.mutable.ArrayBuffer[(Double, Long)], Seq[(Long, Double)]] {
 
   require(k > 0, s"TopKByScore needs k > 0 (got $k)")
+
+  private type Buf = scala.collection.mutable.ArrayBuffer[(Double, Long)]
 
   private def better(a: (Double, Long), b: (Double, Long)): Boolean =
     a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
 
-  private def insert(buf: Seq[(Double, Long)], e: (Double, Long)): Seq[(Double, Long)] = {
-    if (buf.length == k && !better(e, buf.last)) buf
+  /** In-place bounded insert. ObjectHashAggregate holds the buffer as a
+    * live object between input rows (serialization happens only at the
+    * partial→exchange boundary), so mutating beats rebuilding an
+    * immutable Seq per row — the hot path is one linear scan and at
+    * most one O(k) shift, zero allocation on the common reject path.
+    */
+  private def insert(buf: Buf, e: (Double, Long)): Buf = {
+    if (buf.length == k && !better(e, buf(k - 1))) buf
     else {
-      val i = buf.indexWhere(b => better(e, b))
-      val pos = if (i < 0) buf.length else i
-      ((buf.take(pos) :+ e) ++ buf.drop(pos)).take(k)
+      var i = 0
+      while (i < buf.length && !better(e, buf(i))) i += 1
+      buf.insert(i, e)
+      if (buf.length > k) buf.remove(k)
+      buf
     }
   }
 
-  override def zero: Seq[(Double, Long)] = Vector.empty
+  override def zero: Buf = new Buf(k)
 
-  override def reduce(buf: Seq[(Double, Long)], in: (Long, Double)): Seq[(Double, Long)] =
+  override def reduce(buf: Buf, in: (Long, Double)): Buf =
     insert(buf, (in._2, in._1))
 
-  override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
-    b.foldLeft(a)(insert)
+  override def merge(a: Buf, b: Buf): Buf = {
+    b.foreach(e => insert(a, e))
+    a
+  }
 
-  override def finish(buf: Seq[(Double, Long)]): Seq[(Long, Double)] =
-    buf.map { case (score, id) => (id, score) }
+  override def finish(buf: Buf): Seq[(Long, Double)] =
+    buf.toSeq.map { case (score, id) => (id, score) }
 
-  override def bufferEncoder: Encoder[Seq[(Double, Long)]] = ExpressionEncoder()
+  override def bufferEncoder: Encoder[Buf] = ExpressionEncoder()
   override def outputEncoder: Encoder[Seq[(Long, Double)]] = ExpressionEncoder()
 }

@@ -945,7 +945,32 @@ object TierB {
       .orderBy("o_custkey", "rn")
   }
 
+  /** b47: deterministic ordered list aggregation — the export/render
+    * surface: `collect_list` is EXPLICITLY unordered in Spark (values
+    * arrive in partition race order), so the portable form collects
+    * structs, `array_sort`s them (price DESC via negation, orderkey
+    * tiebreak), and renders CSV. Partial-aggregates map-side like any
+    * agg; per-group state is the group itself — the ONE declared op
+    * with O(group) state, included because ordered rendering is a real
+    * export need; the bounded-k alternative is b46. Deliberately
+    * deterministic: an unordered collect_list can never be oracled.
+    */
+  private def b47(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(
+        concat_ws(",",
+          transform(
+            array_sort(collect_list(struct(
+              (col("o_totalprice") * -1).as("np"),
+              col("o_orderkey").as("k")))),
+            x => x.getField("k").cast("string"))).as("orders_csv"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_custkey")
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("b47_agg_ordered_list", b47 _, Some(
+      "SELECT o_custkey, string_agg(o_orderkey::VARCHAR, ',' ORDER BY o_totalprice DESC, o_orderkey) AS orders_csv, count(*)::BIGINT AS n_orders FROM orders GROUP BY o_custkey ORDER BY o_custkey")),
     QueryDef("b46_topk_agg", b46 _, Some(
       "SELECT * FROM (SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn")),
     QueryDef("b45_merge_cdc", b45 _, Some(

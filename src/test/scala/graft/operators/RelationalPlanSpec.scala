@@ -77,4 +77,37 @@ class RelationalPlanSpec extends SparkSpec {
     // the bucket column is part of the equi key
     assert(p.contains("bkt"), p)
   }
+
+  test("b45: CDC merge is one key-keyed FULL OUTER equi join, never broadcast/nested-loop") {
+    val p = plan("b45_merge_cdc")
+    assert(p.contains("FullOuter"), p)
+    // full-outer cannot broadcast; the plan must be a hash/merge equi join
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("c42: holdout ranks with ONE source-keyed exchange, partial-agg free") {
+    val p = plan("c42_eval_holdout")
+    // one hash exchange for the stratum window (+ the presentation range
+    // exchange); no join, no extra shuffles
+    assert(p.split("Exchange hashpartitioning").length - 1 == 1, p)
+    assert(!p.contains("Join"), p)
+    // Spark's rank-limit pre-filter bounds the per-partition state
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("c44: the audit aggregate rides the rank window's cluster exchange") {
+    val p = plan("c44_dedup_canonical")
+    // the window and the groupBy share the cluster_id partitioning: the
+    // aggregate must NOT introduce its own hash exchange on cluster_id
+    // beyond the window's single one (plus c18's internal joins)
+    val winIdx = p.indexOf("Window ")
+    assert(winIdx >= 0, p.take(800))
+    // tree prints top-down: an aggregate-owned exchange would sit ABOVE
+    // the Window node (between HashAggregate and Window in the string);
+    // the only cluster_id exchange allowed is the window's own, below it
+    val above = p.substring(0, winIdx)
+    assert(!above.contains("Exchange hashpartitioning(cluster_id"),
+      above.take(800))
+  }
 }
