@@ -25,6 +25,16 @@ object Bench {
       // serialization 2-5x there. SQL rows use Tungsten either way.
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.ui.enabled", "false")
+      // Spark's ObjectHashAggregate silently falls back to SORT-based
+      // aggregation after 128 distinct keys per partition (the default
+      // fallbackThreshold) — which re-introduces, at runtime and
+      // invisibly to the plan, exactly the per-partition sort the object
+      // aggregates (b33 KMV, b46 top-k) exist to avoid. 1M entries of
+      // small bounded buffers is ~100-200 MB per task worst-case; at
+      // 100 TB size this knob to the executor heap the same way
+      // shuffle.partitions is sized.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "1000000")
     // Tuning passthrough: SPARK_GRAFT_CONF="k=v;k=v" (dev experiments).
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.contains('='))
       .foreach { kv =>

@@ -17,6 +17,9 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.ui.enabled", "false")
+      // graft session default (see Bench.scala for the rationale)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "1000000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.util.GraftProfiler.install(spark)

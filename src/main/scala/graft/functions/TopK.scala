@@ -15,8 +15,13 @@ import org.apache.spark.sql.expressions.Aggregator
   * entirely: ObjectHashAggregate streams O(n·k) buffer updates
   * map-side and merges bounded k-row buffers reduce-side — no sort
   * operator anywhere below the final presentation ORDER BY
-  * (plan-asserted). At 100 TB the map-side n·log n over every scan
-  * partition is the term that matters.
+  * (plan-asserted). One runtime trap guards the claim: ObjectHashAgg
+  * falls back to sort-based aggregation after
+  * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold` distinct
+  * keys per partition (default 128 — i.e. nearly always), re-creating
+  * the sort invisibly to the plan; graft's session defaults raise it
+  * to 1M (see Bench.scala). At 100 TB the map-side n·log n over every
+  * scan partition is the term that matters.
   *
   * Ordering is (sortkey DESC, id ASC) — the same total order b15
   * declares, so the two plans are result-identical and b15's oracle

@@ -30,6 +30,10 @@ object SparkSpec {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // graft session default (see Bench.scala for the rationale): keep
+    // object aggregates on the hash path at realistic group counts
+    .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      "1000000")
     .appName("graft-test")
     .getOrCreate()
 }
