@@ -1385,6 +1385,41 @@ object TierC {
       .orderBy("vec_id")
   }
 
+  /** c45: train-vs-holdout decontamination — eval hygiene for the
+    * pipeline's OWN split: c42's holdout docs must not leak into the
+    * training side via shared passages. Probe unit = distinct 5-gram
+    * overlap (Lee et al.'s exact-substring contamination signal, c39's
+    * kernel). The holdout is k·|sources| docs BY CONSTRUCTION, so its
+    * distinct-gram set is bounded and broadcast to both the train-side
+    * anti join (holdout docs excluded from train) and the gram probe —
+    * the corpus gram stream is touched once, map-side, and the only
+    * full-width shuffle is the per-doc partial agg. Distinct from c25,
+    * which probes an EXTERNAL benchmark list; this closes the
+    * train/eval loop against the split the pipeline itself made.
+    */
+  private def c45(s: SparkSession, d: String): DataFrame = {
+    val n = 5
+    val hold = c42(s, d).select("doc_id")
+    val grams = documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(w)-$n), i -> array_join(slice(w, i+1, $n), ' '))"))
+        .as("gram"))
+      .distinct()
+    val hg = grams.join(broadcast(hold), Seq("doc_id"))
+      .select("gram").distinct()
+      .select(col("gram"), lit(1).as("hit"))
+    grams
+      .join(broadcast(hold), Seq("doc_id"), "left_anti")
+      .join(broadcast(hg), Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+      .withColumn("contaminated", col("n_hit") > 0)
+      .orderBy("doc_id")
+  }
+
   /** c44: canonical-document selection — the dedup ENDGAME policy c18
     * stops short of: inside every duplicate cluster, choose the one
     * document that survives (longest n_chars, tie → smallest doc_id —
@@ -1505,6 +1540,8 @@ object TierC {
       "SELECT doc_id, md5(regexp_replace(regexp_replace(trim(text), '[0-9]+', '#', 'g'), ' +', ' ', 'g')) AS norm_fp, length(regexp_replace(regexp_replace(trim(text), '[0-9]+', '#', 'g'), ' +', ' ', 'g'))::BIGINT AS norm_len FROM documents ORDER BY doc_id")),
     QueryDef("c18_dedup_cluster", c18 _, Some(
       s"WITH RECURSIVE $clusterCtes SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u ORDER BY doc_id")),
+    QueryDef("c45_holdout_decontaminate", c45 _, Some(
+      "WITH hold AS (SELECT doc_id FROM (SELECT doc_id, row_number() OVER (PARTITION BY source ORDER BY md5('hold:' || doc_id::VARCHAR), doc_id) AS rk FROM documents) WHERE rk <= 20), w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), pos AS (SELECT DISTINCT doc_id, array_to_string(ws[i+1:i+5], ' ') AS gram FROM w, LATERAL (SELECT unnest(range(0, len(ws)-4)) AS i) t WHERE len(ws) >= 5), hg AS (SELECT DISTINCT gram FROM pos JOIN hold USING (doc_id)), tr AS (SELECT p.doc_id, count(*)::BIGINT AS n_grams, count(hg.gram)::BIGINT AS n_hit FROM pos p LEFT JOIN hg ON hg.gram = p.gram WHERE p.doc_id NOT IN (SELECT doc_id FROM hold) GROUP BY 1) SELECT doc_id, n_grams, n_hit, n_hit > 0 AS contaminated FROM tr ORDER BY doc_id")),
     QueryDef("c44_dedup_canonical", c44 _, Some(
       s"WITH RECURSIVE $clusterCtes, cl AS (SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u), j AS (SELECT cl.cluster_id, cl.doc_id, d.n_chars, row_number() OVER (PARTITION BY cl.cluster_id ORDER BY d.n_chars DESC, cl.doc_id) AS rk FROM cl JOIN documents d ON d.doc_id = cl.doc_id) SELECT cluster_id, count(*)::BIGINT AS n_members, max(CASE WHEN rk = 1 THEN doc_id END)::BIGINT AS kept_doc_id, max(CASE WHEN rk = 1 THEN n_chars END)::BIGINT AS kept_n_chars FROM j GROUP BY cluster_id HAVING count(*) >= 2 ORDER BY cluster_id")),
     QueryDef("c28_sequence_packing", c28 _, Some(

@@ -369,6 +369,22 @@ class Round4bPropsSpec extends SparkSpec {
     assert(got.forall(_._2 >= 2))
   }
 
+  test("c45: contamination counts match a driver-side replay; holdout docs excluded") {
+    val holdIds = q("c42_eval_holdout").collect().map(_.getLong(0)).toSet
+    val gramsByDoc = docs.filter(_._2.length >= 5).map { case (id, w) =>
+      id -> (0 to w.length - 5).map(i => w.slice(i, i + 5).mkString(" ")).toSet
+    }.toMap
+    val holdGrams = gramsByDoc.filter(t => holdIds(t._1)).values.flatten.toSet
+    val expect = gramsByDoc.filter(t => !holdIds(t._1)).map { case (id, gs) =>
+      (id, gs.size.toLong, gs.count(holdGrams).toLong)
+    }.toSeq.sortBy(_._1).map(t => (t._1, t._2, t._3, t._3 > 0))
+    val got = q("c45_holdout_decontaminate").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(got == expect)
+    // no holdout doc appears on the train side
+    assert(got.forall(t => !holdIds(t._1)))
+  }
+
   test("c41: surprisal is the exact bit-length floor-log2 of inverse frequency") {
     val toks = docs.flatMap { case (id, w) => w.map((id, _)) }
     val n = toks.length.toLong
