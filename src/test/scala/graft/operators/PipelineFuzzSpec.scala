@@ -169,6 +169,43 @@ class PipelineFuzzSpec extends SparkSpec {
     }
   }
 
+  test("c42/c45 on random corpora: strata smaller than k, holdout leakage replay") {
+    forAllN(genCorpus, 5) { texts =>
+      val d = writeCorpus(texts)
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      def md5hex(s: String): String =
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      // c42: min(20, |stratum|) per source by (md5, doc_id) rank — with
+      // <= 25 docs over 20 sources every stratum is SMALLER than k
+      val expHold = docs.groupBy { case (id, _) => "src" + (id % 20) }
+        .flatMap { case (src, ds) =>
+          ds.map(_._1).sortBy(id => (md5hex("hold:" + id), id)).take(20)
+            .zipWithIndex.map { case (id, j) => (id, src, j + 1L) }
+        }.toSeq.sortBy(t => (t._2, t._3))
+      val gotHold = SparkEntry.queries("c42_eval_holdout")(spark, d).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      assert(gotHold == expHold)
+      // c45 replay on the same corpus
+      val holdIds = expHold.map(_._1).toSet
+      val grams = docs.flatMap { case (id, t) =>
+        val w = t.split(" ")
+        if (w.length < 5) None
+        else Some(id ->
+          (0 to w.length - 5).map(i => w.slice(i, i + 5).mkString(" ")).toSet)
+      }.toMap
+      val hg = grams.filter(t => holdIds(t._1)).values.flatten.toSet
+      val expC45 = grams.filter(t => !holdIds(t._1)).map { case (id, gs) =>
+        (id, gs.size.toLong, gs.count(hg).toLong, gs.exists(hg))
+      }.toSeq.sortBy(_._1)
+      val gotC45 =
+        SparkEntry.queries("c45_holdout_decontaminate")(spark, d).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+          .toSeq
+      assert(gotC45 == expC45)
+    }
+  }
+
   test("c30 kept counts match brute force (top-20 stop list, ties by term)") {
     forAllN(genCorpus, 5) { texts =>
       val d = writeCorpus(texts)
