@@ -95,8 +95,10 @@ class SessionTimerProcessor(gapUs: Long)
     cur.foreach { o =>
       open.update(o)
       // exactly one live timer per user: drop stale ones (an earlier
-      // batch's shorter deadline would close the extended session early)
-      getHandle.listTimers().foreach(t =>
+      // batch's shorter deadline would close the extended session
+      // early). Materialized before deleting — never mutate the store
+      // under its own live iterator.
+      getHandle.listTimers().toList.foreach(t =>
         getHandle.deleteTimer(t.asInstanceOf[Long]))
       getHandle.registerTimer((o.last_us + gapUs) / 1000L)
     }
