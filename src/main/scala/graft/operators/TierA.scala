@@ -92,14 +92,15 @@ object TierA {
     // hash so DuckDB reproduces the routing exactly; the real Spark
     // HashPartitioner is exercised in CoreMRSpec (engine-internal hash
     // must never reach an oracled output — SURVEY §7.4 #4).
-    // Rows with equal keys route identically, so count per key FIRST
-    // (map-side partial agg collapses the stream) and md5 only the
-    // distinct keys — b35's hash-the-vocabulary-not-the-stream trick;
-    // 4× fewer md5s here and the gap widens with duplication at scale.
+    // Hash per row, ONE partial-agg'd shuffle of <= 8 pid rows per map
+    // partition. (A count-per-key-first rewrite to save md5 calls was
+    // tried and reverted: it adds a full-width l_orderkey exchange —
+    // ~n shuffled rows to save ~n cheap map-side hashes, a net loss at
+    // any scale. Hash-the-vocabulary only pays when the per-item work
+    // being saved is a fan-out, as in b35/c40, not a single hash.)
     lineitem(spark, d)
-      .groupBy("l_orderkey").agg(count(lit(1)).as("c"))
-      .select(pmod(portableHash(col("l_orderkey")), lit(8)).as("pid"), col("c"))
-      .groupBy("pid").agg(sum("c").as("cnt"))
+      .select(pmod(portableHash(col("l_orderkey")), lit(8)).as("pid"))
+      .groupBy("pid").agg(count(lit(1)).as("cnt"))
       .orderBy("pid")
 
   private def a7(spark: SparkSession, d: String): DataFrame =

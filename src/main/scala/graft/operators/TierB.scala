@@ -900,13 +900,21 @@ object TierB {
   private def b45(s: SparkSession, d: String): DataFrame = {
     val snap = customer(s, d).select(col("c_custkey").as("key"),
       floor(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+    // insert keys must land ABOVE the live key space at ANY scale
+    // factor — a fixed +1e6 offset collides with real custkeys past
+    // sf~6.7, making the change batch hold two rows for one key (not a
+    // valid MERGE batch). Bounded driver scalar (one row).
+    // (null max == empty snapshot: the batch is empty too, any offset
+    // is vacuously collision-free)
+    val offRow = customer(s, d).agg(max("c_custkey")).head()
+    val insOff = if (offRow.isNullAt(0)) 1L else offRow.getLong(0) + 1L
     val upd = snap.filter(col("key") % 10 === 3)
       .select(col("key"), (col("bal_cents") + 10000).as("new_bal"),
         lit("U").as("op"))
     val del = snap.filter(col("key") % 10 === 7)
       .select(col("key"), lit(0L).as("new_bal"), lit("D").as("op"))
     val ins = snap.filter(col("key") % 100 === 0)
-      .select((col("key") + 1000000).as("key"), col("bal_cents").as("new_bal"),
+      .select((col("key") + insOff).as("key"), col("bal_cents").as("new_bal"),
         lit("I").as("op"))
     snap.join(upd.union(del).union(ins), Seq("key"), "full_outer")
       .select(
@@ -974,7 +982,7 @@ object TierB {
     QueryDef("b46_topk_agg", b46 _, Some(
       "SELECT * FROM (SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn")),
     QueryDef("b45_merge_cdc", b45 _, Some(
-      "WITH snap AS (SELECT c_custkey AS key, floor(c_acctbal * 100)::BIGINT AS bal_cents FROM customer), batch AS (SELECT key, bal_cents + 10000 AS new_bal, 'U' AS op FROM snap WHERE key % 10 = 3 UNION ALL SELECT key, 0, 'D' FROM snap WHERE key % 10 = 7 UNION ALL SELECT key + 1000000, bal_cents, 'I' FROM snap WHERE key % 100 = 0), m AS (SELECT CASE WHEN b.op IS NULL THEN 'unchanged' WHEN b.op = 'U' THEN 'updated' WHEN b.op = 'D' THEN 'deleted' ELSE 'inserted' END AS change, CASE WHEN b.op = 'D' THEN NULL WHEN b.op IS NULL THEN s.bal_cents ELSE b.new_bal END AS bal FROM snap s FULL OUTER JOIN batch b USING (key)) SELECT change, count(*)::BIGINT AS cnt, sum(bal)::BIGINT AS bal_cents_sum FROM m GROUP BY 1 ORDER BY 1")),
+      "WITH snap AS (SELECT c_custkey AS key, floor(c_acctbal * 100)::BIGINT AS bal_cents FROM customer), off AS (SELECT max(c_custkey) + 1 AS o FROM customer), batch AS (SELECT key, bal_cents + 10000 AS new_bal, 'U' AS op FROM snap WHERE key % 10 = 3 UNION ALL SELECT key, 0, 'D' FROM snap WHERE key % 10 = 7 UNION ALL SELECT key + (SELECT o FROM off), bal_cents, 'I' FROM snap WHERE key % 100 = 0), m AS (SELECT CASE WHEN b.op IS NULL THEN 'unchanged' WHEN b.op = 'U' THEN 'updated' WHEN b.op = 'D' THEN 'deleted' ELSE 'inserted' END AS change, CASE WHEN b.op = 'D' THEN NULL WHEN b.op IS NULL THEN s.bal_cents ELSE b.new_bal END AS bal FROM snap s FULL OUTER JOIN batch b USING (key)) SELECT change, count(*)::BIGINT AS cnt, sum(bal)::BIGINT AS bal_cents_sum FROM m GROUP BY 1 ORDER BY 1")),
     QueryDef("b42_heavy_hitters", b42 _, Some(
       "WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents) SELECT w AS token, count(*)::BIGINT AS cnt FROM tok GROUP BY w HAVING count(*) * 40 >= (SELECT count(*) FROM tok) ORDER BY token")),
     QueryDef("b43_zorder_layout", b43 _, Some(

@@ -1391,15 +1391,17 @@ object TierC {
     * overlap (Lee et al.'s exact-substring contamination signal, c39's
     * kernel). The holdout is k·|sources| docs BY CONSTRUCTION, so its
     * distinct-gram set is bounded and broadcast to both the train-side
-    * anti join (holdout docs excluded from train) and the gram probe —
-    * the corpus gram stream is touched once, map-side, and the only
-    * full-width shuffle is the per-doc partial agg. Distinct from c25,
-    * which probes an EXTERNAL benchmark list; this closes the
-    * train/eval loop against the split the pipeline itself made.
+    * anti join (holdout docs excluded from train) and the gram probe.
+    * The distinct gram stream pays ONE full-width dedup shuffle and is
+    * then localCheckpointed — both consumers (holdout-gram set, train
+    * probe) read the materialized blocks instead of re-exploding the
+    * corpus. Distinct from c25, which probes an EXTERNAL benchmark
+    * list; this closes the train/eval loop against the split the
+    * pipeline itself made.
     */
   private def c45(s: SparkSession, d: String): DataFrame = {
     val n = 5
-    val hold = c42(s, d).select("doc_id")
+    val hold = c42(s, d).select("doc_id").localCheckpoint(false)
     val grams = documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= n)
@@ -1407,6 +1409,7 @@ object TierC {
         s"transform(sequence(0, size(w)-$n), i -> array_join(slice(w, i+1, $n), ' '))"))
         .as("gram"))
       .distinct()
+      .localCheckpoint(false)
     val hg = grams.join(broadcast(hold), Seq("doc_id"))
       .select("gram").distinct()
       .select(col("gram"), lit(1).as("hit"))

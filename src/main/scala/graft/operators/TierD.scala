@@ -131,7 +131,7 @@ object TierD {
         "WITH x AS (SELECT user_id, ts, event_id, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), m AS (SELECT user_id, ts, event_id, CASE WHEN prev IS NULL OR date_diff('microsecond', prev, ts) >= 1800000000 THEN 1 ELSE 0 END AS is_new FROM x), s AS (SELECT user_id, ts, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM m) SELECT user_id, floor(epoch(min(ts)))::BIGINT AS start_s, floor(epoch(max(ts)))::BIGINT AS end_s, count(*)::BIGINT AS cnt FROM s GROUP BY user_id, sid HAVING floor(epoch(max(ts)))::BIGINT + 12600 <= (SELECT floor(epoch(max(ts)))::BIGINT FROM events) ORDER BY 1, 2")),
     QueryDef("d15_stream_outer_join",
       (s, d) => graft.streaming.StreamingDemo.streamOuterJoin(s, d), Some(
-        "WITH c AS (SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type = 'click' AND floor(epoch(ts))::BIGINT + 14400 <= (SELECT floor(epoch(max(ts)))::BIGINT FROM events)), p AS (SELECT user_id, ts AS p_ts, event_id AS purchase_id FROM events WHERE event_type = 'purchase') SELECT c.user_id, c.click_id, p.purchase_id FROM c LEFT JOIN p ON p.user_id = c.user_id AND p.p_ts >= c.ts AND p.p_ts <= c.ts + INTERVAL 1 HOUR ORDER BY 1, 2, 3")),
+        "WITH wm AS (SELECT CASE WHEN mc IS NULL OR mp IS NULL THEN NULL ELSE CASE WHEN mc < mp THEN mc ELSE mp END END AS mx FROM (SELECT (SELECT floor(epoch(max(ts)))::BIGINT FROM events WHERE event_type = 'click') AS mc, (SELECT floor(epoch(max(ts)))::BIGINT FROM events WHERE event_type = 'purchase') AS mp)), c AS (SELECT user_id, ts, event_id AS click_id FROM events, wm WHERE event_type = 'click' AND floor(epoch(ts))::BIGINT + 14400 <= wm.mx), p AS (SELECT user_id, ts AS p_ts, event_id AS purchase_id FROM events WHERE event_type = 'purchase') SELECT c.user_id, c.click_id, p.purchase_id FROM c LEFT JOIN p ON p.user_id = c.user_id AND p.p_ts >= c.ts AND p.p_ts <= c.ts + INTERVAL 1 HOUR ORDER BY 1, 2, 3")),
     QueryDef("d12_stream_custom_source",
       (s, d) => graft.streaming.StreamingDemo.streamCustomSource(s, d), Some(
         "SELECT t.i AS id, md5(t.i::VARCHAR) AS value FROM range(10000) t(i) WHERE t.i % 97 = 0 ORDER BY id")),

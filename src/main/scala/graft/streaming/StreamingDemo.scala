@@ -56,6 +56,17 @@ case class OpenSession(start_us: Long, last_us: Long, n: Long)
   * watermark passes it, including the final no-data batch of a bounded
   * stream. State per user is one `OpenSession` + at most one live
   * timer, however long the stream runs.
+  *
+  * Cross-batch ordering caveat (same class as d10's note): a late
+  * event from a LATER microbatch that lands within the gap extends the
+  * open session backwards (start takes the min), but one displaced by
+  * MORE than the gap merges into the open session instead of splitting
+  * off its own earlier one — exact sessionization under unordered
+  * multi-batch arrival needs watermark-delayed buffering (what
+  * `session_window`, d7, does internally). The declared query reads a
+  * single-file source (one data batch), so the in-batch sort makes the
+  * replay exact; the oracle would not hold under an adversarial
+  * multi-batch split with >gap-displaced arrivals.
   */
 class SessionTimerProcessor(gapUs: Long)
     extends org.apache.spark.sql.streaming.StatefulProcessor[
@@ -84,7 +95,11 @@ class SessionTimerProcessor(gapUs: Long)
     sorted.foreach { e =>
       cur match {
         case Some(o) if e.ts_us - o.last_us < gapUs =>
-          cur = Some(OpenSession(o.start_us, math.max(o.last_us, e.ts_us), o.n + 1))
+          // min on start: a cross-batch late event (admitted by the 2 h
+          // watermark) that still falls within the gap EXTENDS the open
+          // session backwards rather than corrupting its start
+          cur = Some(OpenSession(math.min(o.start_us, e.ts_us),
+            math.max(o.last_us, e.ts_us), o.n + 1))
         case Some(o) =>
           out += emit(key, o)
           cur = Some(OpenSession(e.ts_us, e.ts_us, 1))
@@ -283,20 +298,34 @@ object StreamingDemo {
     * mechanism applied to join state). Clicks near the end of the
     * stream are provably-open (null-vs-match undecidable), so the
     * declared output pins the decidable region identically on both
-    * engines: clicks with floor-second ts + 4 h ≤ floor-second max ts
-    * (2 h watermark delay + 1 h join range + 1 h margin clear of the
-    * eviction boundary's strictness). Floor-to-second on BOTH sides
+    * engines: clicks with floor-second ts + 4 h ≤ floor-second
+    * min(max click ts, max purchase ts) — the query's watermark is
+    * the MIN over its two withWatermark branches (Spark's default
+    * multipleWatermarkPolicy), and each branch only sees its own
+    * event type, so the global max would overstate the watermark
+    * whenever the last click or purchase lags the stream's end. The
+    * 4 h = 2 h watermark delay + 1 h join range + 1 h margin clear of
+    * the eviction boundary's strictness. Floor-to-second on BOTH sides
     * makes the cutoff arithmetic identical integers on both engines —
     * the events table is ns-precision, Spark µs — so the region
     * boundary itself can never drift.
     */
   def streamOuterJoin(s: SparkSession, d: String): DataFrame = {
-    // bounded driver scalar (one row) pinning the closed region; an
-    // empty events table has no max — every region is open, nothing
-    // may emit (the filter below then keeps zero rows)
+    // bounded driver scalar (one row) pinning the closed region; a
+    // stream with no clicks or no purchases has watermark MIN = the
+    // missing side's -inf — every region is open, nothing may emit
+    // (the filter below then keeps zero rows)
+    // (strict min, not least(): Spark's least SKIPS nulls, but a
+    // missing branch must poison the cutoff, not be ignored)
     val mxRow = graft.util.Tables.events(s, d)
-      .agg(max(expr("unix_micros(ts) div 1000000"))).head()
-    val mxS = if (mxRow.isNullAt(0)) Long.MinValue else mxRow.getLong(0)
+      .agg(
+        max(when(col("event_type") === "click",
+          expr("unix_micros(ts) div 1000000"))),
+        max(when(col("event_type") === "purchase",
+          expr("unix_micros(ts) div 1000000")))).head()
+    val mxS =
+      if (mxRow.isNullAt(0) || mxRow.isNullAt(1)) Long.MinValue
+      else math.min(mxRow.getLong(0), mxRow.getLong(1))
     val raw = withStreamPartitions(s) { runToFiles(s, "d15",
       df => {
         val clicks = df.filter(col("event_type") === "click")

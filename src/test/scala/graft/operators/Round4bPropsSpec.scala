@@ -261,7 +261,13 @@ class Round4bPropsSpec extends SparkSpec {
     import org.apache.spark.sql.functions.{expr, max}
     val ev = graft.util.Tables.events(spark, sf0001)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-    val mxS = ev.agg(max(expr("unix_micros(ts) div 1000000"))).head().getLong(0)
+    // per-type watermark MIN, mirroring Spark's multipleWatermarkPolicy
+    val mxS = ev.agg(
+        max(when(col("event_type") === "click",
+          expr("unix_micros(ts) div 1000000"))),
+        max(when(col("event_type") === "purchase",
+          expr("unix_micros(ts) div 1000000"))))
+      .head() match { case r => math.min(r.getLong(0), r.getLong(1)) }
     val clicks = ev.filter(col("event_type") === "click")
       .filter(expr("unix_micros(ts) div 1000000") + 14400L <= mxS)
       .select(col("user_id"), col("ts").as("cts"), col("event_id").as("click_id"))
