@@ -99,6 +99,13 @@ object TierD {
   private val d3Sql =
     "WITH e AS (SELECT user_id, ts, event_id, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), m AS (SELECT user_id, ts, event_id, CASE WHEN prev IS NULL OR date_diff('microsecond', prev, ts) > 1800000000 THEN 1 ELSE 0 END AS is_new FROM e), s AS (SELECT user_id, ts, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM m) SELECT user_id, session_id::BIGINT AS session_id, count(*)::BIGINT AS cnt, floor(epoch(min(ts)))::BIGINT AS start_s, floor(epoch(max(ts)))::BIGINT AS end_s FROM s GROUP BY 1, 2 ORDER BY 1, 2"
 
+  /** Shared d16/d17 oracle: gap-sessionization (>= 30 min starts a new
+    * session, (ts, event_id) total order) restricted to the
+    * watermark-decidable closed region (end + 12 600 s <= max ts).
+    */
+  private val timerSessionOracleSql =
+    "WITH x AS (SELECT user_id, ts, event_id, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), m AS (SELECT user_id, ts, event_id, CASE WHEN prev IS NULL OR date_diff('microsecond', prev, ts) >= 1800000000 THEN 1 ELSE 0 END AS is_new FROM x), s AS (SELECT user_id, ts, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM m) SELECT user_id, floor(epoch(min(ts)))::BIGINT AS start_s, floor(epoch(max(ts)))::BIGINT AS end_s, count(*)::BIGINT AS cnt FROM s GROUP BY user_id, sid HAVING floor(epoch(max(ts)))::BIGINT + 12600 <= (SELECT floor(epoch(max(ts)))::BIGINT FROM events) ORDER BY 1, 2"
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d1_window_tumbling", d1 _, Some(
       "SELECT date_trunc('hour', ts) AS h, event_type, count(*)::BIGINT AS cnt, sum(value::DECIMAL(18,2))::DOUBLE AS sum_value FROM events GROUP BY 1, 2 ORDER BY 1, 2")),
@@ -127,8 +134,11 @@ object TierD {
         TierB.intervalJoinOracleSql)),
     QueryDef("d16_stream_timer_session",
       (s, d) => graft.streaming.StreamingDemo.transformWithStateTimers(s, d),
-      Some(
-        "WITH x AS (SELECT user_id, ts, event_id, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), m AS (SELECT user_id, ts, event_id, CASE WHEN prev IS NULL OR date_diff('microsecond', prev, ts) >= 1800000000 THEN 1 ELSE 0 END AS is_new FROM x), s AS (SELECT user_id, ts, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM m) SELECT user_id, floor(epoch(min(ts)))::BIGINT AS start_s, floor(epoch(max(ts)))::BIGINT AS end_s, count(*)::BIGINT AS cnt FROM s GROUP BY user_id, sid HAVING floor(epoch(max(ts)))::BIGINT + 12600 <= (SELECT floor(epoch(max(ts)))::BIGINT FROM events) ORDER BY 1, 2")),
+      Some(timerSessionOracleSql)),
+    QueryDef("d17_stream_buffered_session",
+      (s, d) =>
+        graft.streaming.StreamingDemo.transformWithStateBufferedSessions(s, d),
+      Some(timerSessionOracleSql)),
     QueryDef("d15_stream_outer_join",
       (s, d) => graft.streaming.StreamingDemo.streamOuterJoin(s, d), Some(
         "WITH wm AS (SELECT CASE WHEN mc IS NULL OR mp IS NULL THEN NULL ELSE CASE WHEN mc < mp THEN mc ELSE mp END END AS mx FROM (SELECT (SELECT floor(epoch(max(ts)))::BIGINT FROM events WHERE event_type = 'click') AS mc, (SELECT floor(epoch(max(ts)))::BIGINT FROM events WHERE event_type = 'purchase') AS mp)), c AS (SELECT user_id, ts, event_id AS click_id FROM events, wm WHERE event_type = 'click' AND floor(epoch(ts))::BIGINT + 14400 <= wm.mx), p AS (SELECT user_id, ts AS p_ts, event_id AS purchase_id FROM events WHERE event_type = 'purchase') SELECT c.user_id, c.click_id, p.purchase_id FROM c LEFT JOIN p ON p.user_id = c.user_id AND p.p_ts >= c.ts AND p.p_ts <= c.ts + INTERVAL 1 HOUR ORDER BY 1, 2, 3")),

@@ -66,7 +66,8 @@ case class OpenSession(start_us: Long, last_us: Long, n: Long)
   * `session_window`, d7, does internally). The declared query reads a
   * single-file source (one data batch), so the in-batch sort makes the
   * replay exact; the oracle would not hold under an adversarial
-  * multi-batch split with >gap-displaced arrivals.
+  * multi-batch split with >gap-displaced arrivals — d17's
+  * [[BufferedSessionProcessor]] is the multi-batch-exact upgrade.
   */
 class SessionTimerProcessor(gapUs: Long)
     extends org.apache.spark.sql.streaming.StatefulProcessor[
@@ -130,6 +131,95 @@ class SessionTimerProcessor(gapUs: Long)
       Iterator.single(emit(key, o))
     } else Iterator.empty
   }
+}
+
+/** d17's buffered processor — multi-batch-EXACT sessionization, the
+  * upgrade that removes d16's cross-batch ordering caveat: events
+  * BUFFER in a `ListState` until the watermark proves their event-time
+  * position final (any row still to arrive must carry ts > watermark —
+  * the engine's late-data contract), then drain through the session
+  * FSM in (ts, event_id) order. This is `session_window`'s internal
+  * watermark-delayed buffering re-expressed in user state — the
+  * pattern for ANY order-sensitive custom streaming logic. State per
+  * user = the watermark window of its events (bounded by the delay
+  * knob) + one OpenSession + one live timer; each watermark advance is
+  * fully drained in ONE timer firing, so no chained no-data batches
+  * are needed.
+  */
+class BufferedSessionProcessor(gapUs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, Ev, (Long, Long, Long, Long)] {
+  @transient private var buf:
+    org.apache.spark.sql.streaming.ListState[Ev] = _
+  @transient private var open:
+    org.apache.spark.sql.streaming.ValueState[OpenSession] = _
+  override def init(
+      outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+    buf = getHandle.getListState[Ev]("buf",
+      org.apache.spark.sql.Encoders.product[Ev],
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+    open = getHandle.getValueState[OpenSession]("open",
+      org.apache.spark.sql.Encoders.product[OpenSession],
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+  }
+
+  private def emit(key: Long, o: OpenSession): (Long, Long, Long, Long) =
+    (key, o.start_us / 1000000L, o.last_us / 1000000L, o.n)
+
+  /** Drain everything the watermark has finalized; close the trailing
+    * session when the watermark proves its gap; re-arm ONE timer for
+    * the next deadline. Called from both input and timer paths.
+    */
+  private def drainAll(key: Long, wmUs: Long): Iterator[(Long, Long, Long, Long)] = {
+    val all = buf.get().toArray
+    val (ready, rest) = all.partition(_.ts_us <= wmUs)
+    val out = mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    var cur: Option[OpenSession] = if (open.exists()) Some(open.get()) else None
+    ready.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+      cur match {
+        case Some(o) if e.ts_us - o.last_us < gapUs =>
+          cur = Some(OpenSession(math.min(o.start_us, e.ts_us),
+            math.max(o.last_us, e.ts_us), o.n + 1))
+        case Some(o) =>
+          out += emit(key, o)
+          cur = Some(OpenSession(e.ts_us, e.ts_us, 1))
+        case None =>
+          cur = Some(OpenSession(e.ts_us, e.ts_us, 1))
+      }
+    }
+    // close the trailing session once the watermark proves its gap:
+    // every still-buffered or future event has ts > wm >= last + gap,
+    // so none can extend it — it must start a NEW session
+    cur match {
+      case Some(o) if wmUs >= o.last_us + gapUs =>
+        out += emit(key, o); cur = None
+      case _ => ()
+    }
+    cur match { case Some(o) => open.update(o); case None => open.clear() }
+    buf.clear()
+    if (rest.nonEmpty) buf.appendList(rest)
+    getHandle.listTimers().toList.foreach(t =>
+      getHandle.deleteTimer(t.asInstanceOf[Long]))
+    val next = cur.map(_.last_us + gapUs).orElse(
+      if (rest.nonEmpty) Some(rest.iterator.map(_.ts_us).min + gapUs) else None)
+    next.foreach(t => getHandle.registerTimer(t / 1000L))
+    out.iterator
+  }
+
+  override def handleInputRows(
+      key: Long, rows: Iterator[Ev],
+      tv: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Long, Long, Long)] = {
+    val arr = rows.toArray
+    if (arr.nonEmpty) buf.appendList(arr)
+    drainAll(key, tv.getCurrentWatermarkInMs() * 1000L)
+  }
+
+  override def handleExpiredTimer(
+      key: Long,
+      tv: org.apache.spark.sql.streaming.TimerValues,
+      info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[(Long, Long, Long, Long)] =
+    drainAll(key, tv.getCurrentWatermarkInMs() * 1000L)
 }
 
 /** SURVEY.md §2 Tier D — true Structured Streaming twins (d5/d6).
@@ -449,6 +539,84 @@ object StreamingDemo {
       .toDF("user_id", "start_s", "end_s", "cnt")
     val sink = graft.util.TmpDir.fresh("d16-sink")
     val ckpt = graft.util.TmpDir.fresh("d16-ckpt")
+    withStreamPartitions(s) {
+      val pKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(pKey)
+      s.conf.set(pKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val q = sessions.writeStream
+          .format("parquet").option("path", sink)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").start()
+        try { q.processAllAvailable() } finally { q.stop() }
+      } finally {
+        prev match {
+          case Some(v) => s.conf.set(pKey, v)
+          case None    => s.conf.unset(pKey)
+        }
+      }
+    }
+    s.read.schema(sessions.schema).parquet(sink)
+      .filter(col("end_s") + 12600L <= mxS)
+      .orderBy("user_id", "start_s")
+  }
+
+  /** d17: multi-batch-EXACT timer sessionization — d16's semantics
+    * under genuinely UNORDERED multi-batch arrival, via
+    * [[BufferedSessionProcessor]]'s watermark-delayed buffering. The
+    * demo-harness source rewrite (d13's trick made ORDER-HOSTILE; demo
+    * only, production points at the real arriving stream) splits the
+    * bounded events table into three files of a ±30 min JITTERED
+    * ordering streamed with `maxFilesPerTrigger=1`: cross-batch
+    * displacement is bounded by 30 min < the 2 h watermark delay, so
+    * the engine drops nothing — but d16's sort-within-batch FSM would
+    * mis-sessionize it, and this operator must not (the spec asserts
+    * d17 == d16 == the batch oracle). File mtimes are pinned per
+    * bucket so the file source's modification-time ordering is the
+    * jittered order by construction, not a race.
+    */
+  def transformWithStateBufferedSessions(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val gapUs = 1800L * 1000000L
+    val mxRow = graft.util.Tables.events(s, d)
+      .agg(max(expr("unix_micros(ts) div 1000000"))).head()
+    val mxS = if (mxRow.isNullAt(0)) Long.MinValue else mxRow.getLong(0)
+    val srcDir = graft.util.TmpDir.fresh("d17-src")
+    val bucketed = graft.util.Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("jk", expr("unix_micros(ts)") +
+        pmod(col("event_id") * 2654435761L, lit(1800000000L)))
+      .withColumn("b", ntile(3).over(
+        org.apache.spark.sql.expressions.Window.orderBy("jk")))
+    val seen = mutable.Set.empty[String]
+    val t0 = System.currentTimeMillis()
+    (1 to 3).foreach { i =>
+      bucketed.filter(col("b") === i).select("user_id", "ts", "event_id")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      val fs = new java.io.File(srcDir).listFiles()
+      if (fs != null) fs.filter(_.getName.startsWith("part-"))
+        .filterNot(f => seen.contains(f.getName))
+        .foreach { f =>
+          f.setLastModified(t0 + i * 60000L): Unit
+          seen += f.getName
+        }
+    }
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "user_id BIGINT, ts TIMESTAMP, event_id BIGINT")
+    val sessions = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .transformWithState(new BufferedSessionProcessor(gapUs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+      .toDF("user_id", "start_s", "end_s", "cnt")
+    val sink = graft.util.TmpDir.fresh("d17-sink")
+    val ckpt = graft.util.TmpDir.fresh("d17-ckpt")
     withStreamPartitions(s) {
       val pKey = "spark.sql.streaming.stateStore.providerClass"
       val prev = s.conf.getOption(pKey)

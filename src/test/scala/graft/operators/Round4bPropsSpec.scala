@@ -391,6 +391,17 @@ class Round4bPropsSpec extends SparkSpec {
     assert(got.forall(t => !holdIds(t._1)))
   }
 
+  test("d17: buffered processor is exact under jittered multi-batch arrival (== d16 == oracle)") {
+    def rows(name: String) = q(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val single = rows("d16_stream_timer_session")
+    val multi = rows("d17_stream_buffered_session")
+    // d16 runs the ordered single-batch source (exact there); d17 runs
+    // the +-30min jittered 3-file source — identical declared output
+    assert(multi == single)
+    assert(multi.nonEmpty)
+  }
+
   test("c41: surprisal is the exact bit-length floor-log2 of inverse frequency") {
     val toks = docs.flatMap { case (id, w) => w.map((id, _)) }
     val n = toks.length.toLong
