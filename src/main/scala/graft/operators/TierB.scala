@@ -784,8 +784,9 @@ object TierB {
     * vocabulary-wide (billions of keys); this plan shuffles only the
     * bounded candidate set (≤ k·partitions rows — here lossless since
     * the synthetic vocab < k, but the state bound is what ships). The
-    * token-count agg (`tot`) is a map-side partial count, not a second
-    * full shuffle.
+    * stream length rides the SAME pass as the summaries (one count row
+    * per partition), so the corpus is scanned exactly twice — the MG
+    * algorithm's inherent minimum (sketch pass + exact recount pass).
     */
   private def b42(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -793,9 +794,16 @@ object TierB {
     val cap = 64 // ≥ 1/φ ⇒ Misra-Gries no-false-negative guarantee
     val tok = documents(s, d)
       .select(explode(split(col("text"), " ")).as("w"))
-    val cands = tok.as[String].mapPartitions { it =>
+    // ONE pass emits the MG survivors AND the per-partition token count
+    // (null word marks a count row) — round 4 paid a separate
+    // tok.count(), a second full scan + re-tokenization of the corpus.
+    // The summary is ≤ (cap+1)·partitions rows; localCheckpoint so the
+    // candidate branch and the length branch don't each re-tokenize.
+    val summary = tok.as[String].mapPartitions { it =>
       val m = scala.collection.mutable.HashMap.empty[String, Long]
+      var n = 0L
       it.foreach { w =>
+        n += 1L
         if (m.contains(w)) m(w) += 1L
         else if (m.size < cap) m(w) = 1L
         else { // MG eviction: decrement every counter, drop zeros
@@ -803,13 +811,18 @@ object TierB {
           m.filterInPlace((_, v) => v > 0L)
         }
       }
-      m.keysIterator
-    }.toDF("w").distinct()
-    // stream length as a driver scalar — a map-side partial count whose
-    // result is O(1) (SCALE.md §4 bounded-collect discipline); joining
-    // a 1-row total instead would plan the NestedLoopJoin the blanket
-    // plan audit bans
-    val n = tok.count()
+      m.keysIterator.map(w => (w, 0L)) ++ Iterator.single((null: String, n))
+    }.toDF("w", "pn").localCheckpoint(false)
+    val cands = summary.filter(col("w").isNotNull).select("w").distinct()
+    // stream length as a driver scalar — the sum of the bounded
+    // per-partition count rows (SCALE.md §4 bounded-collect
+    // discipline); joining a 1-row total instead would plan the
+    // NestedLoopJoin the blanket plan audit bans
+    val nRow = summary.filter(col("w").isNull)
+      .agg(coalesce(sum("pn"), lit(0L))).head()
+    val n = nRow.getLong(0)
+    // pass 2 (the MG algorithm's inherent exact-recount scan) is the
+    // ONLY other read of the corpus
     tok.join(broadcast(cands), Seq("w"), "left_semi")
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") * phi >= n)

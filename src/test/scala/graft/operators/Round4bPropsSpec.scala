@@ -40,11 +40,8 @@ class Round4bPropsSpec extends SparkSpec {
         .sortBy { case (_, i) => (i * 7919) % 1000 } // deterministic shuffle
         .map(_._1)
       val df = spark.createDataset(stream).repartition(parts).toDF("text")
-        .withColumn("doc_id", monotonically_increasing_id())
-      // run the same shape as b42 over this corpus via a temp dir? The
-      // kernel itself is what the declared query wraps; assert through
-      // the public query on real data is covered above — here check the
-      // MG bound directly: heavy freq 400/1000 > 1/40 ⇒ must survive.
+      // the MG survival bound, checked directly on the kernel: heavy
+      // freq 400/1000 > 1/40 ⇒ must survive every partitioning
       val cap = 64
       val survivors = df.select(col("text")).as[String]
         .mapPartitions { it =>
@@ -61,6 +58,26 @@ class Round4bPropsSpec extends SparkSpec {
         }.collect().toSet
       assert(survivors.contains("HH"), s"parts=$parts")
     }
+  }
+
+  test("b42: declared plan reads the corpus once (the recount pass only)") {
+    // the sketch pass (summary + stream length in ONE job) has already
+    // run by the time the declared frame exists; its result is a
+    // bounded checkpointed summary, so the returned plan's only corpus
+    // read is the MG algorithm's inherent exact-recount scan
+    val p = q("b42_heavy_hitters").queryExecution.executedPlan.toString
+    assert("documents\\.parquet".r.findAllIn(p).size == 1, p.take(1500))
+  }
+
+  test("c44 reuses c18's materialized cluster assignment (no second CC loop)") {
+    q("c18_dedup_cluster").count()
+    val runs = TierC.ccLoopRuns.get()
+    assert(runs >= 1)
+    q("c44_dedup_canonical").count()
+    assert(TierC.ccLoopRuns.get() == runs,
+      "c44 re-ran the CC label-propagation loop instead of cache-hitting")
+    q("c18_dedup_cluster").count()
+    assert(TierC.ccLoopRuns.get() == runs)
   }
 
   test("b43: zkey interleave round-trips both dimensions and buckets nest") {
