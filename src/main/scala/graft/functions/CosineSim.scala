@@ -93,17 +93,38 @@ object GraftFunctions {
     KmvDistinct(children.head)
   }
 
+  private val md5LongInfo = new ExpressionInfo(
+    classOf[Md5Long].getCanonicalName, "md5long")
+
+  private val md5LongBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 1, "md5long takes exactly 1 argument")
+    Md5Long(children.head)
+  }
+
+  /** Sessions already registered — registration is cheap but mutates
+    * the session's function registry; once per session is enough.
+    * Bounded like the other session-keyed memos (clear past 8).
+    */
+  private val registered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+
   /** Runtime registration into an existing session (idempotent). */
   def register(spark: SparkSession): Unit = {
+    if (registered.contains(spark)) return
+    if (registered.size >= 8) registered.clear()
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("cosine_sim"), info, builder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("kmv_distinct"), kmvInfo, kmvBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("md5long"), md5LongInfo, md5LongBuilder)
+    registered.add(spark): Unit
   }
 
   private[functions] def inject(e: SparkSessionExtensions): Unit = {
     e.injectFunction((FunctionIdentifier("cosine_sim"), info, builder))
     e.injectFunction((FunctionIdentifier("kmv_distinct"), kmvInfo, kmvBuilder))
+    e.injectFunction((FunctionIdentifier("md5long"), md5LongInfo, md5LongBuilder))
   }
 }
 

@@ -87,13 +87,22 @@ object Tables {
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
   /** Portable 60-bit hash: identical in Spark and DuckDB.
-    * Spark: `conv(substr(md5(x),1,15),16,10)`;
-    * DuckDB: `('0x'||substr(md5(x),1,15))::BIGINT`.
-    * Never use Spark's `hash`/`xxhash64` in an oracled output
-    * (SURVEY.md §7.4 #4).
+    * Spark: the native codegen'd [[graft.functions.Md5Long]] (top 60
+    * bits of the md5 as a long — no hex-string materialization);
+    * DuckDB: `('0x'||substr(md5(x),1,15))::BIGINT`. Bit-identical to
+    * the composed `conv(substr(md5(x),1,15),16,10)` form, which
+    * remains the fallback when no session is active to register the
+    * function against. Never use Spark's `hash`/`xxhash64` in an
+    * oracled output (SURVEY.md §7.4 #4).
     */
   def portableHash(c: Column): Column =
-    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession) match {
+      case Some(s) =>
+        graft.functions.GraftFunctions.register(s)
+        call_function("md5long", c.cast("string"))
+      case None =>
+        conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+    }
 
   /** DuckDB-side rendering of [[portableHash]] for oracle strings. */
   def duckHash(expr: String): String =
