@@ -1470,6 +1470,311 @@ object TierC {
       .orderBy("cluster_id")
   }
 
+  /** c46: URL canonicalization + dedup — the web-crawl dedup pass that
+    * runs BEFORE any content hashing: the same page arrives under
+    * `HTTPS://WWW.Host/path/?id=3&utm_source=feed`,
+    * `https://host/path?id=3`, … and exact-text dedup never sees them
+    * as one. The corpus has no URL column, so a deterministic messy URL
+    * is synthesized per doc (case noise, www, utm_* tracking params,
+    * trailing slash — all keyed on doc_id so both engines rebuild the
+    * identical string), then canonicalized by the standard rule chain
+    * (lowercase, strip www., strip utm_* params, strip trailing slash)
+    * and grouped. Shape at 100 TB: the whole chain is map-side
+    * codegen'd `regexp_replace`; the dedup is one canonical-url-keyed
+    * partial agg — c1's shape on a narrower key.
+    */
+  private def c46(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val url = concat(
+      lit("HTTPS://"),
+      when(id % 2 === 0, lit("WWW.")).otherwise(lit("")),
+      col("source"), lit(".Example.COM/"), col("lang"), lit("/page"),
+      (id % 25).cast("string"),
+      when(id % 5 === 0, lit("/")).otherwise(lit("")),
+      when(id % 3 === 0, concat(lit("?id="), (id % 25).cast("string"),
+        lit("&utm_source=feed&utm_campaign=x")))
+        .when(id % 3 === 1, concat(lit("?id="), (id % 25).cast("string")))
+        .otherwise(lit("")))
+    val canon =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(lower(col("url")), "://www\\.", "://"),
+            "&utm_[a-z_]+=[^&]*", ""),
+          "/\\?", "?"),
+        "/$", "")
+    documents(s, d)
+      .select(id, url.as("url"))
+      .select(col("doc_id"), col("url"), canon.as("canon_url"))
+      .groupBy("canon_url")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("url")).as("n_variants"),
+        min(col("doc_id")).as("keeper"))
+      .orderBy("canon_url")
+  }
+
+  /** c47: BPE merge application — the "train then ENCODE" half c40's
+    * merge-argmax statistics stop short of: pick merge 1 from the
+    * weighted char-pair counts, apply it to the vocabulary, recount
+    * pairs over the MERGED token sequences (true BPE round 2 — the
+    * pair table changes after every merge), pick and apply merge 2,
+    * and report per-word token counts before/after. Application is a
+    * boundary-safe single left-to-right scan: the char-spaced word is
+    * padded with spaces and the pair pattern ` a b ` is replaced by
+    * ` ab ` — `replace` has identical non-overlapping left-to-right
+    * semantics in Spark and DuckDB, so the encoding is bit-portable.
+    * Scale shape (the classic BPE trick, same as c40): every merge
+    * selection and application runs on the DISTINCT-word table
+    * (vocabulary-sized, weighted by corpus counts); the token stream
+    * is touched exactly once, by the word-count partial agg. The two
+    * 1-row merge-argmax collects are algorithm state, bounded like
+    * a23/c19's seeds (and null-guarded for the empty corpus).
+    */
+  private def c47(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wc = documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false) // feeds both merge rounds + the output
+    // char-spaced rendering: "word" -> "w o r d"
+    val cs0 = wc.withColumn("cs", expr(
+      "array_join(transform(sequence(1, length(w)), i -> substring(w, i, 1)), ' ')"))
+    // merge 1 = argmax over char pairs weighted by word count
+    val m1 = cs0.filter(length(col("w")) >= 2)
+      .select(col("cnt"), explode(expr(
+        "transform(sequence(1, length(w)-1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy("pair").agg(sum(col("cnt")).as("c"))
+      .orderBy(col("c").desc, col("pair")).limit(1)
+      .select(col("pair")).as[String].collect().headOption
+    // pattern " a b " -> " ab ";   sentinel never occurs in words
+    def merged(csCol: org.apache.spark.sql.Column, pat: String,
+        rep: String): org.apache.spark.sql.Column =
+      trim(call_function("replace",
+        concat(lit(" "), csCol, lit(" ")), lit(pat), lit(rep)))
+    val (p1pat, p1rep) = m1 match {
+      case Some(p) => (s" ${p.charAt(0)} ${p.charAt(1)} ", s" $p ")
+      case None => (" ", " ")
+    }
+    val cs1 = cs0.withColumn("cs", merged(col("cs"), p1pat, p1rep))
+    // merge 2 = argmax over ADJACENT TOKEN pairs of the merged rendering
+    val m2 = cs1.withColumn("t", split(col("cs"), " "))
+      .filter(size(col("t")) >= 2)
+      .select(col("cnt"), explode(expr(
+        "transform(sequence(1, size(t)-1), i -> concat(element_at(t, i), ' ', element_at(t, i+1)))"))
+        .as("pair"))
+      .groupBy("pair").agg(sum(col("cnt")).as("c"))
+      .orderBy(col("c").desc, col("pair")).limit(1)
+      .select(col("pair")).as[String].collect().headOption
+    val (p2pat, p2rep, m2sym) = m2 match {
+      case Some(p) => (s" $p ", s" ${p.replace(" ", "")} ", p)
+      case None => (" ", " ", "")
+    }
+    val cs2 = cs1.withColumn("cs", merged(col("cs"), p2pat, p2rep))
+    cs2
+      .select(col("w"), col("cnt"),
+        length(col("w")).cast("long").as("tok0"),
+        size(split(col("cs"), " ")).cast("long").as("tok2"),
+        lit(m1.getOrElse("")).as("merge1"), lit(m2sym).as("merge2"))
+      .orderBy(col("cnt").desc, col("w")).limit(25)
+  }
+
+  /** c48: weighted sampling without replacement — Efraimidis–Spirakis
+    * priority sampling with EXACT integer keys: a doc of integer
+    * weight w draws w independent md5 uniforms and its priority is
+    * their MAX (distribution-identical to the classic u^(1/w) key —
+    * max of w uniforms — so P(doc in sample) is exactly
+    * weight-proportional), and the sample is the global top-k by
+    * priority. No transcendental pow/log reaches the output, so the
+    * sample is bit-reproducible across engines, cluster layouts and
+    * reruns — same rationale as c21/c22/c42's unweighted hash
+    * sampling, upgraded to weights. Weight here = source priority
+    * (1 + srcnum % 4). Shape at 100 TB: the draw fan-out is bounded
+    * by max weight (4), the per-doc max is a map-side partial agg,
+    * and the top-k is TakeOrderedAndProject (b14's shape) — the
+    * final rank window touches k=100 rows only.
+    */
+  private def c48(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = 100
+    val keyed = documents(s, d)
+      .select(col("doc_id"), col("source"),
+        (lit(1) + substring(col("source"), 4, 10).cast("long") % 4).as("wt"))
+      .select(col("doc_id"), col("source"), col("wt"),
+        explode(expr("sequence(1, wt)")).as("j"))
+      .select(col("doc_id"), col("source"), col("wt"),
+        graft.util.Tables.portableHash(concat(lit("ws:"),
+          col("doc_id").cast("string"), lit(":"), col("j").cast("string")))
+          .as("key"))
+      .groupBy("doc_id", "source", "wt")
+      .agg(max(col("key")).as("sample_key"))
+      .orderBy(col("sample_key").desc, col("doc_id")).limit(k)
+    // rank the k survivors: bounded single partition (k=100 rows after
+    // TakeOrderedAndProject — NOT a global window over the corpus)
+    keyed
+      .coalesce(1)
+      .sortWithinPartitions(col("sample_key").desc, col("doc_id"))
+      .as[(Long, String, Long, Long)]
+      .mapPartitions { it =>
+        var r = 0L
+        it.map { case (id, src, wt, key) => r += 1; (r, id, src, wt, key) }
+      }
+      .toDF("rk", "doc_id", "source", "wt", "sample_key")
+      .orderBy("rk")
+  }
+
+  /** c50: boilerplate-block removal — the RefinedWeb/CCNet line-dedup
+    * cleaning pass: chunk every doc into fixed 8-word blocks (the
+    * corpus has no newlines, so blocks stand in for lines), count each
+    * distinct block's DOCUMENT frequency, flag blocks appearing in ≥ 3
+    * distinct docs as boilerplate (headers, footers, nav chrome), and
+    * emit per-doc audit counts plus the md5 fingerprint of the CLEANED
+    * text (kept blocks re-joined in order) — c39 measures span-level
+    * duplication, this op REMOVES it. Shape at 100 TB: block rows are
+    * map-side generated; document frequency is one block-keyed partial
+    * agg; the flag join ships one boolean per DISTINCT block (never a
+    * posting list); reassembly rides one doc-keyed exchange.
+    */
+  private def c50(s: SparkSession, d: String): DataFrame = {
+    val B = 8
+    val blocks = documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, (size(w)-1) div $B), i -> struct(i AS idx, array_join(slice(w, i*$B+1, $B), ' ') AS line))"))
+        .as("b"))
+      .select(col("doc_id"), col("b.idx").as("idx"), col("b.line").as("line"))
+    val boiler = blocks.select("line", "doc_id").distinct()
+      .groupBy("line").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 3)
+      .select(col("line"), lit(1).as("boiler"))
+    blocks.join(boiler, Seq("line"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(coalesce(col("boiler"), lit(0))).cast("long").as("n_boiler"),
+        // collect_list skips the NULLs the CASE leaves on boilerplate
+        // rows; array_sort restores document order by idx
+        collect_list(when(col("boiler").isNull,
+          struct(col("idx"), col("line")))).as("kept"))
+      .select(col("doc_id"), col("n_blocks"), col("n_boiler"),
+        md5(array_join(expr("transform(array_sort(kept), x -> x.line)"), " "))
+          .as("clean_fp"))
+      .orderBy("doc_id")
+  }
+
+  /** c51: semantic dedup (SemDeDup, Abbas et al. 2023) — drop documents
+    * whose EMBEDDINGS are near-duplicates even when their text differs:
+    * vectors are blocked into c15's 256 sign-LSH buckets (the coarse
+    * semantic cells; exact integer plane dots, so the blocking is
+    * bit-portable), and inside each bucket a vector survives iff no
+    * EARLIER vector (smaller vec_id) lies within cosine > 0.3 — the
+    * deterministic pairwise-precedence variant of SemDeDup's
+    * keep-one-per-neighborhood rule (greedy-by-id, so the kept set
+    * needs no sequential scan of the cluster). Declared output: every
+    * vector with its bucket, how many earlier in-bucket near-dups it
+    * has, the smallest blocking id, and the keep verdict. Shape at
+    * 100 TB: pairs exist only INSIDE a bucket (the all-pairs kernel is
+    * c10's, group-local), never across; more planes shrink buckets
+    * geometrically, so bucket occupancy — not corpus size — bounds the
+    * quadratic term.
+    */
+  private def c51(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val thr = 0.3
+    val bc = s.sparkContext.broadcast(lshPlanes(8, 64))
+    vecs(s, d)
+      .mapPartitions { it =>
+        val ps = bc.value
+        it.map { case (id, emb) =>
+          val q = new Array[Long](emb.length)
+          var i = 0
+          while (i < emb.length) {
+            q(i) = math.floor(emb(i).toDouble * 1024.0).toLong; i += 1
+          }
+          var bucket = 0L
+          var p = 0
+          while (p < ps.length) {
+            var dot = 0L; var j = 0
+            while (j < q.length) { dot += ps(p)(j) * q(j); j += 1 }
+            if (dot >= 0L) bucket |= (1L << p)
+            p += 1
+          }
+          (bucket, id, emb)
+        }
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (bucket, it) =>
+        val grp = it.toArray.sortBy(_._2)
+        grp.indices.iterator.map { i =>
+          val (_, vid, ve) = grp(i)
+          var nEarly = 0L
+          var blocker = -1L
+          var k = 0
+          while (k < i) {
+            val (_, uid, ue) = grp(k)
+            if (cosine(ue, ve) > thr) {
+              nEarly += 1
+              if (blocker < 0) blocker = uid // grp sorted ⇒ min id first
+            }
+            k += 1
+          }
+          (vid, bucket, nEarly, blocker, nEarly == 0L)
+        }
+      }
+      .toDF("vec_id", "bucket", "n_early_dups", "blocker", "kept")
+      .orderBy("vec_id")
+  }
+
+  /** c49: DSIR-style importance scoring (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every doc by how much more likely its tokens are under a TARGET
+    * domain's unigram LM than under the corpus LM — the data-selection
+    * pass that upweights target-like documents. Target here = the
+    * `src1` slice. Cross-engine hazard (same as c41): log-probabilities
+    * are transcendental, so both LMs use the exact integer bit-length
+    * ⌊log2⌋, and the unseen-word penalty is add-half smoothing kept in
+    * integers: bits_t = ⌊log2((2·tot_t + |V|) div (2·cnt_t + 1))⌋.
+    * Output is the raw integer importance sum (a ratio would need
+    * cross-engine floor-vs-truncate division on NEGATIVE sums — so the
+    * declared columns stay in sum space). Scale shape: both LMs are
+    * vocabulary-sized, joined once, broadcast to the scoring pass; the
+    * corpus is scanned once for counts and once for scoring, never
+    * shuffled on anything wider than the vocab.
+    */
+  private def c49(s: SparkSession, d: String): DataFrame = {
+    val tok = documents(s, d)
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("w"))
+    val wcAll = tok.groupBy("w").agg(count(lit(1)).as("cnt_all"))
+    val wcT = tok.filter(col("source") === "src1")
+      .groupBy("w").agg(count(lit(1)).as("cnt_t"))
+    // vocab-sized windows (bounded single partition — same pattern as
+    // c41; a 1-row cross join would plan the banned NestedLoopJoin)
+    val lm = wcAll.join(wcT, Seq("w"), "left")
+      .withColumn("tot_all", sum("cnt_all").over(Window.partitionBy()))
+      .withColumn("tot_t",
+        sum(coalesce(col("cnt_t"), lit(0))).over(Window.partitionBy()))
+      .withColumn("nv", count(lit(1)).over(Window.partitionBy()))
+      .select(col("w"), col("cnt_all"), col("tot_all"),
+        ((length(bin(expr("tot_all div cnt_all"))) - 1) -
+          (length(bin(
+            expr("(2 * tot_t + nv) div (2 * coalesce(cnt_t, 0) + 1)"))) - 1))
+          .cast("long").as("imp"))
+      // corpus-mean importance numerator: Σ_vocab imp·cnt — the exact
+      // token-weighted mean is gm/tot_all, kept as an integer pair so
+      // the per-doc flag below is an exact cross-multiplication
+      .withColumn("gm",
+        sum(col("imp") * col("cnt_all")).over(Window.partitionBy()))
+      .select(col("w"), col("imp"), col("gm"), col("tot_all"))
+    tok.join(broadcast(lm), Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("imp").as("imp_sum"),
+        max("gm").as("gm"), max("tot_all").as("tot"))
+      // doc mean > corpus mean, exactly: imp_sum/n > gm/tot
+      .select(col("doc_id"), col("n_words"), col("imp_sum"),
+        (col("imp_sum") * col("tot") > col("gm") * col("n_words"))
+          .as("above_corpus_mean"))
+      .orderBy("doc_id")
+  }
+
   /** DuckDB twin of c43's per-subspace Lloyd recurrence — ivfOracleSql's
     * CTE chain with a `sub = i // 16` key threaded through, so all 4
     * codebooks train in the same SQL pass. Centroids are keyed (c, i):
@@ -1489,6 +1794,16 @@ object TierC {
       ", asg AS (SELECT t.vec_id, t.sub, t.c, t.dist FROM (SELECT q0.vec_id, q0.sub, p.c, sum((q0.q - p.m)*(q0.q - p.m))::BIGINT AS dist FROM q0 JOIN c2 p USING (i) GROUP BY 1, 2, 3) t QUALIFY row_number() OVER (PARTITION BY t.vec_id, t.sub ORDER BY t.dist, t.c) = 1) " +
       "SELECT vec_id, max(CASE WHEN sub = 0 THEN c END)::BIGINT AS c0, max(CASE WHEN sub = 1 THEN c END)::BIGINT AS c1, max(CASE WHEN sub = 2 THEN c END)::BIGINT AS c2, max(CASE WHEN sub = 3 THEN c END)::BIGINT AS c3, sum(dist)::BIGINT AS err FROM asg GROUP BY vec_id ORDER BY vec_id"
   }
+
+  /** DuckDB rendering of the c15/c51 sign-LSH bucket assignment: CTE
+    * chain ending in `buckets(vec_id, bucket)`. Exact integer plane
+    * dots on the 2^-10 grid — mirrors the Scala kernel bit-for-bit.
+    */
+  private val lshBucketCtes =
+    "planes AS (SELECT p.p, i.i, ((('0x'||substr(md5(p.p::VARCHAR || ':' || i.i::VARCHAR),1,15))::BIGINT % 17) - 8) AS w FROM range(8) p(p), range(64) i(i)), " +
+      "q AS (SELECT vec_id, i.i, floor(embedding[i.i+1]::DOUBLE * 1024)::BIGINT AS qv FROM embeddings, range(64) i(i)), " +
+      "dots AS (SELECT q.vec_id, planes.p, sum(planes.w * q.qv)::BIGINT AS dot FROM q JOIN planes ON q.i = planes.i GROUP BY 1, 2), " +
+      "buckets AS (SELECT vec_id, sum(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bucket FROM dots GROUP BY 1)"
 
   private val shinglesSql =
     "SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) WHERE len(w) >= 3"
@@ -1550,7 +1865,11 @@ object TierC {
     QueryDef("c14_fingerprint", c14 _, Some(
       "SELECT doc_id, md5(text) AS fp, list_min(list_transform(string_split(text, ' '), x -> md5(x))) AS min_word_fp FROM documents ORDER BY doc_id")),
     QueryDef("c15_ann_lsh", c15 _, Some(
-      "WITH planes AS (SELECT p.p, i.i, ((('0x'||substr(md5(p.p::VARCHAR || ':' || i.i::VARCHAR),1,15))::BIGINT % 17) - 8) AS w FROM range(8) p(p), range(64) i(i)), q AS (SELECT vec_id, i.i, floor(embedding[i.i+1]::DOUBLE * 1024)::BIGINT AS qv FROM embeddings, range(64) i(i)), dots AS (SELECT q.vec_id, planes.p, sum(planes.w * q.qv)::BIGINT AS dot FROM q JOIN planes ON q.i = planes.i GROUP BY 1, 2), buckets AS (SELECT vec_id, sum(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bucket FROM dots GROUP BY 1) SELECT bucket, count(*)::BIGINT AS n_vecs, min(vec_id) AS min_vec, max(vec_id) AS max_vec FROM buckets GROUP BY 1 ORDER BY 1")),
+      s"WITH $lshBucketCtes SELECT bucket, count(*)::BIGINT AS n_vecs, min(vec_id) AS min_vec, max(vec_id) AS max_vec FROM buckets GROUP BY 1 ORDER BY 1")),
+    QueryDef("c50_boilerplate_blocks", c50 _, Some(
+      "WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), b AS (SELECT doc_id, i AS idx, array_to_string(w[(i*8+1):(i*8+8)], ' ') AS line FROM w, LATERAL (SELECT unnest(range(0, ((len(w)-1)//8)+1)) AS i) t), df AS (SELECT line, count(DISTINCT doc_id) AS df FROM b GROUP BY 1), fl AS (SELECT b.doc_id, b.idx, b.line, (df.df >= 3) AS boiler FROM b JOIN df USING (line)) SELECT doc_id, count(*)::BIGINT AS n_blocks, sum(CASE WHEN boiler THEN 1 ELSE 0 END)::BIGINT AS n_boiler, md5(coalesce(string_agg(CASE WHEN NOT boiler THEN line END, ' ' ORDER BY idx), '')) AS clean_fp FROM fl GROUP BY 1 ORDER BY 1")),
+    QueryDef("c51_semantic_dedup", c51 _, Some(
+      s"WITH $lshBucketCtes, pr AS (SELECT a.vec_id AS v, b.vec_id AS u FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND b.vec_id < a.vec_id), hits AS (SELECT p.v, p.u FROM pr p JOIN embeddings ea ON ea.vec_id = p.v JOIN embeddings eb ON eb.vec_id = p.u WHERE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) > 0.3), agg AS (SELECT v, count(*)::BIGINT AS n_early, min(u) AS blocker FROM hits GROUP BY 1) SELECT bk.vec_id, bk.bucket, coalesce(a.n_early, 0)::BIGINT AS n_early_dups, coalesce(a.blocker, -1)::BIGINT AS blocker, (a.v IS NULL) AS kept FROM buckets bk LEFT JOIN agg a ON a.v = bk.vec_id ORDER BY bk.vec_id")),
     QueryDef("c24_text_repetition", c24 _, Some(
       "SELECT doc_id, floor((1.0 - len(list_distinct(w))::DOUBLE / len(w)) * 10000)::BIGINT AS rep_word_bp, floor((1.0 - len(list_distinct(bg))::DOUBLE / len(bg)) * 10000)::BIGINT AS rep_bigram_bp FROM (SELECT doc_id, w, list_transform(generate_series(1, len(w)-1), i -> w[i] || ' ' || w[i+1]) AS bg FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) WHERE len(w) >= 2) ORDER BY doc_id")),
     QueryDef("c25_decontaminate", c25 _, Some(
@@ -1597,6 +1916,14 @@ object TierC {
       "WITH wc AS (SELECT w, count(*)::BIGINT AS cnt FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY w), pc AS (SELECT substr(w, i, 2) AS pair, sum(cnt)::BIGINT AS cnt FROM wc, LATERAL (SELECT unnest(range(1, length(w))) AS i) t WHERE length(w) >= 2 GROUP BY 1), topw AS (SELECT 'word' AS kind, w AS sym, cnt FROM wc ORDER BY cnt DESC, w LIMIT 25), topp AS (SELECT 'pair' AS kind, pair AS sym, cnt FROM pc ORDER BY cnt DESC, pair LIMIT 25) SELECT kind, sym, cnt FROM (SELECT * FROM topw UNION ALL SELECT * FROM topp) ORDER BY kind, cnt DESC, sym")),
     QueryDef("c41_lm_surprisal", c41 _, Some(
       "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents), wc AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w), tot AS (SELECT count(*) AS n FROM tok), sur AS (SELECT w, (length(bin((n // cnt)::BIGINT)) - 1)::BIGINT AS bits FROM wc, tot) SELECT t.doc_id, count(*)::BIGINT AS n_words, sum(s.bits)::BIGINT AS sur_sum, (sum(s.bits) * 10000 // count(*))::BIGINT AS avg_sur_bp FROM tok t JOIN sur s ON t.w = s.w GROUP BY t.doc_id ORDER BY t.doc_id")),
+    QueryDef("c46_dedup_url", c46 _, Some(
+      "WITH u AS (SELECT doc_id, 'HTTPS://' || CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END || source || '.Example.COM/' || lang || '/page' || (doc_id % 25)::VARCHAR || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END || CASE WHEN doc_id % 3 = 0 THEN '?id=' || (doc_id % 25)::VARCHAR || '&utm_source=feed&utm_campaign=x' WHEN doc_id % 3 = 1 THEN '?id=' || (doc_id % 25)::VARCHAR ELSE '' END AS url FROM documents), c AS (SELECT doc_id, url, regexp_replace(regexp_replace(regexp_replace(regexp_replace(lower(url), '://www\\.', '://'), '&utm_[a-z_]+=[^&]*', '', 'g'), '/\\?', '?'), '/$', '') AS canon_url FROM u) SELECT canon_url, count(*)::BIGINT AS n_docs, count(DISTINCT url)::BIGINT AS n_variants, min(doc_id) AS keeper FROM c GROUP BY 1 ORDER BY 1")),
+    QueryDef("c47_tokenizer_apply", c47 _, Some(
+      "WITH wc AS (SELECT w, count(*)::BIGINT AS cnt FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY w), pc AS (SELECT substr(w, i, 2) AS pair, sum(cnt)::BIGINT AS c FROM wc, LATERAL (SELECT unnest(range(1, length(w))) AS i) t WHERE length(w) >= 2 GROUP BY 1), m1 AS (SELECT pair, ' ' || substr(pair, 1, 1) || ' ' || substr(pair, 2, 1) || ' ' AS pat, ' ' || pair || ' ' AS rep FROM pc ORDER BY c DESC, pair LIMIT 1), cs0 AS (SELECT w, cnt, array_to_string(list_transform(generate_series(1, length(w)), i -> substr(w, i, 1)), ' ') AS cs FROM wc), cs1 AS (SELECT w, cnt, trim(replace(' ' || cs || ' ', (SELECT pat FROM m1), (SELECT rep FROM m1))) AS cs FROM cs0), tp AS (SELECT t[i] || ' ' || t[i + 1] AS pair, sum(cnt)::BIGINT AS c FROM (SELECT cnt, string_split(cs, ' ') AS t FROM cs1), LATERAL (SELECT unnest(range(1, len(t))) AS i) x GROUP BY 1), m2 AS (SELECT pair, ' ' || pair || ' ' AS pat, ' ' || replace(pair, ' ', '') || ' ' AS rep FROM tp ORDER BY c DESC, pair LIMIT 1), cs2 AS (SELECT w, cnt, trim(replace(' ' || cs || ' ', (SELECT pat FROM m2), (SELECT rep FROM m2))) AS cs FROM cs1) SELECT w, cnt, length(w)::BIGINT AS tok0, len(string_split(cs, ' '))::BIGINT AS tok2, (SELECT pair FROM m1) AS merge1, (SELECT pair FROM m2) AS merge2 FROM cs2 ORDER BY cnt DESC, w LIMIT 25")),
+    QueryDef("c48_sample_weighted", c48 _, Some(
+      s"WITH w AS (SELECT doc_id, source, 1 + (substr(source, 4)::BIGINT % 4) AS wt FROM documents), d AS (SELECT doc_id, source, wt, unnest(range(1, wt + 1)) AS j FROM w), k AS (SELECT doc_id, source, wt, max(${duckHash("'ws:' || doc_id::VARCHAR || ':' || j::VARCHAR")}) AS sample_key FROM d GROUP BY 1, 2, 3), t AS (SELECT * FROM k ORDER BY sample_key DESC, doc_id LIMIT 100) SELECT row_number() OVER (ORDER BY sample_key DESC, doc_id)::BIGINT AS rk, doc_id, source, wt::BIGINT AS wt, sample_key FROM t ORDER BY rk")),
+    QueryDef("c49_dsir_importance", c49 _, Some(
+      "WITH tok AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w FROM documents), wa AS (SELECT w, count(*)::BIGINT AS cnt_all FROM tok GROUP BY w), wt AS (SELECT w, count(*)::BIGINT AS cnt_t FROM tok WHERE source = 'src1' GROUP BY w), lm AS (SELECT wa.w, wa.cnt_all, coalesce(wt.cnt_t, 0)::BIGINT AS cnt_t, sum(wa.cnt_all) OVER ()::BIGINT AS tot_all, sum(coalesce(wt.cnt_t, 0)) OVER ()::BIGINT AS tot_t, count(*) OVER ()::BIGINT AS nv FROM wa LEFT JOIN wt ON wa.w = wt.w), sc0 AS (SELECT w, cnt_all, tot_all, ((length(bin((tot_all // cnt_all)::BIGINT)) - 1) - (length(bin(((2 * tot_t + nv) // (2 * cnt_t + 1))::BIGINT)) - 1))::BIGINT AS imp FROM lm), sc AS (SELECT w, imp, sum(imp * cnt_all) OVER ()::BIGINT AS gm, tot_all FROM sc0) SELECT t.doc_id, count(*)::BIGINT AS n_words, sum(s.imp)::BIGINT AS imp_sum, (sum(s.imp) * max(s.tot_all) > max(s.gm) * count(*)) AS above_corpus_mean FROM tok t JOIN sc s ON t.w = s.w GROUP BY 1 ORDER BY 1")),
     QueryDef("c32_curation_gate", c32 _, Some(
       "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), tc AS (SELECT doc_id, term, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2), st AS (SELECT doc_id, sum(c)::BIGINT AS n_tokens, sum(length(term) * c)::BIGINT AS sum_len, max(c)::BIGINT AS max_c FROM tc GROUP BY 1), g AS (SELECT doc_id, n_tokens, (100 * sum_len) // n_tokens AS len_bp, (10000 * max_c) // n_tokens AS rep_bp FROM st) SELECT doc_id, n_tokens, len_bp, rep_bp, CASE WHEN n_tokens < 20 THEN 'too_short' WHEN n_tokens > 90 THEN 'too_long' WHEN len_bp < 350 OR len_bp > 700 THEN 'word_len' WHEN rep_bp > 1500 THEN 'repetitive' ELSE 'keep' END AS verdict FROM g ORDER BY doc_id")),
   )
