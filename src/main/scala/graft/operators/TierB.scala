@@ -989,7 +989,97 @@ object TierB {
         count(lit(1)).as("n_orders"))
       .orderBy("o_custkey")
 
+  /** b48: correlated EXISTS / NOT EXISTS — the decorrelation surface
+    * b23's scalar/IN subqueries don't touch. A Mrs user would write two
+    * reduce-side membership passes; Catalyst rewrites both predicates
+    * into one LeftSemi and one LeftAnti join against the same fact
+    * table (plan-asserted in Round5PlanSpec — NOT a per-row re-scan of
+    * lineitem, which is what the naive MR translation and a
+    * NestedLoopJoin would both do). At 100 TB the semi/anti sides
+    * partial-aggregate to distinct suppkeys before shuffling.
+    */
+  private def b48(s: SparkSession, d: String): DataFrame = {
+    supplier(s, d).createOrReplaceTempView("g_supplier")
+    lineitem(s, d).createOrReplaceTempView("g_lineitem")
+    s.sql(
+      """SELECT s_suppkey, s_name FROM g_supplier
+        |WHERE EXISTS (SELECT 1 FROM g_lineitem
+        |              WHERE l_suppkey = s_suppkey AND l_returnflag = 'R')
+        |  AND NOT EXISTS (SELECT 1 FROM g_lineitem
+        |                  WHERE l_suppkey = s_suppkey
+        |                    AND l_quantity >= 49 AND l_discount >= 0.10)
+        |ORDER BY s_suppkey""".stripMargin)
+  }
+
+  /** b49: LATERAL correlated subquery — the "for each outer row, run a
+    * parameterized subquery" surface (SQL:1999 LATERAL; Spark ≥ 3.2).
+    * Per nation: that nation's customer count and max/total account
+    * balance. Catalyst decorrelates the lateral aggregate into a
+    * pre-aggregated join keyed on c_nationkey (plan-asserted: no
+    * nested-loop, aggregation BELOW the join), so the 100 TB shape is
+    * one partial-agg'd shuffle of the customer table, not |nation|
+    * re-scans.
+    */
+  private def b49(s: SparkSession, d: String): DataFrame = {
+    nation(s, d).createOrReplaceTempView("g_nation")
+    customer(s, d).createOrReplaceTempView("g_customer")
+    s.sql(
+      """SELECT n_nationkey, n_name, c.n_cust, c.max_bal, c.sum_bal
+        |FROM g_nation, LATERAL (
+        |  SELECT count(*) AS n_cust,
+        |         max(c_acctbal) AS max_bal,
+        |         CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |  FROM g_customer WHERE c_nationkey = n_nationkey
+        |) c
+        |ORDER BY n_nationkey""".stripMargin)
+  }
+
+  /** b50: iterative multi-hop graph traversal (BFS distance) — the
+    * driver-loop pattern a13/c18 use, on the bipartite supplier↔part
+    * graph lineitem induces (supplier node = −(suppkey+1) — the corpus
+    * keys are 0-based, so the shift keeps the two id spaces disjoint —
+    * part node = +partkey; distinct edges only). BFS from supplier 1
+    * (node −2) to depth 4,
+    * declared output = per-level node census. Each round is one
+    * edge-keyed equi join + a min-distance partial agg — the scale
+    * shape of every production graph pass (label propagation, CC,
+    * shortest path): state is O(nodes), work per round is O(edges),
+    * nothing quadratic. (A frontier-delta refinement would cut
+    * re-expansion of settled nodes; the full-relabel form is c18's,
+    * kept for one shared idiom.) DuckDB oracles it with a recursive
+    * CTE whose UNION-dedup bounds states to (node, depth) pairs.
+    */
+  private def b50(s: SparkSession, d: String): DataFrame = {
+    val maxHops = 4
+    val li = lineitem(s, d)
+    val fwd = li.select((-(col("l_suppkey") + 1)).as("u"),
+      col("l_partkey").as("v"))
+    val edges = fwd.union(fwd.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .localCheckpoint(false) // reused every round
+    val src = li.sparkSession.range(1)
+      .select(lit(-2L).as("node"), lit(0).as("d"))
+    val dist = CoreMR.iterate(src, maxHops) { (cur, _) =>
+      val next = cur.join(edges, cur("node") === edges("u"))
+        .select(col("v").as("node"), (col("d") + 1).as("d"))
+      cur.union(next).groupBy("node").agg(min("d").as("d"))
+        .localCheckpoint(false)
+    } { (_, _) => true }
+    dist.groupBy("d")
+      .agg(count(lit(1)).as("n_nodes"),
+        min("node").as("min_node"), max("node").as("max_node"))
+      .select(col("d").cast("long").as("dist"), col("n_nodes"),
+        col("min_node"), col("max_node"))
+      .orderBy("dist")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("b48_subquery_exists", b48 _, Some(
+      "SELECT s_suppkey, s_name FROM supplier WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND l_returnflag = 'R') AND NOT EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND l_quantity >= 49 AND l_discount >= 0.10) ORDER BY s_suppkey")),
+    QueryDef("b49_join_lateral", b49 _, Some(
+      "SELECT n_nationkey, n_name, c.n_cust, c.max_bal, c.sum_bal FROM nation, LATERAL (SELECT count(*)::BIGINT AS n_cust, max(c_acctbal) AS max_bal, sum(c_acctbal::DECIMAL(18,2))::DOUBLE AS sum_bal FROM customer WHERE c_nationkey = n_nationkey) c ORDER BY n_nationkey")),
+    QueryDef("b50_graph_bfs", b50 _, Some(
+      "WITH RECURSIVE e AS (SELECT DISTINCT -(l_suppkey + 1) AS u, l_partkey AS v FROM lineitem UNION SELECT DISTINCT l_partkey, -(l_suppkey + 1) FROM lineitem), bfs(node, d) AS (SELECT (-2)::BIGINT, 0 UNION SELECT e.v, bfs.d + 1 FROM e JOIN bfs ON e.u = bfs.node WHERE bfs.d < 4), md AS (SELECT node, min(d) AS d FROM bfs GROUP BY 1) SELECT d::BIGINT AS dist, count(*)::BIGINT AS n_nodes, min(node) AS min_node, max(node) AS max_node FROM md GROUP BY 1 ORDER BY 1")),
     QueryDef("b47_agg_ordered_list", b47 _, Some(
       "SELECT o_custkey, string_agg(o_orderkey::VARCHAR, ',' ORDER BY o_totalprice DESC, o_orderkey) AS orders_csv, count(*)::BIGINT AS n_orders FROM orders GROUP BY o_custkey ORDER BY o_custkey")),
     QueryDef("b46_topk_agg", b46 _, Some(
