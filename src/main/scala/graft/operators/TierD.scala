@@ -118,7 +118,8 @@ object TierD {
     "d9_stream_join", "d10_stream_transform_state", "d11_stream_static_join",
     "d12_stream_custom_source", "d13_stream_foreach_batch",
     "d14_stream_watermark_append", "d15_stream_outer_join",
-    "d16_stream_timer_session", "d17_stream_buffered_session")
+    "d16_stream_timer_session", "d17_stream_buffered_session",
+    "d18_stream_sliding_append", "d19_stream_chained_stateful")
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d1_window_tumbling", d1 _, Some(
@@ -159,6 +160,12 @@ object TierD {
     QueryDef("d12_stream_custom_source",
       (s, d) => graft.streaming.StreamingDemo.streamCustomSource(s, d), Some(
         "SELECT t.i AS id, md5(t.i::VARCHAR) AS value FROM range(10000) t(i) WHERE t.i % 97 = 0 ORDER BY id")),
+    QueryDef("d18_stream_sliding_append",
+      (s, d) => graft.streaming.StreamingDemo.slidingAppend(s, d), Some(
+        "WITH m AS (SELECT max(ts) AS mx FROM events), a AS (SELECT (floor(epoch(ts)/900)::BIGINT - j.j) * 900 AS ws, event_type FROM events, (VALUES (0),(1),(2),(3)) j(j)) SELECT ws, event_type, count(*)::BIGINT AS cnt FROM a, m WHERE ws + 7200 <= epoch(mx) GROUP BY 1, 2 ORDER BY 1, 2")),
+    QueryDef("d19_stream_chained_stateful",
+      (s, d) => graft.streaming.StreamingDemo.chainedDedupAgg(s, d), Some(
+        "WITH m AS (SELECT date_trunc('minute', max(ts)) AS mx FROM events), dd AS (SELECT DISTINCT user_id, event_type, date_trunc('minute', ts) AS mt FROM events), a AS (SELECT date_trunc('hour', mt) AS ws, event_type, count(*)::BIGINT AS n_active FROM dd GROUP BY 1, 2) SELECT floor(epoch(ws))::BIGINT AS start_s, event_type, n_active FROM a, m WHERE ws + INTERVAL 2 HOUR <= mx ORDER BY 1, 2")),
     QueryDef("d14_stream_watermark_append",
       (s, d) => graft.streaming.StreamingDemo.watermarkAppend(s, d), Some(
         "WITH m AS (SELECT max(ts) AS mx FROM events), a AS (SELECT date_trunc('hour', ts) AS ws, event_type, count(*)::BIGINT AS cnt FROM events GROUP BY 1, 2) SELECT floor(epoch(ws))::BIGINT AS start_s, event_type, cnt FROM a, m WHERE ws + INTERVAL 2 HOUR <= mx ORDER BY 1, 2")),

@@ -792,6 +792,59 @@ object StreamingDemo {
     }.orderBy("start_s", "event_type")
   }
 
+  /** d18: watermarked SLIDING window agg in APPEND mode — d14's
+    * exactly-once finalized emission applied to overlapping windows
+    * (1 h windows sliding every 15 min, so every event lands in 4
+    * windows on the 900 s epoch grid — d2's batch twin). Append mode
+    * emits a window only when the watermark (max event time − 1 h)
+    * passes its END; the engine's final no-data batch closes the rest.
+    * Declared output = exactly the windows whose end + 1 h delay ≤ max
+    * event time — the same boundary arithmetic d14 pins, here on the
+    * sliding grid. State on unbounded input is bounded by
+    * (delay + window) ÷ slide open windows per key.
+    */
+  def slidingAppend(s: SparkSession, d: String): DataFrame = {
+    val ev = eventStream(s, d)
+    withStreamPartitions(s) {
+      runToFiles(s, "d18",
+        df => df.withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour", "15 minutes"),
+            col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(expr("unix_micros(window.start) div 1000000").as("ws"),
+            col("event_type"), col("cnt")),
+        ev)
+    }.orderBy("ws", "event_type")
+  }
+
+  /** d19: CHAINED stateful operators in one streaming query —
+    * `dropDuplicatesWithinWatermark` followed by a watermarked tumbling
+    * window aggregate, both in append mode (Spark ≥ 3.5's multiple-
+    * stateful-operator support; one shared global watermark drives
+    * both state stores). This is the production "dedup then count
+    * distinct actives per hour" shape: the dedup stage suppresses
+    * re-deliveries, the agg counts ONE row per (user, type, minute)
+    * key — so the declared count is per-hour DISTINCT activity, which
+    * a single stateful agg over raw events could only approximate with
+    * a wide count(distinct). Emission boundary: a window finalizes
+    * when the watermark (max minute_ts − 1 h) passes its end — d14's
+    * arithmetic on the deduped stream.
+    */
+  def chainedDedupAgg(s: SparkSession, d: String): DataFrame = {
+    val ev = eventStream(s, d)
+    withStreamPartitions(s) {
+      runToFiles(s, "d19",
+        df => df.withColumn("minute_ts", date_trunc("minute", col("ts")))
+          .withWatermark("minute_ts", "1 hour")
+          .dropDuplicatesWithinWatermark("user_id", "event_type", "minute_ts")
+          .groupBy(window(col("minute_ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n_active"))
+          .select(expr("unix_micros(window.start) div 1000000").as("start_s"),
+            col("event_type"), col("n_active")),
+        ev)
+    }.orderBy("start_s", "event_type")
+  }
+
   /** d13: `foreachBatch` incremental merge — the production pattern for
     * sinks Structured Streaming can't write natively (upserts into a
     * warehouse table): each microbatch is aggregated and MERGED into a
