@@ -1546,14 +1546,14 @@ object TierC {
       .groupBy("pair").agg(sum(col("cnt")).as("c"))
       .orderBy(col("c").desc, col("pair")).limit(1)
       .select(col("pair")).as[String].collect().headOption
-    // pattern " a b " -> " ab ";   sentinel never occurs in words
+    // pattern " a b " -> " ab "; the \u0000 sentinel never occurs in words
     def merged(csCol: org.apache.spark.sql.Column, pat: String,
         rep: String): org.apache.spark.sql.Column =
       trim(call_function("replace",
         concat(lit(" "), csCol, lit(" ")), lit(pat), lit(rep)))
     val (p1pat, p1rep) = m1 match {
       case Some(p) => (s" ${p.charAt(0)} ${p.charAt(1)} ", s" $p ")
-      case None => (" ", " ")
+      case None => ("\u0000", "\u0000")
     }
     val cs1 = cs0.withColumn("cs", merged(col("cs"), p1pat, p1rep))
     // merge 2 = argmax over ADJACENT TOKEN pairs of the merged rendering
@@ -1567,7 +1567,7 @@ object TierC {
       .select(col("pair")).as[String].collect().headOption
     val (p2pat, p2rep, m2sym) = m2 match {
       case Some(p) => (s" $p ", s" ${p.replace(" ", "")} ", p)
-      case None => (" ", " ", "")
+      case None => ("\u0000", "\u0000", "")
     }
     val cs2 = cs1.withColumn("cs", merged(col("cs"), p2pat, p2rep))
     cs2
