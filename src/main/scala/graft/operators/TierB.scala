@@ -1073,7 +1073,102 @@ object TierB {
       .orderBy("dist")
   }
 
+  /** b51: time-series gap-fill by linear interpolation — the resample/
+    * impute pass every sensor/metrics pipeline runs before analysis.
+    * `error` rows are treated as dropped readings and reconstructed
+    * from the nearest non-error neighbors on each side:
+    * pv + (nv−pv)·(t−tp)/(tn−tp), falling back to the one-sided
+    * neighbor at series edges. Unlike b44's backward-only IGNORE NULLS
+    * carry, this needs BOTH directions — four ignore-nulls navigations
+    * over the same (user, time) order, which Spark plans as ONE
+    * Exchange + ONE Sort feeding two Window nodes (frame direction
+    * differs, sort order doesn't — plan-asserted). At 100 TB this is a
+    * single user-keyed shuffle; the interpolation arithmetic is
+    * per-row IEEE double ops (sub/div/mul/add are correctly rounded,
+    * so DuckDB reproduces them bit-for-bit — no float-sum ordering
+    * anywhere).
+    */
+  private def b51(s: SparkSession, d: String): DataFrame = {
+    val ord = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val wPrev = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = ord.rowsBetween(1, Window.unboundedFollowing)
+    events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("value"))
+      .withColumn("obs", when(col("event_type") =!= "error", col("value")))
+      .withColumn("obs_us", when(col("event_type") =!= "error", col("us")))
+      .withColumn("pv", last("obs", ignoreNulls = true).over(wPrev))
+      .withColumn("pus", last("obs_us", ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first("obs", ignoreNulls = true).over(wNext))
+      .withColumn("nus", first("obs_us", ignoreNulls = true).over(wNext))
+      .withColumn("filled",
+        when(col("obs").isNotNull, col("obs"))
+          .when(col("pv").isNotNull && col("nv").isNotNull &&
+            col("nus") =!= col("pus"),
+            col("pv") + (col("nv") - col("pv")) *
+              ((col("us") - col("pus")).cast("double") /
+                (col("nus") - col("pus")).cast("double")))
+          .otherwise(coalesce(col("pv"), col("nv"), lit(-1.0))))
+      .select(col("event_id"), col("user_id"),
+        (col("event_type") === "error").as("was_gap"), col("filled"))
+      .orderBy("event_id")
+  }
+
+  /** b52: the flagship relational composite (TPC-H Q3 shape) — segment
+    * filter × date-bounded orders × shipped-after lineitem, revenue per
+    * order, top 10. One query exercising the whole relational stack:
+    * three pushed filters (plan-asserted on the lineitem scan), two
+    * joins Catalyst/AQE is free to order and broadcast, an exact
+    * DECIMAL revenue aggregate, and a TakeOrderedAndProject instead of
+    * a global sort (only 10 rows ever reach the driver — asserted). At
+    * 100 TB: lineitem⋈orders shuffles on orderkey, the segment-filtered
+    * customer side broadcasts if it fits and AQE decides at runtime;
+    * nothing in the declaration forces either strategy.
+    */
+  private def b52(s: SparkSession, d: String): DataFrame = {
+    val cutoff = lit("1998-06-01 00:00:00").cast("timestamp")
+    val cust = customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val ord = orders(s, d).filter(col("o_orderdate") < cutoff)
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = lineitem(s, d).filter(col("l_shipdate") > cutoff)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy("o_orderkey", "o_orderdate")
+      .agg(moneySum4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** b53: EXACT grouped percentiles — the complement of b27's
+    * approx-quantile scale path. Spark's `percentile` is a
+    * TypedImperativeAggregate over a value→count histogram, so for
+    * LOW-CARDINALITY measures (l_quantity has 50 distinct values) the
+    * partial buffers are bounded maps that merge map-side — exact
+    * quartiles at 100 TB with one partial-agg'd shuffle, no global
+    * sort. (For unbounded-cardinality measures the histogram grows with
+    * the data — that is when b27's t-digest is the right tool; this op
+    * documents the boundary.) Interpolation a + f·(b−a) at quarter
+    * fractions over integer-valued doubles is exact binary arithmetic,
+    * so DuckDB's quantile_cont reproduces it bit-for-bit.
+    */
+  private def b53(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))")
+          .as("quartiles"))
+      .orderBy("l_returnflag")
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("b51_gap_fill", b51 _, Some(
+      "WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us, value FROM events), m AS (SELECT *, CASE WHEN event_type <> 'error' THEN value END AS obs, CASE WHEN event_type <> 'error' THEN us END AS obs_us FROM e), f AS (SELECT event_id, user_id, event_type, us, obs, last_value(obs IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv, last_value(obs_us IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pus, first_value(obs IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv, first_value(obs_us IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nus FROM m) SELECT event_id, user_id, (event_type = 'error') AS was_gap, CASE WHEN obs IS NOT NULL THEN obs WHEN pv IS NOT NULL AND nv IS NOT NULL AND nus <> pus THEN pv + (nv - pv) * ((us - pus)::DOUBLE / (nus - pus)::DOUBLE) ELSE coalesce(pv, nv, -1.0) END AS filled FROM f ORDER BY event_id")),
+    QueryDef("b52_flagship_q3", b52 _, Some(
+      "SELECT o_orderkey, o_orderdate, sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4))::DOUBLE AS revenue FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-06-01' AND l_shipdate > TIMESTAMP '1998-06-01' GROUP BY 1, 2 ORDER BY revenue DESC, o_orderkey LIMIT 10")),
+    QueryDef("b53_percentile_exact", b53 _, Some(
+      "SELECT l_returnflag, count(*)::BIGINT AS n, quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS quartiles FROM lineitem GROUP BY 1 ORDER BY 1")),
     QueryDef("b48_subquery_exists", b48 _, Some(
       "SELECT s_suppkey, s_name FROM supplier WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND l_returnflag = 'R') AND NOT EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND l_quantity >= 49 AND l_discount >= 0.10) ORDER BY s_suppkey")),
     QueryDef("b49_join_lateral", b49 _, Some(

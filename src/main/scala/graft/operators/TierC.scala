@@ -1825,7 +1825,92 @@ object TierC {
   private val clusterCtes =
     s"$minhashCtes, pairs AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v FROM sig a JOIN sig b ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id), edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs), reach(u, r) AS (SELECT doc_id, doc_id FROM documents UNION SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u)"
 
+  /** c52: corpus token-distribution statistics — the Zipf diagnostic a
+    * curation pipeline runs per source to spot degenerate shards
+    * (boilerplate floods show as a heavy head / steep slope, spam as a
+    * flat one). Per source: distinct tokens, total tokens, head share,
+    * and the least-squares slope of ln(count) on ln(rank) over the
+    * top-100 tokens. Scale shape: one (source, token) partial-agg'd
+    * count shuffle; the top-100 head rides b15's WindowGroupLimit
+    * pattern (map-side bound, plan-asserted) so only ~100 rows per
+    * source reach the regression; the regression sums go through exact
+    * DECIMAL so the hash compare cannot flake on float-sum order.
+    * Count table feeds two consumers (totals + head) — materialized
+    * once, the c45 pattern.
+    */
+  private def c52(s: SparkSession, d: String): DataFrame = {
+    val wc = documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
+    val totals = wc.groupBy("source").agg(
+      count(lit(1)).as("n_distinct"), sum("cnt").as("n_total"),
+      max("cnt").as("max_cnt"))
+    val head = wc
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy(col("cnt").desc, col("w"))))
+      .filter(col("rk") <= 100)
+    val sl = head
+      .select(col("source"),
+        log(col("rk").cast("double")).as("x"),
+        log(col("cnt").cast("double")).as("y"))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x").cast("decimal(28,12)")).cast("double").as("sx"),
+        sum(col("y").cast("decimal(28,12)")).cast("double").as("sy"),
+        sum((col("x") * col("y")).cast("decimal(28,12)")).cast("double")
+          .as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(28,12)")).cast("double")
+          .as("sxx"))
+      .select(col("source"),
+        when(col("n") * col("sxx") - col("sx") * col("sx") =!= 0.0,
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 4))
+          .as("zipf_slope"))
+    totals.join(sl, Seq("source"))
+      .select(col("source"), col("n_distinct"), col("n_total"),
+        expr("max_cnt * 10000 div n_total").as("top1_bp"),
+        col("zipf_slope"))
+      .orderBy("source")
+  }
+
+  /** c53: bigram LM scoring — c41's unigram surprisal upgraded to
+    * conditional P(w2|w1): per-doc bigram count and integer-log2
+    * surprisal bits under a bigram LM trained on the corpus itself
+    * (bits = ⌊log2(ctx/pair)⌋ via bit length, c41's engine-portable
+    * convention — no floats anywhere). Scale shape: the bigram stream
+    * is materialized ONCE (c45's localCheckpoint pattern) and feeds
+    * both the LM build and the scoring join; the LM is bigram-vocab-
+    * sized so the scoring join shuffles on the (w1,w2) key rather than
+    * assuming the LM broadcasts — at 100 TB the bigram vocabulary does
+    * NOT fit a broadcast, unlike c41's unigram table.
+    */
+  private def c53(s: SparkSession, d: String): DataFrame = {
+    val bg = documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(expr(
+        "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1), " +
+          "(a, b) -> struct(a AS w1, b AS w2))")).as("p"))
+      .select(col("doc_id"), col("p.w1"), col("p.w2"))
+      .localCheckpoint(false)
+    val pc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("pcnt"))
+    val ctx = pc.groupBy("w1").agg(sum("pcnt").as("ccnt"))
+    val lm = pc.join(ctx, "w1")
+      .select(col("w1"), col("w2"),
+        (length(bin(expr("ccnt div pcnt"))) - 1).cast("long").as("bits"))
+    bg.join(lm, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("bits").as("bits_sum"))
+      .select(col("doc_id"), col("n_bigrams"), col("bits_sum"),
+        expr("bits_sum * 10000 div n_bigrams").as("avg_bits_bp"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("c52_zipf_stats", c52 _, Some(
+      "WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents), wc AS (SELECT source, w, count(*) AS cnt FROM tok GROUP BY 1, 2), tot AS (SELECT source, count(*)::BIGINT AS n_distinct, sum(cnt)::BIGINT AS n_total, max(cnt) AS max_cnt FROM wc GROUP BY 1), rkd AS (SELECT source, w, cnt, row_number() OVER (PARTITION BY source ORDER BY cnt DESC, w) AS rk FROM wc QUALIFY rk <= 100), sl AS (SELECT source, count(*)::DOUBLE AS n, sum(ln(rk::DOUBLE)::DECIMAL(28,12))::DOUBLE AS sx, sum(ln(cnt::DOUBLE)::DECIMAL(28,12))::DOUBLE AS sy, sum((ln(rk::DOUBLE) * ln(cnt::DOUBLE))::DECIMAL(28,12))::DOUBLE AS sxy, sum((ln(rk::DOUBLE) * ln(rk::DOUBLE))::DECIMAL(28,12))::DOUBLE AS sxx FROM rkd GROUP BY 1) SELECT t.source, t.n_distinct, t.n_total, (t.max_cnt * 10000 // t.n_total)::BIGINT AS top1_bp, CASE WHEN sl.n * sl.sxx - sl.sx * sl.sx <> 0 THEN round((sl.n * sl.sxy - sl.sx * sl.sy) / (sl.n * sl.sxx - sl.sx * sl.sx), 4) END AS zipf_slope FROM tot t JOIN sl USING (source) ORDER BY source")),
+    QueryDef("c53_lm_bigram", c53 _, Some(
+      "WITH wl AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), bg AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM wl, LATERAL (SELECT unnest(range(1, len(w))) AS i) t), pc AS (SELECT w1, w2, count(*) AS pcnt FROM bg GROUP BY 1, 2), ctx AS (SELECT w1, sum(pcnt) AS ccnt FROM pc GROUP BY 1), lm AS (SELECT pc.w1, pc.w2, (length(bin((ctx.ccnt // pc.pcnt)::BIGINT)) - 1)::BIGINT AS bits FROM pc JOIN ctx USING (w1)), j AS (SELECT b.doc_id, l.bits FROM bg b JOIN lm l ON b.w1 = l.w1 AND b.w2 = l.w2) SELECT doc_id, count(*)::BIGINT AS n_bigrams, sum(bits)::BIGINT AS bits_sum, (sum(bits) * 10000 // count(*))::BIGINT AS avg_bits_bp FROM j GROUP BY 1 ORDER BY 1")),
     QueryDef("c38_dedup_containment", c38 _, Some(
       s"WITH $minhashCtes, pairs AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v FROM sig a JOIN sig b ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id), sizes AS (SELECT doc_id, count(*)::BIGINT AS nsh FROM sh GROUP BY 1), inter AS (SELECT p.u, p.v, count(*)::BIGINT AS inter FROM pairs p JOIN sh a ON a.doc_id = p.u JOIN sh b ON b.doc_id = p.v AND b.sh = a.sh GROUP BY 1, 2) SELECT p.u AS doc_a, p.v AS doc_b, ((10000 * coalesce(i.inter, 0)) // least(sa.nsh, sb.nsh))::BIGINT AS containment_bp, ((10000 * coalesce(i.inter, 0)) // least(sa.nsh, sb.nsh)) >= 9000 AS is_contained FROM pairs p JOIN sizes sa ON sa.doc_id = p.u JOIN sizes sb ON sb.doc_id = p.v LEFT JOIN inter i ON i.u = p.u AND i.v = p.v ORDER BY doc_a, doc_b")),
     QueryDef("c37_embedding_centroid", c37 _, Some(
