@@ -1059,11 +1059,20 @@ object TierB {
       .localCheckpoint(false) // reused every round
     val src = li.sparkSession.range(1)
       .select(lit(-2L).as("node"), lit(0).as("d"))
-    val dist = CoreMR.iterate(src, maxHops) { (cur, _) =>
-      val next = cur.join(edges, cur("node") === edges("u"))
-        .select(col("v").as("node"), (col("d") + 1).as("d"))
-      cur.union(next).groupBy("node").agg(min("d").as("d"))
-        .localCheckpoint(false)
+    // Frontier-delta BFS: each round expands ONLY the nodes discovered
+    // last round (d = i−1) and anti-joins the settled set, instead of
+    // re-joining every discovered node against the edge list and
+    // re-aggregating all labels (the full-relabel form c18 keeps for
+    // its min-label CC, where labels genuinely change). Work per round
+    // is O(edges incident to the frontier) — on a near-saturated graph
+    // the last rounds stop re-expanding the whole reachable set.
+    val dist = CoreMR.iterate(src, maxHops) { (cur, i) =>
+      val frontier = cur.filter(col("d") === (i - 1))
+      val next = frontier.join(edges, frontier("node") === edges("u"))
+        .select(col("v").as("node")).distinct()
+        .join(cur, Seq("node"), "left_anti")
+        .select(col("node"), lit(i).as("d"))
+      cur.union(next).localCheckpoint(false)
     } { (_, _) => true }
     dist.groupBy("d")
       .agg(count(lit(1)).as("n_nodes"),

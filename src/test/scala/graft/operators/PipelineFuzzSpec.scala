@@ -206,6 +206,46 @@ class PipelineFuzzSpec extends SparkSpec {
     }
   }
 
+  test("c53 bigram surprisal matches a driver-side recomputation on random corpora") {
+    forAllN(genCorpus, 5) { texts =>
+      val d = writeCorpus(texts)
+      val got = SparkEntry.queries("c53_lm_bigram")(spark, d).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      val bigrams = texts.zipWithIndex.flatMap { case (t, i) =>
+        t.split(" ").sliding(2).filter(_.length == 2)
+          .map(p => (i.toLong, p(0), p(1))).toList
+      }
+      val pc = bigrams.groupBy(b => (b._2, b._3)).view
+        .mapValues(_.size.toLong).toMap
+      val ctx = bigrams.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      def bits(w1: String, w2: String): Long =
+        63L - java.lang.Long.numberOfLeadingZeros(ctx(w1) / pc((w1, w2)))
+      val expect = bigrams.groupBy(_._1).map { case (id, bs) =>
+        val s = bs.map(b => bits(b._2, b._3)).sum
+        id -> ((bs.size.toLong, s, s * 10000L / bs.size))
+      }
+      assert(got == expect)
+      // single-word docs carry no bigram and must not appear
+      texts.zipWithIndex.foreach { case (t, i) =>
+        if (t.split(" ").length < 2) assert(!got.contains(i.toLong))
+      }
+    }
+  }
+
+  test("c52 degenerate shard: single distinct token yields a null slope, full head share") {
+    val d = writeCorpus(List("a a a a a"))
+    val rows = SparkEntry.queries("c52_zipf_stats")(spark, d).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[String]("source") == "src0")
+    assert(r.getAs[Long]("n_distinct") == 1L)
+    assert(r.getAs[Long]("n_total") == 5L)
+    assert(r.getAs[Long]("top1_bp") == 10000L)
+    // one point fits no line: the regression denominator is exactly 0
+    assert(r.isNullAt(r.fieldIndex("zipf_slope")))
+  }
+
   test("c30 kept counts match brute force (top-20 stop list, ties by term)") {
     forAllN(genCorpus, 5) { texts =>
       val d = writeCorpus(texts)
