@@ -1171,7 +1171,33 @@ object TierB {
           .as("quartiles"))
       .orderBy("l_returnflag")
 
+  /** b54: FILTER-clause conditional aggregation — N predicates, ONE
+    * scan, one partial-agg'd shuffle. The MR translation is N filtered
+    * map passes (or a tagged-union fan-out); SQL's `FILTER (WHERE …)`
+    * folds every predicate into the same hash-agg buffer update, so
+    * adding a metric costs zero extra I/O at 100 TB (plan-asserted:
+    * exactly one lineitem scan, partial_count below the exchange).
+    * Money stays in exact DECIMAL until the final cast; an
+    * all-rows-filtered-out group yields NULL in both engines.
+    */
+  private def b54(s: SparkSession, d: String): DataFrame = {
+    lineitem(s, d).createOrReplaceTempView("g_lineitem")
+    s.sql(
+      """SELECT l_returnflag,
+        |  count(*) AS n,
+        |  count(*) FILTER (WHERE l_quantity >= 25) AS n_heavy,
+        |  count(*) FILTER (WHERE l_discount = 0.0) AS n_undiscounted,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |        AS DECIMAL(18,4)))
+        |    FILTER (WHERE l_shipdate >= TIMESTAMP '1998-01-01')
+        |    AS DOUBLE) AS rev_recent
+        |FROM g_lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("b54_agg_filter", b54 _, Some(
+      "SELECT l_returnflag, count(*)::BIGINT AS n, (count(*) FILTER (WHERE l_quantity >= 25))::BIGINT AS n_heavy, (count(*) FILTER (WHERE l_discount = 0.0))::BIGINT AS n_undiscounted, (sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4)) FILTER (WHERE l_shipdate >= TIMESTAMP '1998-01-01'))::DOUBLE AS rev_recent FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")),
     QueryDef("b51_gap_fill", b51 _, Some(
       "WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us, value FROM events), m AS (SELECT *, CASE WHEN event_type <> 'error' THEN value END AS obs, CASE WHEN event_type <> 'error' THEN us END AS obs_us FROM e), f AS (SELECT event_id, user_id, event_type, us, obs, last_value(obs IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv, last_value(obs_us IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pus, first_value(obs IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv, first_value(obs_us IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nus FROM m) SELECT event_id, user_id, (event_type = 'error') AS was_gap, CASE WHEN obs IS NOT NULL THEN obs WHEN pv IS NOT NULL AND nv IS NOT NULL AND nus <> pus THEN pv + (nv - pv) * ((us - pus)::DOUBLE / (nus - pus)::DOUBLE) ELSE coalesce(pv, nv, -1.0) END AS filled FROM f ORDER BY event_id")),
     QueryDef("b52_flagship_q3", b52 _, Some(

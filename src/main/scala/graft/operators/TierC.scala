@@ -1286,7 +1286,11 @@ object TierC {
     * the LM is vocabulary-sized and broadcast; the scoring join never
     * shuffles the corpus.
     */
-  private def c41(s: SparkSession, d: String): DataFrame = {
+  /** Per-doc unigram surprisal under the corpus LM — c41's body, shared
+    * with c55's quality bucketing. Columns: doc_id, n_words, sur_sum,
+    * avg_sur_bp (unordered; consumers add their ORDER BY).
+    */
+  private def unigramSurprisal(s: SparkSession, d: String): DataFrame = {
     val tok = documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
     val wc = tok.groupBy("w").agg(count(lit(1)).as("cnt"))
@@ -1302,7 +1306,92 @@ object TierC {
       .agg(count(lit(1)).as("n_words"), sum("bits").as("sur_sum"))
       .select(col("doc_id"), col("n_words"), col("sur_sum"),
         expr("sur_sum * 10000 div n_words").as("avg_sur_bp"))
+  }
+
+  private def c41(s: SparkSession, d: String): DataFrame =
+    unigramSurprisal(s, d).orderBy("doc_id")
+
+  /** c55: perplexity-bucket quality split (the CCNet head/middle/tail
+    * partition, Wenzek et al. 2020): per LANGUAGE, docs ranked by c41's
+    * integer unigram surprisal and cut into tertiles — the bucketing a
+    * curation pipeline uses to keep the fluent head and drop (or
+    * down-sample) the noisy tail. Surprisal is already the exact
+    * integer bit-length form, and the rank key (avg_sur_bp, doc_id) is
+    * a total order, so `ntile` is engine-reproducible. Scale shape:
+    * surprisal's own passes plus ONE lang-keyed window shuffle;
+    * languages are few, so per-partition state is a counter (ntile
+    * streams — no buffering).
+    */
+  private def c55(s: SparkSession, d: String): DataFrame = {
+    val sur = unigramSurprisal(s, d)
+    val docs = documents(s, d).select(col("doc_id"), col("lang"))
+    sur.join(docs, Seq("doc_id"))
+      .withColumn("tertile", ntile(3).over(
+        Window.partitionBy("lang").orderBy("avg_sur_bp", "doc_id")))
+      .select(col("doc_id"), col("lang"), col("avg_sur_bp"),
+        col("tertile").cast("long").as("tertile"))
       .orderBy("doc_id")
+  }
+
+  /** c54: LSH-bounded kNN GRAPH — every vector's top-3 in-bucket
+    * neighbors by cosine, the substrate graph-based dedup/clustering
+    * (and c18-style CC over semantic edges) consumes. c3 answers "k
+    * nearest to THESE probes" (broadcast probe set); this materializes
+    * the whole graph, which is only scale-safe because candidates are
+    * LSH-bucket-bounded (c15's cells): per-vector work is bucket
+    * occupancy, never corpus size, and no pair leaves its bucket's
+    * `flatMapGroups` task — the shuffle is the bucket grouping itself.
+    * Singleton-bucket vectors emit no edges (matching the oracle's
+    * inner bucket self-join).
+    */
+  private def c54(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = 3
+    val bc = s.sparkContext.broadcast(lshPlanes(8, 64))
+    vecs(s, d)
+      .mapPartitions { it =>
+        val ps = bc.value
+        it.map { case (id, emb) =>
+          val q = new Array[Long](emb.length)
+          var i = 0
+          while (i < emb.length) {
+            q(i) = math.floor(emb(i).toDouble * 1024.0).toLong; i += 1
+          }
+          var bucket = 0L
+          var p = 0
+          while (p < ps.length) {
+            var dot = 0L; var j = 0
+            while (j < q.length) { dot += ps(p)(j) * q(j); j += 1 }
+            if (dot >= 0L) bucket |= (1L << p)
+            p += 1
+          }
+          (bucket, id, emb)
+        }
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val grp = it.toArray.sortBy(_._2)
+        grp.indices.iterator.flatMap { i =>
+          val (_, vid, ve) = grp(i)
+          val cands = new mutable.ArrayBuffer[(Double, Long)](grp.length - 1)
+          var j = 0
+          while (j < grp.length) {
+            if (j != i) {
+              val (_, uid, ue) = grp(j)
+              cands += ((cosine(ue, ve), uid))
+            }
+            j += 1
+          }
+          cands.sortBy { case (sim, uid) => (-sim, uid) }.take(k)
+            .iterator.zipWithIndex.map { case ((sim, uid), r) =>
+              (vid, (r + 1).toLong, uid, sim)
+            }
+        }
+      }
+      .toDF("vec_id", "rank", "nb_id", "sim_raw")
+      .select(col("vec_id"), col("rank"), col("nb_id"),
+        round(col("sim_raw"), 4).as("sim"))
+      .orderBy("vec_id", "rank")
   }
 
   /** c42: fixed-size eval holdout — exactly min(k, |stratum|) docs per
@@ -1907,6 +1996,10 @@ object TierC {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("c54_knn_graph", c54 _, Some(
+      s"WITH $lshBucketCtes, nbp AS (SELECT a.vec_id AS v, b.vec_id AS u FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND b.vec_id <> a.vec_id), sims AS (SELECT nbp.v, nbp.u, list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) AS sim FROM nbp JOIN embeddings ea ON ea.vec_id = nbp.v JOIN embeddings eb ON eb.vec_id = nbp.u), ranked AS (SELECT v, u, sim, row_number() OVER (PARTITION BY v ORDER BY sim DESC, u) AS rank FROM sims) SELECT v AS vec_id, rank::BIGINT AS rank, u AS nb_id, round(sim, 4) AS sim FROM ranked WHERE rank <= 3 ORDER BY vec_id, rank")),
+    QueryDef("c55_perplexity_bucket", c55 _, Some(
+      "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents), wc AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w), tot AS (SELECT count(*) AS n FROM tok), sur AS (SELECT w, (length(bin((n // cnt)::BIGINT)) - 1)::BIGINT AS bits FROM wc, tot), pd AS (SELECT t.doc_id, (sum(s.bits) * 10000 // count(*))::BIGINT AS avg_sur_bp FROM tok t JOIN sur s ON t.w = s.w GROUP BY t.doc_id) SELECT d.doc_id, d.lang, pd.avg_sur_bp, ntile(3) OVER (PARTITION BY d.lang ORDER BY pd.avg_sur_bp, d.doc_id)::BIGINT AS tertile FROM pd JOIN documents d USING (doc_id) ORDER BY doc_id")),
     QueryDef("c52_zipf_stats", c52 _, Some(
       "WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents), wc AS (SELECT source, w, count(*) AS cnt FROM tok GROUP BY 1, 2), tot AS (SELECT source, count(*)::BIGINT AS n_distinct, sum(cnt)::BIGINT AS n_total, max(cnt) AS max_cnt FROM wc GROUP BY 1), rkd AS (SELECT source, w, cnt, row_number() OVER (PARTITION BY source ORDER BY cnt DESC, w) AS rk FROM wc QUALIFY rk <= 100), sl AS (SELECT source, count(*)::DOUBLE AS n, sum(ln(rk::DOUBLE)::DECIMAL(28,12))::DOUBLE AS sx, sum(ln(cnt::DOUBLE)::DECIMAL(28,12))::DOUBLE AS sy, sum((ln(rk::DOUBLE) * ln(cnt::DOUBLE))::DECIMAL(28,12))::DOUBLE AS sxy, sum((ln(rk::DOUBLE) * ln(rk::DOUBLE))::DECIMAL(28,12))::DOUBLE AS sxx FROM rkd GROUP BY 1) SELECT t.source, t.n_distinct, t.n_total, (t.max_cnt * 10000 // t.n_total)::BIGINT AS top1_bp, CASE WHEN sl.n * sl.sxx - sl.sx * sl.sx <> 0 THEN round((sl.n * sl.sxy - sl.sx * sl.sy) / (sl.n * sl.sxx - sl.sx * sl.sx), 4) END AS zipf_slope FROM tot t JOIN sl USING (source) ORDER BY source")),
     QueryDef("c53_lm_bigram", c53 _, Some(

@@ -123,6 +123,64 @@ class Round5bPropsSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p.take(2000))
   }
 
+  test("b54: N filtered metrics from ONE scan; filtered counts bounded by n") {
+    val rows = q("b54_agg_filter").collect()
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n")
+      assert(r.getAs[Long]("n_heavy") <= n)
+      assert(r.getAs[Long]("n_undiscounted") <= n)
+      val ri = r.fieldIndex("rev_recent")
+      if (!r.isNullAt(ri)) assert(r.getDouble(ri) > 0.0)
+    }
+    val p = executed("b54_agg_filter")
+    // one lineitem scan feeds all four metrics, partial-aggregated
+    assert("Scan parquet".r.findAllIn(p).length == 1, p.take(1500))
+    assert(p.contains("partial_count"), p.take(1500))
+  }
+
+  test("c54: ranks contiguous, sims descending, edge count = min(k, bucketmates)") {
+    val rows = q("c54_knn_graph").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("nb_id"), r.getAs[Double]("sim")))
+    // bucket occupancy from c51's declared (vec_id, bucket) columns
+    val bucketOf = q("c51_semantic_dedup").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("bucket")).toMap
+    val occ = bucketOf.values.groupBy(identity).view.mapValues(_.size).toMap
+    val byVec = rows.groupBy(_._1)
+    byVec.foreach { case (vid, es) =>
+      val sorted = es.sortBy(_._2)
+      assert(sorted.map(_._2).sameElements(1L to sorted.length), s"vec $vid")
+      // sims non-increasing in rank order (rounded, so allow equality)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 >= b._4, s"vec $vid")
+        case _           => ()
+      }
+      assert(es.forall(_._3 != vid), s"vec $vid self-edge")
+      assert(es.length == math.min(3, occ(bucketOf(vid)) - 1), s"vec $vid")
+    }
+    // singleton-bucket vectors emit nothing
+    bucketOf.foreach { case (vid, b) =>
+      if (occ(b) == 1) assert(!byVec.contains(vid), s"vec $vid")
+    }
+  }
+
+  test("c55: tertiles balanced within ±1 per lang and ordered by surprisal key") {
+    val rows = q("c55_perplexity_bucket").collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("avg_sur_bp"), r.getAs[Long]("tertile")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      val sizes = rs.groupBy(_._4).view.mapValues(_.size).toMap
+      assert(sizes.keySet.subsetOf(Set(1L, 2L, 3L)), lang)
+      if (rs.length >= 3) {
+        assert(sizes.values.max - sizes.values.min <= 1, s"$lang $sizes")
+      }
+      // the tertile is monotone in the (avg_sur_bp, doc_id) rank key
+      val byKey = rs.sortBy(r => (r._3, r._2)).map(_._4)
+      assert(byKey.sameElements(byKey.sorted), lang)
+    }
+  }
+
   test("c53: bigram surprisal bounded by context entropy; doc coverage exact") {
     import spark.implicits._
     val docs = graft.util.Tables.documents(spark, sf0001)
