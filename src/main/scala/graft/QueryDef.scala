@@ -12,6 +12,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * hash compare cannot flake on float summation order), and no
   * engine-specific hash (`hash`/`xxhash64`) ever reaches a declared
   * output — portable hashes are md5-derived on both engines.
+  *
+  * Declared outputs are SCALAR COLUMNS ONLY (no array/map/struct): the
+  * driver's pandas-based compare sorts rows by every column and dies
+  * on unhashable ndarray cells (b53's array<double> quartiles crashed
+  * it in round 6). Explode or split composite values into scalar
+  * columns/rows before returning; arrays may flow freely inside a
+  * query, just never in its declared output schema.
   */
 final case class QueryDef(
     name: String,

@@ -1162,13 +1162,21 @@ object TierB {
     * documents the boundary.) Interpolation a + f·(b−a) at quarter
     * fractions over integer-valued doubles is exact binary arithmetic,
     * so DuckDB's quantile_cont reproduces it bit-for-bit.
+    *
+    * Output is three SCALAR double columns, not one array<double>:
+    * declared outputs must be scalar-only (QueryDef determinism
+    * contract) — the driver's pandas-based compare sorts rows by every
+    * column and dies on unhashable ndarray cells. Same single
+    * histogram buffer either way; Spark evaluates the three
+    * percentiles over one shared TypedImperativeAggregate per call.
     */
   private def b53(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"),
-        expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))")
-          .as("quartiles"))
+        expr("percentile(l_quantity, 0.25D)").as("q1"),
+        expr("percentile(l_quantity, 0.5D)").as("q2"),
+        expr("percentile(l_quantity, 0.75D)").as("q3"))
       .orderBy("l_returnflag")
 
   /** b54: FILTER-clause conditional aggregation — N predicates, ONE
@@ -1203,7 +1211,7 @@ object TierB {
     QueryDef("b52_flagship_q3", b52 _, Some(
       "SELECT o_orderkey, o_orderdate, sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4))::DOUBLE AS revenue FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-06-01' AND l_shipdate > TIMESTAMP '1998-06-01' GROUP BY 1, 2 ORDER BY revenue DESC, o_orderkey LIMIT 10")),
     QueryDef("b53_percentile_exact", b53 _, Some(
-      "SELECT l_returnflag, count(*)::BIGINT AS n, quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS quartiles FROM lineitem GROUP BY 1 ORDER BY 1")),
+      "SELECT l_returnflag, count(*)::BIGINT AS n, quantile_cont(l_quantity, 0.25) AS q1, quantile_cont(l_quantity, 0.5) AS q2, quantile_cont(l_quantity, 0.75) AS q3 FROM lineitem GROUP BY 1 ORDER BY 1")),
     QueryDef("b48_subquery_exists", b48 _, Some(
       "SELECT s_suppkey, s_name FROM supplier WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND l_returnflag = 'R') AND NOT EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND l_quantity >= 49 AND l_discount >= 0.10) ORDER BY s_suppkey")),
     QueryDef("b49_join_lateral", b49 _, Some(

@@ -333,12 +333,19 @@ object StreamingDemo {
     }
   }
 
-  /** File-source stream over the events parquet with the ns→µs
-    * normalization (schema pins `ts` to long nanos; see Tables.events).
+  /** File-source stream over the events parquet with the shared ts
+    * normalization. The pinned stream schema is PROBED from the batch
+    * footer ([[graft.util.Tables.eventsFileSchema]]) rather than
+    * hardcoded: when the driver regenerated the corpus from
+    * TIMESTAMP(NANOS) to TIMESTAMP(MICROS,ntz), a hardwired BIGINT
+    * schema made the reader hand back raw µs integers that a ns→µs
+    * divide then compressed 1000× — every event landed in 1970 and all
+    * seven event streams produced garbage. Probing keeps batch and
+    * stream byte-identical on `ts` by construction.
     */
   private def eventStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = graft.util.Tables.eventsRawSchema
+    val schema = graft.util.Tables.eventsFileSchema(s, d)
     // events.parquet may be a single file (this corpus) or a directory
     // of part files (standard multi-file output). pathGlobFilter
     // matches LEAF names, so the single-file case needs the filter on

@@ -57,27 +57,50 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** Raw parquet schema of the events table with `ts` as nanos-long —
-    * shared with the streaming file source (StreamingDemo) so the two
-    * read paths cannot drift.
+  /** Physical `events` file schema AS SPARK READS IT for this corpus —
+    * probed from the parquet footer once per (session, dir), shared
+    * with the streaming file source (StreamingDemo) so the two read
+    * paths cannot drift, and so a driver-side corpus regeneration
+    * (which has happened: TIMESTAMP(NANOS) → TIMESTAMP(MICROS,ntz)
+    * between rounds 4 and 5) changes behavior instead of breaking it.
+    * `nanosAsLong` is set before the probe: it is a no-op for µs files
+    * and the only way a NANOS footer is readable at all on Spark 4.
     */
-  val eventsRawSchema: org.apache.spark.sql.types.StructType =
-    org.apache.spark.sql.types.StructType.fromDDL(
-      "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
-        "event_type STRING, value DOUBLE, props STRING")
+  def eventsFileSchema(s: SparkSession,
+      d: String): org.apache.spark.sql.types.StructType = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events").schema
+  }
 
-  /** The shared ns→µs normalization: integer-divide (`div`, not `/` —
-    * ns epochs exceed 2^53, double division would lose precision) and
-    * rebuild a TimestampType column. The corpus has no sub-µs
-    * components (verified via DuckDB), so this is lossless and matches
-    * DuckDB's µs view of the same file exactly.
+  /** Normalize `events.ts` to a session-zoned TimestampType column,
+    * branching on the type the reader actually produced:
+    *   - LongType — parquet TIMESTAMP(NANOS) read via `nanosAsLong`:
+    *     integer-divide to µs (`div`, not `/` — ns epochs exceed 2^53,
+    *     double division would lose precision) and rebuild a timestamp.
+    *     Lossless because the corpus has no sub-µs components.
+    *   - TimestampNTZType — parquet TIMESTAMP(MICROS, isAdjustedToUTC
+    *     =false), the current corpus: a plain cast. The graft session
+    *     timezone is pinned to UTC (Bench/Verify/specs), so ntz≡ltz and
+    *     the cast relabels without shifting the instant — matching
+    *     DuckDB's view of the same file exactly.
+    *   - TimestampType — already what every consumer wants.
+    * Anything else fails loudly: a silent mis-normalization here cost
+    * 27 queries across two rounds when the corpus changed underneath a
+    * hardwired ns→µs divide.
     */
-  def normalizeEventTs(df: DataFrame): DataFrame =
-    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+      case TimestampType    => df
+      case other => throw new IllegalStateException(
+        s"events.ts: unexpected parquet-read type $other — corpus changed again? " +
+          "Extend Tables.normalizeEventTs (and FIXTURES.md) for the new encoding.")
+    }
+  }
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-    * read natively: read nanos as long (legacy conf), then normalize.
-    */
+  /** Events table with `ts` normalized per [[normalizeEventTs]]. */
   def events(s: SparkSession, d: String): DataFrame =
     memoized((s, d, "events#ts")) {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

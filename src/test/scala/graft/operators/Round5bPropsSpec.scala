@@ -86,8 +86,9 @@ class Round5bPropsSpec extends SparkSpec {
     assert(rows.length == li.map(_._1).distinct.length)
     rows.foreach { r =>
       val flag = r.getAs[String]("l_returnflag")
-      val qs = r.getSeq[Double](2)
-      assert(qs.length == 3)
+      // q1/q2/q3 are three scalar doubles (declared outputs are
+      // scalar-only — QueryDef contract)
+      val qs = Seq("q1", "q2", "q3").map(r.getAs[Double])
       assert(qs(0) <= qs(1) && qs(1) <= qs(2), qs.toString)
       val vals = li.filter(_._1 == flag).map(_._2)
       assert(qs(0) >= vals.min && qs(2) <= vals.max)
