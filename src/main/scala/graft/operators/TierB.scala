@@ -1052,10 +1052,13 @@ object TierB {
   private def b50(s: SparkSession, d: String): DataFrame = {
     val maxHops = 4
     val li = lineitem(s, d)
+    // distinct BEFORE mirroring: supplier nodes are negative and part
+    // nodes positive, so the two orientations can never collide — the
+    // mirror of a distinct edge set is already distinct, and the
+    // distinct shuffle moves half the rows of the mirrored union.
     val fwd = li.select((-(col("l_suppkey") + 1)).as("u"),
-      col("l_partkey").as("v"))
+      col("l_partkey").as("v")).distinct()
     val edges = fwd.union(fwd.select(col("v").as("u"), col("u").as("v")))
-      .distinct()
       .localCheckpoint(false) // reused every round
     val src = li.sparkSession.range(1)
       .select(lit(-2L).as("node"), lit(0).as("d"))

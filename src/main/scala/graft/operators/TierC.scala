@@ -1995,7 +1995,53 @@ object TierC {
       .orderBy("doc_id")
   }
 
+  /** c56: multimodal FRAME SAMPLING — the 1→N batch shape video/audio
+    * feature extraction needs (c16 is 1→1): each media blob yields up
+    * to 4 evenly-strided "frames", each summarized by offset, length
+    * and two stub features (first byte, byte-sum of an 8-byte head).
+    * The decode is a STUB standing in for a real codec (the container
+    * ships no image/audio libs — build brief); everything Spark-side is
+    * the real production plumbing: an opaque `binary` column into a
+    * typed mapPartitions kernel (the Scala analogue of `mapInPandas`)
+    * that flatMaps an ITERATOR — one frame row at a time, never a
+    * per-partition buffer, so executor memory is bounded by one blob
+    * regardless of fan-out. At 100 TB: stateless per-row compute, zero
+    * shuffles before the declared ORDER BY; a real decoder drops in by
+    * replacing the slice-summary with codec calls, same schema and
+    * batch shape. Media here is `text` cast to binary (ASCII-safe), so
+    * DuckDB reproduces the byte arithmetic through char positions.
+    */
+  private def c56(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val nFrames = 4
+    val headLen = 8
+    documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          // STUB decode: a real impl would demux/decode frames here.
+          val n = bytes.length
+          val stride = math.max(1, n / nFrames)
+          (0 until nFrames).iterator
+            .filter(k => k * stride < n)
+            .map { k =>
+              val off = k * stride
+              val len = math.min(headLen, n - off)
+              var sum = 0L
+              var i = off
+              while (i < off + len) { sum += (bytes(i) & 0xff); i += 1 }
+              (id, k.toLong, off.toLong, len.toLong, bytes(off) & 0xff, sum)
+            }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "frame_off", "frame_len", "feat0", "feat_sum")
+      .orderBy("doc_id", "frame_idx")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("c56_frame_sample", c56 _, Some(
+      "WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents), f AS (SELECT doc_id, k, k * greatest(1, n // 4) AS off, n, text FROM d, generate_series(0, 3) t(k) WHERE k * greatest(1, n // 4) < n) SELECT doc_id, k::BIGINT AS frame_idx, off::BIGINT AS frame_off, least(8, n - off)::BIGINT AS frame_len, ascii(substr(text, (off + 1)::INT, 1)) AS feat0, list_sum(list_transform(generate_series(1, least(8, n - off)::INT), i -> ascii(substr(text, (off + i)::INT, 1))))::BIGINT AS feat_sum FROM f ORDER BY doc_id, frame_idx")),
     QueryDef("c54_knn_graph", c54 _, Some(
       s"WITH $lshBucketCtes, nbp AS (SELECT a.vec_id AS v, b.vec_id AS u FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND b.vec_id <> a.vec_id), sims AS (SELECT nbp.v, nbp.u, list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) AS sim FROM nbp JOIN embeddings ea ON ea.vec_id = nbp.v JOIN embeddings eb ON eb.vec_id = nbp.u), ranked AS (SELECT v, u, sim, row_number() OVER (PARTITION BY v ORDER BY sim DESC, u) AS rank FROM sims) SELECT v AS vec_id, rank::BIGINT AS rank, u AS nb_id, round(sim, 4) AS sim FROM ranked WHERE rank <= 3 ORDER BY vec_id, rank")),
     QueryDef("c55_perplexity_bucket", c55 _, Some(

@@ -119,7 +119,8 @@ object TierD {
     "d12_stream_custom_source", "d13_stream_foreach_batch",
     "d14_stream_watermark_append", "d15_stream_outer_join",
     "d16_stream_timer_session", "d17_stream_buffered_session",
-    "d18_stream_sliding_append", "d19_stream_chained_stateful")
+    "d18_stream_sliding_append", "d19_stream_chained_stateful",
+    "d20_stream_curation_gate")
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d1_window_tumbling", d1 _, Some(
@@ -172,6 +173,9 @@ object TierD {
     QueryDef("d13_stream_foreach_batch",
       (s, d) => graft.streaming.StreamingDemo.foreachBatchMerge(s, d), Some(
         "SELECT user_id, count(*)::BIGINT AS cnt, sum(round(value * 100)::BIGINT)::BIGINT AS val_cents FROM events GROUP BY 1 ORDER BY 1")),
+    QueryDef("d20_stream_curation_gate",
+      (s, d) => graft.streaming.StreamingDemo.streamCurationGate(s, d), Some(
+        "WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS wl FROM documents), m AS (SELECT doc_id, lang, len(wl)::BIGINT AS n_words, len(list_filter(wl, x -> x IN ('the','a','of','and','to')))::BIGINT AS stop_cnt FROM w) SELECT doc_id, lang, n_words, stop_cnt FROM m WHERE n_words >= 10 AND stop_cnt * 10000 // n_words >= 200 ORDER BY doc_id")),
     QueryDef("d7_session_window_native", d7 _, Some(
       "WITH e AS (SELECT user_id, ts, event_id, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), m AS (SELECT user_id, ts, CASE WHEN prev IS NULL OR date_diff('microsecond', prev, ts) >= 1800000000 THEN 1 ELSE 0 END AS is_new FROM e), s AS (SELECT user_id, ts, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM m) SELECT user_id, floor(epoch(min(ts)))::BIGINT AS start_s, count(*)::BIGINT AS cnt FROM s GROUP BY user_id, sid ORDER BY 1, 2")),
   )

@@ -359,6 +359,38 @@ object StreamingDemo {
     graft.util.Tables.normalizeEventTs(src)
   }
 
+  /** d20: stateless streaming CURATION GATE over the documents corpus —
+    * the continuous-ingest shape of c12/c32's batch quality pass: docs
+    * stream in, each is scored (word count, stopword count, both exact
+    * integers) and either passes the gate (≥10 words AND ≥2% stopwords,
+    * in integer basis points — no float thresholds to flake across
+    * engines) or is dropped, append-sink out. No watermark, no state
+    * store: a pure filter ⇒ every microbatch is embarrassingly parallel
+    * and the query scales with source throughput alone — THE shape to
+    * reach for first in a streaming curation pipeline; state enters
+    * only when dedup/sessionization join the gate (d8/d19). Schema is
+    * probed from the batch footer like [[eventStream]].
+    */
+  def streamCurationGate(s: SparkSession, d: String): DataFrame =
+    withStreamPartitions(s) {
+      val schema = graft.util.Tables.documents(s, d).schema
+      val f = new java.io.File(d, "documents.parquet")
+      val src =
+        if (f.isDirectory) s.readStream.schema(schema).parquet(f.getAbsolutePath)
+        else s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(d)
+      runToFiles(s, "d20", df => df
+        .withColumn("w", split(col("text"), " "))
+        .withColumn("n_words", size(col("w")).cast("long"))
+        .withColumn("stop_cnt",
+          size(expr("filter(w, x -> x IN ('the','a','of','and','to'))"))
+            .cast("long"))
+        .filter(col("n_words") >= 10 &&
+          expr("stop_cnt * 10000 div n_words") >= 200)
+        .select("doc_id", "lang", "n_words", "stop_cnt"), src)
+        .orderBy("doc_id")
+    }
+
   /** Run a bounded stream to completion into a memory sink and return
     * the (small, aggregated) result as a batch DataFrame that outlives
     * the sink. Only for complete-mode aggregates whose result is
