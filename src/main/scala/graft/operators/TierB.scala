@@ -1058,7 +1058,15 @@ object TierB {
     // distinct shuffle moves half the rows of the mirrored union.
     val fwd = li.select((-(col("l_suppkey") + 1)).as("u"),
       col("l_partkey").as("v")).distinct()
+    // Pre-partition on the join key BEFORE checkpointing: localCheckpoint
+    // pins outputPartitioning in the LogicalRDD, so every round's
+    // frontier⋈edges join reuses it and EnsureRequirements exchanges
+    // only the (small) frontier — the edge table, the loop's largest
+    // input, is shuffled ONCE for the whole traversal instead of once
+    // per hop. At 100 TB this is the difference between O(1) and
+    // O(depth) scans' worth of shuffle traffic on the edge list.
     val edges = fwd.union(fwd.select(col("v").as("u"), col("u").as("v")))
+      .repartition(col("u"))
       .localCheckpoint(false) // reused every round
     val src = li.sparkSession.range(1)
       .select(lit(-2L).as("node"), lit(0).as("d"))
