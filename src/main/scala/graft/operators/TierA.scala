@@ -541,7 +541,37 @@ object TierA {
       .orderBy("l_orderkey")
   }
 
+  /** a28: SCHEMA-EVOLUTION source — the long-lived-dataset reality the
+    * reference handles through versioned serializers [mrs:
+    * mrs/serializers.py, mrs/fileformats.py — format selection per
+    * dataset, old data readable after the value type grows fields]:
+    * an early writer emits (doc_id, lang), a later writer appends
+    * (doc_id, lang, n_chars) to the SAME dataset directory, and a
+    * `mergeSchema` read reconciles both footer generations into one
+    * frame — old rows null-filled on the new column, no rewrite of old
+    * files. At 100 TB this is the only viable evolution path (a
+    * rewrite-on-evolve of a petabyte table is not): schema merge is a
+    * FOOTER-level operation, per-file pruning/pushdown still applies,
+    * and old partitions stay byte-identical. Split here is by doc_id
+    * parity so both generations scale with the corpus.
+    */
+  private def a28(spark: SparkSession, d: String): DataFrame = {
+    val out = graft.util.TmpDir.fresh("a28_source_evolving")
+    val docs = documents(spark, d)
+    docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("lang"))
+      .write.mode("append").parquet(out)
+    docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .write.mode("append").parquet(out)
+    spark.read.option("mergeSchema", "true").parquet(out)
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("a28_source_evolving", a28 _, Some(
+      "SELECT doc_id, lang, CASE WHEN doc_id % 2 = 1 THEN n_chars END AS n_chars FROM documents ORDER BY doc_id")),
     QueryDef("a21_rdd_partitioner", a21 _, Some(
       "SELECT (l_orderkey % 8)::INTEGER AS pid, l_orderkey, count(*)::BIGINT AS cnt FROM lineitem GROUP BY 1, 2 ORDER BY l_orderkey")),
     QueryDef("a20_sink_partitioned", a20 _, Some(

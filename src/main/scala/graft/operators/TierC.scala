@@ -2039,7 +2039,39 @@ object TierC {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** c57: COMPACTION PLANNING — the small-files layout pass every
+    * long-running 100 TB pipeline schedules (streaming sinks and
+    * incremental ingest fragment a table into thousands of undersized
+    * files; reads then pay per-file open/footer cost). Each doc stands
+    * in for a data file (size = n_chars); within each source partition
+    * the plan greedily packs files in id order into ~8 KiB target
+    * groups via a running-sum bucket: group = ⌊cumulative-size-before ÷
+    * target⌋. Declared output is the compaction MANIFEST (per group:
+    * file count, bytes, id range) — the job that would execute it is a
+    * partitioned rewrite driven by exactly this table. Scale shape:
+    * planning is METADATA-ONLY — one window pass over the file
+    * manifest (partition-local sort, no data bytes touched), then the
+    * same partial-agg'd group-by; manifest rows are O(#files), never
+    * O(data).
+    */
+  private def c57(s: SparkSession, d: String): DataFrame = {
+    val target = 8192L
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    documents(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("cum_before", coalesce(sum("n_chars").over(w), lit(0L)))
+      .withColumn("grp", expr(s"cum_before div $target"))
+      .groupBy("source", "grp")
+      .agg(count(lit(1)).as("n_files"),
+        sum("n_chars").cast("long").as("bytes"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("source", "grp")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("c57_compaction_plan", c57 _, Some(
+      "WITH m AS (SELECT source, doc_id, n_chars, coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM documents) SELECT source, (cb // 8192)::BIGINT AS grp, count(*)::BIGINT AS n_files, sum(n_chars)::BIGINT AS bytes, min(doc_id) AS first_doc, max(doc_id) AS last_doc FROM m GROUP BY 1, 2 ORDER BY 1, 2")),
     QueryDef("c56_frame_sample", c56 _, Some(
       "WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents), f AS (SELECT doc_id, k, k * greatest(1, n // 4) AS off, n, text FROM d, generate_series(0, 3) t(k) WHERE k * greatest(1, n // 4) < n) SELECT doc_id, k::BIGINT AS frame_idx, off::BIGINT AS frame_off, least(8, n - off)::BIGINT AS frame_len, ascii(substr(text, (off + 1)::INT, 1)) AS feat0, list_sum(list_transform(generate_series(1, least(8, n - off)::INT), i -> ascii(substr(text, (off + i)::INT, 1))))::BIGINT AS feat_sum FROM f ORDER BY doc_id, frame_idx")),
     QueryDef("c54_knn_graph", c54 _, Some(
