@@ -47,8 +47,16 @@ object Verify {
     // A crashed query must be VISIBLE in the round's artifacts, not
     // silently absent from CORRECTNESS (round 6: 20 analysis-time
     // crashes simply had no row, hiding a single-cause 27-query break
-    // for two rounds). errors.json maps name → exception summary.
+    // for two rounds). errors.json maps name → exception summary and is
+    // REWRITTEN after every failure (tiny file), so a mid-run JVM death
+    // still leaves the errors accumulated up to that point on disk
+    // instead of reproducing the invisible-absence mode it exists to
+    // fix. An all-green run leaves it "{}".
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def flushErrors(): Unit = Files.writeString(
+      Paths.get(s"$outDir/errors.json"),
+      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    flushErrors()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -58,10 +66,9 @@ object Verify {
         val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(800)}"
         System.err.println(s"[verify] $name failed: $msg")
         errors(name) = msg
+        flushErrors()
       }
     }
-    Files.writeString(Paths.get(s"$outDir/errors.json"),
-      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")

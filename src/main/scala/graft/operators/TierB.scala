@@ -1177,17 +1177,23 @@ object TierB {
     * Output is three SCALAR double columns, not one array<double>:
     * declared outputs must be scalar-only (QueryDef determinism
     * contract) — the driver's pandas-based compare sorts rows by every
-    * column and dies on unhashable ndarray cells. Same single
-    * histogram buffer either way; Spark evaluates the three
-    * percentiles over one shared TypedImperativeAggregate per call.
+    * column and dies on unhashable ndarray cells. The aggregation
+    * still runs ONE shared histogram buffer: Spark dedups only
+    * semantically-equal aggregate expressions, so three separate
+    * `percentile(x, p)` calls would build three buffers — instead the
+    * single array-form aggregate computes all quartiles and a post-agg
+    * projection splits them into scalars.
     */
   private def b53(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"),
-        expr("percentile(l_quantity, 0.25D)").as("q1"),
-        expr("percentile(l_quantity, 0.5D)").as("q2"),
-        expr("percentile(l_quantity, 0.75D)").as("q3"))
+        expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))")
+          .as("qs"))
+      .select(col("l_returnflag"), col("n"),
+        col("qs").getItem(0).as("q1"),
+        col("qs").getItem(1).as("q2"),
+        col("qs").getItem(2).as("q3"))
       .orderBy("l_returnflag")
 
   /** b54: FILTER-clause conditional aggregation — N predicates, ONE

@@ -345,18 +345,22 @@ object StreamingDemo {
     */
   private def eventStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = graft.util.Tables.eventsFileSchema(s, d)
-    // events.parquet may be a single file (this corpus) or a directory
-    // of part files (standard multi-file output). pathGlobFilter
-    // matches LEAF names, so the single-file case needs the filter on
-    // the parent dir while the directory case reads the dir itself —
-    // the filter would silently exclude every part-* file.
-    val f = new java.io.File(d, "events.parquet")
-    val src =
-      if (f.isDirectory) s.readStream.schema(schema).parquet(f.getAbsolutePath)
-      else s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(d)
-    graft.util.Tables.normalizeEventTs(src)
+    graft.util.Tables.normalizeEventTs(
+      fileStream(s, d, "events.parquet", graft.util.Tables.eventsFileSchema(s, d)))
+  }
+
+  /** Streaming file source over `$d/$leaf` with a pinned schema.
+    * `$leaf` may be a single file (this corpus) or a directory of part
+    * files (standard multi-file output). pathGlobFilter matches LEAF
+    * names, so the single-file case needs the filter on the parent dir
+    * while the directory case reads the dir itself — the filter would
+    * silently exclude every part-* file.
+    */
+  private def fileStream(s: SparkSession, d: String, leaf: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val f = new java.io.File(d, leaf)
+    if (f.isDirectory) s.readStream.schema(schema).parquet(f.getAbsolutePath)
+    else s.readStream.schema(schema).option("pathGlobFilter", leaf).parquet(d)
   }
 
   /** d20: stateless streaming CURATION GATE over the documents corpus —
@@ -373,12 +377,8 @@ object StreamingDemo {
     */
   def streamCurationGate(s: SparkSession, d: String): DataFrame =
     withStreamPartitions(s) {
-      val schema = graft.util.Tables.documents(s, d).schema
-      val f = new java.io.File(d, "documents.parquet")
-      val src =
-        if (f.isDirectory) s.readStream.schema(schema).parquet(f.getAbsolutePath)
-        else s.readStream.schema(schema)
-          .option("pathGlobFilter", "documents.parquet").parquet(d)
+      val src = fileStream(s, d, "documents.parquet",
+        graft.util.Tables.documents(s, d).schema)
       runToFiles(s, "d20", df => df
         .withColumn("w", split(col("text"), " "))
         .withColumn("n_words", size(col("w")).cast("long"))

@@ -66,6 +66,20 @@ class FixtureCanarySpec extends SparkSpec {
       }
     }
 
+    test(s"$sf: documents.text is pure ASCII (byte pos == char pos)") {
+      // c16/c56 run byte arithmetic on the Spark side while their
+      // DuckDB oracles use character positions (length/substr/ascii) —
+      // equal only while the corpus is single-byte. A regeneration with
+      // real multi-byte text (lang includes zh!) would silently diverge
+      // the two; fail here instead.
+      val nonAscii = graft.util.Tables.documents(spark, dir)
+        .filter(expr("octet_length(text) <> length(text)")).count()
+      assert(nonAscii == 0,
+        s"$sf: $nonAscii docs contain multi-byte chars — the c16/c56 " +
+          "byte-vs-char oracle coupling no longer holds; make those " +
+          "kernels char-based or re-oracle them.")
+    }
+
     test(s"$sf: events normalizes to TIMESTAMP ts and max(ts) is in 2024") {
       val ev = graft.util.Tables.events(spark, dir)
       assert(compactDdl(ev) ==
