@@ -569,7 +569,43 @@ object TierA {
       .orderBy("doc_id")
   }
 
+  /** a29: MALFORMED-RECORD ingestion — the dirty-input reality every
+    * production reader faces (the reference's readers parse line-wise
+    * and a bad line kills the task [mrs: mrs/fileformats.py]; Spark
+    * makes the policy declarative via parse modes). A text sink is
+    * seeded with one deliberately corrupt variant per 5 nations (wrong
+    * arity / non-numeric key), then read back as schema'd CSV under
+    * `DROPMALFORMED`: bad lines are discarded by the PARSER, per task,
+    * with no job failure and no driver round-trip — at 100 TB a 0.01 %
+    * corruption rate is a certainty, and fail-the-job (FAILFAST) or
+    * null-flood (PERMISSIVE misuse) are both wrong defaults for bulk
+    * ingest. The declared output is exactly the clean rows; the spec
+    * additionally asserts the corrupt lines really were present and
+    * that PERMISSIVE sees them (so the drop is proven, not vacuous).
+    */
+  private def a29(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val out = graft.util.TmpDir.fresh("a29_source_malformed")
+    nation(spark, d)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .as[(Int, String, Int)]
+      .flatMap { case (k, n, r) =>
+        val good = s"$k,$n,$r"
+        // every 5th nation also emits a corrupt sibling: non-numeric
+        // key AND wrong arity — malformed under any schema'd parse
+        if (k % 5 == 0) Seq(good, s"key-$k,$n") else Seq(good)
+      }
+      .write.mode("overwrite").text(out)
+    spark.read
+      .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+      .option("mode", "DROPMALFORMED")
+      .csv(out)
+      .orderBy("n_nationkey")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("a29_source_malformed", a29 _, Some(
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
     QueryDef("a28_source_evolving", a28 _, Some(
       "SELECT doc_id, lang, CASE WHEN doc_id % 2 = 1 THEN n_chars END AS n_chars FROM documents ORDER BY doc_id")),
     QueryDef("a21_rdd_partitioner", a21 _, Some(

@@ -75,6 +75,26 @@ class Round7PropsSpec extends SparkSpec {
     }
   }
 
+  test("a29: corrupt lines are present in the sink and dropped by the parse") {
+    val out = q("a29_source_malformed").collect()
+    val nations = spark.read.parquet(s"$sf0001/nation.parquet").count()
+    assert(out.length == nations)
+    assert(out.forall(!_.anyNull))
+    // the drop must be proven, not vacuous: the raw sink really does
+    // contain the corrupt siblings, and a PERMISSIVE read sees them.
+    // TmpDir.fresh was used, so locate the latest a29 dir.
+    val base = new java.io.File(graft.util.TmpDir.base)
+    val dirs = base.listFiles().filter(_.getName.startsWith("a29_source_malformed"))
+    assert(dirs.nonEmpty)
+    val latest = dirs.maxBy(_.lastModified).getAbsolutePath
+    val rawCount = spark.read.text(latest).count()
+    assert(rawCount > nations, s"no corrupt lines in sink ($rawCount)")
+    val permissive = spark.read
+      .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+      .option("mode", "PERMISSIVE").csv(latest).count()
+    assert(permissive == rawCount)
+  }
+
   test("d20: stream output == batch gate; pass and reject sets both nonempty") {
     val out = q("d20_stream_curation_gate")
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
