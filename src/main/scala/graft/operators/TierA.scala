@@ -591,8 +591,13 @@ object TierA {
       .as[(Int, String, Int)]
       .flatMap { case (k, n, r) =>
         val good = s"$k,$n,$r"
-        // every 5th nation also emits a corrupt sibling: non-numeric
-        // key AND wrong arity — malformed under any schema'd parse
+        // every 5th nation also emits a corrupt sibling. NOTE: Spark's
+        // CSV parser does NOT treat token-count mismatch as malformed
+        // (short rows are null-padded, long rows truncated) — it is
+        // solely the unparseable INT key ("key-$k") that fails the
+        // schema'd conversion and triggers the DROPMALFORMED discard.
+        // Round7PropsSpec pins that property (corrupt key stays
+        // non-numeric) so an edit can't silently stop dropping the row.
         if (k % 5 == 0) Seq(good, s"key-$k,$n") else Seq(good)
       }
       .write.mode("overwrite").text(out)

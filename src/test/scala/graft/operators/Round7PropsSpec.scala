@@ -14,8 +14,16 @@ class Round7PropsSpec extends SparkSpec {
     val rows = q("c56_frame_sample").collect()
     val texts = spark.read.parquet(s"$sf0001/documents.parquet")
       .select($"doc_id", $"text").as[(Long, String)].collect().toMap
-    // every corpus doc is ≥4 bytes, so all 4 frames must exist
-    assert(rows.length == texts.size * 4)
+    // frames per doc derive from its own length (k in 0..3 with
+    // k*stride < n) — no hardwired "every doc ≥4 bytes" assumption,
+    // per the repo's probe-don't-hardwire policy for the volatile
+    // corpus. For the current corpus this equals 4 per doc.
+    val expectedFrames = texts.values.map { t =>
+      val n = t.getBytes("UTF-8").length
+      val stride = math.max(1, n / 4)
+      (0 until 4).count(k => k.toLong * stride < n)
+    }.sum
+    assert(rows.length == expectedFrames)
     rows.foreach { r =>
       val bytes = texts(r.getAs[Long]("doc_id")).getBytes("UTF-8")
       val k = r.getAs[Long]("frame_idx")
@@ -93,6 +101,17 @@ class Round7PropsSpec extends SparkSpec {
       .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
       .option("mode", "PERMISSIVE").csv(latest).count()
     assert(permissive == rawCount)
+    // the DROP relies ENTIRELY on the key failing INT conversion —
+    // Spark CSV null-pads/truncates arity mismatches rather than
+    // flagging them malformed. Pin that the corrupt lines' first
+    // token is non-numeric, so a future edit that "fixes" the key
+    // while keeping only the arity defect fails here instead of
+    // silently turning a29 into a no-op.
+    import spark.implicits._
+    val corrupt = spark.read.text(latest).as[String].collect()
+      .filterNot(l => l.split(",", -1).headOption.exists(_.matches("-?\\d+")))
+    assert(corrupt.nonEmpty)
+    assert(corrupt.forall(_.split(",", -1).head.toIntOption.isEmpty))
   }
 
   test("d20: stream output == batch gate; pass and reject sets both nonempty") {
