@@ -93,6 +93,14 @@ object Bench {
     try {
       Files.createDirectories(Paths.get("target"))
       Files.writeString(Paths.get("target/bench.json"), full + "\n")
+      // Repo-root copy: the driver's BENCH_r0N.json keeps only a
+      // 2000-char stdout tail, which truncates the a/b-tier per-query
+      // times and blinds round-over-round regression tracking. This
+      // file is committed each round (bench_full_r<N>.json) so the
+      // FULL {query: seconds} map survives as an artifact.
+      val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        "bench_full_latest.json")
+      Files.writeString(Paths.get(outPath), full + "\n")
     } catch { case _: Throwable => () }
     spark.stop()
     // LAST line: compact, tail-capture-proof.

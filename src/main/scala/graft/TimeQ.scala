@@ -26,6 +26,21 @@ object TimeQ {
       })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_STREAM_PROFILE=1: dump each microbatch's phase
+    // durations (queryPlanning/getBatch/addBatch/walCommit/stateStore
+    // commit) so streaming fixed cost can be attributed, not guessed.
+    if (sys.env.contains("SPARK_GRAFT_STREAM_PROFILE"))
+      spark.streams.addListener(
+        new org.apache.spark.sql.streaming.StreamingQueryListener {
+          import org.apache.spark.sql.streaming.StreamingQueryListener._
+          override def onQueryStarted(e: QueryStartedEvent): Unit =
+            println(s"[stream] started ${e.name} at ${System.nanoTime() / 1e9}")
+          override def onQueryProgress(e: QueryProgressEvent): Unit =
+            println(s"[stream] ${e.progress.name} batch=${e.progress.batchId} " +
+              s"rows=${e.progress.numInputRows} durMs=${e.progress.durationMs}")
+          override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+            println(s"[stream] terminated at ${System.nanoTime() / 1e9}")
+        })
     spark.range(100000).selectExpr("sum(id * 2)").collect()
     try { graft.streaming.StreamingDemo.warmStreaming(spark) }
     catch { case _: Throwable => () }

@@ -435,11 +435,15 @@ object TierC {
   }
 
   /** c16: multimodal binary plumbing — media as opaque binary columns
-    * with typed metadata. The decode step is a deterministic STUB (real
-    * image/audio libs aren't in this container — see the build brief);
-    * the Spark-side plumbing is real: binary column through a typed
-    * mapPartitions batch kernel (the Scala analogue of mapInPandas),
-    * emitting schema'd features.
+    * with typed metadata. The Spark-side plumbing is real: binary
+    * column through a typed mapPartitions batch kernel (the Scala
+    * analogue of mapInPandas), emitting schema'd features. The decode
+    * step is a REAL codec here — UTF-8 — standing in for image/audio
+    * decoders (those libs aren't in this container — build brief);
+    * features are computed on the DECODED codepoint stream, so they
+    * are independent of the corpus byte encoding (the char-based
+    * DuckDB oracle agrees on any Unicode text, not just ASCII — the
+    * round-7 byte-vs-char coupling is gone).
     */
   private def c16(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -448,17 +452,17 @@ object TierC {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          // STUB decode: real impl would decode image/audio here.
-          val b0 = if (bytes.nonEmpty) bytes(0).toInt & 0xff else -1
+          // decode: opaque bytes → codepoint stream (the codec step)
+          val cps = new String(bytes,
+            java.nio.charset.StandardCharsets.UTF_8).codePoints().toArray
+          val cp0 = if (cps.nonEmpty) cps(0) else -1
           var headSum = 0L
           var i = 0
-          while (i < math.min(16, bytes.length)) {
-            headSum += (bytes(i).toInt & 0xff); i += 1
-          }
-          (id, bytes.length.toLong, b0, headSum)
+          while (i < math.min(16, cps.length)) { headSum += cps(i); i += 1 }
+          (id, bytes.length.toLong, cp0, headSum)
         }
       }
-      .toDF("doc_id", "n_bytes", "b0", "head_sum")
+      .toDF("doc_id", "n_bytes", "cp0", "head_sum")
       .orderBy("doc_id")
   }
 
@@ -2008,8 +2012,10 @@ object TierC {
     * regardless of fan-out. At 100 TB: stateless per-row compute, zero
     * shuffles before the declared ORDER BY; a real decoder drops in by
     * replacing the slice-summary with codec calls, same schema and
-    * batch shape. Media here is `text` cast to binary (ASCII-safe), so
-    * DuckDB reproduces the byte arithmetic through char positions.
+    * batch shape. The decode here is a REAL codec — UTF-8 bytes →
+    * codepoints — and all frame arithmetic (offsets, lengths,
+    * features) runs on the DECODED stream, so the char-based DuckDB
+    * oracle agrees on any Unicode corpus, not just ASCII.
     */
   private def c56(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -2020,8 +2026,11 @@ object TierC {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
-          // STUB decode: a real impl would demux/decode frames here.
-          val n = bytes.length
+          // decode: opaque bytes → codepoints (a real impl would
+          // demux/decode media frames here, same shape).
+          val cps = new String(bytes,
+            java.nio.charset.StandardCharsets.UTF_8).codePoints().toArray
+          val n = cps.length
           val stride = math.max(1, n / nFrames)
           (0 until nFrames).iterator
             .filter(k => k * stride < n)
@@ -2030,8 +2039,8 @@ object TierC {
               val len = math.min(headLen, n - off)
               var sum = 0L
               var i = off
-              while (i < off + len) { sum += (bytes(i) & 0xff); i += 1 }
-              (id, k.toLong, off.toLong, len.toLong, bytes(off) & 0xff, sum)
+              while (i < off + len) { sum += cps(i); i += 1 }
+              (id, k.toLong, off.toLong, len.toLong, cps(off), sum)
             }
         }
       }
@@ -2069,9 +2078,103 @@ object TierC {
       .orderBy("source", "grp")
   }
 
+  /** c58: maximal duplicated-SPAN extraction — the step beyond c39's
+    * per-position flagging: c39 reports the FRACTION of duplicated
+    * 5-gram positions per doc; c58 extracts the actual maximal spans
+    * (start/end word offsets) a dedup pass would cut, the output shape
+    * of Lee et al. 2021's suffix-array pipeline. Method: positions
+    * whose 5-gram occurs in ≥2 distinct docs are seed intervals
+    * [p, p+4]; the maximal spans are the connected components of their
+    * union — two seeds merge iff the next starts within n words of the
+    * previous (q − p ≤ n covers overlap AND touching), which is the
+    * session-window pattern (lag + gap flag + running sum, same shape
+    * as d3) with gap n, NOT the gap-1 `p − row_number` trick (that one
+    * would emit OVERLAPPING spans whenever two seeds sit 2..n words
+    * apart with a non-duplicated gram between them). This recovers
+    * every maximal cross-doc duplicated word run coverable by ≥5-word
+    * repeats, with k-gram resolution at the ends (the standard
+    * distributed approximation of the suffix-array formulation; a full
+    * SA is only needed when the seed length must be 1). Shape at
+    * 100 TB: same bounded gram-flag join as c39 (one boolean per
+    * distinct gram — never a posting list), then ONE shuffle by doc_id
+    * shared by both window passes; span rows are bounded by duplicated
+    * positions, never corpus size.
+    */
+  private def c58(s: SparkSession, d: String): DataFrame = {
+    val n = 5
+    val pos = documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(w)-$n), i -> array_join(slice(w, i+1, $n), ' '))")))
+      .toDF("doc_id", "p", "gram")
+    val dup = pos.select("gram", "doc_id").distinct()
+      .groupBy("gram").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("gram")
+    val byDoc = Window.partitionBy("doc_id").orderBy("p")
+    pos.join(dup, Seq("gram"))
+      .select("doc_id", "p")
+      .withColumn("prev", lag(col("p"), 1).over(byDoc))
+      .withColumn("is_new",
+        when(col("prev").isNull || col("p") - col("prev") > n, 1).otherwise(0))
+      .withColumn("isl", sum(col("is_new")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "isl")
+      .agg(min(col("p")).cast("long").as("span_start"),
+        (max(col("p")) + lit(n - 1)).cast("long").as("span_end"),
+        (max(col("p")) - min(col("p")) + lit(n)).cast("long").as("span_words"))
+      .select("doc_id", "span_start", "span_end", "span_words")
+      .orderBy("doc_id", "span_start")
+  }
+
+  /** c59: compaction EXECUTION — completes c57's story: c57 plans the
+    * small-file rewrite (metadata-only); c59 executes it. The planned
+    * group id is computed with c57's exact running-sum bucketing, the
+    * rows are rewritten `partitionBy(source, grp)` after ONE shuffle
+    * on exactly the plan's keys (repartition by (source, grp) ⇒ each
+    * group lands wholly in one task ⇒ exactly one output file per
+    * group — the small-files fix, proven per-row by `files_out`). The
+    * declared output is the post-rewrite manifest computed FROM THE
+    * REWRITTEN FILES (read-back, not the plan), so correctness covers
+    * the full write→read cycle; Round8PropsSpec additionally proves
+    * byte-level read-back parity (rewritten rows == source rows) and
+    * on-disk file count == #groups. At 100 TB this runs incrementally
+    * per source partition — the shuffle moves only the partitions
+    * being compacted, never the table.
+    */
+  private def c59(s: SparkSession, d: String): DataFrame = {
+    val target = 8192L
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val planned = documents(s, d)
+      .withColumn("cum_before", coalesce(sum("n_chars").over(w), lit(0L)))
+      .withColumn("grp", expr(s"cum_before div $target"))
+      .drop("cum_before")
+    val out = graft.util.TmpDir.path("c59_compacted")
+    planned
+      .repartition(col("source"), col("grp"))
+      .write.mode("overwrite").partitionBy("source", "grp").parquet(out)
+    // Explicit read schema: an EMPTY compaction run writes zero part
+    // files and schema inference would die; the rewrite's schema is
+    // the planned frame's by construction either way.
+    s.read.schema(planned.schema).parquet(out)
+      .withColumn("fname", input_file_name())
+      .groupBy(col("source"), col("grp").cast("long").as("grp"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum("n_chars").cast("long").as("bytes"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"),
+        countDistinct(col("fname")).as("files_out"))
+      .orderBy("source", "grp")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("c57_compaction_plan", c57 _, Some(
       "WITH m AS (SELECT source, doc_id, n_chars, coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM documents) SELECT source, (cb // 8192)::BIGINT AS grp, count(*)::BIGINT AS n_files, sum(n_chars)::BIGINT AS bytes, min(doc_id) AS first_doc, max(doc_id) AS last_doc FROM m GROUP BY 1, 2 ORDER BY 1, 2")),
+    QueryDef("c58_dup_spans", c58 _, Some(
+      "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), pos AS (SELECT doc_id, i - 1 AS p, array_to_string(list_slice(ws, i, i + 4), ' ') AS gram FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 4)) AS i) t WHERE len(ws) >= 5), dup AS (SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS nd FROM pos GROUP BY gram) WHERE nd >= 2), dp AS (SELECT pos.doc_id, pos.p FROM pos JOIN dup USING (gram)), lg AS (SELECT doc_id, p, lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev FROM dp), isl AS (SELECT doc_id, p, sum(CASE WHEN prev IS NULL OR p - prev > 5 THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING) AS g FROM lg) SELECT doc_id, min(p)::BIGINT AS span_start, (max(p) + 4)::BIGINT AS span_end, (max(p) - min(p) + 5)::BIGINT AS span_words FROM isl GROUP BY doc_id, g ORDER BY doc_id, span_start")),
+    QueryDef("c59_compaction_exec", c59 _, Some(
+      "WITH m AS (SELECT source, doc_id, n_chars, coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM documents) SELECT source, (cb // 8192)::BIGINT AS grp, count(*)::BIGINT AS n_rows, sum(n_chars)::BIGINT AS bytes, min(doc_id) AS first_doc, max(doc_id) AS last_doc, 1::BIGINT AS files_out FROM m GROUP BY 1, 2 ORDER BY 1, 2")),
     QueryDef("c56_frame_sample", c56 _, Some(
       "WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents), f AS (SELECT doc_id, k, k * greatest(1, n // 4) AS off, n, text FROM d, generate_series(0, 3) t(k) WHERE k * greatest(1, n // 4) < n) SELECT doc_id, k::BIGINT AS frame_idx, off::BIGINT AS frame_off, least(8, n - off)::BIGINT AS frame_len, ascii(substr(text, (off + 1)::INT, 1)) AS feat0, list_sum(list_transform(generate_series(1, least(8, n - off)::INT), i -> ascii(substr(text, (off + i)::INT, 1))))::BIGINT AS feat_sum FROM f ORDER BY doc_id, frame_idx")),
     QueryDef("c54_knn_graph", c54 _, Some(
@@ -2157,7 +2260,7 @@ object TierC {
     QueryDef("c17_similarity_native_expr", c17 _, Some(
       "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1 ORDER BY vec_a")),
     QueryDef("c16_multimodal_binary", c16 _, Some(
-      "SELECT doc_id, length(text)::BIGINT AS n_bytes, ascii(substr(text, 1, 1)) AS b0, list_sum(list_transform(generate_series(1, least(16, length(text))), i -> ascii(substr(text, i, 1))))::BIGINT AS head_sum FROM documents ORDER BY doc_id")),
+      "SELECT doc_id, strlen(text)::BIGINT AS n_bytes, CASE WHEN length(text) = 0 THEN -1 ELSE ascii(substr(text, 1, 1)) END AS cp0, coalesce(list_sum(list_transform(generate_series(1, least(16, length(text))), i -> ascii(substr(text, i, 1)))), 0)::BIGINT AS head_sum FROM documents ORDER BY doc_id")),
     QueryDef("c29_epoch_shuffle", c29 _, Some(
       s"WITH h AS (SELECT doc_id, ${duckHash("'epoch0:'||doc_id::VARCHAR")} AS h FROM documents) SELECT doc_id, h % 8 AS shard, (row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - 1)::BIGINT AS pos FROM h ORDER BY doc_id")),
     QueryDef("c30_stopword_filter", c30 _, Some(

@@ -333,6 +333,27 @@ object StreamingDemo {
     }
   }
 
+  /** Scope `spark.sql.streaming.noDataMicroBatches.enabled=false`
+    * around queries whose DECLARED OUTPUT provably cannot come from a
+    * no-data batch: d9 (inner join — matches emit only when a data
+    * batch arrives; the trailing no-data batch only evicts state) and
+    * d8 (dropDuplicatesWithinWatermark — survivors emit on first
+    * arrival; the no-data batch only cleans state). For those shapes
+    * the extra batch is pure per-query fixed cost (~0.3-0.6 s measured
+    * at sf0.1: one more WAL commit + state-store commit + job wave).
+    * NOT applicable to append-mode windowed aggs (d6/d14/d16/d17/d18/
+    * d19) or outer joins (d15): there the watermark-advancing no-data
+    * batch is what FLUSHES final windows / null-padded matches — the
+    * declared output depends on it. On an unbounded production stream
+    * the knob instead trades state-eviction timeliness, not output.
+    */
+  private def withoutNoDataBatches[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "false")
+    try body finally s.conf.set(key, prev)
+  }
+
   /** File-source stream over the events parquet with the shared ts
     * normalization. The pinned stream schema is PROBED from the batch
     * footer ([[graft.util.Tables.eventsFileSchema]]) rather than
@@ -451,12 +472,12 @@ object StreamingDemo {
     * stream). State is bounded by the watermark on unbounded input.
     */
   def streamDedup(s: SparkSession, d: String): DataFrame =
-    withStreamPartitions(s) { runToFiles(s, "d8",
+    withStreamPartitions(s) { withoutNoDataBatches(s) { runToFiles(s, "d8",
       df => df.withColumn("minute_ts", date_trunc("minute", col("ts")))
         .withWatermark("minute_ts", "1 hour")
         .dropDuplicatesWithinWatermark("user_id", "event_type", "minute_ts")
         .select("user_id", "event_type", "minute_ts"),
-      eventStream(s, d)) }
+      eventStream(s, d)) } }
       .orderBy("user_id", "event_type", "minute_ts")
 
   /** d9: stream-stream inner join — click→purchase attribution within
@@ -469,7 +490,7 @@ object StreamingDemo {
     * DuckDB-oracled.
     */
   def streamJoin(s: SparkSession, d: String): DataFrame =
-    withStreamPartitions(s) { runToFiles(s, "d9",
+    withStreamPartitions(s) { withoutNoDataBatches(s) { runToFiles(s, "d9",
       df => {
         val clicks = df.filter(col("event_type") === "click")
           .select(col("user_id"), col("ts").as("click_ts"),
@@ -485,7 +506,7 @@ object StreamingDemo {
             col("p_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
           .select("user_id", "click_id", "purchase_id")
       },
-      eventStream(s, d)) }
+      eventStream(s, d)) } }
       .orderBy("user_id", "click_id", "purchase_id")
 
   /** d15: stream-stream LEFT OUTER join — d9's attribution join plus

@@ -66,18 +66,23 @@ class FixtureCanarySpec extends SparkSpec {
       }
     }
 
-    test(s"$sf: documents.text is pure ASCII (byte pos == char pos)") {
-      // c16/c56 run byte arithmetic on the Spark side while their
-      // DuckDB oracles use character positions (length/substr/ascii) —
-      // equal only while the corpus is single-byte. A regeneration with
-      // real multi-byte text (lang includes zh!) would silently diverge
-      // the two; fail here instead.
-      val nonAscii = graft.util.Tables.documents(spark, dir)
+    test(s"$sf: documents.text encoding probe (informational)") {
+      // Round 7 asserted pure-ASCII here because c16/c56 ran byte
+      // arithmetic against char-based DuckDB oracles. Round 8 made
+      // both kernels decode UTF-8 → codepoints, so correctness no
+      // longer depends on the corpus encoding; this probe only
+      // REPORTS the mix so a regeneration with real zh text shows up
+      // in test output, and still fails on the one thing that would
+      // genuinely break UTF-8 decode: invalid byte sequences (cast to
+      // binary and back must round-trip).
+      val docs = graft.util.Tables.documents(spark, dir)
+      val nonAscii = docs
         .filter(expr("octet_length(text) <> length(text)")).count()
-      assert(nonAscii == 0,
-        s"$sf: $nonAscii docs contain multi-byte chars — the c16/c56 " +
-          "byte-vs-char oracle coupling no longer holds; make those " +
-          "kernels char-based or re-oracle them.")
+      info(s"$sf: $nonAscii docs contain multi-byte chars")
+      val badUtf8 = docs
+        .filter(expr("decode(encode(text, 'UTF-8'), 'UTF-8') <> text"))
+        .count()
+      assert(badUtf8 == 0, s"$sf: $badUtf8 docs fail UTF-8 round-trip")
     }
 
     test(s"$sf: events normalizes to TIMESTAMP ts and max(ts) is in 2024") {

@@ -9,33 +9,34 @@ import org.apache.spark.sql.functions._
 class Round7PropsSpec extends SparkSpec {
   private def q(name: String) = graft.SparkEntry.queries(name)(spark, sf0001)
 
-  test("c56: 4 frames per doc, offsets on the stride grid, features recomputable") {
+  test("c56: frames per doc, offsets on the stride grid, features recomputable") {
     import spark.implicits._
     val rows = q("c56_frame_sample").collect()
     val texts = spark.read.parquet(s"$sf0001/documents.parquet")
       .select($"doc_id", $"text").as[(Long, String)].collect().toMap
-    // frames per doc derive from its own length (k in 0..3 with
-    // k*stride < n) — no hardwired "every doc ≥4 bytes" assumption,
-    // per the repo's probe-don't-hardwire policy for the volatile
-    // corpus. For the current corpus this equals 4 per doc.
+    // Frame arithmetic runs on the DECODED codepoint stream (not raw
+    // bytes), and frames per doc derive from each doc's own length
+    // (k in 0..3 with k*stride < n) — no hardwired "every doc ≥4
+    // units" assumption, per the repo's probe-don't-hardwire policy
+    // for the volatile corpus.
+    def cps(t: String): Array[Int] = t.codePoints().toArray
     val expectedFrames = texts.values.map { t =>
-      val n = t.getBytes("UTF-8").length
+      val n = cps(t).length
       val stride = math.max(1, n / 4)
       (0 until 4).count(k => k.toLong * stride < n)
     }.sum
     assert(rows.length == expectedFrames)
     rows.foreach { r =>
-      val bytes = texts(r.getAs[Long]("doc_id")).getBytes("UTF-8")
+      val c = cps(texts(r.getAs[Long]("doc_id")))
       val k = r.getAs[Long]("frame_idx")
-      val stride = math.max(1, bytes.length / 4)
+      val stride = math.max(1, c.length / 4)
       val off = r.getAs[Long]("frame_off")
       assert(k >= 0 && k < 4)
       assert(off == k * stride)
       val len = r.getAs[Long]("frame_len")
-      assert(len == math.min(8, bytes.length - off))
-      assert(r.getAs[Int]("feat0") == (bytes(off.toInt) & 0xff))
-      val sum = (off.toInt until (off + len).toInt)
-        .map(i => (bytes(i) & 0xff).toLong).sum
+      assert(len == math.min(8, c.length - off))
+      assert(r.getAs[Int]("feat0") == c(off.toInt))
+      val sum = (off.toInt until (off + len).toInt).map(i => c(i).toLong).sum
       assert(r.getAs[Long]("feat_sum") == sum)
     }
   }
