@@ -1220,7 +1220,37 @@ object TierB {
         |ORDER BY l_returnflag""".stripMargin)
   }
 
+  /** b55: DYNAMIC partition pruning — the runtime analogue of a20's
+    * static pruning and the single biggest scan-cost lever in a
+    * star-join at 100 TB: the fact table is lang-partitioned on disk,
+    * the dim-side predicate (`lang < 'm'`) is only known after the
+    * dim scan, and Catalyst injects the broadcast result as a
+    * dynamicpruningexpression into the fact scan's PartitionFilters —
+    * whole fact partitions are skipped at FILE LISTING time, never
+    * read, decompressed, or filtered row-wise. Plan-asserted in
+    * RelationalPlanSpec (executed plan must carry the dynamic pruning
+    * filter on the fact scan). The dim here derives from the same
+    * corpus (distinct langs — bounded by language inventory) to stay
+    * regeneration-proof; any real dim table joins identically.
+    */
+  private def b55(s: SparkSession, d: String): DataFrame = {
+    val out = graft.util.TmpDir.path("b55_dpp_fact")
+    documents(s, d).write.mode("overwrite").partitionBy("lang").parquet(out)
+    val fact = s.read
+      .schema("doc_id BIGINT, text STRING, source STRING, n_chars BIGINT, lang STRING")
+      .parquet(out)
+    val dim = documents(s, d).select("lang").distinct()
+      .filter(col("lang") < lit("m"))
+    fact.join(broadcast(dim), Seq("lang"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").cast("long").as("chars"))
+      .orderBy("lang")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("b55_join_dpp", b55 _, Some(
+      "SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS chars FROM documents WHERE lang < 'm' GROUP BY lang ORDER BY lang")),
     QueryDef("b54_agg_filter", b54 _, Some(
       "SELECT l_returnflag, count(*)::BIGINT AS n, (count(*) FILTER (WHERE l_quantity >= 25))::BIGINT AS n_heavy, (count(*) FILTER (WHERE l_discount = 0.0))::BIGINT AS n_undiscounted, (sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4)) FILTER (WHERE l_shipdate >= TIMESTAMP '1998-01-01'))::DOUBLE AS rev_recent FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")),
     QueryDef("b51_gap_fill", b51 _, Some(

@@ -2144,7 +2144,12 @@ object TierC {
     * being compacted, never the table.
     */
   private def c59(s: SparkSession, d: String): DataFrame = {
-    val target = 8192L
+    // 8× c57's planning target: the EXECUTION demo actually creates a
+    // dir + file per group, so the target is sized to keep the output
+    // file count bounded across SFs (sf0.1 would write ~2 300 dirs at
+    // 8 KiB — the opposite of compaction); production uses the same
+    // code with a ~128 MB target.
+    val target = 65536L
     val w = Window.partitionBy("source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     val planned = documents(s, d)
@@ -2174,7 +2179,7 @@ object TierC {
     QueryDef("c58_dup_spans", c58 _, Some(
       "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), pos AS (SELECT doc_id, i - 1 AS p, array_to_string(list_slice(ws, i, i + 4), ' ') AS gram FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 4)) AS i) t WHERE len(ws) >= 5), dup AS (SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS nd FROM pos GROUP BY gram) WHERE nd >= 2), dp AS (SELECT pos.doc_id, pos.p FROM pos JOIN dup USING (gram)), lg AS (SELECT doc_id, p, lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev FROM dp), isl AS (SELECT doc_id, p, sum(CASE WHEN prev IS NULL OR p - prev > 5 THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING) AS g FROM lg) SELECT doc_id, min(p)::BIGINT AS span_start, (max(p) + 4)::BIGINT AS span_end, (max(p) - min(p) + 5)::BIGINT AS span_words FROM isl GROUP BY doc_id, g ORDER BY doc_id, span_start")),
     QueryDef("c59_compaction_exec", c59 _, Some(
-      "WITH m AS (SELECT source, doc_id, n_chars, coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM documents) SELECT source, (cb // 8192)::BIGINT AS grp, count(*)::BIGINT AS n_rows, sum(n_chars)::BIGINT AS bytes, min(doc_id) AS first_doc, max(doc_id) AS last_doc, 1::BIGINT AS files_out FROM m GROUP BY 1, 2 ORDER BY 1, 2")),
+      "WITH m AS (SELECT source, doc_id, n_chars, coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM documents) SELECT source, (cb // 65536)::BIGINT AS grp, count(*)::BIGINT AS n_rows, sum(n_chars)::BIGINT AS bytes, min(doc_id) AS first_doc, max(doc_id) AS last_doc, 1::BIGINT AS files_out FROM m GROUP BY 1, 2 ORDER BY 1, 2")),
     QueryDef("c56_frame_sample", c56 _, Some(
       "WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents), f AS (SELECT doc_id, k, k * greatest(1, n // 4) AS off, n, text FROM d, generate_series(0, 3) t(k) WHERE k * greatest(1, n // 4) < n) SELECT doc_id, k::BIGINT AS frame_idx, off::BIGINT AS frame_off, least(8, n - off)::BIGINT AS frame_len, ascii(substr(text, (off + 1)::INT, 1)) AS feat0, list_sum(list_transform(generate_series(1, least(8, n - off)::INT), i -> ascii(substr(text, (off + i)::INT, 1))))::BIGINT AS feat_sum FROM f ORDER BY doc_id, frame_idx")),
     QueryDef("c54_knn_graph", c54 _, Some(

@@ -38,6 +38,15 @@ class RelationalPlanSpec extends SparkSpec {
     assert(!p.contains("PushedFilters: [IsNotNull(lang)"), p)
   }
 
+  test("b55: fact scan carries a dynamic partition pruning filter") {
+    val p = plan("b55_join_dpp")
+    // the dim-side predicate reaches the fact scan BOTH statically
+    // (join-inferred lang < m) and dynamically (broadcast-result
+    // pruning) — whole partitions skipped at file-listing time
+    assert(p.toLowerCase.contains("dynamicpruningexpression"), p)
+    assert(p.contains("PartitionFilters: [(lang"), p)
+  }
+
   test("b7: aggregation is partial (map-side) before the exchange") {
     val p = plan("b7_agg_hash")
     assert(p.contains("partial_sum") || p.contains("partial_count"), p)
