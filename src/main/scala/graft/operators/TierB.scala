@@ -1248,7 +1248,130 @@ object TierB {
       .orderBy("lang")
   }
 
+  /** b56: NULL-SAFE equi-join (`<=>` / `IS NOT DISTINCT FROM`) — the
+    * semantic corner every hand-rolled MR join gets wrong by accident:
+    * under standard SQL equality a NULL key matches nothing, so the
+    * "unknown" bucket silently vanishes from the join output; `<=>`
+    * makes NULL a first-class key value that matches exactly the other
+    * side's NULL bucket. Crucially Spark still treats `<=>` as an
+    * EQUI-join key (hash-partitionable — SortMergeJoin/ShuffledHashJoin,
+    * with NULLs routed to one partition like any other key value),
+    * unlike the `a = b OR (a IS NULL AND b IS NULL)` rewrite, which
+    * falls off the equi-join path into BroadcastNestedLoopJoin and
+    * dies at 100 TB. Both sides are pre-aggregated per key BEFORE the
+    * null-safe join — the many-to-many blowup a raw row-level
+    * null-bucket join would produce (every "unknown" row × every
+    * "unknown" row) collapses to one row per key per side first, so
+    * the join input is bounded by key cardinality, not corpus size.
+    * NULLs here derive from `nullif(lang, 'zh')` — modeling a feed
+    * whose extractor emits NULL for a language it cannot identify.
+    */
+  private def b56(s: SparkSession, d: String): DataFrame = {
+    val keyed = documents(s, d)
+      .withColumn("lang_k", expr("nullif(lang, 'zh')"))
+    val all = keyed.groupBy("lang_k")
+      .agg(count(lit(1)).as("n_all"))
+    val sub = keyed
+      .filter(col("source").isin("src1", "src2", "src3"))
+      .groupBy(col("lang_k").as("lang_r"))
+      .agg(count(lit(1)).as("n_sub"))
+    all.join(sub, all("lang_k") <=> sub("lang_r"))
+      .select(col("lang_k"), col("n_all"), col("n_sub"))
+      .orderBy(col("lang_k").asc_nulls_first)
+  }
+
+  /** b57: BAG-semantics set operations (`UNION ALL` / `INTERSECT ALL`
+    * / `EXCEPT ALL`, SQL:1999 multiset semantics) — b16's trio keeps
+    * only DISTINCT semantics, but pipeline math usually needs
+    * multiplicities: "orders minus one per matching customer" is
+    * EXCEPT ALL, not EXCEPT. Catalyst rewrites both ALL variants into
+    * a count-aggregate + `Generate` replication (RewriteIntersectAll /
+    * RewriteExceptAll): per key compute the two multiplicities, emit
+    * min(c1,c2) (intersect) or c1−c2 (except) replicas — ONE shuffle
+    * per operand pair on the value key, never a join blowup, and
+    * duplicate-heavy inputs collapse map-side in the partial count.
+    * UNION ALL is a zero-shuffle concatenation. The declared output
+    * folds each multiset to its cardinality so the oracle pins the
+    * multiplicity arithmetic exactly.
+    */
+  private def b57(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).select(col("o_custkey").as("k"))
+    val c = customer(s, d).select(col("c_custkey").as("k"))
+    def cnt(df: DataFrame, tag: String): DataFrame =
+      df.agg(count(lit(1)).as("cnt")).select(lit(tag).as("op"), col("cnt"))
+    cnt(o.exceptAll(c), "except_all")
+      .union(cnt(o.intersectAll(c), "intersect_all"))
+      .union(cnt(o.unionAll(c), "union_all"))
+      .orderBy("op")
+  }
+
+  /** b58: windowed COUNT(DISTINCT) — an aggregate Spark (and DuckDB)
+    * refuse inside OVER(): attach to every lineitem row the number of
+    * DISTINCT suppliers serving its order, without collapsing the
+    * rows. Composed from existing window ops instead of a custom
+    * Expression (the preference order SURVEY §7.3 mandates):
+    * `dense_rank() OVER (PARTITION BY key ORDER BY x)` numbers the
+    * distinct x values 1..n, and `max(rank) OVER (PARTITION BY key)`
+    * broadcasts n back to every row. Both windows share the SAME
+    * partitioning key ⇒ ONE Exchange + one Sort in the physical plan
+    * (plan-asserted in Round8PropsSpec) — the naive alternative, a
+    * self-join against a groupBy-distinct, pays a second shuffle and
+    * a join. Caveat encoded here: dense_rank counts NULL as a value,
+    * so a nullable x needs a null-guard; l_suppkey is non-null.
+    */
+  private def b58(s: SparkSession, d: String): DataFrame = {
+    val part = Window.partitionBy("l_orderkey")
+    lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        dense_rank().over(part.orderBy("l_suppkey")).as("dr"))
+      .withColumn("nd_supp", max("dr").over(part).cast("long"))
+      .drop("dr")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** b59: NULL-AWARE anti join — `NOT IN (subquery)` with a nullable
+    * subquery column, b56's evil twin and the single most-misread SQL
+    * semantic in migration work: three-valued logic makes `x NOT IN
+    * (…, NULL)` UNKNOWN for every x, so ONE NULL in the subquery
+    * empties the whole result — which is correct SQL, not a bug, and
+    * any engine that "fixes" it by treating NOT IN as anti-join-on-
+    * equality silently diverges. Both branches run here: a clean
+    * NOT IN (ordinary left-anti plan) and a poisoned one (the
+    * subquery's min-orderkey row nulled via CASE, forcing the
+    * null-aware path to return 0 rows). Spark plans single-column
+    * NOT IN as a null-aware anti join, which REQUIRES broadcasting
+    * the subquery side — fine here (subquery is an order-key
+    * projection); at 100 TB with a fact-sized subquery the scalable
+    * rewrite is an explicit `IS NULL` existence check + ordinary
+    * anti join, which is exactly what a user of this op should be
+    * steered to (Scaladoc is that steer).
+    */
+  private def b59(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("g_orders")
+    customer(s, d).createOrReplaceTempView("g_customer")
+    s.sql(
+      """SELECT op, cnt FROM (
+        |  SELECT 'clean' AS op, count(*) AS cnt FROM g_customer
+        |    WHERE c_custkey NOT IN (SELECT o_custkey FROM g_orders
+        |      WHERE o_orderdate >= TIMESTAMP '1998-06-01')
+        |  UNION ALL
+        |  SELECT 'poisoned', count(*) FROM g_customer
+        |    WHERE c_custkey NOT IN (
+        |      SELECT CASE WHEN o_orderkey =
+        |          (SELECT min(o_orderkey) FROM g_orders)
+        |        THEN NULL ELSE o_custkey END FROM g_orders)
+        |) ORDER BY op""".stripMargin)
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("b59_not_in_null_aware", b59 _, Some(
+      "SELECT op, cnt FROM (SELECT 'clean' AS op, count(*)::BIGINT AS cnt FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-06-01') UNION ALL SELECT 'poisoned', count(*)::BIGINT FROM customer WHERE c_custkey NOT IN (SELECT CASE WHEN o_orderkey = (SELECT min(o_orderkey) FROM orders) THEN NULL ELSE o_custkey END FROM orders)) ORDER BY op")),
+    QueryDef("b57_set_ops_all", b57 _, Some(
+      "WITH o AS (SELECT o_custkey AS k FROM orders), c AS (SELECT c_custkey AS k FROM customer) SELECT 'except_all' AS op, count(*)::BIGINT AS cnt FROM (SELECT k FROM o EXCEPT ALL SELECT k FROM c) UNION ALL SELECT 'intersect_all', count(*)::BIGINT FROM (SELECT k FROM o INTERSECT ALL SELECT k FROM c) UNION ALL SELECT 'union_all', count(*)::BIGINT FROM (SELECT k FROM o UNION ALL SELECT k FROM c) ORDER BY op")),
+    QueryDef("b58_window_count_distinct", b58 _, Some(
+      "SELECT l.l_orderkey, l.l_linenumber, d.nd_supp FROM lineitem l JOIN (SELECT l_orderkey, count(DISTINCT l_suppkey)::BIGINT AS nd_supp FROM lineitem GROUP BY 1) d USING (l_orderkey) ORDER BY l_orderkey, l_linenumber")),
+    QueryDef("b56_join_null_safe", b56 _, Some(
+      "WITH l AS (SELECT nullif(lang, 'zh') AS lang_k, count(*)::BIGINT AS n_all FROM documents GROUP BY 1), r AS (SELECT nullif(lang, 'zh') AS lang_k, count(*)::BIGINT AS n_sub FROM documents WHERE source IN ('src1', 'src2', 'src3') GROUP BY 1) SELECT l.lang_k, l.n_all, r.n_sub FROM l JOIN r ON l.lang_k IS NOT DISTINCT FROM r.lang_k ORDER BY l.lang_k NULLS FIRST")),
     QueryDef("b55_join_dpp", b55 _, Some(
       "SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS chars FROM documents WHERE lang < 'm' GROUP BY lang ORDER BY lang")),
     QueryDef("b54_agg_filter", b54 _, Some(

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.QueryDef
 import graft.util.Tables._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import scala.collection.mutable
@@ -2173,7 +2173,118 @@ object TierC {
       .orderBy("source", "grp")
   }
 
+  /** c60: curation-funnel ATTRITION report — the observability twin of
+    * c32's gate: a production filter cascade is only debuggable if every
+    * stage reports how much it cut, per source (the per-rule attrition
+    * tables in Gopher/RefinedWeb-style pipeline papers). Four ordered
+    * rules (min chars, min words, bounded avg word length, min distinct-
+    * word ratio — all integer arithmetic, no float thresholds to drift
+    * cross-engine) are evaluated as booleans in ONE scan; survivors of
+    * every rule PREFIX are folded into the same hash-agg buffer as
+    * conditional sums (the b54 FILTER-clause shape), then the per-source
+    * wide row unpivots via `stack` into (stage, rule, n_pass, n_drop)
+    * rows. Cost at 100 TB: one scan + one partial-agg'd shuffle keyed
+    * by source, output O(#sources × #rules) — adding a rule costs zero
+    * extra I/O. The unpivot runs AFTER aggregation (5 rows per source),
+    * never on raw documents.
+    */
+  private def c60(s: SparkSession, d: String): DataFrame = {
+    val base = withWords(documents(s, d))
+      .select(col("source"), col("n_chars"),
+        size(col("w")).cast("long").as("nw"),
+        size(array_distinct(col("w"))).cast("long").as("ndw"))
+      .withColumn("r1", col("n_chars") >= 100)
+      .withColumn("r2", col("nw") >= 20)
+      .withColumn("r3", col("n_chars") <= col("nw") * 12)
+      .withColumn("r4", col("ndw") * 10 >= col("nw") * 3)
+    val one = (c: Column) => sum(when(c, 1L).otherwise(0L))
+    base.groupBy("source")
+      .agg(count(lit(1)).as("s0"),
+        one(col("r1")).as("s1"),
+        one(col("r1") && col("r2")).as("s2"),
+        one(col("r1") && col("r2") && col("r3")).as("s3"),
+        one(col("r1") && col("r2") && col("r3") && col("r4")).as("s4"))
+      .select(col("source"), expr(
+        """stack(5,
+          |  0L, 'all',            s0, 0L,
+          |  1L, 'min_chars',      s1, s0 - s1,
+          |  2L, 'min_words',      s2, s1 - s2,
+          |  3L, 'avg_word_len',   s3, s2 - s3,
+          |  4L, 'distinct_ratio', s4, s3 - s4)
+          |  AS (stage, rule, n_pass, n_drop)""".stripMargin))
+      .orderBy("source", "stage")
+  }
+
+  /** c61: domain-MIXTURE weights — temperature-scaled (α = 0.5)
+    * multinomial sampling weights over sources, the standard
+    * low-resource-upweighting scheme of multilingual pretraining
+    * (p_s ∝ n_s^α): per-source token counts from one scan + one tiny
+    * groupBy, then a 1-row global reduce (total tokens exact BIGINT;
+    * Σ√n summed in DECIMAL(28,12) so the 20-term sum is
+    * order-independent — the c52 discipline — before one final double
+    * division). The global row is a bounded O(1) driver scalar (the c5
+    * precedent); everything data-sized stays distributed. Output
+    * contrasts the natural share (share_bp) with the tempered sampling
+    * weight (weight_bp) — small sources up, large sources down.
+    */
+  private def c61(s: SparkSession, d: String): DataFrame = {
+    val t = documents(s, d)
+      .groupBy("source")
+      .agg(sum(size(split(col("text"), " ")).cast("long"))
+        .cast("long").as("n_tokens"))
+    val g = t.agg(sum("n_tokens").cast("long"),
+      sum(sqrt(col("n_tokens").cast("double")).cast("decimal(28,12)")))
+      .head()
+    // Empty corpus ⇒ NULL sums; the projection below then runs over
+    // zero rows, so any non-zero divisors keep the plan analyzable.
+    val tot = if (g.isNullAt(0)) 1L else g.getLong(0)
+    val totSq = if (g.isNullAt(1)) 1d else g.getDecimal(1).doubleValue()
+    t.select(col("source"), col("n_tokens"),
+      expr(s"10000L * n_tokens div ${tot}L").as("share_bp"),
+      floor(lit(10000d) * sqrt(col("n_tokens").cast("double")) / lit(totSq))
+        .cast("long").as("weight_bp"))
+      .orderBy("source")
+  }
+
+  /** c62: INVERTED INDEX build — the IR primitive under c25/c45-style
+    * decontamination and any "which docs contain term X" audit: per
+    * term its document frequency and a CAPPED, sorted posting list.
+    * The cap is enforced BEFORE materialization — `row_number() OVER
+    * (PARTITION BY term ORDER BY doc_id) <= 8` triggers Spark's
+    * WindowGroupLimit pushdown (the b15 top-k machinery), so a
+    * stopword's millions of postings at 100 TB are pruned to 8 per
+    * task-partition before the final per-term sort-merge — the
+    * `collect_list`-then-`slice` alternative would buffer the full
+    * posting list per term in one task. The df branch and the capped
+    * posting branch both shuffle on term, and the final join reuses
+    * that partitioning (no third exchange). Postings are emitted as a
+    * comma-joined string, not an array — the declared-output
+    * discipline (scalar columns only) that keeps the oracle hash
+    * byte-stable. Real engines shard postings per segment; the
+    * per-term cap is this demo's segment bound.
+    */
+  private def c62(s: SparkSession, d: String): DataFrame = {
+    val tok = withWords(documents(s, d))
+      .select(col("doc_id"), explode(col("w")).as("term"))
+      .distinct()
+    val dfreq = tok.groupBy("term").agg(count(lit(1)).as("df"))
+    val capped = tok
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("term").orderBy("doc_id")))
+      .filter(col("rn") <= 8)
+      .groupBy("term")
+      .agg(concat_ws(",", sort_array(collect_list(col("doc_id"))))
+        .as("postings"))
+    dfreq.join(capped, "term").orderBy("term")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("c62_inverted_index", c62 _, Some(
+      "WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), agg AS (SELECT term, count(*)::BIGINT AS df FROM tok GROUP BY 1), post AS (SELECT term, array_to_string(list_sort(list(doc_id)), ',') AS postings FROM (SELECT term, doc_id, row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn FROM tok) WHERE rn <= 8 GROUP BY term) SELECT term, df, postings FROM agg JOIN post USING (term) ORDER BY term")),
+    QueryDef("c60_filter_attrition", c60 _, Some(
+      "WITH b AS (SELECT source, n_chars, string_split(text, ' ') AS w FROM documents), f AS (SELECT source, (n_chars >= 100) AS r1, (len(w) >= 20) AS r2, (n_chars <= len(w) * 12) AS r3, (len(list_distinct(w)) * 10 >= len(w) * 3) AS r4 FROM b), a AS (SELECT source, count(*)::BIGINT AS s0, sum(CASE WHEN r1 THEN 1 ELSE 0 END)::BIGINT AS s1, sum(CASE WHEN r1 AND r2 THEN 1 ELSE 0 END)::BIGINT AS s2, sum(CASE WHEN r1 AND r2 AND r3 THEN 1 ELSE 0 END)::BIGINT AS s3, sum(CASE WHEN r1 AND r2 AND r3 AND r4 THEN 1 ELSE 0 END)::BIGINT AS s4 FROM f GROUP BY 1) SELECT source, t.stage, t.rule, t.n_pass, t.n_drop FROM a, LATERAL (VALUES (0::BIGINT, 'all', s0, 0::BIGINT), (1, 'min_chars', s1, s0 - s1), (2, 'min_words', s2, s1 - s2), (3, 'avg_word_len', s3, s2 - s3), (4, 'distinct_ratio', s4, s3 - s4)) t(stage, rule, n_pass, n_drop) ORDER BY source, stage")),
+    QueryDef("c61_domain_mixture", c61 _, Some(
+      "WITH t AS (SELECT source, sum(len(string_split(text, ' ')))::BIGINT AS n_tokens FROM documents GROUP BY 1), g AS (SELECT sum(n_tokens)::BIGINT AS tot, sum(sqrt(n_tokens::DOUBLE)::DECIMAL(28,12)) AS tot_sq FROM t) SELECT source, n_tokens, (10000 * n_tokens // tot)::BIGINT AS share_bp, floor(10000 * sqrt(n_tokens::DOUBLE) / tot_sq::DOUBLE)::BIGINT AS weight_bp FROM t, g ORDER BY source")),
     QueryDef("c57_compaction_plan", c57 _, Some(
       "WITH m AS (SELECT source, doc_id, n_chars, coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM documents) SELECT source, (cb // 8192)::BIGINT AS grp, count(*)::BIGINT AS n_files, sum(n_chars)::BIGINT AS bytes, min(doc_id) AS first_doc, max(doc_id) AS last_doc FROM m GROUP BY 1, 2 ORDER BY 1, 2")),
     QueryDef("c58_dup_spans", c58 _, Some(

@@ -86,4 +86,167 @@ class Round8PropsSpec extends SparkSpec {
     val srcBytes = docs.agg(sum("n_chars")).head.getLong(0)
     assert(totalBytes == srcBytes)
   }
+
+  test("b56: null-safe join matches the NULL bucket and stays on the equi-join path") {
+    import spark.implicits._
+    val df = graft.SparkEntry.queries("b56_join_null_safe")(spark, sf0001)
+    // must NOT degrade to a nested-loop join — `<=>` is an equi-key
+    val physical = df.queryExecution.executedPlan.toString
+    assert(!physical.contains("BroadcastNestedLoopJoin"),
+      "null-safe join fell off the equi-join path")
+    val rows = df.collect()
+    // independent recomputation from the raw table
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"lang", $"source").as[(String, String)].collect()
+    def key(l: String): Option[String] = if (l == "zh") None else Some(l)
+    val allC = docs.groupBy(d => key(d._1)).view.mapValues(_.length).toMap
+    val subC = docs.filter(d => Set("src1", "src2", "src3")(d._2))
+      .groupBy(d => key(d._1)).view.mapValues(_.length).toMap
+    val expected = allC.keySet.intersect(subC.keySet)
+      .map(k => (k.orNull, allC(k).toLong, subC(k).toLong))
+    val got = rows.map(r =>
+      (r.getAs[String]("lang_k"), r.getAs[Long]("n_all"),
+        r.getAs[Long]("n_sub"))).toSet
+    assert(got == expected)
+    // the semantic point: if zh docs exist in both sides, the NULL
+    // bucket row must be present (standard equality would drop it)
+    if (subC.contains(None)) {
+      assert(rows.exists(_.isNullAt(0)), "NULL-key bucket missing")
+    }
+  }
+
+  test("c60: funnel counts are monotone, stage-consistent, and tie to a recomputation") {
+    val rows = graft.SparkEntry.queries("c60_filter_attrition")(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    val bySrc = rows.groupBy(_.getAs[String]("source"))
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    import spark.implicits._
+    val raw = docs.select($"source", $"n_chars", $"text")
+      .as[(String, Long, String)].collect()
+    for ((src, rs) <- bySrc) {
+      val sorted = rs.sortBy(_.getAs[Long]("stage"))
+      assert(sorted.map(_.getAs[Long]("stage")).toSeq == (0L to 4L))
+      val pass = sorted.map(_.getAs[Long]("n_pass"))
+      // monotone non-increasing survivors; drops reconcile exactly
+      pass.sliding(2).foreach { case Array(a, b) => assert(b <= a); case _ => () }
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("n_drop") ==
+            a.getAs[Long]("n_pass") - b.getAs[Long]("n_pass"))
+        case _ => ()
+      }
+      // stage 0 = all docs of the source; stage 4 = independent recount
+      val mine = raw.filter(_._1 == src)
+      assert(pass.head == mine.length.toLong)
+      val surv = mine.count { case (_, nc, t) =>
+        val w = t.split(" ")
+        val ndw = w.distinct.length
+        nc >= 100 && w.length >= 20 && nc <= w.length * 12L &&
+          ndw * 10L >= w.length * 3L
+      }
+      assert(pass.last == surv.toLong)
+    }
+  }
+
+  test("c61: tempered weights recompute exactly and express the alpha=0.5 tilt") {
+    val rows = graft.SparkEntry.queries("c61_domain_mixture")(spark, sf0001)
+      .collect().sortBy(_.getAs[String]("source"))
+    assert(rows.nonEmpty)
+    val n = rows.map(r => r.getAs[String]("source") -> r.getAs[Long]("n_tokens"))
+    val tot = n.map(_._2).sum
+    // DECIMAL-summed global, then the same IEEE division as the op
+    val totSq = n.map(t => BigDecimal(math.sqrt(t._2.toDouble))
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+    for (r <- rows) {
+      val nt = r.getAs[Long]("n_tokens")
+      assert(r.getAs[Long]("share_bp") == 10000L * nt / tot)
+      assert(r.getAs[Long]("weight_bp") ==
+        math.floor(10000d * math.sqrt(nt.toDouble) / totSq).toLong)
+    }
+    // weights form a (floored) distribution and preserve size order
+    val wsum = rows.map(_.getAs[Long]("weight_bp")).sum
+    assert(wsum <= 10000L && wsum > 10000L - rows.length)
+    val byTok = rows.sortBy(_.getAs[Long]("n_tokens")).map(_.getAs[Long]("weight_bp"))
+    byTok.sliding(2).foreach { case Array(a, b) => assert(a <= b); case _ => () }
+    // alpha<1 upweights small sources relative to their natural share
+    val smallest = rows.minBy(_.getAs[Long]("n_tokens"))
+    val largest = rows.maxBy(_.getAs[Long]("n_tokens"))
+    if (smallest.getAs[Long]("n_tokens") < largest.getAs[Long]("n_tokens")) {
+      assert(smallest.getAs[Long]("weight_bp") >= smallest.getAs[Long]("share_bp"))
+      assert(largest.getAs[Long]("weight_bp") <= largest.getAs[Long]("share_bp"))
+    }
+  }
+
+  test("b57: ALL-variant cardinalities obey exact multiset arithmetic") {
+    import spark.implicits._
+    val rows = graft.SparkEntry.queries("b57_set_ops_all")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("cnt")).toMap
+    val o = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select($"o_custkey").as[Long].collect()
+    val c = spark.read.parquet(s"$sf0001/customer.parquet")
+      .select($"c_custkey").as[Long].collect()
+    val oc = o.groupBy(identity).view.mapValues(_.length).toMap
+    val cc = c.groupBy(identity).view.mapValues(_.length).toMap
+    val inter = oc.map { case (k, n) => math.min(n, cc.getOrElse(k, 0)) }.sum
+    val exc = oc.map { case (k, n) => math.max(0, n - cc.getOrElse(k, 0)) }.sum
+    assert(rows("union_all") == o.length.toLong + c.length)
+    assert(rows("intersect_all") == inter.toLong)
+    assert(rows("except_all") == exc.toLong)
+    // the semantic point vs b16: multiset counts exceed distinct counts
+    assert(rows("intersect_all") >= oc.keySet.intersect(cc.keySet).size.toLong)
+  }
+
+  test("b58: windowed distinct count is exact and plans a single exchange") {
+    import spark.implicits._
+    val df = graft.SparkEntry.queries("b58_window_count_distinct")(spark, sf0001)
+    // both window ops share one partitioning: exactly ONE exchange below
+    // the windows (the orderBy adds a final range exchange for output)
+    val plan = df.queryExecution.executedPlan.toString
+    val winExchanges = "Exchange hashpartitioning\\(l_orderkey".r
+      .findAllIn(plan).length
+    assert(winExchanges == 1, s"expected 1 hash exchange, plan:\n$plan")
+    val rows = df.collect()
+    val truth = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select($"l_orderkey", $"l_suppkey").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.length.toLong).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("nd_supp") == truth(r.getAs[Long]("l_orderkey")))
+    }
+  }
+
+  test("b59: three-valued logic — poisoned NOT IN empties, clean recomputes exactly") {
+    import spark.implicits._
+    val rows = graft.SparkEntry.queries("b59_not_in_null_aware")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("cnt")).toMap
+    val custs = spark.read.parquet(s"$sf0001/customer.parquet")
+      .select($"c_custkey").as[Long].collect().toSet
+    val ords = spark.read.parquet(s"$sf0001/orders.parquet")
+    val recent = ords
+      .filter($"o_orderdate" >= lit(java.sql.Timestamp.valueOf("1998-06-01 00:00:00")))
+      .select($"o_custkey").as[Long].collect().toSet
+    assert(rows("clean") == custs.diff(recent).size.toLong)
+    // one NULL in the subquery → UNKNOWN for every row → empty result
+    if (ords.head(1).nonEmpty) assert(rows("poisoned") == 0L)
+  }
+
+  test("c62: df exact, postings capped at 8, sorted, and a prefix of the true list") {
+    import spark.implicits._
+    val rows = graft.SparkEntry.queries("c62_inverted_index")(spark, sf0001)
+      .collect()
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val truth = docs.flatMap { case (id, t) => t.split(" ").distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(rows.length == truth.size)
+    rows.foreach { r =>
+      val term = r.getAs[String]("term")
+      val posts = r.getAs[String]("postings").split(",").map(_.toLong).toSeq
+      assert(posts.length <= 8)
+      assert(posts == posts.sorted)
+      assert(r.getAs[Long]("df") == truth(term).length.toLong)
+      assert(posts == truth(term).take(8), s"term $term postings not the sorted prefix")
+    }
+  }
 }
