@@ -248,5 +248,23 @@ class Round8PropsSpec extends SparkSpec {
       assert(r.getAs[Long]("df") == truth(term).length.toLong)
       assert(posts == truth(term).take(8), s"term $term postings not the sorted prefix")
     }
+    // the scale claim: the posting cap is pushed below the window sort
+    // (stopword postings prune per task-partition, no unbounded
+    // collect_list buffering)
+    val plan = graft.SparkEntry.queries("c62_inverted_index")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      "posting cap not pushed down as WindowGroupLimit")
+  }
+
+  test("b59: plans the null-aware anti join, not a rewrite") {
+    // BroadcastHashJoinExec's trailing flag is isNullAwareAntiJoin;
+    // the poisoned branch must carry it (Spark 4 plans single-column
+    // NOT IN this way — if a future version rewrites differently the
+    // semantics assert above still gates correctness)
+    val plan = graft.SparkEntry.queries("b59_not_in_null_aware")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert("LeftAnti, BuildRight, true".r.findAllIn(plan).nonEmpty,
+      s"no null-aware anti join in plan:\n$plan")
   }
 }

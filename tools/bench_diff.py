@@ -1,0 +1,61 @@
+#!/usr/bin/env python3
+"""Round-over-round bench regression report.
+
+Dev-only tool (python is driver-side). Compares two bench artifacts —
+either full per-query maps (bench_full_r*.json, written by graft.Bench
+via SPARK_GRAFT_BENCH_OUT) or the driver's truncated BENCH_r*.json
+(whose "tail" field holds whatever per-query times survived the
+2000-char cut). Usage:
+
+    python3 tools/bench_diff.py <old.json> <new.json> [ratio]
+
+Flags every common query whose time grew by more than `ratio`
+(default 1.3×) and is above 0.2 s (micro-queries jitter), and prints
+the total/streaming movement. Exit 1 if any regression is flagged, so
+it can gate a round ritual.
+"""
+import json
+import re
+import sys
+
+
+def load(path):
+    with open(path) as f:
+        d = json.load(f)
+    if "queries" in d:
+        return d["queries"], d.get("value"), d.get("streaming_sec")
+    if "tail" in d:  # driver artifact: parse what survived truncation
+        qs = {
+            m.group(1): float(m.group(2))
+            for m in re.finditer(r'"([a-z]\d+_[a-z_0-9]+)":([\d.]+)', d["tail"])
+        }
+        return qs, None, None
+    return d, None, None
+
+
+def main():
+    old_p, new_p = sys.argv[1], sys.argv[2]
+    ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 1.3
+    old_q, old_t, old_s = load(old_p)
+    new_q, new_t, new_s = load(new_p)
+    common = sorted(set(old_q) & set(new_q))
+    print(f"common queries: {len(common)} "
+          f"(old-only {len(set(old_q) - set(new_q))}, "
+          f"new-only {len(set(new_q) - set(old_q))})")
+    if old_t and new_t:
+        print(f"total: {old_t:.2f} -> {new_t:.2f} s")
+    if old_s and new_s:
+        print(f"streaming: {old_s:.2f} -> {new_s:.2f} s")
+    flagged = []
+    for k in common:
+        if new_q[k] > old_q[k] * ratio and new_q[k] > 0.2:
+            flagged.append((new_q[k] / old_q[k], k))
+    for r, k in sorted(flagged, reverse=True):
+        print(f"REGRESSION {k}: {old_q[k]:.2f} -> {new_q[k]:.2f} s ({r:.1f}x)")
+    if not flagged:
+        print("no regressions flagged")
+    sys.exit(1 if flagged else 0)
+
+
+if __name__ == "__main__":
+    main()
