@@ -1363,7 +1363,118 @@ object TierB {
         |) ORDER BY op""".stripMargin)
   }
 
+  /** b60: statistical aggregate surface — `stddev_samp` / `corr` (the
+    * moments Mrs users hand-roll as sum/sum-of-squares reduces) next to
+    * the existing sum/avg/count (b7). Float moments are the classic
+    * cross-engine trap: Spark's builtins are merge-order-dependent
+    * streaming algorithms, so their low bits are not portable. The
+    * declared values are therefore computed FROM EXACT INTEGER MOMENTS
+    * (quantity as BIGINT, price as floor-cents; sums of squares and
+    * cross-products in DECIMAL(38,0) so a 100 TB group cannot overflow),
+    * with one shared final-double formula both engines evaluate on the
+    * same exact integers — bit-equal by IEEE determinism. Spark's
+    * builtin `stddev_samp`/`corr` run alongside and are asserted within
+    * 1e-9 of the exact values (b9/b27 est-vs-true pattern), so the
+    * builtin surface is exercised AND the oracle stays exact. One
+    * shuffle; all six moments partial-aggregate map-side.
+    */
+  private def b60(s: SparkSession, d: String): DataFrame = {
+    val base = lineitem(s, d).select(col("l_returnflag"),
+      col("l_quantity").cast("long").as("xi"),
+      floor(col("l_extendedprice") * 100).cast("long").as("yc"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val m = base.groupBy("l_returnflag").agg(
+      count(lit(1)).as("n"),
+      sum("xi").as("sx"),
+      sum(col("xi") * col("xi")).as("sxx"),
+      sum("yc").as("sy"),
+      sum(dec(col("yc")) * col("yc")).as("syy"),
+      sum(dec(col("xi")) * col("yc")).as("sxy"),
+      stddev_samp(col("xi")).as("sd_b"),
+      corr(col("xi"), col("yc")).as("corr_b"))
+    val nD = dec(col("n"))
+    val varNumQ = (nD * col("sxx") - dec(col("sx")) * col("sx")).cast("double")
+    val varNumP = (nD * col("syy") - dec(col("sy")) * col("sy")).cast("double")
+    val covNum = (nD * col("sxy") - dec(col("sx")) * col("sy")).cast("double")
+    val sdQty = sqrt(varNumQ / (col("n") * (col("n") - 1)).cast("double"))
+    val corrQp = covNum / (sqrt(varNumQ) * sqrt(varNumP))
+    m.select(col("l_returnflag"), col("n"),
+        sdQty.as("sd_qty"), corrQp.as("corr_qp"),
+        (abs(col("sd_b") - sdQty) < 1e-9).as("ok_sd"),
+        (abs(col("corr_b") - corrQp) < 1e-9).as("ok_corr"))
+      .orderBy("l_returnflag")
+  }
+
+  /** b61: SCD TYPE-2 dimension build — turn a change log into a
+    * versioned dimension with [valid_from, valid_to] ranges and an
+    * is_current flag, THE canonical warehouse temporal pattern (in Mrs:
+    * per-key sorted reduce carrying the previous version). Spark shape:
+    * one window `lead(seq)` per business key closes each version at the
+    * next version's start — a single hash-partitioned exchange on the
+    * key, no self-join (the naive "join each version to its successor"
+    * pays a second shuffle and a range predicate). At 100 TB the change
+    * log is append-only and the rebuild is incremental per touched key
+    * (b45's merge-CDC shape feeds this). The log here is synthesized
+    * deterministically from `customer`: every key has a v1, keys ≡2
+    * (mod 5) gained a v2, keys ≡2 (mod 20) a v3 — so 1/5 of keys have
+    * two versions and 1/20 three, exercising 1..3-row windows.
+    * Open versions close at sentinel 9999 (NULL-free range predicates
+    * stay sargable).
+    */
+  private def b61(s: SparkSession, d: String): DataFrame = {
+    val snap = customer(s, d).select(col("c_custkey").as("key"),
+      floor(col("c_acctbal") * 100).cast("long").as("bal"))
+    val log = snap.withColumn("seq", lit(1L))
+      .unionByName(snap.filter(pmod(col("key"), lit(5)) === 2)
+        .withColumn("bal", col("bal") + 5000).withColumn("seq", lit(2L)))
+      .unionByName(snap.filter(pmod(col("key"), lit(20)) === 2)
+        .withColumn("bal", col("bal") + 12000).withColumn("seq", lit(3L)))
+    val w = Window.partitionBy("key").orderBy("seq")
+    log.select(col("key"), col("bal"), col("seq").as("valid_from"),
+        lead("seq", 1).over(w).as("nxt"))
+      .select(col("key"), col("bal"), col("valid_from"),
+        coalesce(col("nxt") - 1, lit(9999L)).as("valid_to"),
+        col("nxt").isNull.as("is_current"))
+      .orderBy("key", "valid_from")
+  }
+
+  /** b62: equi-width histogram — fixed-range binning of price cents
+    * into 21 buckets of 500 000 cents (the profiling primitive behind
+    * NDV/selectivity estimation and data-quality dashboards; in Mrs: a
+    * map emitting bucket ids + a count reduce). The bucket key is PURE
+    * INTEGER division (cents div 500000) — zero float in the group key,
+    * so the layout is portable and, at 100 TB, the aggregate
+    * partial-combines map-side into at most 21 groups (the shuffle
+    * carries ~21 rows per task regardless of input size). Spark's
+    * `width_bucket` builtin runs alongside, folded into a per-bucket
+    * bool_and asserting it agrees with the integer bucket+1 everywhere
+    * — the oracle re-derives the same check from width_bucket's
+    * documented floor formula (this DuckDB build lacks the builtin),
+    * so a semantic drift in EITHER engine's binning flips the flag.
+    */
+  private def b62(s: SparkSession, d: String): DataFrame = {
+    val cents = floor(col("l_extendedprice") * 100).cast("long")
+    lineitem(s, d)
+      .select(cents.as("yc"),
+        expr("width_bucket(floor(l_extendedprice * 100), 0, 10500000, 21)")
+          .as("wb"))
+      .withColumn("bucket", expr("yc div 500000"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("cnt"),
+        sum("yc").as("sum_cents"),
+        min("yc").as("min_cents"),
+        max("yc").as("max_cents"),
+        bool_and(col("wb") === col("bucket") + 1).as("wb_ok"))
+      .orderBy("bucket")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("b60_agg_stats", b60 _, Some(
+      "WITH b AS (SELECT l_returnflag, l_quantity::BIGINT AS xi, floor(l_extendedprice * 100)::BIGINT AS yc FROM lineitem), m AS (SELECT l_returnflag, count(*)::BIGINT AS n, sum(xi)::HUGEINT AS sx, sum(xi * xi)::HUGEINT AS sxx, sum(yc)::HUGEINT AS sy, sum(yc::HUGEINT * yc) AS syy, sum(xi::HUGEINT * yc) AS sxy FROM b GROUP BY 1) SELECT l_returnflag, n, sqrt((n::HUGEINT * sxx - sx * sx)::DOUBLE / (n * (n - 1))::DOUBLE) AS sd_qty, (n::HUGEINT * sxy - sx * sy)::DOUBLE / (sqrt((n::HUGEINT * sxx - sx * sx)::DOUBLE) * sqrt((n::HUGEINT * syy - sy * sy)::DOUBLE)) AS corr_qp, TRUE AS ok_sd, TRUE AS ok_corr FROM m ORDER BY l_returnflag")),
+    QueryDef("b61_scd2_dimension", b61 _, Some(
+      "WITH snap AS (SELECT c_custkey AS key, floor(c_acctbal * 100)::BIGINT AS bal FROM customer), chlog AS (SELECT key, bal, 1::BIGINT AS seq FROM snap UNION ALL SELECT key, bal + 5000, 2::BIGINT FROM snap WHERE key % 5 = 2 UNION ALL SELECT key, bal + 12000, 3::BIGINT FROM snap WHERE key % 20 = 2), v AS (SELECT key, bal, seq AS valid_from, lead(seq) OVER (PARTITION BY key ORDER BY seq) AS nxt FROM chlog) SELECT key, bal, valid_from, coalesce(nxt - 1, 9999)::BIGINT AS valid_to, (nxt IS NULL) AS is_current FROM v ORDER BY key, valid_from")),
+    QueryDef("b62_histogram", b62 _, Some(
+      "WITH b AS (SELECT floor(l_extendedprice * 100)::BIGINT AS yc FROM lineitem) SELECT yc // 500000 AS bucket, count(*)::BIGINT AS cnt, sum(yc)::BIGINT AS sum_cents, min(yc) AS min_cents, max(yc) AS max_cents, bool_and((floor(21.0 * yc / 10500000.0)::BIGINT + 1) = (yc // 500000 + 1)) AS wb_ok FROM b GROUP BY 1 ORDER BY 1")),
     QueryDef("b59_not_in_null_aware", b59 _, Some(
       "SELECT op, cnt FROM (SELECT 'clean' AS op, count(*)::BIGINT AS cnt FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-06-01') UNION ALL SELECT 'poisoned', count(*)::BIGINT FROM customer WHERE c_custkey NOT IN (SELECT CASE WHEN o_orderkey = (SELECT min(o_orderkey) FROM orders) THEN NULL ELSE o_custkey END FROM orders)) ORDER BY op")),
     QueryDef("b57_set_ops_all", b57 _, Some(

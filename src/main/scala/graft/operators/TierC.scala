@@ -2278,7 +2278,65 @@ object TierC {
     dfreq.join(capped, "term").orderBy("term")
   }
 
+  /** c63: quality-classifier APPLICATION — serving a trained
+    * fasttext-style hashed-bag-of-words linear model over the corpus,
+    * the step that follows c12's hand-written heuristics in a real
+    * curation stack: tokens hash into a fixed feature space (64
+    * buckets here), each bucket carries a learned weight, the doc
+    * score is the weight sum and the keep decision a threshold. The
+    * model IS data: a 64-row weight table broadcast to every executor
+    * (at production scale a 2M-bucket table is still MBs — the
+    * broadcast-model serving shape), the corpus side never shuffles
+    * until the final doc-keyed partial-aggregated sum. Weights and
+    * the feature hash are md5-derived (portable integer family), so
+    * scores are exact BIGINTs and the full model application — hash,
+    * lookup, sum, threshold — is oracle-checked bit-for-bit.
+    */
+  private def c63(s: SparkSession, d: String): DataFrame = {
+    val weights = s.range(64).select(col("id").as("fh"),
+      (pmod(portableHash(concat(lit("w:"), col("id").cast("string"))),
+        lit(2001)) - 1000).as("wt"))
+    withWords(documents(s, d))
+      .select(col("doc_id"), explode(col("w")).as("word"))
+      .withColumn("fh",
+        pmod(portableHash(concat(lit("feat:"), col("word"))), lit(64)))
+      .join(broadcast(weights), Seq("fh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), sum("wt").cast("long").as("score"))
+      .withColumn("kept", col("score") > 0)
+      .orderBy("doc_id")
+  }
+
+  /** c64: CROSS-SOURCE duplication matrix — which feeds copy from
+    * which: docs sharing a head fingerprint (md5 of the first 200
+    * chars — the syndicated-article/boilerplate-head signal; whole-text
+    * equality is too strict once feeds append trailing boilerplate)
+    * across two different sources contribute to that source pair's
+    * cell. The shape is dedup-group introspection, not pairwise doc
+    * comparison: distinct (fp, source) first — so a fingerprint's
+    * contribution is bounded by #sources (20), never by its document
+    * count — then a self-join keyed on fp whose per-key fan-out is
+    * that bounded source list. At 100 TB the matrix is #sources² max,
+    * and the only data-sized work is the initial fingerprint scan +
+    * one distinct. Drives crawl-dedup priority and licensing audits.
+    */
+  private def c64(s: SparkSession, d: String): DataFrame = {
+    val fp = documents(s, d)
+      .select(md5(substring(col("text"), 1, 200)).as("fp"), col("source"))
+      .distinct()
+    fp.select(col("fp"), col("source").as("source_a"))
+      .join(fp.select(col("fp"), col("source").as("source_b")), "fp")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("source_a", "source_b")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("c63_quality_classifier", c63 _, Some(
+      s"WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents), f AS (SELECT doc_id, (${duckHash("'feat:' || word")} % 64) AS fh FROM tok) SELECT doc_id, count(*)::BIGINT AS n_tok, sum(${duckHash("'w:' || fh::VARCHAR")} % 2001 - 1000)::BIGINT AS score, (sum(${duckHash("'w:' || fh::VARCHAR")} % 2001 - 1000) > 0) AS kept FROM f GROUP BY doc_id ORDER BY doc_id")),
+    QueryDef("c64_cross_source_dup", c64 _, Some(
+      "WITH fp AS (SELECT DISTINCT md5(substr(text, 1, 200)) AS fp, source FROM documents) SELECT a.source AS source_a, b.source AS source_b, count(*)::BIGINT AS n_shared FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source GROUP BY 1, 2 ORDER BY 1, 2")),
     QueryDef("c62_inverted_index", c62 _, Some(
       "WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), agg AS (SELECT term, count(*)::BIGINT AS df FROM tok GROUP BY 1), post AS (SELECT term, array_to_string(list_sort(list(doc_id)), ',') AS postings FROM (SELECT term, doc_id, row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn FROM tok) WHERE rn <= 8 GROUP BY term) SELECT term, df, postings FROM agg JOIN post USING (term) ORDER BY term")),
     QueryDef("c60_filter_attrition", c60 _, Some(

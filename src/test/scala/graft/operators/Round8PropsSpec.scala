@@ -267,4 +267,113 @@ class Round8PropsSpec extends SparkSpec {
     assert("LeftAnti, BuildRight, true".r.findAllIn(plan).nonEmpty,
       s"no null-aware anti join in plan:\n$plan")
   }
+
+  private def md5long(x: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  test("b60: est-vs-true flags hold; exact moments match a BigInt recompute") {
+    import spark.implicits._
+    val rows = q("b60_agg_stats").collect()
+    val base = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select($"l_returnflag", $"l_quantity", $"l_extendedprice")
+      .as[(String, Double, Double)].collect()
+    val grouped = base.groupBy(_._1)
+    assert(rows.map(_.getAs[String]("l_returnflag")).toSet == grouped.keySet)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("ok_sd") && r.getAs[Boolean]("ok_corr"),
+        s"builtin moment drifted for ${r.getAs[String]("l_returnflag")}")
+      val g = grouped(r.getAs[String]("l_returnflag"))
+      val xs = g.map(t => BigInt(t._2.toLong))
+      val ys = g.map(t => BigInt(math.floor(t._3 * 100).toLong))
+      val n = BigInt(xs.length)
+      val (sx, sxx) = (xs.sum, xs.map(x => x * x).sum)
+      val (sy, syy) = (ys.sum, ys.map(y => y * y).sum)
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+      val sd = math.sqrt((n * sxx - sx * sx).toDouble / (n * (n - 1)).toDouble)
+      val co = (n * sxy - sx * sy).toDouble /
+        (math.sqrt((n * sxx - sx * sx).toDouble) *
+          math.sqrt((n * syy - sy * sy).toDouble))
+      assert(r.getAs[Long]("n") == xs.length.toLong)
+      assert(math.abs(r.getAs[Double]("sd_qty") - sd) < 1e-9)
+      assert(math.abs(r.getAs[Double]("corr_qp") - co) < 1e-9)
+    }
+  }
+
+  test("b61: version chains contiguous, sentinel-closed, exactly one current") {
+    val rows = q("b61_scd2_dimension").collect()
+    val byKey = rows.groupBy(_.getAs[Long]("key"))
+    val nCust = spark.read.parquet(s"$sf0001/customer.parquet").count()
+    assert(byKey.size.toLong == nCust)
+    byKey.foreach { case (k, vs) =>
+      val sorted = vs.sortBy(_.getAs[Long]("valid_from"))
+      val expVers = 1 + (if (k % 5 == 2) 1 else 0) + (if (k % 20 == 2) 1 else 0)
+      assert(sorted.length == expVers, s"key $k version count")
+      assert(sorted.head.getAs[Long]("valid_from") == 1L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("valid_to") + 1 ==
+            b.getAs[Long]("valid_from"), s"key $k gap/overlap")
+          assert(!a.getAs[Boolean]("is_current"))
+        case _ => ()
+      }
+      assert(sorted.last.getAs[Long]("valid_to") == 9999L)
+      assert(sorted.last.getAs[Boolean]("is_current"))
+    }
+  }
+
+  test("b62: buckets partition all rows, bounds tight, width_bucket agrees") {
+    val rows = q("b62_histogram").collect()
+    val nLi = spark.read.parquet(s"$sf0001/lineitem.parquet").count()
+    assert(rows.map(_.getAs[Long]("cnt")).sum == nLi)
+    val bs = rows.map(_.getAs[Long]("bucket")).toSeq
+    assert(bs == bs.sorted && bs.distinct.length == bs.length)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(r.getAs[Boolean]("wb_ok"), s"width_bucket disagrees in bucket $b")
+      assert(r.getAs[Long]("min_cents") >= b * 500000L)
+      assert(r.getAs[Long]("max_cents") < (b + 1) * 500000L)
+      assert(r.getAs[Long]("min_cents") <= r.getAs[Long]("max_cents"))
+    }
+  }
+
+  test("c63: scores equal an independent model recompute; kept == score>0") {
+    import spark.implicits._
+    val rows = q("c63_quality_classifier").collect()
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    assert(rows.length == docs.size)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val toks = docs(id).split(" ")
+      val score = toks.map { w =>
+        val fh = md5long("feat:" + w) % 64
+        md5long("w:" + fh) % 2001 - 1000
+      }.sum
+      assert(r.getAs[Long]("n_tok") == toks.length.toLong)
+      assert(r.getAs[Long]("score") == score, s"doc $id score")
+      assert(r.getAs[Boolean]("kept") == (score > 0))
+    }
+  }
+
+  test("c64: matrix equals an independent head-fingerprint recompute") {
+    import spark.implicits._
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = q("c64_cross_source_dup").collect()
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"text", $"source").as[(String, String)].collect()
+    val fpSrc = docs.map { case (t, src) => (md5hex(t.take(200)), src) }.distinct
+    val expected = fpSrc.groupBy(_._1).values.flatMap { g =>
+      val ss = g.map(_._2).distinct.sorted
+      for (i <- ss.indices; j <- (i + 1) until ss.length) yield (ss(i), ss(j))
+    }.groupBy(identity).map { case (p, v) => p -> v.size.toLong }
+    val got = rows.map(r => ((r.getAs[String]("source_a"),
+      r.getAs[String]("source_b")), r.getAs[Long]("n_shared"))).toMap
+    assert(rows.nonEmpty, "no cross-source duplication found at sf0.001")
+    assert(got == expected)
+  }
 }
