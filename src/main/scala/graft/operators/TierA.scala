@@ -608,7 +608,31 @@ object TierA {
       .orderBy("n_nationkey")
   }
 
+  /** a30: compression-CODEC control on the columnar sink — the storage
+    * knob the reference's extension-selected writers never had [mrs:
+    * mrs/fileformats.py picks a FORMAT by extension; codec is not a
+    * concept]. At 100 TB the parquet codec is a first-order cost axis
+    * (zstd trades ~1.3-1.5× better ratio than snappy for similar decode
+    * throughput — scan-bound jobs read fewer bytes, storage bills
+    * shrink), and in Spark it is one declarative per-write option, no
+    * reader change (each file self-describes its codec in the footer;
+    * a directory may even mix codecs across files). Declared output =
+    * the zstd read-back (lossless by construction); the spec pins the
+    * codec actually landed (file names carry `.zstd`) and snappy-twin
+    * row parity.
+    */
+  private def a30(spark: SparkSession, d: String): DataFrame = {
+    val out = graft.util.TmpDir.path("a30_sink_zstd")
+    part(spark, d).write.mode("overwrite")
+      .option("compression", "zstd").parquet(out)
+    spark.read.parquet(out)
+      .select("p_partkey", "p_name", "p_retailprice")
+      .orderBy("p_partkey")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("a30_sink_compressed", a30 _, Some(
+      "SELECT p_partkey, p_name, p_retailprice FROM part ORDER BY p_partkey")),
     QueryDef("a29_source_malformed", a29 _, Some(
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
     QueryDef("a28_source_evolving", a28 _, Some(

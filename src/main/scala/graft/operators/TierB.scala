@@ -1468,7 +1468,40 @@ object TierB {
       .orderBy("bucket")
   }
 
+  /** b63: RECURSIVE CTE (`WITH RECURSIVE`, SQL:1999; Spark ≥ 4.0
+    * UnionLoop execution) — the declarative form of the driver-loop
+    * iteration family (a13/b50/c18): a hierarchy walk from every
+    * customer key to the root of the implicit binary tree parent(k) =
+    * k div 2 (the BOM/org-chart explosion shape, synthesized
+    * deterministically so no new fixture is needed). Each recursion
+    * level here is embarrassingly parallel — the step relation maps
+    * rows independently (`anc div 2`), no per-level shuffle; the
+    * engine unions ⌈log₂ maxkey⌉ ≈ 17 levels and aggregates once at
+    * the end. Contrast with b50, which keeps the HAND-ROLLED loop
+    * because its step is a JOIN against an edge table and needs the
+    * frontier-delta + settled-set pruning a blind UNION ALL recursion
+    * cannot express (a recursive CTE re-expands every path; b50's
+    * anti-join is what bounds work on cyclic graphs). Guard rails at
+    * scale: Spark caps levels via spark.sql.cteRecursionLevelLimit
+    * (default 100) — arithmetic-convergent recursions like this one
+    * stay far under it.
+    */
+  private def b63(s: SparkSession, d: String): DataFrame = {
+    customer(s, d).createOrReplaceTempView("g_customer")
+    s.sql(
+      """WITH RECURSIVE up(k, anc, depth) AS (
+        |  SELECT c_custkey, c_custkey, CAST(0 AS BIGINT) FROM g_customer
+        |  UNION ALL
+        |  SELECT k, anc DIV 2, depth + 1 FROM up WHERE anc > 1
+        |)
+        |SELECT k AS key, max(depth) AS depth_to_root,
+        |       sum(anc) AS anc_sum, count(*) AS n_levels
+        |FROM up GROUP BY k ORDER BY k""".stripMargin)
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("b63_recursive_cte", b63 _, Some(
+      "WITH RECURSIVE up(k, anc, depth) AS (SELECT c_custkey, c_custkey, 0::BIGINT FROM customer UNION ALL SELECT k, anc // 2, depth + 1 FROM up WHERE anc > 1) SELECT k AS key, max(depth)::BIGINT AS depth_to_root, sum(anc)::BIGINT AS anc_sum, count(*)::BIGINT AS n_levels FROM up GROUP BY k ORDER BY k")),
     QueryDef("b60_agg_stats", b60 _, Some(
       "WITH b AS (SELECT l_returnflag, l_quantity::BIGINT AS xi, floor(l_extendedprice * 100)::BIGINT AS yc FROM lineitem), m AS (SELECT l_returnflag, count(*)::BIGINT AS n, sum(xi)::HUGEINT AS sx, sum(xi * xi)::HUGEINT AS sxx, sum(yc)::HUGEINT AS sy, sum(yc::HUGEINT * yc) AS syy, sum(xi::HUGEINT * yc) AS sxy FROM b GROUP BY 1) SELECT l_returnflag, n, sqrt((n::HUGEINT * sxx - sx * sx)::DOUBLE / (n * (n - 1))::DOUBLE) AS sd_qty, (n::HUGEINT * sxy - sx * sy)::DOUBLE / (sqrt((n::HUGEINT * sxx - sx * sx)::DOUBLE) * sqrt((n::HUGEINT * syy - sy * sy)::DOUBLE)) AS corr_qp, TRUE AS ok_sd, TRUE AS ok_corr FROM m ORDER BY l_returnflag")),
     QueryDef("b61_scd2_dimension", b61 _, Some(

@@ -402,7 +402,13 @@ object TierC {
     }
   }
 
-  private def c15(s: SparkSession, d: String): DataFrame = {
+  /** Per-vector sign-LSH bucket assignment — the shared kernel under
+    * c15 (bucket census) and c65 (recall eval): 8 md5-derived integer
+    * hyperplanes over the 2^-10-quantized embedding, one sign bit per
+    * plane. Exact integer arithmetic ⇒ bit-identical in DuckDB
+    * ([[lshBucketCtes]] renders the same family).
+    */
+  private def lshBucketsDf(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val bc = s.sparkContext.broadcast(lshPlanes(8, 64))
     vecs(s, d)
@@ -428,11 +434,14 @@ object TierC {
         }
       }
       .toDF("bucket", "vec_id")
+  }
+
+  private def c15(s: SparkSession, d: String): DataFrame =
+    lshBucketsDf(s, d)
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_vecs"),
         min(col("vec_id")).as("min_vec"), max(col("vec_id")).as("max_vec"))
       .orderBy("bucket")
-  }
 
   /** c16: multimodal binary plumbing — media as opaque binary columns
     * with typed metadata. The Spark-side plumbing is real: binary
@@ -2332,7 +2341,48 @@ object TierC {
       .orderBy("source_a", "source_b")
   }
 
+  /** c65: ANN RECALL evaluation — the metric that decides whether an
+    * ANN index (c15/c19/c43) is allowed to replace brute force in a
+    * pipeline: candidate recall@k per probe, |exact-top-k ∩ LSH-bucket
+    * candidates| / k. Ground truth is c3's bounded brute-force top-k
+    * over the same 32-probe set (the eval is SAMPLED by construction —
+    * at 100 TB nobody brute-forces the full corpus; GT cost is
+    * O(probes × corpus), one pass); the index side reuses c15's exact
+    * sign-LSH kernel, so candidate sets are bit-reproducible. Probe
+    * rows join buckets broadcast (32 rows), candidate fan-out is
+    * bucket occupancy — the same bound that makes the index itself
+    * scale. Output: per-probe candidate count, hits, recall in basis
+    * points; the aggregate over probes is the index's grade.
+    */
+  private def c65(s: SparkSession, d: String): DataFrame = {
+    val k = graft.util.GraftConf.similarityK(s)
+    val gt = c3(s, d).select(col("probe_id"), col("neighbor_id"))
+    val bk = lshBucketsDf(s, d)
+    val probeBk = bk
+      .filter(pmod(col("vec_id"), lit(50)) === 0)
+      .orderBy("vec_id").limit(graft.util.GraftConf.similarityProbes(s))
+      .select(col("vec_id").as("probe_id"), col("bucket"))
+    val cand = broadcast(probeBk).join(bk, "bucket")
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("cand_id"))
+    val nCand = cand.groupBy("probe_id").agg(count(lit(1)).as("n_cand"))
+    val nHit = gt.join(cand,
+        gt("probe_id") === cand("probe_id") &&
+          gt("neighbor_id") === cand("cand_id"))
+      .groupBy(gt("probe_id")).agg(count(lit(1)).as("n_hit"))
+    probeBk.select("probe_id")
+      .join(nCand, Seq("probe_id"), "left")
+      .join(nHit, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)) * (10000 / k)).as("recall_bp"))
+      .orderBy("probe_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("c65_ann_recall_eval", c65 _, Some(
+      s"WITH $lshBucketCtes, probes AS (SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pe FROM embeddings WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 32), sims AS (SELECT probe_id, vec_id, list_cosine_similarity(pe, ce) AS sim FROM probes, (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings) WHERE vec_id != probe_id), gt AS (SELECT probe_id, vec_id FROM (SELECT probe_id, vec_id, row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank FROM sims) WHERE rank <= 5), pb AS (SELECT p.probe_id, b.bucket FROM probes p JOIN buckets b ON b.vec_id = p.probe_id), cd AS (SELECT pb.probe_id, b.vec_id AS cand_id FROM pb JOIN buckets b ON b.bucket = pb.bucket AND b.vec_id <> pb.probe_id), nc AS (SELECT probe_id, count(*)::BIGINT AS n_cand FROM cd GROUP BY 1), nh AS (SELECT gt.probe_id, count(*)::BIGINT AS n_hit FROM gt JOIN cd ON cd.probe_id = gt.probe_id AND cd.cand_id = gt.vec_id GROUP BY 1) SELECT p.probe_id, coalesce(nc.n_cand, 0)::BIGINT AS n_cand, coalesce(nh.n_hit, 0)::BIGINT AS n_hit, (coalesce(nh.n_hit, 0) * 2000)::BIGINT AS recall_bp FROM probes p LEFT JOIN nc USING (probe_id) LEFT JOIN nh USING (probe_id) ORDER BY probe_id")),
     QueryDef("c63_quality_classifier", c63 _, Some(
       s"WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents), f AS (SELECT doc_id, (${duckHash("'feat:' || word")} % 64) AS fh FROM tok) SELECT doc_id, count(*)::BIGINT AS n_tok, sum(${duckHash("'w:' || fh::VARCHAR")} % 2001 - 1000)::BIGINT AS score, (sum(${duckHash("'w:' || fh::VARCHAR")} % 2001 - 1000) > 0) AS kept FROM f GROUP BY doc_id ORDER BY doc_id")),
     QueryDef("c64_cross_source_dup", c64 _, Some(

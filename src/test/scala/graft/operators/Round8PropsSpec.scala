@@ -376,4 +376,74 @@ class Round8PropsSpec extends SparkSpec {
     assert(rows.nonEmpty, "no cross-source duplication found at sf0.001")
     assert(got == expected)
   }
+
+  test("a30: zstd codec actually lands on disk; parity with a snappy twin") {
+    q("a30_sink_compressed").collect() // materialize the write
+    val dir = new java.io.File(graft.util.TmpDir.path("a30_sink_zstd"))
+    val files = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    files.foreach(f => assert(f.getName.contains(".zstd."),
+      s"${f.getName} not zstd-compressed"))
+    val snap = graft.util.TmpDir.path("a30_twin_snappy")
+    spark.read.parquet(s"$sf0001/part.parquet")
+      .write.mode("overwrite").option("compression", "snappy").parquet(snap)
+    val a = q("a30_sink_compressed")
+    val b = spark.read.parquet(snap)
+      .select("p_partkey", "p_name", "p_retailprice")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "zstd and snappy round-trips disagree")
+  }
+
+  test("b63: recursion depth/levels/ancestor-sum match closed forms") {
+    val rows = q("b63_recursive_cte").collect()
+    val nCust = spark.read.parquet(s"$sf0001/customer.parquet").count()
+    assert(rows.length.toLong == nCust)
+    rows.foreach { r =>
+      val k = r.getAs[Long]("key")
+      // floor(log2 k); key 0 (custkeys are 0-based) never recurses —
+      // base row only, depth 0
+      val depth =
+        if (k == 0) 0L else 63L - java.lang.Long.numberOfLeadingZeros(k)
+      assert(r.getAs[Long]("depth_to_root") == depth, s"key $k depth")
+      assert(r.getAs[Long]("n_levels") == depth + 1, s"key $k levels")
+      var (anc, sum) = (k, 0L)
+      while (anc >= 1) { sum += anc; if (anc == 1) anc = 0 else anc /= 2 }
+      assert(r.getAs[Long]("anc_sum") == sum, s"key $k ancestor sum")
+    }
+  }
+
+  test("c65: recall consistency + independent bucket/GT recompute") {
+    import spark.implicits._
+    val rows = q("c65_ann_recall_eval").collect()
+    assert(rows.nonEmpty)
+    // independent candidate sets: recompute every vector's sign-LSH
+    // bucket on the driver from the raw floats
+    val planes = TierC.lshPlanes(8, 64)
+    val embs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    val bucketOf = embs.map { case (id, e) =>
+      val qv = e.map(v => math.floor(v.toDouble * 1024.0).toLong)
+      var b = 0L
+      for (p <- planes.indices) {
+        var dot = 0L
+        for (j <- qv.indices) dot += planes(p)(j) * qv(j)
+        if (dot >= 0L) b |= (1L << p)
+      }
+      id -> b
+    }.toMap
+    val byBucket = bucketOf.groupBy(_._2).view.mapValues(_.keySet).toMap
+    // ground truth from the already-oracled c3 output
+    val gt = q("c3_similarity_topk").collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    rows.foreach { r =>
+      val p = r.getAs[Long]("probe_id")
+      val cands = byBucket(bucketOf(p)) - p
+      assert(r.getAs[Long]("n_cand") == cands.size.toLong, s"probe $p cands")
+      val hits = (gt.getOrElse(p, Set.empty[Long]) & cands).size.toLong
+      assert(r.getAs[Long]("n_hit") == hits, s"probe $p hits")
+      assert(r.getAs[Long]("recall_bp") == hits * 2000)
+      assert(hits <= 5 && r.getAs[Long]("n_hit") <= r.getAs[Long]("n_cand"))
+    }
+  }
 }
