@@ -614,7 +614,16 @@ object TierC {
     * each partition emits `bands` rows per doc, so the only wide
     * shuffle stays (band, signature)-keyed.
     */
-  private def bandMinhash(s: SparkSession, d: String): DataFrame = {
+  private def bandMinhash(s: SparkSession, d: String): DataFrame =
+    minhashSignatures(s, documents(s, d))
+
+  /** The band-signature kernel of [[bandMinhash]], factored over an
+    * arbitrary `(doc_id, text, …)` DataFrame so the SAME bit-exact
+    * family serves the batch index (c2/c18/c26/c33) and the streaming
+    * dedup (d21 — a typed mapPartitions is incremental-execution-safe,
+    * so the kernel runs unchanged inside a microbatch).
+    */
+  private[graft] def minhashSignatures(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
     val n = graft.util.GraftConf.shingleSize(s)
     val bands = graft.util.GraftConf.minhashBands(s)
@@ -625,7 +634,7 @@ object TierC {
       mdig.digest(sv.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16)
     val as = Array.tabulate(nHash)(j => (hex8(s"a:$j") % 2147483648L) | 1L)
     val bs = Array.tabulate(nHash)(j => hex8(s"b:$j"))
-    documents(s, d)
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .as[(Long, Seq[String])]
       .mapPartitions { it =>
@@ -1914,7 +1923,7 @@ object TierC {
     * ending in `sig(doc_id, band, minhash)`. Exact BIGINT arithmetic
     * throughout — mirrors the Scala kernel bit-for-bit.
     */
-  private val minhashCtes =
+  private[operators] val minhashCtes =
     s"sh AS (SELECT doc_id, unnest(s) AS sh FROM ($shinglesSql)), " +
       "coef AS (SELECT t.j, ((('0x'||substr(md5('a:'||t.j::VARCHAR),1,8))::BIGINT % 2147483648) | 1) AS a, ('0x'||substr(md5('b:'||t.j::VARCHAR),1,8))::BIGINT AS b FROM range(64) t(j)), " +
       "mbase AS (SELECT doc_id, ('0x'||substr(md5(sh),1,8))::BIGINT AS h FROM sh), " +

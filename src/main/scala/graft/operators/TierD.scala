@@ -120,7 +120,7 @@ object TierD {
     "d14_stream_watermark_append", "d15_stream_outer_join",
     "d16_stream_timer_session", "d17_stream_buffered_session",
     "d18_stream_sliding_append", "d19_stream_chained_stateful",
-    "d20_stream_curation_gate")
+    "d20_stream_curation_gate", "d21_stream_lsh_dedup")
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d1_window_tumbling", d1 _, Some(
@@ -176,6 +176,9 @@ object TierD {
     QueryDef("d20_stream_curation_gate",
       (s, d) => graft.streaming.StreamingDemo.streamCurationGate(s, d), Some(
         "WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS wl FROM documents), m AS (SELECT doc_id, lang, len(wl)::BIGINT AS n_words, len(list_filter(wl, x -> x IN ('the','a','of','and','to')))::BIGINT AS stop_cnt FROM w) SELECT doc_id, lang, n_words, stop_cnt FROM m WHERE n_words >= 10 AND stop_cnt * 10000 // n_words >= 200 ORDER BY doc_id")),
+    QueryDef("d21_stream_lsh_dedup",
+      (s, d) => graft.streaming.StreamingDemo.streamLshDedup(s, d), Some(
+        s"WITH ${TierC.minhashCtes}, fw AS (SELECT doc_id, band, minhash, (doc_id = min(doc_id) OVER (PARTITION BY band, minhash)) AS is_first FROM sig) SELECT doc_id, count(*)::BIGINT AS n_bands, sum(CASE WHEN is_first THEN 0 ELSE 1 END)::BIGINT AS n_dup_bands, bool_and(is_first) AS kept FROM fw GROUP BY 1 ORDER BY 1")),
     QueryDef("d7_session_window_native", d7 _, Some(
       "WITH e AS (SELECT user_id, ts, event_id, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), m AS (SELECT user_id, ts, CASE WHEN prev IS NULL OR date_diff('microsecond', prev, ts) >= 1800000000 THEN 1 ELSE 0 END AS is_new FROM e), s AS (SELECT user_id, ts, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM m) SELECT user_id, floor(epoch(min(ts)))::BIGINT AS start_s, count(*)::BIGINT AS cnt FROM s GROUP BY user_id, sid ORDER BY 1, 2")),
   )

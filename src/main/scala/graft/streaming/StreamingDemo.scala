@@ -9,6 +9,48 @@ import scala.collection.mutable
 /** Typed event for streaming sessionization. */
 case class Ev(user_id: Long, ts_us: Long, event_id: Long)
 
+/** d21's per-doc band signature row (top-level for Catalyst codegen). */
+case class SigRow(band: Long, sig: String, doc_id: Long)
+
+/** d21's `StatefulProcessor` — per LSH (band, signature) bucket, a
+  * FIRST-ARRIVAL claim: the first batch to present the bucket claims
+  * it for its minimum doc_id (in-batch arrival order is not
+  * meaningful; the min is the deterministic tie-break), every later
+  * document colliding with a claimed bucket is marked a near-dup
+  * candidate on that band. State per bucket is ONE long — the minimal
+  * incremental LSH index (c33's batch structure as streaming state);
+  * at production scale the store is RocksDB-backed and the right
+  * bound is a TTL on the claim (TTLConfig) matching the dedup
+  * horizon — a corpus-lifetime claim set genuinely grows with the
+  * corpus, same as its batch twin.
+  */
+class LshClaimProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      String, SigRow, (Long, String, Long, Boolean)] {
+  @transient private var winner:
+    org.apache.spark.sql.streaming.ValueState[Long] = _
+  override def init(
+      outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    winner = getHandle.getValueState[Long]("winner",
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+  override def handleInputRows(
+      key: String, rows: Iterator[SigRow],
+      tv: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[(Long, String, Long, Boolean)] = {
+    val rs = rows.toArray
+    val claimed = winner.exists()
+    val w =
+      if (claimed) winner.get()
+      else {
+        val m = rs.iterator.map(_.doc_id).min
+        winner.update(m); m
+      }
+    rs.iterator.map(r => (r.band, r.sig, r.doc_id, !claimed && r.doc_id == w))
+  }
+}
+
 /** d6's per-user state: the session-id counter plus the OPEN session
   * carried across microbatches (top-level public for Catalyst codegen).
   */
@@ -411,6 +453,92 @@ object StreamingDemo {
         .select("doc_id", "lang", "n_words", "stop_cnt"), src)
         .orderBy("doc_id")
     }
+
+  /** d21's document source: the corpus split into 3 doc_id-RANGED
+    * parquet files with staggered mtimes, so `maxFilesPerTrigger=1`
+    * replays it as an id-ordered multi-batch stream — under which the
+    * per-bucket first-arrival claim (min doc_id of the earliest batch
+    * presenting the bucket) coincides with the corpus-wide min doc_id,
+    * which is what makes the stream's verdicts equal the batch LSH
+    * dedup's and hence DuckDB-oracle-able. Memoized per (session, dir)
+    * like d17's jittered source; arithmetic range bucketing, never a
+    * global-order window.
+    */
+  private val d21SrcMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  private def docSplitSource(s: SparkSession, d: String): String = {
+    if (d21SrcMemo.size >= 8) d21SrcMemo.clear()
+    d21SrcMemo.computeIfAbsent((s, d), { _ =>
+      val srcDir = graft.util.TmpDir.fresh("d21-src")
+      val docs = graft.util.Tables.documents(s, d).select("doc_id", "text")
+      val mm = docs.agg(min("doc_id"), max("doc_id")).head()
+      val bucketCol =
+        if (mm.isNullAt(0)) lit(0L) // empty corpus: one (empty) bucket
+        else {
+          val lo = mm.getLong(0)
+          val span = mm.getLong(1) - lo + 1L
+          expr(s"((doc_id - $lo) * 3) div $span")
+        }
+      val bucketed = docs.withColumn("b", bucketCol)
+      val seen = mutable.Set.empty[String]
+      val t0 = System.currentTimeMillis()
+      (0 until 3).foreach { i =>
+        bucketed.filter(col("b") === i).select("doc_id", "text")
+          .coalesce(1).write.mode("append").parquet(srcDir)
+        val fs = new java.io.File(srcDir).listFiles()
+        if (fs != null) fs.filter(_.getName.startsWith("part-"))
+          .filterNot(f => seen.contains(f.getName))
+          .foreach { f =>
+            f.setLastModified(t0 + (i + 1) * 60000L): Unit
+            seen += f.getName
+          }
+      }
+      srcDir
+    })
+  }
+
+  /** d21: streaming NEAR-DUP dedup — c2's MinHash-LSH as continuous
+    * ingest, the stateful step d20's Scaladoc promises: per microbatch
+    * each document's 16 band signatures are computed by the SAME
+    * bit-exact kernel as the batch index
+    * ([[graft.operators.TierC.minhashSignatures]] — a typed
+    * mapPartitions runs unchanged under incremental execution), then
+    * every (band, signature) bucket passes through a first-arrival
+    * claim ([[LshClaimProcessor]], one long of RocksDB state per
+    * bucket). A document that fails to claim ANY of its bands collided
+    * with an earlier document — the standard LSH S-curve verdict —
+    * and the batch-side fold of the verdict sink yields per-doc
+    * (n_bands, n_dup_bands, kept). The id-ranged multi-batch source
+    * ([[docSplitSource]]) makes first-arrival == min-doc_id, so the
+    * declared output equals the BATCH dedup of the same corpus —
+    * cross-batch state continuity is exactly what the oracle checks.
+    * No watermark/timers ⇒ the trailing no-data batch provably cannot
+    * emit (d8's class); scoped off.
+    */
+  def streamLshDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val srcDir = docSplitSource(s, d)
+    val schema = StructType.fromDDL("doc_id BIGINT, text STRING")
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val sigRows = graft.operators.TierC.minhashSignatures(s, src)
+      .select(col("band"), col("minhash").as("sig"), col("doc_id"))
+      .as[SigRow]
+    val verdicts = sigRows.groupByKey(r => r.band + ":" + r.sig)
+      .transformWithState(new LshClaimProcessor(),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+      .toDF("band", "sig", "doc_id", "is_first")
+    withStreamPartitions(s) { withRocksDB(s) { withoutNoDataBatches(s) {
+      runToFiles(s, "d21", _ => verdicts, sigRows.toDF)
+    } } }
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bands"),
+        sum(when(col("is_first"), 0L).otherwise(1L)).as("n_dup_bands"),
+        bool_and(col("is_first")).as("kept"))
+      .orderBy("doc_id")
+  }
 
   /** Run a bounded stream to completion into a memory sink and return
     * the (small, aggregated) result as a batch DataFrame that outlives

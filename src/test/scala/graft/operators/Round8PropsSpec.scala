@@ -446,4 +446,39 @@ class Round8PropsSpec extends SparkSpec {
       assert(hits <= 5 && r.getAs[Long]("n_hit") <= r.getAs[Long]("n_cand"))
     }
   }
+
+  test("d21: verdicts equal batch LSH dedup; cross-batch collisions exercised") {
+    import spark.implicits._
+    val rows = q("d21_stream_lsh_dedup").collect()
+    assert(rows.nonEmpty)
+    // batch recompute with the SAME kernel: winner per bucket = min doc_id
+    val sigs = TierC.minhashSignatures(spark,
+        spark.read.parquet(s"$sf0001/documents.parquet"))
+      .select($"doc_id", $"band", $"minhash").as[(Long, Long, String)]
+      .collect()
+    val winner = sigs.groupBy(r => (r._2, r._3))
+      .view.mapValues(_.map(_._1).min).toMap
+    val perDoc = sigs.groupBy(_._1)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val bands = perDoc(id)
+      val dup = bands.count { case (doc, b, sg) => winner((b, sg)) != doc }
+      assert(r.getAs[Long]("n_bands") == bands.length.toLong, s"doc $id bands")
+      assert(r.getAs[Long]("n_dup_bands") == dup.toLong, s"doc $id dups")
+      assert(r.getAs[Boolean]("kept") == (dup == 0))
+    }
+    assert(rows.length == perDoc.size)
+    // the streaming-specific claim: at least one bucket is claimed in an
+    // earlier id-range third and collided in a LATER third, so the
+    // verdict genuinely crossed a microbatch boundary through state
+    val ids = perDoc.keySet
+    val (lo, hi) = (ids.min, ids.max)
+    val span = hi - lo + 1
+    def third(id: Long): Long = (id - lo) * 3 / span
+    val crossBatch = sigs.exists { case (doc, b, sg) =>
+      winner((b, sg)) != doc && third(winner((b, sg))) < third(doc)
+    }
+    assert(crossBatch, "no cross-batch LSH collision at sf0.001 — the " +
+      "multi-batch state continuity claim is untested at this SF")
+  }
 }
