@@ -1499,7 +1499,40 @@ object TierB {
         |FROM up GROUP BY k ORDER BY k""".stripMargin)
   }
 
+  /** b64: ARGMIN/ARGMAX aggregates (`min_by`/`max_by`, SQL:2023
+    * ARG_MIN/ARG_MAX) — "which row attains the extreme", the lookup
+    * every top-1 window query (b11) over-pays for: one partial-
+    * aggregating shuffle instead of a full partition sort. The
+    * portability trap is TIES — both engines document an arbitrary
+    * winner, so the ordering value here is a composite exact integer
+    * (price cents × 2³³ + a unique row id) making the extremum unique
+    * by construction; the declared output decodes winner and extreme
+    * from that single value. At 100 TB this is a 21-row answer per
+    * group from a map-side-combined aggregate — no window, no sort.
+    */
+  private def b64(s: SparkSession, d: String): DataFrame = {
+    val rid = col("l_orderkey") * 8 + col("l_linenumber")
+    val v = floor(col("l_extendedprice") * 100).cast("long") * 8589934592L + rid
+    lineitem(s, d)
+      .select(col("l_returnflag"), rid.as("rid"), v.as("v"))
+      .groupBy("l_returnflag")
+      .agg(min_by(col("rid"), col("v")).as("cheap_rid"),
+        min("v").as("vmin"),
+        max_by(col("rid"), col("v")).as("dear_rid"),
+        max("v").as("vmax"))
+      .select(col("l_returnflag"),
+        expr("cheap_rid div 8").as("cheap_ok"),
+        expr("cheap_rid % 8").as("cheap_ln"),
+        expr("vmin div 8589934592").as("cheap_cents"),
+        expr("dear_rid div 8").as("dear_ok"),
+        expr("dear_rid % 8").as("dear_ln"),
+        expr("vmax div 8589934592").as("dear_cents"))
+      .orderBy("l_returnflag")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("b64_agg_argminmax", b64 _, Some(
+      "WITH b AS (SELECT l_returnflag, l_orderkey * 8 + l_linenumber AS rid, floor(l_extendedprice * 100)::BIGINT * 8589934592 + (l_orderkey * 8 + l_linenumber) AS v FROM lineitem), m AS (SELECT l_returnflag, arg_min(rid, v) AS cheap_rid, min(v) AS vmin, arg_max(rid, v) AS dear_rid, max(v) AS vmax FROM b GROUP BY 1) SELECT l_returnflag, cheap_rid // 8 AS cheap_ok, cheap_rid % 8 AS cheap_ln, vmin // 8589934592 AS cheap_cents, dear_rid // 8 AS dear_ok, dear_rid % 8 AS dear_ln, vmax // 8589934592 AS dear_cents FROM m ORDER BY l_returnflag")),
     QueryDef("b63_recursive_cte", b63 _, Some(
       "WITH RECURSIVE up(k, anc, depth) AS (SELECT c_custkey, c_custkey, 0::BIGINT FROM customer UNION ALL SELECT k, anc // 2, depth + 1 FROM up WHERE anc > 1) SELECT k AS key, max(depth)::BIGINT AS depth_to_root, sum(anc)::BIGINT AS anc_sum, count(*)::BIGINT AS n_levels FROM up GROUP BY k ORDER BY k")),
     QueryDef("b60_agg_stats", b60 _, Some(

@@ -2389,7 +2389,36 @@ object TierC {
       .orderBy("probe_id")
   }
 
+  /** c66: SHARD MANIFEST — the audit artifact a training data-loader
+    * verifies before reading a shard (and the lineage record a 100 TB
+    * pipeline publishes with every materialization): docs route to 8
+    * shards by portable hash (c29's family), and each shard's row is
+    * (count, bytes, id range, content fingerprint). The fingerprint is
+    * a bit_xor FOLD of per-doc content hashes — XOR is commutative/
+    * associative, so the manifest is independent of row order, task
+    * count, and write parallelism: any two materializations of the
+    * same logical shard agree bit-for-bit, and one flipped/missing/
+    * duplicated doc flips the fingerprint. One scan, one 8-group
+    * partial-aggregated shuffle; at 100 TB the manifest costs what a
+    * count(*) costs.
+    */
+  private def c66(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(
+        pmod(portableHash(concat(lit("shard:"), col("doc_id").cast("string"))),
+          lit(8)).as("shard"),
+        col("doc_id"), col("n_chars"),
+        portableHash(concat(lit("doc:"), md5(col("text")))).as("ch"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").cast("long").as("bytes"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"),
+        expr("bit_xor(ch)").as("content_fp"))
+      .orderBy("shard")
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("c66_shard_manifest", c66 _, Some(
+      s"WITH b AS (SELECT (${duckHash("'shard:' || doc_id::VARCHAR")} % 8) AS shard, doc_id, n_chars, ${duckHash("'doc:' || md5(text)")} AS ch FROM documents) SELECT shard, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS bytes, min(doc_id) AS min_doc, max(doc_id) AS max_doc, bit_xor(ch) AS content_fp FROM b GROUP BY 1 ORDER BY 1")),
     QueryDef("c65_ann_recall_eval", c65 _, Some(
       s"WITH $lshBucketCtes, probes AS (SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pe FROM embeddings WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 32), sims AS (SELECT probe_id, vec_id, list_cosine_similarity(pe, ce) AS sim FROM probes, (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings) WHERE vec_id != probe_id), gt AS (SELECT probe_id, vec_id FROM (SELECT probe_id, vec_id, row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank FROM sims) WHERE rank <= 5), pb AS (SELECT p.probe_id, b.bucket FROM probes p JOIN buckets b ON b.vec_id = p.probe_id), cd AS (SELECT pb.probe_id, b.vec_id AS cand_id FROM pb JOIN buckets b ON b.bucket = pb.bucket AND b.vec_id <> pb.probe_id), nc AS (SELECT probe_id, count(*)::BIGINT AS n_cand FROM cd GROUP BY 1), nh AS (SELECT gt.probe_id, count(*)::BIGINT AS n_hit FROM gt JOIN cd ON cd.probe_id = gt.probe_id AND cd.cand_id = gt.vec_id GROUP BY 1) SELECT p.probe_id, coalesce(nc.n_cand, 0)::BIGINT AS n_cand, coalesce(nh.n_hit, 0)::BIGINT AS n_hit, (coalesce(nh.n_hit, 0) * 2000)::BIGINT AS recall_bp FROM probes p LEFT JOIN nc USING (probe_id) LEFT JOIN nh USING (probe_id) ORDER BY probe_id")),
     QueryDef("c63_quality_classifier", c63 _, Some(

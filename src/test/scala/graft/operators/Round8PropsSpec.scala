@@ -481,4 +481,54 @@ class Round8PropsSpec extends SparkSpec {
     assert(crossBatch, "no cross-batch LSH collision at sf0.001 — the " +
       "multi-batch state continuity claim is untested at this SF")
   }
+
+  test("b64: winners attain the true extremes and are unique by construction") {
+    import spark.implicits._
+    val rows = q("b64_agg_argminmax").collect()
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select($"l_returnflag", $"l_orderkey", $"l_linenumber".cast("long"),
+        $"l_extendedprice")
+      .as[(String, Long, Long, Double)].collect()
+    val grouped = li.groupBy(_._1)
+    assert(rows.map(_.getAs[String]("l_returnflag")).toSet == grouped.keySet)
+    rows.foreach { r =>
+      val g = grouped(r.getAs[String]("l_returnflag"))
+      val keyed = g.map { case (_, ok, ln, p) =>
+        (math.floor(p * 100).toLong * 8589934592L + ok * 8 + ln, ok, ln)
+      }
+      val cheap = keyed.minBy(_._1)
+      val dear = keyed.maxBy(_._1)
+      assert(keyed.map(_._1).distinct.length == keyed.length, "composite not unique")
+      assert(r.getAs[Long]("cheap_ok") == cheap._2 &&
+        r.getAs[Long]("cheap_ln") == cheap._3 &&
+        r.getAs[Long]("cheap_cents") == cheap._1 / 8589934592L)
+      assert(r.getAs[Long]("dear_ok") == dear._2 &&
+        r.getAs[Long]("dear_ln") == dear._3 &&
+        r.getAs[Long]("dear_cents") == dear._1 / 8589934592L)
+    }
+  }
+
+  test("c66: manifest matches an order-scrambled driver recompute") {
+    import spark.implicits._
+    val rows = q("c66_shard_manifest").collect()
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", $"text", $"n_chars")
+      .as[(Long, String, Long)].collect()
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // scramble the fold order deliberately: XOR must not care
+    val scrambled = docs.sortBy(t => md5hex("scramble:" + t._1))
+    val byShard = scrambled.groupBy(t => md5long("shard:" + t._1) % 8)
+    assert(rows.length == byShard.size)
+    rows.foreach { r =>
+      val g = byShard(r.getAs[Long]("shard"))
+      assert(r.getAs[Long]("n_docs") == g.length.toLong)
+      assert(r.getAs[Long]("bytes") == g.map(_._3).sum)
+      assert(r.getAs[Long]("min_doc") == g.map(_._1).min)
+      assert(r.getAs[Long]("max_doc") == g.map(_._1).max)
+      val fp = g.map(t => md5long("doc:" + md5hex(t._2))).reduce(_ ^ _)
+      assert(r.getAs[Long]("content_fp") == fp, s"shard ${r.getAs[Long]("shard")} fp")
+    }
+  }
 }
