@@ -1523,12 +1523,16 @@ object TierC {
     * kernel). The holdout is k·|sources| docs BY CONSTRUCTION, so its
     * distinct-gram set is bounded and broadcast to both the train-side
     * anti join (holdout docs excluded from train) and the gram probe.
-    * The distinct gram stream pays ONE full-width dedup shuffle and is
-    * then localCheckpointed — both consumers (holdout-gram set, train
-    * probe) read the materialized blocks instead of re-exploding the
-    * corpus. Distinct from c25, which probes an EXTERNAL benchmark
-    * list; this closes the train/eval loop against the split the
-    * pipeline itself made.
+    * Grams are reduced to their 60-bit md5 fingerprint AT THE SCAN
+    * (c58's discipline: 8-byte dedup keys and broadcast entries
+    * instead of ~40-byte strings — same family in the oracle, so the
+    * negligible collision probability cannot cause a cross-engine
+    * diff); the distinct fingerprint stream pays ONE dedup shuffle and
+    * is then localCheckpointed — both consumers (holdout-gram set,
+    * train probe) read the materialized blocks instead of
+    * re-exploding the corpus. Distinct from c25, which probes an
+    * EXTERNAL benchmark list; this closes the train/eval loop against
+    * the split the pipeline itself made.
     */
   private def c45(s: SparkSession, d: String): DataFrame = {
     val n = 5
@@ -1539,14 +1543,15 @@ object TierC {
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(0, size(w)-$n), i -> array_join(slice(w, i+1, $n), ' '))"))
         .as("gram"))
+      .select(col("doc_id"), portableHash(col("gram")).as("g"))
       .distinct()
       .localCheckpoint(false)
     val hg = grams.join(broadcast(hold), Seq("doc_id"))
-      .select("gram").distinct()
-      .select(col("gram"), lit(1).as("hit"))
+      .select("g").distinct()
+      .select(col("g"), lit(1).as("hit"))
     grams
       .join(broadcast(hold), Seq("doc_id"), "left_anti")
-      .join(broadcast(hg), Seq("gram"), "left")
+      .join(broadcast(hg), Seq("g"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
         sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
@@ -2513,7 +2518,7 @@ object TierC {
     QueryDef("c18_dedup_cluster", c18 _, Some(
       s"WITH RECURSIVE $clusterCtes SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u ORDER BY doc_id")),
     QueryDef("c45_holdout_decontaminate", c45 _, Some(
-      "WITH hold AS (SELECT doc_id FROM (SELECT doc_id, row_number() OVER (PARTITION BY source ORDER BY md5('hold:' || doc_id::VARCHAR), doc_id) AS rk FROM documents) WHERE rk <= 20), w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), pos AS (SELECT DISTINCT doc_id, array_to_string(ws[i+1:i+5], ' ') AS gram FROM w, LATERAL (SELECT unnest(range(0, len(ws)-4)) AS i) t WHERE len(ws) >= 5), hg AS (SELECT DISTINCT gram FROM pos JOIN hold USING (doc_id)), tr AS (SELECT p.doc_id, count(*)::BIGINT AS n_grams, count(hg.gram)::BIGINT AS n_hit FROM pos p LEFT JOIN hg ON hg.gram = p.gram WHERE p.doc_id NOT IN (SELECT doc_id FROM hold) GROUP BY 1) SELECT doc_id, n_grams, n_hit, n_hit > 0 AS contaminated FROM tr ORDER BY doc_id")),
+      s"WITH hold AS (SELECT doc_id FROM (SELECT doc_id, row_number() OVER (PARTITION BY source ORDER BY md5('hold:' || doc_id::VARCHAR), doc_id) AS rk FROM documents) WHERE rk <= 20), w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), pos AS (SELECT DISTINCT doc_id, ${duckHash("array_to_string(ws[i+1:i+5], ' ')")} AS gh FROM w, LATERAL (SELECT unnest(range(0, len(ws)-4)) AS i) t WHERE len(ws) >= 5), hg AS (SELECT DISTINCT gh FROM pos JOIN hold USING (doc_id)), tr AS (SELECT p.doc_id, count(*)::BIGINT AS n_grams, count(hg.gh)::BIGINT AS n_hit FROM pos p LEFT JOIN hg ON hg.gh = p.gh WHERE p.doc_id NOT IN (SELECT doc_id FROM hold) GROUP BY 1) SELECT doc_id, n_grams, n_hit, n_hit > 0 AS contaminated FROM tr ORDER BY doc_id")),
     QueryDef("c44_dedup_canonical", c44 _, Some(
       s"WITH RECURSIVE $clusterCtes, cl AS (SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u), j AS (SELECT cl.cluster_id, cl.doc_id, d.n_chars, row_number() OVER (PARTITION BY cl.cluster_id ORDER BY d.n_chars DESC, cl.doc_id) AS rk FROM cl JOIN documents d ON d.doc_id = cl.doc_id) SELECT cluster_id, count(*)::BIGINT AS n_members, max(CASE WHEN rk = 1 THEN doc_id END)::BIGINT AS kept_doc_id, max(CASE WHEN rk = 1 THEN n_chars END)::BIGINT AS kept_n_chars FROM j GROUP BY cluster_id HAVING count(*) >= 2 ORDER BY cluster_id")),
     QueryDef("c28_sequence_packing", c28 _, Some(
