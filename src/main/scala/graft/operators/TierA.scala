@@ -630,7 +630,37 @@ object TierA {
       .orderBy("p_partkey")
   }
 
+  /** a31: NESTED-schema source with SCHEMA PRUNING + nested predicate
+    * pushdown — the columnar-storage axis the reference's flat
+    * key/value readers never meet [mrs: mrs/fileformats.py]: real
+    * lake tables nest metadata/content structs, and at 100 TB the
+    * difference between reading `meta.lang` (one leaf column chunk)
+    * and decoding every struct leaf is the whole game. The demo
+    * round-trips documents through a nested layout
+    * (meta STRUCT<lang, source, n_chars>, content STRUCT<text>), then
+    * reads back ONLY doc_id + two meta leaves under a nested filter —
+    * Catalyst's nestedSchemaPruning rewrites the ReadSchema to
+    * struct<lang, n_chars> (content never decoded; plan-asserted in
+    * the spec) and the `meta.lang = 'en'` predicate pushes to the
+    * parquet reader as a nested-field filter.
+    */
+  private def a31(spark: SparkSession, d: String): DataFrame = {
+    val out = graft.util.TmpDir.path("a31_nested")
+    documents(spark, d)
+      .select(col("doc_id"),
+        struct(col("lang"), col("source"), col("n_chars")).as("meta"),
+        struct(col("text")).as("content"))
+      .write.mode("overwrite").parquet(out)
+    spark.read.parquet(out)
+      .filter(col("meta.lang") === "en")
+      .select(col("doc_id"), col("meta.lang").as("lang"),
+        col("meta.n_chars").as("n_chars"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("a31_source_nested", a31 _, Some(
+      "SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en' ORDER BY doc_id")),
     QueryDef("a30_sink_compressed", a30 _, Some(
       "SELECT p_partkey, p_name, p_retailprice FROM part ORDER BY p_partkey")),
     QueryDef("a29_source_malformed", a29 _, Some(

@@ -482,6 +482,23 @@ class Round8PropsSpec extends SparkSpec {
       "multi-batch state continuity claim is untested at this SF")
   }
 
+  test("a31: nested schema prunes to the selected leaves; filter pushes down") {
+    val df = q("a31_source_nested")
+    val plan = df.queryExecution.executedPlan.toString
+    // content.text must never reach the scan's ReadSchema
+    val read = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("meta"), s"no nested read schema in: $read")
+    assert(!read.contains("text") && !read.contains("content"),
+      s"content struct not pruned: $read")
+    assert(!read.contains("source:"), s"unselected meta leaf not pruned: $read")
+    assert(plan.contains("PushedFilters") && plan.contains("meta.lang"),
+      "nested predicate did not push down")
+    // value parity with the flat read
+    val flat = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(col("lang") === "en").select("doc_id", "lang", "n_chars")
+    assert(df.exceptAll(flat).isEmpty && flat.exceptAll(df).isEmpty)
+  }
+
   test("b64: winners attain the true extremes and are unique by construction") {
     import spark.implicits._
     val rows = q("b64_agg_argminmax").collect()
