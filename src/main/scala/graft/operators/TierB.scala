@@ -1530,7 +1530,43 @@ object TierB {
       .orderBy("l_returnflag")
   }
 
+  /** b65: OBSERVED METRICS (`Dataset.observe` / CollectMetrics) — job
+    * telemetry computed IN-FLIGHT while the real job runs, not by a
+    * second scan: the demo writes a filtered extract to parquet and
+    * collects row count / revenue / max-price metrics from the very
+    * rows that passed through the writer. At 100 TB this is the only
+    * affordable shape for per-job data-quality counters (a follow-up
+    * `SELECT count(*)` re-reads the output; a cached input is a
+    * 100 TB cache) — CollectMetrics folds the aggregates into each
+    * task and merges per-partition partials on the driver, zero extra
+    * I/O and no shuffle. Restrictions encoded here: metrics must be
+    * driver-sized and distinct-free (Catalyst rejects distinct
+    * aggregates inside observe). Declared output = the metrics row;
+    * the spec additionally pins that the sink actually landed and the
+    * metrics equal an independent aggregate of it.
+    */
+  private def b65(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val obs = new org.apache.spark.sql.Observation("b65_metrics")
+    val out = graft.util.TmpDir.path("b65_observed_sink")
+    lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        floor(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(col("cents")).as("rev_cents"),
+        max(col("cents")).as("max_cents"))
+      .write.mode("overwrite").parquet(out)
+    val m = obs.get
+    def metric(k: String): Long = Option(m(k)).fold(0L)(_.asInstanceOf[Long])
+    Seq((metric("n_rows"), metric("rev_cents"), metric("max_cents")))
+      .toDF("n_rows", "rev_cents", "max_cents")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("b65_observe_metrics", b65 _, Some(
+      "SELECT count(*)::BIGINT AS n_rows, coalesce(sum(floor(l_extendedprice * 100)::BIGINT), 0)::BIGINT AS rev_cents, coalesce(max(floor(l_extendedprice * 100)::BIGINT), 0) AS max_cents FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01'")),
     QueryDef("b64_agg_argminmax", b64 _, Some(
       "WITH b AS (SELECT l_returnflag, l_orderkey * 8 + l_linenumber AS rid, floor(l_extendedprice * 100)::BIGINT * 8589934592 + (l_orderkey * 8 + l_linenumber) AS v FROM lineitem), m AS (SELECT l_returnflag, arg_min(rid, v) AS cheap_rid, min(v) AS vmin, arg_max(rid, v) AS dear_rid, max(v) AS vmax FROM b GROUP BY 1) SELECT l_returnflag, cheap_rid // 8 AS cheap_ok, cheap_rid % 8 AS cheap_ln, vmin // 8589934592 AS cheap_cents, dear_rid // 8 AS dear_ok, dear_rid % 8 AS dear_ln, vmax // 8589934592 AS dear_cents FROM m ORDER BY l_returnflag")),
     QueryDef("b63_recursive_cte", b63 _, Some(

@@ -525,6 +525,16 @@ class Round8PropsSpec extends SparkSpec {
     }
   }
 
+  test("b65: observed metrics equal an aggregate of the landed sink") {
+    val row = q("b65_observe_metrics").collect().head
+    val sink = spark.read.parquet(graft.util.TmpDir.path("b65_observed_sink"))
+    val agg = sink.agg(count(lit(1)), sum("cents"), max("cents")).collect().head
+    assert(row.getAs[Long]("n_rows") == agg.getLong(0))
+    assert(row.getAs[Long]("rev_cents") == agg.getLong(1))
+    assert(row.getAs[Long]("max_cents") == agg.getLong(2))
+    assert(row.getAs[Long]("n_rows") > 0)
+  }
+
   test("c66: manifest matches an order-scrambled driver recompute") {
     import spark.implicits._
     val rows = q("c66_shard_manifest").collect()
