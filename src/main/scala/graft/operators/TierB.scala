@@ -1564,7 +1564,41 @@ object TierB {
       .toDF("n_rows", "rev_cents", "max_cents")
   }
 
+  /** b66: ANSI-mode SAFE ARITHMETIC (`try_divide`/`try_cast`/`try_add`)
+    * — the migration corner Spark 4 flipped under everyone: ANSI mode
+    * is now the DEFAULT, so division by zero, numeric overflow, and
+    * bad casts FAIL THE JOB where Spark 3 silently returned NULL. At
+    * 100 TB that difference is "one dirty row kills a 6-hour job" vs
+    * "one NULL in the output" — and the `try_*` family is the
+    * declarative, per-expression opt-out (keep strictness everywhere
+    * except the expressions you have evidence are dirty; a global
+    * ansi=false throws away overflow protection wholesale). All three
+    * are exercised on deterministic dirt: zero discounts (÷0), a
+    * poisoned numeric string on line 1 of each order (cast), and a
+    * MaxValue addition that overflows for every key but 0. Per-row
+    * results fold to exact integer/count aggregates so the oracle pins
+    * the NULL semantics, not just the happy path.
+    */
+  private def b66(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select(col("l_returnflag"),
+        expr("try_divide(floor(l_extendedprice * 100), floor(l_discount * 100))")
+          .as("ratio"),
+        expr("try_cast(CASE WHEN l_linenumber = 1 THEN 'x' || l_orderkey " +
+          "ELSE CAST(l_orderkey AS STRING) END AS BIGINT)").as("parsed"),
+        expr("try_add(9223372036854775807L, l_orderkey)").as("ofl"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("ratio")).as("n_div_ok"),
+        sum(floor(col("ratio")).cast("long")).as("sum_ratio_floor"),
+        count(col("parsed")).as("n_parsed"),
+        sum("parsed").cast("long").as("parsed_sum"),
+        count(col("ofl")).as("n_no_overflow"))
+      .orderBy("l_returnflag")
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("b66_ansi_try", b66 _, Some(
+      "WITH b AS (SELECT l_returnflag, CASE WHEN floor(l_discount * 100) = 0 THEN NULL ELSE floor(l_extendedprice * 100)::DOUBLE / floor(l_discount * 100) END AS ratio, try_cast(CASE WHEN l_linenumber = 1 THEN 'x' || l_orderkey::VARCHAR ELSE l_orderkey::VARCHAR END AS BIGINT) AS parsed, CASE WHEN l_orderkey = 0 THEN 9223372036854775807 END AS ofl FROM lineitem) SELECT l_returnflag, count(*)::BIGINT AS n_rows, count(ratio)::BIGINT AS n_div_ok, sum(floor(ratio)::BIGINT)::BIGINT AS sum_ratio_floor, count(parsed)::BIGINT AS n_parsed, sum(parsed)::BIGINT AS parsed_sum, count(ofl)::BIGINT AS n_no_overflow FROM b GROUP BY 1 ORDER BY 1")),
     QueryDef("b65_observe_metrics", b65 _, Some(
       "SELECT count(*)::BIGINT AS n_rows, coalesce(sum(floor(l_extendedprice * 100)::BIGINT), 0)::BIGINT AS rev_cents, coalesce(max(floor(l_extendedprice * 100)::BIGINT), 0) AS max_cents FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01'")),
     QueryDef("b64_agg_argminmax", b64 _, Some(

@@ -525,6 +525,56 @@ class Round8PropsSpec extends SparkSpec {
     }
   }
 
+  test("round-8 plan shapes: single-exchange aggs, broadcast model serving") {
+    def plan(name: String): String =
+      graft.SparkEntry.queries(name)(spark, sf0001)
+        .queryExecution.executedPlan.toString
+    def hashExchanges(p: String): Int =
+      "Exchange hashpartitioning".r.findAllIn(p).length
+    // b60/b62/c66: one hash exchange (the groupBy); the only other
+    // exchange is the presentation ORDER BY's range partitioning
+    assert(hashExchanges(plan("b60_agg_stats")) == 1, "b60 extra shuffle")
+    assert(hashExchanges(plan("b62_histogram")) == 1, "b62 extra shuffle")
+    assert(hashExchanges(plan("c66_shard_manifest")) == 1, "c66 extra shuffle")
+    // b61: the lead() window is the single hash-partitioned exchange
+    assert(hashExchanges(plan("b61_scd2_dimension")) == 1, "b61 extra shuffle")
+    // c63: the weight table must ship as a broadcast, never shuffle the
+    // token stream on the feature key
+    val c63p = plan("c63_quality_classifier")
+    assert(c63p.contains("BroadcastHashJoin"), "c63 model not broadcast")
+    assert(hashExchanges(c63p) == 1, "c63 token stream shuffled beyond doc agg")
+  }
+
+  test("b66: ANSI default is strict; try_* nulls exactly the dirty rows") {
+    import spark.implicits._
+    assert(spark.conf.get("spark.sql.ansi.enabled") == "true",
+      "ANSI default not on — the operator's premise is void")
+    val rows = q("b66_ansi_try").collect()
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select($"l_orderkey", $"l_linenumber", $"l_discount")
+      .as[(Long, Int, Double)].collect()
+    val total = rows.map(_.getAs[Long]("n_rows")).sum
+    assert(total == li.length.toLong)
+    // ÷0 branch genuinely exercised, and counts match the data
+    val divOk = rows.map(_.getAs[Long]("n_div_ok")).sum
+    assert(divOk == li.count(t => math.floor(t._3 * 100) != 0).toLong)
+    assert(divOk < total, "no zero-discount rows — ÷0 branch untested")
+    // poisoned cast: exactly the non-line-1 rows parse
+    assert(rows.map(_.getAs[Long]("n_parsed")).sum ==
+      li.count(_._2 != 1).toLong)
+    // overflow: only orderkey == 0 survives try_add(MaxValue, k)
+    assert(rows.map(_.getAs[Long]("n_no_overflow")).sum ==
+      li.count(_._1 == 0L).toLong)
+    // and the strict form REALLY fails on the same data — the premise
+    val strict = scala.util.Try {
+      spark.read.parquet(s"$sf0001/lineitem.parquet")
+        .selectExpr(
+          "floor(l_extendedprice * 100) div floor(l_discount * 100) AS x")
+        .agg(sum("x")).collect()
+    }
+    assert(strict.isFailure, "ANSI strict division did not fail on ÷0")
+  }
+
   test("b65: observed metrics equal an aggregate of the landed sink") {
     val row = q("b65_observe_metrics").collect().head
     val sink = spark.read.parquet(graft.util.TmpDir.path("b65_observed_sink"))
