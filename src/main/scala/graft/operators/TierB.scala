@@ -1596,7 +1596,69 @@ object TierB {
         count(col("ofl")).as("n_no_overflow"))
       .orderBy("l_returnflag")
 
+  /** b67: VARIANT semi-structured type (Spark 4.0) — the successor to
+    * b22's per-access JSON string parsing: `parse_json` decodes the
+    * text ONCE into a binary-encoded variant and every `variant_get`
+    * is a typed path read, not a re-parse (at 100 TB, parsing each
+    * JSON blob once per accessed field is the dominant CPU of log
+    * analytics; variant also columnar-shreds under parquet). Dirty
+    * input goes through `try_parse_json` → NULL variant instead of a
+    * failed job (b66's discipline applied to decode): a third of the
+    * rows are deterministically poisoned and counted. Declared output
+    * folds typed extractions to exact integer aggregates per
+    * event_type.
+    */
+  private def b67(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_type"),
+        expr("try_parse_json(CASE WHEN event_id % 3 = 0 THEN 'not json' " +
+          "ELSE props END)").as("v"))
+      .select(col("event_type"),
+        expr("variant_get(v, '$.k', 'bigint')").as("k"),
+        col("v").isNull.as("bad"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("bad"), 1L).otherwise(0L)).as("n_unparsed"),
+        count(col("k")).as("n_k"),
+        sum("k").cast("long").as("k_sum"),
+        min("k").as("k_min"), max("k").as("k_max"))
+      .orderBy("event_type")
+
+  /** b68: COLLATED join keys (Spark 4.0 string collations) — a
+    * case-insensitive equi join expressed AS A PROPERTY OF THE TYPE
+    * (`COLLATE UTF8_LCASE`), not a `lower()` rewrite on every
+    * reference: the collation participates in hashing/comparison, so
+    * the join stays on the hash-partitionable equi path and any
+    * future index/bucket layout keyed on the column inherits the
+    * semantics — where the lower() form must be re-applied (and
+    * re-materialized) at every use site, and silently diverges the
+    * moment one site forgets. Case dirt is synthesized
+    * deterministically (doc_id mod 3 picks lower/UPPER/Capitalized),
+    * joined against the lowercase language dimension on collated
+    * equality; declared output = per-language match counts, which
+    * equal the lower()-rewrite oracle exactly.
+    */
+  private def b68(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .select(col("doc_id"), expr(
+        """CASE WHEN doc_id % 3 = 0 THEN upper(lang)
+          |     WHEN doc_id % 3 = 1
+          |       THEN concat(upper(substring(lang, 1, 1)), substring(lang, 2))
+          |     ELSE lang END""".stripMargin).as("mixed"))
+    val dim = documents(s, d).select(col("lang")).distinct()
+    docs.join(dim,
+        expr("collate(mixed, 'UTF8_LCASE') = collate(lang, 'UTF8_LCASE')"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_matched"),
+        countDistinct(col("mixed")).as("n_casings"))
+      .orderBy("lang")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("b67_variant_json", b67 _, Some(
+      "WITH b AS (SELECT event_type, CASE WHEN event_id % 3 = 0 THEN NULL ELSE json_extract(props, '$.k')::BIGINT END AS k, (event_id % 3 = 0) AS bad FROM events) SELECT event_type, count(*)::BIGINT AS n_rows, sum(CASE WHEN bad THEN 1 ELSE 0 END)::BIGINT AS n_unparsed, count(k)::BIGINT AS n_k, sum(k)::BIGINT AS k_sum, min(k) AS k_min, max(k) AS k_max FROM b GROUP BY 1 ORDER BY 1")),
+    QueryDef("b68_collation_join", b68 _, Some(
+      "WITH docs AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN upper(lang) WHEN doc_id % 3 = 1 THEN upper(substr(lang, 1, 1)) || substr(lang, 2) ELSE lang END AS mixed, lang AS orig FROM documents), dim AS (SELECT DISTINCT lang FROM documents) SELECT d.lang, count(*)::BIGINT AS n_matched, count(DISTINCT docs.mixed)::BIGINT AS n_casings FROM docs JOIN dim d ON lower(docs.mixed) = d.lang GROUP BY 1 ORDER BY 1")),
     QueryDef("b66_ansi_try", b66 _, Some(
       "WITH b AS (SELECT l_returnflag, CASE WHEN floor(l_discount * 100) = 0 THEN NULL ELSE floor(l_extendedprice * 100)::DOUBLE / floor(l_discount * 100) END AS ratio, try_cast(CASE WHEN l_linenumber = 1 THEN 'x' || l_orderkey::VARCHAR ELSE l_orderkey::VARCHAR END AS BIGINT) AS parsed, CASE WHEN l_orderkey = 0 THEN 9223372036854775807 END AS ofl FROM lineitem) SELECT l_returnflag, count(*)::BIGINT AS n_rows, count(ratio)::BIGINT AS n_div_ok, sum(floor(ratio)::BIGINT)::BIGINT AS sum_ratio_floor, count(parsed)::BIGINT AS n_parsed, sum(parsed)::BIGINT AS parsed_sum, count(ofl)::BIGINT AS n_no_overflow FROM b GROUP BY 1 ORDER BY 1")),
     QueryDef("b65_observe_metrics", b65 _, Some(

@@ -575,6 +575,42 @@ class Round8PropsSpec extends SparkSpec {
     assert(strict.isFailure, "ANSI strict division did not fail on ÷0")
   }
 
+  test("b67: variant decode-once semantics match a JVM recompute") {
+    import spark.implicits._
+    val rows = q("b67_variant_json").collect()
+    val ev = spark.read.parquet(s"$sf0001/events.parquet")
+      .select($"event_id", $"event_type", $"props")
+      .as[(Long, String, String)].collect()
+    val byType = ev.groupBy(_._2)
+    assert(rows.map(_.getAs[String]("event_type")).toSet == byType.keySet)
+    rows.foreach { r =>
+      val g = byType(r.getAs[String]("event_type"))
+      val bad = g.count(_._1 % 3 == 0)
+      val ks = g.filter(_._1 % 3 != 0)
+        .map(t => """-?\d+""".r.findFirstIn(t._3).get.toLong)
+      assert(r.getAs[Long]("n_rows") == g.length.toLong)
+      assert(r.getAs[Long]("n_unparsed") == bad.toLong)
+      assert(r.getAs[Long]("n_k") == ks.length.toLong)
+      assert(r.getAs[Long]("k_sum") == ks.sum)
+    }
+  }
+
+  test("b68: collated join matches lower()-rewrite; corpus premise pinned") {
+    import spark.implicits._
+    val langs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"lang").distinct().as[String].collect()
+    // the oracle equates collated equality with lower() only because
+    // the dimension is lowercase — if the corpus ever gains mixed-case
+    // lang codes this must fail loudly, not drift
+    assert(langs.forall(l => l == l.toLowerCase), s"mixed-case langs: ${langs.toSeq}")
+    val rows = q("b68_collation_join").collect()
+    assert(rows.map(_.getAs[Long]("n_matched")).sum ==
+      spark.read.parquet(s"$sf0001/documents.parquet").count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_casings") >= 1 && r.getAs[Long]("n_casings") <= 3)
+    }
+  }
+
   test("b65: observed metrics equal an aggregate of the landed sink") {
     val row = q("b65_observe_metrics").collect().head
     val sink = spark.read.parquet(graft.util.TmpDir.path("b65_observed_sink"))
