@@ -1654,7 +1654,32 @@ object TierB {
       .orderBy("lang")
   }
 
+  /** b69: PARAMETERIZED SQL (named parameter markers, Spark ≥ 3.4) —
+    * the query-level sibling of A15's option system and the
+    * injection-safe form of every templated report: parameters bind
+    * as TYPED LITERALS through the analyzer (`:minPrice` can never
+    * splice syntax), so one prepared text serves every parameter set
+    * while Catalyst still constant-folds and PUSHES the bound
+    * predicate to the scan like a hand-inlined literal. The 100 TB
+    * relevance is operational: templated pipelines that string-concat
+    * their thresholds are both an injection surface and a plan-cache
+    * miss per variation; marker binding is neither.
+    */
+  private def b69(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("g_orders")
+    s.sql(
+      """SELECT o_orderpriority, count(*) AS n,
+        |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS cents
+        |FROM g_orders
+        |WHERE o_totalprice >= :minPrice AND o_orderdate < :cutoff
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+      Map("minPrice" -> 50000, "cutoff" -> "1998-06-01"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("b69_sql_parameterized", b69 _, Some(
+      "SELECT o_orderpriority, count(*)::BIGINT AS n, sum(floor(o_totalprice * 100)::BIGINT)::BIGINT AS cents FROM orders WHERE o_totalprice >= 50000 AND o_orderdate < TIMESTAMP '1998-06-01' GROUP BY 1 ORDER BY 1")),
     QueryDef("b67_variant_json", b67 _, Some(
       "WITH b AS (SELECT event_type, CASE WHEN event_id % 3 = 0 THEN NULL ELSE json_extract(props, '$.k')::BIGINT END AS k, (event_id % 3 = 0) AS bad FROM events) SELECT event_type, count(*)::BIGINT AS n_rows, sum(CASE WHEN bad THEN 1 ELSE 0 END)::BIGINT AS n_unparsed, count(k)::BIGINT AS n_k, sum(k)::BIGINT AS k_sum, min(k) AS k_min, max(k) AS k_max FROM b GROUP BY 1 ORDER BY 1")),
     QueryDef("b68_collation_join", b68 _, Some(

@@ -611,6 +611,20 @@ class Round8PropsSpec extends SparkSpec {
     }
   }
 
+  test("b69: bound parameters push down like literals; AQE is live") {
+    val df = q("b69_sql_parameterized")
+    val plan = df.queryExecution.executedPlan.toString
+    // the bound :minPrice must reach the scan as an ordinary pushed filter
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(o_totalprice,50000"),
+      s"bound parameter not pushed to the scan:\n$plan")
+    // and the session genuinely runs AQE (the skew/coalesce safety net
+    // every SURVEY scale claim leans on): executed plans are adaptive
+    assert(df.queryExecution.executedPlan.getClass.getSimpleName
+      .contains("AdaptiveSparkPlan"),
+      "AQE not active in the session")
+  }
+
   test("b65: observed metrics equal an aggregate of the landed sink") {
     val row = q("b65_observe_metrics").collect().head
     val sink = spark.read.parquet(graft.util.TmpDir.path("b65_observed_sink"))
