@@ -1383,11 +1383,15 @@ object TierB {
       col("l_quantity").cast("long").as("xi"),
       floor(col("l_extendedprice") * 100).cast("long").as("yc"))
     val dec = (c: Column) => c.cast("decimal(38,0)")
+    // EVERY moment sums in DECIMAL(38,0) — under ANSI (the Spark 4
+    // default this repo keeps) a LONG sum that overflows fails the
+    // job, and sum(yc) alone crosses Long.Max within reach of a
+    // skewed 100 TB group (~9e11 rows at ~1e7 cents).
     val m = base.groupBy("l_returnflag").agg(
       count(lit(1)).as("n"),
-      sum("xi").as("sx"),
-      sum(col("xi") * col("xi")).as("sxx"),
-      sum("yc").as("sy"),
+      sum(dec(col("xi"))).as("sx"),
+      sum(dec(col("xi")) * col("xi")).as("sxx"),
+      sum(dec(col("yc"))).as("sy"),
       sum(dec(col("yc")) * col("yc")).as("syy"),
       sum(dec(col("xi")) * col("yc")).as("sxy"),
       stddev_samp(col("xi")).as("sd_b"),
@@ -1504,29 +1508,34 @@ object TierB {
     * every top-1 window query (b11) over-pays for: one partial-
     * aggregating shuffle instead of a full partition sort. The
     * portability trap is TIES — both engines document an arbitrary
-    * winner, so the ordering value here is a composite exact integer
-    * (price cents × 2³³ + a unique row id) making the extremum unique
-    * by construction; the declared output decodes winner and extreme
-    * from that single value. At 100 TB this is a 21-row answer per
-    * group from a map-side-combined aggregate — no window, no sort.
+    * winner, so the ordering value is the composite (cents × 2⁵⁰ +
+    * unique row id), exact and overflow-proof at any scale because it
+    * lives in DECIMAL(38,0) on the Spark side and HUGEINT in the
+    * oracle (a single-long composite silently corrupts once row ids
+    * pass 2³³ — the 100 TB orderkey domain). The extreme CENTS need
+    * no decode: cents is the composite's primary key, so the argmin
+    * row's cents == the group's plain min(cents) (same for max). At
+    * 100 TB this is a 21-row answer per group from a map-side-combined
+    * aggregate — no window, no sort.
     */
   private def b64(s: SparkSession, d: String): DataFrame = {
     val rid = col("l_orderkey") * 8 + col("l_linenumber")
-    val v = floor(col("l_extendedprice") * 100).cast("long") * 8589934592L + rid
+    val cents = floor(col("l_extendedprice") * 100).cast("long")
+    val v = cents.cast("decimal(38,0)") * lit(1125899906842624L) + rid // 2^50
     lineitem(s, d)
-      .select(col("l_returnflag"), rid.as("rid"), v.as("v"))
+      .select(col("l_returnflag"), rid.as("rid"), cents.as("cents"), v.as("v"))
       .groupBy("l_returnflag")
       .agg(min_by(col("rid"), col("v")).as("cheap_rid"),
-        min("v").as("vmin"),
+        min("cents").as("cheap_cents"),
         max_by(col("rid"), col("v")).as("dear_rid"),
-        max("v").as("vmax"))
+        max("cents").as("dear_cents"))
       .select(col("l_returnflag"),
         expr("cheap_rid div 8").as("cheap_ok"),
         expr("cheap_rid % 8").as("cheap_ln"),
-        expr("vmin div 8589934592").as("cheap_cents"),
+        col("cheap_cents"),
         expr("dear_rid div 8").as("dear_ok"),
         expr("dear_rid % 8").as("dear_ln"),
-        expr("vmax div 8589934592").as("dear_cents"))
+        col("dear_cents"))
       .orderBy("l_returnflag")
   }
 
@@ -1689,7 +1698,7 @@ object TierB {
     QueryDef("b65_observe_metrics", b65 _, Some(
       "SELECT count(*)::BIGINT AS n_rows, coalesce(sum(floor(l_extendedprice * 100)::BIGINT), 0)::BIGINT AS rev_cents, coalesce(max(floor(l_extendedprice * 100)::BIGINT), 0) AS max_cents FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01'")),
     QueryDef("b64_agg_argminmax", b64 _, Some(
-      "WITH b AS (SELECT l_returnflag, l_orderkey * 8 + l_linenumber AS rid, floor(l_extendedprice * 100)::BIGINT * 8589934592 + (l_orderkey * 8 + l_linenumber) AS v FROM lineitem), m AS (SELECT l_returnflag, arg_min(rid, v) AS cheap_rid, min(v) AS vmin, arg_max(rid, v) AS dear_rid, max(v) AS vmax FROM b GROUP BY 1) SELECT l_returnflag, cheap_rid // 8 AS cheap_ok, cheap_rid % 8 AS cheap_ln, vmin // 8589934592 AS cheap_cents, dear_rid // 8 AS dear_ok, dear_rid % 8 AS dear_ln, vmax // 8589934592 AS dear_cents FROM m ORDER BY l_returnflag")),
+      "WITH b AS (SELECT l_returnflag, l_orderkey * 8 + l_linenumber AS rid, floor(l_extendedprice * 100)::BIGINT AS cents, floor(l_extendedprice * 100)::HUGEINT * 1125899906842624 + (l_orderkey * 8 + l_linenumber) AS v FROM lineitem), m AS (SELECT l_returnflag, arg_min(rid, v) AS cheap_rid, min(cents) AS cheap_cents, arg_max(rid, v) AS dear_rid, max(cents) AS dear_cents FROM b GROUP BY 1) SELECT l_returnflag, cheap_rid // 8 AS cheap_ok, cheap_rid % 8 AS cheap_ln, cheap_cents, dear_rid // 8 AS dear_ok, dear_rid % 8 AS dear_ln, dear_cents FROM m ORDER BY l_returnflag")),
     QueryDef("b63_recursive_cte", b63 _, Some(
       "WITH RECURSIVE up(k, anc, depth) AS (SELECT c_custkey, c_custkey, 0::BIGINT FROM customer UNION ALL SELECT k, anc // 2, depth + 1 FROM up WHERE anc > 1) SELECT k AS key, max(depth)::BIGINT AS depth_to_root, sum(anc)::BIGINT AS anc_sum, count(*)::BIGINT AS n_levels FROM up GROUP BY k ORDER BY k")),
     QueryDef("b60_agg_stats", b60 _, Some(

@@ -2378,7 +2378,10 @@ object TierC {
   private def c65(s: SparkSession, d: String): DataFrame = {
     val k = graft.util.GraftConf.similarityK(s)
     val gt = c3(s, d).select(col("probe_id"), col("neighbor_id"))
-    val bk = lshBucketsDf(s, d)
+    // materialized once: the probe branch and the candidate join side
+    // would otherwise each re-run the hyperplane kernel over the full
+    // embeddings scan (the minhashIndex/c45 discipline)
+    val bk = lshBucketsDf(s, d).localCheckpoint(false)
     val probeBk = bk
       .filter(pmod(col("vec_id"), lit(50)) === 0)
       .orderBy("vec_id").limit(graft.util.GraftConf.similarityProbes(s))
@@ -2397,7 +2400,8 @@ object TierC {
       .select(col("probe_id"),
         coalesce(col("n_cand"), lit(0L)).as("n_cand"),
         coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-        (coalesce(col("n_hit"), lit(0L)) * (10000 / k)).as("recall_bp"))
+        ((coalesce(col("n_hit"), lit(0L)) * 10000) / k).cast("long")
+          .as("recall_bp"))
       .orderBy("probe_id")
   }
 

@@ -511,17 +511,23 @@ class Round8PropsSpec extends SparkSpec {
     rows.foreach { r =>
       val g = grouped(r.getAs[String]("l_returnflag"))
       val keyed = g.map { case (_, ok, ln, p) =>
-        (math.floor(p * 100).toLong * 8589934592L + ok * 8 + ln, ok, ln)
+        val cents = math.floor(p * 100).toLong
+        (BigInt(cents) * BigInt(2).pow(50) + (ok * 8 + ln), ok, ln, cents)
       }
       val cheap = keyed.minBy(_._1)
       val dear = keyed.maxBy(_._1)
       assert(keyed.map(_._1).distinct.length == keyed.length, "composite not unique")
       assert(r.getAs[Long]("cheap_ok") == cheap._2 &&
         r.getAs[Long]("cheap_ln") == cheap._3 &&
-        r.getAs[Long]("cheap_cents") == cheap._1 / 8589934592L)
+        r.getAs[Long]("cheap_cents") == cheap._4)
       assert(r.getAs[Long]("dear_ok") == dear._2 &&
         r.getAs[Long]("dear_ln") == dear._3 &&
-        r.getAs[Long]("dear_cents") == dear._1 / 8589934592L)
+        r.getAs[Long]("dear_cents") == dear._4)
+      // the identity the decode-free output leans on: the argmin/argmax
+      // row's cents ARE the group's plain min/max (cents is the
+      // composite's primary key)
+      assert(cheap._4 == g.map(t => math.floor(t._4 * 100).toLong).min)
+      assert(dear._4 == g.map(t => math.floor(t._4 * 100).toLong).max)
     }
   }
 
