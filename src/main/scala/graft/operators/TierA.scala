@@ -658,7 +658,32 @@ object TierA {
       .orderBy("doc_id")
   }
 
+  /** a32: XML sink/source round-trip — the one self-describing text
+    * format the extension-selected writer family [mrs: mrs/
+    * fileformats.py] still lacked here; built into Spark since 4.0
+    * (the former spark-xml package), so enterprise feeds (the last
+    * major XML producers) read as first-class tables with rowTag
+    * record framing, explicit schema (inference would widen INT →
+    * BIGINT, the a18 JSON lesson), and the same malformed-record
+    * policy surface as CSV/JSON (a29). Declared output = the
+    * read-back; the spec pins that real `<nation>` row tags landed
+    * on disk.
+    */
+  private def a32(spark: SparkSession, d: String): DataFrame = {
+    val out = graft.util.TmpDir.path("a32_sink_xml")
+    nation(spark, d)
+      .select("n_nationkey", "n_name", "n_regionkey")
+      .write.mode("overwrite").format("xml")
+      .option("rowTag", "nation").save(out)
+    spark.read.format("xml").option("rowTag", "nation")
+      .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+      .load(out)
+      .orderBy("n_nationkey")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("a32_source_xml", a32 _, Some(
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
     QueryDef("a31_source_nested", a31 _, Some(
       "SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en' ORDER BY doc_id")),
     QueryDef("a30_sink_compressed", a30 _, Some(

@@ -499,6 +499,20 @@ class Round8PropsSpec extends SparkSpec {
     assert(df.exceptAll(flat).isEmpty && flat.exceptAll(df).isEmpty)
   }
 
+  test("a32: real XML row tags land on disk; round-trip is lossless") {
+    val df = q("a32_source_xml")
+    val flat = spark.read.parquet(s"$sf0001/nation.parquet")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    assert(df.exceptAll(flat).isEmpty && flat.exceptAll(df).isEmpty)
+    val dir = new java.io.File(graft.util.TmpDir.path("a32_sink_xml"))
+    val xmlFiles = dir.listFiles().filter(_.getName.endsWith(".xml"))
+    assert(xmlFiles.nonEmpty, "no .xml part files written")
+    val content = scala.io.Source.fromFile(xmlFiles.head)("UTF-8").mkString
+    assert(content.contains("<nation>") && content.contains("</nation>"),
+      "rowTag framing missing from the written XML")
+    assert(content.contains("<n_nationkey>"), "field tags missing")
+  }
+
   test("b64: winners attain the true extremes and are unique by construction") {
     import spark.implicits._
     val rows = q("b64_agg_argminmax").collect()
