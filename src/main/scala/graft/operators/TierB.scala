@@ -366,27 +366,33 @@ object TierB {
     * small test dim doesn't get broadcast and hide the demonstration.
     */
   /** b25's bucketed layout is the PAY-ONCE cost its Scaladoc claims —
-    * memoized per (session, sfDir) so repeated invocations (Bench's
-    * two passes, Verify after tests) reuse the on-disk bucketed
-    * tables instead of re-clustering the same corpus; a different
-    * sfDir in the same session rewrites.
+    * built once and reused by later invocations (Bench's two passes,
+    * Verify after tests), rebuilt when the corpus dir changes. The
+    * tables and their TmpDir path are a JVM-GLOBAL singleton resource
+    * (one catalog name, one path), so the guard is a JVM-global
+    * lock + current-dir marker, NOT a per-session map — a per-session
+    * memo could record dir A while an interleaved session had already
+    * rewritten the shared tables to dir B and then silently serve B's
+    * data for A's oracle. A session with a genuinely separate catalog
+    * fails LOUDLY on `s.table` instead (no silent staleness path).
     */
-  private val b25LayoutMemo =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+  private val b25Lock = new Object
+  private var b25CurrentDir: String = _
 
   private def b25(s: SparkSession, d: String): DataFrame = {
     val base = graft.util.TmpDir.path("b25")
-    if (b25LayoutMemo.get(s) != d) {
-      orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
-        .write.mode("overwrite").format("parquet")
-        .bucketBy(8, "o_custkey").sortBy("o_custkey")
-        .option("path", s"$base/orders").saveAsTable("b25_orders")
-      customer(s, d).select("c_custkey", "c_name")
-        .write.mode("overwrite").format("parquet")
-        .bucketBy(8, "c_custkey").sortBy("c_custkey")
-        .option("path", s"$base/customer").saveAsTable("b25_customer")
-      if (b25LayoutMemo.size >= 8) b25LayoutMemo.clear()
-      b25LayoutMemo.put(s, d): Unit
+    b25Lock.synchronized {
+      if (b25CurrentDir != d) {
+        orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(8, "o_custkey").sortBy("o_custkey")
+          .option("path", s"$base/orders").saveAsTable("b25_orders")
+        customer(s, d).select("c_custkey", "c_name")
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(8, "c_custkey").sortBy("c_custkey")
+          .option("path", s"$base/customer").saveAsTable("b25_customer")
+        b25CurrentDir = d
+      }
     }
     s.table("b25_orders").hint("merge")
       .join(s.table("b25_customer"), col("o_custkey") === col("c_custkey"))
@@ -1065,15 +1071,19 @@ object TierB {
   /** b50's mirrored+partitioned edge list, memoized per (session,
     * sfDir): the traversal's one-time INDEX (the c18 minhashIndex
     * precedent — a production graph system builds the partitioned
-    * adjacency once per snapshot, not once per traversal). Bounded
-    * like the other memos.
+    * adjacency once per snapshot, not once per traversal). Evicted
+    * entries are UNPERSISTED so their checkpoint blocks release
+    * deterministically instead of waiting for GC + ContextCleaner.
+    * localCheckpoint caveat (inherent, predates the memo): blocks are
+    * non-reliable — on a real cluster an executor loss invalidates
+    * them, and the production form is `checkpoint` to durable storage.
     */
   private val bfsEdgeMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new graft.util.BoundedMemo[(SparkSession, String), DataFrame](
+      onEvict = df => try df.unpersist(false) catch { case _: Throwable => () })
 
-  private def bfsEdges(s: SparkSession, d: String): DataFrame = {
-    if (bfsEdgeMemo.size >= 8) bfsEdgeMemo.clear()
-    bfsEdgeMemo.computeIfAbsent((s, d), { _ =>
+  private def bfsEdges(s: SparkSession, d: String): DataFrame =
+    bfsEdgeMemo.get((s, d)) {
       // distinct BEFORE mirroring: supplier nodes are negative and part
       // nodes positive, so the two orientations can never collide — the
       // mirror of a distinct edge set is already distinct, and the
@@ -1091,8 +1101,7 @@ object TierB {
       fwd.union(fwd.select(col("v").as("u"), col("u").as("v")))
         .repartition(col("u"))
         .localCheckpoint(false)
-    })
-  }
+    }
 
   private def b50(s: SparkSession, d: String): DataFrame = {
     val maxHops = 4

@@ -465,18 +465,16 @@ object StreamingDemo {
     * global-order window.
     */
   private val d21SrcMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+    new graft.util.BoundedMemo[(SparkSession, String), String]()
 
-  private def docSplitSource(s: SparkSession, d: String): String = {
-    if (d21SrcMemo.size >= 8) d21SrcMemo.clear()
-    d21SrcMemo.computeIfAbsent((s, d), { _ =>
+  private def docSplitSource(s: SparkSession, d: String): String =
+    d21SrcMemo.get((s, d)) {
       val srcDir = graft.util.TmpDir.fresh("d21-src")
       writeRangedThirds(
         graft.util.Tables.documents(s, d).select("doc_id", "text"),
         "doc_id", Seq("doc_id", "text"), srcDir)
       srcDir
-    })
-  }
+    }
 
   /** d21: streaming NEAR-DUP dedup — c2's MinHash-LSH as continuous
     * ingest, the stateful step d20's Scaladoc promises: per microbatch
@@ -788,7 +786,7 @@ object StreamingDemo {
     * one-corpus-per-JVM case (Bench/Verify) keeps the full benefit.
     */
   private val d17SrcMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+    new graft.util.BoundedMemo[(SparkSession, String), String]()
 
   /** Shared d17/d21 source machinery: write `df` into `srcDir` as
     * three key-RANGED single files with STRICTLY INCREASING mtimes, so
@@ -832,9 +830,8 @@ object StreamingDemo {
     }
   }
 
-  private def jitteredSource(s: SparkSession, d: String): String = {
-    if (d17SrcMemo.size >= 8) d17SrcMemo.clear()
-    d17SrcMemo.computeIfAbsent((s, d), { _ =>
+  private def jitteredSource(s: SparkSession, d: String): String =
+    d17SrcMemo.get((s, d)) {
       val srcDir = graft.util.TmpDir.fresh("d17-src")
       val jittered = graft.util.Tables.events(s, d)
         .select(col("user_id"), col("ts"), col("event_id"))
@@ -847,8 +844,7 @@ object StreamingDemo {
       writeRangedThirds(jittered, "jk",
         Seq("user_id", "ts", "event_id"), srcDir)
       srcDir
-    })
-  }
+    }
 
   def transformWithStateBufferedSessions(s: SparkSession, d: String): DataFrame = {
     import s.implicits._

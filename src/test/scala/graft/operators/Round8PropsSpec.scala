@@ -507,7 +507,12 @@ class Round8PropsSpec extends SparkSpec {
     val dir = new java.io.File(graft.util.TmpDir.path("a32_sink_xml"))
     val xmlFiles = dir.listFiles().filter(_.getName.endsWith(".xml"))
     assert(xmlFiles.nonEmpty, "no .xml part files written")
-    val content = scala.io.Source.fromFile(xmlFiles.head)("UTF-8").mkString
+    // concatenate ALL parts (an empty input partition writes a row-less
+    // part file, and listFiles order is arbitrary) and close the handles
+    val content = xmlFiles.map { f =>
+      val src = scala.io.Source.fromFile(f)("UTF-8")
+      try src.mkString finally src.close()
+    }.mkString
     assert(content.contains("<nation>") && content.contains("</nation>"),
       "rowTag framing missing from the written XML")
     assert(content.contains("<n_nationkey>"), "field tags missing")
