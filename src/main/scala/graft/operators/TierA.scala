@@ -681,7 +681,39 @@ object TierA {
       .orderBy("n_nationkey")
   }
 
+  /** a33: `binaryFile` source — THE multimodal ingestion entry point
+    * (how raw images/audio reach c16/c56's kernels): a directory of
+    * opaque files becomes a table of (path, modificationTime, length,
+    * content BINARY) with pathGlobFilter/recursiveFileLookup pruning
+    * and no decode until the kernel asks. The fixture writes one
+    * .bin per nation on the driver (25 files — bounded by the
+    * dimension, the a9 `fetchall` class; a real corpus lands files
+    * from the crawler, not the driver), reads them back through
+    * binaryFile, and declares (key parsed from the filename, byte
+    * length, md5 of the raw content) — so the path metadata, the
+    * length column, and the binary payload are each pinned.
+    */
+  private def a33(spark: SparkSession, d: String): DataFrame = {
+    val out = graft.util.TmpDir.path("a33_bin_src")
+    new java.io.File(out).mkdirs()
+    nation(spark, d).select("n_nationkey", "n_name").collect().foreach { r =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(out, f"n_${r.getInt(0)}%05d.bin"),
+        r.getString(1).getBytes("UTF-8"))
+    }
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin").load(out)
+      .select(
+        regexp_extract(col("path"), "n_(\\d+)\\.bin$", 1).cast("int")
+          .as("n_nationkey"),
+        col("length"),
+        md5(col("content")).as("content_fp"))
+      .orderBy("n_nationkey")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("a33_source_binary_files", a33 _, Some(
+      "SELECT n_nationkey, length(n_name)::BIGINT AS length, md5(n_name) AS content_fp FROM nation ORDER BY n_nationkey")),
     QueryDef("a32_source_xml", a32 _, Some(
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
     QueryDef("a31_source_nested", a31 _, Some(

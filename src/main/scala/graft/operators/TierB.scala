@@ -1725,7 +1725,36 @@ object TierB {
       Map("minPrice" -> 50000, "cutoff" -> "1998-06-01"))
   }
 
+  /** b70: DYNAMIC-GAP session windows — `session_window` with a
+    * per-ROW gap expression (Spark ≥ 3.2), the upgrade over d3/d7's
+    * fixed 30 minutes that real sessionization usually needs: here an
+    * `error` event closes its session after 5 minutes while normal
+    * activity keeps the 30-minute patience. Merge semantics are the
+    * union of per-event windows [ts, ts+gap(row)) — a session's end
+    * is max(ts+gap) over its members, and a new session starts exactly
+    * when an event's ts reaches the running max end (the oracle
+    * reproduces this with one running-max window in exact integer µs —
+    * no float, no timezone). Same scale shape as every session op:
+    * ONE user-keyed exchange, merge logic inside the aggregate.
+    */
+  private def b70(s: SparkSession, d: String): DataFrame = {
+    val gap = when(col("event_type") === "error", "5 minutes")
+      .otherwise("30 minutes")
+    events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("n_errors"))
+      .select(col("user_id"),
+        expr("unix_micros(w.start) div 1000000").as("start_s"),
+        expr("unix_micros(w.end) div 1000000").as("end_s"),
+        col("cnt"), col("n_errors"))
+      .orderBy("user_id", "start_s")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("b70_session_dynamic_gap", b70 _, Some(
+      "WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id, CASE WHEN event_type = 'error' THEN 300000000 ELSE 1800000000 END AS gap FROM events), m AS (SELECT *, max(us + gap) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxend FROM e), f AS (SELECT *, CASE WHEN maxend IS NULL OR us >= maxend THEN 1 ELSE 0 END AS is_new FROM m), s AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM f) SELECT user_id, (min(us) // 1000000)::BIGINT AS start_s, (max(us + gap) // 1000000)::BIGINT AS end_s, count(*)::BIGINT AS cnt, sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_errors FROM s GROUP BY user_id, sid ORDER BY user_id, start_s")),
     QueryDef("b69_sql_parameterized", b69 _, Some(
       "SELECT o_orderpriority, count(*)::BIGINT AS n, sum(floor(o_totalprice * 100)::BIGINT)::BIGINT AS cents FROM orders WHERE o_totalprice >= 50000 AND o_orderdate < TIMESTAMP '1998-06-01' GROUP BY 1 ORDER BY 1")),
     QueryDef("b67_variant_json", b67 _, Some(

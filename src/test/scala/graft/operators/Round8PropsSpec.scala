@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
+import scala.collection.mutable
 
 /** Property checks for the round-8 additions (c58 maximal dup spans,
   * c59 compaction execution) beyond the blanket smoke/oracle gates.
@@ -516,6 +517,67 @@ class Round8PropsSpec extends SparkSpec {
     assert(content.contains("<nation>") && content.contains("</nation>"),
       "rowTag framing missing from the written XML")
     assert(content.contains("<n_nationkey>"), "field tags missing")
+  }
+
+  test("a33: binary files round-trip with path metadata and raw payload") {
+    import spark.implicits._
+    val rows = q("a33_source_binary_files").collect()
+    val names = spark.read.parquet(s"$sf0001/nation.parquet")
+      .select($"n_nationkey", $"n_name").as[(Int, String)].collect().toMap
+    assert(rows.length == names.size)
+    def md5hex(b: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(b).map("%02x".format(_)).mkString
+    rows.foreach { r =>
+      val k = r.getAs[Int]("n_nationkey")
+      assert(r.getAs[Long]("length") ==
+        names(k).getBytes("UTF-8").length.toLong)
+      assert(r.getAs[String]("content_fp") ==
+        md5hex(names(k).getBytes("UTF-8")))
+    }
+  }
+
+  test("b70: dynamic gap genuinely changes sessionization; ends are max(ts+gap)") {
+    import spark.implicits._
+    val rows = q("b70_session_dynamic_gap").collect()
+    // through Tables.events — the ONLY sanctioned events reader (the
+    // raw file is TIMESTAMP_NTZ since round 5; the canary's rule)
+    val ev = graft.util.Tables.events(spark, sf0001)
+      .select($"user_id", expr("unix_micros(ts)").as("us"),
+        $"event_type", $"event_id")
+      .as[(Long, Long, String, Long)].collect()
+    // independent recompute with the running-max-end rule
+    val expected = ev.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      val sorted = es.sortBy(e => (e._2, e._4))
+      val sessions = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[(Long, Long, String, Long)]]
+      var maxEnd = Long.MinValue
+      sorted.foreach { e =>
+        val gap = if (e._3 == "error") 300000000L else 1800000000L
+        if (e._2 >= maxEnd) sessions += mutable.ArrayBuffer(e)
+        else sessions.last += e
+        maxEnd = math.max(maxEnd, e._2 + gap)
+      }
+      sessions.map { ss =>
+        val ends = ss.map(e =>
+          e._2 + (if (e._3 == "error") 300000000L else 1800000000L))
+        ((u, ss.head._2 / 1000000L),
+          (ends.max / 1000000L, ss.length.toLong,
+            ss.count(_._3 == "error").toLong))
+      }
+    }.toMap
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val key = (r.getAs[Long]("user_id"), r.getAs[Long]("start_s"))
+      val (endS, cnt, nErr) = expected(key)
+      assert(r.getAs[Long]("end_s") == endS, s"session $key end")
+      assert(r.getAs[Long]("cnt") == cnt, s"session $key count")
+      assert(r.getAs[Long]("n_errors") == nErr, s"session $key errors")
+    }
+    // the dynamic gap must actually bite: at least one session closed
+    // by the 5-minute error patience (shorter than any fixed-30min one)
+    assert(rows.exists(r => r.getAs[Long]("n_errors") > 0 &&
+      r.getAs[Long]("end_s") - r.getAs[Long]("start_s") < 1800),
+      "no error-shortened session at sf0.001 — dynamic gap untested")
   }
 
   test("b64: winners attain the true extremes and are unique by construction") {
