@@ -1732,15 +1732,23 @@ object TierB {
     * activity keeps the 30-minute patience. Merge semantics are the
     * union of per-event windows [ts, ts+gap(row)) — a session's end
     * is max(ts+gap) over its members, and a new session starts exactly
-    * when an event's ts reaches the running max end (the oracle
-    * reproduces this with one running-max window in exact integer µs —
-    * no float, no timezone). Same scale shape as every session op:
+    * when an event's ts EXCEEDS the running max end — touching
+    * windows MERGE (Spark's merging iterator is inclusive at the
+    * boundary, a corner the µs-jittered corpus can never hit and the
+    * 300 s-grid fuzz spec pins explicitly; the oracle reproduces the
+    * rule with one running-max window in exact integer µs — no
+    * float, no timezone). Same scale shape as every session op:
     * ONE user-keyed exchange, merge logic inside the aggregate.
     */
-  private def b70(s: SparkSession, d: String): DataFrame = {
+  /** b70's core over an arbitrary (user_id, ts, event_type) frame —
+    * factored so the fuzz spec drives the REAL operator with
+    * generated event sets (exact-boundary gaps, equal timestamps),
+    * not a copy of its logic.
+    */
+  private[operators] def dynamicGapSessions(ev: DataFrame): DataFrame = {
     val gap = when(col("event_type") === "error", "5 minutes")
       .otherwise("30 minutes")
-    events(s, d)
+    ev
       .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
       .agg(count(lit(1)).as("cnt"),
         sum(when(col("event_type") === "error", 1L).otherwise(0L))
@@ -1752,9 +1760,12 @@ object TierB {
       .orderBy("user_id", "start_s")
   }
 
+  private def b70(s: SparkSession, d: String): DataFrame =
+    dynamicGapSessions(events(s, d))
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("b70_session_dynamic_gap", b70 _, Some(
-      "WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id, CASE WHEN event_type = 'error' THEN 300000000 ELSE 1800000000 END AS gap FROM events), m AS (SELECT *, max(us + gap) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxend FROM e), f AS (SELECT *, CASE WHEN maxend IS NULL OR us >= maxend THEN 1 ELSE 0 END AS is_new FROM m), s AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM f) SELECT user_id, (min(us) // 1000000)::BIGINT AS start_s, (max(us + gap) // 1000000)::BIGINT AS end_s, count(*)::BIGINT AS cnt, sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_errors FROM s GROUP BY user_id, sid ORDER BY user_id, start_s")),
+      "WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id, CASE WHEN event_type = 'error' THEN 300000000 ELSE 1800000000 END AS gap FROM events), m AS (SELECT *, max(us + gap) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxend FROM e), f AS (SELECT *, CASE WHEN maxend IS NULL OR us > maxend THEN 1 ELSE 0 END AS is_new FROM m), s AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM f) SELECT user_id, (min(us) // 1000000)::BIGINT AS start_s, (max(us + gap) // 1000000)::BIGINT AS end_s, count(*)::BIGINT AS cnt, sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_errors FROM s GROUP BY user_id, sid ORDER BY user_id, start_s")),
     QueryDef("b69_sql_parameterized", b69 _, Some(
       "SELECT o_orderpriority, count(*)::BIGINT AS n, sum(floor(o_totalprice * 100)::BIGINT)::BIGINT AS cents FROM orders WHERE o_totalprice >= 50000 AND o_orderdate < TIMESTAMP '1998-06-01' GROUP BY 1 ORDER BY 1")),
     QueryDef("b67_variant_json", b67 _, Some(

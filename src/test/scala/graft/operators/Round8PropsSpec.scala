@@ -553,7 +553,7 @@ class Round8PropsSpec extends SparkSpec {
       var maxEnd = Long.MinValue
       sorted.foreach { e =>
         val gap = if (e._3 == "error") 300000000L else 1800000000L
-        if (e._2 >= maxEnd) sessions += mutable.ArrayBuffer(e)
+        if (e._2 > maxEnd) sessions += mutable.ArrayBuffer(e)
         else sessions.last += e
         maxEnd = math.max(maxEnd, e._2 + gap)
       }
