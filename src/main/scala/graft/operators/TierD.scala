@@ -96,6 +96,15 @@ object TierD {
         unix_timestamp(col("session_window.start")).as("start_s"), col("cnt"))
       .orderBy("user_id", "start_s")
 
+  /** Shared d3/d6/d7 oracle. Boundary convention: `> gap` starts a new
+    * session (an event EXACTLY gap after the previous one still
+    * merges) — the same inclusive-merge rule Spark's native
+    * session_window applies (pinned at exact boundaries by
+    * Round8FuzzSpec via b70); d16/d17's oracle instead uses `>= gap`
+    * because their user-space FSMs define it that way
+    * (`ts - last < gap` continues). Unobservable on the µs-jittered
+    * corpus, load-bearing on grid-aligned data.
+    */
   private val d3Sql =
     "WITH e AS (SELECT user_id, ts, event_id, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), m AS (SELECT user_id, ts, event_id, CASE WHEN prev IS NULL OR date_diff('microsecond', prev, ts) > 1800000000 THEN 1 ELSE 0 END AS is_new FROM e), s AS (SELECT user_id, ts, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM m) SELECT user_id, session_id::BIGINT AS session_id, count(*)::BIGINT AS cnt, floor(epoch(min(ts)))::BIGINT AS start_s, floor(epoch(max(ts)))::BIGINT AS end_s FROM s GROUP BY 1, 2 ORDER BY 1, 2"
 
