@@ -1080,7 +1080,15 @@ object TierB {
     */
   private val bfsEdgeMemo =
     new graft.util.BoundedMemo[(SparkSession, String), DataFrame](
-      onEvict = df => try df.unpersist(false) catch { case _: Throwable => () })
+      onEvict = df => try {
+        // Dataset.unpersist only talks to the CacheManager and is a
+        // no-op for localCheckpoint blocks; the persisted RDD sits
+        // inside the checkpointed Dataset's LogicalRDD
+        df.queryExecution.analyzed.collectFirst {
+          case lr: org.apache.spark.sql.execution.LogicalRDD =>
+            lr.rdd.unpersist(false)
+        }: Unit
+      } catch { case _: Throwable => () })
 
   private def bfsEdges(s: SparkSession, d: String): DataFrame =
     bfsEdgeMemo.get((s, d)) {
@@ -1439,7 +1447,7 @@ object TierB {
     val varNumQ = (nD * col("sxx") - dec(col("sx")) * col("sx")).cast("double")
     val varNumP = (nD * col("syy") - dec(col("sy")) * col("sy")).cast("double")
     val covNum = (nD * col("sxy") - dec(col("sx")) * col("sy")).cast("double")
-    val sdQty = sqrt(varNumQ / (col("n") * (col("n") - 1)).cast("double"))
+    val sdQty = sqrt(varNumQ / (nD * (nD - 1)).cast("double"))
     val corrQp = covNum / (sqrt(varNumQ) * sqrt(varNumP))
     m.select(col("l_returnflag"), col("n"),
         sdQty.as("sd_qty"), corrQp.as("corr_qp"),
@@ -1504,7 +1512,10 @@ object TierB {
       .withColumn("bucket", expr("yc div 500000"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("cnt"),
-        sum("yc").as("sum_cents"),
+        // DECIMAL accumulator: a 100 TB bucket's cents sum crosses
+        // Long.Max and an ANSI LONG sum would fail the job (b60's
+        // discipline); the declared output casts back to BIGINT
+        sum(col("yc").cast("decimal(38,0)")).cast("long").as("sum_cents"),
         min("yc").as("min_cents"),
         max("yc").as("max_cents"),
         bool_and(col("wb") === col("bucket") + 1).as("wb_ok"))
@@ -1638,9 +1649,14 @@ object TierB {
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n_rows"),
         count(col("ratio")).as("n_div_ok"),
-        sum(floor(col("ratio")).cast("long")).as("sum_ratio_floor"),
+        // DECIMAL accumulators (b60's discipline) — LONG sums of these
+        // columns overflow under ANSI at 100 TB group sizes, the very
+        // failure mode this operator exists to tame
+        sum(floor(col("ratio")).cast("decimal(38,0)")).cast("long")
+          .as("sum_ratio_floor"),
         count(col("parsed")).as("n_parsed"),
-        sum("parsed").cast("long").as("parsed_sum"),
+        sum(col("parsed").cast("decimal(38,0)")).cast("long")
+          .as("parsed_sum"),
         count(col("ofl")).as("n_no_overflow"))
       .orderBy("l_returnflag")
 

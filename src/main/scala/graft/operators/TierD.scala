@@ -82,10 +82,16 @@ object TierD {
 
   /** d7: Spark's native `session_window` operator (batch form — the
     * same expression drives streaming with a watermark; the batch run
-    * is deterministic and thus oracle-able). Note the boundary
-    * semantics differ from d3: session_window splits when the gap is
-    * `>= gapDuration` (windows are half-open `[e, e+gap)`), while d3's
-    * lag formulation splits on strictly `>` — the oracle encodes `>=`.
+    * is deterministic and thus oracle-able). Boundary semantics,
+    * EMPIRICALLY pinned (Round8FuzzSpec via b70, plus a static-gap
+    * probe with events exactly gap apart): although per-event windows
+    * are half-open `[e, e+gap)`, the merging iterator is INCLUSIVE at
+    * the boundary — an event exactly gapDuration after the previous
+    * one still MERGES, i.e. a new session starts only on strictly
+    * `>`. An earlier round documented `>=` here from the half-open
+    * reasoning alone; that was wrong, unobservably so on the
+    * µs-jittered corpus. The oracle encodes the strict-`>` rule —
+    * the same convention as d3's lag formulation.
     */
   private def d7(s: SparkSession, d: String): DataFrame =
     events(s, d)
@@ -96,11 +102,12 @@ object TierD {
         unix_timestamp(col("session_window.start")).as("start_s"), col("cnt"))
       .orderBy("user_id", "start_s")
 
-  /** Shared d3/d6/d7 oracle. Boundary convention: `> gap` starts a new
-    * session (an event EXACTLY gap after the previous one still
-    * merges) — the same inclusive-merge rule Spark's native
-    * session_window applies (pinned at exact boundaries by
-    * Round8FuzzSpec via b70); d16/d17's oracle instead uses `>= gap`
+  /** Shared d3/d6 oracle (d7 has its own, same boundary rule).
+    * Boundary convention: `> gap` starts a new session (an event
+    * EXACTLY gap after the previous one still merges) — the same
+    * inclusive-merge rule Spark's native session_window applies
+    * (pinned at exact boundaries by Round8FuzzSpec via b70 and a
+    * static-gap probe); d16/d17's oracle instead uses `>= gap`
     * because their user-space FSMs define it that way
     * (`ts - last < gap` continues). Unobservable on the µs-jittered
     * corpus, load-bearing on grid-aligned data.
@@ -189,6 +196,6 @@ object TierD {
       (s, d) => graft.streaming.StreamingDemo.streamLshDedup(s, d), Some(
         s"WITH ${TierC.minhashCtes}, fw AS (SELECT doc_id, band, minhash, (doc_id = min(doc_id) OVER (PARTITION BY band, minhash)) AS is_first FROM sig) SELECT doc_id, count(*)::BIGINT AS n_bands, sum(CASE WHEN is_first THEN 0 ELSE 1 END)::BIGINT AS n_dup_bands, bool_and(is_first) AS kept FROM fw GROUP BY 1 ORDER BY 1")),
     QueryDef("d7_session_window_native", d7 _, Some(
-      "WITH e AS (SELECT user_id, ts, event_id, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), m AS (SELECT user_id, ts, CASE WHEN prev IS NULL OR date_diff('microsecond', prev, ts) >= 1800000000 THEN 1 ELSE 0 END AS is_new FROM e), s AS (SELECT user_id, ts, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM m) SELECT user_id, floor(epoch(min(ts)))::BIGINT AS start_s, count(*)::BIGINT AS cnt FROM s GROUP BY user_id, sid ORDER BY 1, 2")),
+      "WITH e AS (SELECT user_id, ts, event_id, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), m AS (SELECT user_id, ts, CASE WHEN prev IS NULL OR date_diff('microsecond', prev, ts) > 1800000000 THEN 1 ELSE 0 END AS is_new FROM e), s AS (SELECT user_id, ts, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM m) SELECT user_id, floor(epoch(min(ts)))::BIGINT AS start_s, count(*)::BIGINT AS cnt FROM s GROUP BY user_id, sid ORDER BY 1, 2")),
   )
 }

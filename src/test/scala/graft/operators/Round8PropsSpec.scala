@@ -580,6 +580,25 @@ class Round8PropsSpec extends SparkSpec {
       "no error-shortened session at sf0.001 — dynamic gap untested")
   }
 
+  test("memo eviction path genuinely releases localCheckpoint blocks") {
+    // Dataset.unpersist is a CacheManager call and ignores
+    // localCheckpoint storage — the eviction hook must unpersist the
+    // LogicalRDD's underlying RDD; prove that extraction works
+    val df = spark.range(100).toDF("x").localCheckpoint(false)
+    df.count(): Unit
+    val lr = df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l
+    }
+    assert(lr.isDefined, "no LogicalRDD under a localCheckpointed Dataset")
+    assert(lr.get.rdd.getStorageLevel !=
+      org.apache.spark.storage.StorageLevel.NONE,
+      "checkpointed RDD not persisted — premise broken")
+    lr.get.rdd.unpersist(false)
+    assert(lr.get.rdd.getStorageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE,
+      "unpersist on the LogicalRDD's rdd did not release storage")
+  }
+
   test("b64: winners attain the true extremes and are unique by construction") {
     import spark.implicits._
     val rows = q("b64_agg_argminmax").collect()
