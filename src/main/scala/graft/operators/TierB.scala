@@ -366,36 +366,36 @@ object TierB {
     * small test dim doesn't get broadcast and hide the demonstration.
     */
   /** b25's bucketed layout is the PAY-ONCE cost its Scaladoc claims —
-    * built once and reused by later invocations (Bench's two passes,
-    * Verify after tests), rebuilt when the corpus dir changes. The
-    * tables and their TmpDir path are a JVM-GLOBAL singleton resource
-    * (one catalog name, one path), so the guard is a JVM-global
-    * lock + current-dir marker, NOT a per-session map — a per-session
-    * memo could record dir A while an interleaved session had already
-    * rewritten the shared tables to dir B and then silently serve B's
-    * data for A's oracle. A session with a genuinely separate catalog
-    * fails LOUDLY on `s.table` instead (no silent staleness path).
+    * built once per corpus dir and reused by later invocations (Bench's
+    * two passes, Verify after tests). Table names and TmpDir paths are
+    * KEYED BY the corpus dir (an md5 suffix), so two dirs never share
+    * catalog entries or files: a concurrent caller on dir B can never
+    * overwrite the tables a dir-A plan (lazy until its collect) is
+    * about to read. The JVM-global lock only serializes builds; reads
+    * of an already-built dir proceed without it. A session with a
+    * genuinely separate catalog fails LOUDLY on `s.table`.
     */
   private val b25Lock = new Object
-  private var b25CurrentDir: String = _
+  private val b25Built = scala.collection.mutable.Set[String]()
 
   private def b25(s: SparkSession, d: String): DataFrame = {
-    val base = graft.util.TmpDir.path("b25")
+    val tag = org.apache.commons.codec.digest.DigestUtils.md5Hex(d).take(8)
+    val base = graft.util.TmpDir.path(s"b25_$tag")
     b25Lock.synchronized {
-      if (b25CurrentDir != d) {
+      if (!b25Built.contains(d)) {
         orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
           .write.mode("overwrite").format("parquet")
           .bucketBy(8, "o_custkey").sortBy("o_custkey")
-          .option("path", s"$base/orders").saveAsTable("b25_orders")
+          .option("path", s"$base/orders").saveAsTable(s"b25_orders_$tag")
         customer(s, d).select("c_custkey", "c_name")
           .write.mode("overwrite").format("parquet")
           .bucketBy(8, "c_custkey").sortBy("c_custkey")
-          .option("path", s"$base/customer").saveAsTable("b25_customer")
-        b25CurrentDir = d
+          .option("path", s"$base/customer").saveAsTable(s"b25_customer_$tag")
+        b25Built += d
       }
     }
-    s.table("b25_orders").hint("merge")
-      .join(s.table("b25_customer"), col("o_custkey") === col("c_custkey"))
+    s.table(s"b25_orders_$tag").hint("merge")
+      .join(s.table(s"b25_customer_$tag"), col("o_custkey") === col("c_custkey"))
       .groupBy("c_custkey")
       .agg(count(lit(1)).as("n_orders"), moneySum(col("o_totalprice")).as("total"))
       .orderBy("c_custkey")
@@ -1077,6 +1077,11 @@ object TierB {
     * localCheckpoint caveat (inherent, predates the memo): blocks are
     * non-reliable — on a real cluster an executor loss invalidates
     * them, and the production form is `checkpoint` to durable storage.
+    * Eviction failure mode: unpersist drops blocks immediately, so an
+    * in-flight traversal on ANOTHER thread still holding an evicted
+    * entry fails LOUDLY with missing-block errors (lineage was
+    * truncated; no silent wrong answer). Reachable only in a >8-key
+    * concurrent multi-corpus JVM — outside the supported profile.
     */
   private val bfsEdgeMemo =
     new graft.util.BoundedMemo[(SparkSession, String), DataFrame](

@@ -2377,6 +2377,13 @@ object TierC {
     */
   private def c65(s: SparkSession, d: String): DataFrame = {
     val k = graft.util.GraftConf.similarityK(s)
+    val probes = graft.util.GraftConf.similarityProbes(s)
+    // The DuckDB oracle hardcodes k=5 / probes=32 (rank<=5, LIMIT 32,
+    // *2000 = 10000/5); a non-default conf would silently diverge from
+    // it, so fail loudly instead (GraftConf's "oracles assume the
+    // defaults" convention, enforced rather than assumed here).
+    require(k == 5 && probes == 32,
+      s"c65's oracle assumes graft.similarity.k=5 and .probes=32; got k=$k probes=$probes")
     val gt = c3(s, d).select(col("probe_id"), col("neighbor_id"))
     // materialized once: the probe branch and the candidate join side
     // would otherwise each re-run the hyperplane kernel over the full
@@ -2384,7 +2391,7 @@ object TierC {
     val bk = lshBucketsDf(s, d).localCheckpoint(false)
     val probeBk = bk
       .filter(pmod(col("vec_id"), lit(50)) === 0)
-      .orderBy("vec_id").limit(graft.util.GraftConf.similarityProbes(s))
+      .orderBy("vec_id").limit(probes)
       .select(col("vec_id").as("probe_id"), col("bucket"))
     val cand = broadcast(probeBk).join(bk, "bucket")
       .filter(col("vec_id") =!= col("probe_id"))
