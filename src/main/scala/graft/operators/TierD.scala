@@ -136,7 +136,16 @@ object TierD {
     "d14_stream_watermark_append", "d15_stream_outer_join",
     "d16_stream_timer_session", "d17_stream_buffered_session",
     "d18_stream_sliding_append", "d19_stream_chained_stateful",
-    "d20_stream_curation_gate", "d21_stream_lsh_dedup")
+    "d20_stream_curation_gate", "d21_stream_lsh_dedup",
+    "d22_stream_restart_recovery")
+
+  /** Shared d14/d22 oracle: the one-shot hourly aggregate restricted
+    * to watermark-closed windows (ws + 1 h window + 1 h delay ≤ max
+    * ts). d22 producing EXACTLY this across a stop/restart is its
+    * no-loss/no-double proof.
+    */
+  private val watermarkAppendOracleSql =
+    "WITH m AS (SELECT max(ts) AS mx FROM events), a AS (SELECT date_trunc('hour', ts) AS ws, event_type, count(*)::BIGINT AS cnt FROM events GROUP BY 1, 2) SELECT floor(epoch(ws))::BIGINT AS start_s, event_type, cnt FROM a, m WHERE ws + INTERVAL 2 HOUR <= mx ORDER BY 1, 2"
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d1_window_tumbling", d1 _, Some(
@@ -184,8 +193,11 @@ object TierD {
       (s, d) => graft.streaming.StreamingDemo.chainedDedupAgg(s, d), Some(
         "WITH m AS (SELECT date_trunc('minute', max(ts)) AS mx FROM events), dd AS (SELECT DISTINCT user_id, event_type, date_trunc('minute', ts) AS mt FROM events), a AS (SELECT date_trunc('hour', mt) AS ws, event_type, count(*)::BIGINT AS n_active FROM dd GROUP BY 1, 2) SELECT floor(epoch(ws))::BIGINT AS start_s, event_type, n_active FROM a, m WHERE ws + INTERVAL 2 HOUR <= mx ORDER BY 1, 2")),
     QueryDef("d14_stream_watermark_append",
-      (s, d) => graft.streaming.StreamingDemo.watermarkAppend(s, d), Some(
-        "WITH m AS (SELECT max(ts) AS mx FROM events), a AS (SELECT date_trunc('hour', ts) AS ws, event_type, count(*)::BIGINT AS cnt FROM events GROUP BY 1, 2) SELECT floor(epoch(ws))::BIGINT AS start_s, event_type, cnt FROM a, m WHERE ws + INTERVAL 2 HOUR <= mx ORDER BY 1, 2")),
+      (s, d) => graft.streaming.StreamingDemo.watermarkAppend(s, d),
+      Some(watermarkAppendOracleSql)),
+    QueryDef("d22_stream_restart_recovery",
+      (s, d) => graft.streaming.StreamingDemo.restartRecovery(s, d),
+      Some(watermarkAppendOracleSql)),
     QueryDef("d13_stream_foreach_batch",
       (s, d) => graft.streaming.StreamingDemo.foreachBatchMerge(s, d), Some(
         "SELECT user_id, count(*)::BIGINT AS cnt, sum(round(value * 100)::BIGINT)::BIGINT AS val_cents FROM events GROUP BY 1 ORDER BY 1")),
