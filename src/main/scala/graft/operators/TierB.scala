@@ -1784,7 +1784,82 @@ object TierB {
   private def b70(s: SparkSession, d: String): DataFrame =
     dynamicGapSessions(events(s, d))
 
+  /** b71: AQE SKEW-JOIN SPLIT — the automatic half of b39's manual
+    * salting, and what a 100 TB user reaches FIRST: a deterministically
+    * hot key (every even order re-keyed to supplier 1, ~50% of the
+    * fact) joins the supplier dim under a pinned SMJ, and Spark's own
+    * `OptimizeSkewedJoin` carves the hot shuffle partition into
+    * advisory-sized splits at runtime, replicating the matching dim
+    * partition — no salt column, no code change, skew discovered from
+    * actual map-output sizes. The skew thresholds are scoped DOWN so
+    * toy data exhibits the 256 MB-default behavior; the query runs
+    * EAGERLY inside that scope (localCheckpoint) because AQE reads
+    * them at execution, and a lazily-returned frame would escape the
+    * scope. The materialization is the dimension-bounded aggregate
+    * (one row per supplier), never fact-sized. Output is
+    * split-invariant (partial sums are exact DECIMAL), so the oracle
+    * is the plain join — b39's pattern. The executed plan is exposed
+    * for the spec, which asserts the SMJ actually carries skew=true
+    * (the demonstration, not goodwill).
+    */
+  private val b71Confs = Seq(
+    // hot partition qualifies: >2× median AND >1 KB (defaults 5× / 256 MB)
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1k",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1k",
+    // the dim must stay on the shuffle path for SMJ skew handling to
+    // exist at all (the merge hint pins the strategy; the thresholds
+    // stop AQE's runtime broadcast demotion from dodging the skew)
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+    // the downstream aggregate RIDES the join's partitioning (k ≡
+    // s_suppkey by join equivalence, so no exchange separates them),
+    // and OptimizeSkewedJoin backs off rather than break a consumed
+    // distribution. `force` accepts the trade: split the hot
+    // partition, let EnsureRequirements re-shuffle the aggregate —
+    // which partial aggregation has already shrunk to group-bounded
+    // rows. At 100 TB that group-sized reshuffle is noise next to the
+    // hot task's wall-clock; force is the right call whenever the
+    // consumer below the join is an aggregation.
+    "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true")
+
+  private[operators] def b71Exec(s: SparkSession, d: String)
+      : (DataFrame, String) = {
+    val prev = b71Confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    b71Confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      // The hot reduce partition can only be split at MAPPER-chunk
+      // granularity (PartialReducerPartitionSpec is a map-index range),
+      // and a toy-SF parquet scan is ONE map task — so force several
+      // mappers into the join shuffle, the shape a real cluster has for
+      // free (thousands of scan tasks). User-specified repartition, so
+      // AQE won't coalesce it away.
+      val fact = lineitem(s, d)
+        .select(
+          when(col("l_orderkey") % 2 === 0, 1L).otherwise(col("l_suppkey"))
+            .as("k"),
+          col("l_extendedprice"), col("l_discount"))
+        .repartition(8)
+      val dim = supplier(s, d).select(col("s_suppkey"), col("s_name"))
+      val joined = fact.join(dim.hint("merge"), col("k") === col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(count(lit(1)).as("cnt"),
+          moneySum4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+        .orderBy("s_suppkey")
+      val out = joined.localCheckpoint()
+      (out, joined.queryExecution.executedPlan.toString)
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
+  private def b71(s: SparkSession, d: String): DataFrame = b71Exec(s, d)._1
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("b71_join_skew_aqe", b71 _, Some(
+      "SELECT s_suppkey, s_name, count(*)::BIGINT AS cnt, sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4))::DOUBLE AS revenue FROM (SELECT CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE l_suppkey END AS k, l_extendedprice, l_discount FROM lineitem) f JOIN supplier ON f.k = s_suppkey GROUP BY 1, 2 ORDER BY 1")),
     QueryDef("b70_session_dynamic_gap", b70 _, Some(
       "WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id, CASE WHEN event_type = 'error' THEN 300000000 ELSE 1800000000 END AS gap FROM events), m AS (SELECT *, max(us + gap) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxend FROM e), f AS (SELECT *, CASE WHEN maxend IS NULL OR us > maxend THEN 1 ELSE 0 END AS is_new FROM m), s AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM f) SELECT user_id, (min(us) // 1000000)::BIGINT AS start_s, (max(us + gap) // 1000000)::BIGINT AS end_s, count(*)::BIGINT AS cnt, sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_errors FROM s GROUP BY user_id, sid ORDER BY user_id, start_s")),
     QueryDef("b69_sql_parameterized", b69 _, Some(

@@ -47,6 +47,19 @@ class RelationalPlanSpec extends SparkSpec {
     assert(p.contains("PartitionFilters: [(lang"), p)
   }
 
+  test("b71: AQE actually split the skewed join partition (skew=true SMJ)") {
+    val (out, p) = TierB.b71Exec(spark, sf0001)
+    // the executed adaptive plan must carry a skew-marked sort-merge
+    // join — OptimizeSkewedJoin fired on the hot partition — and the
+    // result must still be one dimension-bounded row per supplier.
+    assert(p.contains("SortMergeJoin"), p)
+    assert(p.toLowerCase.contains("skew=true"), p)
+    assert(p.contains("isFinalPlan=true"), p)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+  }
+
   test("b7: aggregation is partial (map-side) before the exchange") {
     val p = plan("b7_agg_hash")
     assert(p.contains("partial_sum") || p.contains("partial_count"), p)
