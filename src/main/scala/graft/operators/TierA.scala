@@ -711,7 +711,64 @@ object TierA {
       .orderBy("n_nationkey")
   }
 
+  /** a34: STORAGE-PARTITIONED JOIN on the custom DSv2 source — the
+    * Iceberg-bucket-join shape, unavailable offline any other way: two
+    * pairgen tables declared with the same `buckets=8` key-grouped
+    * layout (`KeyGroupedPartitioning(identity(grp))`, one
+    * [[graft.sources.PairGenBucketPartition]] per grp value) join on
+    * (grp, id) with ZERO exchange on either side — EnsureRequirements
+    * aligns the reported layouts instead of shuffling, and the
+    * downstream per-grp aggregate rides the same partitioning. This is
+    * b25's pay-once bucketing story moved INTO the connector: at
+    * 100 TB the table's physical layout (Iceberg/Delta bucket
+    * transform) replaces the join shuffle entirely, fact-to-fact.
+    *
+    * Conf scope (b71's eager pattern — AQE/planner read these at
+    * execution, so the query runs eagerly inside the scope and
+    * materializes only the 8-row aggregate):
+    * `v2.bucketing.enabled` turns key-grouped reporting on;
+    * `requireAllClusterKeysForCoPartition=false` accepts partition
+    * keys that are a SUBSET of the join keys ({grp} ⊂ {grp, id} —
+    * the normal bucketed-table case); broadcast thresholds off so the
+    * 5k-row side can't dodge into BHJ and hide the demonstration.
+    * n_value_eq joins the two sides' GENERATED payloads — it proves
+    * the stride readers of both tables emit identical values for the
+    * same id, not just aligned partition metadata.
+    */
+  private val a34Confs = Seq(
+    "spark.sql.sources.v2.bucketing.enabled" -> "true",
+    "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+
+  private[operators] def a34Exec(s: SparkSession, d: String)
+      : (DataFrame, String) = {
+    val prev = a34Confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    a34Confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      def gen(rows: Int) = s.read.format("pairgen")
+        .option("rows", rows.toString).option("buckets", "8").load()
+      val joined = gen(10000).as("l")
+        .join(gen(5000).hint("merge").as("r"),
+          col("l.grp") === col("r.grp") && col("l.id") === col("r.id"))
+        .groupBy(col("l.grp").as("grp"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("l.id")).as("min_id"), max(col("l.id")).as("max_id"),
+          count(when(col("l.value") === col("r.value"), 1)).as("n_value_eq"))
+        .orderBy("grp")
+      val out = joined.localCheckpoint()
+      (out, joined.queryExecution.executedPlan.toString)
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
+  private def a34(s: SparkSession, d: String): DataFrame = a34Exec(s, d)._1
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("a34_join_storage_partitioned", a34 _, Some(
+      "WITH l AS (SELECT t.i AS id, md5(t.i::VARCHAR) AS value, t.i % 8 AS grp FROM range(10000) t(i)), r AS (SELECT t.i AS id, md5(t.i::VARCHAR) AS value, t.i % 8 AS grp FROM range(5000) t(i)) SELECT l.grp::BIGINT AS grp, count(*)::BIGINT AS n_pairs, min(l.id)::BIGINT AS min_id, max(l.id)::BIGINT AS max_id, sum(CASE WHEN l.value = r.value THEN 1 ELSE 0 END)::BIGINT AS n_value_eq FROM l JOIN r ON l.grp = r.grp AND l.id = r.id GROUP BY 1 ORDER BY 1")),
     QueryDef("a33_source_binary_files", a33 _, Some(
       "SELECT n_nationkey, length(n_name)::BIGINT AS length, md5(n_name) AS content_fp FROM nation ORDER BY n_nationkey")),
     QueryDef("a32_source_xml", a32 _, Some(

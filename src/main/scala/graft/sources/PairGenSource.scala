@@ -32,20 +32,32 @@ import org.apache.spark.unsafe.types.UTF8String
 class PairGenSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "pairgen"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    PairGenSource.schema
+    PairGenSource.schemaFor(options.getInt("buckets", 0))
   override def getTable(
       schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new PairGenTable(
       properties.getOrDefault("rows", "1000").toLong,
       properties.getOrDefault("slices", "4").toInt,
-      properties.getOrDefault("batchRows", "1000").toLong)
+      properties.getOrDefault("batchRows", "1000").toLong,
+      properties.getOrDefault("buckets", "0").toInt)
 }
 
 object PairGenSource {
   val schema: StructType = StructType(Seq(
     StructField("id", LongType, nullable = false),
     StructField("value", StringType, nullable = false)))
+
+  /** With `buckets > 0` the table is KEY-GROUPED STORAGE-PARTITIONED:
+    * a `grp = id % buckets` column materializes, each input partition
+    * holds exactly one grp value (reported via [[HasPartitionKey]]),
+    * and the scan reports `KeyGroupedPartitioning(identity(grp))` —
+    * the Iceberg-bucket-layout shape, so two co-bucketed pairgen scans
+    * join with ZERO exchange (storage-partitioned join). See a34.
+    */
+  def schemaFor(buckets: Int): StructType =
+    if (buckets <= 0) schema
+    else schema.add(StructField("grp", LongType, nullable = false))
 
   /** One range-splitting rule for the batch scan AND the microbatch
     * stream (a skew/clamp tweak to one must hit both).
@@ -60,24 +72,25 @@ object PairGenSource {
   }
 }
 
-private[sources] class PairGenTable(rows: Long, slices: Int, batchRows: Long)
+private[sources] class PairGenTable(
+    rows: Long, slices: Int, batchRows: Long, buckets: Int)
     extends Table with SupportsRead {
   override def name(): String = s"pairgen($rows)"
-  override def schema(): StructType = PairGenSource.schema
+  override def schema(): StructType = PairGenSource.schemaFor(buckets)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new PairGenScanBuilder(rows, slices, batchRows)
+    new PairGenScanBuilder(rows, slices, batchRows, buckets)
 }
 
 private[sources] class PairGenScanBuilder(
-    rows: Long, slices: Int, batchRows: Long)
+    rows: Long, slices: Int, batchRows: Long, buckets: Int)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var lo = 0L
   private var hi = rows
   private var pushed = Array.empty[Filter]
-  private var required: StructType = PairGenSource.schema
+  private var required: StructType = PairGenSource.schemaFor(buckets)
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (sup, unsup) = filters.partition {
@@ -99,12 +112,14 @@ private[sources] class PairGenScanBuilder(
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   override def build(): Scan =
-    new PairGenScan(lo, hi, slices, batchRows, required)
+    new PairGenScan(lo, hi, slices, batchRows, buckets, required)
 }
 
 private[sources] class PairGenScan(
-    lo: Long, hi: Long, slices: Int, batchRows: Long, required: StructType)
-    extends Scan with Batch {
+    lo: Long, hi: Long, slices: Int, batchRows: Long, buckets: Int,
+    required: StructType)
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(
@@ -113,13 +128,46 @@ private[sources] class PairGenScan(
   override def description(): String =
     s"PairGenScan range=[$lo,$hi) cols=${required.fieldNames.mkString(",")}"
   override def planInputPartitions(): Array[InputPartition] =
-    PairGenSource.splitRange(lo, hi, slices)
+    if (buckets <= 0) PairGenSource.splitRange(lo, hi, slices)
+    else (0 until buckets)
+      .map(b => PairGenBucketPartition(lo, hi, b, buckets): InputPartition)
+      .toArray
+  /** Bucketed: `KeyGroupedPartitioning(identity(grp))` — the report
+    * that lets EnsureRequirements align two co-bucketed scans with no
+    * exchange (identity transform needs no FunctionCatalog, unlike
+    * `bucket(n, col)`). Unbucketed: unknown, as before.
+    */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    if (buckets <= 0)
+      new org.apache.spark.sql.connector.read.partitioning
+        .UnknownPartitioning(math.max(1, slices))
+    else
+      new org.apache.spark.sql.connector.read.partitioning
+        .KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions
+            .identity("grp")),
+          buckets)
   override def createReaderFactory(): PartitionReaderFactory =
     new PairGenReaderFactory(required)
 }
 
 private[sources] case class PairGenPartition(start: Long, end: Long)
     extends InputPartition
+
+/** One key-group of the bucketed layout: the ids in [lo, hi) with
+  * `id % buckets == bucket`. `partitionKey` is how the scan PROVES to
+  * Spark that every row here shares grp = bucket — the contract
+  * KeyGroupedPartitioning rests on (a lying key silently mis-joins,
+  * same as a corrupt Iceberg manifest).
+  */
+private[sources] case class PairGenBucketPartition(
+    lo: Long, hi: Long, bucket: Int, buckets: Int)
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    InternalRow(bucket.toLong)
+}
 
 /** Offset = how many ids have been emitted so far (a long, JSON-encoded
   * for the checkpoint log).
@@ -185,9 +233,16 @@ private[sources] class PairGenReaderFactory(required: StructType)
     extends PartitionReaderFactory {
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[PairGenPartition]
+    // (first, end, stride): contiguous range for plain partitions; a
+    // mod-class stride for bucketed ones. Same generator either way.
+    val (first, end, stride, nBuckets) = partition match {
+      case p: PairGenPartition => (p.start, p.end, 1L, 0)
+      case b: PairGenBucketPartition =>
+        (b.lo + (((b.bucket - b.lo % b.buckets) + b.buckets) % b.buckets),
+          b.hi, b.buckets.toLong, b.buckets)
+    }
     new PartitionReader[InternalRow] {
-      private var cur = p.start - 1
+      private var cur = first - stride
       private val md = java.security.MessageDigest.getInstance("MD5")
       private val hexChars = "0123456789abcdef".toCharArray
       private def md5Hex(v: Long): UTF8String = {
@@ -206,8 +261,9 @@ private[sources] class PairGenReaderFactory(required: StructType)
       private val gens: Array[Long => Any] = required.fieldNames.map {
         case "id"    => (v: Long) => v: Any
         case "value" => (v: Long) => md5Hex(v): Any
+        case "grp"   => (v: Long) => v % math.max(1, nBuckets): Any
       }
-      override def next(): Boolean = { cur += 1; cur < p.end }
+      override def next(): Boolean = { cur += stride; cur < end }
       override def get(): InternalRow = {
         val vals = new Array[Any](gens.length)
         var i = 0

@@ -47,6 +47,22 @@ class RelationalPlanSpec extends SparkSpec {
     assert(p.contains("PartitionFilters: [(lang"), p)
   }
 
+  test("a34: storage-partitioned join has zero hash exchanges end-to-end") {
+    val (out, p) = TierA.a34Exec(spark, sf0001)
+    // both scans report KeyGroupedPartitioning(identity(grp)) and the
+    // join + per-grp aggregate ride it — the only exchange allowed is
+    // the presentation orderBy's range partitioning
+    assert(p.contains("SortMergeJoin"), p)
+    assert(p.contains("BatchScan"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    val rows = out.collect()
+    assert(rows.length == 8, rows.mkString(","))
+    // every grp: 625 right-side ids, all with matching generated values
+    rows.foreach { r =>
+      assert(r.getLong(1) == 625 && r.getLong(4) == 625, r.toString)
+    }
+  }
+
   test("b71: AQE actually split the skewed join partition (skew=true SMJ)") {
     val (out, p) = TierB.b71Exec(spark, sf0001)
     // the executed adaptive plan must carry a skew-marked sort-merge
