@@ -87,8 +87,12 @@ object Bench {
       .filter { case (k, _) => operators.TierD.streamingNames(k) }
     val streamSec = streaming.map(_._2).sum
     val sub = s""""streaming_sec":$streamSec,"streaming_n":${streaming.size}"""
+    // Measurement config, embedded so tools/bench_diff.py can refuse
+    // apples-to-oranges comparisons (the repo documents ±50% cross-host
+    // noise; a diff between different cpu counts is meaningless).
+    val conf = s""""config":{"cpus":"$cpus","shuffle_partitions":"${spark.conf.get("spark.sql.shuffle.partitions")}","max_partition_bytes":"${spark.conf.get("spark.sql.files.maxPartitionBytes")}","host_processors":${Runtime.getRuntime.availableProcessors()},"spark_version":"${spark.version}","sf_dir":"$sfDir"}"""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec",$sub,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$sub,$conf,"queries":$qs,"sf":"$sfDir"}"""
     println(full)
     try {
       Files.createDirectories(Paths.get("target"))

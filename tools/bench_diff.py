@@ -23,21 +23,37 @@ def load(path):
     with open(path) as f:
         d = json.load(f)
     if "queries" in d:
-        return d["queries"], d.get("value"), d.get("streaming_sec")
+        return d["queries"], d.get("value"), d.get("streaming_sec"), d.get("config")
     if "tail" in d:  # driver artifact: parse what survived truncation
         qs = {
             m.group(1): float(m.group(2))
             for m in re.finditer(r'"([a-z]\d+_[a-z_0-9]+)":([\d.]+)', d["tail"])
         }
-        return qs, None, None
-    return d, None, None
+        return qs, None, None, None
+    return d, None, None, None
 
 
 def main():
     old_p, new_p = sys.argv[1], sys.argv[2]
     ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 1.3
-    old_q, old_t, old_s = load(old_p)
-    new_q, new_t, new_s = load(new_p)
+    old_q, old_t, old_s, old_c = load(old_p)
+    new_q, new_t, new_s, new_c = load(new_p)
+    # Refuse silent apples-to-oranges: the repo documents +/-50%
+    # cross-host noise, so a diff across differing measurement configs
+    # is only suggestive. sf_dir differences are outright meaningless.
+    if old_c is None or new_c is None:
+        print("WARNING: config metadata missing from "
+              + ("both" if old_c is None and new_c is None
+                 else (old_p if old_c is None else new_p))
+              + " -- cannot check the runs are comparable")
+    elif old_c != new_c:
+        diffs = sorted(set(old_c) | set(new_c))
+        for k in diffs:
+            if old_c.get(k) != new_c.get(k):
+                print(f"WARNING: config mismatch {k}: "
+                      f"{old_c.get(k)!r} -> {new_c.get(k)!r}")
+        print("WARNING: runs were measured under different configs; "
+              "treat per-query deltas as suggestive only")
     common = sorted(set(old_q) & set(new_q))
     print(f"common queries: {len(common)} "
           f"(old-only {len(set(old_q) - set(new_q))}, "
