@@ -35,9 +35,14 @@ object TimeQ {
           import org.apache.spark.sql.streaming.StreamingQueryListener._
           override def onQueryStarted(e: QueryStartedEvent): Unit =
             println(s"[stream] started ${e.name} at ${System.nanoTime() / 1e9}")
-          override def onQueryProgress(e: QueryProgressEvent): Unit =
+          override def onQueryProgress(e: QueryProgressEvent): Unit = {
             println(s"[stream] ${e.progress.name} batch=${e.progress.batchId} " +
               s"rows=${e.progress.numInputRows} durMs=${e.progress.durationMs}")
+            e.progress.stateOperators.foreach { so =>
+              println(s"[state] op=${so.operatorName} commitMs=${so.commitTimeMs} " +
+                s"rowsTotal=${so.numRowsTotal} custom=${so.customMetrics}")
+            }
+          }
           override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
             println(s"[stream] terminated at ${System.nanoTime() / 1e9}")
         })

@@ -414,7 +414,7 @@ class Round4bPropsSpec extends SparkSpec {
     val single = rows("d16_stream_timer_session")
     val multi = rows("d17_stream_buffered_session")
     // d16 runs the ordered single-batch source (exact there); d17 runs
-    // the +-30min jittered 3-file source — identical declared output
+    // the +-30min jittered 2-file source — identical declared output
     assert(multi == single)
     assert(multi.nonEmpty)
   }

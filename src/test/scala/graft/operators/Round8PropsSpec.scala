@@ -470,14 +470,15 @@ class Round8PropsSpec extends SparkSpec {
     }
     assert(rows.length == perDoc.size)
     // the streaming-specific claim: at least one bucket is claimed in an
-    // earlier id-range third and collided in a LATER third, so the
+    // earlier id-range half and collided in the LATER half, so the
     // verdict genuinely crossed a microbatch boundary through state
+    // (the source is writeRangedHalves — 2 id-ranged files)
     val ids = perDoc.keySet
     val (lo, hi) = (ids.min, ids.max)
     val span = hi - lo + 1
-    def third(id: Long): Long = (id - lo) * 3 / span
+    def half(id: Long): Long = (id - lo) * 2 / span
     val crossBatch = sigs.exists { case (doc, b, sg) =>
-      winner((b, sg)) != doc && third(winner((b, sg))) < third(doc)
+      winner((b, sg)) != doc && half(winner((b, sg))) < half(doc)
     }
     assert(crossBatch, "no cross-batch LSH collision at sf0.001 — the " +
       "multi-batch state continuity claim is untested at this SF")
