@@ -1857,7 +1857,103 @@ object TierB {
 
   private def b71(s: SparkSession, d: String): DataFrame = b71Exec(s, d)._1
 
+  /** b72: SQL SCRIPTING (Spark ≥ 4.0) — procedural control flow
+    * (`BEGIN … DECLARE … WHILE … END`) executed BY the engine, the
+    * declarative twin of the a13/a22 iterate-until-converged drivers:
+    * each loop iteration is a full distributed query (here a pushed-
+    * down count against orders), the loop variable lives in the
+    * script frame on the driver, and no client round-trip glue code
+    * exists to drift. The script doubles a price threshold until
+    * fewer than 1 000 orders clear it — an exponential-search probe
+    * whose trace (start 100, ×2 each round) is pure integer
+    * arithmetic, so the DuckDB oracle replays it as a doubling-grid
+    * scan and picks the first level that breaks the invariant
+    * (counts are monotone nonincreasing in the threshold, which is
+    * what makes first-failure == loop-exit). 100 TB shape: every
+    * iteration is one scan-side-counted aggregate with the predicate
+    * pushed to parquet; the script itself holds two BIGINTs.
+    */
+  private def b72(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("g_orders_b72")
+    s.sql(
+      """BEGIN
+        |  DECLARE th BIGINT DEFAULT 100;
+        |  WHILE (SELECT count(*) FROM g_orders_b72
+        |         WHERE o_totalprice >= th) >= 1000 DO
+        |    SET th = th * 2;
+        |  END WHILE;
+        |  SELECT th AS threshold,
+        |         CAST((SELECT count(*) FROM g_orders_b72
+        |               WHERE o_totalprice >= th) AS BIGINT) AS n_above;
+        |END""".stripMargin)
+  }
+
+  /** b73: SQL UDFs (Spark ≥ 4.1) — `CREATE FUNCTION … RETURNS …
+    * RETURN expr` scalar and `RETURNS TABLE` table functions, the
+    * governed replacement for JVM closures: a SQL UDF is INLINED by the
+    * analyzer (the b73 spec asserts the physical plan carries no UDF
+    * node and the predicate built from one reaches the scan's
+    * pushed filters), so it keeps whole-stage codegen, constant
+    * folding and pushdown that a black-box Scala UDF forfeits —
+    * at 100 TB the difference between a codegen'd column expression
+    * and a per-row serialization boundary. The scalar UDF is the
+    * revenue formula every pricing query repeats; the table UDF
+    * parameterizes a filtered projection (the reusable-view-with-
+    * arguments shape) and composes with the scalar one inside its
+    * body.
+    */
+  private def b73(s: SparkSession, d: String): DataFrame = {
+    lineitem(s, d).createOrReplaceTempView("g_lineitem_b73")
+    s.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION g_rev(p DOUBLE, disc DOUBLE)
+        |RETURNS DOUBLE RETURN p * (1.0 - disc)""".stripMargin)
+    s.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION g_flag_items(flag STRING)
+        |RETURNS TABLE (l_returnflag STRING, cents BIGINT)
+        |RETURN SELECT l_returnflag,
+        |  CAST(floor(g_rev(l_extendedprice, l_discount) * 100) AS BIGINT)
+        |    AS cents
+        |FROM g_lineitem_b73 WHERE l_returnflag = flag""".stripMargin)
+    s.sql(
+      """SELECT l_returnflag, count(*) AS n,
+        |       CAST(sum(CAST(cents AS DECIMAL(38,0))) AS BIGINT)
+        |         AS rev_cents
+        |FROM (SELECT * FROM g_flag_items('R')
+        |      UNION ALL SELECT * FROM g_flag_items('A'))
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
+  /** b74: SQL PIPE SYNTAX (Spark ≥ 4.0) — the linear `FROM … |>
+    * WHERE … |> EXTEND … |> AGGREGATE … |> ORDER BY` form of b1's
+    * scan-filter-project-aggregate. Pipes are pure SURFACE syntax:
+    * each operator feeds the next exactly like DataFrame method
+    * chaining, the analyzer resolves the chain to the SAME logical
+    * plan as the nested-SELECT form, and Catalyst still pushes the
+    * filter below the EXTEND into the scan — which is the point
+    * demonstrated: adopting the readable form costs zero plan
+    * quality. Revenue sums route through exact DECIMAL before the
+    * final DOUBLE cast (the repo-wide float-determinism contract).
+    */
+  private def b74(s: SparkSession, d: String): DataFrame = {
+    lineitem(s, d).createOrReplaceTempView("g_lineitem_b74")
+    s.sql(
+      """FROM g_lineitem_b74
+        ||> WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        ||> EXTEND l_extendedprice * (1 - l_discount) AS disc_price
+        ||> AGGREGATE count(*) AS n,
+        |     CAST(sum(CAST(disc_price AS DECIMAL(18,4))) AS DOUBLE)
+        |       AS revenue
+        |     GROUP BY l_returnflag, l_linestatus
+        ||> ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("b72_sql_scripting", b72 _, Some(
+      "WITH ks AS (SELECT (100::BIGINT * (1::BIGINT << k.k)) AS t FROM range(40) k(k)), c AS (SELECT t, (SELECT count(*) FROM orders WHERE o_totalprice >= t)::BIGINT AS n FROM ks) SELECT t AS threshold, n AS n_above FROM c WHERE n < 1000 ORDER BY t LIMIT 1")),
+    QueryDef("b73_sql_udf", b73 _, Some(
+      "WITH f AS (SELECT l_returnflag, floor((l_extendedprice * (1 - l_discount)) * 100)::BIGINT AS cents FROM lineitem WHERE l_returnflag IN ('R', 'A')) SELECT l_returnflag, count(*)::BIGINT AS n, sum(cents)::BIGINT AS rev_cents FROM f GROUP BY 1 ORDER BY 1")),
+    QueryDef("b74_sql_pipe", b74 _, Some(
+      "SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n, sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4))::DOUBLE AS revenue FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01' GROUP BY 1, 2 ORDER BY 1, 2")),
     QueryDef("b71_join_skew_aqe", b71 _, Some(
       "SELECT s_suppkey, s_name, count(*)::BIGINT AS cnt, sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4))::DOUBLE AS revenue FROM (SELECT CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE l_suppkey END AS k, l_extendedprice, l_discount FROM lineitem) f JOIN supplier ON f.k = s_suppkey GROUP BY 1, 2 ORDER BY 1")),
     QueryDef("b70_session_dynamic_gap", b70 _, Some(

@@ -2439,7 +2439,65 @@ object TierC {
         expr("bit_xor(ch)").as("content_fp"))
       .orderBy("shard")
 
+  /** c67: BM25 RETRIEVAL — ranked lexical search over the corpus, the
+    * workhorse behind decontamination probes, eval-set leakage hunts
+    * and targeted curation ("pull the docs most about X"), and the
+    * retrieval layer c62's inverted index exists to serve. Okapi BM25
+    * (k1=1.2, b=0.75) re-derived in EXACT INTEGER arithmetic so the
+    * DuckDB oracle reproduces every score bit: idf as the bit-length
+    * floor-log2 of N/df (c41's surprisal idiom), the length
+    * normalization as basis points against avgdl scaled ×10 000, and
+    * the tf saturation as one integer division per (doc, term) —
+    * constants folded so k1/b never appear as floats
+    * (num = 22000·tf·10000, den = 10000·tf + 3000 + ⌊9000·10000·dl ÷
+    * avgdl₁₀ₖ⌋). The query is self-derived for corpus-portability:
+    * the tokens df-ranked 11-13 (just below the stopword head — the
+    * discriminative band). Scale shape: df/tf are partially-aggregated
+    * one-pass counts; the 3-term query set broadcasts; the ranking is
+    * TakeOrdered top-10, never a global sort; the only driver-side
+    * values are two corpus scalars (N docs, total tokens — one
+    * 2-column head(), k-bounded by construction). Magnitudes stay
+    * inside LONG because avgdl enters only through the pre-divided
+    * ×10 000 ratio — no tf·S or dl·N cross products (the b60 ANSI
+    * discipline applied at design time rather than patched after).
+    */
+  private def c67(s: SparkSession, d: String): DataFrame = {
+    val tok = documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // two corpus scalars (bounded: one row, two longs; sum is NULL on
+    // an empty corpus — guard keeps the query total-function)
+    val totRow = documents(s, d)
+      .agg(count(lit(1)), sum(size(split(col("text"), " ")))).head()
+    val nDocs = totRow.getLong(0)
+    val totTok = if (totRow.isNullAt(1)) 0L else totRow.getLong(1)
+    val avgdl10k = math.max(1L, 10000L * totTok / math.max(1L, nDocs))
+    val dfT = tok.distinct().groupBy("w").agg(count(lit(1)).as("df"))
+    // query = the df-ranked 11-13 tokens; 13 rows survive the limit, so
+    // the rank window runs on a k-bounded SINGLE partition (c41's
+    // Window.partitionBy() idiom — bounded by the limit, never a
+    // global-order funnel over an unbounded frame)
+    val qterms = dfT.orderBy(col("df").desc, col("w")).limit(13)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy().orderBy(col("df").desc, col("w"))))
+      .filter(col("rk") >= 11)
+      .select(col("w"), col("df"))
+    val tf = tok.join(broadcast(qterms), Seq("w"))
+      .groupBy("doc_id", "w", "df").agg(count(lit(1)).as("tf"))
+    tf.join(dl, Seq("doc_id"))
+      .withColumn("idf_bits",
+        (length(bin(expr(s"$nDocs div df"))) - 1).cast("long"))
+      .withColumn("sbp", expr(
+        s"(idf_bits * 220000000 * tf) div " +
+          s"(10000 * tf + 3000 + (90000000 * dl) div $avgdl10k)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit"), sum("sbp").as("score_bp"))
+      .orderBy(col("score_bp").desc, col("doc_id")).limit(10)
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("c67_bm25", c67 _, Some(
+      "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents), dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1), tot AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n, count(*)::BIGINT AS s FROM tok), a AS (SELECT greatest(1, (10000 * s) // greatest(1, n)) AS a10k, n FROM tot), dfx AS (SELECT w, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY 1), terms AS (SELECT w, df FROM (SELECT w, df, row_number() OVER (ORDER BY df DESC, w) AS rk FROM dfx) WHERE rk BETWEEN 11 AND 13), tf AS (SELECT t.doc_id, t.w, count(*)::BIGINT AS tf FROM tok t JOIN terms q ON t.w = q.w GROUP BY 1, 2), sc AS (SELECT tf.doc_id, ((length(bin((a.n // q.df))) - 1) * 220000000 * tf.tf) // (10000 * tf.tf + 3000 + (90000000 * d.dl) // a.a10k) AS sbp FROM tf JOIN terms q ON tf.w = q.w JOIN dl d ON tf.doc_id = d.doc_id, a) SELECT doc_id, count(*)::BIGINT AS n_hit, sum(sbp)::BIGINT AS score_bp FROM sc GROUP BY 1 ORDER BY score_bp DESC, doc_id LIMIT 10")),
     QueryDef("c66_shard_manifest", c66 _, Some(
       s"WITH b AS (SELECT (${duckHash("'shard:' || doc_id::VARCHAR")} % 8) AS shard, doc_id, n_chars, ${duckHash("'doc:' || md5(text)")} AS ch FROM documents) SELECT shard, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS bytes, min(doc_id) AS min_doc, max(doc_id) AS max_doc, bit_xor(ch) AS content_fp FROM b GROUP BY 1 ORDER BY 1")),
     QueryDef("c65_ann_recall_eval", c65 _, Some(
