@@ -766,7 +766,31 @@ object TierA {
 
   private def a34(s: SparkSession, d: String): DataFrame = a34Exec(s, d)._1
 
+  /** a35: AGGREGATE PUSHDOWN into the custom DSv2 source
+    * (`SupportsPushDownAggregates`, complete pushdown) — COUNT/MIN/MAX
+    * grouped by the bucket key are answered CLOSED-FORM by the
+    * connector from the (filter-narrowed) id range, the generator's
+    * analogue of parquet footer statistics / Iceberg manifest
+    * aggregates: the scan emits one final row per bucket and the plan
+    * contains NO aggregation operator at all (spec-asserted, along
+    * with the fallback: an unsupported SUM still plans the ordinary
+    * row scan + hash aggregate). At 100 TB this is the difference
+    * between a metadata read and a full-table scan for the
+    * count/min/max class of audit queries. Filter pushdown composes:
+    * Spark narrows [lo, hi) before the aggregate arrives.
+    */
+  private def a35(s: SparkSession, d: String): DataFrame =
+    s.read.format("pairgen")
+      .option("rows", "100000").option("buckets", "8").load()
+      .filter(col("id") >= 1000 && col("id") < 90000)
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_ids"),
+        min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+      .orderBy("grp")
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("a35_source_agg_pushdown", a35 _, Some(
+      "SELECT (t.i % 8)::BIGINT AS grp, count(*)::BIGINT AS n_ids, min(t.i)::BIGINT AS min_id, max(t.i)::BIGINT AS max_id FROM range(100000) t(i) WHERE t.i >= 1000 AND t.i < 90000 GROUP BY 1 ORDER BY 1")),
     QueryDef("a34_join_storage_partitioned", a34 _, Some(
       "WITH l AS (SELECT t.i AS id, md5(t.i::VARCHAR) AS value, t.i % 8 AS grp FROM range(10000) t(i)), r AS (SELECT t.i AS id, md5(t.i::VARCHAR) AS value, t.i % 8 AS grp FROM range(5000) t(i)) SELECT l.grp::BIGINT AS grp, count(*)::BIGINT AS n_pairs, min(l.id)::BIGINT AS min_id, max(l.id)::BIGINT AS max_id, sum(CASE WHEN l.value = r.value THEN 1 ELSE 0 END)::BIGINT AS n_value_eq FROM l JOIN r ON l.grp = r.grp AND l.id = r.id GROUP BY 1 ORDER BY 1")),
     QueryDef("a33_source_binary_files", a33 _, Some(

@@ -2495,7 +2495,50 @@ object TierC {
       .orderBy(col("score_bp").desc, col("doc_id")).limit(10)
   }
 
+  /** c68: UNICODE-NORMALIZATION-INSENSITIVE DEDUP — the canonical-
+    * equivalence gap every byte-level dedup pass (c1, c2, c46's URL
+    * canon) silently has on real multilingual crawl data: precomposed
+    * `é` (U+00E9) and decomposed `e`+U+0301 are the SAME text to a
+    * reader and DIFFERENT bytes to md5, so near-identical documents
+    * split across canonicalization forms survive exact dedup. The
+    * kernel applies Unicode NFC (java.text.Normalizer — the same
+    * standard normalization DuckDB's `nfc_normalize` implements)
+    * before fingerprinting, inside a typed mapPartitions kernel
+    * (c16's shape: no built-in Spark function exposes NFC, and a
+    * catalyst-side kernel beats a per-row UDF closure). The demo
+    * synthesizes both forms per document (the corpus itself is ASCII —
+    * the round-9 multi-byte fuzz made that assumption explicit) and
+    * the declared output proves raw fingerprints split (n_raw = 2)
+    * while normalized ones agree (n_norm = 1). Scale shape: pure
+    * map-side kernel + ONE doc-keyed partial-agg'd exchange; at 100 TB
+    * this is the same pass c20 (normalize) already budgets, NFC
+    * folded into it for free.
+    */
+  private def c68(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select(col("doc_id"), explode(array(
+        // precomposed U+00E9 vs decomposed e + U+0301 — same text,
+        // different bytes (written as escapes so no tool touching this
+        // source file can re-normalize and silently collapse the forms)
+        concat(lit("caf\u00e9 "), col("text")),
+        concat(lit("cafe\u0301 "), col("text")))).as("raw"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, raw) =>
+        (id, raw,
+          java.text.Normalizer.normalize(raw, java.text.Normalizer.Form.NFC))
+      })
+      .toDF("doc_id", "raw", "norm")
+      .groupBy("doc_id")
+      .agg(countDistinct(md5(col("raw"))).as("n_raw"),
+        countDistinct(md5(col("norm"))).as("n_norm"),
+        min(md5(col("norm"))).as("norm_fp"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("c68_dedup_nfc", c68 _, Some(
+      "WITH v AS (SELECT doc_id, 'café ' || text AS raw FROM documents UNION ALL SELECT doc_id, 'café ' || text FROM documents) SELECT doc_id, count(DISTINCT md5(raw))::BIGINT AS n_raw, count(DISTINCT md5(nfc_normalize(raw)))::BIGINT AS n_norm, min(md5(nfc_normalize(raw))) AS norm_fp FROM v GROUP BY 1 ORDER BY 1")),
     QueryDef("c67_bm25", c67 _, Some(
       "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents), dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1), tot AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n, count(*)::BIGINT AS s FROM tok), a AS (SELECT greatest(1, (10000 * s) // greatest(1, n)) AS a10k, n FROM tot), dfx AS (SELECT w, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY 1), terms AS (SELECT w, df FROM (SELECT w, df, row_number() OVER (ORDER BY df DESC, w) AS rk FROM dfx) WHERE rk BETWEEN 11 AND 13), tf AS (SELECT t.doc_id, t.w, count(*)::BIGINT AS tf FROM tok t JOIN terms q ON t.w = q.w GROUP BY 1, 2), sc AS (SELECT tf.doc_id, ((length(bin((a.n // q.df))) - 1) * 220000000 * tf.tf) // (10000 * tf.tf + 3000 + (90000000 * d.dl) // a.a10k) AS sbp FROM tf JOIN terms q ON tf.w = q.w JOIN dl d ON tf.doc_id = d.doc_id, a) SELECT doc_id, count(*)::BIGINT AS n_hit, sum(sbp)::BIGINT AS score_bp FROM sc GROUP BY 1 ORDER BY score_bp DESC, doc_id LIMIT 10")),
     QueryDef("c66_shard_manifest", c66 _, Some(

@@ -86,11 +86,13 @@ private[sources] class PairGenTable(
 private[sources] class PairGenScanBuilder(
     rows: Long, slices: Int, batchRows: Long, buckets: Int)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
   private var lo = 0L
   private var hi = rows
   private var pushed = Array.empty[Filter]
   private var required: StructType = PairGenSource.schemaFor(buckets)
+  private var aggOps: Option[PairGenAggSpec] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (sup, unsup) = filters.partition {
@@ -111,8 +113,147 @@ private[sources] class PairGenScanBuilder(
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan =
-    new PairGenScan(lo, hi, slices, batchRows, buckets, required)
+
+  /** AGGREGATE PUSHDOWN (a35): COUNT(*) / COUNT(id) / MIN(id) /
+    * MAX(id), optionally grouped by the bucket key `grp`, are
+    * CLOSED-FORM over the generated id range — the connector answers
+    * them from arithmetic without materializing a single data row
+    * (the generator's analogue of parquet footer statistics / Iceberg
+    * manifest aggregates). `supportCompletePushDown` returns true for
+    * the supported shapes, so Spark plans NO aggregation operator at
+    * all: the scan's output rows ARE the final results (one row, or
+    * one per bucket when grouped). Filter pushdown composes — Spark
+    * pushes filters before aggregates, so [lo, hi) is already
+    * narrowed when the aggregate arrives. Unsupported shapes return
+    * false and fall back to the ordinary row scan untouched.
+    */
+  private def aggSpecOf(agg: org.apache.spark.sql.connector.expressions
+      .aggregate.Aggregation): Option[PairGenAggSpec] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    def refTo(e: org.apache.spark.sql.connector.expressions.Expression,
+        name: String): Boolean = e match {
+      case f: NamedReference => f.fieldNames.sameElements(Array(name))
+      case _                 => false
+    }
+    val grouped = agg.groupByExpressions.length match {
+      case 0                                             => Some(false)
+      case 1 if buckets > 0 &&
+        refTo(agg.groupByExpressions()(0), "grp")        => Some(true)
+      case _                                             => None
+    }
+    val ops = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar               => Some(PairGenAggOp.Cnt)
+      case c: Count if !c.isDistinct && refTo(c.column, "id") =>
+        Some(PairGenAggOp.Cnt)
+      case m: Min if refTo(m.column, "id") => Some(PairGenAggOp.MinId)
+      case m: Max if refTo(m.column, "id") => Some(PairGenAggOp.MaxId)
+      case _                          => None
+    }
+    for (g <- grouped; o <- Some(ops) if o.forall(_.isDefined))
+      yield PairGenAggSpec(g, o.map(_.get))
+  }
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean = aggSpecOf(agg).isDefined
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean = {
+    aggOps = aggSpecOf(agg)
+    aggOps.isDefined
+  }
+
+  override def build(): Scan = aggOps match {
+    case Some(spec) => new PairGenAggScan(lo, hi, buckets, spec)
+    case None => new PairGenScan(lo, hi, slices, batchRows, buckets, required)
+  }
+}
+
+private[sources] object PairGenAggOp extends Enumeration {
+  val Cnt, MinId, MaxId = Value
+}
+
+private[sources] case class PairGenAggSpec(
+    grouped: Boolean, ops: Seq[PairGenAggOp.Value])
+
+/** Completely-pushed aggregate scan: emits the FINAL aggregate rows
+  * closed-form. Ungrouped: one partition, one row. Grouped by `grp`:
+  * one partition per bucket, each emitting its own (grp, aggs…) row —
+  * still key-grouped, still zero data rows materialized. An empty
+  * narrowed range emits count=0 with NULL min/max (matching what the
+  * engine's aggregate would produce over zero rows).
+  */
+private[sources] class PairGenAggScan(
+    lo: Long, hi: Long, buckets: Int, spec: PairGenAggSpec)
+    extends Scan with Batch {
+  override def readSchema(): StructType = {
+    val aggFields = spec.ops.zipWithIndex.map { case (op, i) =>
+      StructField(s"agg_$i", LongType, nullable = op != PairGenAggOp.Cnt)
+    }
+    StructType(
+      (if (spec.grouped) Seq(StructField("grp", LongType, nullable = false))
+       else Seq.empty) ++ aggFields)
+  }
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"PairGenAggScan range=[$lo,$hi) grouped=${spec.grouped} " +
+      s"pushedAggregates=[${spec.ops.mkString(",")}]"
+  override def planInputPartitions(): Array[InputPartition] =
+    if (spec.grouped)
+      (0 until buckets)
+        .map(b => PairGenAggPartition(lo, hi, b, buckets): InputPartition)
+        .toArray
+    else Array(PairGenAggPartition(lo, hi, -1, 0))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PairGenAggReaderFactory(spec)
+}
+
+private[sources] case class PairGenAggPartition(
+    lo: Long, hi: Long, bucket: Int, buckets: Int) extends InputPartition
+
+private[sources] class PairGenAggReaderFactory(spec: PairGenAggSpec)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[PairGenAggPartition]
+    new PartitionReader[InternalRow] {
+      // ids of this partition: [lo, hi), restricted to the residue
+      // class when bucketed — first/last via modular arithmetic
+      private val (first, last) =
+        if (part.buckets <= 0) (part.lo, part.hi - 1)
+        else {
+          val k = part.buckets.toLong
+          val f = part.lo +
+            (((part.bucket.toLong - part.lo) % k) + k) % k
+          if (f >= part.hi) (1L, 0L) // empty marker (first > last)
+          else (f, f + ((part.hi - 1 - f) / k) * k)
+        }
+      private val empty = last < first
+      private var emitted = false
+      // GROUPED + empty: the engine's aggregate emits NO row for a
+      // group with no input — an empty bucket must vanish, not report
+      // count=0. UNGROUPED + empty: a global aggregate over zero rows
+      // emits exactly one row (count=0, NULL min/max) — keep it.
+      override def next(): Boolean =
+        !(empty && part.buckets > 0) && !emitted && { emitted = true; true }
+      override def get(): InternalRow = {
+        val cnt =
+          if (empty) 0L
+          else if (part.buckets <= 0) last - first + 1
+          else (last - first) / part.buckets + 1
+        val vals = spec.ops.map {
+          case PairGenAggOp.Cnt => java.lang.Long.valueOf(cnt)
+          case PairGenAggOp.MinId =>
+            if (empty) null else java.lang.Long.valueOf(first)
+          case PairGenAggOp.MaxId =>
+            if (empty) null else java.lang.Long.valueOf(last)
+        }
+        InternalRow.fromSeq(
+          (if (spec.grouped) Seq(java.lang.Long.valueOf(part.bucket.toLong))
+           else Seq.empty) ++ vals)
+      }
+      override def close(): Unit = ()
+    }
+  }
 }
 
 private[sources] class PairGenScan(

@@ -149,4 +149,33 @@ class Round9PropsSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"),
       "c67 top-10 should plan as TakeOrderedAndProject")
   }
+
+  test("c68: NFC collapses the two canonical forms; raw bytes split them") {
+    val rows = q("c68_dedup_nfc").collect()
+    assert(rows.nonEmpty)
+    // every doc must show EXACTLY two raw forms folding to one
+    // normalized fingerprint — n_raw == 1 would mean the two source
+    // literals silently collapsed to the same byte sequence (an editor
+    // or tool re-normalizing the .scala/SQL text), which is the
+    // failure mode the escape-sequence literals exist to prevent
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_raw") == 2L,
+        s"doc ${r.getLong(0)}: raw forms collapsed — NFC demo is vacuous")
+      assert(r.getAs[Long]("n_norm") == 1L,
+        s"doc ${r.getLong(0)}: NFC failed to unify the canonical forms")
+    }
+    // and the kernel agrees byte-for-byte with java.text.Normalizer on
+    // the precomposed form (norm_fp is md5 of the NFC string)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.take(5).foreach { r =>
+      val expect = java.text.Normalizer.normalize(
+        "café " + docs(r.getLong(0)), java.text.Normalizer.Form.NFC)
+      val fp = md.digest(expect.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(r.getAs[String]("norm_fp") == fp)
+    }
+  }
 }

@@ -87,4 +87,64 @@ class PairGenSourceSpec extends SparkSpec {
     assert(batches.forall(_.numInputRows <= 10),
       batches.map(_.numInputRows).toSeq)
   }
+
+  test("a35: complete aggregate pushdown — no aggregation operator in the plan") {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.format("pairgen")
+      .option("rows", "100000").option("buckets", "8").load()
+      .filter(col("id") >= 1000 && col("id") < 90000)
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_ids"),
+        min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PairGenAggScan"),
+      s"aggregate did not push into the source:\n$plan")
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      s"complete pushdown still planned an aggregate:\n$plan")
+    // values equal a from-scratch recomputation over the RAW row scan
+    // (select id+grp only ⇒ the aggregate cannot push on that path)
+    val raw = spark.read.format("pairgen")
+      .option("rows", "100000").option("buckets", "8").load()
+      .filter(col("id") >= 1000 && col("id") < 90000)
+      .select("id", "grp").collect()
+      .groupBy(_.getLong(1)).view
+      .mapValues(rs => (rs.length.toLong,
+        rs.map(_.getLong(0)).min, rs.map(_.getLong(0)).max))
+    df.collect().foreach { r =>
+      val (n, mn, mx) = raw(r.getLong(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((n, mn, mx)))
+    }
+    assert(df.count() == 8)
+  }
+
+  test("a35: unsupported aggregate falls back to the row scan") {
+    import org.apache.spark.sql.functions._
+    val f = spark.read.format("pairgen").option("rows", "1000").load()
+      .agg(sum("id").as("sum_id"))
+    val plan = f.queryExecution.executedPlan.toString
+    assert(plan.contains("PairGenScan") && !plan.contains("PairGenAggScan"),
+      s"unsupported SUM should not push:\n$plan")
+    assert(f.head().getLong(0) == 499500L)
+  }
+
+  test("a35: empty range — grouped buckets vanish, global aggregate emits one row") {
+    import org.apache.spark.sql.functions._
+    // `id >= rows` is empty only given the SOURCE's row count, which
+    // the optimizer cannot see — so the connector (not constant
+    // folding) must produce the empty-range semantics
+    val grouped = spark.read.format("pairgen")
+      .option("rows", "50").option("buckets", "8").load()
+      .filter(col("id") >= 50)
+      .groupBy("grp").agg(count(lit(1)).as("n"))
+    assert(grouped.queryExecution.executedPlan.toString
+      .contains("PairGenAggScan"))
+    assert(grouped.count() == 0,
+      "empty buckets must emit no group rows, matching the engine")
+    val global = spark.read.format("pairgen").option("rows", "50").load()
+      .filter(col("id") >= 50)
+      .agg(count(lit(1)).as("n"), min("id").as("mn"))
+    val r = global.head()
+    assert(r.getLong(0) == 0L && r.isNullAt(1),
+      "global aggregate over zero rows is one row: count=0, NULL min")
+  }
 }
