@@ -788,7 +788,28 @@ object TierA {
         min(col("id")).as("min_id"), max(col("id")).as("max_id"))
       .orderBy("grp")
 
+  /** a36: TOP-N PUSHDOWN into the custom DSv2 source
+    * (`SupportsPushDownTopN`, plus `SupportsPushDownLimit` for the
+    * unordered case): `ORDER BY id DESC LIMIT n` over the
+    * deterministic generator is pure range narrowing — the connector
+    * clamps to the last n ids of the (filter-narrowed) range and
+    * emits them in order from ONE partition, so Spark drops its own
+    * Sort+Limit entirely (`isPartiallyPushed = false`; the plan
+    * carries no TakeOrdered — spec-asserted). The file-source
+    * analogue is serving top-N from a sorted/indexed layout instead
+    * of scanning and sorting; at 100 TB that turns an O(table) sort
+    * into an O(n) metadata-guided read. A bare LIMIT narrows the
+    * range too but conservatively leaves Spark's limit operator in
+    * place (partially-pushed contract).
+    */
+  private def a36(s: SparkSession, d: String): DataFrame =
+    s.read.format("pairgen").option("rows", "100000").load()
+      .filter(col("id") >= 500)
+      .orderBy(col("id").desc).limit(7)
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("a36_source_topn_pushdown", a36 _, Some(
+      "SELECT t.i AS id, md5(t.i::VARCHAR) AS value FROM range(100000) t(i) WHERE t.i >= 500 ORDER BY id DESC LIMIT 7")),
     QueryDef("a35_source_agg_pushdown", a35 _, Some(
       "SELECT (t.i % 8)::BIGINT AS grp, count(*)::BIGINT AS n_ids, min(t.i)::BIGINT AS min_id, max(t.i)::BIGINT AS max_id FROM range(100000) t(i) WHERE t.i >= 1000 AND t.i < 90000 GROUP BY 1 ORDER BY 1")),
     QueryDef("a34_join_storage_partitioned", a34 _, Some(

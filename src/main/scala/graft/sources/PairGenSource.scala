@@ -87,12 +87,14 @@ private[sources] class PairGenScanBuilder(
     rows: Long, slices: Int, batchRows: Long, buckets: Int)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with SupportsPushDownLimit with SupportsPushDownTopN {
   private var lo = 0L
   private var hi = rows
   private var pushed = Array.empty[Filter]
   private var required: StructType = PairGenSource.schemaFor(buckets)
   private var aggOps: Option[PairGenAggSpec] = None
+  private var topNDesc: Option[Boolean] = None // Some(descending?)
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (sup, unsup) = filters.partition {
@@ -163,9 +165,52 @@ private[sources] class PairGenScanBuilder(
     aggOps.isDefined
   }
 
+  /** LIMIT / TOP-N PUSHDOWN (a36): over a deterministic id-ordered
+    * generator both are pure RANGE NARROWING — `LIMIT n` keeps any n
+    * rows, so the range clamps to its first n ids; `ORDER BY id
+    * [DESC] LIMIT n` clamps to the range's first/last n ids and the
+    * scan emits them IN ORDER from a single partition
+    * (`isPartiallyPushed = false`, so Spark drops its own Sort+Limit
+    * entirely — the file-source analogue is a parquet reader serving
+    * top-N from a sorted/indexed layout). Declined when an aggregate
+    * was already pushed (the combination never arises from Spark's
+    * push order but would compose wrongly) and for any sort key other
+    * than bare `id`.
+    */
+  override def pushLimit(n: Int): Boolean =
+    if (aggOps.isDefined || buckets > 0 || n < 0) false
+    else {
+      hi = math.min(hi, lo + n)
+      true
+    }
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      n: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
+    val ok = !aggOps.isDefined && buckets <= 0 && n >= 0 &&
+      orders.length == 1 &&
+      (orders(0).expression() match {
+        case f: NamedReference => f.fieldNames.sameElements(Array("id"))
+        case _                 => false
+      })
+    if (!ok) false
+    else {
+      val desc = orders(0).direction() == SortDirection.DESCENDING
+      if (desc) lo = math.max(lo, hi - n) else hi = math.min(hi, lo + n)
+      topNDesc = Some(desc)
+      true
+    }
+  }
+  // top-N is FULLY pushed (single ordered partition); a bare limit is
+  // partially pushed (the narrowed range is exact, but leaving Spark's
+  // limit operator in place is the conservative contract)
+  override def isPartiallyPushed: Boolean = topNDesc.isEmpty
+
   override def build(): Scan = aggOps match {
     case Some(spec) => new PairGenAggScan(lo, hi, buckets, spec)
-    case None => new PairGenScan(lo, hi, slices, batchRows, buckets, required)
+    case None =>
+      new PairGenScan(lo, hi, slices, batchRows, buckets, required,
+        ordered = topNDesc, singlePartition = topNDesc.isDefined)
   }
 }
 
@@ -258,7 +303,8 @@ private[sources] class PairGenAggReaderFactory(spec: PairGenAggSpec)
 
 private[sources] class PairGenScan(
     lo: Long, hi: Long, slices: Int, batchRows: Long, buckets: Int,
-    required: StructType)
+    required: StructType,
+    ordered: Option[Boolean] = None, singlePartition: Boolean = false)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   override def readSchema(): StructType = required
@@ -267,9 +313,17 @@ private[sources] class PairGenScan(
       checkpointLocation: String): streaming.MicroBatchStream =
     new PairGenMicroBatchStream(lo, hi, slices, batchRows, required)
   override def description(): String =
-    s"PairGenScan range=[$lo,$hi) cols=${required.fieldNames.mkString(",")}"
+    s"PairGenScan range=[$lo,$hi) cols=${required.fieldNames.mkString(",")}" +
+      ordered.map(d => s" pushedTopN(desc=$d)").getOrElse("")
   override def planInputPartitions(): Array[InputPartition] =
-    if (buckets <= 0) PairGenSource.splitRange(lo, hi, slices)
+    if (singlePartition)
+      // fully-pushed top-N: ONE partition emitting the narrowed range
+      // in the requested order — the global-order contract
+      // isPartiallyPushed=false rests on
+      Array(
+        if (ordered.contains(true)) PairGenDescPartition(lo, hi)
+        else PairGenPartition(lo, hi))
+    else if (buckets <= 0) PairGenSource.splitRange(lo, hi, slices)
     else (0 until buckets)
       .map(b => PairGenBucketPartition(lo, hi, b, buckets): InputPartition)
       .toArray
@@ -294,6 +348,12 @@ private[sources] class PairGenScan(
 }
 
 private[sources] case class PairGenPartition(start: Long, end: Long)
+    extends InputPartition
+
+/** Descending emission of [start, end) — the fully-pushed
+  * `ORDER BY id DESC LIMIT n` shape (unbucketed tables only).
+  */
+private[sources] case class PairGenDescPartition(start: Long, end: Long)
     extends InputPartition
 
 /** One key-group of the bucketed layout: the ids in [lo, hi) with
@@ -374,10 +434,12 @@ private[sources] class PairGenReaderFactory(required: StructType)
     extends PartitionReaderFactory {
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
-    // (first, end, stride): contiguous range for plain partitions; a
-    // mod-class stride for bucketed ones. Same generator either way.
-    val (first, end, stride, nBuckets) = partition match {
+    // (first, bound, stride): contiguous range for plain partitions; a
+    // mod-class stride for bucketed ones; negative stride for the
+    // descending top-N partition. Same generator either way.
+    val (first, bound, stride, nBuckets) = partition match {
       case p: PairGenPartition => (p.start, p.end, 1L, 0)
+      case d: PairGenDescPartition => (d.end - 1, d.start, -1L, 0)
       case b: PairGenBucketPartition =>
         (b.lo + (((b.bucket - b.lo % b.buckets) + b.buckets) % b.buckets),
           b.hi, b.buckets.toLong, b.buckets)
@@ -404,7 +466,10 @@ private[sources] class PairGenReaderFactory(required: StructType)
         case "value" => (v: Long) => md5Hex(v): Any
         case "grp"   => (v: Long) => v % math.max(1, nBuckets): Any
       }
-      override def next(): Boolean = { cur += stride; cur < end }
+      override def next(): Boolean = {
+        cur += stride
+        if (stride > 0) cur < bound else cur >= bound
+      }
       override def get(): InternalRow = {
         val vals = new Array[Any](gens.length)
         var i = 0

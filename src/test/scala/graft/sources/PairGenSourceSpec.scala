@@ -127,6 +127,38 @@ class PairGenSourceSpec extends SparkSpec {
     assert(f.head().getLong(0) == 499500L)
   }
 
+  test("a36: top-N pushes fully — no Sort/TakeOrdered; limit narrows the range") {
+    import org.apache.spark.sql.functions._
+    val t = spark.read.format("pairgen").option("rows", "100000").load()
+    val topn = t.filter(col("id") >= 500).orderBy(col("id").desc).limit(7)
+    val plan = topn.queryExecution.executedPlan.toString
+    assert(plan.contains("pushedTopN(desc=true)"),
+      s"top-N did not push:\n$plan")
+    assert(!plan.contains("TakeOrdered") && !plan.contains("Sort"),
+      s"fully-pushed top-N should carry no sort operator:\n$plan")
+    assert(topn.collect().map(_.getLong(0)).toSeq ==
+      (99999L to 99993L by -1L).toSeq)
+    // ascending variant
+    val asc = t.orderBy("id").limit(3)
+    assert(asc.queryExecution.executedPlan.toString
+      .contains("pushedTopN(desc=false)"))
+    assert(asc.collect().map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    // bare LIMIT: range narrowed at the source (scan range is [10,15)),
+    // Spark's own limit stays (partially-pushed contract)
+    val lim = t.filter(col("id") >= 10).limit(5)
+    val lplan = lim.queryExecution.executedPlan.toString
+    assert(lplan.contains("range=[10,15)"), s"limit did not narrow:\n$lplan")
+    assert(lplan.contains("CollectLimit") || lplan.contains("GlobalLimit"))
+    assert(lim.count() == 5)
+    // bucketed tables decline (grp generation is residue-based; a
+    // narrowed contiguous range would lie about the key grouping)
+    val b = spark.read.format("pairgen")
+      .option("rows", "1000").option("buckets", "4").load()
+      .orderBy("id").limit(3)
+    assert(!b.queryExecution.executedPlan.toString.contains("pushedTopN"))
+    assert(b.collect().map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+  }
+
   test("a35: empty range — grouped buckets vanish, global aggregate emits one row") {
     import org.apache.spark.sql.functions._
     // `id >= rows` is empty only given the SOURCE's row count, which
