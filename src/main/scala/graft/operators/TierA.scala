@@ -807,7 +807,34 @@ object TierA {
       .filter(col("id") >= 500)
       .orderBy(col("id").desc).limit(7)
 
+  /** a37: RUNTIME FILTERING on the custom DSv2 source
+    * (`SupportsRuntimeV2Filtering`) — dynamic partition pruning for
+    * connectors, b55's parquet DPP re-expressed at the DSv2 extension
+    * point (the Iceberg manifest-pruning shape): Spark evaluates the
+    * broadcast dim side FIRST (region filtered to two names), hands
+    * the surviving join keys to the scan as a runtime `IN(grp, …)`
+    * predicate, and the scan SKIPS whole bucket partitions before a
+    * single row is generated — the spec proves it by the scan's
+    * numOutputRows metric (2 buckets' worth, not 8). Runtime filters
+    * are an optimization contract, never correctness: the join above
+    * re-applies the condition, so an ignored or partial filter only
+    * costs time. At 100 TB this is the difference between generating
+    * (reading) 8/8 and 2/8 of a table to serve a selective
+    * dim-filtered join.
+    */
+  private def a37(s: SparkSession, d: String): DataFrame =
+    s.read.format("pairgen")
+      .option("rows", "100000").option("buckets", "8").load()
+      .join(region(s, d).filter(col("r_name").isin("ASIA", "AMERICA")),
+        col("grp") === col("r_regionkey"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_ids"), min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"))
+      .orderBy("grp")
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("a37_source_runtime_filter", a37 _, Some(
+      "SELECT (t.i % 8)::BIGINT AS grp, count(*)::BIGINT AS n_ids, min(t.i)::BIGINT AS min_id, max(t.i)::BIGINT AS max_id FROM range(100000) t(i) JOIN region ON (t.i % 8) = r_regionkey WHERE r_name IN ('ASIA', 'AMERICA') GROUP BY 1 ORDER BY 1")),
     QueryDef("a36_source_topn_pushdown", a36 _, Some(
       "SELECT t.i AS id, md5(t.i::VARCHAR) AS value FROM range(100000) t(i) WHERE t.i >= 500 ORDER BY id DESC LIMIT 7")),
     QueryDef("a35_source_agg_pushdown", a35 _, Some(

@@ -306,7 +306,48 @@ private[sources] class PairGenScan(
     required: StructType,
     ordered: Option[Boolean] = None, singlePartition: Boolean = false)
     extends Scan with Batch
-    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  /** RUNTIME FILTERING (a37): on the bucketed layout the scan accepts
+    * join-driven runtime predicates on `grp` — Spark evaluates the
+    * small join side first, hands the surviving key set here as an
+    * `IN` predicate, and [[planInputPartitions]] then SKIPS whole
+    * bucket partitions before a single row is generated (DSv2 dynamic
+    * partition pruning, the Iceberg-manifest-pruning shape; b55 is
+    * the parquet twin). Unrecognized predicate shapes are ignored —
+    * runtime filters are an optimization contract, never a
+    * correctness one (Spark re-applies the join condition above).
+    */
+  private var allowedGrps: Option[Set[Long]] = None
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (buckets > 0)
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .column("grp"))
+    else Array.empty
+  override def filter(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
+    predicates.foreach { p =>
+      if (p.name() == "IN" && p.children().nonEmpty) {
+        val onGrp = p.children()(0) match {
+          case f: org.apache.spark.sql.connector.expressions.NamedReference =>
+            f.fieldNames.sameElements(Array("grp"))
+          case _ => false
+        }
+        if (onGrp) {
+          val vals = p.children().drop(1).collect {
+            case l: org.apache.spark.sql.connector.expressions
+              .Literal[_] if l.value() != null =>
+              l.value() match {
+                case n: java.lang.Number => n.longValue()
+              }
+          }.toSet
+          if (vals.nonEmpty)
+            allowedGrps = Some(allowedGrps.fold(vals)(_ intersect vals))
+        }
+      }
+    }
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(
@@ -325,6 +366,7 @@ private[sources] class PairGenScan(
         else PairGenPartition(lo, hi))
     else if (buckets <= 0) PairGenSource.splitRange(lo, hi, slices)
     else (0 until buckets)
+      .filter(b => allowedGrps.forall(_.contains(b.toLong)))
       .map(b => PairGenBucketPartition(lo, hi, b, buckets): InputPartition)
       .toArray
   /** Bucketed: `KeyGroupedPartitioning(identity(grp))` — the report

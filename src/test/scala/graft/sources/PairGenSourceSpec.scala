@@ -159,6 +159,50 @@ class PairGenSourceSpec extends SparkSpec {
     assert(b.collect().map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
   }
 
+  test("a37: runtime filter skips bucket partitions — proven by the scan metric") {
+    import org.apache.spark.sql.functions._
+    val df = graft.SparkEntry.queries("a37_source_runtime_filter")(
+      spark, sf0001)
+    val rows = df.collect()
+    // only region keys 1 (AMERICA) and 2 (ASIA) survive the dim filter
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(rows.forall(_.getLong(1) == 12500L))
+    // the runtime IN predicate reached the scan…
+    def finalPlan(p: org.apache.spark.sql.execution.SparkPlan)
+        : org.apache.spark.sql.execution.SparkPlan = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    val plan = finalPlan(df.queryExecution.executedPlan)
+    assert(plan.toString.contains("dynamicpruningexpression"),
+      s"no runtime filter on the scan:\n$plan")
+    // …and actually pruned: the scan EMITTED two buckets' worth of
+    // rows (2 × 12500), not the full 100000 — partition skipping, not
+    // join-side post-filtering. (Hand traversal: AQE hides the scan
+    // inside query stages that collectWithSubqueries won't enter.)
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allNodes(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        p +: allNodes(q.plan)
+      case other => other +: other.children.flatMap(allNodes)
+    }
+    val scans = allNodes(plan).collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+        if b.toString.contains("PairGenScan") => b
+    }
+    assert(scans.nonEmpty)
+    // the declared ORDER BY plans a range exchange whose boundary
+    // SAMPLING pass executes the scan a second time, so the metric
+    // reads 2 × (2 buckets × 12500). Unpruned, either pass alone
+    // would already exceed that.
+    val emitted = scans.map(_.metrics("numOutputRows").value).max
+    assert(emitted % 25000L == 0L && emitted <= 50000L,
+      s"scan emitted $emitted rows — runtime pruning did not skip buckets")
+  }
+
   test("a35: empty range — grouped buckets vanish, global aggregate emits one row") {
     import org.apache.spark.sql.functions._
     // `id >= rows` is empty only given the SOURCE's row count, which
