@@ -1947,7 +1947,63 @@ object TierB {
         ||> ORDER BY l_returnflag, l_linestatus""".stripMargin)
   }
 
+  /** b75: REAL SQL `MERGE INTO` against a DSv2 connector — b45
+    * computes CDC-merge semantics with explicit joins; here the ENGINE
+    * derives that plan from the declarative command, through the
+    * group-based row-level-operation machinery a lakehouse connector
+    * implements ([[graft.sources.GraftMemCatalog]]): Spark rewrites
+    * the MERGE into scan-affected-groups → MergeRows (copied /
+    * updated / inserted, deletes dropped) → a write whose commit
+    * REPLACES the groups atomically (copy-on-write). Same batch
+    * construction as b45 (update ≡3 mod 10, delete ≡7 mod 10, insert
+    * ≡0 mod 100 re-keyed past max), so the post-merge state is exactly
+    * recomputable; declared output = the post-merge account summary by
+    * key mod 10 (deleted residue empty, updated residue +10000 each).
+    * Table name is corpus-keyed (b25's lesson) and dropped first, so
+    * repeated runs and concurrent corpora never collide; the summary
+    * sum accumulates in DECIMAL (b60 discipline).
+    */
+  private def b75(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graftmem",
+      "graft.sources.GraftMemCatalog")
+    val tbl = "graftmem.db.acct_" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    s.sql(s"CREATE TABLE $tbl (key BIGINT, bal_cents BIGINT)")
+    customer(s, d)
+      .selectExpr("c_custkey AS key",
+        "CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents")
+      .writeTo(tbl).append()
+    customer(s, d).createOrReplaceTempView("g_cust_b75")
+    s.sql(
+      """SELECT key, bal_cents + 10000 AS nb, 'U' AS op
+        |FROM (SELECT c_custkey AS key,
+        |        CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |      FROM g_cust_b75) WHERE key % 10 = 3
+        |UNION ALL
+        |SELECT c_custkey, 0L, 'D' FROM g_cust_b75 WHERE c_custkey % 10 = 7
+        |UNION ALL
+        |SELECT c_custkey + (SELECT max(c_custkey) + 1 FROM g_cust_b75),
+        |       CAST(floor(c_acctbal * 100) AS BIGINT), 'I'
+        |FROM g_cust_b75 WHERE c_custkey % 100 = 0""".stripMargin)
+      .createOrReplaceTempView("g_batch_b75")
+    s.sql(
+      s"""MERGE INTO $tbl t USING g_batch_b75 b ON t.key = b.key
+         |WHEN MATCHED AND b.op = 'U' THEN UPDATE SET bal_cents = b.nb
+         |WHEN MATCHED AND b.op = 'D' THEN DELETE
+         |WHEN NOT MATCHED THEN INSERT (key, bal_cents)
+         |  VALUES (b.key, b.nb)""".stripMargin)
+    s.sql(
+      s"""SELECT key % 10 AS key_mod, count(*) AS n,
+         |  CAST(sum(CAST(bal_cents AS DECIMAL(38,0))) AS BIGINT)
+         |    AS bal_cents_sum
+         |FROM $tbl GROUP BY key % 10 ORDER BY key_mod""".stripMargin)
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("b75_merge_into", b75 _, Some(
+      "WITH snap AS (SELECT c_custkey AS key, floor(c_acctbal * 100)::BIGINT AS bal FROM customer), off AS (SELECT max(c_custkey) + 1 AS o FROM customer), batch AS (SELECT key, bal + 10000 AS nb, 'U' AS op FROM snap WHERE key % 10 = 3 UNION ALL SELECT key, 0, 'D' FROM snap WHERE key % 10 = 7 UNION ALL SELECT key + (SELECT o FROM off), bal, 'I' FROM snap WHERE key % 100 = 0), post AS (SELECT s.key, coalesce(CASE WHEN b.op = 'U' THEN b.nb END, s.bal) AS bal FROM snap s LEFT JOIN batch b ON s.key = b.key WHERE b.op IS NULL OR b.op <> 'D' UNION ALL SELECT key, nb FROM batch WHERE op = 'I') SELECT (key % 10)::BIGINT AS key_mod, count(*)::BIGINT AS n, sum(bal)::BIGINT AS bal_cents_sum FROM post GROUP BY 1 ORDER BY 1")),
     QueryDef("b72_sql_scripting", b72 _, Some(
       "WITH ks AS (SELECT (100::BIGINT * (1::BIGINT << k.k)) AS t FROM range(40) k(k)), c AS (SELECT t, (SELECT count(*) FROM orders WHERE o_totalprice >= t)::BIGINT AS n FROM ks) SELECT t AS threshold, n AS n_above FROM c WHERE n < 1000 ORDER BY t LIMIT 1")),
     QueryDef("b73_sql_udf", b73 _, Some(

@@ -1,0 +1,77 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The row-level-operation catalog behind b75: MERGE / UPDATE / DELETE
+  * all route through the group-based ReplaceData machinery, and the
+  * `_group` metadata column contract that makes Spark project data
+  * rows before they reach the writer.
+  */
+class GraftMemCatalogSpec extends SparkSpec {
+
+  private def freshTable(name: String): String = {
+    spark.conf.set("spark.sql.catalog.graftmem",
+      "graft.sources.GraftMemCatalog")
+    val tbl = s"graftmem.db.$name"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (key BIGINT, bal_cents BIGINT)")
+    tbl
+  }
+
+  test("MERGE INTO: update/delete/insert arms all land; plan is ReplaceData") {
+    val tbl = freshTable("spec_merge")
+    spark.range(10).selectExpr("id AS key", "id * 100 AS bal_cents")
+      .writeTo(tbl).append()
+    spark.range(5, 15).selectExpr("id AS key", "id * 1000 AS nb")
+      .createOrReplaceTempView("spec_batch")
+    val m = spark.sql(
+      s"""MERGE INTO $tbl t USING spec_batch b ON t.key = b.key
+         |WHEN MATCHED AND b.key % 2 = 0 THEN UPDATE SET bal_cents = b.nb
+         |WHEN MATCHED THEN DELETE
+         |WHEN NOT MATCHED THEN INSERT (key, bal_cents)
+         |  VALUES (b.key, b.nb)""".stripMargin)
+    assert(m.queryExecution.executedPlan.toString.contains("ReplaceData"),
+      "MERGE must plan through the group-based ReplaceData write")
+    val got = spark.table(tbl).orderBy("key").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val expect =
+      (0L to 4L).map(k => (k, k * 100)) ++          // untouched
+        Seq((6L, 6000L), (8L, 8000L)) ++            // updated (5,7,9 deleted)
+        (10L to 14L).map(k => (k, k * 1000))        // inserted
+    assert(got == expect)
+  }
+
+  test("UPDATE and DELETE route through the same row-level machinery") {
+    val tbl = freshTable("spec_ud")
+    spark.range(6).selectExpr("id AS key", "id AS bal_cents")
+      .writeTo(tbl).append()
+    spark.sql(s"UPDATE $tbl SET bal_cents = bal_cents + 100 WHERE key < 2")
+    spark.sql(s"DELETE FROM $tbl WHERE key = 5")
+    val got = spark.table(tbl).orderBy("key").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((0L, 100L), (1L, 101L), (2L, 2L), (3L, 3L), (4L, 4L)))
+  }
+
+  test("_group metadata column is queryable and constant") {
+    val tbl = freshTable("spec_meta")
+    spark.range(3).selectExpr("id AS key", "id AS bal_cents")
+      .writeTo(tbl).append()
+    val g = spark.sql(s"SELECT key, _group FROM $tbl ORDER BY key").collect()
+    assert(g.map(_.getLong(1)).toSeq == Seq(0L, 0L, 0L),
+      "the single rewrite group reports _group = 0 on every row")
+  }
+
+  test("append is additive; TRUNCATE-overwrite replaces") {
+    val tbl = freshTable("spec_app")
+    spark.range(3).selectExpr("id AS key", "id AS bal_cents")
+      .writeTo(tbl).append()
+    spark.range(3, 5).selectExpr("id AS key", "id AS bal_cents")
+      .writeTo(tbl).append()
+    assert(spark.table(tbl).count() == 5)
+    spark.range(2).selectExpr("id AS key", "id AS bal_cents")
+      .writeTo(tbl).overwrite(lit(true))
+    assert(spark.table(tbl).orderBy("key").collect()
+      .map(_.getLong(0)).toSeq == Seq(0L, 1L))
+  }
+}
