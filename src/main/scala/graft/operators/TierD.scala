@@ -137,7 +137,7 @@ object TierD {
     "d16_stream_timer_session", "d17_stream_buffered_session",
     "d18_stream_sliding_append", "d19_stream_chained_stateful",
     "d20_stream_curation_gate", "d21_stream_lsh_dedup",
-    "d22_stream_restart_recovery")
+    "d22_stream_restart_recovery", "d23_stream_custom_sink")
 
   /** Shared d14/d22 oracle: the one-shot hourly aggregate restricted
     * to watermark-closed windows (ws + 1 h window + 1 h delay ≤ max
@@ -198,6 +198,9 @@ object TierD {
     QueryDef("d22_stream_restart_recovery",
       (s, d) => graft.streaming.StreamingDemo.restartRecovery(s, d),
       Some(watermarkAppendOracleSql)),
+    QueryDef("d23_stream_custom_sink",
+      (s, d) => graft.streaming.StreamingDemo.streamCustomSink(s, d), Some(
+        "SELECT user_id, count(*)::BIGINT AS n_events, min(event_id) AS min_ev, max(event_id) AS max_ev FROM events GROUP BY 1 ORDER BY 1")),
     QueryDef("d13_stream_foreach_batch",
       (s, d) => graft.streaming.StreamingDemo.foreachBatchMerge(s, d), Some(
         "SELECT user_id, count(*)::BIGINT AS cnt, sum(round(value * 100)::BIGINT)::BIGINT AS val_cents FROM events GROUP BY 1 ORDER BY 1")),

@@ -119,7 +119,19 @@ private[sources] class GraftMemTable(val fullName: String, tblSchema: StructType
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(
       TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
+
+  /** Streaming exactly-once bookkeeping: (queryId, epoch) pairs whose
+    * commit already landed. A retried/replayed epoch (engine restart
+    * re-commits the last batch; commit() may also be re-entered
+    * after a driver failure) is detected here and SKIPPED — idempotent
+    * re-commit is the sink half of Structured Streaming's exactly-once
+    * contract (the source half being replayable offsets, d12). Keyed
+    * by queryId so a DIFFERENT query appending to the table starts its
+    * own epoch sequence without colliding.
+    */
+  private[sources] val committedEpochs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Long)]()
 
   /** `_group` — the rewrite-group id metadata column (constant 0: one
     * group per unpartitioned table). Its role is CONTRACTUAL, not
@@ -218,16 +230,18 @@ private[sources] class GraftMemWriteBuilder(
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
+  // A row-level-operation write may receive a WIDER schema than
+  // the table (rewrite bookkeeping columns); project the table's
+  // columns out BY NAME, never by position.
+  private def proj: Array[Int] = table.schema().fieldNames
+    .map(writeInfo.schema().fieldIndex)
+
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new BatchWrite {
-      // A row-level-operation write may receive a WIDER schema than
-      // the table (rewrite bookkeeping columns); project the table's
-      // columns out BY NAME, never by position.
-      private val proj: Array[Int] = table.schema().fieldNames
-        .map(writeInfo.schema().fieldIndex)
+      private val p = proj
       override def createBatchWriterFactory(
           info: PhysicalWriteInfo): DataWriterFactory =
-        new GraftMemWriterFactory(proj)
+        new GraftMemWriterFactory(p)
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
         val written = messages.iterator.flatMap {
           case m: GraftMemCommit => m.data
@@ -240,7 +254,42 @@ private[sources] class GraftMemWriteBuilder(
       }
       override def abort(messages: Array[WriterCommitMessage]): Unit = ()
     }
+
+    /** d23: the custom EXACTLY-ONCE streaming sink — per microbatch
+      * the engine calls `commit(epochId, messages)`; an epoch that
+      * already committed is skipped, so a replayed batch (restart
+      * recovery, commit retry) cannot double rows. Appends only —
+      * the streaming path never truncates.
+      */
+    override def toStreaming: org.apache.spark.sql.connector.write
+        .streaming.StreamingWrite =
+      new org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+        private val p = proj
+        override def createStreamingWriterFactory(
+            info: PhysicalWriteInfo): org.apache.spark.sql.connector
+              .write.streaming.StreamingDataWriterFactory =
+          new GraftMemStreamingWriterFactory(p)
+        override def commit(epochId: Long,
+            messages: Array[WriterCommitMessage]): Unit = {
+          if (table.committedEpochs.add((writeInfo.queryId(), epochId))) {
+            val written = messages.iterator.flatMap {
+              case m: GraftMemCommit => m.data
+            }.toVector
+            table.synchronized { table.rows = table.rows ++ written }
+          }
+        }
+        override def abort(epochId: Long,
+            messages: Array[WriterCommitMessage]): Unit = ()
+      }
   }
+}
+
+private[sources] class GraftMemStreamingWriterFactory(proj: Array[Int])
+    extends org.apache.spark.sql.connector.write.streaming
+      .StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new GraftMemWriterFactory(proj).createWriter(partitionId, taskId)
 }
 
 private[sources] case class GraftMemCommit(data: Vector[Array[Long]])

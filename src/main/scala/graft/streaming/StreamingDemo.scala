@@ -1138,6 +1138,44 @@ object StreamingDemo {
     }
   }
 
+  /** d23: CUSTOM EXACTLY-ONCE STREAMING SINK — the write-side twin of
+    * d12's custom streaming source, completing the DSv2 streaming
+    * matrix: the events stream appends into a
+    * [[graft.sources.GraftMemCatalog]] table through the connector's
+    * `StreamingWrite`, whose `commit(epochId, messages)` is IDEMPOTENT
+    * per (queryId, epoch) — a replayed batch (restart recovery, commit
+    * retry) cannot double rows, which is the sink half of Structured
+    * Streaming's exactly-once contract (replayable offsets being the
+    * source half). Fresh table + checkpoint per call (corpus-keyed
+    * names, b25's lesson), so repeated bench/verify passes are
+    * independent. Declared output = per-user aggregate of the drained
+    * table, equal to the batch aggregate — the no-loss/no-dup proof.
+    * At 100 TB the commit is a manifest append, never a data move;
+    * the demo's driver-held rows stand in for that manifest.
+    */
+  def streamCustomSink(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graftmem",
+      "graft.sources.GraftMemCatalog")
+    val tbl = "graftmem.db.evsink_" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    s.sql(s"CREATE TABLE $tbl (user_id BIGINT, event_id BIGINT)")
+    val src = eventStream(s, d).select("user_id", "event_id")
+    withStreamPartitions(s) {
+      val q = src.writeStream
+        .option("checkpointLocation", graft.util.TmpDir.fresh("d23-ckpt"))
+        .outputMode("append")
+        .toTable(tbl)
+      try { q.processAllAvailable() } finally { q.stop() }
+    }
+    s.table(tbl)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        min("event_id").as("min_ev"), max("event_id").as("max_ev"))
+      .orderBy("user_id")
+  }
+
   /** d22's restart evidence, returned alongside the result so the spec
     * can assert the recovery actually happened (same query id across
     * runs, distinct run ids, both runs committed batches into ONE

@@ -62,6 +62,41 @@ class GraftMemCatalogSpec extends SparkSpec {
       "the single rewrite group reports _group = 0 on every row")
   }
 
+  test("d23: streaming commit is idempotent per (queryId, epoch)") {
+    val tbl = freshTable("spec_stream")
+    val table = spark.sessionState.catalogManager.catalog("graftmem")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier
+        .of(Array("db"), "spec_stream"))
+      .asInstanceOf[graft.sources.GraftMemTable]
+    def info(qid: String) =
+      new org.apache.spark.sql.connector.write.LogicalWriteInfo {
+        override def queryId(): String = qid
+        override def schema(): org.apache.spark.sql.types.StructType =
+          table.schema()
+        override def options()
+            : org.apache.spark.sql.util.CaseInsensitiveStringMap =
+          org.apache.spark.sql.util.CaseInsensitiveStringMap.empty()
+      }
+    def writeEpoch(qid: String, epoch: Long, base: Long): Unit = {
+      val sw = table.newWriteBuilder(info(qid)).build().toStreaming
+      val w = sw.createStreamingWriterFactory(null).createWriter(0, 0L, epoch)
+      (0 until 3).foreach { i =>
+        w.write(org.apache.spark.sql.catalyst.InternalRow(base + i, base + i))
+      }
+      sw.commit(epoch, Array(w.commit()))
+    }
+    writeEpoch("q1", 0L, 0L)
+    assert(spark.table(tbl).count() == 3)
+    // the replayed epoch (restart re-commit) must be a no-op…
+    writeEpoch("q1", 0L, 100L)
+    assert(spark.table(tbl).count() == 3,
+      "a re-committed epoch doubled rows — exactly-once broken")
+    // …while the same epoch number from a DIFFERENT query appends
+    writeEpoch("q2", 0L, 200L)
+    assert(spark.table(tbl).count() == 6)
+  }
+
   test("append is additive; TRUNCATE-overwrite replaces") {
     val tbl = freshTable("spec_app")
     spark.range(3).selectExpr("id AS key", "id AS bal_cents")
