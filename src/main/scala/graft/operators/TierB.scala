@@ -1868,6 +1868,10 @@ object TierB {
     * whose trace (start 100, ×2 each round) is pure integer
     * arithmetic, so the DuckDB oracle replays it as a doubling-grid
     * scan and picks the first level that breaks the invariant
+    * (the search starts at the coarse floor 6 400 — exponential
+    * search's point is the loop mechanics, and a production probe
+    * starts from a cheap prior, not from 1; each skipped level is one
+    * whole distributed count)
     * (counts are monotone nonincreasing in the threshold, which is
     * what makes first-failure == loop-exit). 100 TB shape: every
     * iteration is one scan-side-counted aggregate with the predicate
@@ -1877,7 +1881,7 @@ object TierB {
     orders(s, d).createOrReplaceTempView("g_orders_b72")
     s.sql(
       """BEGIN
-        |  DECLARE th BIGINT DEFAULT 100;
+        |  DECLARE th BIGINT DEFAULT 6400;
         |  WHILE (SELECT count(*) FROM g_orders_b72
         |         WHERE o_totalprice >= th) >= 1000 DO
         |    SET th = th * 2;
@@ -2005,7 +2009,7 @@ object TierB {
     QueryDef("b75_merge_into", b75 _, Some(
       "WITH snap AS (SELECT c_custkey AS key, floor(c_acctbal * 100)::BIGINT AS bal FROM customer), off AS (SELECT max(c_custkey) + 1 AS o FROM customer), batch AS (SELECT key, bal + 10000 AS nb, 'U' AS op FROM snap WHERE key % 10 = 3 UNION ALL SELECT key, 0, 'D' FROM snap WHERE key % 10 = 7 UNION ALL SELECT key + (SELECT o FROM off), bal, 'I' FROM snap WHERE key % 100 = 0), post AS (SELECT s.key, coalesce(CASE WHEN b.op = 'U' THEN b.nb END, s.bal) AS bal FROM snap s LEFT JOIN batch b ON s.key = b.key WHERE b.op IS NULL OR b.op <> 'D' UNION ALL SELECT key, nb FROM batch WHERE op = 'I') SELECT (key % 10)::BIGINT AS key_mod, count(*)::BIGINT AS n, sum(bal)::BIGINT AS bal_cents_sum FROM post GROUP BY 1 ORDER BY 1")),
     QueryDef("b72_sql_scripting", b72 _, Some(
-      "WITH ks AS (SELECT (100::BIGINT * (1::BIGINT << k.k)) AS t FROM range(40) k(k)), c AS (SELECT t, (SELECT count(*) FROM orders WHERE o_totalprice >= t)::BIGINT AS n FROM ks) SELECT t AS threshold, n AS n_above FROM c WHERE n < 1000 ORDER BY t LIMIT 1")),
+      "WITH ks AS (SELECT (6400::BIGINT * (1::BIGINT << k.k)) AS t FROM range(40) k(k)), c AS (SELECT t, (SELECT count(*) FROM orders WHERE o_totalprice >= t)::BIGINT AS n FROM ks) SELECT t AS threshold, n AS n_above FROM c WHERE n < 1000 ORDER BY t LIMIT 1")),
     QueryDef("b73_sql_udf", b73 _, Some(
       "WITH f AS (SELECT l_returnflag, floor((l_extendedprice * (1 - l_discount)) * 100)::BIGINT AS cents FROM lineitem WHERE l_returnflag IN ('R', 'A')) SELECT l_returnflag, count(*)::BIGINT AS n, sum(cents)::BIGINT AS rev_cents FROM f GROUP BY 1 ORDER BY 1")),
     QueryDef("b74_sql_pipe", b74 _, Some(

@@ -50,12 +50,12 @@ class Round9PropsSpec extends SparkSpec {
     assert(r.length == 1)
     val (th, nAbove) = (r(0).getLong(0), r(0).getLong(1))
     // replay the loop on the batch table: th must be the FIRST level of
-    // the doubling grid from 100 whose count drops below 1000, and
+    // the doubling grid from 6400 whose count drops below 1000, and
     // n_above that count
     val orders = graft.util.Tables.table(spark, sf0001, "orders")
     def cnt(t: Long): Long =
       orders.filter(col("o_totalprice") >= t).count()
-    var expTh = 100L
+    var expTh = 6400L
     while (cnt(expTh) >= 1000) expTh *= 2
     assert(th == expTh, s"threshold $th != replayed $expTh")
     assert(nAbove == cnt(expTh) && nAbove < 1000)
