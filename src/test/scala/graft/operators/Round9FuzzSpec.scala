@@ -117,6 +117,83 @@ class Round9FuzzSpec extends SparkSpec {
     }
   }
 
+  test("c67 fuzz: BM25 matches the replay on adversarial corpora") {
+    // edge shapes the fixture corpus never exhibits: vocab smaller
+    // than the query band (ranks 11-13 empty ⇒ empty result), docs of
+    // one repeated token (tf == dl), single-doc corpora (idf bits of
+    // N/df = 0 ⇒ zero scores), empty docs (split(" ") still yields
+    // one empty-string token — pinned HERE so both engines agree)
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh",
+      "ii", "jj", "kk", "ll", "mm", "nn", "oo", "pp")
+    val genDocW = for {
+      n <- Gen.frequency(1 -> Gen.const(0), 2 -> Gen.const(1),
+        4 -> Gen.choose(2, 30))
+      uniform <- Gen.oneOf(true, false)
+      w <- word
+      ws <- Gen.listOfN(n, word)
+    } yield (if (uniform) List.fill(n)(w) else ws).mkString(" ")
+    val gen = for {
+      k <- Gen.choose(1, 8)
+      docs <- Gen.listOfN(k, genDocW)
+    } yield docs
+    forAllN(gen, 10) { docs =>
+      val dir = writeCorpus(docs)
+      val got = graft.SparkEntry.queries("c67_bm25")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+      // from-scratch replay (split-on-space, the corpus contract)
+      val tok = docs.zipWithIndex.flatMap { case (t, i) =>
+        t.split(" ", -1).map(w => (i.toLong, w))
+      }
+      val dl = tok.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+      val n = docs.length.toLong
+      val stot = tok.length.toLong
+      val a10k = math.max(1L, 10000L * stot / math.max(1L, n))
+      val dfm = tok.distinct.groupBy(_._2).view.mapValues(_.length.toLong)
+      val terms = dfm.toSeq.sortBy { case (w, df) => (-df, w) }
+        .slice(10, 13).toMap
+      def bits(x: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(x)
+      val expect = tok.filter(t => terms.contains(t._2))
+        .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+        .map { case ((id, w), tf) =>
+          (id, (bits(n / terms(w)) * 220000000L * tf) /
+            (10000L * tf + 3000L + (90000000L * dl(id)) / a10k))
+        }
+        .groupBy(_._1).view
+        .mapValues(v => (v.size.toLong, v.map(_._2).sum)).toSeq
+        .map { case (id, (nh, sc)) => (id, nh, sc) }
+        .sortBy { case (id, _, sc) => (-sc, id) }.take(10)
+      assert(got == expect, s"docs=$docs\ngot=$got\nexp=$expect")
+    }
+  }
+
+  test("c68 fuzz: NFC folding on generated multi-script docs") {
+    val gen = for {
+      k <- Gen.choose(1, 6)
+      docs <- Gen.listOfN(k, genDoc)
+    } yield docs
+    forAllN(gen, 6) { docs =>
+      val dir = writeCorpus(docs)
+      val rows = graft.SparkEntry.queries("c68_dedup_nfc")(spark, dir)
+        .collect()
+      assert(rows.length == docs.length)
+      rows.foreach { r =>
+        // generated docs may themselves contain combining sequences
+        // whose NFC differs from the raw bytes — but the two injected
+        // prefixes ALWAYS split raw and ALWAYS fold normalized
+        assert(r.getAs[Long]("n_raw") == 2L)
+        assert(r.getAs[Long]("n_norm") == 1L)
+        val t = docs(r.getLong(0).toInt)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val expect = java.text.Normalizer.normalize(
+          "café " + t, java.text.Normalizer.Form.NFC)
+        val fp = md.digest(expect.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        assert(r.getAs[String]("norm_fp") == fp)
+      }
+    }
+  }
+
   test("fuzz corpus generator emits all four UTF-8 widths") {
     // meta-check: the pool × generator actually covers widths 1-4, so
     // the two kernel fuzzes above can't silently degenerate to ASCII
