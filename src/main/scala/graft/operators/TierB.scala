@@ -2005,7 +2005,34 @@ object TierB {
          |FROM $tbl GROUP BY key % 10 ORDER BY key_mod""".stripMargin)
   }
 
+  /** b76: DSv2 FUNCTION CATALOG — the governed-function face next to
+    * c17's session-registry Expression: `graftmem.db.cosine_sim` is
+    * resolved by name THROUGH THE CATALOG (one definition every
+    * session sees; a per-session `functionRegistry.registerFunction`
+    * can silently drift between jobs), and its MAGIC METHOD binds as
+    * a direct codegen'd call — the plan shows
+    * `invoke(CosineSimV2.invoke(a, b))`, no UDF boundary, no
+    * per-row InternalRow boxing (spec-asserted). The kernel IS the
+    * native Expression's (`CosineSim.compute` shared), so the two
+    * surfaces are bit-identical by construction and c17's oracle
+    * serves verbatim.
+    */
+  private def b76(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graftmem",
+      "graft.sources.GraftMemCatalog")
+    graft.util.Tables.table(s, d, "embeddings")
+      .createOrReplaceTempView("g_emb_b76")
+    s.sql(
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(graftmem.db.cosine_sim(a.embedding, b.embedding), 4)
+        |    AS sim
+        |FROM g_emb_b76 a JOIN g_emb_b76 b ON b.vec_id = a.vec_id + 1
+        |ORDER BY vec_a""".stripMargin)
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("b76_function_catalog", b76 _, Some(
+      "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1 ORDER BY vec_a")),
     QueryDef("b75_merge_into", b75 _, Some(
       "WITH snap AS (SELECT c_custkey AS key, floor(c_acctbal * 100)::BIGINT AS bal FROM customer), off AS (SELECT max(c_custkey) + 1 AS o FROM customer), batch AS (SELECT key, bal + 10000 AS nb, 'U' AS op FROM snap WHERE key % 10 = 3 UNION ALL SELECT key, 0, 'D' FROM snap WHERE key % 10 = 7 UNION ALL SELECT key + (SELECT o FROM off), bal, 'I' FROM snap WHERE key % 100 = 0), post AS (SELECT s.key, coalesce(CASE WHEN b.op = 'U' THEN b.nb END, s.bal) AS bal FROM snap s LEFT JOIN batch b ON s.key = b.key WHERE b.op IS NULL OR b.op <> 'D' UNION ALL SELECT key, nb FROM batch WHERE op = 'I') SELECT (key % 10)::BIGINT AS key_mod, count(*)::BIGINT AS n, sum(bal)::BIGINT AS bal_cents_sum FROM post GROUP BY 1 ORDER BY 1")),
     QueryDef("b72_sql_scripting", b72 _, Some(

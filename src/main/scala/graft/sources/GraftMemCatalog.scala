@@ -41,7 +41,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * .GraftMemCatalog` (set lazily per session; the backing store is
   * JVM-global so every session sees the same tables).
   */
-class GraftMemCatalog extends TableCatalog {
+class GraftMemCatalog extends TableCatalog with FunctionCatalog {
   import GraftMemCatalog._
   private var catalogName: String = "graftmem"
   override def initialize(
@@ -86,6 +86,21 @@ class GraftMemCatalog extends TableCatalog {
 
   private def key(ident: Identifier): String =
     (ident.namespace() :+ ident.name()).mkString(".")
+
+  /** FUNCTION CATALOG face (b76): catalog-resolved functions — one
+    * definition every session sees, vs the per-session function
+    * registry. `cosine_sim` here IS the native Expression's kernel
+    * ([[graft.functions.CosineSimV2]] shares
+    * `graft.functions.CosineSim.compute`), so the two surfaces are
+    * bit-identical by construction.
+    */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "cosine_sim"))
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name() == "cosine_sim") graft.functions.CosineSimV2Unbound
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
 }
 
 object GraftMemCatalog {

@@ -97,6 +97,28 @@ class GraftMemCatalogSpec extends SparkSpec {
     assert(spark.table(tbl).count() == 6)
   }
 
+  test("b76: catalog function binds its magic method; equals the native Expression") {
+    spark.conf.set("spark.sql.catalog.graftmem",
+      "graft.sources.GraftMemCatalog")
+    val df = graft.SparkEntry.queries("b76_function_catalog")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("CosineSimV2") && plan.contains("invoke"),
+      s"magic method did not bind as a direct invoke:\n$plan")
+    assert(!plan.toLowerCase.contains("udf"))
+    // bit-identical to the native codegen'd Expression (c17): shared
+    // kernel, same join shape, same rounding
+    val c17 = graft.SparkEntry.queries("c17_similarity_native_expr")(
+      spark, sf0001)
+    assert(df.collect().toSeq == c17.collect().toSeq)
+    // a wrong-typed call fails at BIND time, loudly
+    spark.range(1).selectExpr("id").createOrReplaceTempView("b76_bad")
+    val err = intercept[Exception] {
+      spark.sql("SELECT graftmem.db.cosine_sim(id, id) FROM b76_bad")
+        .collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("cosine_sim"))
+  }
+
   test("append is additive; TRUNCATE-overwrite replaces") {
     val tbl = freshTable("spec_app")
     spark.range(3).selectExpr("id AS key", "id AS bal_cents")
