@@ -2030,7 +2030,52 @@ object TierB {
         |ORDER BY vec_a""".stripMargin)
   }
 
+  /** b77: GROUP-PRUNED MERGE — b75 at the scale shape that makes
+    * copy-on-write viable at 100 TB: the table is PARTITIONED (one
+    * rewrite group per `g = key % 5` value), the MERGE touches only
+    * group 2, and Spark's runtime row-level GROUP FILTER
+    * (`RowLevelOperationRuntimeGroupFiltering` + the op scan's
+    * `SupportsRuntimeV2Filtering` on `_group`) prunes the rewrite to
+    * exactly that group: untouched groups are never read, never
+    * recomputed, never rewritten — the spec proves it by OBJECT
+    * IDENTITY (untouched groups keep their existing row instances
+    * across the commit) plus the dynamic-pruning expression on the op
+    * scan. Same machinery as a37's DPP, pointed at the write path —
+    * which is the difference between rewriting 1/N and N/N of a table
+    * per merge.
+    */
+  private def b77(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graftmem",
+      "graft.sources.GraftMemCatalog")
+    val tbl = "graftmem.db.acctp_" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    s.sql(
+      s"CREATE TABLE $tbl (key BIGINT, g BIGINT, bal_cents BIGINT) " +
+        "PARTITIONED BY (g)")
+    customer(s, d)
+      .selectExpr("c_custkey AS key", "c_custkey % 5 AS g",
+        "CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents")
+      .writeTo(tbl).append()
+    customer(s, d)
+      .filter(col("c_custkey") % 50 === 2)
+      .selectExpr("c_custkey AS key")
+      .createOrReplaceTempView("g_batch_b77")
+    s.sql(
+      s"""MERGE INTO $tbl t USING g_batch_b77 b ON t.key = b.key
+         |WHEN MATCHED THEN UPDATE SET bal_cents = bal_cents + 10000
+         |""".stripMargin)
+    s.sql(
+      s"""SELECT g, count(*) AS n,
+         |  CAST(sum(CAST(bal_cents AS DECIMAL(38,0))) AS BIGINT)
+         |    AS bal_cents_sum
+         |FROM $tbl GROUP BY g ORDER BY g""".stripMargin)
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("b77_merge_group_pruned", b77 _, Some(
+      "WITH snap AS (SELECT c_custkey AS key, c_custkey % 5 AS g, floor(c_acctbal * 100)::BIGINT AS bal FROM customer), post AS (SELECT key, g, bal + CASE WHEN key % 50 = 2 THEN 10000 ELSE 0 END AS bal FROM snap) SELECT g::BIGINT AS g, count(*)::BIGINT AS n, sum(bal)::BIGINT AS bal_cents_sum FROM post GROUP BY 1 ORDER BY 1")),
     QueryDef("b76_function_catalog", b76 _, Some(
       "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1 ORDER BY vec_a")),
     QueryDef("b75_merge_into", b75 _, Some(

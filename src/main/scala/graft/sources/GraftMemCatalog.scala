@@ -25,17 +25,19 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * derive that plan from declarative SQL against this catalog.
   *
   * Scale notes, and what is demo-sized here: the table body lives
-  * in a JVM-global map and each scan ships the full row set inside
-  * ONE InputPartition, so this catalog is a row-level-operation
-  * DEMONSTRATION, not a storage engine — the extension-point
-  * mechanics (rewrite, scan, replace-commit, capability wiring) are
-  * exactly what a real connector implements, with groups = files and
-  * the commit an atomic manifest swap. An unpartitioned table has a
-  * single group, so every MERGE is a full rewrite — production
-  * connectors partition so `requiredMetadataAttributes` (the group id
-  * column) lets Spark rewrite ONLY touched groups; that narrowing is
-  * the entire scale story of copy-on-write and is documented rather
-  * than simulated here.
+  * in a JVM-global map and each scan ships a group's rows inside one
+  * InputPartition, so this catalog is a row-level-operation
+  * DEMONSTRATION, not a storage engine — but the extension-point
+  * mechanics (rewrite, scan, replace-commit, capability wiring,
+  * runtime group filtering) are exactly what a real connector
+  * implements, with groups = files and the commit an atomic manifest
+  * swap. An unpartitioned table has a single group (every MERGE is a
+  * full rewrite, b75); a `PARTITIONED BY (col)` table has one rewrite
+  * group per value, and Spark's runtime row-level group filter + this
+  * scan's `SupportsRuntimeV2Filtering` on `_group` narrow the rewrite
+  * to TOUCHED groups only — b77 proves the narrowing by object
+  * identity. That narrowing is the entire scale story of
+  * copy-on-write.
   *
   * Registration: `spark.sql.catalog.graftmem = graft.sources
   * .GraftMemCatalog` (set lazily per session; the backing store is
@@ -66,9 +68,21 @@ class GraftMemCatalog extends TableCatalog with FunctionCatalog {
       ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graftmem is unpartitioned (single rewrite group) by design")
-    val t = new GraftMemTable(key(ident), schema)
+    // unpartitioned (one rewrite group) or PARTITIONED BY (col) — one
+    // identity transform on a LONG column, one rewrite group per value
+    val partCol = partitions match {
+      case Array() => None
+      case Array(t) if t.name() == "identity" &&
+          t.references().length == 1 =>
+        val col = t.references()(0).fieldNames().mkString(".")
+        require(schema.fieldNames.contains(col),
+          s"partition column $col not in schema")
+        Some(col)
+      case other => throw new UnsupportedOperationException(
+        s"graftmem supports at most one identity partition, got " +
+          other.mkString(", "))
+    }
+    val t = new GraftMemTable(key(ident), schema, partCol)
     val prev = tables.putIfAbsent(key(ident), t)
     if (prev != null)
       throw new org.apache.spark.sql.catalyst.analysis
@@ -120,7 +134,8 @@ object GraftMemCatalog {
   * Only the types the demo schema uses are supported; unsupported
   * types fail loudly at write time.
   */
-private[sources] class GraftMemTable(val fullName: String, tblSchema: StructType)
+private[sources] class GraftMemTable(val fullName: String,
+    tblSchema: StructType, val partitionCol: Option[String] = None)
     extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations with SupportsMetadataColumns {
   require(tblSchema.fields.forall(_.dataType == LongType),
@@ -128,6 +143,18 @@ private[sources] class GraftMemTable(val fullName: String, tblSchema: StructType
 
   /** Current committed content. Replaced atomically on commit. */
   @volatile private[sources] var rows: Vector[Array[Long]] = Vector.empty
+
+  /** Rewrite-group id of a stored row: the identity-partition value,
+    * or 0 when unpartitioned (single group).
+    */
+  private[sources] val groupIdx: Int =
+    partitionCol.map(tblSchema.fieldIndex).getOrElse(-1)
+  private[sources] def groupOf(r: Array[Long]): Long =
+    if (groupIdx < 0) 0L else r(groupIdx)
+
+  override def partitioning(): Array[Transform] =
+    partitionCol.toArray.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c))
 
   override def name(): String = fullName
   override def schema(): StructType = tblSchema
@@ -148,14 +175,15 @@ private[sources] class GraftMemTable(val fullName: String, tblSchema: StructType
   private[sources] val committedEpochs =
     java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Long)]()
 
-  /** `_group` — the rewrite-group id metadata column (constant 0: one
-    * group per unpartitioned table). Its role is CONTRACTUAL, not
-    * informational: Spark's ReplaceData write only routes rows through
-    * the data/metadata PROJECTING write task when the row-level
-    * operation requires metadata attributes — without one, the raw
-    * MergeRows output (incl. `__row_operation`) reaches the writer.
-    * A real connector puts its file/partition id here, which is also
-    * what lets Spark rewrite only TOUCHED groups.
+  /** `_group` — the rewrite-group id metadata column (the identity-
+    * partition value; constant 0 when unpartitioned). Its role is
+    * CONTRACTUAL as well as informational: Spark's ReplaceData write
+    * only routes rows through the data/metadata PROJECTING write task
+    * when the row-level operation requires metadata attributes —
+    * without one, the raw MergeRows output (incl. `__row_operation`)
+    * reaches the writer. It is also the key the runtime GROUP FILTER
+    * prunes on (partitioned tables rewrite only TOUCHED groups —
+    * b77's partial-rewrite proof).
     */
   override def metadataColumns(): Array[MetadataColumn] =
     Array(new MetadataColumn {
@@ -174,16 +202,28 @@ private[sources] class GraftMemTable(val fullName: String, tblSchema: StructType
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
     () => new RowLevelOperation {
+      /** Which groups this operation's scan actually read — set by the
+        * runtime group filter (None = all groups were scanned). The
+        * WRITE's commit replaces exactly these groups, which is the
+        * whole point of group-based copy-on-write: untouched groups
+        * are never read, never rewritten, never moved. Shared driver-
+        * side state between the op's scan and its write — the same
+        * role Iceberg's scanned-file set plays.
+        */
+      private val scannedGroups =
+        new java.util.concurrent.atomic.AtomicReference[Option[Set[Long]]](
+          None)
       override def command(): RowLevelOperation.Command = info.command()
       override def description(): String =
         s"GraftMemRowLevel(${info.command()})"
-      // the operation reads the (single) group being rewritten…
+      // the operation reads the groups being rewritten…
       override def newScanBuilder(
           options: CaseInsensitiveStringMap): ScanBuilder =
-        new GraftMemScanBuilder(GraftMemTable.this)
-      // …and its write REPLACES that group on commit
+        new GraftMemScanBuilder(GraftMemTable.this, Some(scannedGroups))
+      // …and its write REPLACES exactly those groups on commit
       override def newWriteBuilder(wi: LogicalWriteInfo): WriteBuilder =
-        new GraftMemWriteBuilder(GraftMemTable.this, wi, replace = true)
+        new GraftMemWriteBuilder(GraftMemTable.this, wi, replace = true,
+          replacedGroups = Some(scannedGroups))
       override def requiredMetadataAttributes()
           : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
         Array(org.apache.spark.sql.connector.expressions.Expressions
@@ -191,15 +231,24 @@ private[sources] class GraftMemTable(val fullName: String, tblSchema: StructType
     }
 }
 
-private[sources] class GraftMemScanBuilder(table: GraftMemTable)
+private[sources] class GraftMemScanBuilder(table: GraftMemTable,
+    groupsOut: Option[java.util.concurrent.atomic
+      .AtomicReference[Option[Set[Long]]]] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = table.schema()
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new Scan with Batch {
+  override def build(): Scan = new Scan with Batch
+      with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
     private val snapshot = table.rows // pin the commit we started from
+    private val gIdx = table.groupIdx
+    // runtime-prunable group set (None = all); the op's holder (when
+    // present) learns what was scanned so its commit replaces exactly
+    // that
+    private var allowed: Option[Set[Long]] = None
     // map each requested field to its position in the stored row;
-    // the `_group` metadata column synthesizes constant 0
+    // the `_group` metadata column reads the partition value (0 when
+    // unpartitioned)
     private val srcIdx: Array[Int] = required.fieldNames.map {
       case "_group" => -1
       case n        => table.schema().fieldIndex(n)
@@ -208,10 +257,51 @@ private[sources] class GraftMemScanBuilder(table: GraftMemTable)
     override def toBatch: Batch = this
     override def description(): String =
       s"GraftMemScan(${table.fullName}, rows=${snapshot.length})"
-    override def planInputPartitions(): Array[InputPartition] =
-      Array(GraftMemPartition(snapshot))
+
+    override def filterAttributes()
+        : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .column("_group"))
+    override def filter(predicates: Array[
+        org.apache.spark.sql.connector.expressions.filter.Predicate])
+        : Unit =
+      predicates.foreach { pr =>
+        if (pr.name() == "IN" && pr.children().nonEmpty) {
+          val onGroup = pr.children()(0) match {
+            case f: org.apache.spark.sql.connector.expressions
+              .NamedReference =>
+              f.fieldNames.sameElements(Array("_group"))
+            case _ => false
+          }
+          if (onGroup) {
+            val vals = pr.children().drop(1).collect {
+              case l: org.apache.spark.sql.connector.expressions
+                .Literal[_] if l.value() != null =>
+                l.value() match { case n: java.lang.Number => n.longValue() }
+            }.toSet
+            if (vals.nonEmpty) {
+              allowed = Some(allowed.fold(vals)(_ intersect vals))
+              groupsOut.foreach(_.set(allowed))
+            }
+          }
+        }
+      }
+
+    // one InputPartition per rewrite GROUP, so the runtime filter can
+    // skip whole groups before a row is shipped
+    override def planInputPartitions(): Array[InputPartition] = {
+      val byGroup = snapshot.groupBy(r => table.groupOf(r))
+      byGroup.toSeq.sortBy(_._1)
+        .filter { case (g, _) => allowed.forall(_.contains(g)) }
+        .map { case (_, rs) => GraftMemPartition(rs): InputPartition }
+        .toArray match {
+          case Array() => Array(GraftMemPartition(Vector.empty))
+          case parts   => parts
+        }
+    }
     override def createReaderFactory(): PartitionReaderFactory = {
       val idx = srcIdx
+      val g = gIdx
       new PartitionReaderFactory {
         override def createReader(
             p: InputPartition): PartitionReader[InternalRow] = {
@@ -223,7 +313,9 @@ private[sources] class GraftMemScanBuilder(table: GraftMemTable)
               InternalRow.fromSeq(
                 scala.collection.immutable.ArraySeq.unsafeWrapArray(
                   idx.map(j => java.lang.Long.valueOf(
-                    if (j < 0) 0L else data(i)(j)): Any)))
+                    if (j >= 0) data(i)(j)
+                    else if (g >= 0) data(i)(g)
+                    else 0L): Any)))
             override def close(): Unit = ()
           }
         }
@@ -241,7 +333,9 @@ private[sources] case class GraftMemPartition(data: Vector[Array[Long]])
   * rewrite; with one group that is the whole table).
   */
 private[sources] class GraftMemWriteBuilder(
-    table: GraftMemTable, writeInfo: LogicalWriteInfo, replace: Boolean)
+    table: GraftMemTable, writeInfo: LogicalWriteInfo, replace: Boolean,
+    replacedGroups: Option[java.util.concurrent.atomic
+      .AtomicReference[Option[Set[Long]]]] = None)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
@@ -261,10 +355,23 @@ private[sources] class GraftMemWriteBuilder(
         val written = messages.iterator.flatMap {
           case m: GraftMemCommit => m.data
         }.toVector
-        // single swap on the driver = the atomic manifest/commit step
+        // single swap on the driver = the atomic manifest/commit step.
+        // A row-level replace swaps ONLY the groups the operation's
+        // scan read (runtime group filter): untouched groups keep
+        // their existing row objects — the copy-on-write narrowing.
+        // No filter fired (or unpartitioned) ⇒ all groups were
+        // scanned ⇒ full swap.
         table.synchronized {
           table.rows =
-            if (replace || doTruncate) written else table.rows ++ written
+            if (replace)
+              replacedGroups.flatMap(_.get()) match {
+                case Some(gs) =>
+                  table.rows.filterNot(r => gs.contains(table.groupOf(r))) ++
+                    written
+                case None => written
+              }
+            else if (doTruncate) written
+            else table.rows ++ written
         }
       }
       override def abort(messages: Array[WriterCommitMessage]): Unit = ()

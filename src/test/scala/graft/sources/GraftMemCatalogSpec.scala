@@ -62,6 +62,50 @@ class GraftMemCatalogSpec extends SparkSpec {
       "the single rewrite group reports _group = 0 on every row")
   }
 
+  test("b77: group-pruned merge — untouched groups keep their row OBJECTS") {
+    spark.conf.set("spark.sql.catalog.graftmem",
+      "graft.sources.GraftMemCatalog")
+    spark.sql("DROP TABLE IF EXISTS graftmem.db.spec_gp")
+    spark.sql("CREATE TABLE graftmem.db.spec_gp " +
+      "(key BIGINT, g BIGINT, bal BIGINT) PARTITIONED BY (g)")
+    spark.range(40).selectExpr("id AS key", "id % 4 AS g", "id * 10 AS bal")
+      .writeTo("graftmem.db.spec_gp").append()
+    val table = spark.sessionState.catalogManager.catalog("graftmem")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier
+        .of(Array("db"), "spec_gp"))
+      .asInstanceOf[graft.sources.GraftMemTable]
+    // identity map of the UNTOUCHED groups' row instances, pre-merge
+    val before = table.rows.filter(r => r(1) != 1L)
+      .map(r => System.identityHashCode(r) -> r).toMap
+    spark.range(10).selectExpr("id * 4 + 1 AS key", "id * 1000 AS nb")
+      .createOrReplaceTempView("spec_gp_batch")
+    val m = spark.sql(
+      """MERGE INTO graftmem.db.spec_gp t USING spec_gp_batch b
+        |ON t.key = b.key
+        |WHEN MATCHED THEN UPDATE SET bal = b.nb""".stripMargin)
+    // the op scan carried the runtime group filter…
+    assert(m.queryExecution.executedPlan.toString
+      .contains("dynamicpruning"),
+      "no runtime group filter on the row-level scan")
+    // …and the commit replaced ONLY group 1: every untouched-group row
+    // is the SAME object as before (copy-on-write narrowing — nothing
+    // was recomputed or rewritten for groups 0/2/3)
+    val after = table.rows.filter(r => r(1) != 1L)
+    assert(after.size == 30)
+    assert(after.forall(r => before.get(System.identityHashCode(r))
+      .exists(_ eq r)),
+      "untouched groups were rewritten — group pruning did not narrow " +
+        "the commit")
+    // values: group 1 updated, everything else intact, count preserved
+    val got = spark.table("graftmem.db.spec_gp").orderBy("key").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    val expect = (0L until 40L).map { k =>
+      (k, if (k % 4 == 1) (k / 4) * 1000 else k * 10)
+    }
+    assert(got == expect)
+  }
+
   test("d23: streaming commit is idempotent per (queryId, epoch)") {
     val tbl = freshTable("spec_stream")
     val table = spark.sessionState.catalogManager.catalog("graftmem")
