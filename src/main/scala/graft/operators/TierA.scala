@@ -832,7 +832,36 @@ object TierA {
         max(col("id")).as("max_id"))
       .orderBy("grp")
 
+  /** a38: CONNECTOR STATISTICS (`SupportsReportStatistics`) — the
+    * scan reports exact row count and bytes for its (filter-narrowed,
+    * column-pruned) range, and the PLANNER consumes them: a side whose
+    * reported size clears `autoBroadcastJoinThreshold` is chosen for
+    * broadcast at PLAN TIME — no hint, no AQE runtime probe (the spec
+    * pins this with AQE off, plus the contrast: an over-threshold
+    * side shuffles). Without the report a DSv2 relation defaults to
+    * `spark.sql.defaultSizeInBytes` = Long.Max — never
+    * broadcast-able at plan time — so stats are what turn the first
+    * execution's shuffle into a broadcast; at 100 TB that is the
+    * entire first-run cost of every dim join in a fact pipeline
+    * (AQE can only fix it AFTER materializing the shuffle). Bonus
+    * visible in the plan: the small side's pushed `id >= 1000` bound
+    * propagates to the BIG side through join-key equivalence, so both
+    * generated ranges narrow before a row exists.
+    */
+  private def a38(s: SparkSession, d: String): DataFrame = {
+    val big = s.read.format("pairgen").option("rows", "200000").load()
+    val small = s.read.format("pairgen").option("rows", "2000").load()
+      .filter(col("id") >= 1000)
+      .withColumnRenamed("value", "v2")
+    big.join(small, Seq("id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("id")).as("min_id"), max(col("id")).as("max_id"),
+        count(when(col("value") === col("v2"), 1)).as("n_value_eq"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("a38_source_stats_broadcast", a38 _, Some(
+      "WITH big AS (SELECT t.i AS id, md5(t.i::VARCHAR) AS value FROM range(200000) t(i)), small AS (SELECT t.i AS id, md5(t.i::VARCHAR) AS v2 FROM range(2000) t(i) WHERE t.i >= 1000) SELECT count(*)::BIGINT AS n_pairs, min(big.id)::BIGINT AS min_id, max(big.id)::BIGINT AS max_id, sum(CASE WHEN value = v2 THEN 1 ELSE 0 END)::BIGINT AS n_value_eq FROM big JOIN small USING (id)")),
     QueryDef("a37_source_runtime_filter", a37 _, Some(
       "SELECT (t.i % 8)::BIGINT AS grp, count(*)::BIGINT AS n_ids, min(t.i)::BIGINT AS min_id, max(t.i)::BIGINT AS max_id FROM range(100000) t(i) JOIN region ON (t.i % 8) = r_regionkey WHERE r_name IN ('ASIA', 'AMERICA') GROUP BY 1 ORDER BY 1")),
     QueryDef("a36_source_topn_pushdown", a36 _, Some(

@@ -159,6 +159,50 @@ class PairGenSourceSpec extends SparkSpec {
     assert(b.collect().map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
   }
 
+  test("a38: reported statistics drive a PLAN-TIME broadcast (AQE off)") {
+    import org.apache.spark.sql.functions._
+    val keys = Seq("spark.sql.adaptive.enabled")
+    val prev = keys.map(k => k -> spark.conf.get(k))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val big = spark.read.format("pairgen").option("rows", "200000").load()
+      def join(smallRows: String) = big.join(
+        spark.read.format("pairgen").option("rows", smallRows).load()
+          .withColumnRenamed("value", "v2"),
+        Seq("id")).agg(count(lit(1)).as("n"))
+      // under-threshold reported size ⇒ broadcast chosen with NO hint
+      // and NO runtime size probe — only the connector's statistics
+      // can justify it at plan time
+      val p1 = join("2000").queryExecution.executedPlan.toString
+      assert(p1.contains("BroadcastHashJoin"),
+        s"stats did not drive a plan-time broadcast:\n$p1")
+      // BOTH sides over threshold ⇒ no broadcast (plan-only; never
+      // executed). The stats cut both ways: the first assertion's
+      // "big" side would itself broadcast after column pruning
+      // (200k × 8 B), which is the report being CORRECT, not a bug.
+      val big2 = spark.read.format("pairgen")
+        .option("rows", "100000000").load()
+      val p2 = big2.join(
+        spark.read.format("pairgen").option("rows", "90000000").load()
+          .withColumnRenamed("value", "v2"),
+        Seq("id")).agg(count(lit(1)).as("n"))
+        .queryExecution.executedPlan.toString
+      assert(!p2.contains("BroadcastHashJoin"),
+        s"two over-threshold sides must not broadcast:\n$p2")
+      // numbers flow from the narrowed range: filter + join-key
+      // equivalence narrow BOTH generated ranges
+      val df = graft.SparkEntry.queries("a38_source_stats_broadcast")(
+        spark, sf0001)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("range=[1000,2000)") &&
+        plan.contains("range=[1000,200000)"),
+        s"pushed bound did not propagate through the join:\n$plan")
+      val r = df.head()
+      assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+        ((1000L, 1000L, 1999L, 1000L)))
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("a37: runtime filter skips bucket partitions — proven by the scan metric") {
     import org.apache.spark.sql.functions._
     val df = graft.SparkEntry.queries("a37_source_runtime_filter")(
