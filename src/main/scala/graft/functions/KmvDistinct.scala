@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.types.{DataType, LongType}
 
 /** Bounded set of the k minimum hashes (deduped, ascending). */
-final class KmvBuffer(val k: Int) {
+final class KmvBuffer(val k: Int) extends Serializable {
   val hashes = new java.util.TreeSet[java.lang.Long]()
   def offer(h: Long): Unit = {
     if (hashes.size < k) { hashes.add(h); () }
@@ -43,13 +43,7 @@ case class KmvDistinct(
   override def dataType: DataType = LongType
   override def prettyName: String = "kmv_distinct"
 
-  private def hash60(s: String): Long = {
-    val d = MessageDigest.getInstance("MD5").digest(
-      s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    // first 15 hex chars == first 60 bits: 8 big-endian bytes >>> 4
-    val top = ByteBuffer.wrap(d, 0, 8).getLong
-    top >>> 4
-  }
+  private def hash60(s: String): Long = KmvDistinct.hash60(s)
 
   override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
 
@@ -65,10 +59,7 @@ case class KmvDistinct(
     buf
   }
 
-  override def eval(buf: KmvBuffer): Any =
-    if (buf.hashes.size < k) buf.hashes.size.toLong
-    else math.floor((k - 1).toDouble * 1152921504606846976.0 /
-      buf.hashes.last().toDouble).toLong
+  override def eval(buf: KmvBuffer): Any = KmvDistinct.estimate(buf, k)
 
   override def serialize(buf: KmvBuffer): Array[Byte] = {
     val bb = ByteBuffer.allocate(4 + buf.hashes.size * 8)
@@ -93,4 +84,68 @@ case class KmvDistinct(
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): KmvDistinct =
     copy(child = newChildren.head)
+}
+
+object KmvDistinct {
+  /** The sketch kernel, shared by the TypedImperativeAggregate and the
+    * V2 catalog aggregate ([[KmvDistinctV2]]) — one hash family, one
+    * estimator, so the two surfaces are bit-identical and b33's DuckDB
+    * oracle serves both.
+    */
+  def hash60(s: String): Long = {
+    val d = MessageDigest.getInstance("MD5").digest(
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // first 15 hex chars == first 60 bits: 8 big-endian bytes >>> 4
+    ByteBuffer.wrap(d, 0, 8).getLong >>> 4
+  }
+  def estimate(buf: KmvBuffer, k: Int): Long =
+    if (buf.hashes.size < k) buf.hashes.size.toLong
+    else math.floor((k - 1).toDouble * 1152921504606846976.0 /
+      buf.hashes.last().toDouble).toLong
+}
+
+/** The SAME KMV sketch as a DSv2 catalog AGGREGATE function
+  * (`AggregateFunction[KmvBuffer, Long]`), b76's aggregate sibling:
+  * Spark partial-aggregates it exactly like the native
+  * TypedImperativeAggregate (update on executors, serialized KmvBuffer
+  * states merged across partitions, one result per group), but the
+  * definition is resolved THROUGH THE CATALOG — the sketch algorithm
+  * ships once per catalog, not once per session registry.
+  */
+object KmvDistinctV2
+    extends org.apache.spark.sql.connector.catalog.functions
+      .AggregateFunction[KmvBuffer, java.lang.Long] {
+  private val k = 64
+  override def inputTypes(): Array[DataType] = Array(LongType)
+  override def resultType(): DataType = LongType
+  override def name(): String = "kmv_distinct"
+  override def canonicalName(): String = "graft.functions.kmv_distinct"
+  override def isResultNullable: Boolean = false
+  override def newAggregationState(): KmvBuffer = new KmvBuffer(k)
+  override def update(state: KmvBuffer, input: InternalRow): KmvBuffer = {
+    if (!input.isNullAt(0))
+      state.offer(KmvDistinct.hash60(java.lang.Long.toString(input.getLong(0))))
+    state
+  }
+  override def merge(a: KmvBuffer, b: KmvBuffer): KmvBuffer = {
+    val it = b.hashes.iterator()
+    while (it.hasNext) a.offer(it.next())
+    a
+  }
+  override def produceResult(state: KmvBuffer): java.lang.Long =
+    KmvDistinct.estimate(state, k)
+}
+
+object KmvDistinctV2Unbound
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  override def name(): String = "kmv_distinct"
+  override def description(): String = "kmv_distinct(bigint) -> bigint"
+  override def bind(inputType: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.connector.catalog.functions.BoundFunction = {
+    val ok = inputType.fields.length == 1 &&
+      inputType.fields(0).dataType == LongType
+    if (!ok) throw new UnsupportedOperationException(
+      s"kmv_distinct expects one BIGINT argument, got $inputType")
+    KmvDistinctV2
+  }
 }

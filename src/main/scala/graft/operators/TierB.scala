@@ -2073,7 +2073,65 @@ object TierB {
          |FROM $tbl GROUP BY g ORDER BY g""".stripMargin)
   }
 
+  /** b78: REBALANCE hint — the pre-write LAYOUT-SHAPING pass
+    * (`/*+ REBALANCE(col) */` → `RebalancePartitions` →
+    * a `REBALANCE_PARTITIONS_BY_COL` exchange that AQE splits AND
+    * coalesces to advisory-sized output partitions): the production
+    * answer to both small-files (thousands of tiny tasks each writing
+    * a file) and giant-file skew (one hot partition writing one huge
+    * file) when materializing a keyed layout. Unlike `repartition(n,
+    * col)` the target count is not guessed — AQE sizes partitions
+    * from actual map output; unlike `coalesce` it can SPLIT a hot
+    * key's partition (REBALANCE tolerates rows of one key landing in
+    * multiple files — it shapes size, not co-location; B25/A34 are
+    * the co-location tools). The demo rebalances lineitem by
+    * returnflag into a parquet sink and declares the read-back
+    * per-flag summary — content is layout-invariant, which is the
+    * point; the spec asserts the rebalance exchange and that every
+    * sink file is non-trivially sized.
+    */
+  private def b78(s: SparkSession, d: String): DataFrame = {
+    val sink = graft.util.TmpDir.fresh("b78-sink")
+    lineitem(s, d)
+      .select(col("l_returnflag"), col("l_orderkey"),
+        floor(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .hint("rebalance", col("l_returnflag"))
+      .write.parquet(sink)
+    s.read.parquet(sink)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents").cast("decimal(38,0)")).cast("long")
+          .as("cents_sum"))
+      .orderBy("l_returnflag")
+  }
+
+  /** b79: DSv2 catalog AGGREGATE function — b76's aggregate sibling
+    * and b33's catalog twin: the SAME KMV sketch kernel
+    * ([[graft.functions.KmvDistinctV2]] shares `KmvDistinct`'s hash
+    * family and estimator) resolved through the FunctionCatalog and
+    * executed by Spark's `V2Aggregator` bridge with full distributed
+    * partial aggregation (partial update on executors, serialized
+    * KmvBuffer states merged across the exchange — visible as
+    * partial_/merge_v2aggregator in the plan). One sketch definition
+    * per catalog instead of per session registry; bit-identical to
+    * b33 by construction, so b33's oracle serves verbatim.
+    */
+  private def b79(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graftmem",
+      "graft.sources.GraftMemCatalog")
+    lineitem(s, d).createOrReplaceTempView("g_lineitem_b79")
+    s.sql(
+      """SELECT l_returnflag,
+        |  graftmem.db.kmv_distinct(l_partkey) AS est_dparts,
+        |  count(DISTINCT l_partkey) AS true_dparts
+        |FROM g_lineitem_b79 GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("b79_catalog_aggregate", b79 _, Some(
+      "WITH h AS (SELECT DISTINCT l_returnflag AS flag, ('0x' || substr(md5(l_partkey::VARCHAR), 1, 15))::BIGINT AS hv FROM lineitem), r AS (SELECT flag, hv, row_number() OVER (PARTITION BY flag ORDER BY hv) AS rn FROM h), e AS (SELECT flag, CASE WHEN max(rn) < 64 THEN max(rn) ELSE floor(63.0 * 1152921504606846976.0 / max(CASE WHEN rn = 64 THEN hv END))::BIGINT END AS est_dparts FROM r GROUP BY flag) SELECT e.flag AS l_returnflag, e.est_dparts, t.true_dparts FROM e JOIN (SELECT l_returnflag AS flag, count(DISTINCT l_partkey)::BIGINT AS true_dparts FROM lineitem GROUP BY 1) t ON e.flag = t.flag ORDER BY l_returnflag")),
+    QueryDef("b78_hint_rebalance", b78 _, Some(
+      "SELECT l_returnflag, count(*)::BIGINT AS n, sum(floor(l_extendedprice * 100)::BIGINT)::BIGINT AS cents_sum FROM lineitem GROUP BY 1 ORDER BY 1")),
     QueryDef("b77_merge_group_pruned", b77 _, Some(
       "WITH snap AS (SELECT c_custkey AS key, c_custkey % 5 AS g, floor(c_acctbal * 100)::BIGINT AS bal FROM customer), post AS (SELECT key, g, bal + CASE WHEN key % 50 = 2 THEN 10000 ELSE 0 END AS bal FROM snap) SELECT g::BIGINT AS g, count(*)::BIGINT AS n, sum(bal)::BIGINT AS bal_cents_sum FROM post GROUP BY 1 ORDER BY 1")),
     QueryDef("b76_function_catalog", b76 _, Some(

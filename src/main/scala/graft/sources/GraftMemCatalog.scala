@@ -109,12 +109,16 @@ class GraftMemCatalog extends TableCatalog with FunctionCatalog {
     * bit-identical by construction.
     */
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    Array(Identifier.of(namespace, "cosine_sim"))
+    Array(Identifier.of(namespace, "cosine_sim"),
+      Identifier.of(namespace, "kmv_distinct"))
   override def loadFunction(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
-    if (ident.name() == "cosine_sim") graft.functions.CosineSimV2Unbound
-    else throw new org.apache.spark.sql.catalyst.analysis
-      .NoSuchFunctionException(ident)
+    ident.name() match {
+      case "cosine_sim"   => graft.functions.CosineSimV2Unbound
+      case "kmv_distinct" => graft.functions.KmvDistinctV2Unbound
+      case _ => throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchFunctionException(ident)
+    }
 }
 
 object GraftMemCatalog {

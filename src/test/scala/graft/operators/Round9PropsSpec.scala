@@ -150,6 +150,29 @@ class Round9PropsSpec extends SparkSpec {
       "c67 top-10 should plan as TakeOrderedAndProject")
   }
 
+  test("b78: rebalance plans the AQE-sized exchange; sink files are sane") {
+    // the hinted fragment really plans RebalancePartitions →
+    // REBALANCE_PARTITIONS_BY_COL (the AQE split-and-coalesce shape)
+    val frag = graft.util.Tables.table(spark, sf0001, "lineitem")
+      .select(col("l_returnflag"), col("l_orderkey"))
+      .hint("rebalance", col("l_returnflag"))
+    assert(frag.queryExecution.optimizedPlan.toString
+      .contains("RebalancePartitions"))
+    frag.count()
+    assert(frag.queryExecution.executedPlan.toString
+      .contains("REBALANCE_PARTITIONS_BY_COL"))
+    // and the declared query's content equals the un-rebalanced agg
+    val got = q("b78_hint_rebalance").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val expect = graft.util.Tables.table(spark, sf0001, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("l_extendedprice") * 100).cast("long")).as("s"))
+      .orderBy("l_returnflag").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect)
+  }
+
   test("c68: NFC collapses the two canonical forms; raw bytes split them") {
     val rows = q("c68_dedup_nfc").collect()
     assert(rows.nonEmpty)

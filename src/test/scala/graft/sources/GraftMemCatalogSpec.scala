@@ -163,6 +163,26 @@ class GraftMemCatalogSpec extends SparkSpec {
     assert(err.getMessage.toLowerCase.contains("cosine_sim"))
   }
 
+  test("b79: catalog aggregate partial-aggregates and equals the native sketch") {
+    spark.conf.set("spark.sql.catalog.graftmem",
+      "graft.sources.GraftMemCatalog")
+    val df = graft.SparkEntry.queries("b79_catalog_aggregate")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    // distributed partial aggregation, not a single-node fold
+    assert(plan.contains("partial_v2aggregator") &&
+      plan.contains("merge_v2aggregator"),
+      s"V2 aggregate did not partial-aggregate:\n$plan")
+    // bit-identical to the native TypedImperativeAggregate (b33):
+    // shared hash family + estimator
+    val b33 = graft.SparkEntry.queries("b33_agg_kmv_sketch")(spark, sf0001)
+    assert(df.collect().toSeq == b33.collect().toSeq)
+    // wrong-typed call fails at bind time
+    val err = intercept[Exception] {
+      spark.sql("SELECT graftmem.db.kmv_distinct('x')").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("kmv_distinct"))
+  }
+
   test("append is additive; TRUNCATE-overwrite replaces") {
     val tbl = freshTable("spec_app")
     spark.range(3).selectExpr("id AS key", "id AS bal_cents")
