@@ -42,6 +42,19 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Registration: `spark.sql.catalog.graftmem = graft.sources
   * .GraftMemCatalog` (set lazily per session; the backing store is
   * JVM-global so every session sees the same tables).
+  *
+  * Concurrency contract (demo-honest): reads snapshot the committed
+  * row vector and each commit swaps it atomically, but there is NO
+  * writer-vs-writer conflict detection — two concurrent MERGEs into
+  * one table serialize on the swap lock and the later commit wins on
+  * any overlapping group (lost update), where a real lakehouse
+  * catalog re-validates scanned files/groups at commit and retries.
+  * The demo queries are single-writer by construction (corpus-keyed
+  * table names, one writer per JVM), same class of documented
+  * limitation as b25's bucketed-table singleton. d23's streaming
+  * epoch ledger grows with total committed batches per table — the
+  * demo bound is the table's lifetime; a production sink stores the
+  * last epoch per query in its transaction log instead.
   */
 class GraftMemCatalog extends TableCatalog with FunctionCatalog {
   import GraftMemCatalog._

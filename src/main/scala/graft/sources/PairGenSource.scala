@@ -180,7 +180,9 @@ private[sources] class PairGenScanBuilder(
   override def pushLimit(n: Int): Boolean =
     if (aggOps.isDefined || buckets > 0 || n < 0) false
     else {
-      hi = math.min(hi, lo + n)
+      // subtract, don't add: lo + n overflows for extreme row counts
+      // (the PairGenOffset lesson applied to the limit clamp)
+      if (n < hi - lo) hi = lo + n
       true
     }
   override def pushTopN(
@@ -196,7 +198,9 @@ private[sources] class PairGenScanBuilder(
     if (!ok) false
     else {
       val desc = orders(0).direction() == SortDirection.DESCENDING
-      if (desc) lo = math.max(lo, hi - n) else hi = math.min(hi, lo + n)
+      // overflow-safe clamps (subtract, don't add — PairGenOffset lesson)
+      if (desc) { if (n < hi - lo) lo = hi - n }
+      else if (n < hi - lo) hi = lo + n
       topNDesc = Some(desc)
       true
     }
