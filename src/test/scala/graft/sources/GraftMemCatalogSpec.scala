@@ -183,6 +183,62 @@ class GraftMemCatalogSpec extends SparkSpec {
     assert(err.getMessage.toLowerCase.contains("kmv_distinct"))
   }
 
+  test("merge fuzz: generated CDC batches equal a driver replay (both layouts)") {
+    // the riskiest new code path: MERGE through ReplaceData with and
+    // without group pruning, against generated update/delete/insert
+    // mixes — including empty batches, all-delete batches, inserts
+    // into brand-new groups, and single-row tables
+    val gen = for {
+      n <- org.scalacheck.Gen.choose(1, 30)
+      ops <- org.scalacheck.Gen.listOfN(40, org.scalacheck.Gen.choose(0, 3))
+      partitioned <- org.scalacheck.Gen.oneOf(true, false)
+    } yield (n, ops, partitioned)
+    var i = 0
+    forAllN(gen, 8) { case (n, ops, partitioned) =>
+      i += 1
+      spark.conf.set("spark.sql.catalog.graftmem",
+        "graft.sources.GraftMemCatalog")
+      val tbl = s"graftmem.db.fuzz_m$i"
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.sql(s"CREATE TABLE $tbl (key BIGINT, g BIGINT, bal BIGINT)" +
+        (if (partitioned) " PARTITIONED BY (g)" else ""))
+      val init = (0L until n.toLong).map(k => (k, k % 3, k * 10))
+      import spark.implicits._
+      init.toDF("key", "g", "bal").writeTo(tbl).append()
+      // batch: op per key in [0, 40): 0 = absent, 1 = update, 2 =
+      // delete, 3 = insert-if-absent (new group 7 for inserts)
+      val batch = ops.zipWithIndex.collect {
+        case (1, k) => (k.toLong, "U", k * 100L)
+        case (2, k) => (k.toLong, "D", 0L)
+        case (3, k) => (k.toLong, "I", k * 1000L)
+      }
+      batch.toDF("key", "op", "nb").createOrReplaceTempView("fuzz_batch")
+      spark.sql(
+        s"""MERGE INTO $tbl t USING fuzz_batch b ON t.key = b.key
+           |WHEN MATCHED AND b.op = 'U' THEN UPDATE SET bal = b.nb
+           |WHEN MATCHED AND b.op = 'D' THEN DELETE
+           |WHEN NOT MATCHED AND b.op = 'I' THEN
+           |  INSERT (key, g, bal) VALUES (b.key, 7, b.nb)""".stripMargin)
+      val got = spark.table(tbl).orderBy("key").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      // driver replay of the same semantics
+      val bmap = batch.map(b => b._1 -> b).toMap
+      val kept = init.flatMap { case (k, g, bal) =>
+        bmap.get(k) match {
+          case Some((_, "U", nb)) => Some((k, g, nb))
+          case Some((_, "D", _))  => None
+          case _                  => Some((k, g, bal))
+        }
+      }
+      val inserted = batch.collect {
+        case (k, "I", nb) if k >= n => (k, 7L, nb)
+      }
+      val expect = (kept ++ inserted).sortBy(_._1)
+      assert(got == expect,
+        s"n=$n partitioned=$partitioned\ngot=$got\nexp=$expect")
+    }
+  }
+
   test("append is additive; TRUNCATE-overwrite replaces") {
     val tbl = freshTable("spec_app")
     spark.range(3).selectExpr("id AS key", "id AS bal_cents")
