@@ -2005,6 +2005,61 @@ object TierB {
          |FROM $tbl GROUP BY key % 10 ORDER BY key_mod""".stripMargin)
   }
 
+  /** b80: MERGE-ON-READ MERGE — b75's CDC batch against the
+    * `SupportsDelta` table flavor ([[graft.sources.GraftMemMorTable]],
+    * `TBLPROPERTIES ('graft.row_level' = 'merge-on-read')`): Spark
+    * plans `WriteDelta` instead of `ReplaceData`, MergeRows tags each
+    * output row INSERT/UPDATE/DELETE, and the connector's DeltaWriter
+    * receives per-row deltas addressed by the `_pos` row id —
+    * positional tombstones + inserted rows, base rows NEVER rewritten
+    * (the spec proves base object identity across the MERGE). This is
+    * the row-level path update-heavy CDC uses at 100 TB: commit cost
+    * O(changed rows) + a metadata append, vs copy-on-write's rewrite
+    * of every touched group, traded against a per-scan merge of
+    * tombstones (shipped per split like position-delete files).
+    * Identical batch construction and post-merge summary as b75, so
+    * b75's oracle serves verbatim — same answer through the OTHER
+    * lakehouse write path is itself the cross-check.
+    */
+  private def b80(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graftmem",
+      "graft.sources.GraftMemCatalog")
+    val tbl = "graftmem.db.mor_" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    s.sql(s"CREATE TABLE $tbl (key BIGINT, bal_cents BIGINT) " +
+      "TBLPROPERTIES ('graft.row_level' = 'merge-on-read')")
+    customer(s, d)
+      .selectExpr("c_custkey AS key",
+        "CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents")
+      .writeTo(tbl).append()
+    customer(s, d).createOrReplaceTempView("g_cust_b80")
+    s.sql(
+      """SELECT key, bal_cents + 10000 AS nb, 'U' AS op
+        |FROM (SELECT c_custkey AS key,
+        |        CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |      FROM g_cust_b80) WHERE key % 10 = 3
+        |UNION ALL
+        |SELECT c_custkey, 0L, 'D' FROM g_cust_b80 WHERE c_custkey % 10 = 7
+        |UNION ALL
+        |SELECT c_custkey + (SELECT max(c_custkey) + 1 FROM g_cust_b80),
+        |       CAST(floor(c_acctbal * 100) AS BIGINT), 'I'
+        |FROM g_cust_b80 WHERE c_custkey % 100 = 0""".stripMargin)
+      .createOrReplaceTempView("g_batch_b80")
+    s.sql(
+      s"""MERGE INTO $tbl t USING g_batch_b80 b ON t.key = b.key
+         |WHEN MATCHED AND b.op = 'U' THEN UPDATE SET bal_cents = b.nb
+         |WHEN MATCHED AND b.op = 'D' THEN DELETE
+         |WHEN NOT MATCHED THEN INSERT (key, bal_cents)
+         |  VALUES (b.key, b.nb)""".stripMargin)
+    s.sql(
+      s"""SELECT key % 10 AS key_mod, count(*) AS n,
+         |  CAST(sum(CAST(bal_cents AS DECIMAL(38,0))) AS BIGINT)
+         |    AS bal_cents_sum
+         |FROM $tbl GROUP BY key % 10 ORDER BY key_mod""".stripMargin)
+  }
+
   /** b76: DSv2 FUNCTION CATALOG — the governed-function face next to
     * c17's session-registry Expression: `graftmem.db.cosine_sim` is
     * resolved by name THROUGH THE CATALOG (one definition every
@@ -2127,6 +2182,13 @@ object TierB {
         |FROM g_lineitem_b79 GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** Shared b75/b80 oracle: post-merge state recomputed with explicit
+    * joins (b45's pattern). Both queries build the identical CDC batch
+    * over customer, so the summary is write-path-invariant.
+    */
+  private val mergeOracleSql =
+    "WITH snap AS (SELECT c_custkey AS key, floor(c_acctbal * 100)::BIGINT AS bal FROM customer), off AS (SELECT max(c_custkey) + 1 AS o FROM customer), batch AS (SELECT key, bal + 10000 AS nb, 'U' AS op FROM snap WHERE key % 10 = 3 UNION ALL SELECT key, 0, 'D' FROM snap WHERE key % 10 = 7 UNION ALL SELECT key + (SELECT o FROM off), bal, 'I' FROM snap WHERE key % 100 = 0), post AS (SELECT s.key, coalesce(CASE WHEN b.op = 'U' THEN b.nb END, s.bal) AS bal FROM snap s LEFT JOIN batch b ON s.key = b.key WHERE b.op IS NULL OR b.op <> 'D' UNION ALL SELECT key, nb FROM batch WHERE op = 'I') SELECT (key % 10)::BIGINT AS key_mod, count(*)::BIGINT AS n, sum(bal)::BIGINT AS bal_cents_sum FROM post GROUP BY 1 ORDER BY 1"
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("b79_catalog_aggregate", b79 _, Some(
       "WITH h AS (SELECT DISTINCT l_returnflag AS flag, ('0x' || substr(md5(l_partkey::VARCHAR), 1, 15))::BIGINT AS hv FROM lineitem), r AS (SELECT flag, hv, row_number() OVER (PARTITION BY flag ORDER BY hv) AS rn FROM h), e AS (SELECT flag, CASE WHEN max(rn) < 64 THEN max(rn) ELSE floor(63.0 * 1152921504606846976.0 / max(CASE WHEN rn = 64 THEN hv END))::BIGINT END AS est_dparts FROM r GROUP BY flag) SELECT e.flag AS l_returnflag, e.est_dparts, t.true_dparts FROM e JOIN (SELECT l_returnflag AS flag, count(DISTINCT l_partkey)::BIGINT AS true_dparts FROM lineitem GROUP BY 1) t ON e.flag = t.flag ORDER BY l_returnflag")),
@@ -2136,8 +2198,11 @@ object TierB {
       "WITH snap AS (SELECT c_custkey AS key, c_custkey % 5 AS g, floor(c_acctbal * 100)::BIGINT AS bal FROM customer), post AS (SELECT key, g, bal + CASE WHEN key % 50 = 2 THEN 10000 ELSE 0 END AS bal FROM snap) SELECT g::BIGINT AS g, count(*)::BIGINT AS n, sum(bal)::BIGINT AS bal_cents_sum FROM post GROUP BY 1 ORDER BY 1")),
     QueryDef("b76_function_catalog", b76 _, Some(
       "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1 ORDER BY vec_a")),
-    QueryDef("b75_merge_into", b75 _, Some(
-      "WITH snap AS (SELECT c_custkey AS key, floor(c_acctbal * 100)::BIGINT AS bal FROM customer), off AS (SELECT max(c_custkey) + 1 AS o FROM customer), batch AS (SELECT key, bal + 10000 AS nb, 'U' AS op FROM snap WHERE key % 10 = 3 UNION ALL SELECT key, 0, 'D' FROM snap WHERE key % 10 = 7 UNION ALL SELECT key + (SELECT o FROM off), bal, 'I' FROM snap WHERE key % 100 = 0), post AS (SELECT s.key, coalesce(CASE WHEN b.op = 'U' THEN b.nb END, s.bal) AS bal FROM snap s LEFT JOIN batch b ON s.key = b.key WHERE b.op IS NULL OR b.op <> 'D' UNION ALL SELECT key, nb FROM batch WHERE op = 'I') SELECT (key % 10)::BIGINT AS key_mod, count(*)::BIGINT AS n, sum(bal)::BIGINT AS bal_cents_sum FROM post GROUP BY 1 ORDER BY 1")),
+    QueryDef("b75_merge_into", b75 _, Some(mergeOracleSql)),
+    // b80 recomputes the SAME post-merge state through the OTHER
+    // row-level write path (WriteDelta vs ReplaceData) — one oracle,
+    // two lakehouse write paths, equality is the cross-check.
+    QueryDef("b80_merge_on_read", b80 _, Some(mergeOracleSql)),
     QueryDef("b72_sql_scripting", b72 _, Some(
       "WITH ks AS (SELECT (6400::BIGINT * (1::BIGINT << k.k)) AS t FROM range(40) k(k)), c AS (SELECT t, (SELECT count(*) FROM orders WHERE o_totalprice >= t)::BIGINT AS n FROM ks) SELECT t AS threshold, n AS n_above FROM c WHERE n < 1000 ORDER BY t LIMIT 1")),
     QueryDef("b73_sql_udf", b73 _, Some(

@@ -2537,8 +2537,14 @@ object TierC {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    // NFC vs NFD spelled as chr() codepoints (233 = U+00E9 'é'; 769 =
+    // U+0301 combining acute), never as raw literals: two visually
+    // identical 'café ' strings differing only in normalization form
+    // are one editor/formatter Unicode-normalization away from silently
+    // collapsing the contrast this oracle depends on. (The Scala kernel
+    // side uses \u escapes for the same reason.)
     QueryDef("c68_dedup_nfc", c68 _, Some(
-      "WITH v AS (SELECT doc_id, 'café ' || text AS raw FROM documents UNION ALL SELECT doc_id, 'café ' || text FROM documents) SELECT doc_id, count(DISTINCT md5(raw))::BIGINT AS n_raw, count(DISTINCT md5(nfc_normalize(raw)))::BIGINT AS n_norm, min(md5(nfc_normalize(raw))) AS norm_fp FROM v GROUP BY 1 ORDER BY 1")),
+      "WITH v AS (SELECT doc_id, 'caf' || chr(233) || ' ' || text AS raw FROM documents UNION ALL SELECT doc_id, 'cafe' || chr(769) || ' ' || text FROM documents) SELECT doc_id, count(DISTINCT md5(raw))::BIGINT AS n_raw, count(DISTINCT md5(nfc_normalize(raw)))::BIGINT AS n_norm, min(md5(nfc_normalize(raw))) AS norm_fp FROM v GROUP BY 1 ORDER BY 1")),
     QueryDef("c67_bm25", c67 _, Some(
       "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents), dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1), tot AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n, count(*)::BIGINT AS s FROM tok), a AS (SELECT greatest(1, (10000 * s) // greatest(1, n)) AS a10k, n FROM tot), dfx AS (SELECT w, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY 1), terms AS (SELECT w, df FROM (SELECT w, df, row_number() OVER (ORDER BY df DESC, w) AS rk FROM dfx) WHERE rk BETWEEN 11 AND 13), tf AS (SELECT t.doc_id, t.w, count(*)::BIGINT AS tf FROM tok t JOIN terms q ON t.w = q.w GROUP BY 1, 2), sc AS (SELECT tf.doc_id, ((length(bin((a.n // q.df))) - 1) * 220000000 * tf.tf) // (10000 * tf.tf + 3000 + (90000000 * d.dl) // a.a10k) AS sbp FROM tf JOIN terms q ON tf.w = q.w JOIN dl d ON tf.doc_id = d.doc_id, a) SELECT doc_id, count(*)::BIGINT AS n_hit, sum(sbp)::BIGINT AS score_bp FROM sc GROUP BY 1 ORDER BY score_bp DESC, doc_id LIMIT 10")),
     QueryDef("c66_shard_manifest", c66 _, Some(

@@ -43,18 +43,19 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * .GraftMemCatalog` (set lazily per session; the backing store is
   * JVM-global so every session sees the same tables).
   *
-  * Concurrency contract (demo-honest): reads snapshot the committed
-  * row vector and each commit swaps it atomically, but there is NO
-  * writer-vs-writer conflict detection — two concurrent MERGEs into
-  * one table serialize on the swap lock and the later commit wins on
-  * any overlapping group (lost update), where a real lakehouse
-  * catalog re-validates scanned files/groups at commit and retries.
-  * The demo queries are single-writer by construction (corpus-keyed
-  * table names, one writer per JVM), same class of documented
-  * limitation as b25's bucketed-table singleton. d23's streaming
-  * epoch ledger grows with total committed batches per table — the
-  * demo bound is the table's lifetime; a production sink stores the
-  * last epoch per query in its transaction log instead.
+  * Concurrency contract: OPTIMISTIC, validated at commit — the
+  * lakehouse shape. Every commit bumps the table version and records
+  * it per touched rewrite group; a row-level operation's scan pins
+  * the version it read, and its commit REJECTS (throws
+  * [[GraftMemCommitConflictException]]) if any group it scanned was
+  * modified by a commit with a later version — the lost update b75's
+  * earlier rounds documented as a demo limitation is now impossible:
+  * two MERGEs into DISJOINT groups both land, overlapping groups get
+  * one success and one loud rejection (a real catalog retries the
+  * loser from a fresh snapshot; the demo surfaces the conflict).
+  * d23's streaming epoch ledger holds one max-epoch long per writing
+  * query (epochs are monotone per run), so a long-lived table under a
+  * continuous stream stays O(queries), not O(batches).
   */
 class GraftMemCatalog extends TableCatalog with FunctionCatalog {
   import GraftMemCatalog._
@@ -95,7 +96,21 @@ class GraftMemCatalog extends TableCatalog with FunctionCatalog {
         s"graftmem supports at most one identity partition, got " +
           other.mkString(", "))
     }
-    val t = new GraftMemTable(key(ident), schema, partCol)
+    // Row-level flavor is a TABLE PROPERTY, the way real lakehouse
+    // formats pick it (`write.merge.mode = merge-on-read`): default is
+    // copy-on-write (GraftMemTable, ReplaceData); 'merge-on-read'
+    // creates the SupportsDelta flavor (GraftMemMorTable, WriteDelta).
+    val t: Table = properties.get("graft.row_level") match {
+      case null | "copy-on-write" =>
+        new GraftMemTable(key(ident), schema, partCol)
+      case "merge-on-read" =>
+        require(partCol.isEmpty,
+          "graftmem merge-on-read flavor is unpartitioned (deltas " +
+            "address rows by position, not by rewrite group)")
+        new GraftMemMorTable(key(ident), schema)
+      case other => throw new UnsupportedOperationException(
+        s"graftmem: unknown graft.row_level flavor '$other'")
+    }
     val prev = tables.putIfAbsent(key(ident), t)
     if (prev != null)
       throw new org.apache.spark.sql.catalyst.analysis
@@ -138,7 +153,7 @@ object GraftMemCatalog {
   /** JVM-global store: catalog instances are created per session/name,
     * but a demo query registers, writes and reads within one JVM.
     */
-  private val tables = new ConcurrentHashMap[String, GraftMemTable]()
+  private val tables = new ConcurrentHashMap[String, Table]()
 
   /** Test/dev reset — drops every table (the catalog equivalent of a
     * fresh warehouse dir).
@@ -161,6 +176,25 @@ private[sources] class GraftMemTable(val fullName: String,
   /** Current committed content. Replaced atomically on commit. */
   @volatile private[sources] var rows: Vector[Array[Long]] = Vector.empty
 
+  /** Commit counter + last-modifying version per rewrite group — the
+    * demo's transaction-log metadata. Guarded by `this` (the swap
+    * lock); a row-level scan pins the version it read, and the
+    * matching commit validates its scanned groups against these
+    * (optimistic concurrency, the Iceberg/Delta commit-conflict
+    * check with groups standing in for files).
+    */
+  private[sources] var commitVersion: Long = 0L
+  private[sources] val groupVersion =
+    scala.collection.mutable.HashMap.empty[Long, Long]
+
+  /** Bump the version and stamp `gs` as modified by it. Call ONLY
+    * while holding the swap lock.
+    */
+  private[sources] def stampCommit(gs: Iterable[Long]): Unit = {
+    commitVersion += 1
+    gs.foreach(g => groupVersion(g) = commitVersion)
+  }
+
   /** Rewrite-group id of a stored row: the identity-partition value,
     * or 0 when unpartitioned (single group).
     */
@@ -180,17 +214,33 @@ private[sources] class GraftMemTable(val fullName: String,
       TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
 
-  /** Streaming exactly-once bookkeeping: (queryId, epoch) pairs whose
-    * commit already landed. A retried/replayed epoch (engine restart
-    * re-commits the last batch; commit() may also be re-entered
-    * after a driver failure) is detected here and SKIPPED — idempotent
-    * re-commit is the sink half of Structured Streaming's exactly-once
-    * contract (the source half being replayable offsets, d12). Keyed
-    * by queryId so a DIFFERENT query appending to the table starts its
-    * own epoch sequence without colliding.
+  /** Streaming exactly-once bookkeeping: the MAX committed epoch per
+    * queryId. A retried/replayed epoch (engine restart re-commits the
+    * last batch; commit() may also be re-entered after a driver
+    * failure) is ≤ the recorded max — epochs are monotone within a
+    * query run, which is what makes one long per query sufficient —
+    * and is SKIPPED: idempotent re-commit is the sink half of
+    * Structured Streaming's exactly-once contract (the source half
+    * being replayable offsets, d12). Keyed by queryId so a DIFFERENT
+    * query appending to the table starts its own epoch sequence
+    * without colliding. Memory is O(queries that ever wrote), not
+    * O(epochs) — a long-lived table under a continuous stream no
+    * longer grows a ledger per microbatch (a production sink stores
+    * the same single watermark in its transaction log).
     */
-  private[sources] val committedEpochs =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Long)]()
+  private[sources] val lastCommittedEpoch =
+    new ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Atomically record (queryId, epoch); true iff the epoch is NEW
+    * (strictly above the query's recorded max) and its rows should
+    * land. Synchronized with the row swap so the check and the append
+    * are one atomic commit step.
+    */
+  private[sources] def beginEpochCommit(qid: String, epoch: Long): Boolean = {
+    val prev = lastCommittedEpoch.get(qid)
+    if (prev != null && prev.longValue() >= epoch) false
+    else { lastCommittedEpoch.put(qid, epoch); true }
+  }
 
   /** `_group` — the rewrite-group id metadata column (the identity-
     * partition value; constant 0 when unpartitioned). Its role is
@@ -219,28 +269,28 @@ private[sources] class GraftMemTable(val fullName: String,
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
     () => new RowLevelOperation {
-      /** Which groups this operation's scan actually read — set by the
-        * runtime group filter (None = all groups were scanned). The
-        * WRITE's commit replaces exactly these groups, which is the
-        * whole point of group-based copy-on-write: untouched groups
-        * are never read, never rewritten, never moved. Shared driver-
-        * side state between the op's scan and its write — the same
-        * role Iceberg's scanned-file set plays.
+      /** Which groups this operation's scan actually read (None = all
+        * groups) and the table version the scan pinned. The WRITE's
+        * commit replaces exactly these groups — the whole point of
+        * group-based copy-on-write: untouched groups are never read,
+        * never rewritten, never moved — and VALIDATES them against
+        * the per-group commit log before swapping (optimistic
+        * concurrency). Shared driver-side state between the op's scan
+        * and its write — the same role Iceberg's scanned-file set +
+        * snapshot id play.
         */
-      private val scannedGroups =
-        new java.util.concurrent.atomic.AtomicReference[Option[Set[Long]]](
-          None)
+      private val scanState = new RowLevelScanState
       override def command(): RowLevelOperation.Command = info.command()
       override def description(): String =
         s"GraftMemRowLevel(${info.command()})"
       // the operation reads the groups being rewritten…
       override def newScanBuilder(
           options: CaseInsensitiveStringMap): ScanBuilder =
-        new GraftMemScanBuilder(GraftMemTable.this, Some(scannedGroups))
+        new GraftMemScanBuilder(GraftMemTable.this, Some(scanState))
       // …and its write REPLACES exactly those groups on commit
       override def newWriteBuilder(wi: LogicalWriteInfo): WriteBuilder =
         new GraftMemWriteBuilder(GraftMemTable.this, wi, replace = true,
-          replacedGroups = Some(scannedGroups))
+          replacedGroups = Some(scanState))
       override def requiredMetadataAttributes()
           : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
         Array(org.apache.spark.sql.connector.expressions.Expressions
@@ -248,16 +298,41 @@ private[sources] class GraftMemTable(val fullName: String,
     }
 }
 
+/** Driver-side handoff between a row-level operation's scan and its
+  * write: the groups the scan actually read (after runtime group
+  * filtering; None = all) and the table version it read them AT. The
+  * commit validates the groups against the version — the optimistic-
+  * concurrency handshake.
+  */
+private[sources] final class RowLevelScanState {
+  val groups =
+    new java.util.concurrent.atomic.AtomicReference[Option[Set[Long]]](None)
+  @volatile var scanVersion: Long = -1L // -1 = no scan built yet
+}
+
+/** A row-level commit found that a rewrite group it scanned was
+  * modified by a later commit — applying the write would silently
+  * drop that commit's changes (lost update). A production catalog
+  * retries the operation from a fresh snapshot; the demo surfaces
+  * the conflict loudly.
+  */
+final class GraftMemCommitConflictException(msg: String)
+    extends IllegalStateException(msg)
+
 private[sources] class GraftMemScanBuilder(table: GraftMemTable,
-    groupsOut: Option[java.util.concurrent.atomic
-      .AtomicReference[Option[Set[Long]]]] = None)
+    groupsOut: Option[RowLevelScanState] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = table.schema()
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   override def build(): Scan = new Scan with Batch
       with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
-    private val snapshot = table.rows // pin the commit we started from
+    // Pin (rows, version) under the swap lock so the pair is one
+    // consistent snapshot — the version is what the matching commit
+    // validates its scanned groups against.
+    private val (snapshot, pinnedVersion) =
+      table.synchronized((table.rows, table.commitVersion))
+    groupsOut.foreach(_.scanVersion = pinnedVersion)
     private val gIdx = table.groupIdx
     // runtime-prunable group set (None = all); the op's holder (when
     // present) learns what was scanned so its commit replaces exactly
@@ -298,7 +373,7 @@ private[sources] class GraftMemScanBuilder(table: GraftMemTable,
             }.toSet
             if (vals.nonEmpty) {
               allowed = Some(allowed.fold(vals)(_ intersect vals))
-              groupsOut.foreach(_.set(allowed))
+              groupsOut.foreach(_.groups.set(allowed))
             }
           }
         }
@@ -351,8 +426,7 @@ private[sources] case class GraftMemPartition(data: Vector[Array[Long]])
   */
 private[sources] class GraftMemWriteBuilder(
     table: GraftMemTable, writeInfo: LogicalWriteInfo, replace: Boolean,
-    replacedGroups: Option[java.util.concurrent.atomic
-      .AtomicReference[Option[Set[Long]]]] = None)
+    replacedGroups: Option[RowLevelScanState] = None)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
@@ -377,18 +451,53 @@ private[sources] class GraftMemWriteBuilder(
         // scan read (runtime group filter): untouched groups keep
         // their existing row objects — the copy-on-write narrowing.
         // No filter fired (or unpartitioned) ⇒ all groups were
-        // scanned ⇒ full swap.
+        // scanned ⇒ full swap. Before swapping, a replace VALIDATES
+        // its scanned groups against the per-group commit log: a
+        // group modified since the op's scan pinned its version means
+        // the rewrite was computed from stale rows, and applying it
+        // would silently drop the interleaved commit (lost update) —
+        // reject instead, the optimistic-concurrency half a real
+        // lakehouse catalog pairs with an automatic retry.
         table.synchronized {
-          table.rows =
-            if (replace)
-              replacedGroups.flatMap(_.get()) match {
-                case Some(gs) =>
-                  table.rows.filterNot(r => gs.contains(table.groupOf(r))) ++
-                    written
-                case None => written
-              }
-            else if (doTruncate) written
-            else table.rows ++ written
+          if (replace) {
+            val scanned = replacedGroups.flatMap(_.groups.get())
+            for (st <- replacedGroups; if st.scanVersion >= 0) {
+              val touched = scanned.getOrElse(
+                table.rows.iterator.map(table.groupOf).toSet)
+              val conflicted = touched.filter(g =>
+                table.groupVersion.getOrElse(g, -1L) > st.scanVersion)
+              if (conflicted.nonEmpty)
+                throw new GraftMemCommitConflictException(
+                  s"graftmem commit conflict on ${table.fullName}: " +
+                    s"group(s) ${conflicted.toSeq.sorted.mkString(", ")} " +
+                    s"changed after this operation's scan (scan version " +
+                    s"${st.scanVersion}, now ${table.commitVersion}); " +
+                    "retry from a fresh snapshot")
+            }
+            val prev = table.rows
+            val survivors = scanned match {
+              case Some(gs) =>
+                prev.filterNot(r => gs.contains(table.groupOf(r)))
+              case None => Vector.empty
+            }
+            table.rows = survivors ++ written
+            // stamp exactly the replaced groups; a full swap (no
+            // runtime narrowing) modifies every group that existed
+            // before OR exists after
+            table.stampCommit(scanned.getOrElse(
+              (prev.iterator ++ written.iterator)
+                .map(table.groupOf).toSet))
+          } else {
+            val prev = table.rows
+            table.rows = if (doTruncate) written else prev ++ written
+            // truncate touches every pre-existing group; append only
+            // the written rows' groups
+            val touched =
+              if (doTruncate)
+                (prev.iterator ++ written.iterator).map(table.groupOf).toSet
+              else written.iterator.map(table.groupOf).toSet
+            table.stampCommit(touched)
+          }
         }
       }
       override def abort(messages: Array[WriterCommitMessage]): Unit = ()
@@ -409,14 +518,17 @@ private[sources] class GraftMemWriteBuilder(
               .write.streaming.StreamingDataWriterFactory =
           new GraftMemStreamingWriterFactory(p)
         override def commit(epochId: Long,
-            messages: Array[WriterCommitMessage]): Unit = {
-          if (table.committedEpochs.add((writeInfo.queryId(), epochId))) {
-            val written = messages.iterator.flatMap {
-              case m: GraftMemCommit => m.data
-            }.toVector
-            table.synchronized { table.rows = table.rows ++ written }
+            messages: Array[WriterCommitMessage]): Unit =
+          table.synchronized {
+            if (table.beginEpochCommit(writeInfo.queryId(), epochId)) {
+              val written = messages.iterator.flatMap {
+                case m: GraftMemCommit => m.data
+              }.toVector
+              table.rows = table.rows ++ written
+              table.stampCommit(
+                written.iterator.map(table.groupOf).toSet)
+            }
           }
-        }
         override def abort(epochId: Long,
             messages: Array[WriterCommitMessage]): Unit = ()
       }

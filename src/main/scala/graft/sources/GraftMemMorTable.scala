@@ -1,0 +1,317 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types.{DataType, LongType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** MERGE-ON-READ table flavor (b80) — the `SupportsDelta` half of the
+  * DSv2 row-level-operation matrix, next to [[GraftMemTable]]'s
+  * copy-on-write half (b75/b77):
+  *
+  *   - COPY-ON-WRITE (`ReplaceData`): the MERGE's write REWRITES every
+  *     scanned group — reads stay trivial (the table body IS current),
+  *     writes cost a group rewrite. Right for read-heavy tables with
+  *     rare wide updates.
+  *   - MERGE-ON-READ (`WriteDelta`): the MERGE's write emits per-row
+  *     DELTAS — positional tombstones and inserted rows — and the
+  *     BASE rows are never touched; each SCAN merges base − tombstones
+  *     + delta-inserts at read time. Writes cost O(changed rows)
+  *     regardless of group width — the shape update-heavy CDC needs
+  *     (Iceberg position deletes, Delta deletion vectors), traded
+  *     against a per-read merge that compaction periodically folds
+  *     back into the base.
+  *
+  * Spark's engine face: `RewriteMergeIntoTable` sees the operation
+  * implement `SupportsDelta` and plans `WriteDelta` instead of
+  * `ReplaceData` — `MergeRows` tags each output row with an operation
+  * (INSERT / UPDATE / DELETE), and `WriteDeltaExec` splits the stream
+  * into typed [[org.apache.spark.sql.connector.write.DeltaWriter]]
+  * calls, projecting the row id (`_pos`, this table's metadata
+  * column, the demo stand-in for Iceberg's `_file`+`_pos` pair) for
+  * deletes/updates and the data columns for inserts. Untouched rows
+  * never flow through the plan AT ALL — where copy-on-write re-writes
+  * every surviving row of a touched group, the delta plan's write set
+  * is exactly the changed rows (the spec proves base-row object
+  * identity across a MERGE).
+  *
+  * Scale story at 100 TB: a real MoR connector writes tombstones as
+  * position-sorted delete files next to the data files and ships each
+  * scan split with only ITS delete subset — this demo does the same
+  * in miniature ([[MorPartition]] carries the tombstones intersecting
+  * its chunk, and the reader skips them streamingly). Commit is a
+  * metadata append (never a data move), so MERGE cost is O(delta),
+  * and CONCURRENT writers only conflict when they tombstone the SAME
+  * row — the commit validates exactly that (`deleted ∩ incoming`,
+  * the Iceberg validate-no-conflicting-deletes check); concurrent
+  * appends and disjoint-row deltas all land, a strictly weaker
+  * conflict surface than copy-on-write's per-group check.
+  *
+  * Created through [[GraftMemCatalog]] with
+  * `TBLPROPERTIES ('graft.row_level' = 'merge-on-read')`.
+  */
+private[sources] class GraftMemMorTable(val fullName: String,
+    tblSchema: StructType)
+    extends Table with SupportsRead with SupportsWrite
+    with SupportsRowLevelOperations with SupportsMetadataColumns {
+  require(tblSchema.fields.forall(_.dataType == LongType),
+    s"graftmem demo table supports LONG columns only, got $tblSchema")
+
+  /** Base rows (pos → row), appended by batch INSERTs. Row-level
+    * operations NEVER modify this vector or its row objects — that is
+    * the merge-on-read contract the spec asserts by object identity.
+    */
+  @volatile private[sources] var base: Vector[(Long, Array[Long])] =
+    Vector.empty
+
+  /** Delta state: positional tombstones and delta-inserted rows.
+    * Every committed delta appends here; reads merge. All three
+    * vectors are replaced atomically under `this`.
+    */
+  @volatile private[sources] var deleted: Set[Long] = Set.empty
+  @volatile private[sources] var deltaInserts: Vector[(Long, Array[Long])] =
+    Vector.empty
+
+  /** Next row position + commit counter; guarded by `this`. */
+  private[sources] var nextPos: Long = 0L
+  private[sources] var commitVersion: Long = 0L
+
+  override def name(): String = fullName
+  override def schema(): StructType = tblSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+
+  /** `_pos` — the stable row position, this table's ROW ID: what the
+    * delta writer's deletes/updates address rows by (`SupportsDelta
+    * .rowId`). Non-nullable by contract (Spark rejects nullable row
+    * ids).
+    */
+  override def metadataColumns(): Array[MetadataColumn] =
+    Array(new MetadataColumn {
+      override def name(): String = "_pos"
+      override def dataType(): DataType = LongType
+      override def isNullable: Boolean = false
+    })
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new MorScanBuilder(this)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new MorAppendWriteBuilder(this, info)
+
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    () => new RowLevelOperation with SupportsDelta {
+      override def command(): RowLevelOperation.Command = info.command()
+      override def description(): String =
+        s"GraftMemMorRowLevel(${info.command()})"
+      override def newScanBuilder(
+          options: CaseInsensitiveStringMap): ScanBuilder =
+        new MorScanBuilder(GraftMemMorTable.this)
+      override def newWriteBuilder(wi: LogicalWriteInfo): DeltaWriteBuilder =
+        new MorDeltaWriteBuilder(GraftMemMorTable.this, wi)
+      override def rowId()
+          : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+        Array(org.apache.spark.sql.connector.expressions.Expressions
+          .column("_pos"))
+      override def requiredMetadataAttributes()
+          : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+        Array.empty
+    }
+}
+
+/** One scan split: a chunk of (pos, row) pairs plus EXACTLY the
+  * tombstones intersecting it — the read-time merge a MoR reader does
+  * per split (a real connector reads the data file and its
+  * position-delete subset; nothing global is consulted per row).
+  */
+private[sources] case class MorPartition(
+    data: Vector[(Long, Array[Long])], dels: Set[Long])
+    extends InputPartition
+
+private[sources] class MorScanBuilder(table: GraftMemMorTable)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = table.schema()
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new Scan with Batch {
+    // pin one consistent (base, deltas, tombstones) snapshot
+    private val (snapBase, snapIns, snapDel) = table.synchronized(
+      (table.base, table.deltaInserts, table.deleted))
+    private val srcIdx: Array[Int] = required.fieldNames.map {
+      case "_pos" => -1
+      case n      => table.schema().fieldIndex(n)
+    }
+    override def readSchema(): StructType = required
+    override def toBatch: Batch = this
+    override def description(): String =
+      s"GraftMemMorScan(${table.fullName}, base=${snapBase.length}, " +
+        s"+${snapIns.length}, -${snapDel.size})"
+
+    /** Base in up-to-4 chunks + one delta chunk, each shipping only
+      * its own tombstone subset — the per-split delete-file shape.
+      */
+    override def planInputPartitions(): Array[InputPartition] = {
+      def split(rs: Vector[(Long, Array[Long])], n: Int) =
+        if (rs.isEmpty) Vector.empty
+        else rs.grouped(math.max(1, (rs.length + n - 1) / n)).toVector
+      val chunks = split(snapBase, 4) ++ split(snapIns, 1)
+      val parts = chunks.map { c =>
+        MorPartition(c, c.iterator.map(_._1).filter(snapDel).toSet)
+          : InputPartition
+      }.toArray
+      if (parts.isEmpty) Array(MorPartition(Vector.empty, Set.empty))
+      else parts
+    }
+    override def createReaderFactory(): PartitionReaderFactory = {
+      val idx = srcIdx
+      new PartitionReaderFactory {
+        override def createReader(
+            p: InputPartition): PartitionReader[InternalRow] = {
+          val mp = p.asInstanceOf[MorPartition]
+          new PartitionReader[InternalRow] {
+            private val it = mp.data.iterator
+              .filterNot(r => mp.dels.contains(r._1)) // read-time merge
+            private var cur: (Long, Array[Long]) = _
+            override def next(): Boolean =
+              if (it.hasNext) { cur = it.next(); true } else false
+            override def get(): InternalRow =
+              InternalRow.fromSeq(
+                scala.collection.immutable.ArraySeq.unsafeWrapArray(
+                  idx.map(j => java.lang.Long.valueOf(
+                    if (j >= 0) cur._2(j) else cur._1): Any)))
+            override def close(): Unit = ()
+          }
+        }
+      }
+    }
+  }
+}
+
+/** Batch append (INSERT INTO): buffers rows per task, assigns
+  * positions at the atomic driver-side commit.
+  */
+private[sources] class MorAppendWriteBuilder(
+    table: GraftMemMorTable, writeInfo: LogicalWriteInfo)
+    extends WriteBuilder {
+  private def proj: Array[Int] = table.schema().fieldNames
+    .map(writeInfo.schema().fieldIndex)
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new BatchWrite {
+      private val p = proj
+      override def createBatchWriterFactory(
+          info: PhysicalWriteInfo): DataWriterFactory =
+        new GraftMemWriterFactory(p)
+      override def commit(messages: Array[WriterCommitMessage]): Unit = {
+        val written = messages.iterator.flatMap {
+          case m: GraftMemCommit => m.data
+        }.toVector
+        table.synchronized {
+          val assigned = written.map { r =>
+            val pr = (table.nextPos, r); table.nextPos += 1; pr
+          }
+          table.base = table.base ++ assigned
+          table.commitVersion += 1
+        }
+      }
+      override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+    }
+  }
+}
+
+/** Per-task delta: tombstoned positions + inserted rows. An UPDATE is
+  * a tombstone of the old position plus an insert of the new row —
+  * the position-delete + rewrite-row pair every MoR format encodes.
+  */
+private[sources] case class MorDeltaCommit(
+    dels: Vector[Long], ins: Vector[Array[Long]])
+    extends WriterCommitMessage
+
+/** The `WriteDelta` face: Spark hands each MergeRows output row to the
+  * typed writer method matching its operation; commit applies the
+  * aggregated delta atomically — base rows are never read, copied or
+  * rewritten (commit cost O(changed rows), a metadata append at
+  * scale). Commit-time validation rejects write-write conflicts on
+  * the SAME row (a position tombstoned since this operation's scan),
+  * while disjoint-row deltas and concurrent appends all land — MoR's
+  * strictly-smaller conflict surface vs copy-on-write's group check.
+  */
+private[sources] class MorDeltaWriteBuilder(
+    table: GraftMemMorTable, writeInfo: LogicalWriteInfo)
+    extends DeltaWriteBuilder {
+  // A pure DELETE's write schema is EMPTY (deltas carry only row ids —
+  // no data rows ever reach insert/update), so map by name leniently:
+  // -1 marks an absent column and is only ever dereferenced if the
+  // engine actually hands the writer a data row.
+  private def proj: Array[Int] = {
+    val ws = writeInfo.schema()
+    table.schema().fieldNames.map(n =>
+      if (ws.fieldNames.contains(n)) ws.fieldIndex(n) else -1)
+  }
+  override def build(): DeltaWrite = new DeltaWrite {
+    override def toBatch: DeltaBatchWrite = new DeltaBatchWrite {
+      private val p = proj
+      override def createBatchWriterFactory(
+          info: PhysicalWriteInfo): DeltaWriterFactory =
+        new MorDeltaWriterFactory(p)
+      override def commit(messages: Array[WriterCommitMessage]): Unit = {
+        val dels = Vector.newBuilder[Long]
+        val ins = Vector.newBuilder[Array[Long]]
+        messages.foreach { case m: MorDeltaCommit =>
+          dels ++= m.dels; ins ++= m.ins
+        }
+        val delSet = dels.result().toSet
+        table.synchronized {
+          val clash = delSet.intersect(table.deleted)
+          if (clash.nonEmpty)
+            throw new GraftMemCommitConflictException(
+              s"graftmem MoR commit conflict on ${table.fullName}: " +
+                s"row position(s) ${clash.toSeq.sorted.mkString(", ")} " +
+                "were already tombstoned by a commit after this " +
+                "operation's scan; retry from a fresh snapshot")
+          val assigned = ins.result().map { r =>
+            val pr = (table.nextPos, r); table.nextPos += 1; pr
+          }
+          table.deleted = table.deleted ++ delSet
+          table.deltaInserts = table.deltaInserts ++ assigned
+          table.commitVersion += 1
+        }
+      }
+      override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+    }
+  }
+}
+
+private[sources] class MorDeltaWriterFactory(proj: Array[Int])
+    extends DeltaWriterFactory {
+  override def createWriter(
+      partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
+    new DeltaWriter[InternalRow] {
+      private val dels = Vector.newBuilder[Long]
+      private val ins = Vector.newBuilder[Array[Long]]
+      private def dataOf(row: InternalRow): Array[Long] = {
+        val a = new Array[Long](proj.length)
+        var i = 0
+        while (i < proj.length) { a(i) = row.getLong(proj(i)); i += 1 }
+        a
+      }
+      // `id` carries the rowId projection — one `_pos` long
+      override def delete(meta: InternalRow, id: InternalRow): Unit =
+        dels += id.getLong(0)
+      override def update(meta: InternalRow, id: InternalRow,
+          row: InternalRow): Unit = {
+        dels += id.getLong(0); ins += dataOf(row)
+      }
+      override def insert(row: InternalRow): Unit = ins += dataOf(row)
+      override def commit(): WriterCommitMessage =
+        MorDeltaCommit(dels.result(), ins.result())
+      override def abort(): Unit = ()
+      override def close(): Unit = ()
+    }
+}

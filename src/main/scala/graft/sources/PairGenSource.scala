@@ -336,9 +336,16 @@ private[sources] class PairGenScan(
       case LongType => 8L
       case _        => 32L // value: 32-char md5 string
     }).sum
+    // Overflow-safe: an extreme `rows` option must saturate, not wrap —
+    // a wrapped-negative sizeInBytes would clear
+    // autoBroadcastJoinThreshold and plan-time-broadcast a huge
+    // generated table (the exact failure a38's stats exist to prevent).
+    val size =
+      try Math.multiplyExact(n, math.max(1L, perRow))
+      catch { case _: ArithmeticException => Long.MaxValue }
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
-        java.util.OptionalLong.of(n * math.max(1L, perRow))
+        java.util.OptionalLong.of(size)
       override def numRows(): java.util.OptionalLong =
         java.util.OptionalLong.of(n)
     }
