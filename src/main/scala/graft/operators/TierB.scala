@@ -2060,6 +2060,82 @@ object TierB {
          |FROM $tbl GROUP BY key % 10 ORDER BY key_mod""".stripMargin)
   }
 
+  /** b81: COST-BASED JOIN REORDER — a38 proved connector statistics
+    * drive plan-time broadcast; this proves they drive JOIN ORDER,
+    * the other decision that separates a 100 TB plan from a timeout.
+    * Three catalog tables with ANALYZE'd stats (rowCount + column
+    * NDVs): fact (orders-derived, k2 spread over 1 000 values), a
+    * big dim on k1 (customer-sized, joins 1:1 — no reduction) and a
+    * tiny dim on k2 covering only 25 of the 1 000 k2 values (cuts the
+    * fact to ~2.5%). The SYNTACTIC order joins the big dim first —
+    * carrying the full fact through both joins; with
+    * `spark.sql.cbo.enabled` + `joinReorder.enabled`,
+    * `CostBasedJoinReorder` estimates both orders from the column
+    * stats (equi-join cardinality ≈ n₁·n₂ / max(ndv)) and commutes
+    * the TINY dim below — the intermediate shrinks 40× before the
+    * expensive join runs. Same declarative SQL, better plan, zero
+    * hints: the spec asserts the reordered shape (and the syntactic
+    * shape with CBO off). Output is order-invariant (exact integer
+    * sums), so the oracle is the plain 3-table join. At 100 TB the
+    * stats come from the table format's metadata (a38's
+    * SupportsReportStatistics face) or ANALYZE, and this rule is the
+    * difference between shuffling 100 TB twice and once.
+    */
+  private val b81Confs = Seq(
+    "spark.sql.cbo.enabled" -> "true",
+    "spark.sql.cbo.joinReorder.enabled" -> "true")
+
+  private[operators] def b81Exec(s: SparkSession, d: String,
+      cbo: Boolean = true): (DataFrame, String) = {
+    val suf = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val (fact, dimb, dims) =
+      (s"g_b81_fact_$suf", s"g_b81_dimb_$suf", s"g_b81_dims_$suf")
+    // catalog tables: ANALYZE needs a catalog entry to hang rowCount +
+    // column stats on (the v1 face of a38's connector stats). Rebuilt
+    // from the fixture corpus per call as EXTERNAL tables on fresh
+    // tmp locations — a managed table's warehouse dir outlives the
+    // in-memory catalog across JVMs and CREATE then dies on
+    // LOCATION_ALREADY_EXISTS. CREATE + ANALYZE is the demo-scale
+    // stand-in for a lakehouse table whose stats the format maintains
+    // incrementally.
+    def mkStats(name: String, df: DataFrame): Unit = {
+      s.sql(s"DROP TABLE IF EXISTS $name")
+      df.write.option("path", graft.util.TmpDir.fresh(name))
+        .saveAsTable(name)
+      s.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS FOR ALL COLUMNS")
+    }
+    mkStats(fact, orders(s, d).selectExpr("o_custkey AS k1",
+      "o_orderkey % 1000 AS k2",
+      "CAST(floor(o_totalprice * 100) AS BIGINT) AS cents"))
+    mkStats(dimb, customer(s, d).selectExpr("c_custkey AS k1",
+      "CAST(c_nationkey AS BIGINT) AS nat"))
+    mkStats(dims, nation(s, d)
+      .selectExpr("CAST(n_nationkey AS BIGINT) AS k2"))
+    val prev = b81Confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    if (cbo) b81Confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val q = s.sql(
+        s"""SELECT b.nat AS nat, count(*) AS n,
+           |  CAST(sum(CAST(f.cents AS DECIMAL(38,0))) AS BIGINT)
+           |    AS cents_sum
+           |FROM $fact f
+           |JOIN $dimb b ON f.k1 = b.k1
+           |JOIN $dims t ON f.k2 = t.k2
+           |GROUP BY b.nat ORDER BY nat""".stripMargin)
+      // materialize INSIDE the conf scope (CBO reads the flags when
+      // the plan is optimized; a lazily-returned frame would escape);
+      // expose the optimized plan for the spec's join-shape assertion
+      val plan = q.queryExecution.optimizedPlan.toString
+      (q.localCheckpoint(), plan)
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
+  private def b81(s: SparkSession, d: String): DataFrame = b81Exec(s, d)._1
+
   /** b76: DSv2 FUNCTION CATALOG — the governed-function face next to
     * c17's session-registry Expression: `graftmem.db.cosine_sim` is
     * resolved by name THROUGH THE CATALOG (one definition every
@@ -2203,6 +2279,8 @@ object TierB {
     // row-level write path (WriteDelta vs ReplaceData) — one oracle,
     // two lakehouse write paths, equality is the cross-check.
     QueryDef("b80_merge_on_read", b80 _, Some(mergeOracleSql)),
+    QueryDef("b81_cbo_join_reorder", b81 _, Some(
+      "WITH fact AS (SELECT o_custkey AS k1, o_orderkey % 1000 AS k2, floor(o_totalprice * 100)::BIGINT AS cents FROM orders), dimb AS (SELECT c_custkey AS k1, c_nationkey::BIGINT AS nat FROM customer), dims AS (SELECT n_nationkey::BIGINT AS k2 FROM nation) SELECT b.nat AS nat, count(*)::BIGINT AS n, sum(f.cents)::BIGINT AS cents_sum FROM fact f JOIN dimb b ON f.k1 = b.k1 JOIN dims t ON f.k2 = t.k2 GROUP BY 1 ORDER BY 1")),
     QueryDef("b72_sql_scripting", b72 _, Some(
       "WITH ks AS (SELECT (6400::BIGINT * (1::BIGINT << k.k)) AS t FROM range(40) k(k)), c AS (SELECT t, (SELECT count(*) FROM orders WHERE o_totalprice >= t)::BIGINT AS n FROM ks) SELECT t AS threshold, n AS n_above FROM c WHERE n < 1000 ORDER BY t LIMIT 1")),
     QueryDef("b73_sql_udf", b73 _, Some(

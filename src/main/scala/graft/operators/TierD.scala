@@ -137,7 +137,8 @@ object TierD {
     "d16_stream_timer_session", "d17_stream_buffered_session",
     "d18_stream_sliding_append", "d19_stream_chained_stateful",
     "d20_stream_curation_gate", "d21_stream_lsh_dedup",
-    "d22_stream_restart_recovery", "d23_stream_custom_sink")
+    "d22_stream_restart_recovery", "d23_stream_custom_sink",
+    "d24_state_store_reader")
 
   /** Shared d14/d22 oracle: the one-shot hourly aggregate restricted
     * to watermark-closed windows (ws + 1 h window + 1 h delay ≤ max
@@ -198,6 +199,13 @@ object TierD {
     QueryDef("d22_stream_restart_recovery",
       (s, d) => graft.streaming.StreamingDemo.restartRecovery(s, d),
       Some(watermarkAppendOracleSql)),
+    // d24 = d14's aggregate with BOTH halves declared: sink (closed
+    // windows) ∪ checkpoint state (open windows) = the full one-shot
+    // aggregate, disjointly split at the watermark boundary the d14
+    // oracle pins — closed + open = everything is the cross-check.
+    QueryDef("d24_state_store_reader",
+      (s, d) => graft.streaming.StreamingDemo.stateStoreReader(s, d), Some(
+        "WITH m AS (SELECT max(ts) AS mx FROM events), a AS (SELECT date_trunc('hour', ts) AS ws, event_type, count(*)::BIGINT AS cnt FROM events GROUP BY 1, 2) SELECT floor(epoch(ws))::BIGINT AS start_s, event_type, cnt, CASE WHEN ws + INTERVAL 2 HOUR <= mx THEN 'sink' ELSE 'state' END AS src FROM a, m ORDER BY 1, 2")),
     QueryDef("d23_stream_custom_sink",
       (s, d) => graft.streaming.StreamingDemo.streamCustomSink(s, d), Some(
         "SELECT user_id, count(*)::BIGINT AS n_events, min(event_id) AS min_ev, max(event_id) AS max_ev FROM events GROUP BY 1 ORDER BY 1")),

@@ -1138,6 +1138,56 @@ object StreamingDemo {
     }
   }
 
+  /** d24: STATE STORE READER — Spark 4's `statestore` data source
+    * reads a checkpoint's STATE as a batch DataFrame, the production
+    * tool for debugging a stuck stateful query (what is this operator
+    * holding? why isn't window X closing?) without touching the query
+    * itself. The demo runs d14's watermarked append-mode hourly
+    * aggregate to completion, then reads BOTH halves of its world:
+    * the parquet sink (windows the watermark closed and evicted) and
+    * the checkpoint's state store (windows still OPEN — the stream's
+    * trailing hour the watermark never passed, key = (window,
+    * event_type), value = the live count buffer). Sink ∪ state is
+    * EXACTLY the one-shot batch aggregate, disjointly split by the
+    * watermark boundary — so declaring the union with a provenance
+    * column is simultaneously a demonstration of the debugging
+    * surface and a third exactly-once cross-check (d14 proved the
+    * closed half, d22 proved it across a restart; this proves closed
+    * + open = everything, nothing lost at the boundary). At 100 TB
+    * the state read is partition-parallel over the store's files —
+    * no query, no replay, no driver materialization.
+    */
+  def stateStoreReader(s: SparkSession, d: String): DataFrame = {
+    val ev = eventStream(s, d)
+    withStreamPartitions(s) {
+      val sink = graft.util.TmpDir.fresh("d24-sink")
+      val ckpt = graft.util.TmpDir.fresh("d24-ckpt")
+      val out = ev.withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(expr("unix_micros(window.start) div 1000000").as("start_s"),
+          col("event_type"), col("cnt"))
+      val q = out.writeStream
+        .format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      // closed windows: the file sink (only finalized windows ever land)
+      val closed = s.read.schema(out.schema).parquet(sink)
+        .withColumn("src", lit("sink"))
+      // open windows: the aggregation operator's live state, read
+      // straight from the checkpoint (defaults: last committed batch,
+      // operator 0, store "default")
+      val open = s.read.format("statestore").load(ckpt)
+        .select(
+          expr("unix_micros(key.window.start) div 1000000").as("start_s"),
+          col("key.event_type").as("event_type"),
+          col("value.count").as("cnt"),
+          lit("state").as("src"))
+      closed.unionByName(open)
+    }.orderBy("start_s", "event_type")
+  }
+
   /** d23: CUSTOM EXACTLY-ONCE STREAMING SINK — the write-side twin of
     * d12's custom streaming source, completing the DSv2 streaming
     * matrix: the events stream appends into a

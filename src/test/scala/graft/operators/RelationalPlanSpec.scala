@@ -76,6 +76,25 @@ class RelationalPlanSpec extends SparkSpec {
     assert(rows.map(_.getLong(0)).distinct.length == rows.length)
   }
 
+  test("b81: CBO reorders the join — selective tiny dim joins first") {
+    // With cbo+joinReorder the optimizer must commute the 25-key dim
+    // (cuts the fact ~40×) BELOW the 1:1 big dim; without, the
+    // syntactic left-deep order stands. Pre-order plan print ⇒ the
+    // deeper join's relations appear earlier in the string.
+    val (outCbo, pCbo) = TierB.b81Exec(spark, sf0001, cbo = true)
+    val (outNo, pNo) = TierB.b81Exec(spark, sf0001, cbo = false)
+    def pos(p: String) = (p.indexOf("g_b81_dims"), p.indexOf("g_b81_dimb"))
+    val (tiny1, big1) = pos(pCbo)
+    val (tiny0, big0) = pos(pNo)
+    assert(tiny1 >= 0 && big1 >= 0 && tiny0 >= 0 && big0 >= 0,
+      s"expected both dims in both plans:\n$pCbo\n$pNo")
+    assert(tiny1 < big1, s"CBO did not reorder the join tree:\n$pCbo")
+    assert(big0 < tiny0,
+      s"syntactic plan reordered without CBO (test premise broke):\n$pNo")
+    // reorder is a pure plan change: identical results either way
+    assert(outCbo.collect().toSeq == outNo.collect().toSeq)
+  }
+
   test("b7: aggregation is partial (map-side) before the exchange") {
     val p = plan("b7_agg_hash")
     assert(p.contains("partial_sum") || p.contains("partial_count"), p)

@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-10 operators: d24 state-store reader (closed + open = whole
+  * stream) and b81's result invariance are covered here; the b81 plan
+  * shape lives in RelationalPlanSpec and the b80/conflict machinery in
+  * GraftMemMorSpec.
+  */
+class Round10PropsSpec extends SparkSpec {
+
+  test("d24: sink ∪ state partitions the aggregate exactly — " +
+      "closed + open windows = the one-shot batch aggregate") {
+    val df = graft.SparkEntry.queries("d24_state_store_reader")(
+      spark, sf0001).cache()
+    try {
+      val bySrc = df.groupBy("src").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(bySrc.getOrElse("sink", 0L) > 0, s"no closed windows: $bySrc")
+      assert(bySrc.getOrElse("state", 0L) > 0,
+        s"no open windows read from the checkpoint state: $bySrc")
+      // no window appears in both halves (disjoint at the watermark)
+      val dup = df.groupBy("start_s", "event_type").count()
+        .filter(col("count") > 1).count()
+      assert(dup == 0, "a window landed in both sink and state")
+      // total event mass is conserved across the split
+      val total = df.agg(sum("cnt")).head.getLong(0)
+      val events = graft.util.Tables.events(spark, sf0001).count()
+      assert(total == events, s"sum(cnt)=$total != events=$events")
+      // the open windows are exactly the stream's trailing hour: every
+      // state window end (+1 h delay) must be past the max event ts
+      val maxTs = graft.util.Tables.events(spark, sf0001)
+        .agg(expr("unix_micros(max(ts)) div 1000000")).head.getLong(0)
+      val badState = df.filter(col("src") === "state")
+        .filter(col("start_s") + 7200 <= maxTs).count()
+      assert(badState == 0,
+        "state holds a window the watermark should have closed")
+    } finally df.unpersist()
+  }
+}
