@@ -78,6 +78,13 @@ object Bench {
     val results = p1.map { case (name, t) => name -> math.min(t, p2(name)) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // Raw per-pass samples, so tools/bench_fold.py can compute exact
+    // cross-invocation MEDIANS (robust center) alongside the minima
+    // (noise floor) when folding several runs into the committed
+    // bench_full_r<N>.json artifact.
+    val runs = p1.map { case (name, t) =>
+      s"\"" + name + s"\":[$t,${p2(name)}]"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // Split the true-streaming engine floor (state store + checkpoint +
     // microbatch setup per query — swings 2-6× under host load) from
@@ -92,7 +99,7 @@ object Bench {
     // noise; a diff between different cpu counts is meaningless).
     val conf = s""""config":{"cpus":"$cpus","shuffle_partitions":"${spark.conf.get("spark.sql.shuffle.partitions")}","max_partition_bytes":"${spark.conf.get("spark.sql.files.maxPartitionBytes")}","host_processors":${Runtime.getRuntime.availableProcessors()},"spark_version":"${spark.version}","sf_dir":"$sfDir"}"""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec",$sub,$conf,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$sub,$conf,"queries":$qs,"queries_runs":$runs,"sf":"$sfDir"}"""
     println(full)
     try {
       Files.createDirectories(Paths.get("target"))

@@ -7,23 +7,33 @@ via SPARK_GRAFT_BENCH_OUT) or the driver's truncated BENCH_r*.json
 (whose "tail" field holds whatever per-query times survived the
 2000-char cut). Usage:
 
-    python3 tools/bench_diff.py <old.json> <new.json> [ratio]
+    python3 tools/bench_diff.py [--min] <old.json> <new.json> [ratio]
 
 Flags every common query whose time grew by more than `ratio`
 (default 1.3×) and is above 0.2 s (micro-queries jitter), and prints
 the total/streaming movement. Exit 1 if any regression is flagged, so
 it can gate a round ritual.
+
+Compares MEDIANS by default when both artifacts carry a
+"queries_median" map (tools/bench_fold.py writes one) — the robust
+center is the right default for regression flagging, since a single
+lucky/unlucky sample moves a min much more than a median. Pass --min
+to compare the minima (noise-floor) maps instead; artifacts without
+medians fall back to minima automatically.
 """
 import json
 import re
 import sys
 
 
-def load(path):
+def load(path, prefer_median):
     with open(path) as f:
         d = json.load(f)
     if "queries" in d:
-        return d["queries"], d.get("value"), d.get("streaming_sec"), d.get("config")
+        qs, total = d["queries"], d.get("value")
+        if prefer_median and "queries_median" in d:
+            qs, total = d["queries_median"], d.get("value_median")
+        return qs, total, d.get("streaming_sec"), d.get("config")
     if "tail" in d:  # driver artifact: parse what survived truncation
         qs = {
             m.group(1): float(m.group(2))
@@ -34,10 +44,23 @@ def load(path):
 
 
 def main():
-    old_p, new_p = sys.argv[1], sys.argv[2]
-    ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 1.3
-    old_q, old_t, old_s, old_c = load(old_p)
-    new_q, new_t, new_s, new_c = load(new_p)
+    args = [a for a in sys.argv[1:] if a != "--min"]
+    use_median = "--min" not in sys.argv[1:]
+    old_p, new_p = args[0], args[1]
+    ratio = float(args[2]) if len(args) > 2 else 1.3
+    # medians only when BOTH artifacts carry them — a median-vs-min
+    # diff would flag phantom regressions (median ≥ min by construction)
+    def has_median(p):
+        with open(p) as f:
+            return "queries_median" in json.load(f)
+    if use_median and not (has_median(old_p) and has_median(new_p)):
+        use_median = False
+        print("note: comparing minima (at least one artifact has no "
+              "queries_median map)")
+    old_q, old_t, old_s, old_c = load(old_p, use_median)
+    new_q, new_t, new_s, new_c = load(new_p, use_median)
+    if use_median:
+        print("comparing medians (pass --min for noise-floor minima)")
     # Refuse silent apples-to-oranges: the repo documents +/-50%
     # cross-host noise, so a diff across differing measurement configs
     # is only suggestive. sf_dir differences are outright meaningless.
