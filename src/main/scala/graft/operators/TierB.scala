@@ -2060,6 +2060,69 @@ object TierB {
          |FROM $tbl GROUP BY key % 10 ORDER BY key_mod""".stripMargin)
   }
 
+  /** b82: MoR COMPACTION via a DSv2 STORED PROCEDURE — `CALL
+    * graftmem.system.compact('db.tbl')` (Spark ≥ 4.0 `ProcedureCatalog`
+    * face, the Iceberg `rewrite_data_files` shape): after b80's CDC
+    * MERGE leaves the merge-on-read table with tombstones + delta
+    * inserts, the catalog-governed procedure folds the delta log into
+    * the base (content-invariant; read cost drops back to zero
+    * tombstone filtering), and a SECOND MERGE then runs against the
+    * compacted table — proving maintenance is invisible to readers
+    * AND to subsequent row-level writers (row positions are
+    * preserved, so delta addressing keeps working). Declared output =
+    * the post-both-merges summary; the oracle replays both CDC rounds
+    * with joins and never mentions compaction — that absence IS the
+    * invariance check. At 100 TB: compaction is the amortized
+    * maintenance that keeps MoR read cost bounded, scheduled as a
+    * governed CALL, not client glue.
+    */
+  private def b82(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graftmem",
+      "graft.sources.GraftMemCatalog")
+    val suf = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val tbl = s"graftmem.db.morc_$suf"
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    s.sql(s"CREATE TABLE $tbl (key BIGINT, bal_cents BIGINT) " +
+      "TBLPROPERTIES ('graft.row_level' = 'merge-on-read')")
+    customer(s, d)
+      .selectExpr("c_custkey AS key",
+        "CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents")
+      .writeTo(tbl).append()
+    customer(s, d).createOrReplaceTempView("g_cust_b82")
+    s.sql(
+      """SELECT key, bal_cents + 10000 AS nb, 'U' AS op
+        |FROM (SELECT c_custkey AS key,
+        |        CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |      FROM g_cust_b82) WHERE key % 10 = 3
+        |UNION ALL
+        |SELECT c_custkey, 0L, 'D' FROM g_cust_b82 WHERE c_custkey % 10 = 7
+        |UNION ALL
+        |SELECT c_custkey + (SELECT max(c_custkey) + 1 FROM g_cust_b82),
+        |       CAST(floor(c_acctbal * 100) AS BIGINT), 'I'
+        |FROM g_cust_b82 WHERE c_custkey % 100 = 0""".stripMargin)
+      .createOrReplaceTempView("g_batch_b82")
+    s.sql(
+      s"""MERGE INTO $tbl t USING g_batch_b82 b ON t.key = b.key
+         |WHEN MATCHED AND b.op = 'U' THEN UPDATE SET bal_cents = b.nb
+         |WHEN MATCHED AND b.op = 'D' THEN DELETE
+         |WHEN NOT MATCHED THEN INSERT (key, bal_cents)
+         |  VALUES (b.key, b.nb)""".stripMargin)
+    // governed maintenance between the two CDC rounds
+    s.sql(s"CALL graftmem.system.compact('db.morc_$suf')").collect()
+    s.sql(
+      s"""MERGE INTO $tbl t
+         |USING (SELECT key FROM $tbl WHERE key % 10 = 1) b
+         |ON t.key = b.key
+         |WHEN MATCHED THEN UPDATE SET bal_cents = bal_cents + 5000
+         |""".stripMargin)
+    s.sql(
+      s"""SELECT key % 10 AS key_mod, count(*) AS n,
+         |  CAST(sum(CAST(bal_cents AS DECIMAL(38,0))) AS BIGINT)
+         |    AS bal_cents_sum
+         |FROM $tbl GROUP BY key % 10 ORDER BY key_mod""".stripMargin)
+  }
+
   /** b81: COST-BASED JOIN REORDER — a38 proved connector statistics
     * drive plan-time broadcast; this proves they drive JOIN ORDER,
     * the other decision that separates a 100 TB plan from a timeout.
@@ -2279,6 +2342,11 @@ object TierB {
     // row-level write path (WriteDelta vs ReplaceData) — one oracle,
     // two lakehouse write paths, equality is the cross-check.
     QueryDef("b80_merge_on_read", b80 _, Some(mergeOracleSql)),
+    // b82 replays BOTH CDC rounds in the oracle and never mentions
+    // the compaction between them — that absence IS the invariance
+    // check (maintenance must be invisible to readers and writers).
+    QueryDef("b82_mor_compaction", b82 _, Some(
+      "WITH snap AS (SELECT c_custkey AS key, floor(c_acctbal * 100)::BIGINT AS bal FROM customer), off AS (SELECT max(c_custkey) + 1 AS o FROM customer), batch AS (SELECT key, bal + 10000 AS nb, 'U' AS op FROM snap WHERE key % 10 = 3 UNION ALL SELECT key, 0, 'D' FROM snap WHERE key % 10 = 7 UNION ALL SELECT key + (SELECT o FROM off), bal, 'I' FROM snap WHERE key % 100 = 0), post AS (SELECT s.key, coalesce(CASE WHEN b.op = 'U' THEN b.nb END, s.bal) AS bal FROM snap s LEFT JOIN batch b ON s.key = b.key WHERE b.op IS NULL OR b.op <> 'D' UNION ALL SELECT key, nb FROM batch WHERE op = 'I'), post2 AS (SELECT key, bal + CASE WHEN key % 10 = 1 THEN 5000 ELSE 0 END AS bal FROM post) SELECT (key % 10)::BIGINT AS key_mod, count(*)::BIGINT AS n, sum(bal)::BIGINT AS bal_cents_sum FROM post2 GROUP BY 1 ORDER BY 1")),
     QueryDef("b81_cbo_join_reorder", b81 _, Some(
       "WITH fact AS (SELECT o_custkey AS k1, o_orderkey % 1000 AS k2, floor(o_totalprice * 100)::BIGINT AS cents FROM orders), dimb AS (SELECT c_custkey AS k1, c_nationkey::BIGINT AS nat FROM customer), dims AS (SELECT n_nationkey::BIGINT AS k2 FROM nation) SELECT b.nat AS nat, count(*)::BIGINT AS n, sum(f.cents)::BIGINT AS cents_sum FROM fact f JOIN dimb b ON f.k1 = b.k1 JOIN dims t ON f.k2 = t.k2 GROUP BY 1 ORDER BY 1")),
     QueryDef("b72_sql_scripting", b72 _, Some(

@@ -138,7 +138,7 @@ object TierD {
     "d18_stream_sliding_append", "d19_stream_chained_stateful",
     "d20_stream_curation_gate", "d21_stream_lsh_dedup",
     "d22_stream_restart_recovery", "d23_stream_custom_sink",
-    "d24_state_store_reader")
+    "d24_state_store_reader", "d25_stream_mor_upsert")
 
   /** Shared d14/d22 oracle: the one-shot hourly aggregate restricted
     * to watermark-closed windows (ws + 1 h window + 1 h delay ≤ max
@@ -211,6 +211,13 @@ object TierD {
         "SELECT user_id, count(*)::BIGINT AS n_events, min(event_id) AS min_ev, max(event_id) AS max_ev FROM events GROUP BY 1 ORDER BY 1")),
     QueryDef("d13_stream_foreach_batch",
       (s, d) => graft.streaming.StreamingDemo.foreachBatchMerge(s, d), Some(
+        "SELECT user_id, count(*)::BIGINT AS cnt, sum(round(value * 100)::BIGINT)::BIGINT AS val_cents FROM events GROUP BY 1 ORDER BY 1")),
+    // d25 = d13's dataflow against the MoR catalog table (engine MERGE
+    // per microbatch, WriteDelta storage); integer partials are exact
+    // and associative, so the final table is batch-count-invariant —
+    // the same oracle both queries share.
+    QueryDef("d25_stream_mor_upsert",
+      (s, d) => graft.streaming.StreamingDemo.streamMorUpsert(s, d), Some(
         "SELECT user_id, count(*)::BIGINT AS cnt, sum(round(value * 100)::BIGINT)::BIGINT AS val_cents FROM events GROUP BY 1 ORDER BY 1")),
     QueryDef("d20_stream_curation_gate",
       (s, d) => graft.streaming.StreamingDemo.streamCurationGate(s, d), Some(

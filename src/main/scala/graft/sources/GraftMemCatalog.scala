@@ -57,7 +57,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * query (epochs are monotone per run), so a long-lived table under a
   * continuous stream stays O(queries), not O(batches).
   */
-class GraftMemCatalog extends TableCatalog with FunctionCatalog {
+class GraftMemCatalog extends TableCatalog with FunctionCatalog
+    with ProcedureCatalog {
   import GraftMemCatalog._
   private var catalogName: String = "graftmem"
   override def initialize(
@@ -136,6 +137,23 @@ class GraftMemCatalog extends TableCatalog with FunctionCatalog {
     * `graft.functions.CosineSim.compute`), so the two surfaces are
     * bit-identical by construction.
     */
+  /** PROCEDURE CATALOG face (b82): table-maintenance actions as
+    * catalog-governed SQL `CALL`s — `CALL graftmem.system
+    * .compact('db.tbl')` folds a merge-on-read table's delta log into
+    * its base and returns the maintenance summary as the CALL's
+    * result set (the Iceberg `rewrite_data_files` shape at the Spark
+    * extension point).
+    */
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "compact"))
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    ident.name() match {
+      case "compact" => MorCompactProcedure
+      case other => throw new RuntimeException(
+        s"graftmem: no procedure named '$other'")
+    }
+
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
     Array(Identifier.of(namespace, "cosine_sim"),
       Identifier.of(namespace, "kmv_distinct"))
@@ -159,6 +177,10 @@ object GraftMemCatalog {
     * fresh warehouse dir).
     */
   def clearAll(): Unit = tables.clear()
+
+  /** Procedure-side lookup by full `ns.name` key (null if absent). */
+  private[sources] def lookup(fullName: String): Table =
+    tables.get(fullName)
 }
 
 /** Row payload shipped between driver and executors: externalized

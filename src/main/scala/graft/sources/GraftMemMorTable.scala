@@ -105,6 +105,28 @@ private[sources] class GraftMemMorTable(val fullName: String,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new MorAppendWriteBuilder(this, info)
 
+  /** COMPACTION (b82): fold the delta log into the base — drop
+    * tombstoned rows, graft the delta-inserts in, clear both delta
+    * structures. Content-invariant by construction (readers see the
+    * same live set before and after); what changes is the READ cost
+    * (no per-split tombstone filtering until new deltas accrue) —
+    * exactly what Iceberg's rewrite_data_files / Delta's OPTIMIZE do
+    * at file granularity. Row positions are PRESERVED, so row ids
+    * stay unique and row-level operations keep working across
+    * compactions. Returns (tombstones dropped, delta-inserts folded,
+    * live rows) for the procedure's summary row.
+    */
+  private[sources] def compact(): (Long, Long, Long) = synchronized {
+    val tomb = deleted.size.toLong
+    val folded = deltaInserts.length.toLong
+    val live = (base ++ deltaInserts).filterNot(r => deleted.contains(r._1))
+    base = live
+    deltaInserts = Vector.empty
+    deleted = Set.empty
+    commitVersion += 1
+    (tomb, folded, live.length.toLong)
+  }
+
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
     () => new RowLevelOperation with SupportsDelta {
@@ -313,5 +335,63 @@ private[sources] class MorDeltaWriterFactory(proj: Array[Int])
         MorDeltaCommit(dels.result(), ins.result())
       override def abort(): Unit = ()
       override def close(): Unit = ()
+    }
+}
+
+/** `graftmem.system.compact(table)` — a DSv2 STORED PROCEDURE
+  * (`ProcedureCatalog` → `UnboundProcedure` → `BoundProcedure`,
+  * Spark ≥ 4.0's SQL `CALL` face): table MAINTENANCE actions live in
+  * the catalog, typed and governed, instead of in per-job client
+  * glue — the Iceberg `CALL cat.system.rewrite_data_files` shape.
+  * Binds one IN parameter (the table name, `db.tbl` within the
+  * calling catalog), folds the merge-on-read delta log into the base
+  * ([[GraftMemMorTable.compact]]), and returns a one-row summary as
+  * a [[org.apache.spark.sql.connector.read.LocalScan]] (tombstones
+  * dropped, delta-inserts folded, live rows) — so the CALL's result
+  * set IS the maintenance report. Deterministic=false: the procedure
+  * mutates table state.
+  */
+private[sources] object MorCompactProcedure
+    extends org.apache.spark.sql.connector.catalog.procedures
+      .UnboundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures._
+  import org.apache.spark.sql.types.{LongType => LT, StringType, StructField, StructType => ST}
+
+  override def name(): String = "compact"
+  override def description(): String =
+    "fold a merge-on-read table's delta log into its base"
+
+  override def bind(inputType: StructType): BoundProcedure =
+    new BoundProcedure {
+      override def name(): String = "compact"
+      override def description(): String = MorCompactProcedure.this.description()
+      override def parameters(): Array[ProcedureParameter] =
+        Array(ProcedureParameter.in("table", StringType).build())
+      override def isDeterministic: Boolean = false
+      private val outSchema = ST(Seq(
+        StructField("tombstones_dropped", LT, nullable = false),
+        StructField("inserts_folded", LT, nullable = false),
+        StructField("live_rows", LT, nullable = false)))
+      override def call(input: InternalRow)
+          : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+        val tbl = input.getUTF8String(0).toString
+        GraftMemCatalog.lookup(tbl) match {
+          case m: GraftMemMorTable =>
+            val (tomb, folded, live) = m.compact()
+            val row: InternalRow = InternalRow(tomb, folded, live)
+            val scan: org.apache.spark.sql.connector.read.Scan =
+              new org.apache.spark.sql.connector.read.LocalScan {
+                override def rows(): Array[InternalRow] = Array(row)
+                override def readSchema(): StructType = outSchema
+                override def description(): String = s"compact($tbl)"
+              }
+            java.util.Collections.singletonList(scan).iterator()
+          case null => throw new IllegalArgumentException(
+            s"compact: no graftmem table named '$tbl'")
+          case _ => throw new IllegalArgumentException(
+            s"compact: '$tbl' is copy-on-write — compaction applies to " +
+              "merge-on-read tables (its rewrites are already folded)")
+        }
+      }
     }
 }

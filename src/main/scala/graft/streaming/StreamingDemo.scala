@@ -1138,6 +1138,74 @@ object StreamingDemo {
     }
   }
 
+  /** d25: STREAMING UPSERT INTO A MERGE-ON-READ TABLE — the
+    * `foreachBatch` + `MERGE INTO` pattern that is THE documented way
+    * to stream upserts into a lakehouse table, pointed at the
+    * connector stack this repo actually ships: each microbatch
+    * aggregates per-user integer partials and MERGEs them into a
+    * [[graft.sources.GraftMemMorTable]], where the engine plans the
+    * WriteDelta path (b80) — so every batch lands as O(changed rows)
+    * positional deltas, never a table rewrite, which is exactly why
+    * MoR is the right flavor under a continuous writer. d13 is the
+    * same dataflow with a hand-rolled parquet-version state table;
+    * here the MERGE semantics, conflict checks and delta storage all
+    * come from the catalog. Per-user partials are exact integers
+    * (associative), so the final table equals the one-shot batch
+    * aggregate no matter how the input is batched — the oracle. The
+    * demo's processAllAvailable run has no batch retries; a
+    * production deployment pairs this with a committed-batchId ledger
+    * in the target table (d23's idempotent-epoch pattern) to make the
+    * MERGE replay-safe.
+    */
+  private val d25SrcMemo =
+    new graft.util.BoundedMemo[(SparkSession, String), String]()
+
+  def streamMorUpsert(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graftmem",
+      "graft.sources.GraftMemCatalog")
+    val ev = graft.util.Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val srcDir = d25SrcMemo.get((s, d)) {
+      val dir = graft.util.TmpDir.fresh("d25-src")
+      ev.repartition(2).write.parquet(dir)
+      dir
+    }
+    val tbl = "graftmem.db.morup_" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    s.sql(s"CREATE TABLE $tbl (user_id BIGINT, cnt BIGINT, " +
+      "val_cents BIGINT) " +
+      "TBLPROPERTIES ('graft.row_level' = 'merge-on-read')")
+    val src = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val upsert: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      Long) => Unit = { (batch, _) =>
+      val ss = batch.sparkSession // the stream's cloned session
+      ss.conf.set("spark.sql.catalog.graftmem",
+        "graft.sources.GraftMemCatalog")
+      batch.groupBy("user_id")
+        .agg(count(lit(1)).as("cnt"), sum("cents").as("val_cents"))
+        .createOrReplaceTempView("g_d25_batch")
+      ss.sql(
+        s"""MERGE INTO $tbl t USING g_d25_batch b
+           |ON t.user_id = b.user_id
+           |WHEN MATCHED THEN UPDATE SET
+           |  cnt = t.cnt + b.cnt, val_cents = t.val_cents + b.val_cents
+           |WHEN NOT MATCHED THEN INSERT (user_id, cnt, val_cents)
+           |  VALUES (b.user_id, b.cnt, b.val_cents)""".stripMargin)
+    }
+    withStreamPartitions(s) {
+      val q = src.writeStream
+        .foreachBatch(upsert)
+        .option("checkpointLocation", graft.util.TmpDir.fresh("d25-ckpt"))
+        .start()
+      try { q.processAllAvailable() } finally { q.stop() }
+    }
+    s.table(tbl).orderBy("user_id")
+  }
+
   /** d24: STATE STORE READER — Spark 4's `statestore` data source
     * reads a checkpoint's STATE as a batch DataFrame, the production
     * tool for debugging a stuck stateful query (what is this operator

@@ -204,6 +204,38 @@ class GraftMemMorSpec extends SparkSpec {
     assert(bal1 == Seq(1111L), "rejected commit must not have applied")
   }
 
+  test("b82: CALL graftmem.system.compact folds deltas; table stays " +
+      "operational across the compaction") {
+    val (tbl, table) = freshMor("spec_mor_cpct")
+    spark.range(10).selectExpr("id AS key", "id * 100 AS bal")
+      .writeTo(tbl).append()
+    spark.sql(s"DELETE FROM $tbl WHERE key % 2 = 1")      // 5 tombstones
+    spark.sql(s"UPDATE $tbl SET bal = bal + 7 WHERE key = 4") // +1 ts +1 ins
+    assert(table.deleted.size == 6 && table.deltaInserts.length == 1)
+    val before = spark.table(tbl).orderBy("key").collect().toSeq
+    val res = spark.sql(
+      s"CALL graftmem.system.compact('db.spec_mor_cpct')").collect()
+    assert(res.length == 1)
+    assert(res(0).getLong(0) == 6L, s"tombstones_dropped: ${res(0)}")
+    assert(res(0).getLong(1) == 1L, s"inserts_folded: ${res(0)}")
+    assert(res(0).getLong(2) == 5L, s"live_rows: ${res(0)}")
+    // delta log folded away; content identical (compaction is invisible)
+    assert(table.deleted.isEmpty && table.deltaInserts.isEmpty)
+    assert(table.base.length == 5)
+    assert(spark.table(tbl).orderBy("key").collect().toSeq == before)
+    // the compacted table remains fully row-level operational
+    spark.sql(s"UPDATE $tbl SET bal = bal + 1 WHERE key = 0")
+    val got = spark.table(tbl).orderBy("key").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((0L, 1L), (2L, 200L), (4L, 407L), (6L, 600L),
+      (8L, 800L)))
+    // unknown table and copy-on-write targets fail loudly
+    val e1 = intercept[Exception] {
+      spark.sql("CALL graftmem.system.compact('db.nope')").collect()
+    }
+    assert(e1.getMessage.contains("no graftmem table"))
+  }
+
   test("b80 declared query equals b75 — same CDC state via the other " +
       "write path") {
     val a = graft.SparkEntry.queries("b80_merge_on_read")(spark, sf0001)
