@@ -766,6 +766,44 @@ object TierA {
 
   private def a34(s: SparkSession, d: String): DataFrame = a34Exec(s, d)._1
 
+  /** a39: ORDERING-REPORTED MERGE JOIN — a34's co-bucketed
+    * storage-partitioned join completed by `SupportsReportOrdering`:
+    * each bucket partition provably emits (grp constant, id
+    * ascending), the scan now DECLARES that ordering, and
+    * EnsureRequirements drops the per-partition Sort below the
+    * sort-merge join as well as the exchange — the fully realized
+    * sorted-bucketed-layout ideal (Hive SMB tables, Iceberg sorted
+    * write order): join cost collapses to a streaming merge of
+    * co-located, pre-sorted runs. The spec proves ZERO SortExec
+    * below the join and zero hash exchanges in the same plan; at
+    * 100 TB the eliminated sort is O(fact log fact) per query,
+    * amortized once into the write layout. Filters compose: the
+    * range predicate narrows the generated span before the join.
+    */
+  private[operators] def a39Exec(s: SparkSession, d: String)
+      : (DataFrame, String) = {
+    val prev = a34Confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    a34Confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      def gen(rows: Int) = s.read.format("pairgen")
+        .option("rows", rows.toString).option("buckets", "8").load()
+      val joined = gen(12000).filter(col("id") >= 400).as("l")
+        .join(gen(6000).hint("merge").as("r"),
+          col("l.grp") === col("r.grp") && col("l.id") === col("r.id"))
+        .groupBy(col("l.grp").as("grp"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("l.id")).as("min_id"), max(col("l.id")).as("max_id"))
+        .orderBy("grp")
+      val out = joined.localCheckpoint()
+      (out, joined.queryExecution.executedPlan.toString)
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
+  private def a39(s: SparkSession, d: String): DataFrame = a39Exec(s, d)._1
+
   /** a35: AGGREGATE PUSHDOWN into the custom DSv2 source
     * (`SupportsPushDownAggregates`, complete pushdown) — COUNT/MIN/MAX
     * grouped by the bucket key are answered CLOSED-FORM by the
@@ -868,6 +906,8 @@ object TierA {
       "SELECT t.i AS id, md5(t.i::VARCHAR) AS value FROM range(100000) t(i) WHERE t.i >= 500 ORDER BY id DESC LIMIT 7")),
     QueryDef("a35_source_agg_pushdown", a35 _, Some(
       "SELECT (t.i % 8)::BIGINT AS grp, count(*)::BIGINT AS n_ids, min(t.i)::BIGINT AS min_id, max(t.i)::BIGINT AS max_id FROM range(100000) t(i) WHERE t.i >= 1000 AND t.i < 90000 GROUP BY 1 ORDER BY 1")),
+    QueryDef("a39_join_ordered_scan", a39 _, Some(
+      "WITH l AS (SELECT t.i AS id, t.i % 8 AS grp FROM range(12000) t(i) WHERE t.i >= 400), r AS (SELECT t.i AS id, t.i % 8 AS grp FROM range(6000) t(i)) SELECT l.grp::BIGINT AS grp, count(*)::BIGINT AS n_pairs, min(l.id)::BIGINT AS min_id, max(l.id)::BIGINT AS max_id FROM l JOIN r ON l.grp = r.grp AND l.id = r.id GROUP BY 1 ORDER BY 1")),
     QueryDef("a34_join_storage_partitioned", a34 _, Some(
       "WITH l AS (SELECT t.i AS id, md5(t.i::VARCHAR) AS value, t.i % 8 AS grp FROM range(10000) t(i)), r AS (SELECT t.i AS id, md5(t.i::VARCHAR) AS value, t.i % 8 AS grp FROM range(5000) t(i)) SELECT l.grp::BIGINT AS grp, count(*)::BIGINT AS n_pairs, min(l.id)::BIGINT AS min_id, max(l.id)::BIGINT AS max_id, sum(CASE WHEN l.value = r.value THEN 1 ELSE 0 END)::BIGINT AS n_value_eq FROM l JOIN r ON l.grp = r.grp AND l.id = r.id GROUP BY 1 ORDER BY 1")),
     QueryDef("a33_source_binary_files", a33 _, Some(

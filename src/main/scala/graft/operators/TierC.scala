@@ -2536,44 +2536,7 @@ object TierC {
       .orderBy("doc_id")
   }
 
-  /** c69: TRAINING-CHUNK SPLITTER — fixed-size sliding word windows
-    * with overlap (64-word chunks, 48-word stride ⇒ 16 words shared
-    * between neighbors), the shape every LLM training pipeline cuts
-    * documents into before tokenization: the overlap preserves
-    * cross-boundary context, the fixed size bounds sequence length,
-    * and the per-chunk fingerprint (md5 of the joined words) is what
-    * chunk-level dedup and decontamination key on downstream.
-    * Boundary arithmetic is pure integers — the last chunk starts at
-    * the smallest stride multiple covering the tail, so every word
-    * lands in ≥1 chunk and no chunk is empty. All built-ins
-    * (split / sequence / explode / slice / md5 — one codegen'd
-    * narrow stage): at 100 TB this is a map-only pass with NO
-    * shuffle (the declared ORDER BY is presentation only), and the
-    * explode's fan-out is bounded by n_words/stride per row — no
-    * skew a hot document could create beyond its own length.
-    */
-  private def c69(s: SparkSession, d: String): DataFrame = {
-    val (cw, stride) = (64, 48) // chunk words, stride words
-    documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .withColumn("n_words", size(col("w")).cast("long"))
-      .withColumn("i_max", expr(
-        s"CASE WHEN n_words <= $cw THEN 0L " +
-          s"ELSE (n_words - $cw + ${stride - 1}) DIV $stride END"))
-      .select(col("doc_id"), col("w"),
-        explode(sequence(lit(0L), col("i_max"))).as("chunk_idx"))
-      .withColumn("chunk",
-        slice(col("w"), (col("chunk_idx") * stride + 1).cast("int"),
-          lit(cw)))
-      .select(col("doc_id"), col("chunk_idx"),
-        size(col("chunk")).cast("long").as("n_chunk_words"),
-        md5(concat_ws(" ", col("chunk"))).as("chunk_fp"))
-      .orderBy("doc_id", "chunk_idx")
-  }
-
   val defs: Seq[QueryDef] = Seq(
-    QueryDef("c69_chunk_sliding", c69 _, Some(
-      "WITH w AS (SELECT doc_id, string_split(text, ' ') AS wl FROM documents), im AS (SELECT doc_id, wl, len(wl)::BIGINT AS n_words, CASE WHEN len(wl) <= 64 THEN 0 ELSE (len(wl) - 64 + 47) // 48 END AS i_max FROM w), ch AS (SELECT doc_id, wl, unnest(range(0, i_max + 1)) AS chunk_idx FROM im), sel AS (SELECT doc_id, chunk_idx, list_slice(wl, chunk_idx * 48 + 1, least(chunk_idx * 48 + 64, len(wl))) AS chunk FROM ch) SELECT doc_id, chunk_idx::BIGINT AS chunk_idx, len(chunk)::BIGINT AS n_chunk_words, md5(array_to_string(chunk, ' ')) AS chunk_fp FROM sel ORDER BY 1, 2")),
     // NFC vs NFD spelled as chr() codepoints (233 = U+00E9 'é'; 769 =
     // U+0301 combining acute), never as raw literals: two visually
     // identical 'café ' strings differing only in normalization form

@@ -312,7 +312,38 @@ private[sources] class PairGenScan(
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
+
+  /** ORDERING report (a39): every partition this scan plans emits its
+    * rows in a PROVABLE order — plain range splits ascend through a
+    * contiguous id range, a bucket partition holds one constant grp
+    * and ascends through its id residue class, and the fully-pushed
+    * top-N partition descends — so the scan declares that
+    * per-partition ordering (`SupportsReportOrdering`), the connector
+    * analogue of a sorted file layout (Hive SMB tables, Iceberg
+    * sorted write order). `V2ScanPartitioningAndOrdering` attaches it
+    * to the relation and EnsureRequirements then drops the Sort
+    * below a sort-merge join whose keys the ordering satisfies —
+    * paired with the KeyGroupedPartitioning report this makes the
+    * co-bucketed SMJ exchange-free AND sort-free (a39's spec proves
+    * zero SortExec below the join). Only columns that survived
+    * pruning are reported: an ordering over a pruned column would
+    * not resolve.
+    */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions => E, SortDirection}
+    val has = required.fieldNames.toSet
+    val idDir =
+      if (ordered.contains(true)) SortDirection.DESCENDING
+      else SortDirection.ASCENDING
+    val cols = if (buckets > 0) Seq("grp", "id") else Seq("id")
+    cols.filter(has).map { c =>
+      E.sort(E.identity(c),
+        if (c == "id") idDir else SortDirection.ASCENDING)
+    }.toArray
+  }
 
   /** STATISTICS (a38): exact row count and size from the generated
     * (filter-narrowed, column-pruned) range — the connector analogue

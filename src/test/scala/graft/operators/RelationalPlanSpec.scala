@@ -63,6 +63,24 @@ class RelationalPlanSpec extends SparkSpec {
     }
   }
 
+  test("a39: ordering-reported scan drops the sorts under the " +
+      "storage-partitioned merge join") {
+    val (out, p) = TierA.a39Exec(spark, sf0001)
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    // the SMJ's requirement — (grp, id) per-partition order — is
+    // satisfied by the connector-reported ordering, so NO Sort on the
+    // join keys exists anywhere in the plan; the only Sort allowed is
+    // the presentation orderBy on grp alone (never mentions id).
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Sort [") && l.contains("id#")),
+      s"a Sort on the join keys survived the ordering report:\n$p")
+    val rows = out.collect()
+    assert(rows.length == 8)
+    // per grp: ids in [400, 6000) with id % 8 == grp → 700 pairs each
+    rows.foreach { r => assert(r.getLong(1) == 700, r.toString) }
+  }
+
   test("b71: AQE actually split the skewed join partition (skew=true SMJ)") {
     val (out, p) = TierB.b71Exec(spark, sf0001)
     // the executed adaptive plan must carry a skew-marked sort-merge

@@ -10,40 +10,6 @@ import org.apache.spark.sql.functions._
   */
 class Round10PropsSpec extends SparkSpec {
 
-  test("c69: sliding chunks cover every word, overlap by exactly " +
-      "stride-complement, and never emit an empty chunk") {
-    val docs = graft.util.Tables.documents(spark, sf0001)
-      .select(col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_words"))
-    val chunks = graft.SparkEntry.queries("c69_chunk_sliding")(
-      spark, sf0001).cache()
-    try {
-      assert(chunks.filter(col("n_chunk_words") === 0).count() == 0)
-      // per doc: chunk_idx is dense 0..i_max, and the union of windows
-      // [idx*48, idx*48 + n_chunk_words) covers [0, n_words) exactly
-      val per = chunks.groupBy("doc_id")
-        .agg(count(lit(1)).as("n_chunks"),
-          max("chunk_idx").as("max_idx"),
-          max(col("chunk_idx") * 48 + col("n_chunk_words")).as("cover_end"),
-          min("n_chunk_words").as("min_cw"),
-          max("n_chunk_words").as("max_cw"))
-        .join(docs, "doc_id")
-      assert(per.filter(col("n_chunks") =!= col("max_idx") + 1).count() == 0,
-        "chunk indices are not dense")
-      assert(per.filter(col("cover_end") =!= col("n_words")).count() == 0,
-        "chunk windows do not cover the document exactly")
-      assert(per.filter(col("max_cw") > 64).count() == 0)
-      // interior chunks are always full-size: only the LAST chunk of a
-      // doc may be short, and only when the doc is longer than one
-      // chunk yet not a whole number of strides
-      val shortNonLast = chunks.join(
-        chunks.groupBy("doc_id").agg(max("chunk_idx").as("mi")), "doc_id")
-        .filter(col("chunk_idx") < col("mi") &&
-          col("n_chunk_words") < 64).count()
-      assert(shortNonLast == 0, "a non-final chunk was short")
-    } finally chunks.unpersist()
-  }
-
   test("d25: streaming MoR upsert equals d13's hand-rolled merge and " +
       "the one-shot batch aggregate") {
     val mor = graft.SparkEntry.queries("d25_stream_mor_upsert")(

@@ -183,25 +183,33 @@ class GraftMemCatalogSpec extends SparkSpec {
     assert(err.getMessage.toLowerCase.contains("kmv_distinct"))
   }
 
-  test("merge fuzz: generated CDC batches equal a driver replay (both layouts)") {
-    // the riskiest new code path: MERGE through ReplaceData with and
-    // without group pruning, against generated update/delete/insert
-    // mixes — including empty batches, all-delete batches, inserts
-    // into brand-new groups, and single-row tables
+  test("merge fuzz: generated CDC batches equal a driver replay " +
+      "(all three layouts)") {
+    // the riskiest new code paths: MERGE through ReplaceData with and
+    // without group pruning AND through WriteDelta (merge-on-read),
+    // against generated update/delete/insert mixes — including empty
+    // batches, all-delete batches, inserts into brand-new groups, and
+    // single-row tables. MoR runs additionally fuzz COMPACTION
+    // invariance (CALL compact must not change visible content).
     val gen = for {
       n <- org.scalacheck.Gen.choose(1, 30)
       ops <- org.scalacheck.Gen.listOfN(40, org.scalacheck.Gen.choose(0, 3))
-      partitioned <- org.scalacheck.Gen.oneOf(true, false)
-    } yield (n, ops, partitioned)
+      layout <- org.scalacheck.Gen.oneOf("cow", "cow_partitioned", "mor")
+    } yield (n, ops, layout)
     var i = 0
-    forAllN(gen, 8) { case (n, ops, partitioned) =>
+    forAllN(gen, 10) { case (n, ops, layout) =>
       i += 1
       spark.conf.set("spark.sql.catalog.graftmem",
         "graft.sources.GraftMemCatalog")
       val tbl = s"graftmem.db.fuzz_m$i"
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
       spark.sql(s"CREATE TABLE $tbl (key BIGINT, g BIGINT, bal BIGINT)" +
-        (if (partitioned) " PARTITIONED BY (g)" else ""))
+        (layout match {
+          case "cow_partitioned" => " PARTITIONED BY (g)"
+          case "mor" =>
+            " TBLPROPERTIES ('graft.row_level' = 'merge-on-read')"
+          case _ => ""
+        }))
       val init = (0L until n.toLong).map(k => (k, k % 3, k * 10))
       import spark.implicits._
       init.toDF("key", "g", "bal").writeTo(tbl).append()
@@ -219,8 +227,9 @@ class GraftMemCatalogSpec extends SparkSpec {
            |WHEN MATCHED AND b.op = 'D' THEN DELETE
            |WHEN NOT MATCHED AND b.op = 'I' THEN
            |  INSERT (key, g, bal) VALUES (b.key, 7, b.nb)""".stripMargin)
-      val got = spark.table(tbl).orderBy("key").collect()
+      def snap() = spark.table(tbl).orderBy("key").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val got = snap()
       // driver replay of the same semantics
       val bmap = batch.map(b => b._1 -> b).toMap
       val kept = init.flatMap { case (k, g, bal) =>
@@ -235,7 +244,12 @@ class GraftMemCatalogSpec extends SparkSpec {
       }
       val expect = (kept ++ inserted).sortBy(_._1)
       assert(got == expect,
-        s"n=$n partitioned=$partitioned\ngot=$got\nexp=$expect")
+        s"n=$n layout=$layout\ngot=$got\nexp=$expect")
+      if (layout == "mor") {
+        // compaction is invisible: same content, delta log folded away
+        spark.sql(s"CALL graftmem.system.compact('db.fuzz_m$i')").collect()
+        assert(snap() == expect, s"compaction changed content (n=$n)")
+      }
     }
   }
 
