@@ -2123,6 +2123,72 @@ object TierB {
          |FROM $tbl GROUP BY key % 10 ORDER BY key_mod""".stripMargin)
   }
 
+  /** b83: CDC CHANGE-FEED READ — the INCREMENTAL-CONSUMPTION face of
+    * the merge-on-read stack (`db.tbl__changes`, the Iceberg
+    * `db.tbl.changes` / Delta `table_changes()` shape): every commit
+    * stamps its row changes into the table's change log, and a
+    * downstream consumer reads ONLY `_commit_version >= v` — a CDC
+    * hop instead of a full-table diff, which at 100 TB is the entire
+    * point of keeping a change feed. The demo replays b82's history
+    * (append → CDC MERGE → compact → second MERGE) and declares the
+    * per-(version, change_type) summary SINCE version 2: the append
+    * (v1) is excluded by the predicate, the COMPACTION (v3) is
+    * provably absent from the feed (it moves bytes, not content —
+    * change feeds carry logical changes only), and the updates
+    * surface as their delete+insert pairs with the OLD row content on
+    * the delete (position-delta semantics, the content looked up at
+    * commit time exactly like a CDC reader joining position-delete
+    * files against data files). Oracle recomputes both change sets
+    * from the batch definitions with joins — no connector involved.
+    */
+  private def b83(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graftmem",
+      "graft.sources.GraftMemCatalog")
+    val suf = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val tbl = s"graftmem.db.morl_$suf"
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    s.sql(s"CREATE TABLE $tbl (key BIGINT, bal_cents BIGINT) " +
+      "TBLPROPERTIES ('graft.row_level' = 'merge-on-read')")
+    customer(s, d)
+      .selectExpr("c_custkey AS key",
+        "CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents")
+      .writeTo(tbl).append() // version 1
+    customer(s, d).createOrReplaceTempView("g_cust_b83")
+    s.sql(
+      """SELECT key, bal_cents + 10000 AS nb, 'U' AS op
+        |FROM (SELECT c_custkey AS key,
+        |        CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |      FROM g_cust_b83) WHERE key % 10 = 3
+        |UNION ALL
+        |SELECT c_custkey, 0L, 'D' FROM g_cust_b83 WHERE c_custkey % 10 = 7
+        |UNION ALL
+        |SELECT c_custkey + (SELECT max(c_custkey) + 1 FROM g_cust_b83),
+        |       CAST(floor(c_acctbal * 100) AS BIGINT), 'I'
+        |FROM g_cust_b83 WHERE c_custkey % 100 = 0""".stripMargin)
+      .createOrReplaceTempView("g_batch_b83")
+    s.sql(
+      s"""MERGE INTO $tbl t USING g_batch_b83 b ON t.key = b.key
+         |WHEN MATCHED AND b.op = 'U' THEN UPDATE SET bal_cents = b.nb
+         |WHEN MATCHED AND b.op = 'D' THEN DELETE
+         |WHEN NOT MATCHED THEN INSERT (key, bal_cents)
+         |  VALUES (b.key, b.nb)""".stripMargin) // version 2
+    s.sql(s"CALL graftmem.system.compact('db.morl_$suf')")
+      .collect() // version 3 — must NOT appear in the feed
+    s.sql(
+      s"""MERGE INTO $tbl t
+         |USING (SELECT key FROM $tbl WHERE key % 10 = 1) b
+         |ON t.key = b.key
+         |WHEN MATCHED THEN UPDATE SET bal_cents = bal_cents + 5000
+         |""".stripMargin) // version 4
+    s.sql(
+      s"""SELECT _commit_version, _change_type, count(*) AS n,
+         |  CAST(sum(CAST(bal_cents AS DECIMAL(38,0))) AS BIGINT)
+         |    AS bal_cents_sum
+         |FROM ${tbl}__changes WHERE _commit_version >= 2
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+  }
+
   /** b81: COST-BASED JOIN REORDER — a38 proved connector statistics
     * drive plan-time broadcast; this proves they drive JOIN ORDER,
     * the other decision that separates a 100 TB plan from a timeout.
@@ -2345,6 +2411,8 @@ object TierB {
     // b82 replays BOTH CDC rounds in the oracle and never mentions
     // the compaction between them — that absence IS the invariance
     // check (maintenance must be invisible to readers and writers).
+    QueryDef("b83_changelog_read", b83 _, Some(
+      "WITH snap AS (SELECT c_custkey AS key, floor(c_acctbal * 100)::BIGINT AS bal FROM customer), off AS (SELECT max(c_custkey) + 1 AS o FROM customer), batch AS (SELECT key, bal + 10000 AS nb, 'U' AS op FROM snap WHERE key % 10 = 3 UNION ALL SELECT key, 0, 'D' FROM snap WHERE key % 10 = 7 UNION ALL SELECT key + (SELECT o FROM off), bal, 'I' FROM snap WHERE key % 100 = 0), post AS (SELECT s.key, coalesce(CASE WHEN b.op = 'U' THEN b.nb END, s.bal) AS bal FROM snap s LEFT JOIN batch b ON s.key = b.key WHERE b.op IS NULL OR b.op <> 'D' UNION ALL SELECT key, nb FROM batch WHERE op = 'I'), v2 AS (SELECT 'delete' AS ct, bal FROM snap WHERE key % 10 = 7 UNION ALL SELECT 'delete', bal FROM snap WHERE key % 10 = 3 UNION ALL SELECT 'insert', bal + 10000 FROM snap WHERE key % 10 = 3 UNION ALL SELECT 'insert', bal FROM snap WHERE key % 100 = 0), v4 AS (SELECT 'delete' AS ct, bal FROM post WHERE key % 10 = 1 UNION ALL SELECT 'insert', bal + 5000 FROM post WHERE key % 10 = 1) SELECT * FROM (SELECT 2::BIGINT AS _commit_version, ct AS _change_type, count(*)::BIGINT AS n, sum(bal)::BIGINT AS bal_cents_sum FROM v2 GROUP BY 2 UNION ALL SELECT 4::BIGINT, ct, count(*)::BIGINT, sum(bal)::BIGINT FROM v4 GROUP BY 2) ORDER BY 1, 2")),
     QueryDef("b82_mor_compaction", b82 _, Some(
       "WITH snap AS (SELECT c_custkey AS key, floor(c_acctbal * 100)::BIGINT AS bal FROM customer), off AS (SELECT max(c_custkey) + 1 AS o FROM customer), batch AS (SELECT key, bal + 10000 AS nb, 'U' AS op FROM snap WHERE key % 10 = 3 UNION ALL SELECT key, 0, 'D' FROM snap WHERE key % 10 = 7 UNION ALL SELECT key + (SELECT o FROM off), bal, 'I' FROM snap WHERE key % 100 = 0), post AS (SELECT s.key, coalesce(CASE WHEN b.op = 'U' THEN b.nb END, s.bal) AS bal FROM snap s LEFT JOIN batch b ON s.key = b.key WHERE b.op IS NULL OR b.op <> 'D' UNION ALL SELECT key, nb FROM batch WHERE op = 'I'), post2 AS (SELECT key, bal + CASE WHEN key % 10 = 1 THEN 5000 ELSE 0 END AS bal FROM post) SELECT (key % 10)::BIGINT AS key_mod, count(*)::BIGINT AS n, sum(bal)::BIGINT AS bal_cents_sum FROM post2 GROUP BY 1 ORDER BY 1")),
     QueryDef("b81_cbo_join_reorder", b81 _, Some(

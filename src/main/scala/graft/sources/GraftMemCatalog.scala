@@ -74,10 +74,21 @@ class GraftMemCatalog extends TableCatalog with FunctionCatalog
   }
   override def loadTable(ident: Identifier): Table = {
     val t = tables.get(key(ident))
-    if (t == null)
-      throw new org.apache.spark.sql.catalyst.analysis
-        .NoSuchTableException(ident)
-    t
+    if (t != null) return t
+    // `<name>__changes` resolves to the CDC change-feed metadata
+    // table over a merge-on-read parent (b83) — the Iceberg
+    // `db.tbl.changes` convention with a suffix the identifier
+    // grammar accepts verbatim.
+    if (ident.name().endsWith("__changes")) {
+      val parent = tables.get(key(Identifier.of(ident.namespace(),
+        ident.name().stripSuffix("__changes"))))
+      parent match {
+        case m: GraftMemMorTable => return new MorChangesTable(m)
+        case _                   => ()
+      }
+    }
+    throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchTableException(ident)
   }
   override def createTable(
       ident: Identifier, schema: StructType,

@@ -81,6 +81,22 @@ private[sources] class GraftMemMorTable(val fullName: String,
   private[sources] var nextPos: Long = 0L
   private[sources] var commitVersion: Long = 0L
 
+  /** CHANGE LOG (b83): every committed row change, stamped with the
+    * commit version that produced it — (version, isInsert, pos, row).
+    * Appends log their inserts; delta commits log tombstones WITH the
+    * deleted row's content (looked up at commit time — the same join
+    * a position-delete CDC reader does against the data files) and
+    * their inserts; an UPDATE therefore appears as its D+I pair, the
+    * honest shape for a position-delta format (Delta CDF's
+    * update_pre/postimage is a presentation layer over the same
+    * events). COMPACTION never touches this log — the feed is history,
+    * not state. Demo bound: the log grows with total changes over the
+    * table's lifetime; a production format bounds it by log retention
+    * and serves older reads from snapshots.
+    */
+  private[sources] var changeLog
+      : Vector[(Long, Boolean, Long, Array[Long])] = Vector.empty
+
   override def name(): String = fullName
   override def schema(): StructType = tblSchema
   override def capabilities(): util.Set[TableCapability] =
@@ -240,6 +256,8 @@ private[sources] class MorAppendWriteBuilder(
           }
           table.base = table.base ++ assigned
           table.commitVersion += 1
+          table.changeLog = table.changeLog ++ assigned.map(pr =>
+            (table.commitVersion, true, pr._1, pr._2))
         }
       }
       override def abort(messages: Array[WriterCommitMessage]): Unit = ()
@@ -300,9 +318,18 @@ private[sources] class MorDeltaWriteBuilder(
           val assigned = ins.result().map { r =>
             val pr = (table.nextPos, r); table.nextPos += 1; pr
           }
+          // resolve tombstoned positions to their row content BEFORE
+          // applying the delete set — the same position→row join a
+          // CDC reader over position-delete files performs
+          val idx = (table.base.iterator ++ table.deltaInserts.iterator)
+            .toMap
           table.deleted = table.deleted ++ delSet
           table.deltaInserts = table.deltaInserts ++ assigned
           table.commitVersion += 1
+          table.changeLog = table.changeLog ++
+            delSet.toVector.sorted.map(p =>
+              (table.commitVersion, false, p, idx(p))) ++
+            assigned.map(pr => (table.commitVersion, true, pr._1, pr._2))
         }
       }
       override def abort(messages: Array[WriterCommitMessage]): Unit = ()
@@ -395,3 +422,89 @@ private[sources] object MorCompactProcedure
       }
     }
 }
+
+/** `db.tbl__changes` — the CHANGE-FEED metadata table over a
+  * merge-on-read table (b83): Iceberg's `db.tbl.changes` / Delta's
+  * `table_changes()` shape at the DSv2 extension point. Read-only;
+  * schema = the parent's columns + `_change_type` ('insert' /
+  * 'delete') + `_commit_version` (the commit that produced the
+  * change) + `_pos` (the changed row's position). Each scan pins a
+  * snapshot of the parent's change log, chunks it, and supports
+  * column pruning; a version predicate (`_commit_version >= v`) is
+  * how an incremental consumer reads ONLY what changed since its
+  * last checkpoint — at 100 TB the difference between a CDC hop and
+  * a full-table diff. An UPDATE appears as its delete+insert pair
+  * (position-delta semantics, documented on the log).
+  */
+private[sources] class MorChangesTable(parent: GraftMemMorTable)
+    extends Table with SupportsRead {
+  import org.apache.spark.sql.types.{StringType, StructField}
+
+  override def name(): String = parent.fullName + "__changes"
+  override def schema(): StructType = StructType(
+    parent.schema().fields.toSeq ++ Seq(
+      StructField("_change_type", StringType, nullable = false),
+      StructField("_commit_version", LongType, nullable = false),
+      StructField("_pos", LongType, nullable = false)))
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required: StructType = schema()
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+      override def build(): Scan = new Scan with Batch {
+        private val snap = parent.synchronized(parent.changeLog)
+        private val req = required
+        override def readSchema(): StructType = req
+        override def toBatch: Batch = this
+        override def description(): String =
+          s"MorChangesScan(${parent.fullName}, n=${snap.length})"
+        override def planInputPartitions(): Array[InputPartition] =
+          if (snap.isEmpty) Array(MorChangesPartition(Vector.empty))
+          else snap.grouped(math.max(1, (snap.length + 3) / 4))
+            .map(MorChangesPartition(_): InputPartition).toArray
+        override def createReaderFactory(): PartitionReaderFactory = {
+          val parentFields = parent.schema().fieldNames
+          val getters: Array[((Long, Boolean, Long, Array[Long])) => Any] =
+            req.fieldNames.map {
+              case "_change_type" =>
+                (e: (Long, Boolean, Long, Array[Long])) =>
+                  org.apache.spark.unsafe.types.UTF8String.fromString(
+                    if (e._2) "insert" else "delete"): Any
+              case "_commit_version" =>
+                (e: (Long, Boolean, Long, Array[Long])) =>
+                  java.lang.Long.valueOf(e._1): Any
+              case "_pos" =>
+                (e: (Long, Boolean, Long, Array[Long])) =>
+                  java.lang.Long.valueOf(e._3): Any
+              case n =>
+                val j = parentFields.indexOf(n)
+                (e: (Long, Boolean, Long, Array[Long])) =>
+                  java.lang.Long.valueOf(e._4(j)): Any
+            }
+          new PartitionReaderFactory {
+            override def createReader(
+                p: InputPartition): PartitionReader[InternalRow] = {
+              val data = p.asInstanceOf[MorChangesPartition].data
+              new PartitionReader[InternalRow] {
+                private var i = -1
+                override def next(): Boolean = { i += 1; i < data.length }
+                override def get(): InternalRow =
+                  InternalRow.fromSeq(
+                    scala.collection.immutable.ArraySeq.unsafeWrapArray(
+                      getters.map(_(data(i)))))
+                override def close(): Unit = ()
+              }
+            }
+          }
+        }
+      }
+    }
+}
+
+private[sources] case class MorChangesPartition(
+    data: Vector[(Long, Boolean, Long, Array[Long])])
+    extends InputPartition

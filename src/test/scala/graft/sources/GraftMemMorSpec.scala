@@ -236,6 +236,41 @@ class GraftMemMorSpec extends SparkSpec {
     assert(e1.getMessage.contains("no graftmem table"))
   }
 
+  test("b83: the change feed carries logical changes only — append, " +
+      "delete with preimage, update as D+I; compaction absent") {
+    val (tbl, table) = freshMor("spec_mor_cdc")
+    spark.range(4).selectExpr("id AS key", "id * 10 AS bal")
+      .writeTo(tbl).append()                                  // v1
+    spark.sql(s"DELETE FROM $tbl WHERE key = 1")              // v2
+    spark.sql(s"UPDATE $tbl SET bal = bal + 5 WHERE key = 2") // v3
+    spark.sql("CALL graftmem.system.compact('db.spec_mor_cdc')") // v4
+      .collect()
+    val ch = spark.table(s"${tbl}__changes")
+      .select("_commit_version", "_change_type", "key", "bal")
+      .orderBy("_commit_version", "_change_type", "key")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val expect = Seq(
+      (1L, "insert", 0L, 0L), (1L, "insert", 1L, 10L),
+      (1L, "insert", 2L, 20L), (1L, "insert", 3L, 30L),
+      (2L, "delete", 1L, 10L),                  // preimage content
+      (3L, "delete", 2L, 20L), (3L, "insert", 2L, 25L), // update = D+I
+    ) // v4 (compaction): no entries — feeds carry content, not layout
+    assert(ch == expect, s"feed:\n${ch.mkString("\n")}")
+    // incremental consumption: the version predicate narrows the read
+    val since = spark.table(s"${tbl}__changes")
+      .where("_commit_version >= 2").count()
+    assert(since == 3)
+    // the feed survives further merges after compaction
+    spark.sql(s"DELETE FROM $tbl WHERE key = 3") // v5
+    val v5 = spark.table(s"${tbl}__changes")
+      .where("_commit_version = 5")
+      .select("_change_type", "key", "bal").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(v5 == Seq(("delete", 3L, 30L)))
+  }
+
   test("b80 declared query equals b75 — same CDC state via the other " +
       "write path") {
     val a = graft.SparkEntry.queries("b80_merge_on_read")(spark, sf0001)

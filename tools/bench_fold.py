@@ -54,6 +54,17 @@ def main():
         else:
             for k, t in d.get("queries", {}).items():
                 samples.setdefault(k, []).append(float(t))
+    # the artifact describes HEAD's query set = the LAST run's set;
+    # earlier runs may predate newly added queries (their samples fold
+    # in where names match) or carry since-removed ones (dropped, and
+    # reported so the drop is never silent)
+    with open(run_ps[-1]) as f:
+        current = set(json.load(f)["queries"])
+    dropped = sorted(set(samples) - current)
+    if dropped:
+        print(f"dropping {len(dropped)} queries absent from {run_ps[-1]}: "
+              + ", ".join(dropped))
+    samples = {k: v for k, v in samples.items() if k in current}
     mins = {k: min(v) for k, v in sorted(samples.items())}
     meds = {k: statistics.median(v) for k, v in sorted(samples.items())}
     ns = {k: len(v) for k, v in sorted(samples.items())}
