@@ -804,6 +804,45 @@ object TierA {
 
   private def a39(s: SparkSession, d: String): DataFrame = a39Exec(s, d)._1
 
+  /** a40: WRITE-SIDE LAYOUT CONTRACT
+    * (`RequiresDistributionAndOrdering`) — the missing half of the
+    * layout story: a34/a39 demonstrated READS exploiting a clustered,
+    * sorted layout; this is how the layout comes to EXIST. The
+    * graftmem table is created with `graft.write_layout = 'k,v'`, so
+    * its Write DEMANDS clustering by k and per-task (k, v) ordering
+    * from the engine — Spark inserts the exchange and sort below the
+    * write (`DistributionAndOrderingUtils`, the Iceberg
+    * write-distribution-mode shape) with NO layout code in the query:
+    * the append below hands over a deliberately round-robin-scrambled
+    * frame. The connector VERIFIES the contract with data, not trust:
+    * every writer task throws on the first out-of-order row and the
+    * commit rejects a cluster split across tasks — so this query
+    * SUCCEEDING is the proof the engine delivered the layout. At
+    * 100 TB this is the pay-once sort/shuffle that makes a34/a39's
+    * exchange-free, sort-free reads possible, demanded by the table
+    * instead of remembered by every writing job.
+    */
+  private def a40(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graftmem",
+      "graft.sources.GraftMemCatalog")
+    val tbl = "graftmem.db.clust_" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    s.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('graft.write_layout' = 'k,v')")
+    orders(s, d)
+      .selectExpr("o_custkey % 100 AS k",
+        "CAST(floor(o_totalprice * 100) AS BIGINT) AS v")
+      .repartition(8) // scramble: the ENGINE must restore the layout
+      .writeTo(tbl).append()
+    s.sql(
+      s"""SELECT k % 10 AS k_mod, count(*) AS n,
+         |  count(DISTINCT k) AS n_k,
+         |  CAST(sum(CAST(v AS DECIMAL(38,0))) AS BIGINT) AS v_sum
+         |FROM $tbl GROUP BY k % 10 ORDER BY k_mod""".stripMargin)
+  }
+
   /** a35: AGGREGATE PUSHDOWN into the custom DSv2 source
     * (`SupportsPushDownAggregates`, complete pushdown) — COUNT/MIN/MAX
     * grouped by the bucket key are answered CLOSED-FORM by the
@@ -906,6 +945,8 @@ object TierA {
       "SELECT t.i AS id, md5(t.i::VARCHAR) AS value FROM range(100000) t(i) WHERE t.i >= 500 ORDER BY id DESC LIMIT 7")),
     QueryDef("a35_source_agg_pushdown", a35 _, Some(
       "SELECT (t.i % 8)::BIGINT AS grp, count(*)::BIGINT AS n_ids, min(t.i)::BIGINT AS min_id, max(t.i)::BIGINT AS max_id FROM range(100000) t(i) WHERE t.i >= 1000 AND t.i < 90000 GROUP BY 1 ORDER BY 1")),
+    QueryDef("a40_sink_clustered_write", a40 _, Some(
+      "SELECT (o_custkey % 100) % 10 AS k_mod, count(*)::BIGINT AS n, count(DISTINCT o_custkey % 100)::BIGINT AS n_k, sum(floor(o_totalprice * 100)::BIGINT)::BIGINT AS v_sum FROM orders GROUP BY 1 ORDER BY 1")),
     QueryDef("a39_join_ordered_scan", a39 _, Some(
       "WITH l AS (SELECT t.i AS id, t.i % 8 AS grp FROM range(12000) t(i) WHERE t.i >= 400), r AS (SELECT t.i AS id, t.i % 8 AS grp FROM range(6000) t(i)) SELECT l.grp::BIGINT AS grp, count(*)::BIGINT AS n_pairs, min(l.id)::BIGINT AS min_id, max(l.id)::BIGINT AS max_id FROM l JOIN r ON l.grp = r.grp AND l.id = r.id GROUP BY 1 ORDER BY 1")),
     QueryDef("a34_join_storage_partitioned", a34 _, Some(

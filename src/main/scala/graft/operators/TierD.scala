@@ -138,7 +138,8 @@ object TierD {
     "d18_stream_sliding_append", "d19_stream_chained_stateful",
     "d20_stream_curation_gate", "d21_stream_lsh_dedup",
     "d22_stream_restart_recovery", "d23_stream_custom_sink",
-    "d24_state_store_reader", "d25_stream_mor_upsert")
+    "d24_state_store_reader", "d25_stream_mor_upsert",
+    "d26_stream_cdc_follow")
 
   /** Shared d14/d22 oracle: the one-shot hourly aggregate restricted
     * to watermark-closed windows (ws + 1 h window + 1 h delay ≤ max
@@ -216,6 +217,13 @@ object TierD {
     // per microbatch, WriteDelta storage); integer partials are exact
     // and associative, so the final table is batch-count-invariant —
     // the same oracle both queries share.
+    // d26 follows the MoR table's change feed as a stream across a
+    // mid-query merge; the oracle recomputes all three commits' change
+    // sets (v1 snapshot inserts; v2 = b83's CDC round; v3 = the +5000
+    // update as D+I pairs over the post-merge state).
+    QueryDef("d26_stream_cdc_follow",
+      (s, d) => graft.streaming.StreamingDemo.streamCdcFollow(s, d), Some(
+        "WITH snap AS (SELECT c_custkey AS key, floor(c_acctbal * 100)::BIGINT AS bal FROM customer), off AS (SELECT max(c_custkey) + 1 AS o FROM customer), batch AS (SELECT key, bal + 10000 AS nb, 'U' AS op FROM snap WHERE key % 10 = 3 UNION ALL SELECT key, 0, 'D' FROM snap WHERE key % 10 = 7 UNION ALL SELECT key + (SELECT o FROM off), bal, 'I' FROM snap WHERE key % 100 = 0), post AS (SELECT s.key, coalesce(CASE WHEN b.op = 'U' THEN b.nb END, s.bal) AS bal FROM snap s LEFT JOIN batch b ON s.key = b.key WHERE b.op IS NULL OR b.op <> 'D' UNION ALL SELECT key, nb FROM batch WHERE op = 'I'), v1 AS (SELECT 'insert' AS ct, bal FROM snap), v2 AS (SELECT 'delete' AS ct, bal FROM snap WHERE key % 10 = 7 UNION ALL SELECT 'delete', bal FROM snap WHERE key % 10 = 3 UNION ALL SELECT 'insert', bal + 10000 FROM snap WHERE key % 10 = 3 UNION ALL SELECT 'insert', bal FROM snap WHERE key % 100 = 0), v3 AS (SELECT 'delete' AS ct, bal FROM post WHERE key % 10 = 1 UNION ALL SELECT 'insert', bal + 5000 FROM post WHERE key % 10 = 1) SELECT * FROM (SELECT 1::BIGINT AS _commit_version, ct AS _change_type, count(*)::BIGINT AS n, sum(bal)::BIGINT AS bal_cents_sum FROM v1 GROUP BY 2 UNION ALL SELECT 2::BIGINT, ct, count(*)::BIGINT, sum(bal)::BIGINT FROM v2 GROUP BY 2 UNION ALL SELECT 3::BIGINT, ct, count(*)::BIGINT, sum(bal)::BIGINT FROM v3 GROUP BY 2) ORDER BY 1, 2")),
     QueryDef("d25_stream_mor_upsert",
       (s, d) => graft.streaming.StreamingDemo.streamMorUpsert(s, d), Some(
         "SELECT user_id, count(*)::BIGINT AS cnt, sum(round(value * 100)::BIGINT)::BIGINT AS val_cents FROM events GROUP BY 1 ORDER BY 1")),

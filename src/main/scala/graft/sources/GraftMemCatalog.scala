@@ -112,9 +112,17 @@ class GraftMemCatalog extends TableCatalog with FunctionCatalog
     // formats pick it (`write.merge.mode = merge-on-read`): default is
     // copy-on-write (GraftMemTable, ReplaceData); 'merge-on-read'
     // creates the SupportsDelta flavor (GraftMemMorTable, WriteDelta).
+    // WRITE LAYOUT property (a40): `graft.write_layout = 'c1,c2'`
+    // makes every append DEMAND clustering by c1 and per-partition
+    // ordering by (c1, c2, …) from the engine
+    // (RequiresDistributionAndOrdering) — the Iceberg
+    // write-distribution-mode shape.
+    val layout = Option(properties.get("graft.write_layout"))
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
     val t: Table = properties.get("graft.row_level") match {
       case null | "copy-on-write" =>
-        new GraftMemTable(key(ident), schema, partCol)
+        new GraftMemTable(key(ident), schema, partCol, layout)
       case "merge-on-read" =>
         require(partCol.isEmpty,
           "graftmem merge-on-read flavor is unpartitioned (deltas " +
@@ -200,11 +208,14 @@ object GraftMemCatalog {
   * types fail loudly at write time.
   */
 private[sources] class GraftMemTable(val fullName: String,
-    tblSchema: StructType, val partitionCol: Option[String] = None)
+    tblSchema: StructType, val partitionCol: Option[String] = None,
+    val writeLayout: Seq[String] = Nil)
     extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations with SupportsMetadataColumns {
   require(tblSchema.fields.forall(_.dataType == LongType),
     s"graftmem demo table supports LONG columns only, got $tblSchema")
+  require(writeLayout.forall(tblSchema.fieldNames.contains),
+    s"graft.write_layout columns $writeLayout not all in $tblSchema")
 
   /** Current committed content. Replaced atomically on commit. */
   @volatile private[sources] var rows: Vector[Array[Long]] = Vector.empty
@@ -469,13 +480,77 @@ private[sources] class GraftMemWriteBuilder(
   private def proj: Array[Int] = table.schema().fieldNames
     .map(writeInfo.schema().fieldIndex)
 
-  override def build(): Write = new Write {
+  // Layout-column indices into the PROJECTED row (table order); empty
+  // unless the table declares graft.write_layout. Only plain appends
+  // enforce it — a row-level replace's distribution is the group
+  // machinery's concern.
+  private def layoutIdx: Array[Int] =
+    if (replace) Array.empty
+    else table.writeLayout.map(table.schema().fieldIndex).toArray
+
+  /** WRITE-SIDE LAYOUT CONTRACT (a40,
+    * `RequiresDistributionAndOrdering`): a table created with
+    * `graft.write_layout = 'c1,c2'` DEMANDS, from the engine, rows
+    * clustered by c1 (all rows of one c1 value in one write task) and
+    * sorted by (c1, c2) within each task — Spark inserts the exchange
+    * and sort below the write (`DistributionAndOrderingUtils`), the
+    * way Iceberg's write distribution modes request their layout.
+    * The connector VERIFIES both halves with data-level checks, not
+    * trust: each writer task throws on the first out-of-order row,
+    * and the commit rejects a cluster value that appears in two
+    * tasks' messages. With no layout declared the write reports
+    * unspecified/empty and the plan is untouched.
+    */
+  override def build(): Write = new Write
+      with RequiresDistributionAndOrdering {
+    private val layout = layoutIdx
+    override def requiredDistribution()
+        : org.apache.spark.sql.connector.distributions.Distribution =
+      if (layout.isEmpty)
+        org.apache.spark.sql.connector.distributions.Distributions
+          .unspecified()
+      else
+        org.apache.spark.sql.connector.distributions.Distributions
+          .clustered(Array(
+            org.apache.spark.sql.connector.expressions.Expressions
+              .identity(table.writeLayout.head)))
+    override def requiredOrdering()
+        : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+      table.writeLayout
+        .filter(_ => layout.nonEmpty)
+        .map(c => org.apache.spark.sql.connector.expressions.Expressions
+          .sort(
+            org.apache.spark.sql.connector.expressions.Expressions
+              .identity(c),
+            org.apache.spark.sql.connector.expressions.SortDirection
+              .ASCENDING))
+        .toArray
     override def toBatch: BatchWrite = new BatchWrite {
       private val p = proj
+      private val lay = layout
       override def createBatchWriterFactory(
           info: PhysicalWriteInfo): DataWriterFactory =
-        new GraftMemWriterFactory(p)
+        new GraftMemWriterFactory(p, lay)
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
+        // clustering half of the a40 contract: one cluster value may
+        // come from ONE task only (the ordering half was verified
+        // row-by-row inside each writer)
+        if (lay.nonEmpty) {
+          val owner = scala.collection.mutable.HashMap.empty[Long, Int]
+          messages.zipWithIndex.foreach {
+            case (m: GraftMemCommit, ti) => m.clusters.foreach { c =>
+              owner.get(c) match {
+                case Some(prev) if prev != ti =>
+                  throw new IllegalStateException(
+                    s"graftmem ${table.fullName}: required clustered " +
+                      s"distribution violated — cluster $c arrived in " +
+                      s"write tasks $prev and $ti")
+                case _ => owner(c) = ti
+              }
+            }
+            case _ => ()
+          }
+        }
         val written = messages.iterator.flatMap {
           case m: GraftMemCommit => m.data
         }.toVector
@@ -576,22 +651,47 @@ private[sources] class GraftMemStreamingWriterFactory(proj: Array[Int])
     new GraftMemWriterFactory(proj).createWriter(partitionId, taskId)
 }
 
-private[sources] case class GraftMemCommit(data: Vector[Array[Long]])
+private[sources] case class GraftMemCommit(data: Vector[Array[Long]],
+    clusters: Set[Long] = Set.empty)
     extends WriterCommitMessage
 
-private[sources] class GraftMemWriterFactory(proj: Array[Int])
+/** `layoutIdx` nonempty (a40): the writer VERIFIES the engine honored
+  * the required per-task ordering — lexicographic non-decrease over
+  * the layout columns, checked on every row — and records the task's
+  * cluster values for the commit's disjointness check. Empty: the
+  * plain trusting writer all other paths use.
+  */
+private[sources] class GraftMemWriterFactory(proj: Array[Int],
+    layoutIdx: Array[Int] = Array.empty)
     extends DataWriterFactory {
   override def createWriter(
       partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private val buf = Vector.newBuilder[Array[Long]]
+      private var prevKey: Array[Long] = null
+      private val clusters = Set.newBuilder[Long]
       override def write(record: InternalRow): Unit = {
         val a = new Array[Long](proj.length)
         var i = 0
         while (i < proj.length) { a(i) = record.getLong(proj(i)); i += 1 }
+        if (layoutIdx.nonEmpty) {
+          val key = layoutIdx.map(a)
+          if (prevKey != null) {
+            val cmp = prevKey.zip(key).collectFirst {
+              case (p, c) if p != c => java.lang.Long.compare(p, c)
+            }.getOrElse(0)
+            if (cmp > 0) throw new IllegalStateException(
+              s"required write ordering violated in partition " +
+                s"$partitionId: ${prevKey.mkString(",")} then " +
+                key.mkString(","))
+          }
+          prevKey = key
+          clusters += a(layoutIdx(0))
+        }
         buf += a
       }
-      override def commit(): WriterCommitMessage = GraftMemCommit(buf.result())
+      override def commit(): WriterCommitMessage =
+        GraftMemCommit(buf.result(), clusters.result())
       override def abort(): Unit = ()
       override def close(): Unit = ()
     }

@@ -438,16 +438,12 @@ private[sources] object MorCompactProcedure
   */
 private[sources] class MorChangesTable(parent: GraftMemMorTable)
     extends Table with SupportsRead {
-  import org.apache.spark.sql.types.{StringType, StructField}
 
   override def name(): String = parent.fullName + "__changes"
-  override def schema(): StructType = StructType(
-    parent.schema().fields.toSeq ++ Seq(
-      StructField("_change_type", StringType, nullable = false),
-      StructField("_commit_version", LongType, nullable = false),
-      StructField("_pos", LongType, nullable = false)))
+  override def schema(): StructType = MorChangesTable.schemaFor(parent)
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
@@ -463,48 +459,119 @@ private[sources] class MorChangesTable(parent: GraftMemMorTable)
         override def description(): String =
           s"MorChangesScan(${parent.fullName}, n=${snap.length})"
         override def planInputPartitions(): Array[InputPartition] =
-          if (snap.isEmpty) Array(MorChangesPartition(Vector.empty))
-          else snap.grouped(math.max(1, (snap.length + 3) / 4))
-            .map(MorChangesPartition(_): InputPartition).toArray
-        override def createReaderFactory(): PartitionReaderFactory = {
-          val parentFields = parent.schema().fieldNames
-          val getters: Array[((Long, Boolean, Long, Array[Long])) => Any] =
-            req.fieldNames.map {
-              case "_change_type" =>
-                (e: (Long, Boolean, Long, Array[Long])) =>
-                  org.apache.spark.unsafe.types.UTF8String.fromString(
-                    if (e._2) "insert" else "delete"): Any
-              case "_commit_version" =>
-                (e: (Long, Boolean, Long, Array[Long])) =>
-                  java.lang.Long.valueOf(e._1): Any
-              case "_pos" =>
-                (e: (Long, Boolean, Long, Array[Long])) =>
-                  java.lang.Long.valueOf(e._3): Any
-              case n =>
-                val j = parentFields.indexOf(n)
-                (e: (Long, Boolean, Long, Array[Long])) =>
-                  java.lang.Long.valueOf(e._4(j)): Any
-            }
-          new PartitionReaderFactory {
-            override def createReader(
-                p: InputPartition): PartitionReader[InternalRow] = {
-              val data = p.asInstanceOf[MorChangesPartition].data
-              new PartitionReader[InternalRow] {
-                private var i = -1
-                override def next(): Boolean = { i += 1; i < data.length }
-                override def get(): InternalRow =
-                  InternalRow.fromSeq(
-                    scala.collection.immutable.ArraySeq.unsafeWrapArray(
-                      getters.map(_(data(i)))))
-                override def close(): Unit = ()
-              }
-            }
-          }
+          MorChangesTable.chunk(snap)
+        override def createReaderFactory(): PartitionReaderFactory =
+          MorChangesTable.readerFactory(parent.schema().fieldNames, req)
+        /** STREAMING face (d26): the change feed as a MICRO-BATCH
+          * SOURCE — offsets are positions in the append-only change
+          * log, so any [start, end) replays to identical rows
+          * (exactly-once by construction, a Kafka-offset-style
+          * contract over the table's own history). This is the
+          * "table as a stream" lakehouse capability: downstream keeps
+          * a continuous, incremental view of a mutating table without
+          * ever rescanning it.
+          */
+        override def toMicroBatchStream(checkpointLocation: String)
+            : org.apache.spark.sql.connector.read.streaming
+              .MicroBatchStream =
+          new MorChangesMicroBatchStream(parent, req)
+      }
+    }
+}
+
+private[sources] object MorChangesTable {
+  import org.apache.spark.sql.types.{StringType, StructField}
+
+  private[sources] def schemaFor(parent: GraftMemMorTable): StructType =
+    StructType(parent.schema().fields.toSeq ++ Seq(
+      StructField("_change_type", StringType, nullable = false),
+      StructField("_commit_version", LongType, nullable = false),
+      StructField("_pos", LongType, nullable = false)))
+
+  private[sources] def chunk(
+      entries: Vector[(Long, Boolean, Long, Array[Long])])
+      : Array[InputPartition] =
+    if (entries.isEmpty) Array(MorChangesPartition(Vector.empty))
+    else entries.grouped(math.max(1, (entries.length + 3) / 4))
+      .map(MorChangesPartition(_): InputPartition).toArray
+
+  /** Shared by the batch scan and the micro-batch stream: project a
+    * change-log entry onto the requested columns.
+    */
+  private[sources] def readerFactory(parentFields: Array[String],
+      req: StructType): PartitionReaderFactory = {
+    val getters: Array[((Long, Boolean, Long, Array[Long])) => Any] =
+      req.fieldNames.map {
+        case "_change_type" =>
+          (e: (Long, Boolean, Long, Array[Long])) =>
+            org.apache.spark.unsafe.types.UTF8String.fromString(
+              if (e._2) "insert" else "delete"): Any
+        case "_commit_version" =>
+          (e: (Long, Boolean, Long, Array[Long])) =>
+            java.lang.Long.valueOf(e._1): Any
+        case "_pos" =>
+          (e: (Long, Boolean, Long, Array[Long])) =>
+            java.lang.Long.valueOf(e._3): Any
+        case n =>
+          val j = parentFields.indexOf(n)
+          (e: (Long, Boolean, Long, Array[Long])) =>
+            java.lang.Long.valueOf(e._4(j)): Any
+      }
+    new PartitionReaderFactory {
+      override def createReader(
+          p: InputPartition): PartitionReader[InternalRow] = {
+        val data = p.asInstanceOf[MorChangesPartition].data
+        new PartitionReader[InternalRow] {
+          private var i = -1
+          override def next(): Boolean = { i += 1; i < data.length }
+          override def get(): InternalRow =
+            InternalRow.fromSeq(
+              scala.collection.immutable.ArraySeq.unsafeWrapArray(
+                getters.map(_(data(i)))))
+          override def close(): Unit = ()
         }
       }
     }
+  }
 }
 
 private[sources] case class MorChangesPartition(
     data: Vector[(Long, Boolean, Long, Array[Long])])
     extends InputPartition
+
+/** Offset into the append-only change log (count of entries consumed).
+  */
+private[sources] case class MorChangesOffset(pos: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = pos.toString
+}
+
+/** d26: the change feed as a streaming source. `latestOffset` reads
+  * the LIVE log length; each batch is the [start, end) slice — pure
+  * positions over an append-only vector, so a replayed batch
+  * regenerates byte-identical rows (the source half of exactly-once;
+  * d23's idempotent sink is the write half). Unbounded state is the
+  * parent's change-log retention, not the stream's.
+  */
+private[sources] class MorChangesMicroBatchStream(
+    parent: GraftMemMorTable, req: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  override def initialOffset(): Offset = MorChangesOffset(0L)
+  override def latestOffset(): Offset =
+    MorChangesOffset(parent.synchronized(parent.changeLog.length.toLong))
+  override def deserializeOffset(json: String): Offset =
+    MorChangesOffset(json.toLong)
+  override def planInputPartitions(
+      start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[MorChangesOffset].pos.toInt
+    val e = end.asInstanceOf[MorChangesOffset].pos.toInt
+    val slice = parent.synchronized(parent.changeLog.slice(s, e))
+    MorChangesTable.chunk(slice)
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    MorChangesTable.readerFactory(parent.schema().fieldNames, req)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}

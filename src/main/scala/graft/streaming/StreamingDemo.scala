@@ -1206,6 +1206,82 @@ object StreamingDemo {
     s.table(tbl).orderBy("user_id")
   }
 
+  /** d26: the CHANGE FEED AS A STREAMING SOURCE — `readStream.table`
+    * over `db.tbl__changes` (b83's batch feed given its micro-batch
+    * face): offsets are positions in the append-only change log, so
+    * every batch slice replays to identical rows — the SOURCE half of
+    * exactly-once (d23's idempotent sink is the write half) — and a
+    * downstream pipeline FOLLOWS a mutating lakehouse table
+    * incrementally, never rescanning it. The demo appends the
+    * customer snapshot (v1), runs the CDC MERGE (v2), starts the
+    * stream and drains (batch 0 = v1+v2 changes), then runs a SECOND
+    * merge while the query is live (v3, +5000 on keys ≡1 mod 10) and
+    * drains again (batch 1 = exactly the v3 changes — offset
+    * tracking, no re-delivery). Declared output = per-(version, type)
+    * summary of everything the SINK received; equality with the
+    * recomputed change sets proves no loss, no duplication, correct
+    * incremental slicing. At 100 TB each microbatch moves O(new
+    * changes), the entire point of CDC streaming.
+    */
+  def streamCdcFollow(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graftmem",
+      "graft.sources.GraftMemCatalog")
+    val suf = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val tbl = s"graftmem.db.morcdc_$suf"
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    s.sql(s"CREATE TABLE $tbl (key BIGINT, bal_cents BIGINT) " +
+      "TBLPROPERTIES ('graft.row_level' = 'merge-on-read')")
+    graft.util.Tables.customer(s, d)
+      .selectExpr("c_custkey AS key",
+        "CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents")
+      .writeTo(tbl).append() // v1
+    graft.util.Tables.customer(s, d)
+      .createOrReplaceTempView("g_cust_d26")
+    s.sql(
+      """SELECT key, bal_cents + 10000 AS nb, 'U' AS op
+        |FROM (SELECT c_custkey AS key,
+        |        CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |      FROM g_cust_d26) WHERE key % 10 = 3
+        |UNION ALL
+        |SELECT c_custkey, 0L, 'D' FROM g_cust_d26 WHERE c_custkey % 10 = 7
+        |UNION ALL
+        |SELECT c_custkey + (SELECT max(c_custkey) + 1 FROM g_cust_d26),
+        |       CAST(floor(c_acctbal * 100) AS BIGINT), 'I'
+        |FROM g_cust_d26 WHERE c_custkey % 100 = 0""".stripMargin)
+      .createOrReplaceTempView("g_batch_d26")
+    s.sql(
+      s"""MERGE INTO $tbl t USING g_batch_d26 b ON t.key = b.key
+         |WHEN MATCHED AND b.op = 'U' THEN UPDATE SET bal_cents = b.nb
+         |WHEN MATCHED AND b.op = 'D' THEN DELETE
+         |WHEN NOT MATCHED THEN INSERT (key, bal_cents)
+         |  VALUES (b.key, b.nb)""".stripMargin) // v2
+    withStreamPartitions(s) {
+      val sink = graft.util.TmpDir.fresh("d26-sink")
+      val ckpt = graft.util.TmpDir.fresh("d26-ckpt")
+      val src = s.readStream.table(s"${tbl}__changes")
+      val q = src.writeStream
+        .format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable() // batch 0: v1 + v2 changes
+        s.sql(
+          s"""MERGE INTO $tbl t
+             |USING (SELECT key FROM $tbl WHERE key % 10 = 1) b
+             |ON t.key = b.key
+             |WHEN MATCHED THEN UPDATE SET
+             |  bal_cents = bal_cents + 5000""".stripMargin) // v3
+        q.processAllAvailable() // batch 1: exactly the v3 changes
+      } finally q.stop()
+      s.read.schema(src.schema).parquet(sink)
+        .groupBy(col("_commit_version"), col("_change_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("bal_cents").cast("decimal(38,0)")).cast("long")
+            .as("bal_cents_sum"))
+    }.orderBy("_commit_version", "_change_type")
+  }
+
   /** d24: STATE STORE READER — Spark 4's `statestore` data source
     * reads a checkpoint's STATE as a batch DataFrame, the production
     * tool for debugging a stuck stateful query (what is this operator

@@ -10,6 +10,35 @@ import org.apache.spark.sql.functions._
   */
 class Round10PropsSpec extends SparkSpec {
 
+  test("d26: the CDC stream delivers each change exactly once across " +
+      "a mid-query merge — batch 1 carries ONLY the new version") {
+    val out = graft.SparkEntry.queries("d26_stream_cdc_follow")(
+      spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    // three commit versions, both change types where applicable
+    val versions = out.map(_._1).distinct.sorted
+    assert(versions == Seq(1L, 2L, 3L), s"versions: $versions")
+    // v1 is pure snapshot inserts (one per customer)
+    val nCust = graft.util.Tables.customer(spark, sf0001).count()
+    assert(out.collect { case (1L, "insert", n) => n }.sum == nCust)
+    assert(!out.exists { case (1L, t, _) => t == "delete"; case _ => false })
+    // v3 is a pure update round: equal delete and insert counts
+    val d3 = out.collect { case (3L, "delete", n) => n }.sum
+    val i3 = out.collect { case (3L, "insert", n) => n }.sum
+    assert(d3 == i3 && d3 > 0, s"v3 delete=$d3 insert=$i3")
+    // exactly-once: the feed's net effect (inserts − deletes) must
+    // equal the LIVE table's row count — a re-delivered batch would
+    // double whole change sets and break the balance (v1 is inserts
+    // only, so doubling any version shifts the net)
+    val net = out.collect { case (_, "insert", n) => n }.sum -
+      out.collect { case (_, "delete", n) => n }.sum
+    val suf = java.security.MessageDigest.getInstance("MD5")
+      .digest(sf0001.getBytes("UTF-8")).map("%02x".format(_))
+      .mkString.take(8)
+    val live = spark.table(s"graftmem.db.morcdc_$suf").count()
+    assert(net == live, s"feed net $net != live rows $live")
+  }
+
   test("d25: streaming MoR upsert equals d13's hand-rolled merge and " +
       "the one-shot batch aggregate") {
     val mor = graft.SparkEntry.queries("d25_stream_mor_upsert")(

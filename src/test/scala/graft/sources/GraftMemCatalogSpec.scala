@@ -253,6 +253,55 @@ class GraftMemCatalogSpec extends SparkSpec {
     }
   }
 
+  test("a40: write_layout table demands and receives cluster+sort; " +
+      "the connector's own checks catch violations") {
+    spark.conf.set("spark.sql.catalog.graftmem",
+      "graft.sources.GraftMemCatalog")
+    spark.sql("DROP TABLE IF EXISTS graftmem.db.spec_clust")
+    spark.sql("CREATE TABLE graftmem.db.spec_clust (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('graft.write_layout' = 'k,v')")
+    // a deliberately scrambled frame: the ENGINE must insert the
+    // exchange + sort, and the writers verify row-by-row — success of
+    // this append IS the proof the layout arrived
+    spark.range(1000)
+      .selectExpr("id % 7 AS k", "(999 - id) AS v")
+      .repartition(8)
+      .writeTo("graftmem.db.spec_clust").append()
+    val got = spark.table("graftmem.db.spec_clust")
+      .groupBy("k").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got.map(_._2).sum == 1000 && got.size == 7)
+    // negative: the validating writer itself rejects out-of-order rows
+    val table = spark.sessionState.catalogManager.catalog("graftmem")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier
+        .of(Array("db"), "spec_clust"))
+      .asInstanceOf[GraftMemTable]
+    val w = new GraftMemWriterFactory(Array(0, 1), Array(0, 1))
+      .createWriter(0, 0L)
+    w.write(org.apache.spark.sql.catalyst.InternalRow(5L, 10L))
+    val err = intercept[IllegalStateException] {
+      w.write(org.apache.spark.sql.catalyst.InternalRow(5L, 9L))
+    }
+    assert(err.getMessage.contains("ordering violated"))
+    // …and the commit rejects a cluster value split across two tasks
+    val bw = table.newWriteBuilder(
+      new org.apache.spark.sql.connector.write.LogicalWriteInfo {
+        override def queryId(): String = "spec-a40"
+        override def schema(): org.apache.spark.sql.types.StructType =
+          table.schema()
+        override def options()
+            : org.apache.spark.sql.util.CaseInsensitiveStringMap =
+          org.apache.spark.sql.util.CaseInsensitiveStringMap.empty()
+      }).build().toBatch
+    val m1 = GraftMemCommit(Vector(Array(1L, 1L)), Set(1L))
+    val m2 = GraftMemCommit(Vector(Array(1L, 2L)), Set(1L))
+    val err2 = intercept[IllegalStateException] {
+      bw.commit(Array(m1, m2))
+    }
+    assert(err2.getMessage.contains("clustered"))
+  }
+
   test("append is additive; TRUNCATE-overwrite replaces") {
     val tbl = freshTable("spec_app")
     spark.range(3).selectExpr("id AS key", "id AS bal_cents")
