@@ -127,6 +127,10 @@ class GraftMemCatalog extends TableCatalog with FunctionCatalog
         require(partCol.isEmpty,
           "graftmem merge-on-read flavor is unpartitioned (deltas " +
             "address rows by position, not by rewrite group)")
+        require(layout.isEmpty,
+          "graft.write_layout applies to the copy-on-write flavor; " +
+            "a merge-on-read table's layout is delta-append by design " +
+            "(compaction is where its physical order is restored)")
         new GraftMemMorTable(key(ident), schema)
       case other => throw new UnsupportedOperationException(
         s"graftmem: unknown graft.row_level flavor '$other'")
