@@ -94,12 +94,16 @@ object Bench {
       .filter { case (k, _) => operators.TierD.streamingNames(k) }
     val streamSec = streaming.map(_._2).sum
     val sub = s""""streaming_sec":$streamSec,"streaming_n":${streaming.size}"""
+    // the authoritative classification, embedded so tools/bench_fold.py
+    // never re-derives it from a name heuristic that can drift
+    val streamNames = operators.TierD.streamingNames.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     // Measurement config, embedded so tools/bench_diff.py can refuse
     // apples-to-oranges comparisons (the repo documents ±50% cross-host
     // noise; a diff between different cpu counts is meaningless).
     val conf = s""""config":{"cpus":"$cpus","shuffle_partitions":"${spark.conf.get("spark.sql.shuffle.partitions")}","max_partition_bytes":"${spark.conf.get("spark.sql.files.maxPartitionBytes")}","host_processors":${Runtime.getRuntime.availableProcessors()},"spark_version":"${spark.version}","sf_dir":"$sfDir"}"""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec",$sub,$conf,"queries":$qs,"queries_runs":$runs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$sub,"streaming_names":$streamNames,$conf,"queries":$qs,"queries_runs":$runs,"sf":"$sfDir"}"""
     println(full)
     try {
       Files.createDirectories(Paths.get("target"))

@@ -1979,25 +1979,7 @@ object TierB {
       .selectExpr("c_custkey AS key",
         "CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents")
       .writeTo(tbl).append()
-    customer(s, d).createOrReplaceTempView("g_cust_b75")
-    s.sql(
-      """SELECT key, bal_cents + 10000 AS nb, 'U' AS op
-        |FROM (SELECT c_custkey AS key,
-        |        CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents
-        |      FROM g_cust_b75) WHERE key % 10 = 3
-        |UNION ALL
-        |SELECT c_custkey, 0L, 'D' FROM g_cust_b75 WHERE c_custkey % 10 = 7
-        |UNION ALL
-        |SELECT c_custkey + (SELECT max(c_custkey) + 1 FROM g_cust_b75),
-        |       CAST(floor(c_acctbal * 100) AS BIGINT), 'I'
-        |FROM g_cust_b75 WHERE c_custkey % 100 = 0""".stripMargin)
-      .createOrReplaceTempView("g_batch_b75")
-    s.sql(
-      s"""MERGE INTO $tbl t USING g_batch_b75 b ON t.key = b.key
-         |WHEN MATCHED AND b.op = 'U' THEN UPDATE SET bal_cents = b.nb
-         |WHEN MATCHED AND b.op = 'D' THEN DELETE
-         |WHEN NOT MATCHED THEN INSERT (key, bal_cents)
-         |  VALUES (b.key, b.nb)""".stripMargin)
+    runCdcMergeRound(s, d, "b75", tbl)
     s.sql(
       s"""SELECT key % 10 AS key_mod, count(*) AS n,
          |  CAST(sum(CAST(bal_cents AS DECIMAL(38,0))) AS BIGINT)
@@ -2034,25 +2016,7 @@ object TierB {
       .selectExpr("c_custkey AS key",
         "CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents")
       .writeTo(tbl).append()
-    customer(s, d).createOrReplaceTempView("g_cust_b80")
-    s.sql(
-      """SELECT key, bal_cents + 10000 AS nb, 'U' AS op
-        |FROM (SELECT c_custkey AS key,
-        |        CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents
-        |      FROM g_cust_b80) WHERE key % 10 = 3
-        |UNION ALL
-        |SELECT c_custkey, 0L, 'D' FROM g_cust_b80 WHERE c_custkey % 10 = 7
-        |UNION ALL
-        |SELECT c_custkey + (SELECT max(c_custkey) + 1 FROM g_cust_b80),
-        |       CAST(floor(c_acctbal * 100) AS BIGINT), 'I'
-        |FROM g_cust_b80 WHERE c_custkey % 100 = 0""".stripMargin)
-      .createOrReplaceTempView("g_batch_b80")
-    s.sql(
-      s"""MERGE INTO $tbl t USING g_batch_b80 b ON t.key = b.key
-         |WHEN MATCHED AND b.op = 'U' THEN UPDATE SET bal_cents = b.nb
-         |WHEN MATCHED AND b.op = 'D' THEN DELETE
-         |WHEN NOT MATCHED THEN INSERT (key, bal_cents)
-         |  VALUES (b.key, b.nb)""".stripMargin)
+    runCdcMergeRound(s, d, "b80", tbl)
     s.sql(
       s"""SELECT key % 10 AS key_mod, count(*) AS n,
          |  CAST(sum(CAST(bal_cents AS DECIMAL(38,0))) AS BIGINT)
@@ -2089,33 +2053,10 @@ object TierB {
       .selectExpr("c_custkey AS key",
         "CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents")
       .writeTo(tbl).append()
-    customer(s, d).createOrReplaceTempView("g_cust_b82")
-    s.sql(
-      """SELECT key, bal_cents + 10000 AS nb, 'U' AS op
-        |FROM (SELECT c_custkey AS key,
-        |        CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents
-        |      FROM g_cust_b82) WHERE key % 10 = 3
-        |UNION ALL
-        |SELECT c_custkey, 0L, 'D' FROM g_cust_b82 WHERE c_custkey % 10 = 7
-        |UNION ALL
-        |SELECT c_custkey + (SELECT max(c_custkey) + 1 FROM g_cust_b82),
-        |       CAST(floor(c_acctbal * 100) AS BIGINT), 'I'
-        |FROM g_cust_b82 WHERE c_custkey % 100 = 0""".stripMargin)
-      .createOrReplaceTempView("g_batch_b82")
-    s.sql(
-      s"""MERGE INTO $tbl t USING g_batch_b82 b ON t.key = b.key
-         |WHEN MATCHED AND b.op = 'U' THEN UPDATE SET bal_cents = b.nb
-         |WHEN MATCHED AND b.op = 'D' THEN DELETE
-         |WHEN NOT MATCHED THEN INSERT (key, bal_cents)
-         |  VALUES (b.key, b.nb)""".stripMargin)
+    runCdcMergeRound(s, d, "b82", tbl)
     // governed maintenance between the two CDC rounds
     s.sql(s"CALL graftmem.system.compact('db.morc_$suf')").collect()
-    s.sql(
-      s"""MERGE INTO $tbl t
-         |USING (SELECT key FROM $tbl WHERE key % 10 = 1) b
-         |ON t.key = b.key
-         |WHEN MATCHED THEN UPDATE SET bal_cents = bal_cents + 5000
-         |""".stripMargin)
+    runFollowupMergeRound(s, tbl)
     s.sql(
       s"""SELECT key % 10 AS key_mod, count(*) AS n,
          |  CAST(sum(CAST(bal_cents AS DECIMAL(38,0))) AS BIGINT)
@@ -2154,33 +2095,10 @@ object TierB {
       .selectExpr("c_custkey AS key",
         "CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents")
       .writeTo(tbl).append() // version 1
-    customer(s, d).createOrReplaceTempView("g_cust_b83")
-    s.sql(
-      """SELECT key, bal_cents + 10000 AS nb, 'U' AS op
-        |FROM (SELECT c_custkey AS key,
-        |        CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents
-        |      FROM g_cust_b83) WHERE key % 10 = 3
-        |UNION ALL
-        |SELECT c_custkey, 0L, 'D' FROM g_cust_b83 WHERE c_custkey % 10 = 7
-        |UNION ALL
-        |SELECT c_custkey + (SELECT max(c_custkey) + 1 FROM g_cust_b83),
-        |       CAST(floor(c_acctbal * 100) AS BIGINT), 'I'
-        |FROM g_cust_b83 WHERE c_custkey % 100 = 0""".stripMargin)
-      .createOrReplaceTempView("g_batch_b83")
-    s.sql(
-      s"""MERGE INTO $tbl t USING g_batch_b83 b ON t.key = b.key
-         |WHEN MATCHED AND b.op = 'U' THEN UPDATE SET bal_cents = b.nb
-         |WHEN MATCHED AND b.op = 'D' THEN DELETE
-         |WHEN NOT MATCHED THEN INSERT (key, bal_cents)
-         |  VALUES (b.key, b.nb)""".stripMargin) // version 2
+    runCdcMergeRound(s, d, "b83", tbl) // version 2
     s.sql(s"CALL graftmem.system.compact('db.morl_$suf')")
       .collect() // version 3 — must NOT appear in the feed
-    s.sql(
-      s"""MERGE INTO $tbl t
-         |USING (SELECT key FROM $tbl WHERE key % 10 = 1) b
-         |ON t.key = b.key
-         |WHEN MATCHED THEN UPDATE SET bal_cents = bal_cents + 5000
-         |""".stripMargin) // version 4
+    runFollowupMergeRound(s, tbl) // version 4
     s.sql(
       s"""SELECT _commit_version, _change_type, count(*) AS n,
          |  CAST(sum(CAST(bal_cents AS DECIMAL(38,0))) AS BIGINT)
@@ -2396,6 +2314,53 @@ object TierB {
         |  graftmem.db.kmv_distinct(l_partkey) AS est_dparts,
         |  count(DISTINCT l_partkey) AS true_dparts
         |FROM g_lineitem_b79 GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  /** THE CDC round every row-level demo shares (b75 CoW, b80 MoR, b82
+    * compaction, b83 change feed, d26 streaming CDC): update keys ≡3
+    * (mod 10) to bal+10000, delete keys ≡7, insert keys ≡0 (mod 100)
+    * re-keyed past max. ONE definition — the queries exist to prove
+    * the SAME change set lands identically through every write path,
+    * and a drifted copy would silently break that cross-check (the
+    * oracle side was already shared as [[mergeOracleSql]]).
+    */
+  private[graft] def runCdcMergeRound(s: SparkSession, d: String,
+      tag: String, tbl: String): Unit = {
+    customer(s, d).createOrReplaceTempView(s"g_cust_$tag")
+    s.sql(
+      s"""SELECT key, bal_cents + 10000 AS nb, 'U' AS op
+         |FROM (SELECT c_custkey AS key,
+         |        CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents
+         |      FROM g_cust_$tag) WHERE key % 10 = 3
+         |UNION ALL
+         |SELECT c_custkey, 0L, 'D' FROM g_cust_$tag
+         |WHERE c_custkey % 10 = 7
+         |UNION ALL
+         |SELECT c_custkey + (SELECT max(c_custkey) + 1 FROM g_cust_$tag),
+         |       CAST(floor(c_acctbal * 100) AS BIGINT), 'I'
+         |FROM g_cust_$tag WHERE c_custkey % 100 = 0""".stripMargin)
+      .createOrReplaceTempView(s"g_batch_$tag")
+    s.sql(
+      s"""MERGE INTO $tbl t USING g_batch_$tag b ON t.key = b.key
+         |WHEN MATCHED AND b.op = 'U' THEN UPDATE SET bal_cents = b.nb
+         |WHEN MATCHED AND b.op = 'D' THEN DELETE
+         |WHEN NOT MATCHED THEN INSERT (key, bal_cents)
+         |  VALUES (b.key, b.nb)""".stripMargin)
+    ()
+  }
+
+  /** The shared SECOND round (b82, b83, d26): +5000 on the post-merge
+    * keys ≡1 (mod 10), sourced from the table itself.
+    */
+  private[graft] def runFollowupMergeRound(
+      s: SparkSession, tbl: String): Unit = {
+    s.sql(
+      s"""MERGE INTO $tbl t
+         |USING (SELECT key FROM $tbl WHERE key % 10 = 1) b
+         |ON t.key = b.key
+         |WHEN MATCHED THEN UPDATE SET bal_cents = bal_cents + 5000
+         |""".stripMargin)
+    ()
   }
 
   /** Shared b75/b80 oracle: post-merge state recomputed with explicit

@@ -574,17 +574,34 @@ private[sources] class GraftMemWriteBuilder(
           if (replace) {
             val scanned = replacedGroups.flatMap(_.groups.get())
             for (st <- replacedGroups; if st.scanVersion >= 0) {
-              val touched = scanned.getOrElse(
-                table.rows.iterator.map(table.groupOf).toSet)
-              val conflicted = touched.filter(g =>
-                table.groupVersion.getOrElse(g, -1L) > st.scanVersion)
-              if (conflicted.nonEmpty)
-                throw new GraftMemCommitConflictException(
-                  s"graftmem commit conflict on ${table.fullName}: " +
-                    s"group(s) ${conflicted.toSeq.sorted.mkString(", ")} " +
-                    s"changed after this operation's scan (scan version " +
-                    s"${st.scanVersion}, now ${table.commitVersion}); " +
-                    "retry from a fresh snapshot")
+              scanned match {
+                case Some(gs) =>
+                  val conflicted = gs.filter(g =>
+                    table.groupVersion.getOrElse(g, -1L) > st.scanVersion)
+                  if (conflicted.nonEmpty)
+                    throw new GraftMemCommitConflictException(
+                      s"graftmem commit conflict on ${table.fullName}: " +
+                        s"group(s) ${conflicted.toSeq.sorted.mkString(", ")} " +
+                        "changed after this operation's scan (scan " +
+                        s"version ${st.scanVersion}, now " +
+                        s"${table.commitVersion}); retry from a fresh " +
+                        "snapshot")
+                case None =>
+                  // no runtime narrowing ⇒ the op scanned EVERYTHING,
+                  // so ANY commit since the scan invalidates the
+                  // rewrite. Validating against current rows' groups
+                  // instead would let a commit that EMPTIED a group
+                  // slip through (its groups vanish from the current
+                  // set) and be silently resurrected by this swap —
+                  // the lost update this machinery exists to reject.
+                  if (table.commitVersion > st.scanVersion)
+                    throw new GraftMemCommitConflictException(
+                      s"graftmem commit conflict on ${table.fullName}: " +
+                        "the table changed after this full-scan " +
+                        s"operation's snapshot (scan version " +
+                        s"${st.scanVersion}, now ${table.commitVersion})" +
+                        "; retry from a fresh snapshot")
+              }
             }
             val prev = table.rows
             val survivors = scanned match {
@@ -622,7 +639,21 @@ private[sources] class GraftMemWriteBuilder(
       * the streaming path never truncates.
       */
     override def toStreaming: org.apache.spark.sql.connector.write
-        .streaming.StreamingWrite =
+        .streaming.StreamingWrite = {
+      // The a40 layout contract is enforced on the BATCH path
+      // (engine-inserted exchange + sort, writer/commit verification);
+      // micro-batch streaming writes do not apply
+      // RequiresDistributionAndOrdering, so accepting them would
+      // silently break the table's "every append is clustered and
+      // sorted" guarantee. Refuse loudly — stream into a plain table
+      // or upsert via foreachBatch (d25), whose inner batch write
+      // re-enters the enforced path.
+      if (table.writeLayout.nonEmpty)
+        throw new UnsupportedOperationException(
+          s"graftmem ${table.fullName}: streaming appends cannot honor " +
+            "graft.write_layout (micro-batch writes skip " +
+            "RequiresDistributionAndOrdering); use batch appends or " +
+            "foreachBatch")
       new org.apache.spark.sql.connector.write.streaming.StreamingWrite {
         private val p = proj
         override def createStreamingWriterFactory(
@@ -644,6 +675,7 @@ private[sources] class GraftMemWriteBuilder(
         override def abort(epochId: Long,
             messages: Array[WriterCommitMessage]): Unit = ()
       }
+    }
   }
 }
 

@@ -308,6 +308,9 @@ private[sources] class MorDeltaWriteBuilder(
         }
         val delSet = dels.result().toSet
         table.synchronized {
+          // ALL validation + lookups happen BEFORE any state mutates,
+          // so a rejected commit leaves no trace (no phantom
+          // tombstones, no unlogged inserts).
           val clash = delSet.intersect(table.deleted)
           if (clash.nonEmpty)
             throw new GraftMemCommitConflictException(
@@ -315,14 +318,30 @@ private[sources] class MorDeltaWriteBuilder(
                 s"row position(s) ${clash.toSeq.sorted.mkString(", ")} " +
                 "were already tombstoned by a commit after this " +
                 "operation's scan; retry from a fresh snapshot")
+          // resolve tombstoned positions to their row content (the
+          // same position→row join a CDC reader over position-delete
+          // files performs) — only the delSet positions, only when
+          // there ARE deletes: commit cost stays O(changed rows) in
+          // allocation, one filtered pass in time
+          val idx: Map[Long, Array[Long]] =
+            if (delSet.isEmpty) Map.empty
+            else (table.base.iterator ++ table.deltaInserts.iterator)
+              .filter(e => delSet.contains(e._1)).toMap
+          // a position that no longer EXISTS (tombstoned by a
+          // concurrent commit and then compacted away before we got
+          // here) is the same write-write conflict the clash check
+          // catches — the intersect alone misses it because
+          // compaction clears `deleted`
+          val vanished = delSet.diff(idx.keySet)
+          if (vanished.nonEmpty)
+            throw new GraftMemCommitConflictException(
+              s"graftmem MoR commit conflict on ${table.fullName}: " +
+                s"row position(s) ${vanished.toSeq.sorted.mkString(", ")} " +
+                "no longer exist (tombstoned and compacted after this " +
+                "operation's scan); retry from a fresh snapshot")
           val assigned = ins.result().map { r =>
             val pr = (table.nextPos, r); table.nextPos += 1; pr
           }
-          // resolve tombstoned positions to their row content BEFORE
-          // applying the delete set — the same position→row join a
-          // CDC reader over position-delete files performs
-          val idx = (table.base.iterator ++ table.deltaInserts.iterator)
-            .toMap
           table.deleted = table.deleted ++ delSet
           table.deltaInserts = table.deltaInserts ++ assigned
           table.commitVersion += 1

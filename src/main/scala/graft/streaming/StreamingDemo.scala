@@ -1236,26 +1236,7 @@ object StreamingDemo {
       .selectExpr("c_custkey AS key",
         "CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents")
       .writeTo(tbl).append() // v1
-    graft.util.Tables.customer(s, d)
-      .createOrReplaceTempView("g_cust_d26")
-    s.sql(
-      """SELECT key, bal_cents + 10000 AS nb, 'U' AS op
-        |FROM (SELECT c_custkey AS key,
-        |        CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents
-        |      FROM g_cust_d26) WHERE key % 10 = 3
-        |UNION ALL
-        |SELECT c_custkey, 0L, 'D' FROM g_cust_d26 WHERE c_custkey % 10 = 7
-        |UNION ALL
-        |SELECT c_custkey + (SELECT max(c_custkey) + 1 FROM g_cust_d26),
-        |       CAST(floor(c_acctbal * 100) AS BIGINT), 'I'
-        |FROM g_cust_d26 WHERE c_custkey % 100 = 0""".stripMargin)
-      .createOrReplaceTempView("g_batch_d26")
-    s.sql(
-      s"""MERGE INTO $tbl t USING g_batch_d26 b ON t.key = b.key
-         |WHEN MATCHED AND b.op = 'U' THEN UPDATE SET bal_cents = b.nb
-         |WHEN MATCHED AND b.op = 'D' THEN DELETE
-         |WHEN NOT MATCHED THEN INSERT (key, bal_cents)
-         |  VALUES (b.key, b.nb)""".stripMargin) // v2
+    graft.operators.TierB.runCdcMergeRound(s, d, "d26", tbl) // v2
     withStreamPartitions(s) {
       val sink = graft.util.TmpDir.fresh("d26-sink")
       val ckpt = graft.util.TmpDir.fresh("d26-ckpt")
@@ -1266,12 +1247,7 @@ object StreamingDemo {
         .outputMode("append").start()
       try {
         q.processAllAvailable() // batch 0: v1 + v2 changes
-        s.sql(
-          s"""MERGE INTO $tbl t
-             |USING (SELECT key FROM $tbl WHERE key % 10 = 1) b
-             |ON t.key = b.key
-             |WHEN MATCHED THEN UPDATE SET
-             |  bal_cents = bal_cents + 5000""".stripMargin) // v3
+        graft.operators.TierB.runFollowupMergeRound(s, tbl) // v3
         q.processAllAvailable() // batch 1: exactly the v3 changes
       } finally q.stop()
       s.read.schema(src.schema).parquet(sink)

@@ -282,6 +282,88 @@ class GraftMemMorSpec extends SparkSpec {
     assert(a.nonEmpty)
   }
 
+  test("CoW full-scan op conflicts with ANY interleaved commit — even " +
+      "one that emptied a group") {
+    spark.conf.set("spark.sql.catalog.graftmem",
+      "graft.sources.GraftMemCatalog")
+    spark.sql("DROP TABLE IF EXISTS graftmem.db.spec_cow_full")
+    // UNPARTITIONED: the op scan has no runtime group filter, so its
+    // scanned-group set is None (= everything)
+    spark.sql("CREATE TABLE graftmem.db.spec_cow_full " +
+      "(key BIGINT, bal BIGINT)")
+    spark.range(6).selectExpr("id AS key", "id AS bal")
+      .writeTo("graftmem.db.spec_cow_full").append()
+    val table = catalog()
+      .loadTable(Identifier.of(Array("db"), "spec_cow_full"))
+      .asInstanceOf[GraftMemTable]
+    val op = table.newRowLevelOperationBuilder(
+      new org.apache.spark.sql.connector.write.RowLevelOperationInfo {
+        override def command() = org.apache.spark.sql.connector.write
+          .RowLevelOperation.Command.DELETE
+        override def options() =
+          org.apache.spark.sql.util.CaseInsensitiveStringMap.empty()
+      }).build()
+    op.newScanBuilder(
+      org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
+      .build().toBatch.planInputPartitions()
+    // interleaved commit EMPTIES the table (a DELETE FROM): the old
+    // validation derived touched groups from CURRENT rows and would
+    // have let the stale rewrite silently resurrect everything
+    spark.sql("DELETE FROM graftmem.db.spec_cow_full WHERE key >= 0")
+    assert(spark.table("graftmem.db.spec_cow_full").count() == 0)
+    val bw = op.newWriteBuilder(writeInfo(table)).build().toBatch
+    val w = bw.createBatchWriterFactory(null).createWriter(0, 0L)
+    w.write(org.apache.spark.sql.catalyst.InternalRow(0L, 999L))
+    val err = intercept[GraftMemCommitConflictException] {
+      bw.commit(Array(w.commit()))
+    }
+    assert(err.getMessage.contains("full-scan"))
+    assert(spark.table("graftmem.db.spec_cow_full").count() == 0,
+      "the rejected stale rewrite resurrected deleted rows")
+  }
+
+  test("MoR conflict survives compaction: a tombstoned-then-compacted " +
+      "position is a loud conflict, and the rejected commit leaves " +
+      "no trace") {
+    val (tbl, table) = freshMor("spec_mor_vanish")
+    spark.range(6).selectExpr("id AS key", "id * 10 AS bal")
+      .writeTo(tbl).append()
+    def deltaDeleteOp() = {
+      val op = table.newRowLevelOperationBuilder(
+        new org.apache.spark.sql.connector.write.RowLevelOperationInfo {
+          override def command() = org.apache.spark.sql.connector.write
+            .RowLevelOperation.Command.DELETE
+          override def options() =
+            org.apache.spark.sql.util.CaseInsensitiveStringMap.empty()
+        }).build().asInstanceOf[
+          org.apache.spark.sql.connector.write.SupportsDelta]
+      op.newScanBuilder(
+        org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
+        .build().toBatch.planInputPartitions()
+      op
+    }
+    val opB = deltaDeleteOp() // scans BEFORE the concurrent delete
+    spark.sql(s"DELETE FROM $tbl WHERE key = 3") // tombstones pos 3
+    spark.sql(s"CALL graftmem.system.compact('db.spec_mor_vanish')")
+      .collect() // pos 3 gone entirely; `deleted` cleared
+    val logBefore = table.changeLog.length
+    val delBefore = table.deleted
+    val bwB = opB.newWriteBuilder(writeInfo(table)).build().toBatch
+    val wB = bwB.createBatchWriterFactory(null)
+      .asInstanceOf[org.apache.spark.sql.connector.write
+        .DeltaWriterFactory].createWriter(0, 0L)
+    wB.delete(null, org.apache.spark.sql.catalyst.InternalRow(3L))
+    val err = intercept[GraftMemCommitConflictException] {
+      bwB.commit(Array(wB.commit()))
+    }
+    assert(err.getMessage.contains("no longer exist"))
+    // rejected commit mutated NOTHING: no phantom tombstone, no
+    // change-log entry, content intact
+    assert(table.changeLog.length == logBefore)
+    assert(table.deleted == delBefore)
+    assert(spark.table(tbl).count() == 5)
+  }
+
   test("streaming epoch ledger is O(queries), not O(epochs)") {
     spark.conf.set("spark.sql.catalog.graftmem",
       "graft.sources.GraftMemCatalog")

@@ -59,7 +59,9 @@ def main():
     # in where names match) or carry since-removed ones (dropped, and
     # reported so the drop is never silent)
     with open(run_ps[-1]) as f:
-        current = set(json.load(f)["queries"])
+        last_run = json.load(f)
+    current = set(last_run["queries"])
+    stream_names = set(last_run.get("streaming_names") or [])
     dropped = sorted(set(samples) - current)
     if dropped:
         print(f"dropping {len(dropped)} queries absent from {run_ps[-1]}: "
@@ -69,11 +71,12 @@ def main():
     meds = {k: statistics.median(v) for k, v in sorted(samples.items())}
     ns = {k: len(v) for k, v in sorted(samples.items())}
 
-    # streaming split mirrors graft.operators.TierD.streamingNames
-    # (every true-streaming query has "_stream" in its name except the
-    # d24 checkpoint reader) — keep in sync if a new streaming query
-    # breaks the naming pattern.
+    # streaming split: prefer the authoritative list graft.Bench embeds
+    # ("streaming_names", mirroring TierD.streamingNames); only
+    # pre-round-10 artifacts without it fall back to the name heuristic.
     def is_stream(k):
+        if stream_names:
+            return k in stream_names
         return (k.startswith("d") and "_stream" in k) or \
             k == "d24_state_store_reader"
     stream_min = sum(t for k, t in mins.items() if is_stream(k))
