@@ -2107,6 +2107,54 @@ object TierB {
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
   }
 
+  /** b84: TIME TRAVEL — the SNAPSHOT-READ face of the lakehouse stack
+    * (`VERSION AS OF` / `TIMESTAMP AS OF`, Spark's `TimeTravelSpec`
+    * resolving through the catalog's versioned `loadTable`): every
+    * graftmem commit records an O(1) snapshot reference (the
+    * manifest-pointer shape — never a data copy), and a historical
+    * read loads one committed version as a read-only table. The demo
+    * runs b75's history (append → CDC MERGE → follow-up MERGE) and
+    * declares the SNAPSHOT DIFF between version 1 (the original
+    * append) and the current table — per key_mod: rows added, rows
+    * removed, rows changed, and the net balance delta — the
+    * "what changed since yesterday's snapshot" query that at 100 TB
+    * runs as two manifest-pinned scans + one join instead of
+    * restoring a backup. History retention is governed
+    * (`CALL graftmem.system.expire_snapshots`, spec-proven); the
+    * oracle recomputes both states from the batch definitions and
+    * diffs them with the same full outer join — no connector
+    * involved.
+    */
+  private def b84(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graftmem",
+      "graft.sources.GraftMemCatalog")
+    val suf = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val tbl = s"graftmem.db.ttc_$suf"
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    s.sql(s"CREATE TABLE $tbl (key BIGINT, bal_cents BIGINT)")
+    customer(s, d)
+      .selectExpr("c_custkey AS key",
+        "CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents")
+      .writeTo(tbl).append() // version 1 — the diff's left side
+    runCdcMergeRound(s, d, "b84", tbl) // version 2
+    runFollowupMergeRound(s, tbl) // version 3 — current
+    s.sql(
+      s"""SELECT coalesce(v1.key, now.key) % 10 AS key_mod,
+         |  CAST(count(*) FILTER (WHERE v1.key IS NULL) AS BIGINT)
+         |    AS n_added,
+         |  CAST(count(*) FILTER (WHERE now.key IS NULL) AS BIGINT)
+         |    AS n_removed,
+         |  CAST(count(*) FILTER (WHERE v1.key IS NOT NULL
+         |    AND now.key IS NOT NULL
+         |    AND v1.bal_cents <> now.bal_cents) AS BIGINT) AS n_changed,
+         |  CAST(sum(coalesce(now.bal_cents, 0)
+         |    - coalesce(v1.bal_cents, 0)) AS BIGINT) AS delta_cents
+         |FROM (SELECT * FROM $tbl VERSION AS OF 1) v1
+         |FULL OUTER JOIN (SELECT * FROM $tbl) now ON v1.key = now.key
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   /** b81: COST-BASED JOIN REORDER — a38 proved connector statistics
     * drive plan-time broadcast; this proves they drive JOIN ORDER,
     * the other decision that separates a 100 TB plan from a timeout.
@@ -2391,6 +2439,8 @@ object TierB {
       "WITH snap AS (SELECT c_custkey AS key, floor(c_acctbal * 100)::BIGINT AS bal FROM customer), off AS (SELECT max(c_custkey) + 1 AS o FROM customer), batch AS (SELECT key, bal + 10000 AS nb, 'U' AS op FROM snap WHERE key % 10 = 3 UNION ALL SELECT key, 0, 'D' FROM snap WHERE key % 10 = 7 UNION ALL SELECT key + (SELECT o FROM off), bal, 'I' FROM snap WHERE key % 100 = 0), post AS (SELECT s.key, coalesce(CASE WHEN b.op = 'U' THEN b.nb END, s.bal) AS bal FROM snap s LEFT JOIN batch b ON s.key = b.key WHERE b.op IS NULL OR b.op <> 'D' UNION ALL SELECT key, nb FROM batch WHERE op = 'I'), v2 AS (SELECT 'delete' AS ct, bal FROM snap WHERE key % 10 = 7 UNION ALL SELECT 'delete', bal FROM snap WHERE key % 10 = 3 UNION ALL SELECT 'insert', bal + 10000 FROM snap WHERE key % 10 = 3 UNION ALL SELECT 'insert', bal FROM snap WHERE key % 100 = 0), v4 AS (SELECT 'delete' AS ct, bal FROM post WHERE key % 10 = 1 UNION ALL SELECT 'insert', bal + 5000 FROM post WHERE key % 10 = 1) SELECT * FROM (SELECT 2::BIGINT AS _commit_version, ct AS _change_type, count(*)::BIGINT AS n, sum(bal)::BIGINT AS bal_cents_sum FROM v2 GROUP BY 2 UNION ALL SELECT 4::BIGINT, ct, count(*)::BIGINT, sum(bal)::BIGINT FROM v4 GROUP BY 2) ORDER BY 1, 2")),
     QueryDef("b82_mor_compaction", b82 _, Some(
       "WITH snap AS (SELECT c_custkey AS key, floor(c_acctbal * 100)::BIGINT AS bal FROM customer), off AS (SELECT max(c_custkey) + 1 AS o FROM customer), batch AS (SELECT key, bal + 10000 AS nb, 'U' AS op FROM snap WHERE key % 10 = 3 UNION ALL SELECT key, 0, 'D' FROM snap WHERE key % 10 = 7 UNION ALL SELECT key + (SELECT o FROM off), bal, 'I' FROM snap WHERE key % 100 = 0), post AS (SELECT s.key, coalesce(CASE WHEN b.op = 'U' THEN b.nb END, s.bal) AS bal FROM snap s LEFT JOIN batch b ON s.key = b.key WHERE b.op IS NULL OR b.op <> 'D' UNION ALL SELECT key, nb FROM batch WHERE op = 'I'), post2 AS (SELECT key, bal + CASE WHEN key % 10 = 1 THEN 5000 ELSE 0 END AS bal FROM post) SELECT (key % 10)::BIGINT AS key_mod, count(*)::BIGINT AS n, sum(bal)::BIGINT AS bal_cents_sum FROM post2 GROUP BY 1 ORDER BY 1")),
+    QueryDef("b84_time_travel", b84 _, Some(
+      "WITH snap AS (SELECT c_custkey AS key, floor(c_acctbal * 100)::BIGINT AS bal FROM customer), off AS (SELECT max(c_custkey) + 1 AS o FROM customer), batch AS (SELECT key, bal + 10000 AS nb, 'U' AS op FROM snap WHERE key % 10 = 3 UNION ALL SELECT key, 0, 'D' FROM snap WHERE key % 10 = 7 UNION ALL SELECT key + (SELECT o FROM off), bal, 'I' FROM snap WHERE key % 100 = 0), post AS (SELECT s.key, coalesce(CASE WHEN b.op = 'U' THEN b.nb END, s.bal) AS bal FROM snap s LEFT JOIN batch b ON s.key = b.key WHERE b.op IS NULL OR b.op <> 'D' UNION ALL SELECT key, nb FROM batch WHERE op = 'I'), post2 AS (SELECT key, bal + CASE WHEN key % 10 = 1 THEN 5000 ELSE 0 END AS bal FROM post) SELECT (coalesce(v1.key, now.key) % 10)::BIGINT AS key_mod, (count(*) FILTER (WHERE v1.key IS NULL))::BIGINT AS n_added, (count(*) FILTER (WHERE now.key IS NULL))::BIGINT AS n_removed, (count(*) FILTER (WHERE v1.key IS NOT NULL AND now.key IS NOT NULL AND v1.bal <> now.bal))::BIGINT AS n_changed, sum(coalesce(now.bal, 0) - coalesce(v1.bal, 0))::BIGINT AS delta_cents FROM snap v1 FULL JOIN post2 now ON v1.key = now.key GROUP BY 1 ORDER BY 1")),
     QueryDef("b81_cbo_join_reorder", b81 _, Some(
       "WITH fact AS (SELECT o_custkey AS k1, o_orderkey % 1000 AS k2, floor(o_totalprice * 100)::BIGINT AS cents FROM orders), dimb AS (SELECT c_custkey AS k1, c_nationkey::BIGINT AS nat FROM customer), dims AS (SELECT n_nationkey::BIGINT AS k2 FROM nation) SELECT b.nat AS nat, count(*)::BIGINT AS n, sum(f.cents)::BIGINT AS cents_sum FROM fact f JOIN dimb b ON f.k1 = b.k1 JOIN dims t ON f.k2 = t.k2 GROUP BY 1 ORDER BY 1")),
     QueryDef("b72_sql_scripting", b72 _, Some(

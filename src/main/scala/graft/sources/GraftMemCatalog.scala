@@ -90,6 +90,27 @@ class GraftMemCatalog extends TableCatalog with FunctionCatalog
     throw new org.apache.spark.sql.catalyst.analysis
       .NoSuchTableException(ident)
   }
+
+  /** TIME TRAVEL (b84): SQL `VERSION AS OF v` routes here via Spark's
+    * `TimeTravelSpec`; both table flavors keep snapshot history (see
+    * [[GraftSnapshotHistory]]).
+    */
+  override def loadTable(ident: Identifier, version: String): Table =
+    loadTable(ident) match {
+      case h: GraftSnapshotHistory => h.travelToVersion(version)
+      case t => throw new UnsupportedOperationException(
+        s"graftmem: table ${t.name()} keeps no snapshot history")
+    }
+
+  /** `TIMESTAMP AS OF ts` — `timestamp` is micros since epoch;
+    * resolves to the latest snapshot committed at or before it.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    loadTable(ident) match {
+      case h: GraftSnapshotHistory => h.travelToTimestamp(timestamp)
+      case t => throw new UnsupportedOperationException(
+        s"graftmem: table ${t.name()} keeps no snapshot history")
+    }
   override def createTable(
       ident: Identifier, schema: StructType,
       partitions: Array[Transform],
@@ -168,11 +189,13 @@ class GraftMemCatalog extends TableCatalog with FunctionCatalog
     * extension point).
     */
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
-    Array(Identifier.of(namespace, "compact"))
+    Array(Identifier.of(namespace, "compact"),
+      Identifier.of(namespace, "expire_snapshots"))
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
     ident.name() match {
-      case "compact" => MorCompactProcedure
+      case "compact"          => MorCompactProcedure
+      case "expire_snapshots" => ExpireSnapshotsProcedure
       case other => throw new RuntimeException(
         s"graftmem: no procedure named '$other'")
     }
@@ -215,11 +238,27 @@ private[sources] class GraftMemTable(val fullName: String,
     tblSchema: StructType, val partitionCol: Option[String] = None,
     val writeLayout: Seq[String] = Nil)
     extends Table with SupportsRead with SupportsWrite
-    with SupportsRowLevelOperations with SupportsMetadataColumns {
+    with SupportsRowLevelOperations with SupportsMetadataColumns
+    with GraftSnapshotHistory {
   require(tblSchema.fields.forall(_.dataType == LongType),
     s"graftmem demo table supports LONG columns only, got $tblSchema")
   require(writeLayout.forall(tblSchema.fieldNames.contains),
     s"graft.write_layout columns $writeLayout not all in $tblSchema")
+
+  override private[sources] def historyName: String = fullName
+  override private[sources] def retainedVersions: Seq[(Long, Long)] =
+    synchronized(snapshots.iterator
+      .map { case (v, (_, t)) => (v, t) }.toSeq.sortBy(_._1))
+  override private[sources] def rowsAt(
+      version: Long): Option[Vector[Array[Long]]] =
+    synchronized(snapshots.get(version).map(_._1))
+  override private[sources] def expireSnapshots(
+      keepLast: Int): (Long, Long, Long) = synchronized {
+    val vs = snapshots.keys.toSeq.sorted
+    val drop = vs.dropRight(keepLast)
+    drop.foreach(snapshots.remove)
+    (drop.length.toLong, (vs.length - drop.length).toLong, commitVersion)
+  }
 
   /** Current committed content. Replaced atomically on commit. */
   @volatile private[sources] var rows: Vector[Array[Long]] = Vector.empty
@@ -235,12 +274,28 @@ private[sources] class GraftMemTable(val fullName: String,
   private[sources] val groupVersion =
     scala.collection.mutable.HashMap.empty[Long, Long]
 
-  /** Bump the version and stamp `gs` as modified by it. Call ONLY
-    * while holding the swap lock.
+  /** SNAPSHOT HISTORY (b84, time travel): version → (committed rows,
+    * commit wall-clock micros). Each entry is a REFERENCE to the
+    * immutable row vector the commit swapped in — recording one is
+    * O(1), exactly as a real format's snapshot is a manifest-list
+    * pointer, not a data copy. What IS retained is what copy-on-write
+    * always retains: a full rewrite's old data files (here, the old
+    * vector) stay live as long as a snapshot references them — which
+    * is why `CALL graftmem.system.expire_snapshots` exists (the
+    * Iceberg expire_snapshots shape). Guarded by `this`.
+    */
+  private[sources] val snapshots =
+    scala.collection.mutable.HashMap[Long, (Vector[Array[Long]], Long)](
+      0L -> (Vector.empty, System.currentTimeMillis() * 1000L))
+
+  /** Bump the version, stamp `gs` as modified by it, and record the
+    * post-commit snapshot. Call ONLY while holding the swap lock,
+    * AFTER `rows` holds the committed content.
     */
   private[sources] def stampCommit(gs: Iterable[Long]): Unit = {
     commitVersion += 1
     gs.foreach(g => groupVersion(g) = commitVersion)
+    snapshots(commitVersion) = (rows, System.currentTimeMillis() * 1000L)
   }
 
   /** Rewrite-group id of a stored row: the identity-partition value,
@@ -398,10 +453,18 @@ private[sources] class GraftMemScanBuilder(table: GraftMemTable,
     override def description(): String =
       s"GraftMemScan(${table.fullName}, rows=${snapshot.length})"
 
+    // Advertise `_group` for runtime filtering ONLY when the scan
+    // actually projects it (row-level scans always do — Spark appends
+    // requiredMetadataAttributes). A plain pruned read (e.g. this
+    // table as a MERGE's SOURCE) must not: PartitionPruning resolves
+    // filterAttributes against the scan's output and fails the whole
+    // query on a column that was pruned away.
     override def filterAttributes()
         : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-      Array(org.apache.spark.sql.connector.expressions.Expressions
-        .column("_group"))
+      if (required.fieldNames.contains("_group"))
+        Array(org.apache.spark.sql.connector.expressions.Expressions
+          .column("_group"))
+      else Array.empty
     override def filter(predicates: Array[
         org.apache.spark.sql.connector.expressions.filter.Predicate])
         : Unit =

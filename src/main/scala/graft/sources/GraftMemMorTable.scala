@@ -58,9 +58,48 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 private[sources] class GraftMemMorTable(val fullName: String,
     tblSchema: StructType)
     extends Table with SupportsRead with SupportsWrite
-    with SupportsRowLevelOperations with SupportsMetadataColumns {
+    with SupportsRowLevelOperations with SupportsMetadataColumns
+    with GraftSnapshotHistory {
   require(tblSchema.fields.forall(_.dataType == LongType),
     s"graftmem demo table supports LONG columns only, got $tblSchema")
+
+  /** SNAPSHOT HISTORY (b84): version → (base, delta-inserts,
+    * tombstones, commit micros) — three immutable REFERENCES per
+    * commit, O(1) to record (the manifest-pointer shape; see
+    * [[GraftSnapshotHistory]]). The visible row set of a version is
+    * materialized only when a time-travel read loads it. Guarded by
+    * `this`.
+    */
+  private[sources] val snapshots = scala.collection.mutable.HashMap[
+    Long, (Vector[(Long, Array[Long])], Vector[(Long, Array[Long])],
+      Set[Long], Long)](
+    0L -> (Vector.empty, Vector.empty, Set.empty,
+      System.currentTimeMillis() * 1000L))
+
+  /** Record the post-commit snapshot. Call ONLY while holding `this`,
+    * AFTER the commit's state swap (including `commitVersion += 1`).
+    */
+  private[sources] def recordSnapshot(): Unit =
+    snapshots(commitVersion) =
+      (base, deltaInserts, deleted, System.currentTimeMillis() * 1000L)
+
+  override private[sources] def historyName: String = fullName
+  override private[sources] def retainedVersions: Seq[(Long, Long)] =
+    synchronized(snapshots.iterator
+      .map { case (v, (_, _, _, t)) => (v, t) }.toSeq.sortBy(_._1))
+  override private[sources] def rowsAt(
+      version: Long): Option[Vector[Array[Long]]] =
+    synchronized(snapshots.get(version)).map {
+      case (b, ins, del, _) =>
+        (b ++ ins).filterNot(r => del.contains(r._1)).map(_._2)
+    }
+  override private[sources] def expireSnapshots(
+      keepLast: Int): (Long, Long, Long) = synchronized {
+    val vs = snapshots.keys.toSeq.sorted
+    val drop = vs.dropRight(keepLast)
+    drop.foreach(snapshots.remove)
+    (drop.length.toLong, (vs.length - drop.length).toLong, commitVersion)
+  }
 
   /** Base rows (pos → row), appended by batch INSERTs. Row-level
     * operations NEVER modify this vector or its row objects — that is
@@ -140,6 +179,7 @@ private[sources] class GraftMemMorTable(val fullName: String,
     deltaInserts = Vector.empty
     deleted = Set.empty
     commitVersion += 1
+    recordSnapshot() // a maintenance version: content equals v-1's
     (tomb, folded, live.length.toLong)
   }
 
@@ -258,6 +298,7 @@ private[sources] class MorAppendWriteBuilder(
           table.commitVersion += 1
           table.changeLog = table.changeLog ++ assigned.map(pr =>
             (table.commitVersion, true, pr._1, pr._2))
+          table.recordSnapshot()
         }
       }
       override def abort(messages: Array[WriterCommitMessage]): Unit = ()
@@ -349,6 +390,7 @@ private[sources] class MorDeltaWriteBuilder(
             delSet.toVector.sorted.map(p =>
               (table.commitVersion, false, p, idx(p))) ++
             assigned.map(pr => (table.commitVersion, true, pr._1, pr._2))
+          table.recordSnapshot()
         }
       }
       override def abort(messages: Array[WriterCommitMessage]): Unit = ()

@@ -1,0 +1,205 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** TIME TRAVEL over graftmem tables (b84) — the lakehouse snapshot
+  * face at the DSv2 extension point: SQL `VERSION AS OF v` /
+  * `TIMESTAMP AS OF ts` resolve through
+  * [[GraftMemCatalog.loadTable(ident, version)]] /
+  * `loadTable(ident, timestamp)` (Spark's `TimeTravelSpec` plumbing,
+  * the same route Iceberg/Delta take), and the returned table is a
+  * READ-ONLY view of one committed snapshot.
+  *
+  * Mechanics and the 100 TB story: every commit already swaps in an
+  * immutable row vector (copy-on-write) or immutable delta structures
+  * (merge-on-read); a snapshot is a RECORDED REFERENCE to those — one
+  * map entry per commit, never a data copy — exactly as a real
+  * format's snapshot is a manifest-list pointer into data files that
+  * newer commits don't rewrite. What history RETAINS is what it
+  * always retains at scale: superseded files (here, superseded
+  * vectors) stay live while any snapshot references them, which is
+  * why retention is a first-class governed action —
+  * `CALL graftmem.system.expire_snapshots('db.tbl', keep_last)`
+  * (the Iceberg `expire_snapshots` shape). Reading an expired version
+  * fails loudly with the retained range.
+  *
+  * Both flavors implement [[GraftSnapshotHistory]]; the merge-on-read
+  * flavor records (base, delta-inserts, tombstones) references per
+  * commit and MATERIALIZES the visible row set only when a
+  * time-travel read actually loads that version — compaction is a
+  * new version whose visible content equals its predecessor's (the
+  * spec asserts that invariance), so maintenance stays invisible to
+  * historical readers too.
+  */
+private[sources] trait GraftSnapshotHistory { self: Table =>
+  /** Table name for messages. */
+  private[sources] def historyName: String
+
+  /** Retained (version, commit micros) pairs, ascending. */
+  private[sources] def retainedVersions: Seq[(Long, Long)]
+
+  /** Visible rows at `version`, if retained. */
+  private[sources] def rowsAt(version: Long): Option[Vector[Array[Long]]]
+
+  /** Drop all but the most recent `keepLast` snapshots; returns
+    * (expired, retained, current version).
+    */
+  private[sources] def expireSnapshots(keepLast: Int): (Long, Long, Long)
+
+  /** `VERSION AS OF v` — the string is the version number. */
+  final private[sources] def travelToVersion(version: String): Table = {
+    val v =
+      try version.trim.toLong
+      catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"graftmem $historyName: VERSION AS OF takes a numeric " +
+              s"commit version, got '$version'")
+      }
+    rowsAt(v) match {
+      case Some(rs) =>
+        new GraftMemSnapshotTable(historyName, schema(), v, rs)
+      case None =>
+        val r = retainedVersions
+        throw new IllegalArgumentException(
+          s"graftmem $historyName: no snapshot for version $v " +
+            s"(retained: ${if (r.isEmpty) "none"
+              else s"${r.head._1}..${r.last._1}"}; expired snapshots " +
+            "are unrecoverable)")
+    }
+  }
+
+  /** `TIMESTAMP AS OF ts` — micros since epoch; resolves to the
+    * LATEST snapshot committed at or before `ts` (the as-of
+    * contract).
+    */
+  final private[sources] def travelToTimestamp(micros: Long): Table = {
+    val r = retainedVersions
+    r.filter(_._2 <= micros).lastOption match {
+      case Some((v, _)) => travelToVersion(v.toString)
+      case None => throw new IllegalArgumentException(
+        s"graftmem $historyName: no snapshot committed at or before " +
+          s"timestamp $micros us (earliest retained: " +
+          s"${r.headOption.map(_._2).getOrElse(-1L)} us)")
+    }
+  }
+}
+
+/** One committed snapshot as a read-only DSv2 table: the frozen row
+  * vector, chunked like the live scan, with column pruning. No write
+  * face, no metadata columns — history is content, not layout.
+  */
+private[sources] class GraftMemSnapshotTable(parentName: String,
+    tblSchema: StructType, version: Long,
+    frozen: Vector[Array[Long]]) extends Table with SupportsRead {
+  override def name(): String = s"$parentName VERSION AS OF $version"
+  override def schema(): StructType = tblSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required: StructType = tblSchema
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+      override def build(): Scan = new Scan with Batch {
+        private val srcIdx: Array[Int] =
+          required.fieldNames.map(tblSchema.fieldIndex)
+        override def readSchema(): StructType = required
+        override def toBatch: Batch = this
+        override def description(): String =
+          s"GraftMemSnapshotScan($parentName@v$version, " +
+            s"rows=${frozen.length})"
+        override def planInputPartitions(): Array[InputPartition] =
+          if (frozen.isEmpty) Array(GraftMemPartition(Vector.empty))
+          else frozen.grouped(
+            math.max(1, (frozen.length + 3) / 4))
+            .map(GraftMemPartition(_): InputPartition).toArray
+        override def createReaderFactory(): PartitionReaderFactory = {
+          val idx = srcIdx
+          new PartitionReaderFactory {
+            override def createReader(
+                p: InputPartition): PartitionReader[InternalRow] = {
+              val data = p.asInstanceOf[GraftMemPartition].data
+              new PartitionReader[InternalRow] {
+                private var i = -1
+                override def next(): Boolean = { i += 1; i < data.length }
+                override def get(): InternalRow =
+                  InternalRow.fromSeq(
+                    scala.collection.immutable.ArraySeq.unsafeWrapArray(
+                      idx.map(j =>
+                        java.lang.Long.valueOf(data(i)(j)): Any)))
+                override def close(): Unit = ()
+              }
+            }
+          }
+        }
+      }
+    }
+}
+
+/** `graftmem.system.expire_snapshots(table, keep_last)` — snapshot
+  * RETENTION as a governed catalog procedure (the other half of b84:
+  * time travel is only honest if history has a bounded, administered
+  * lifetime). Keeps the most recent `keep_last` snapshots (the
+  * current one always survives), releases every older snapshot's row
+  * references — the demo equivalent of deleting unreferenced data
+  * files — and returns (expired, retained, current_version) as the
+  * CALL's result set.
+  */
+private[sources] object ExpireSnapshotsProcedure
+    extends org.apache.spark.sql.connector.catalog.procedures
+      .UnboundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures._
+  import org.apache.spark.sql.types.{IntegerType, LongType => LT, StringType, StructField, StructType => ST}
+
+  override def name(): String = "expire_snapshots"
+  override def description(): String =
+    "drop all but the most recent keep_last snapshots of a table"
+
+  override def bind(inputType: StructType): BoundProcedure =
+    new BoundProcedure {
+      override def name(): String = "expire_snapshots"
+      override def description(): String =
+        ExpireSnapshotsProcedure.this.description()
+      override def parameters(): Array[ProcedureParameter] =
+        Array(ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("keep_last", IntegerType).build())
+      override def isDeterministic: Boolean = false
+      private val outSchema = ST(Seq(
+        StructField("expired", LT, nullable = false),
+        StructField("retained", LT, nullable = false),
+        StructField("current_version", LT, nullable = false)))
+      override def call(input: InternalRow)
+          : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+        val tbl = input.getUTF8String(0).toString
+        val keep = input.getInt(1)
+        require(keep >= 1,
+          s"expire_snapshots: keep_last must be >= 1, got $keep")
+        GraftMemCatalog.lookup(tbl) match {
+          case h: GraftSnapshotHistory =>
+            val (expired, retained, cur) = h.expireSnapshots(keep)
+            val row: InternalRow = InternalRow(expired, retained, cur)
+            val scan: org.apache.spark.sql.connector.read.Scan =
+              new org.apache.spark.sql.connector.read.LocalScan {
+                override def rows(): Array[InternalRow] = Array(row)
+                override def readSchema(): StructType = outSchema
+                override def description(): String =
+                  s"expire_snapshots($tbl, $keep)"
+              }
+            java.util.Collections.singletonList(scan).iterator()
+          case null => throw new IllegalArgumentException(
+            s"expire_snapshots: no graftmem table named '$tbl'")
+          case _ => throw new IllegalArgumentException(
+            s"expire_snapshots: '$tbl' keeps no snapshot history")
+        }
+      }
+    }
+}
