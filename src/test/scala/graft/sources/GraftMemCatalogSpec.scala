@@ -245,10 +245,30 @@ class GraftMemCatalogSpec extends SparkSpec {
       val expect = (kept ++ inserted).sortBy(_._1)
       assert(got == expect,
         s"n=$n layout=$layout\ngot=$got\nexp=$expect")
+      // time travel (b84) over the same generated history: v1 must
+      // still read the initial append and v2 the post-merge state, on
+      // every layout (ReplaceData full, ReplaceData group-pruned,
+      // WriteDelta) — including empty/all-delete batches, where the
+      // merge's commit is a content-identical new version
+      def snapV(v: Long) = spark.sql(
+        s"SELECT key, g, bal FROM $tbl VERSION AS OF $v ORDER BY key")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(snapV(1) == init.sortBy(_._1),
+        s"v1 snapshot drifted (n=$n layout=$layout)")
+      assert(snapV(2) == expect,
+        s"v2 snapshot != current post-merge state (n=$n layout=$layout)")
       if (layout == "mor") {
         // compaction is invisible: same content, delta log folded away
         spark.sql(s"CALL graftmem.system.compact('db.fuzz_m$i')").collect()
         assert(snap() == expect, s"compaction changed content (n=$n)")
+        // …and invisible to HISTORY too: the maintenance version (v3)
+        // reads identically, and pre-compaction snapshots survive the
+        // fold (their refs pin the pre-compaction structures)
+        assert(snapV(3) == expect,
+          s"compaction version changed visible content (n=$n)")
+        assert(snapV(1) == init.sortBy(_._1),
+          s"compaction destroyed the v1 snapshot (n=$n)")
       }
     }
   }
