@@ -163,9 +163,32 @@ class GraftMemCatalog extends TableCatalog with FunctionCatalog
           (ident.namespace() :+ ident.name()).toSeq)
     t
   }
+  /** SCHEMA EVOLUTION (b85): `ALTER TABLE ... ADD COLUMN (c BIGINT)` —
+    * a METADATA-ONLY commit on both flavors (no data pass; readers
+    * surface the new column on pre-ALTER rows as its initial default
+    * 0 — the Iceberg-v3 default-value shape). Everything else
+    * (drops, renames, type changes, positioned adds) stays loudly
+    * unsupported.
+    */
   override def alterTable(
-      ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("graftmem: ALTER unsupported")
+      ident: Identifier, changes: TableChange*): Table = {
+    val t = loadTable(ident)
+    changes.foreach {
+      case add: TableChange.AddColumn
+          if add.fieldNames().length == 1 &&
+            add.dataType() == LongType && add.position() == null =>
+        t match {
+          case g: GraftMemTable    => g.addColumn(add.fieldNames()(0))
+          case m: GraftMemMorTable => m.addColumn(add.fieldNames()(0))
+          case _ => throw new UnsupportedOperationException(
+            s"graftmem: ${t.name()} does not support ALTER")
+        }
+      case other => throw new UnsupportedOperationException(
+        "graftmem: only ALTER TABLE ADD COLUMN (one top-level BIGINT, " +
+          s"appended last) is supported, got $other")
+    }
+    t
+  }
   override def dropTable(ident: Identifier): Boolean =
     tables.remove(key(ident)) != null
   override def renameTable(from: Identifier, to: Identifier): Unit =
@@ -248,10 +271,12 @@ private[sources] class GraftMemTable(val fullName: String,
   override private[sources] def historyName: String = fullName
   override private[sources] def retainedVersions: Seq[(Long, Long)] =
     synchronized(snapshots.iterator
-      .map { case (v, (_, t)) => (v, t) }.toSeq.sortBy(_._1))
-  override private[sources] def rowsAt(
-      version: Long): Option[Vector[Array[Long]]] =
-    synchronized(snapshots.get(version).map(_._1))
+      .map { case (v, (_, t, _)) => (v, t) }.toSeq.sortBy(_._1))
+  override private[sources] def snapshotAt(
+      version: Long): Option[(Vector[Array[Long]], StructType)] =
+    synchronized(snapshots.get(version).map {
+      case (rs, _, sch) => (rs, sch)
+    })
   override private[sources] def expireSnapshots(
       keepLast: Int): (Long, Long, Long) = synchronized {
     val vs = snapshots.keys.toSeq.sorted
@@ -260,8 +285,15 @@ private[sources] class GraftMemTable(val fullName: String,
     (drop.length.toLong, (vs.length - drop.length).toLong, commitVersion)
   }
 
-  /** Current committed content. Replaced atomically on commit. */
+  /** Current committed content. Replaced atomically on commit. Rows
+    * appended before an ALTER ADD COLUMN are NARROWER than the
+    * current schema (readers pad the tail with the initial default 0
+    * — see [[addColumn]]).
+    */
   @volatile private[sources] var rows: Vector[Array[Long]] = Vector.empty
+
+  /** Current schema; grows via [[addColumn]]. */
+  @volatile private var curSchema: StructType = tblSchema
 
   /** Commit counter + last-modifying version per rewrite group — the
     * demo's transaction-log metadata. Guarded by `this` (the swap
@@ -275,18 +307,18 @@ private[sources] class GraftMemTable(val fullName: String,
     scala.collection.mutable.HashMap.empty[Long, Long]
 
   /** SNAPSHOT HISTORY (b84, time travel): version → (committed rows,
-    * commit wall-clock micros). Each entry is a REFERENCE to the
-    * immutable row vector the commit swapped in — recording one is
-    * O(1), exactly as a real format's snapshot is a manifest-list
-    * pointer, not a data copy. What IS retained is what copy-on-write
-    * always retains: a full rewrite's old data files (here, the old
-    * vector) stay live as long as a snapshot references them — which
-    * is why `CALL graftmem.system.expire_snapshots` exists (the
-    * Iceberg expire_snapshots shape). Guarded by `this`.
+    * commit wall-clock micros, schema as of the commit). Each entry is
+    * a REFERENCE to the immutable row vector the commit swapped in —
+    * recording one is O(1), exactly as a real format's snapshot is a
+    * manifest-list pointer, not a data copy. What IS retained is what
+    * copy-on-write always retains: a full rewrite's old data files
+    * (here, the old vector) stay live as long as a snapshot references
+    * them — which is why `CALL graftmem.system.expire_snapshots`
+    * exists (the Iceberg expire_snapshots shape). Guarded by `this`.
     */
-  private[sources] val snapshots =
-    scala.collection.mutable.HashMap[Long, (Vector[Array[Long]], Long)](
-      0L -> (Vector.empty, System.currentTimeMillis() * 1000L))
+  private[sources] val snapshots = scala.collection.mutable.HashMap[
+    Long, (Vector[Array[Long]], Long, StructType)](
+    0L -> (Vector.empty, System.currentTimeMillis() * 1000L, tblSchema))
 
   /** Bump the version, stamp `gs` as modified by it, and record the
     * post-commit snapshot. Call ONLY while holding the swap lock,
@@ -295,7 +327,28 @@ private[sources] class GraftMemTable(val fullName: String,
   private[sources] def stampCommit(gs: Iterable[Long]): Unit = {
     commitVersion += 1
     gs.foreach(g => groupVersion(g) = commitVersion)
-    snapshots(commitVersion) = (rows, System.currentTimeMillis() * 1000L)
+    snapshots(commitVersion) =
+      (rows, System.currentTimeMillis() * 1000L, curSchema)
+  }
+
+  /** SCHEMA EVOLUTION (b85): append one LONG column. Pre-existing
+    * rows are NOT rewritten — they are physically narrower than the
+    * new schema, and every reader surfaces the missing tail as the
+    * column's INITIAL DEFAULT (0), the Iceberg-v3 default-value /
+    * Delta column-mapping shape: an ALTER is a metadata commit, never
+    * a data pass. The commit bumps the table version (a rewrite
+    * scanned under the old schema is stale — the optimistic
+    *-concurrency check rejects it) and records a snapshot, so
+    * `VERSION AS OF` a pre-ALTER version presents the pre-ALTER
+    * schema.
+    */
+  private[sources] def addColumn(col: String): Unit = synchronized {
+    require(!curSchema.fieldNames.contains(col),
+      s"graftmem $fullName: column $col already exists")
+    curSchema = curSchema.add(col, LongType, nullable = true)
+    commitVersion += 1
+    snapshots(commitVersion) =
+      (rows, System.currentTimeMillis() * 1000L, curSchema)
   }
 
   /** Rewrite-group id of a stored row: the identity-partition value,
@@ -311,7 +364,7 @@ private[sources] class GraftMemTable(val fullName: String,
       org.apache.spark.sql.connector.expressions.Expressions.identity(c))
 
   override def name(): String = fullName
-  override def schema(): StructType = tblSchema
+  override def schema(): StructType = curSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(
       TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
@@ -512,11 +565,14 @@ private[sources] class GraftMemScanBuilder(table: GraftMemTable,
           new PartitionReader[InternalRow] {
             private var i = -1
             override def next(): Boolean = { i += 1; i < data.length }
+            // j beyond the stored width = a column added after this
+            // row was written → its initial default (0)
             override def get(): InternalRow =
               InternalRow.fromSeq(
                 scala.collection.immutable.ArraySeq.unsafeWrapArray(
                   idx.map(j => java.lang.Long.valueOf(
-                    if (j >= 0) data(i)(j)
+                    if (j >= 0)
+                      (if (j < data(i).length) data(i)(j) else 0L)
                     else if (g >= 0) data(i)(g)
                     else 0L): Any)))
             override def close(): Unit = ()
@@ -772,7 +828,13 @@ private[sources] class GraftMemWriterFactory(proj: Array[Int],
       override def write(record: InternalRow): Unit = {
         val a = new Array[Long](proj.length)
         var i = 0
-        while (i < proj.length) { a(i) = record.getLong(proj(i)); i += 1 }
+        // a null cell (e.g. a MERGE insert that doesn't set a column
+        // added by ALTER) stores the column's initial default (0)
+        while (i < proj.length) {
+          val j = proj(i)
+          a(i) = if (record.isNullAt(j)) 0L else record.getLong(j)
+          i += 1
+        }
         if (layoutIdx.nonEmpty) {
           val key = layoutIdx.map(a)
           if (prevKey != null) {

@@ -63,35 +63,52 @@ private[sources] class GraftMemMorTable(val fullName: String,
   require(tblSchema.fields.forall(_.dataType == LongType),
     s"graftmem demo table supports LONG columns only, got $tblSchema")
 
+  /** Current schema; grows via [[addColumn]]. */
+  @volatile private var curSchema: StructType = tblSchema
+
   /** SNAPSHOT HISTORY (b84): version → (base, delta-inserts,
-    * tombstones, commit micros) — three immutable REFERENCES per
-    * commit, O(1) to record (the manifest-pointer shape; see
-    * [[GraftSnapshotHistory]]). The visible row set of a version is
-    * materialized only when a time-travel read loads it. Guarded by
-    * `this`.
+    * tombstones, commit micros, schema as of the commit) — immutable
+    * REFERENCES per commit, O(1) to record (the manifest-pointer
+    * shape; see [[GraftSnapshotHistory]]). The visible row set of a
+    * version is materialized only when a time-travel read loads it.
+    * Guarded by `this`.
     */
   private[sources] val snapshots = scala.collection.mutable.HashMap[
     Long, (Vector[(Long, Array[Long])], Vector[(Long, Array[Long])],
-      Set[Long], Long)](
+      Set[Long], Long, StructType)](
     0L -> (Vector.empty, Vector.empty, Set.empty,
-      System.currentTimeMillis() * 1000L))
+      System.currentTimeMillis() * 1000L, tblSchema))
 
   /** Record the post-commit snapshot. Call ONLY while holding `this`,
     * AFTER the commit's state swap (including `commitVersion += 1`).
     */
   private[sources] def recordSnapshot(): Unit =
-    snapshots(commitVersion) =
-      (base, deltaInserts, deleted, System.currentTimeMillis() * 1000L)
+    snapshots(commitVersion) = (base, deltaInserts, deleted,
+      System.currentTimeMillis() * 1000L, curSchema)
+
+  /** SCHEMA EVOLUTION (b85) on the merge-on-read flavor — same
+    * metadata-only contract as [[GraftMemTable.addColumn]]: no data
+    * pass, pre-ALTER rows (and change-log entries) surface the new
+    * column as its initial default 0, and the version bump makes any
+    * in-flight delta computed under the old schema a loud conflict.
+    */
+  private[sources] def addColumn(col: String): Unit = synchronized {
+    require(!curSchema.fieldNames.contains(col),
+      s"graftmem $fullName: column $col already exists")
+    curSchema = curSchema.add(col, LongType, nullable = true)
+    commitVersion += 1
+    recordSnapshot()
+  }
 
   override private[sources] def historyName: String = fullName
   override private[sources] def retainedVersions: Seq[(Long, Long)] =
     synchronized(snapshots.iterator
-      .map { case (v, (_, _, _, t)) => (v, t) }.toSeq.sortBy(_._1))
-  override private[sources] def rowsAt(
-      version: Long): Option[Vector[Array[Long]]] =
+      .map { case (v, (_, _, _, t, _)) => (v, t) }.toSeq.sortBy(_._1))
+  override private[sources] def snapshotAt(
+      version: Long): Option[(Vector[Array[Long]], StructType)] =
     synchronized(snapshots.get(version)).map {
-      case (b, ins, del, _) =>
-        (b ++ ins).filterNot(r => del.contains(r._1)).map(_._2)
+      case (b, ins, del, _, sch) =>
+        ((b ++ ins).filterNot(r => del.contains(r._1)).map(_._2), sch)
     }
   override private[sources] def expireSnapshots(
       keepLast: Int): (Long, Long, Long) = synchronized {
@@ -137,7 +154,7 @@ private[sources] class GraftMemMorTable(val fullName: String,
       : Vector[(Long, Boolean, Long, Array[Long])] = Vector.empty
 
   override def name(): String = fullName
-  override def schema(): StructType = tblSchema
+  override def schema(): StructType = curSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
 
@@ -259,11 +276,15 @@ private[sources] class MorScanBuilder(table: GraftMemMorTable)
             private var cur: (Long, Array[Long]) = _
             override def next(): Boolean =
               if (it.hasNext) { cur = it.next(); true } else false
+            // j beyond the stored width = a column added after this
+            // row was written → its initial default (0)
             override def get(): InternalRow =
               InternalRow.fromSeq(
                 scala.collection.immutable.ArraySeq.unsafeWrapArray(
                   idx.map(j => java.lang.Long.valueOf(
-                    if (j >= 0) cur._2(j) else cur._1): Any)))
+                    if (j >= 0)
+                      (if (j < cur._2.length) cur._2(j) else 0L)
+                    else cur._1): Any)))
             override def close(): Unit = ()
           }
         }
@@ -408,7 +429,13 @@ private[sources] class MorDeltaWriterFactory(proj: Array[Int])
       private def dataOf(row: InternalRow): Array[Long] = {
         val a = new Array[Long](proj.length)
         var i = 0
-        while (i < proj.length) { a(i) = row.getLong(proj(i)); i += 1 }
+        // -1 (absent column) and null cells (e.g. an insert that
+        // doesn't set an ALTER-added column) → initial default 0
+        while (i < proj.length) {
+          val j = proj(i)
+          a(i) = if (j < 0 || row.isNullAt(j)) 0L else row.getLong(j)
+          i += 1
+        }
         a
       }
       // `id` carries the rowId projection — one `_pos` long
@@ -575,8 +602,11 @@ private[sources] object MorChangesTable {
             java.lang.Long.valueOf(e._3): Any
         case n =>
           val j = parentFields.indexOf(n)
+          // entries logged before an ALTER ADD COLUMN are narrower
+          // than the current schema → initial default (0)
           (e: (Long, Boolean, Long, Array[Long])) =>
-            java.lang.Long.valueOf(e._4(j)): Any
+            java.lang.Long.valueOf(
+              if (j < e._4.length) e._4(j) else 0L): Any
       }
     new PartitionReaderFactory {
       override def createReader(

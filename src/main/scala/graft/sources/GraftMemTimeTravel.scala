@@ -44,8 +44,13 @@ private[sources] trait GraftSnapshotHistory { self: Table =>
   /** Retained (version, commit micros) pairs, ascending. */
   private[sources] def retainedVersions: Seq[(Long, Long)]
 
-  /** Visible rows at `version`, if retained. */
-  private[sources] def rowsAt(version: Long): Option[Vector[Array[Long]]]
+  /** Visible rows AND schema at `version`, if retained — a snapshot
+    * pins the schema as of its commit (schema evolution is itself a
+    * commit), so `VERSION AS OF` a pre-ALTER version presents the
+    * pre-ALTER columns.
+    */
+  private[sources] def snapshotAt(
+      version: Long): Option[(Vector[Array[Long]], StructType)]
 
   /** Drop all but the most recent `keepLast` snapshots; returns
     * (expired, retained, current version).
@@ -62,9 +67,9 @@ private[sources] trait GraftSnapshotHistory { self: Table =>
             s"graftmem $historyName: VERSION AS OF takes a numeric " +
               s"commit version, got '$version'")
       }
-    rowsAt(v) match {
-      case Some(rs) =>
-        new GraftMemSnapshotTable(historyName, schema(), v, rs)
+    snapshotAt(v) match {
+      case Some((rs, sch)) =>
+        new GraftMemSnapshotTable(historyName, sch, v, rs)
       case None =>
         val r = retainedVersions
         throw new IllegalArgumentException(
@@ -131,11 +136,15 @@ private[sources] class GraftMemSnapshotTable(parentName: String,
               new PartitionReader[InternalRow] {
                 private var i = -1
                 override def next(): Boolean = { i += 1; i < data.length }
+                // rows appended before an ALTER ADD COLUMN are
+                // narrower than this snapshot's schema: the missing
+                // tail reads the column's initial default (0)
                 override def get(): InternalRow =
                   InternalRow.fromSeq(
                     scala.collection.immutable.ArraySeq.unsafeWrapArray(
-                      idx.map(j =>
-                        java.lang.Long.valueOf(data(i)(j)): Any)))
+                      idx.map(j => java.lang.Long.valueOf(
+                        if (j < data(i).length) data(i)(j)
+                        else 0L): Any)))
                 override def close(): Unit = ()
               }
             }

@@ -1,0 +1,103 @@
+package graft.sources
+
+import graft.SparkSpec
+
+/** Schema evolution (b85): ALTER TABLE ADD COLUMN is a metadata-only
+  * commit on both flavors — pre-ALTER rows surface the new column as
+  * its initial default (0) with no data rewrite, row-level writes
+  * against the widened schema work, historical versions keep their
+  * pre-ALTER schema, and everything else stays loudly unsupported.
+  */
+class GraftMemSchemaEvolutionSpec extends SparkSpec {
+
+  private def fresh(name: String, props: String = ""): String = {
+    spark.conf.set("spark.sql.catalog.graftmem",
+      "graft.sources.GraftMemCatalog")
+    val tbl = s"graftmem.db.$name"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (key BIGINT, bal BIGINT)$props")
+    tbl
+  }
+
+  test("CoW: ADD COLUMN widens without rewriting; old rows read the " +
+      "initial default; row-level UPDATE sets the new column") {
+    val tbl = fresh("spec_se_cow")
+    spark.range(6).selectExpr("id AS key", "id * 10 AS bal")
+      .writeTo(tbl).append() // v1, 2-col rows
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (bonus BIGINT)") // v2
+    assert(spark.table(tbl).schema.fieldNames.toSeq
+      == Seq("key", "bal", "bonus"))
+    spark.range(100, 103)
+      .selectExpr("id AS key", "id AS bal", "id * 2 AS bonus")
+      .writeTo(tbl).append() // v3, 3-col rows
+    val got0 = spark.sql(
+      s"SELECT key, bal, bonus FROM $tbl ORDER BY key").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got0 == (0L until 6L).map(k => (k, k * 10, 0L)) ++
+      (100L until 103L).map(k => (k, k, k * 2)))
+    // row-level UPDATE on the widened schema: the rewrite pads old
+    // rows and persists the new column
+    spark.sql(s"UPDATE $tbl SET bonus = bonus + 7 WHERE key % 2 = 0")
+    val got = spark.sql(
+      s"SELECT key, bonus FROM $tbl ORDER BY key").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq(0L -> 7L, 1L -> 0L, 2L -> 7L, 3L -> 0L, 4L -> 7L,
+      5L -> 0L, 100L -> 207L, 101L -> 202L, 102L -> 211L))
+    // history: the pre-ALTER version keeps the pre-ALTER schema
+    val v1 = spark.sql(s"SELECT * FROM $tbl VERSION AS OF 1")
+    assert(v1.schema.fieldNames.toSeq == Seq("key", "bal"))
+    assert(v1.count() == 6)
+    // the ALTER itself is a (content-identical) version
+    val v2 = spark.sql(s"SELECT * FROM $tbl VERSION AS OF 2")
+    assert(v2.schema.fieldNames.toSeq == Seq("key", "bal", "bonus"))
+    assert(v2.selectExpr("CAST(sum(bonus) AS BIGINT)").head().getLong(0)
+      == 0L)
+  }
+
+  test("MoR: ADD COLUMN + MERGE over the widened schema; the change " +
+      "feed pads pre-ALTER entries") {
+    val tbl = fresh("spec_se_mor",
+      " TBLPROPERTIES ('graft.row_level' = 'merge-on-read')")
+    spark.range(4).selectExpr("id AS key", "id AS bal")
+      .writeTo(tbl).append() // v1
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (bonus BIGINT)") // v2
+    spark.range(2, 6)
+      .selectExpr("id AS key", "id * 100 AS nb", "id * 1000 AS nbon")
+      .createOrReplaceTempView("spec_se_mor_batch")
+    spark.sql(
+      s"""MERGE INTO $tbl t USING spec_se_mor_batch b ON t.key = b.key
+         |WHEN MATCHED THEN UPDATE SET bal = b.nb, bonus = b.nbon
+         |WHEN NOT MATCHED THEN INSERT (key, bal, bonus)
+         |  VALUES (b.key, b.nb, b.nbon)""".stripMargin) // v3
+    val got = spark.sql(
+      s"SELECT key, bal, bonus FROM $tbl ORDER BY key").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((0L, 0L, 0L), (1L, 1L, 0L), (2L, 200L, 2000L),
+      (3L, 300L, 3000L), (4L, 400L, 4000L), (5L, 500L, 5000L)))
+    // change feed: v1 inserts logged with 2-col rows read bonus = 0
+    val feed = spark.sql(
+      s"""SELECT _commit_version, _change_type,
+         |  CAST(sum(bonus) AS BIGINT) AS b FROM ${tbl}__changes
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(feed == Seq((1L, "insert", 0L), (3L, "delete", 0L),
+      (3L, "insert", 14000L)))
+  }
+
+  test("unsupported alters and duplicate columns fail loudly") {
+    val tbl = fresh("spec_se_bad")
+    val e1 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $tbl DROP COLUMN bal")
+    }
+    assert(e1.getMessage.contains("only ALTER TABLE ADD COLUMN"))
+    val e2 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (txt STRING)")
+    }
+    assert(e2.getMessage.contains("only ALTER TABLE ADD COLUMN"))
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (extra BIGINT)")
+    val e3 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (extra BIGINT)")
+    }
+    assert(e3.getMessage.contains("already exists"))
+  }
+}
