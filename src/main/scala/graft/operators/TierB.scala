@@ -2208,6 +2208,58 @@ object TierB {
          |FROM $tbl GROUP BY key % 10 ORDER BY key_mod""".stripMargin)
   }
 
+  /** b86: OVERWRITE WRITE FACES — the two overwrite modes every batch
+    * pipeline's idempotent reload runs on, at the DSv2 extension
+    * point: DYNAMIC PARTITION OVERWRITE (`SupportsDynamicOverwrite`,
+    * `df.writeTo(t).overwritePartitions()`) replaces EXACTLY the
+    * groups the new rows land in — re-running a day's corrected load
+    * swaps that day's partitions and never touches the rest (spec
+    * proves untouched groups keep their row objects) — and FILTER
+    * OVERWRITE (`SupportsOverwriteV2`, the replaceWhere shape /
+    * static `INSERT OVERWRITE ... PARTITION`): delete the rows
+    * matching the plan-time predicate, append the new. The connector
+    * compiles the predicate algebra itself and REJECTS anything it
+    * can't honor exactly at plan time — silently widening an
+    * overwrite filter would delete rows the user scoped out. At
+    * 100 TB dynamic overwrite is the idempotent-reload primitive
+    * (same job re-run = same final state, no double data), and the
+    * group narrowing is what keeps it O(reloaded partitions).
+    */
+  private def b86(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graftmem",
+      "graft.sources.GraftMemCatalog")
+    val suf = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val tbl = s"graftmem.db.owc_$suf"
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    s.sql(s"CREATE TABLE $tbl (key BIGINT, g BIGINT, bal_cents BIGINT)" +
+      " PARTITIONED BY (g)")
+    customer(s, d)
+      .selectExpr("c_custkey AS key", "c_custkey % 5 AS g",
+        "CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents")
+      .writeTo(tbl).append() // the original load
+    // corrected reload of partitions 1 and 3 (dynamic: the groups
+    // present in the frame are the groups replaced)
+    customer(s, d)
+      .selectExpr("c_custkey AS key", "c_custkey % 5 AS g",
+        "CAST(floor(c_acctbal * 100) AS BIGINT) + 10000 AS bal_cents")
+      .where("c_custkey % 5 IN (1, 3)")
+      .writeTo(tbl).overwritePartitions()
+    // replaceWhere on partition 0
+    customer(s, d)
+      .selectExpr("c_custkey AS key", "CAST(0 AS BIGINT) AS g",
+        "CAST(floor(c_acctbal * 100) AS BIGINT) + 77 AS bal_cents")
+      .where("c_custkey % 5 = 0")
+      .writeTo(tbl)
+      .overwrite(org.apache.spark.sql.functions.col("g") ===
+        org.apache.spark.sql.functions.lit(0L))
+    s.sql(
+      s"""SELECT g, count(*) AS n,
+         |  CAST(sum(CAST(bal_cents AS DECIMAL(38,0))) AS BIGINT)
+         |    AS bal_cents_sum
+         |FROM $tbl GROUP BY g ORDER BY g""".stripMargin)
+  }
+
   /** b81: COST-BASED JOIN REORDER — a38 proved connector statistics
     * drive plan-time broadcast; this proves they drive JOIN ORDER,
     * the other decision that separates a 100 TB plan from a timeout.
@@ -2492,6 +2544,8 @@ object TierB {
       "WITH snap AS (SELECT c_custkey AS key, floor(c_acctbal * 100)::BIGINT AS bal FROM customer), off AS (SELECT max(c_custkey) + 1 AS o FROM customer), batch AS (SELECT key, bal + 10000 AS nb, 'U' AS op FROM snap WHERE key % 10 = 3 UNION ALL SELECT key, 0, 'D' FROM snap WHERE key % 10 = 7 UNION ALL SELECT key + (SELECT o FROM off), bal, 'I' FROM snap WHERE key % 100 = 0), post AS (SELECT s.key, coalesce(CASE WHEN b.op = 'U' THEN b.nb END, s.bal) AS bal FROM snap s LEFT JOIN batch b ON s.key = b.key WHERE b.op IS NULL OR b.op <> 'D' UNION ALL SELECT key, nb FROM batch WHERE op = 'I'), v2 AS (SELECT 'delete' AS ct, bal FROM snap WHERE key % 10 = 7 UNION ALL SELECT 'delete', bal FROM snap WHERE key % 10 = 3 UNION ALL SELECT 'insert', bal + 10000 FROM snap WHERE key % 10 = 3 UNION ALL SELECT 'insert', bal FROM snap WHERE key % 100 = 0), v4 AS (SELECT 'delete' AS ct, bal FROM post WHERE key % 10 = 1 UNION ALL SELECT 'insert', bal + 5000 FROM post WHERE key % 10 = 1) SELECT * FROM (SELECT 2::BIGINT AS _commit_version, ct AS _change_type, count(*)::BIGINT AS n, sum(bal)::BIGINT AS bal_cents_sum FROM v2 GROUP BY 2 UNION ALL SELECT 4::BIGINT, ct, count(*)::BIGINT, sum(bal)::BIGINT FROM v4 GROUP BY 2) ORDER BY 1, 2")),
     QueryDef("b82_mor_compaction", b82 _, Some(
       "WITH snap AS (SELECT c_custkey AS key, floor(c_acctbal * 100)::BIGINT AS bal FROM customer), off AS (SELECT max(c_custkey) + 1 AS o FROM customer), batch AS (SELECT key, bal + 10000 AS nb, 'U' AS op FROM snap WHERE key % 10 = 3 UNION ALL SELECT key, 0, 'D' FROM snap WHERE key % 10 = 7 UNION ALL SELECT key + (SELECT o FROM off), bal, 'I' FROM snap WHERE key % 100 = 0), post AS (SELECT s.key, coalesce(CASE WHEN b.op = 'U' THEN b.nb END, s.bal) AS bal FROM snap s LEFT JOIN batch b ON s.key = b.key WHERE b.op IS NULL OR b.op <> 'D' UNION ALL SELECT key, nb FROM batch WHERE op = 'I'), post2 AS (SELECT key, bal + CASE WHEN key % 10 = 1 THEN 5000 ELSE 0 END AS bal FROM post) SELECT (key % 10)::BIGINT AS key_mod, count(*)::BIGINT AS n, sum(bal)::BIGINT AS bal_cents_sum FROM post2 GROUP BY 1 ORDER BY 1")),
+    QueryDef("b86_overwrite_partitions", b86 _, Some(
+      "WITH snap AS (SELECT c_custkey AS key, (c_custkey % 5)::BIGINT AS g, floor(c_acctbal * 100)::BIGINT AS bal FROM customer), fin AS (SELECT key, g, bal + CASE WHEN g IN (1, 3) THEN 10000 WHEN g = 0 THEN 77 ELSE 0 END AS bal FROM snap) SELECT g, count(*)::BIGINT AS n, sum(bal)::BIGINT AS bal_cents_sum FROM fin GROUP BY 1 ORDER BY 1")),
     QueryDef("b85_schema_evolution", b85 _, Some(
       "WITH snap AS (SELECT c_custkey AS key, floor(c_acctbal * 100)::BIGINT AS bal FROM customer), off AS (SELECT max(c_custkey) + 1 AS o FROM customer), gen2 AS (SELECT key + (SELECT o FROM off) AS nkey, bal, (key % 97)::BIGINT AS bonus FROM snap), allr AS (SELECT key, bal, 0::BIGINT AS bonus FROM snap UNION ALL SELECT nkey, bal, bonus FROM gen2), upd AS (SELECT key, bal, bonus + CASE WHEN key % 10 = 2 THEN 500 ELSE 0 END AS bonus FROM allr) SELECT (key % 10)::BIGINT AS key_mod, count(*)::BIGINT AS n, sum(bal)::BIGINT AS bal_cents_sum, sum(bonus)::BIGINT AS bonus_cents_sum FROM upd GROUP BY 1 ORDER BY 1")),
     QueryDef("b84_time_travel", b84 _, Some(

@@ -368,7 +368,9 @@ private[sources] class GraftMemTable(val fullName: String,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(
       TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC,
+      TableCapability.STREAMING_WRITE)
 
   /** Streaming exactly-once bookkeeping: the MAX committed epoch per
     * queryId. A retried/replayed epoch (engine restart re-commits the
@@ -586,17 +588,43 @@ private[sources] class GraftMemScanBuilder(table: GraftMemTable,
 private[sources] case class GraftMemPartition(data: Vector[Array[Long]])
     extends InputPartition
 
-/** `replace = false`: INSERT INTO (append; TRUNCATE overwrite empties
-  * first). `replace = true`: the row-level-operation write — commit
-  * swaps the table body for exactly the written rows (the group
-  * rewrite; with one group that is the whole table).
+/** `replace = false`: INSERT INTO (append), TRUNCATE (overwrite all),
+  * OVERWRITE-BY-FILTER (b86, `SupportsOverwriteV2` — Spark's
+  * `OverwriteByExpression` from `df.writeTo(t).overwrite(cond)` /
+  * static `INSERT OVERWRITE ... PARTITION`: delete the matching rows,
+  * append the new — the replaceWhere shape), or DYNAMIC PARTITION
+  * OVERWRITE (b86, `SupportsDynamicOverwrite` from
+  * `overwritePartitions()` / dynamic-mode INSERT OVERWRITE: replace
+  * exactly the groups the new rows land in — the idempotent
+  * partition-reload every batch pipeline re-runs on). `replace =
+  * true`: the row-level-operation write — commit swaps the table
+  * body for exactly the written rows (the group rewrite; with one
+  * group that is the whole table).
   */
 private[sources] class GraftMemWriteBuilder(
     table: GraftMemTable, writeInfo: LogicalWriteInfo, replace: Boolean,
     replacedGroups: Option[RowLevelScanState] = None)
-    extends WriteBuilder with SupportsTruncate {
+    extends WriteBuilder with SupportsTruncate
+    with org.apache.spark.sql.connector.write.SupportsOverwriteV2
+    with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
   private var doTruncate = false
+  private var overwritePreds: Array[
+    org.apache.spark.sql.connector.expressions.filter.Predicate] = null
+  private var dynamicOverwrite = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def overwrite(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : WriteBuilder = {
+    // compile EAGERLY so an unsupported predicate fails at plan time
+    // (the engine may fall back to truncate-reappend elsewhere; this
+    // connector refuses loudly instead of guessing)
+    GraftMemWriteBuilder.compilePredicates(predicates, table.schema())
+    overwritePreds = predicates
+    this
+  }
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    dynamicOverwrite = true; this
+  }
   // A row-level-operation write may receive a WIDER schema than
   // the table (rewrite bookkeeping columns); project the table's
   // columns out BY NAME, never by position.
@@ -737,14 +765,34 @@ private[sources] class GraftMemWriteBuilder(
                 .map(table.groupOf).toSet))
           } else {
             val prev = table.rows
-            table.rows = if (doTruncate) written else prev ++ written
-            // truncate touches every pre-existing group; append only
-            // the written rows' groups
-            val touched =
-              if (doTruncate)
-                (prev.iterator ++ written.iterator).map(table.groupOf).toSet
-              else written.iterator.map(table.groupOf).toSet
-            table.stampCommit(touched)
+            if (dynamicOverwrite) {
+              // replace exactly the groups the new rows land in; all
+              // other groups keep their row objects untouched
+              val gs = written.iterator.map(table.groupOf).toSet
+              table.rows =
+                prev.filterNot(r => gs.contains(table.groupOf(r))) ++
+                  written
+              table.stampCommit(gs)
+            } else if (overwritePreds != null) {
+              // replaceWhere: delete the matching rows, append the new
+              val pred = GraftMemWriteBuilder.compilePredicates(
+                overwritePreds, table.schema())
+              val (removed, kept) = prev.partition(pred)
+              table.rows = kept ++ written
+              table.stampCommit(
+                (removed.iterator ++ written.iterator)
+                  .map(table.groupOf).toSet)
+            } else {
+              table.rows = if (doTruncate) written else prev ++ written
+              // truncate touches every pre-existing group; append
+              // only the written rows' groups
+              val touched =
+                if (doTruncate)
+                  (prev.iterator ++ written.iterator)
+                    .map(table.groupOf).toSet
+                else written.iterator.map(table.groupOf).toSet
+              table.stampCommit(touched)
+            }
           }
         }
       }
@@ -795,6 +843,74 @@ private[sources] class GraftMemWriteBuilder(
             messages: Array[WriterCommitMessage]): Unit = ()
       }
     }
+  }
+}
+
+private[sources] object GraftMemWriteBuilder {
+  import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, NamedReference}
+  import org.apache.spark.sql.connector.expressions.filter.{AlwaysTrue, Predicate}
+
+  /** Compile the AND of `preds` into a row predicate. Supported: the
+    * boolean algebra (AND/OR/NOT), null tests, and (null-safe)
+    * equality between a column and a literal — which covers what
+    * static `INSERT OVERWRITE ... PARTITION` and equality
+    * replaceWhere produce (Spark expands partition equality to the
+    * `(a IS NOT NULL AND b IS NOT NULL AND a = b) OR (a IS NULL AND
+    * b IS NULL)` form). Anything else is rejected AT PLAN TIME: a
+    * connector that silently widened an overwrite filter would
+    * delete rows the user scoped out.
+    */
+  private[sources] def compilePredicates(preds: Array[Predicate],
+      schema: StructType): Array[Long] => Boolean = {
+    import org.apache.spark.sql.connector.expressions.Expression
+    // value of a leaf on a given row; None = SQL NULL. Rows narrower
+    // than the schema (pre-ALTER) read the missing column as its
+    // initial default 0.
+    def valueOf(e: Expression): Array[Long] => Option[Long] = e match {
+      case f: NamedReference =>
+        val idx = schema.fieldIndex(f.fieldNames().mkString("."))
+        r => Some(if (idx < r.length) r(idx) else 0L)
+      case l: V2Literal[_] => l.value() match {
+        case null                => _ => None
+        case n: java.lang.Number => val v = n.longValue(); _ => Some(v)
+        case other => throw new UnsupportedOperationException(
+          s"graftmem overwrite: non-numeric literal $other")
+      }
+      case other => throw new UnsupportedOperationException(
+        s"graftmem overwrite: unsupported operand $other")
+    }
+    def compile(p: Predicate): Array[Long] => Boolean = p match {
+      case _: AlwaysTrue => _ => true
+      case p if p.name() == "ALWAYS_FALSE" => _ => false
+      case p if p.name() == "AND" =>
+        val cs = p.children().map(c => compile(c.asInstanceOf[Predicate]))
+        r => cs.forall(_(r))
+      case p if p.name() == "OR" =>
+        val cs = p.children().map(c => compile(c.asInstanceOf[Predicate]))
+        r => cs.exists(_(r))
+      case p if p.name() == "NOT" =>
+        val c = compile(p.children()(0).asInstanceOf[Predicate])
+        r => !c(r)
+      case p if p.name() == "IS_NULL" =>
+        val v = valueOf(p.children()(0)); r => v(r).isEmpty
+      case p if p.name() == "IS_NOT_NULL" =>
+        val v = valueOf(p.children()(0)); r => v(r).isDefined
+      case p if (p.name() == "=" || p.name() == "<=>") &&
+          p.children().length == 2 =>
+        val a = valueOf(p.children()(0))
+        val b = valueOf(p.children()(1))
+        val nullSafe = p.name() == "<=>"
+        r => (a(r), b(r)) match {
+          case (Some(x), Some(y)) => x == y
+          case (None, None)       => nullSafe
+          case _                  => false
+        }
+      case other => throw new UnsupportedOperationException(
+        "graftmem overwrite supports boolean algebra over (null-safe) " +
+          s"col = literal predicates, got $other")
+    }
+    val fns = preds.map(compile)
+    r => fns.forall(_(r))
   }
 }
 
