@@ -139,7 +139,7 @@ object TierD {
     "d20_stream_curation_gate", "d21_stream_lsh_dedup",
     "d22_stream_restart_recovery", "d23_stream_custom_sink",
     "d24_state_store_reader", "d25_stream_mor_upsert",
-    "d26_stream_cdc_follow")
+    "d26_stream_cdc_follow", "d27_stream_cdc_from_version")
 
   /** Shared d14/d22 oracle: the one-shot hourly aggregate restricted
     * to watermark-closed windows (ws + 1 h window + 1 h delay ≤ max
@@ -224,6 +224,13 @@ object TierD {
     QueryDef("d26_stream_cdc_follow",
       (s, d) => graft.streaming.StreamingDemo.streamCdcFollow(s, d), Some(
         "WITH snap AS (SELECT c_custkey AS key, floor(c_acctbal * 100)::BIGINT AS bal FROM customer), off AS (SELECT max(c_custkey) + 1 AS o FROM customer), batch AS (SELECT key, bal + 10000 AS nb, 'U' AS op FROM snap WHERE key % 10 = 3 UNION ALL SELECT key, 0, 'D' FROM snap WHERE key % 10 = 7 UNION ALL SELECT key + (SELECT o FROM off), bal, 'I' FROM snap WHERE key % 100 = 0), post AS (SELECT s.key, coalesce(CASE WHEN b.op = 'U' THEN b.nb END, s.bal) AS bal FROM snap s LEFT JOIN batch b ON s.key = b.key WHERE b.op IS NULL OR b.op <> 'D' UNION ALL SELECT key, nb FROM batch WHERE op = 'I'), v1 AS (SELECT 'insert' AS ct, bal FROM snap), v2 AS (SELECT 'delete' AS ct, bal FROM snap WHERE key % 10 = 7 UNION ALL SELECT 'delete', bal FROM snap WHERE key % 10 = 3 UNION ALL SELECT 'insert', bal + 10000 FROM snap WHERE key % 10 = 3 UNION ALL SELECT 'insert', bal FROM snap WHERE key % 100 = 0), v3 AS (SELECT 'delete' AS ct, bal FROM post WHERE key % 10 = 1 UNION ALL SELECT 'insert', bal + 5000 FROM post WHERE key % 10 = 1) SELECT * FROM (SELECT 1::BIGINT AS _commit_version, ct AS _change_type, count(*)::BIGINT AS n, sum(bal)::BIGINT AS bal_cents_sum FROM v1 GROUP BY 2 UNION ALL SELECT 2::BIGINT, ct, count(*)::BIGINT, sum(bal)::BIGINT FROM v2 GROUP BY 2 UNION ALL SELECT 3::BIGINT, ct, count(*)::BIGINT, sum(bal)::BIGINT FROM v3 GROUP BY 2) ORDER BY 1, 2")),
+    // d27 = d26's feed consumed FROM version 3 (startingVersion): the
+    // oracle is the v3 change set ALONE — v1/v2's absence proves the
+    // starting boundary held.
+    QueryDef("d27_stream_cdc_from_version",
+      (s, d) => graft.streaming.StreamingDemo.streamCdcFromVersion(s, d),
+      Some(
+        "WITH snap AS (SELECT c_custkey AS key, floor(c_acctbal * 100)::BIGINT AS bal FROM customer), off AS (SELECT max(c_custkey) + 1 AS o FROM customer), batch AS (SELECT key, bal + 10000 AS nb, 'U' AS op FROM snap WHERE key % 10 = 3 UNION ALL SELECT key, 0, 'D' FROM snap WHERE key % 10 = 7 UNION ALL SELECT key + (SELECT o FROM off), bal, 'I' FROM snap WHERE key % 100 = 0), post AS (SELECT s.key, coalesce(CASE WHEN b.op = 'U' THEN b.nb END, s.bal) AS bal FROM snap s LEFT JOIN batch b ON s.key = b.key WHERE b.op IS NULL OR b.op <> 'D' UNION ALL SELECT key, nb FROM batch WHERE op = 'I'), v3 AS (SELECT 'delete' AS ct, bal FROM post WHERE key % 10 = 1 UNION ALL SELECT 'insert', bal + 5000 FROM post WHERE key % 10 = 1) SELECT 3::BIGINT AS _commit_version, ct AS _change_type, count(*)::BIGINT AS n, sum(bal)::BIGINT AS bal_cents_sum FROM v3 GROUP BY 2 ORDER BY 1, 2")),
     QueryDef("d25_stream_mor_upsert",
       (s, d) => graft.streaming.StreamingDemo.streamMorUpsert(s, d), Some(
         "SELECT user_id, count(*)::BIGINT AS cnt, sum(round(value * 100)::BIGINT)::BIGINT AS val_cents FROM events GROUP BY 1 ORDER BY 1")),

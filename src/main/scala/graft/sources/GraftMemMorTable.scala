@@ -533,19 +533,41 @@ private[sources] class MorChangesTable(parent: GraftMemMorTable)
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ)
 
+  /** Read option `startingVersion` (d27): consume the feed FROM a
+    * commit version instead of from the dawn of the log — the Delta
+    * `startingVersion` / Iceberg incremental-read shape, and the knob
+    * that makes a NEW consumer's first batch O(changes since v), not
+    * O(table history). Versions are monotone in the append-only log,
+    * so the boundary is one index; a version beyond the current max
+    * starts at the log tail (only future changes). Honored by both
+    * the batch scan and the micro-batch stream's initial offset.
+    */
   override def newScanBuilder(
-      options: CaseInsensitiveStringMap): ScanBuilder =
+      options: CaseInsensitiveStringMap): ScanBuilder = {
+    val startingVersion: Long = {
+      val sv = options.get("startingVersion")
+      if (sv == null) 0L
+      else try sv.toLong
+      catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"${parent.fullName}__changes: startingVersion must be a " +
+              s"numeric commit version, got '$sv'")
+      }
+    }
     new ScanBuilder with SupportsPushDownRequiredColumns {
       private var required: StructType = schema()
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
       override def build(): Scan = new Scan with Batch {
         private val snap = parent.synchronized(parent.changeLog)
+          .dropWhile(_._1 < startingVersion)
         private val req = required
         override def readSchema(): StructType = req
         override def toBatch: Batch = this
         override def description(): String =
-          s"MorChangesScan(${parent.fullName}, n=${snap.length})"
+          s"MorChangesScan(${parent.fullName}, n=${snap.length}, " +
+            s"from=$startingVersion)"
         override def planInputPartitions(): Array[InputPartition] =
           MorChangesTable.chunk(snap)
         override def createReaderFactory(): PartitionReaderFactory =
@@ -562,9 +584,10 @@ private[sources] class MorChangesTable(parent: GraftMemMorTable)
         override def toMicroBatchStream(checkpointLocation: String)
             : org.apache.spark.sql.connector.read.streaming
               .MicroBatchStream =
-          new MorChangesMicroBatchStream(parent, req)
+          new MorChangesMicroBatchStream(parent, req, startingVersion)
       }
     }
+  }
 }
 
 private[sources] object MorChangesTable {
@@ -645,11 +668,23 @@ private[sources] case class MorChangesOffset(pos: Long)
   * parent's change-log retention, not the stream's.
   */
 private[sources] class MorChangesMicroBatchStream(
-    parent: GraftMemMorTable, req: StructType)
+    parent: GraftMemMorTable, req: StructType,
+    startingVersion: Long = 0L)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
-  override def initialOffset(): Offset = MorChangesOffset(0L)
+  // first log position at or past startingVersion (versions are
+  // monotone); past the current tail = only future changes. Used
+  // only for a FRESH query — a checkpointed restart resumes from its
+  // recorded offset.
+  override def initialOffset(): Offset = MorChangesOffset(
+    parent.synchronized {
+      if (startingVersion <= 0L) 0L
+      else {
+        val i = parent.changeLog.indexWhere(_._1 >= startingVersion)
+        if (i < 0) parent.changeLog.length.toLong else i.toLong
+      }
+    })
   override def latestOffset(): Offset =
     MorChangesOffset(parent.synchronized(parent.changeLog.length.toLong))
   override def deserializeOffset(json: String): Offset =

@@ -1258,6 +1258,58 @@ object StreamingDemo {
     }.orderBy("_commit_version", "_change_type")
   }
 
+  /** d27: CDC CONSUMPTION FROM A VERSION — d26's streaming change
+    * feed started with `.option("startingVersion", v)`: the consumer
+    * declares the commit version it wants history FROM, and the
+    * source's initial offset is the log position of that boundary —
+    * so a NEW downstream pipeline's first batch is O(changes since
+    * v), not O(the table's whole history). The demo builds the same
+    * v1 append + v2 CDC merge as d26, then subscribes from version 3:
+    * the first drain delivers NOTHING (the v1/v2 history is behind
+    * the starting boundary), the mid-query follow-up merge (v3) is
+    * delivered exactly once by the second drain, and the declared
+    * summary is the v3 change set ALONE — the absence of v1/v2 rows
+    * IS the proof the boundary held. The Delta `startingVersion` /
+    * Iceberg incremental-read shape; at 100 TB the difference
+    * between bootstrapping a consumer in seconds and replaying a
+    * year of CDC.
+    */
+  def streamCdcFromVersion(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graftmem",
+      "graft.sources.GraftMemCatalog")
+    val suf = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val tbl = s"graftmem.db.morfv_$suf"
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    s.sql(s"CREATE TABLE $tbl (key BIGINT, bal_cents BIGINT) " +
+      "TBLPROPERTIES ('graft.row_level' = 'merge-on-read')")
+    graft.util.Tables.customer(s, d)
+      .selectExpr("c_custkey AS key",
+        "CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents")
+      .writeTo(tbl).append() // v1 — behind the starting boundary
+    graft.operators.TierB.runCdcMergeRound(s, d, "d27", tbl) // v2 — ditto
+    withStreamPartitions(s) {
+      val sink = graft.util.TmpDir.fresh("d27-sink")
+      val ckpt = graft.util.TmpDir.fresh("d27-ckpt")
+      val src = s.readStream.option("startingVersion", "3")
+        .table(s"${tbl}__changes")
+      val q = src.writeStream
+        .format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable() // batch 0: nothing — history skipped
+        graft.operators.TierB.runFollowupMergeRound(s, tbl) // v3
+        q.processAllAvailable() // batch 1: exactly the v3 changes
+      } finally q.stop()
+      s.read.schema(src.schema).parquet(sink)
+        .groupBy(col("_commit_version"), col("_change_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("bal_cents").cast("decimal(38,0)")).cast("long")
+            .as("bal_cents_sum"))
+    }.orderBy("_commit_version", "_change_type")
+  }
+
   /** d24: STATE STORE READER — Spark 4's `statestore` data source
     * reads a checkpoint's STATE as a batch DataFrame, the production
     * tool for debugging a stuck stateful query (what is this operator

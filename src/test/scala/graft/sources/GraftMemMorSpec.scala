@@ -364,6 +364,30 @@ class GraftMemMorSpec extends SparkSpec {
     assert(spark.table(tbl).count() == 5)
   }
 
+  test("change feed startingVersion: batch reads drop pre-boundary " +
+      "history; a version past the tail reads empty; non-numeric is " +
+      "loud") {
+    val (tbl, _) = freshMor("spec_mor_sv")
+    spark.range(4).selectExpr("id AS key", "id AS bal")
+      .writeTo(tbl).append() // v1: 4 inserts
+    spark.sql(s"DELETE FROM $tbl WHERE key = 2") // v2: 1 delete
+    spark.range(10, 12).selectExpr("id AS key", "id AS bal")
+      .writeTo(tbl).append() // v3: 2 inserts
+    val feed = s"${tbl}__changes"
+    assert(spark.read.table(feed).count() == 7)
+    val from2 = spark.read.option("startingVersion", "2").table(feed)
+      .selectExpr("_commit_version", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(from2 == Seq((2L, "delete"), (3L, "insert"), (3L, "insert")))
+    assert(spark.read.option("startingVersion", "99").table(feed)
+      .count() == 0)
+    val err = intercept[Exception] {
+      spark.read.option("startingVersion", "nope").table(feed).count()
+    }
+    assert(err.getMessage.contains("numeric commit version"),
+      err.getMessage)
+  }
+
   test("streaming epoch ledger is O(queries), not O(epochs)") {
     spark.conf.set("spark.sql.catalog.graftmem",
       "graft.sources.GraftMemCatalog")
