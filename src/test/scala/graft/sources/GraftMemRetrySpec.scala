@@ -96,6 +96,67 @@ class GraftMemRetrySpec extends SparkSpec {
     assert(exhausted.getMessage.contains("persisted through 2 attempts"))
   }
 
+  test("convergence fuzz: racing additive MERGEs through retry equal " +
+      "the serial replay on every flavor — a lost update cannot hide") {
+    // Additive increments commute, so whatever interleaving the race
+    // takes, the final state is the deterministic serial replay. If
+    // conflict DETECTION had a hole (a stale rewrite landing), the
+    // lost increments would show as a sum mismatch; if RETRY had a
+    // liveness hole, a racer would exhaust and fail the errs check.
+    for (flavor <- Seq("cow", "cow_partitioned", "mor")) {
+      spark.conf.set("spark.sql.catalog.graftmem",
+        "graft.sources.GraftMemCatalog")
+      val tbl = s"graftmem.db.spec_retry_fuzz_$flavor"
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.sql(s"CREATE TABLE $tbl (key BIGINT, g BIGINT, bal BIGINT)" +
+        (flavor match {
+          case "cow_partitioned" => " PARTITIONED BY (g)"
+          case "mor" =>
+            " TBLPROPERTIES ('graft.row_level' = 'merge-on-read')"
+          case _ => ""
+        }))
+      spark.range(16)
+        .selectExpr("id AS key", "id % 4 AS g", "id AS bal")
+        .writeTo(tbl).append()
+      // per racer: (key-mod selector, increment) — overlapping key
+      // sets across racers, so same-row conflicts genuinely occur
+      val plans = Seq(
+        Seq((2L, 10L), (3L, 100L)),
+        Seq((2L, 1000L), (4L, 10000L)))
+      val start = new CountDownLatch(1)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val ts = plans.map { steps =>
+        val t = new Thread(() =>
+          try {
+            start.await(10, TimeUnit.SECONDS)
+            steps.foreach { case (m, add) =>
+              GraftMemRetry.retryOnConflict(12) {
+                spark.sql(
+                  s"""MERGE INTO $tbl t
+                     |USING (SELECT key FROM $tbl WHERE key % $m = 0)
+                     |  b ON t.key = b.key
+                     |WHEN MATCHED THEN UPDATE SET bal = bal + $add
+                     |""".stripMargin)
+              }
+            }
+          } catch { case e: Throwable => errs.add(e) })
+        t.start(); t
+      }
+      start.countDown()
+      ts.foreach(_.join(180000))
+      assert(errs.isEmpty, s"$flavor racer failed: ${errs.peek()}")
+      val got = spark.sql(s"SELECT key, bal FROM $tbl ORDER BY key")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val want = (0L until 16L).map { k =>
+        val inc = plans.flatten.collect {
+          case (m, add) if k % m == 0 => add
+        }.sum
+        (k, k + inc)
+      }
+      assert(got == want, s"flavor=$flavor diverged from serial replay")
+    }
+  }
+
   test("two concurrent MERGEs on one table both land through retry " +
       "and converge to the commuted state") {
     val tbl = freshCow("spec_retry_race")
