@@ -936,7 +936,64 @@ object TierA {
         count(when(col("value") === col("v2"), 1)).as("n_value_eq"))
   }
 
+  /** a41: CONNECTOR COLUMN STATISTICS drive JOIN REORDER with no
+    * ANALYZE — the statistics story's last mile: a38 proved
+    * connector row/byte counts flip a join to broadcast, b81 proved
+    * ANALYZE'd column NDVs reorder a multi-join; a41 proves the NDVs
+    * can come FROM THE CONNECTOR ITSELF (`Statistics.columnStats`,
+    * the Iceberg-NDV-sketch / Delta-column-stats shape — pairgen
+    * knows its NDVs exactly by construction). Three pairgen
+    * relations: fact (200k rows, grp over 1 000 values), a 1:1 big
+    * dim on id (no reduction), a 25-value dim on grp (cuts the fact
+    * 40×). The syntactic order joins the big dim first; with CBO +
+    * joinReorder on, `JoinEstimation` sizes both orders from the
+    * REPORTED NDVs and commutes the selective dim below — zero
+    * ANALYZE, zero hints (spec asserts the innermost join is the grp
+    * join under CBO and the id join without). At 100 TB table-format
+    * metadata is exactly this interface: the plan is right on the
+    * FIRST run, before any stats job ever executed.
+    */
+  private val a41Confs = Seq(
+    "spark.sql.cbo.enabled" -> "true",
+    "spark.sql.cbo.joinReorder.enabled" -> "true")
+
+  private[operators] def a41Exec(s: SparkSession, cbo: Boolean = true)
+      : (DataFrame, org.apache.spark.sql.catalyst.plans.logical
+        .LogicalPlan) = {
+    s.read.format("pairgen").option("rows", "200000")
+      .option("buckets", "1000").load()
+      .createOrReplaceTempView("g_a41_fact")
+    s.read.format("pairgen").option("rows", "200000").load()
+      .createOrReplaceTempView("g_a41_dimb")
+    s.read.format("pairgen").option("rows", "25")
+      .option("buckets", "1000").load()
+      .createOrReplaceTempView("g_a41_dims")
+    val prev = a41Confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    if (cbo) a41Confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val q = s.sql(
+        """SELECT count(*) AS n_pairs, min(f.id) AS min_id,
+          |  max(f.id) AS max_id
+          |FROM g_a41_fact f
+          |JOIN g_a41_dimb b ON f.id = b.id
+          |JOIN g_a41_dims t ON f.grp = t.grp""".stripMargin)
+      // optimize INSIDE the conf scope (CBO flags are read at
+      // optimization time); expose the optimized plan for the spec's
+      // innermost-join assertion
+      val plan = q.queryExecution.optimizedPlan
+      (q.localCheckpoint(), plan)
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
+  private def a41(s: SparkSession, d: String): DataFrame =
+    a41Exec(s)._1
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("a41_source_column_stats", a41 _, Some(
+      "WITH f AS (SELECT t.i AS id, (t.i % 1000) AS grp FROM range(200000) t(i)), b AS (SELECT t.i AS id FROM range(200000) t(i)), s AS (SELECT (t.i % 1000) AS grp FROM range(25) t(i)) SELECT count(*)::BIGINT AS n_pairs, min(f.id)::BIGINT AS min_id, max(f.id)::BIGINT AS max_id FROM f JOIN b ON f.id = b.id JOIN s ON f.grp = s.grp")),
     QueryDef("a38_source_stats_broadcast", a38 _, Some(
       "WITH big AS (SELECT t.i AS id, md5(t.i::VARCHAR) AS value FROM range(200000) t(i)), small AS (SELECT t.i AS id, md5(t.i::VARCHAR) AS v2 FROM range(2000) t(i) WHERE t.i >= 1000) SELECT count(*)::BIGINT AS n_pairs, min(big.id)::BIGINT AS min_id, max(big.id)::BIGINT AS max_id, sum(CASE WHEN value = v2 THEN 1 ELSE 0 END)::BIGINT AS n_value_eq FROM big JOIN small USING (id)")),
     QueryDef("a37_source_runtime_filter", a37 _, Some(

@@ -113,6 +113,32 @@ class RelationalPlanSpec extends SparkSpec {
     assert(outCbo.collect().toSeq == outNo.collect().toSeq)
   }
 
+  test("a41: connector-reported column NDVs reorder the join — no " +
+      "ANALYZE involved") {
+    // Same premise as b81 but the NDVs come from the SOURCE
+    // (Statistics.columnStats), not an ANALYZE'd catalog entry: with
+    // CBO on, the innermost join must be the selective grp join;
+    // without, the syntactic id join stays innermost.
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    def innermostCond(
+        p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : String = {
+      val joins = p.collect { case j: Join => j }
+      assert(joins.length == 2, s"expected 2 joins:\n$p")
+      joins.filter(j => j.children.forall(
+          _.collect { case jj: Join => jj }.isEmpty))
+        .flatMap(_.condition).map(_.toString)
+        .headOption.getOrElse(sys.error(s"no innermost join:\n$p"))
+    }
+    val (outCbo, pCbo) = TierA.a41Exec(spark, cbo = true)
+    val (outNo, pNo) = TierA.a41Exec(spark, cbo = false)
+    assert(innermostCond(pCbo).contains("grp"),
+      s"connector NDVs did not reorder the join:\n$pCbo")
+    assert(innermostCond(pNo).contains("id"),
+      s"syntactic plan reordered without CBO (premise broke):\n$pNo")
+    assert(outCbo.collect().toSeq == outNo.collect().toSeq)
+  }
+
   test("b7: aggregation is partial (map-side) before the exchange") {
     val p = plan("b7_agg_hash")
     assert(p.contains("partial_sum") || p.contains("partial_count"), p)
