@@ -2260,6 +2260,45 @@ object TierB {
          |FROM $tbl GROUP BY g ORDER BY g""".stripMargin)
   }
 
+  /** b87: TABLE CHECK CONSTRAINTS — engine-enforced data-quality
+    * gates at the table boundary (Spark ≥ 4.1 constraint DDL +
+    * `Table.constraints()`): the table DECLARES
+    * `CONSTRAINT ... CHECK (...)` at CREATE, the connector stores and
+    * reports it, and the ENGINE injects the validation into every
+    * write plan — appends, MERGE rewrites, delta writes — so a
+    * violating row fails the write BEFORE the commit and the table is
+    * untouched (spec proves both the rejection and the no-trace
+    * property; the connector never re-implements the check). The
+    * demo runs the full CDC history (append → CDC MERGE → follow-up
+    * MERGE) against a constrained table — every write passes through
+    * the gate — and declares the post-history summary. At 100 TB
+    * this replaces the per-pipeline "validate then write" double
+    * pass: the contract lives ON the table, every writer inherits
+    * it, and enforcement is plan-level codegen, not a quality job.
+    */
+  private def b87(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graftmem",
+      "graft.sources.GraftMemCatalog")
+    val suf = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val tbl = s"graftmem.db.ckc_$suf"
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    s.sql(s"CREATE TABLE $tbl (key BIGINT, bal_cents BIGINT, " +
+      "CONSTRAINT bal_range CHECK " +
+      "(bal_cents >= -200000 AND bal_cents < 100000000))")
+    customer(s, d)
+      .selectExpr("c_custkey AS key",
+        "CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents")
+      .writeTo(tbl).append()
+    runCdcMergeRound(s, d, "b87", tbl)
+    runFollowupMergeRound(s, tbl)
+    s.sql(
+      s"""SELECT key % 10 AS key_mod, count(*) AS n,
+         |  CAST(sum(CAST(bal_cents AS DECIMAL(38,0))) AS BIGINT)
+         |    AS bal_cents_sum
+         |FROM $tbl GROUP BY key % 10 ORDER BY key_mod""".stripMargin)
+  }
+
   /** b81: COST-BASED JOIN REORDER — a38 proved connector statistics
     * drive plan-time broadcast; this proves they drive JOIN ORDER,
     * the other decision that separates a 100 TB plan from a timeout.
@@ -2516,6 +2555,14 @@ object TierB {
     ()
   }
 
+  /** Shared b82/b87 oracle: BOTH CDC rounds replayed (append → CDC
+    * batch → +5000 follow-up) — b82 proves compaction invisible
+    * between the rounds, b87 proves an engine-enforced CHECK gate
+    * invisible around them.
+    */
+  private val twoRoundMergeOracleSql =
+    "WITH snap AS (SELECT c_custkey AS key, floor(c_acctbal * 100)::BIGINT AS bal FROM customer), off AS (SELECT max(c_custkey) + 1 AS o FROM customer), batch AS (SELECT key, bal + 10000 AS nb, 'U' AS op FROM snap WHERE key % 10 = 3 UNION ALL SELECT key, 0, 'D' FROM snap WHERE key % 10 = 7 UNION ALL SELECT key + (SELECT o FROM off), bal, 'I' FROM snap WHERE key % 100 = 0), post AS (SELECT s.key, coalesce(CASE WHEN b.op = 'U' THEN b.nb END, s.bal) AS bal FROM snap s LEFT JOIN batch b ON s.key = b.key WHERE b.op IS NULL OR b.op <> 'D' UNION ALL SELECT key, nb FROM batch WHERE op = 'I'), post2 AS (SELECT key, bal + CASE WHEN key % 10 = 1 THEN 5000 ELSE 0 END AS bal FROM post) SELECT (key % 10)::BIGINT AS key_mod, count(*)::BIGINT AS n, sum(bal)::BIGINT AS bal_cents_sum FROM post2 GROUP BY 1 ORDER BY 1"
+
   /** Shared b75/b80 oracle: post-merge state recomputed with explicit
     * joins (b45's pattern). Both queries build the identical CDC batch
     * over customer, so the summary is write-path-invariant.
@@ -2542,8 +2589,13 @@ object TierB {
     // check (maintenance must be invisible to readers and writers).
     QueryDef("b83_changelog_read", b83 _, Some(
       "WITH snap AS (SELECT c_custkey AS key, floor(c_acctbal * 100)::BIGINT AS bal FROM customer), off AS (SELECT max(c_custkey) + 1 AS o FROM customer), batch AS (SELECT key, bal + 10000 AS nb, 'U' AS op FROM snap WHERE key % 10 = 3 UNION ALL SELECT key, 0, 'D' FROM snap WHERE key % 10 = 7 UNION ALL SELECT key + (SELECT o FROM off), bal, 'I' FROM snap WHERE key % 100 = 0), post AS (SELECT s.key, coalesce(CASE WHEN b.op = 'U' THEN b.nb END, s.bal) AS bal FROM snap s LEFT JOIN batch b ON s.key = b.key WHERE b.op IS NULL OR b.op <> 'D' UNION ALL SELECT key, nb FROM batch WHERE op = 'I'), v2 AS (SELECT 'delete' AS ct, bal FROM snap WHERE key % 10 = 7 UNION ALL SELECT 'delete', bal FROM snap WHERE key % 10 = 3 UNION ALL SELECT 'insert', bal + 10000 FROM snap WHERE key % 10 = 3 UNION ALL SELECT 'insert', bal FROM snap WHERE key % 100 = 0), v4 AS (SELECT 'delete' AS ct, bal FROM post WHERE key % 10 = 1 UNION ALL SELECT 'insert', bal + 5000 FROM post WHERE key % 10 = 1) SELECT * FROM (SELECT 2::BIGINT AS _commit_version, ct AS _change_type, count(*)::BIGINT AS n, sum(bal)::BIGINT AS bal_cents_sum FROM v2 GROUP BY 2 UNION ALL SELECT 4::BIGINT, ct, count(*)::BIGINT, sum(bal)::BIGINT FROM v4 GROUP BY 2) ORDER BY 1, 2")),
-    QueryDef("b82_mor_compaction", b82 _, Some(
-      "WITH snap AS (SELECT c_custkey AS key, floor(c_acctbal * 100)::BIGINT AS bal FROM customer), off AS (SELECT max(c_custkey) + 1 AS o FROM customer), batch AS (SELECT key, bal + 10000 AS nb, 'U' AS op FROM snap WHERE key % 10 = 3 UNION ALL SELECT key, 0, 'D' FROM snap WHERE key % 10 = 7 UNION ALL SELECT key + (SELECT o FROM off), bal, 'I' FROM snap WHERE key % 100 = 0), post AS (SELECT s.key, coalesce(CASE WHEN b.op = 'U' THEN b.nb END, s.bal) AS bal FROM snap s LEFT JOIN batch b ON s.key = b.key WHERE b.op IS NULL OR b.op <> 'D' UNION ALL SELECT key, nb FROM batch WHERE op = 'I'), post2 AS (SELECT key, bal + CASE WHEN key % 10 = 1 THEN 5000 ELSE 0 END AS bal FROM post) SELECT (key % 10)::BIGINT AS key_mod, count(*)::BIGINT AS n, sum(bal)::BIGINT AS bal_cents_sum FROM post2 GROUP BY 1 ORDER BY 1")),
+    QueryDef("b82_mor_compaction", b82 _, Some(twoRoundMergeOracleSql)),
+    // b87 runs the SAME two CDC rounds through an engine-enforced
+    // CHECK gate on a constrained table — the summary is
+    // constraint-invariant (every write conforms), so the oracle is
+    // b82's verbatim; the spec proves violating writes fail loudly.
+    QueryDef("b87_check_constraint", b87 _,
+      Some(twoRoundMergeOracleSql)),
     QueryDef("b86_overwrite_partitions", b86 _, Some(
       "WITH snap AS (SELECT c_custkey AS key, (c_custkey % 5)::BIGINT AS g, floor(c_acctbal * 100)::BIGINT AS bal FROM customer), fin AS (SELECT key, g, bal + CASE WHEN g IN (1, 3) THEN 10000 WHEN g = 0 THEN 77 ELSE 0 END AS bal FROM snap) SELECT g, count(*)::BIGINT AS n, sum(bal)::BIGINT AS bal_cents_sum FROM fin GROUP BY 1 ORDER BY 1")),
     QueryDef("b85_schema_evolution", b85 _, Some(

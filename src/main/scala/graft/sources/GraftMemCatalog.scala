@@ -66,6 +66,12 @@ class GraftMemCatalog extends TableCatalog with FunctionCatalog
     catalogName = name
   override def name(): String = catalogName
 
+  /** b87: the catalog accepts `CONSTRAINT ... CHECK (...)` at CREATE
+    * (the planner gates constraint DDL on this capability).
+    */
+  override def capabilities(): java.util.Set[TableCatalogCapability] =
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val ns = namespace.mkString(".")
     tables.keySet().toArray(Array.empty[String])
@@ -111,10 +117,32 @@ class GraftMemCatalog extends TableCatalog with FunctionCatalog
       case t => throw new UnsupportedOperationException(
         s"graftmem: table ${t.name()} keeps no snapshot history")
     }
+  /** CREATE with TABLE CONSTRAINTS (b87, Spark ≥ 4.1 TableInfo path):
+    * `CONSTRAINT c CHECK (expr)` declarations arrive here; the table
+    * STORES and REPORTS them (`Table.constraints()`), and the ENGINE
+    * enforces enforced-CHECKs on every write plan
+    * (ResolveTableConstraints injects the validation — a violating
+    * row fails the write, no connector code in the hot path).
+    */
+  override def createTable(
+      ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo): Table =
+    createTableWithConstraints(ident, info.schema(), info.partitions(),
+      info.properties(), info.constraints())
+
   override def createTable(
       ident: Identifier, schema: StructType,
       partitions: Array[Transform],
-      properties: util.Map[String, String]): Table = {
+      properties: util.Map[String, String]): Table =
+    createTableWithConstraints(ident, schema, partitions, properties,
+      Array.empty)
+
+  private def createTableWithConstraints(
+      ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String],
+      constraints: Array[org.apache.spark.sql.connector.catalog
+        .constraints.Constraint]): Table = {
     // unpartitioned (one rewrite group) or PARTITIONED BY (col) — one
     // identity transform on a LONG column, one rewrite group per value
     val partCol = partitions match {
@@ -143,7 +171,8 @@ class GraftMemCatalog extends TableCatalog with FunctionCatalog
       .getOrElse(Nil)
     val t: Table = properties.get("graft.row_level") match {
       case null | "copy-on-write" =>
-        new GraftMemTable(key(ident), schema, partCol, layout)
+        new GraftMemTable(key(ident), schema, partCol, layout,
+          constraints)
       case "merge-on-read" =>
         require(partCol.isEmpty,
           "graftmem merge-on-read flavor is unpartitioned (deltas " +
@@ -152,7 +181,7 @@ class GraftMemCatalog extends TableCatalog with FunctionCatalog
           "graft.write_layout applies to the copy-on-write flavor; " +
             "a merge-on-read table's layout is delta-append by design " +
             "(compaction is where its physical order is restored)")
-        new GraftMemMorTable(key(ident), schema)
+        new GraftMemMorTable(key(ident), schema, constraints)
       case other => throw new UnsupportedOperationException(
         s"graftmem: unknown graft.row_level flavor '$other'")
     }
@@ -259,10 +288,21 @@ object GraftMemCatalog {
   */
 private[sources] class GraftMemTable(val fullName: String,
     tblSchema: StructType, val partitionCol: Option[String] = None,
-    val writeLayout: Seq[String] = Nil)
+    val writeLayout: Seq[String] = Nil,
+    tblConstraints: Array[org.apache.spark.sql.connector.catalog
+      .constraints.Constraint] = Array.empty)
     extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations with SupportsMetadataColumns
     with GraftSnapshotHistory {
+
+  /** TABLE CONSTRAINTS (b87): stored and REPORTED — the engine reads
+    * these off the table and injects enforced-CHECK validation into
+    * every write plan (`ResolveTableConstraints`); the connector
+    * never re-implements the check.
+    */
+  override def constraints(): Array[
+    org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    tblConstraints
   require(tblSchema.fields.forall(_.dataType == LongType),
     s"graftmem demo table supports LONG columns only, got $tblSchema")
   require(writeLayout.forall(tblSchema.fieldNames.contains),

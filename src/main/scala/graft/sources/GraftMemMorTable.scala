@@ -56,10 +56,17 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * `TBLPROPERTIES ('graft.row_level' = 'merge-on-read')`.
   */
 private[sources] class GraftMemMorTable(val fullName: String,
-    tblSchema: StructType)
+    tblSchema: StructType,
+    tblConstraints: Array[org.apache.spark.sql.connector.catalog
+      .constraints.Constraint] = Array.empty)
     extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations with SupportsMetadataColumns
     with GraftSnapshotHistory {
+
+  /** TABLE CONSTRAINTS (b87): see [[GraftMemTable.constraints]]. */
+  override def constraints(): Array[
+    org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    tblConstraints
   require(tblSchema.fields.forall(_.dataType == LongType),
     s"graftmem demo table supports LONG columns only, got $tblSchema")
 
