@@ -232,10 +232,31 @@ private[sources] class GraftMemMorTable(val fullName: String,
   * tombstones intersecting it — the read-time merge a MoR reader does
   * per split (a real connector reads the data file and its
   * position-delete subset; nothing global is consulted per row).
+  * `isDelta` marks the delta-insert chunk (metrics only).
   */
 private[sources] case class MorPartition(
-    data: Vector[(Long, Array[Long])], dels: Set[Long])
+    data: Vector[(Long, Array[Long])], dels: Set[Long],
+    isDelta: Boolean = false)
     extends InputPartition
+
+/** DSv2 CUSTOM METRICS for the MoR scan — the read-time merge's cost,
+  * surfaced in the SQL UI next to rows/bytes (the operability face a
+  * real MoR connector ships so "why is this table slow to read"
+  * answers itself: high tombstones_filtered / delta_rows_read = time
+  * to compact). Task-side counters aggregate by SUM on the driver.
+  */
+private[sources] class MorTombstonesMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "tombstones_filtered"
+  override def description(): String =
+    "rows dropped by read-time tombstone merge"
+}
+private[sources] class MorDeltaRowsMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "delta_rows_read"
+  override def description(): String =
+    "rows served from the uncompacted delta log"
+}
 
 private[sources] class MorScanBuilder(table: GraftMemMorTable)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
@@ -263,14 +284,18 @@ private[sources] class MorScanBuilder(table: GraftMemMorTable)
       def split(rs: Vector[(Long, Array[Long])], n: Int) =
         if (rs.isEmpty) Vector.empty
         else rs.grouped(math.max(1, (rs.length + n - 1) / n)).toVector
-      val chunks = split(snapBase, 4) ++ split(snapIns, 1)
-      val parts = chunks.map { c =>
-        MorPartition(c, c.iterator.map(_._1).filter(snapDel).toSet)
-          : InputPartition
-      }.toArray
+      val parts =
+        (split(snapBase, 4).map(c => MorPartition(c,
+          c.iterator.map(_._1).filter(snapDel).toSet)) ++
+        split(snapIns, 1).map(c => MorPartition(c,
+          c.iterator.map(_._1).filter(snapDel).toSet, isDelta = true)))
+          .map(p => p: InputPartition).toArray
       if (parts.isEmpty) Array(MorPartition(Vector.empty, Set.empty))
       else parts
     }
+    override def supportedCustomMetrics()
+        : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+      Array(new MorTombstonesMetric, new MorDeltaRowsMetric)
     override def createReaderFactory(): PartitionReaderFactory = {
       val idx = srcIdx
       new PartitionReaderFactory {
@@ -279,10 +304,18 @@ private[sources] class MorScanBuilder(table: GraftMemMorTable)
           val mp = p.asInstanceOf[MorPartition]
           new PartitionReader[InternalRow] {
             private val it = mp.data.iterator
-              .filterNot(r => mp.dels.contains(r._1)) // read-time merge
             private var cur: (Long, Array[Long]) = _
-            override def next(): Boolean =
-              if (it.hasNext) { cur = it.next(); true } else false
+            private var skipped = 0L
+            private var served = 0L
+            // read-time merge, counting what it drops
+            override def next(): Boolean = {
+              while (it.hasNext) {
+                val e = it.next()
+                if (mp.dels.contains(e._1)) skipped += 1
+                else { cur = e; served += 1; return true }
+              }
+              false
+            }
             // j beyond the stored width = a column added after this
             // row was written → its initial default (0)
             override def get(): InternalRow =
@@ -292,6 +325,20 @@ private[sources] class MorScanBuilder(table: GraftMemMorTable)
                     if (j >= 0)
                       (if (j < cur._2.length) cur._2(j) else 0L)
                     else cur._1): Any)))
+            override def currentMetricsValues(): Array[
+                org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+              Array(
+                new org.apache.spark.sql.connector.metric
+                  .CustomTaskMetric {
+                  override def name(): String = "tombstones_filtered"
+                  override def value(): Long = skipped
+                },
+                new org.apache.spark.sql.connector.metric
+                  .CustomTaskMetric {
+                  override def name(): String = "delta_rows_read"
+                  override def value(): Long =
+                    if (mp.isDelta) served else 0L
+                })
             override def close(): Unit = ()
           }
         }

@@ -388,6 +388,33 @@ class GraftMemMorSpec extends SparkSpec {
       err.getMessage)
   }
 
+  test("scan custom metrics: tombstones_filtered and delta_rows_read " +
+      "surface the read-time merge's cost, and compaction zeroes them") {
+    val (tbl, _) = freshMor("spec_mor_metrics")
+    spark.range(10).selectExpr("id AS key", "id AS bal")
+      .writeTo(tbl).append()
+    spark.sql(s"DELETE FROM $tbl WHERE key < 3") // 3 tombstones
+    spark.range(100, 102).selectExpr("id AS key", "id AS bal")
+      .writeTo(tbl).append() // base append, not delta
+    spark.sql(s"UPDATE $tbl SET bal = bal + 1 WHERE key = 5")
+    // update = tombstone(5) + delta-insert → 4 tombstones, 1 delta row
+    def metrics(): (Long, Long) = {
+      val df = spark.table(tbl)
+      df.collect()
+      val scan = df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2
+          .BatchScanExec => b
+      }.head
+      (scan.metrics("tombstones_filtered").value,
+        scan.metrics("delta_rows_read").value)
+    }
+    assert(metrics() == ((4L, 1L)))
+    spark.sql(s"CALL graftmem.system.compact('db.spec_mor_metrics')")
+      .collect()
+    assert(metrics() == ((0L, 0L)),
+      "compaction must zero the read-time merge cost")
+  }
+
   test("streaming epoch ledger is O(queries), not O(epochs)") {
     spark.conf.set("spark.sql.catalog.graftmem",
       "graft.sources.GraftMemCatalog")
