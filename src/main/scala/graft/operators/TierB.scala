@@ -1968,13 +1968,8 @@ object TierB {
     * sum accumulates in DECIMAL (b60 discipline).
     */
   private def b75(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.catalog.graftmem",
-      "graft.sources.GraftMemCatalog")
-    val tbl = "graftmem.db.acct_" +
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-    s.sql(s"DROP TABLE IF EXISTS $tbl")
-    s.sql(s"CREATE TABLE $tbl (key BIGINT, bal_cents BIGINT)")
+    val tbl = freshGraftmemTable(s, d, "acct",
+      "(key BIGINT, bal_cents BIGINT)")
     customer(s, d)
       .selectExpr("c_custkey AS key",
         "CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents")
@@ -2004,13 +1999,8 @@ object TierB {
     * lakehouse write path is itself the cross-check.
     */
   private def b80(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.catalog.graftmem",
-      "graft.sources.GraftMemCatalog")
-    val tbl = "graftmem.db.mor_" +
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-    s.sql(s"DROP TABLE IF EXISTS $tbl")
-    s.sql(s"CREATE TABLE $tbl (key BIGINT, bal_cents BIGINT) " +
+    val tbl = freshGraftmemTable(s, d, "mor",
+      "(key BIGINT, bal_cents BIGINT) " +
       "TBLPROPERTIES ('graft.row_level' = 'merge-on-read')")
     customer(s, d)
       .selectExpr("c_custkey AS key",
@@ -2041,13 +2031,8 @@ object TierB {
     * governed CALL, not client glue.
     */
   private def b82(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.catalog.graftmem",
-      "graft.sources.GraftMemCatalog")
-    val suf = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-    val tbl = s"graftmem.db.morc_$suf"
-    s.sql(s"DROP TABLE IF EXISTS $tbl")
-    s.sql(s"CREATE TABLE $tbl (key BIGINT, bal_cents BIGINT) " +
+    val tbl = freshGraftmemTable(s, d, "morc",
+      "(key BIGINT, bal_cents BIGINT) " +
       "TBLPROPERTIES ('graft.row_level' = 'merge-on-read')")
     customer(s, d)
       .selectExpr("c_custkey AS key",
@@ -2055,7 +2040,8 @@ object TierB {
       .writeTo(tbl).append()
     runCdcMergeRound(s, d, "b82", tbl)
     // governed maintenance between the two CDC rounds
-    s.sql(s"CALL graftmem.system.compact('db.morc_$suf')").collect()
+    s.sql(s"CALL graftmem.system.compact('${tbl.stripPrefix("graftmem.")}')")
+      .collect()
     runFollowupMergeRound(s, tbl)
     s.sql(
       s"""SELECT key % 10 AS key_mod, count(*) AS n,
@@ -2083,20 +2069,15 @@ object TierB {
     * from the batch definitions with joins — no connector involved.
     */
   private def b83(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.catalog.graftmem",
-      "graft.sources.GraftMemCatalog")
-    val suf = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-    val tbl = s"graftmem.db.morl_$suf"
-    s.sql(s"DROP TABLE IF EXISTS $tbl")
-    s.sql(s"CREATE TABLE $tbl (key BIGINT, bal_cents BIGINT) " +
+    val tbl = freshGraftmemTable(s, d, "morl",
+      "(key BIGINT, bal_cents BIGINT) " +
       "TBLPROPERTIES ('graft.row_level' = 'merge-on-read')")
     customer(s, d)
       .selectExpr("c_custkey AS key",
         "CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents")
       .writeTo(tbl).append() // version 1
     runCdcMergeRound(s, d, "b83", tbl) // version 2
-    s.sql(s"CALL graftmem.system.compact('db.morl_$suf')")
+    s.sql(s"CALL graftmem.system.compact('${tbl.stripPrefix("graftmem.")}')")
       .collect() // version 3 — must NOT appear in the feed
     runFollowupMergeRound(s, tbl) // version 4
     s.sql(
@@ -2126,13 +2107,8 @@ object TierB {
     * involved.
     */
   private def b84(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.catalog.graftmem",
-      "graft.sources.GraftMemCatalog")
-    val suf = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-    val tbl = s"graftmem.db.ttc_$suf"
-    s.sql(s"DROP TABLE IF EXISTS $tbl")
-    s.sql(s"CREATE TABLE $tbl (key BIGINT, bal_cents BIGINT)")
+    val tbl = freshGraftmemTable(s, d, "ttc",
+      "(key BIGINT, bal_cents BIGINT)")
     customer(s, d)
       .selectExpr("c_custkey AS key",
         "CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents")
@@ -2174,13 +2150,8 @@ object TierB {
     * scanned under the old schema is a loud commit conflict.
     */
   private def b85(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.catalog.graftmem",
-      "graft.sources.GraftMemCatalog")
-    val suf = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-    val tbl = s"graftmem.db.sec_$suf"
-    s.sql(s"DROP TABLE IF EXISTS $tbl")
-    s.sql(s"CREATE TABLE $tbl (key BIGINT, bal_cents BIGINT)")
+    val tbl = freshGraftmemTable(s, d, "sec",
+      "(key BIGINT, bal_cents BIGINT)")
     val snap = customer(s, d)
       .selectExpr("c_custkey AS key",
         "CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents")
@@ -2226,14 +2197,8 @@ object TierB {
     * group narrowing is what keeps it O(reloaded partitions).
     */
   private def b86(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.catalog.graftmem",
-      "graft.sources.GraftMemCatalog")
-    val suf = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-    val tbl = s"graftmem.db.owc_$suf"
-    s.sql(s"DROP TABLE IF EXISTS $tbl")
-    s.sql(s"CREATE TABLE $tbl (key BIGINT, g BIGINT, bal_cents BIGINT)" +
-      " PARTITIONED BY (g)")
+    val tbl = freshGraftmemTable(s, d, "owc",
+      "(key BIGINT, g BIGINT, bal_cents BIGINT) PARTITIONED BY (g)")
     customer(s, d)
       .selectExpr("c_custkey AS key", "c_custkey % 5 AS g",
         "CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents")
@@ -2277,15 +2242,9 @@ object TierB {
     * it, and enforcement is plan-level codegen, not a quality job.
     */
   private def b87(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.catalog.graftmem",
-      "graft.sources.GraftMemCatalog")
-    val suf = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-    val tbl = s"graftmem.db.ckc_$suf"
-    s.sql(s"DROP TABLE IF EXISTS $tbl")
-    s.sql(s"CREATE TABLE $tbl (key BIGINT, bal_cents BIGINT, " +
-      "CONSTRAINT bal_range CHECK " +
-      "(bal_cents >= -200000 AND bal_cents < 100000000))")
+    val tbl = freshGraftmemTable(s, d, "ckc",
+      "(key BIGINT, bal_cents BIGINT, CONSTRAINT bal_range CHECK " +
+        "(bal_cents >= -200000 AND bal_cents < 100000000))")
     customer(s, d)
       .selectExpr("c_custkey AS key",
         "CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents")
@@ -2426,15 +2385,8 @@ object TierB {
     * per merge.
     */
   private def b77(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.catalog.graftmem",
-      "graft.sources.GraftMemCatalog")
-    val tbl = "graftmem.db.acctp_" +
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-    s.sql(s"DROP TABLE IF EXISTS $tbl")
-    s.sql(
-      s"CREATE TABLE $tbl (key BIGINT, g BIGINT, bal_cents BIGINT) " +
-        "PARTITIONED BY (g)")
+    val tbl = freshGraftmemTable(s, d, "acctp",
+      "(key BIGINT, g BIGINT, bal_cents BIGINT) PARTITIONED BY (g)")
     customer(s, d)
       .selectExpr("c_custkey AS key", "c_custkey % 5 AS g",
         "CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents")
@@ -2506,6 +2458,25 @@ object TierB {
         |  graftmem.db.kmv_distinct(l_partkey) AS est_dparts,
         |  count(DISTINCT l_partkey) AS true_dparts
         |FROM g_lineitem_b79 GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  /** Shared graftmem demo-table setup (b75/b77/b80/b82–b87, d25–d27):
+    * register the catalog, derive the per-corpus table name (md5
+    * suffix keeps cross-corpus runs disjoint), recreate fresh. `ddl`
+    * is everything after the table name in CREATE TABLE. ONE
+    * definition — a drifted suffix scheme or catalog registration
+    * would surface as cross-corpus table collisions.
+    */
+  private[graft] def freshGraftmemTable(s: SparkSession, d: String,
+      prefix: String, ddl: String): String = {
+    s.conf.set("spark.sql.catalog.graftmem",
+      "graft.sources.GraftMemCatalog")
+    val suf = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val tbl = s"graftmem.db.${prefix}_$suf"
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    s.sql(s"CREATE TABLE $tbl $ddl")
+    tbl
   }
 
   /** THE CDC round every row-level demo shares (b75 CoW, b80 MoR, b82

@@ -169,10 +169,16 @@ class GraftMemCatalog extends TableCatalog with FunctionCatalog
     val layout = Option(properties.get("graft.write_layout"))
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
+    // snapshot retention cap (b84): a bounded default so long-running
+    // writers (one version per streaming epoch) hold O(keep) history
+    val keep = Option(properties.get("graft.snapshot_keep"))
+      .map(_.toInt).getOrElse(128)
+    require(keep >= 1,
+      s"graft.snapshot_keep must be >= 1, got $keep")
     val t: Table = properties.get("graft.row_level") match {
       case null | "copy-on-write" =>
         new GraftMemTable(key(ident), schema, partCol, layout,
-          constraints)
+          constraints, keep)
       case "merge-on-read" =>
         require(partCol.isEmpty,
           "graftmem merge-on-read flavor is unpartitioned (deltas " +
@@ -181,7 +187,7 @@ class GraftMemCatalog extends TableCatalog with FunctionCatalog
           "graft.write_layout applies to the copy-on-write flavor; " +
             "a merge-on-read table's layout is delta-append by design " +
             "(compaction is where its physical order is restored)")
-        new GraftMemMorTable(key(ident), schema, constraints)
+        new GraftMemMorTable(key(ident), schema, constraints, keep)
       case other => throw new UnsupportedOperationException(
         s"graftmem: unknown graft.row_level flavor '$other'")
     }
@@ -202,20 +208,31 @@ class GraftMemCatalog extends TableCatalog with FunctionCatalog
   override def alterTable(
       ident: Identifier, changes: TableChange*): Table = {
     val t = loadTable(ident)
-    changes.foreach {
+    // VALIDATE every change before applying ANY — DDL is atomic: a
+    // multi-column ALTER with one unsupported change must leave the
+    // table untouched, the same no-trace discipline every write
+    // commit follows.
+    val cols = changes.map {
       case add: TableChange.AddColumn
           if add.fieldNames().length == 1 &&
             add.dataType() == LongType && add.position() == null =>
-        t match {
-          case g: GraftMemTable    => g.addColumn(add.fieldNames()(0))
-          case m: GraftMemMorTable => m.addColumn(add.fieldNames()(0))
-          case _ => throw new UnsupportedOperationException(
-            s"graftmem: ${t.name()} does not support ALTER")
-        }
+        add.fieldNames()(0)
       case other => throw new UnsupportedOperationException(
         "graftmem: only ALTER TABLE ADD COLUMN (one top-level BIGINT, " +
           s"appended last) is supported, got $other")
     }
+    require(cols.distinct.length == cols.length,
+      s"graftmem: duplicate columns in one ALTER: $cols")
+    val existing = t.schema().fieldNames.toSet
+    cols.find(existing).foreach(c => throw new IllegalArgumentException(
+      s"graftmem ${t.name()}: column $c already exists"))
+    val apply: String => Unit = t match {
+      case g: GraftMemTable    => g.addColumn
+      case m: GraftMemMorTable => m.addColumn
+      case _ => throw new UnsupportedOperationException(
+        s"graftmem: ${t.name()} does not support ALTER")
+    }
+    cols.foreach(apply)
     t
   }
   override def dropTable(ident: Identifier): Boolean =
@@ -290,7 +307,8 @@ private[sources] class GraftMemTable(val fullName: String,
     tblSchema: StructType, val partitionCol: Option[String] = None,
     val writeLayout: Seq[String] = Nil,
     tblConstraints: Array[org.apache.spark.sql.connector.catalog
-      .constraints.Constraint] = Array.empty)
+      .constraints.Constraint] = Array.empty,
+    snapshotKeep: Int = 128)
     extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations with SupportsMetadataColumns
     with GraftSnapshotHistory {
@@ -318,12 +336,8 @@ private[sources] class GraftMemTable(val fullName: String,
       case (rs, _, sch) => (rs, sch)
     })
   override private[sources] def expireSnapshots(
-      keepLast: Int): (Long, Long, Long) = synchronized {
-    val vs = snapshots.keys.toSeq.sorted
-    val drop = vs.dropRight(keepLast)
-    drop.foreach(snapshots.remove)
-    (drop.length.toLong, (vs.length - drop.length).toLong, commitVersion)
-  }
+      keepLast: Int): (Long, Long, Long) =
+    synchronized(pruneSnapshots(snapshots, keepLast, commitVersion))
 
   /** Current committed content. Replaced atomically on commit. Rows
     * appended before an ALTER ADD COLUMN are NARROWER than the
@@ -361,14 +375,20 @@ private[sources] class GraftMemTable(val fullName: String,
     0L -> (Vector.empty, System.currentTimeMillis() * 1000L, tblSchema))
 
   /** Bump the version, stamp `gs` as modified by it, and record the
-    * post-commit snapshot. Call ONLY while holding the swap lock,
-    * AFTER `rows` holds the committed content.
+    * post-commit snapshot — automatically pruned to the newest
+    * `snapshotKeep` (`graft.snapshot_keep` table property), so a
+    * long-running writer (a streaming query commits one version per
+    * epoch) holds O(keep) history, not O(commits); an explicit
+    * `expire_snapshots` CALL can cut deeper. Call ONLY while holding
+    * the swap lock, AFTER `rows` holds the committed content.
     */
   private[sources] def stampCommit(gs: Iterable[Long]): Unit = {
     commitVersion += 1
     gs.foreach(g => groupVersion(g) = commitVersion)
     snapshots(commitVersion) =
       (rows, System.currentTimeMillis() * 1000L, curSchema)
+    if (snapshots.size > snapshotKeep)
+      pruneSnapshots(snapshots, snapshotKeep, commitVersion)
   }
 
   /** SCHEMA EVOLUTION (b85): append one LONG column. Pre-existing
@@ -376,19 +396,17 @@ private[sources] class GraftMemTable(val fullName: String,
     * new schema, and every reader surfaces the missing tail as the
     * column's INITIAL DEFAULT (0), the Iceberg-v3 default-value /
     * Delta column-mapping shape: an ALTER is a metadata commit, never
-    * a data pass. The commit bumps the table version (a rewrite
-    * scanned under the old schema is stale — the optimistic
-    *-concurrency check rejects it) and records a snapshot, so
-    * `VERSION AS OF` a pre-ALTER version presents the pre-ALTER
-    * schema.
+    * a data pass. The commit stamps EVERY existing group (a schema
+    * change touches all of them), so an in-flight rewrite scanned
+    * under the old schema — group-pruned or full — is a loud commit
+    * conflict; and it records a snapshot, so `VERSION AS OF` a
+    * pre-ALTER version presents the pre-ALTER schema.
     */
   private[sources] def addColumn(col: String): Unit = synchronized {
     require(!curSchema.fieldNames.contains(col),
       s"graftmem $fullName: column $col already exists")
     curSchema = curSchema.add(col, LongType, nullable = true)
-    commitVersion += 1
-    snapshots(commitVersion) =
-      (rows, System.currentTimeMillis() * 1000L, curSchema)
+    stampCommit(rows.iterator.map(groupOf).toSet)
   }
 
   /** Rewrite-group id of a stored row: the identity-partition value,

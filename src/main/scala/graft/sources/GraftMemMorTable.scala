@@ -58,7 +58,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 private[sources] class GraftMemMorTable(val fullName: String,
     tblSchema: StructType,
     tblConstraints: Array[org.apache.spark.sql.connector.catalog
-      .constraints.Constraint] = Array.empty)
+      .constraints.Constraint] = Array.empty,
+    snapshotKeep: Int = 128)
     extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations with SupportsMetadataColumns
     with GraftSnapshotHistory {
@@ -86,18 +87,29 @@ private[sources] class GraftMemMorTable(val fullName: String,
     0L -> (Vector.empty, Vector.empty, Set.empty,
       System.currentTimeMillis() * 1000L, tblSchema))
 
-  /** Record the post-commit snapshot. Call ONLY while holding `this`,
-    * AFTER the commit's state swap (including `commitVersion += 1`).
+  /** Record the post-commit snapshot — automatically pruned to the
+    * newest `snapshotKeep` (`graft.snapshot_keep` table property), so
+    * a long-running delta writer holds O(keep) history, not
+    * O(commits). Call ONLY while holding `this`, AFTER the commit's
+    * state swap (including `commitVersion += 1`).
     */
-  private[sources] def recordSnapshot(): Unit =
+  private[sources] def recordSnapshot(): Unit = {
     snapshots(commitVersion) = (base, deltaInserts, deleted,
       System.currentTimeMillis() * 1000L, curSchema)
+    if (snapshots.size > snapshotKeep)
+      pruneSnapshots(snapshots, snapshotKeep, commitVersion)
+  }
 
   /** SCHEMA EVOLUTION (b85) on the merge-on-read flavor — same
     * metadata-only contract as [[GraftMemTable.addColumn]]: no data
     * pass, pre-ALTER rows (and change-log entries) surface the new
-    * column as its initial default 0, and the version bump makes any
-    * in-flight delta computed under the old schema a loud conflict.
+    * column as its initial default 0. Note the conflict surface
+    * stays ROW-level (this flavor's contract): an in-flight delta
+    * computed under the old schema commits narrower rows, which
+    * remain valid — every reader pads them with the initial default —
+    * so no version check is needed where copy-on-write needs one
+    * (its stale FULL rewrite would truncate the new column for
+    * untouched rows).
     */
   private[sources] def addColumn(col: String): Unit = synchronized {
     require(!curSchema.fieldNames.contains(col),
@@ -118,12 +130,8 @@ private[sources] class GraftMemMorTable(val fullName: String,
         ((b ++ ins).filterNot(r => del.contains(r._1)).map(_._2), sch)
     }
   override private[sources] def expireSnapshots(
-      keepLast: Int): (Long, Long, Long) = synchronized {
-    val vs = snapshots.keys.toSeq.sorted
-    val drop = vs.dropRight(keepLast)
-    drop.foreach(snapshots.remove)
-    (drop.length.toLong, (vs.length - drop.length).toLong, commitVersion)
-  }
+      keepLast: Int): (Long, Long, Long) =
+    synchronized(pruneSnapshots(snapshots, keepLast, commitVersion))
 
   /** Base rows (pos → row), appended by batch INSERTs. Row-level
     * operations NEVER modify this vector or its row objects — that is
@@ -747,7 +755,13 @@ private[sources] class MorChangesMicroBatchStream(
       start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[MorChangesOffset].pos.toInt
     val e = end.asInstanceOf[MorChangesOffset].pos.toInt
+    // filter by VERSION as well as position: a subscriber whose
+    // startingVersion is past the current tail pins the tail position,
+    // but later commits may still carry versions below the boundary —
+    // the contract is "changes FROM version v", and the filter is
+    // deterministic per [start, end) so replay stays exact
     val slice = parent.synchronized(parent.changeLog.slice(s, e))
+      .filter(_._1 >= startingVersion)
     MorChangesTable.chunk(slice)
   }
   override def createReaderFactory(): PartitionReaderFactory =

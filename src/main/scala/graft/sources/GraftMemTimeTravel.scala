@@ -57,6 +57,19 @@ private[sources] trait GraftSnapshotHistory { self: Table =>
     */
   private[sources] def expireSnapshots(keepLast: Int): (Long, Long, Long)
 
+  /** ONE retention implementation for both flavors (and for the
+    * automatic per-commit cap): drop all but the newest `keepLast`
+    * entries of `snaps`. Call while holding the table lock.
+    */
+  final private[sources] def pruneSnapshots(
+      snaps: scala.collection.mutable.Map[Long, _], keepLast: Int,
+      current: Long): (Long, Long, Long) = {
+    val vs = snaps.keys.toSeq.sorted
+    val drop = vs.dropRight(keepLast)
+    drop.foreach(snaps.remove)
+    (drop.length.toLong, (vs.length - drop.length).toLong, current)
+  }
+
   /** `VERSION AS OF v` — the string is the version number. */
   final private[sources] def travelToVersion(version: String): Table = {
     val v =

@@ -1171,13 +1171,9 @@ object StreamingDemo {
       ev.repartition(2).write.parquet(dir)
       dir
     }
-    val tbl = "graftmem.db.morup_" +
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-    s.sql(s"DROP TABLE IF EXISTS $tbl")
-    s.sql(s"CREATE TABLE $tbl (user_id BIGINT, cnt BIGINT, " +
-      "val_cents BIGINT) " +
-      "TBLPROPERTIES ('graft.row_level' = 'merge-on-read')")
+    val tbl = graft.operators.TierB.freshGraftmemTable(s, d, "morup",
+      "(user_id BIGINT, cnt BIGINT, val_cents BIGINT) " +
+        "TBLPROPERTIES ('graft.row_level' = 'merge-on-read')")
     val src = s.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
     val upsert: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
@@ -1224,14 +1220,9 @@ object StreamingDemo {
     * changes), the entire point of CDC streaming.
     */
   def streamCdcFollow(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.catalog.graftmem",
-      "graft.sources.GraftMemCatalog")
-    val suf = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-    val tbl = s"graftmem.db.morcdc_$suf"
-    s.sql(s"DROP TABLE IF EXISTS $tbl")
-    s.sql(s"CREATE TABLE $tbl (key BIGINT, bal_cents BIGINT) " +
-      "TBLPROPERTIES ('graft.row_level' = 'merge-on-read')")
+    val tbl = graft.operators.TierB.freshGraftmemTable(s, d, "morcdc",
+      "(key BIGINT, bal_cents BIGINT) " +
+        "TBLPROPERTIES ('graft.row_level' = 'merge-on-read')")
     graft.util.Tables.customer(s, d)
       .selectExpr("c_custkey AS key",
         "CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents")
@@ -1275,14 +1266,9 @@ object StreamingDemo {
     * year of CDC.
     */
   def streamCdcFromVersion(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.catalog.graftmem",
-      "graft.sources.GraftMemCatalog")
-    val suf = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-    val tbl = s"graftmem.db.morfv_$suf"
-    s.sql(s"DROP TABLE IF EXISTS $tbl")
-    s.sql(s"CREATE TABLE $tbl (key BIGINT, bal_cents BIGINT) " +
-      "TBLPROPERTIES ('graft.row_level' = 'merge-on-read')")
+    val tbl = graft.operators.TierB.freshGraftmemTable(s, d, "morfv",
+      "(key BIGINT, bal_cents BIGINT) " +
+        "TBLPROPERTIES ('graft.row_level' = 'merge-on-read')")
     graft.util.Tables.customer(s, d)
       .selectExpr("c_custkey AS key",
         "CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents")
@@ -1376,13 +1362,8 @@ object StreamingDemo {
     * the demo's driver-held rows stand in for that manifest.
     */
   def streamCustomSink(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.catalog.graftmem",
-      "graft.sources.GraftMemCatalog")
-    val tbl = "graftmem.db.evsink_" +
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-    s.sql(s"DROP TABLE IF EXISTS $tbl")
-    s.sql(s"CREATE TABLE $tbl (user_id BIGINT, event_id BIGINT)")
+    val tbl = graft.operators.TierB.freshGraftmemTable(s, d, "evsink",
+      "(user_id BIGINT, event_id BIGINT)")
     val src = eventStream(s, d).select("user_id", "event_id")
     withStreamPartitions(s) {
       val q = src.writeStream

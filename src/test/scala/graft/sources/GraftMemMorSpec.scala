@@ -415,6 +415,37 @@ class GraftMemMorSpec extends SparkSpec {
       "compaction must zero the read-time merge cost")
   }
 
+  test("streaming startingVersion filters by VERSION, not just " +
+      "initial log position — later sub-boundary commits stay out") {
+    val (tbl, _) = freshMor("spec_mor_svs")
+    spark.range(3).selectExpr("id AS key", "id AS bal")
+      .writeTo(tbl).append() // v1
+    // subscribe from version 3 — past the current tail, so the
+    // initial offset pins the tail POSITION; v2 commits after
+    // subscribe and must STILL be excluded (it is below the boundary)
+    val q = spark.readStream.option("startingVersion", "3")
+      .table(s"${tbl}__changes")
+      .writeStream.format("memory").queryName("spec_mor_svs_sink")
+      .option("checkpointLocation",
+        graft.util.TmpDir.fresh("svs-ckpt"))
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("spec_mor_svs_sink").count() == 0)
+      spark.range(10, 12).selectExpr("id AS key", "id AS bal")
+        .writeTo(tbl).append() // v2 — below the boundary
+      q.processAllAvailable()
+      assert(spark.table("spec_mor_svs_sink").count() == 0,
+        "sub-boundary commit leaked into a startingVersion stream")
+      spark.sql(s"DELETE FROM $tbl WHERE key = 0") // v3 — at boundary
+      q.processAllAvailable()
+      val got = spark.table("spec_mor_svs_sink")
+        .selectExpr("_commit_version", "_change_type").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(got == Seq((3L, "delete")))
+    } finally q.stop()
+  }
+
   test("streaming epoch ledger is O(queries), not O(epochs)") {
     spark.conf.set("spark.sql.catalog.graftmem",
       "graft.sources.GraftMemCatalog")

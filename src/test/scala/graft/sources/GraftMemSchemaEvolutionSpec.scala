@@ -84,6 +84,92 @@ class GraftMemSchemaEvolutionSpec extends SparkSpec {
       (3L, "insert", 14000L)))
   }
 
+  test("ALTER is atomic: one unsupported change in a multi-column " +
+      "ADD leaves the table untouched") {
+    val tbl = fresh("spec_se_atomic")
+    val err = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (a BIGINT, b STRING)")
+    }
+    assert(err.getMessage.contains("only ALTER TABLE ADD COLUMN"))
+    assert(spark.table(tbl).schema.fieldNames.toSeq == Seq("key", "bal"),
+      "failed multi-column ALTER half-applied")
+  }
+
+  test("an in-flight group-pruned rewrite scanned under the old " +
+      "schema conflicts with an interleaved ALTER") {
+    spark.conf.set("spark.sql.catalog.graftmem",
+      "graft.sources.GraftMemCatalog")
+    val tbl = "graftmem.db.spec_se_conflict"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (key BIGINT, g BIGINT, bal BIGINT) " +
+      "PARTITIONED BY (g)")
+    spark.range(10).selectExpr("id AS key", "id % 2 AS g", "id AS bal")
+      .writeTo(tbl).append()
+    val table = spark.sessionState.catalogManager.catalog("graftmem")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier
+        .of(Array("db"), "spec_se_conflict"))
+      .asInstanceOf[GraftMemTable]
+    // op scans (pins version) → ALTER commits → op's commit must
+    // reject: the rewrite was computed under the old schema and would
+    // write old-width rows for a group the ALTER already stamped
+    val op = table.newRowLevelOperationBuilder(
+      new org.apache.spark.sql.connector.write.RowLevelOperationInfo {
+        override def command() = org.apache.spark.sql.connector.write
+          .RowLevelOperation.Command.UPDATE
+        override def options() =
+          org.apache.spark.sql.util.CaseInsensitiveStringMap.empty()
+      }).build()
+    val scan = op.newScanBuilder(
+      org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
+      .build()
+    scan.toBatch.planInputPartitions()
+    // narrow to group 0, as the runtime group filter would
+    scan.asInstanceOf[org.apache.spark.sql.connector.read
+      .SupportsRuntimeV2Filtering].filter(Array(
+      new org.apache.spark.sql.connector.expressions.filter.Predicate(
+        "IN", Array(
+          org.apache.spark.sql.connector.expressions.Expressions
+            .column("_group"),
+          org.apache.spark.sql.connector.expressions.Expressions
+            .literal(0L)))))
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (extra BIGINT)")
+    val bw = op.newWriteBuilder(
+      new org.apache.spark.sql.connector.write.LogicalWriteInfo {
+        override def queryId(): String = "spec"
+        override def schema() = table.schema()
+        override def options() =
+          org.apache.spark.sql.util.CaseInsensitiveStringMap.empty()
+      }).build().toBatch
+    val w = bw.createBatchWriterFactory(null).createWriter(0, 0L)
+    val err = intercept[GraftMemCommitConflictException] {
+      bw.commit(Array(w.commit()))
+    }
+    assert(err.getMessage.contains("changed after this operation's scan"),
+      err.getMessage)
+  }
+
+  test("snapshot history is bounded by graft.snapshot_keep; " +
+      "expired-by-retention versions error like explicit expiry") {
+    spark.conf.set("spark.sql.catalog.graftmem",
+      "graft.sources.GraftMemCatalog")
+    val tbl = "graftmem.db.spec_se_keep"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (key BIGINT, bal BIGINT) " +
+      "TBLPROPERTIES ('graft.snapshot_keep' = '3')")
+    (1 to 6).foreach { i =>
+      spark.range(i).selectExpr("id AS key", "id AS bal")
+        .writeTo(tbl).append()
+    } // v1..v6; retention keeps v4..v6
+    assert(spark.sql(s"SELECT * FROM $tbl VERSION AS OF 6").count() == 21)
+    assert(spark.sql(s"SELECT * FROM $tbl VERSION AS OF 4").count() == 10)
+    val err = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $tbl VERSION AS OF 2").count()
+    }
+    assert(err.getMessage.contains("retained: 4..6"), err.getMessage)
+    assert(spark.table(tbl).count() == 21)
+  }
+
   test("unsupported alters and duplicate columns fail loudly") {
     val tbl = fresh("spec_se_bad")
     val e1 = intercept[Exception] {
