@@ -943,9 +943,9 @@ object TierA {
     * can come FROM THE CONNECTOR ITSELF (`Statistics.columnStats`,
     * the Iceberg-NDV-sketch / Delta-column-stats shape — pairgen
     * knows its NDVs exactly by construction). Three pairgen
-    * relations: fact (200k rows, grp over 1 000 values), a 1:1 big
-    * dim on id (no reduction), a 25-value dim on grp (cuts the fact
-    * 40×). The syntactic order joins the big dim first; with CBO +
+    * relations: fact (100k rows, grp over 64 values), a 1:1 big
+    * dim on id (no reduction), a 2-value dim on grp (cuts the fact
+    * 32×). The syntactic order joins the big dim first; with CBO +
     * joinReorder on, `JoinEstimation` sizes both orders from the
     * REPORTED NDVs and commutes the selective dim below — zero
     * ANALYZE, zero hints (spec asserts the innermost join is the grp
@@ -960,13 +960,17 @@ object TierA {
   private[operators] def a41Exec(s: SparkSession, cbo: Boolean = true)
       : (DataFrame, org.apache.spark.sql.catalyst.plans.logical
         .LogicalPlan) = {
-    s.read.format("pairgen").option("rows", "200000")
-      .option("buckets", "1000").load()
+    // buckets=64, not 1000: the bucketed layout plans ONE partition
+    // per grp value, and a thousand 80-row tasks would be pure
+    // scheduler overhead — the demo needs the NDV CONTRAST (64 vs 2),
+    // not a thousand physical buckets
+    s.read.format("pairgen").option("rows", "100000")
+      .option("buckets", "64").load()
       .createOrReplaceTempView("g_a41_fact")
-    s.read.format("pairgen").option("rows", "200000").load()
+    s.read.format("pairgen").option("rows", "100000").load()
       .createOrReplaceTempView("g_a41_dimb")
-    s.read.format("pairgen").option("rows", "25")
-      .option("buckets", "1000").load()
+    s.read.format("pairgen").option("rows", "2")
+      .option("buckets", "64").load()
       .createOrReplaceTempView("g_a41_dims")
     val prev = a41Confs.map { case (k, _) => k -> s.conf.getOption(k) }
     if (cbo) a41Confs.foreach { case (k, v) => s.conf.set(k, v) }
@@ -993,7 +997,7 @@ object TierA {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("a41_source_column_stats", a41 _, Some(
-      "WITH f AS (SELECT t.i AS id, (t.i % 1000) AS grp FROM range(200000) t(i)), b AS (SELECT t.i AS id FROM range(200000) t(i)), s AS (SELECT (t.i % 1000) AS grp FROM range(25) t(i)) SELECT count(*)::BIGINT AS n_pairs, min(f.id)::BIGINT AS min_id, max(f.id)::BIGINT AS max_id FROM f JOIN b ON f.id = b.id JOIN s ON f.grp = s.grp")),
+      "WITH f AS (SELECT t.i AS id, (t.i % 64) AS grp FROM range(100000) t(i)), b AS (SELECT t.i AS id FROM range(100000) t(i)), s AS (SELECT (t.i % 64) AS grp FROM range(2) t(i)) SELECT count(*)::BIGINT AS n_pairs, min(f.id)::BIGINT AS min_id, max(f.id)::BIGINT AS max_id FROM f JOIN b ON f.id = b.id JOIN s ON f.grp = s.grp")),
     QueryDef("a38_source_stats_broadcast", a38 _, Some(
       "WITH big AS (SELECT t.i AS id, md5(t.i::VARCHAR) AS value FROM range(200000) t(i)), small AS (SELECT t.i AS id, md5(t.i::VARCHAR) AS v2 FROM range(2000) t(i) WHERE t.i >= 1000) SELECT count(*)::BIGINT AS n_pairs, min(big.id)::BIGINT AS min_id, max(big.id)::BIGINT AS max_id, sum(CASE WHEN value = v2 THEN 1 ELSE 0 END)::BIGINT AS n_value_eq FROM big JOIN small USING (id)")),
     QueryDef("a37_source_runtime_filter", a37 _, Some(
