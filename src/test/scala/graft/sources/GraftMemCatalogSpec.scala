@@ -269,6 +269,36 @@ class GraftMemCatalogSpec extends SparkSpec {
           s"compaction version changed visible content (n=$n)")
         assert(snapV(1) == init.sortBy(_._1),
           s"compaction destroyed the v1 snapshot (n=$n)")
+        // the MoR flavor refuses overwrite faces loudly (its write
+        // model is delta-append + compaction, never group swaps)
+        val err = intercept[Exception] {
+          spark.range(1)
+            .selectExpr("id + 5000 AS key", "CAST(0 AS BIGINT) AS g",
+              "id AS bal")
+            .writeTo(tbl).overwritePartitions()
+        }
+        assert(err.getMessage.contains("dynamic overwrite"),
+          err.getMessage)
+      } else {
+        // dynamic partition overwrite (b86) over the post-merge state:
+        // re-load a generated subset of groups; replay = drop those
+        // groups' rows, add the reloads; untouched rows keep identity
+        val owSel = Seq(0L, 1L, 2L, 7L)
+          .filter(g => (n + ops.sum + g) % 2 == 0) // generator-derived
+        if (owSel.nonEmpty) {
+          owSel.map(g => (5000L + g, g, 9000L + g))
+            .toDF("key", "g", "bal").writeTo(tbl).overwritePartitions()
+          val owExpect = (expect.filterNot(r => owSel.contains(r._2)) ++
+            owSel.map(g => (5000L + g, g, 9000L + g))).sortBy(_._1)
+          assert(snap() == owExpect,
+            s"overwrite diverged (n=$n layout=$layout sel=$owSel)")
+          // the overwrite is version 3; v2 still reads the pre-
+          // overwrite state
+          assert(snapV(3) == owExpect,
+            s"v3 snapshot != post-overwrite state (n=$n)")
+          assert(snapV(2) == expect,
+            s"overwrite mutated the v2 snapshot (n=$n)")
+        }
       }
     }
   }
