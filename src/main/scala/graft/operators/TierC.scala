@@ -149,6 +149,109 @@ object TierC {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** c69: MMR-DIVERSIFIED top-k — the curation twin of c3's raw
+    * similarity retrieval: pure nearest-neighbor selection returns
+    * near-duplicates of each other (the top of a dense cluster), and
+    * a training-data pipeline picking examples per query wants
+    * COVERAGE, not five copies of the same passage. Maximal Marginal
+    * Relevance (Carbonell & Goldstein 1998) greedily selects
+    * `argmax λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)` — relevance
+    * penalized by similarity to what's already chosen (λ = 0.7,
+    * K = 4 picks from the top-12 candidate pool, ties to the smaller
+    * id; the first pick's penalty term is empty, score = λ·rel).
+    *
+    * Scale shape: identical to c3 up to the candidate pool —
+    * broadcast probes, per-partition bounded heaps (now carrying the
+    * candidate VECTORS), one window re-rank to the global top-12 —
+    * then the greedy runs per probe over ≤ 12 candidates inside
+    * `flatMapGroups`: O(probes × N² × dim) map-side work with N a
+    * constant, never a crossJoin, never an unbounded group. The
+    * oracle replays the greedy as three chained argmax CTEs over the
+    * same candidate pool (double cosine matches bit-for-bit, c3's
+    * established contract).
+    */
+  private def c69(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val maxProbes = graft.util.GraftConf.similarityProbes(s)
+    val poolN = 12
+    val k = 4
+    val probes = vecs(s, d).filter(_._1 % 50 == 0)
+      .orderBy(col("vec_id")).limit(maxProbes)
+      .as[(Long, Array[Float])].collect()
+    val bc = s.sparkContext.broadcast(probes)
+    val partials = vecs(s, d)
+      .mapPartitions { it =>
+        val ps = bc.value
+        val worstFirst = new Ordering[(Double, Long, Array[Float])] {
+          def compare(x: (Double, Long, Array[Float]),
+              y: (Double, Long, Array[Float])): Int = {
+            val c = java.lang.Double.compare(y._1, x._1)
+            if (c != 0) c else java.lang.Long.compare(x._2, y._2)
+          }
+        }
+        val heaps = mutable.HashMap.empty[Long,
+          mutable.PriorityQueue[(Double, Long, Array[Float])]]
+        it.foreach { case (cid, cemb) =>
+          ps.foreach { case (pid, pemb) =>
+            if (cid != pid) {
+              val sim = cosine(pemb, cemb)
+              val h = heaps.getOrElseUpdate(pid, mutable.PriorityQueue
+                .empty[(Double, Long, Array[Float])](worstFirst))
+              h.enqueue((sim, cid, cemb))
+              if (h.size > poolN) h.dequeue()
+            }
+          }
+        }
+        heaps.iterator.flatMap { case (pid, h) =>
+          h.iterator.map { case (sim, cid, v) => (pid, cid, sim, v) }
+        }
+      }
+      .toDF("probe_id", "neighbor_id", "rel", "vec")
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("rel").desc, col("neighbor_id").asc)
+    partials
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= poolN)
+      .as[(Long, Long, Double, Array[Float], Int)]
+      .groupByKey(_._1)
+      .flatMapGroups { (pid, it) =>
+        val cands = it.toArray.sortBy(c => (-c._3, c._2))
+        val selected = mutable.ArrayBuffer.empty[(Long, Array[Float])]
+        val out = mutable.ArrayBuffer.empty[(Long, Long, Long, Double,
+          Double)]
+        val remaining = mutable.ArrayBuffer(cands: _*)
+        var rank = 1L
+        while (rank <= k && remaining.nonEmpty) {
+          var bestIdx = -1
+          var bestScore = Double.NegativeInfinity
+          var bestId = Long.MaxValue
+          var i = 0
+          while (i < remaining.length) {
+            val c = remaining(i)
+            val pen =
+              if (selected.isEmpty) 0.0
+              else selected.iterator.map(sv => cosine(c._4, sv._2)).max
+            val score = 0.7 * c._3 - 0.3 * pen
+            if (score > bestScore ||
+                (score == bestScore && c._2 < bestId)) {
+              bestScore = score; bestIdx = i; bestId = c._2
+            }
+            i += 1
+          }
+          val pick = remaining.remove(bestIdx)
+          selected += ((pick._2, pick._4))
+          out += ((pid, rank, pick._2, bestScore, pick._3))
+          rank += 1
+        }
+        out.iterator
+      }
+      .toDF("probe_id", "mmr_rank", "neighbor_id", "score", "rel")
+      .select(col("probe_id"), col("mmr_rank"), col("neighbor_id"),
+        round(col("score"), 4).as("score"),
+        round(col("rel"), 4).as("rel"))
+      .orderBy("probe_id", "mmr_rank")
+  }
+
   /** c3: brute-force cosine top-k — THE distributed kNN baseline shape:
     * broadcast the (small, bounded) probe set, stream candidates once,
     * keep a bounded per-partition top-k, then a tiny global re-rank.
@@ -2591,6 +2694,8 @@ object TierC {
       "SELECT min(doc_id) AS keeper, count(*)::BIGINT AS n FROM documents GROUP BY text ORDER BY keeper")),
     QueryDef("c2_dedup_near_minhash", c2 _, Some(
       s"WITH $minhashCtes SELECT band, minhash, count(*)::BIGINT AS n_docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc FROM sig GROUP BY 1, 2 ORDER BY 1, 2")),
+    QueryDef("c69_mmr_diversify", c69 _, Some(
+      "WITH probes AS (SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pe FROM embeddings WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 32), allc AS (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings), sims AS (SELECT probe_id, vec_id, list_cosine_similarity(pe, ce) AS rel, ce FROM probes, allc WHERE vec_id != probe_id), cand AS (SELECT * FROM (SELECT probe_id, vec_id, rel, ce, row_number() OVER (PARTITION BY probe_id ORDER BY rel DESC, vec_id) AS rn FROM sims) WHERE rn <= 12), pair AS (SELECT a.probe_id, a.vec_id AS ca, b.vec_id AS cb, list_cosine_similarity(a.ce, b.ce) AS s FROM cand a JOIN cand b ON a.probe_id = b.probe_id AND a.vec_id != b.vec_id), sel1 AS (SELECT probe_id, vec_id, 0.7 * rel AS score, rel FROM cand WHERE rn = 1), u1 AS (SELECT probe_id, vec_id FROM sel1), sc2 AS (SELECT c.probe_id, c.vec_id, c.rel, 0.7 * c.rel - 0.3 * max(p.s) AS score FROM cand c JOIN u1 u ON c.probe_id = u.probe_id JOIN pair p ON p.probe_id = c.probe_id AND p.ca = c.vec_id AND p.cb = u.vec_id WHERE NOT EXISTS (SELECT 1 FROM u1 x WHERE x.probe_id = c.probe_id AND x.vec_id = c.vec_id) GROUP BY 1, 2, 3), sel2 AS (SELECT probe_id, vec_id, score, rel FROM (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, vec_id) AS r FROM sc2) WHERE r = 1), u2 AS (SELECT probe_id, vec_id FROM u1 UNION ALL SELECT probe_id, vec_id FROM sel2), sc3 AS (SELECT c.probe_id, c.vec_id, c.rel, 0.7 * c.rel - 0.3 * max(p.s) AS score FROM cand c JOIN u2 u ON c.probe_id = u.probe_id JOIN pair p ON p.probe_id = c.probe_id AND p.ca = c.vec_id AND p.cb = u.vec_id WHERE NOT EXISTS (SELECT 1 FROM u2 x WHERE x.probe_id = c.probe_id AND x.vec_id = c.vec_id) GROUP BY 1, 2, 3), sel3 AS (SELECT probe_id, vec_id, score, rel FROM (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, vec_id) AS r FROM sc3) WHERE r = 1), u3 AS (SELECT probe_id, vec_id FROM u2 UNION ALL SELECT probe_id, vec_id FROM sel3), sc4 AS (SELECT c.probe_id, c.vec_id, c.rel, 0.7 * c.rel - 0.3 * max(p.s) AS score FROM cand c JOIN u3 u ON c.probe_id = u.probe_id JOIN pair p ON p.probe_id = c.probe_id AND p.ca = c.vec_id AND p.cb = u.vec_id WHERE NOT EXISTS (SELECT 1 FROM u3 x WHERE x.probe_id = c.probe_id AND x.vec_id = c.vec_id) GROUP BY 1, 2, 3), sel4 AS (SELECT probe_id, vec_id, score, rel FROM (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, vec_id) AS r FROM sc4) WHERE r = 1), outq AS (SELECT probe_id, 1 AS mmr_rank, vec_id, score, rel FROM sel1 UNION ALL SELECT probe_id, 2, vec_id, score, rel FROM sel2 UNION ALL SELECT probe_id, 3, vec_id, score, rel FROM sel3 UNION ALL SELECT probe_id, 4, vec_id, score, rel FROM sel4) SELECT probe_id, mmr_rank::BIGINT AS mmr_rank, vec_id AS neighbor_id, round(score, 4) AS score, round(rel, 4) AS rel FROM outq ORDER BY probe_id, mmr_rank")),
     QueryDef("c3_similarity_topk", c3 _, Some(
       "WITH probes AS (SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pe FROM embeddings WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 32), cand AS (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings), sims AS (SELECT probe_id, vec_id, list_cosine_similarity(pe, ce) AS sim FROM probes, cand WHERE vec_id != probe_id), ranked AS (SELECT probe_id, vec_id, sim, row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank FROM sims) SELECT probe_id, rank::BIGINT AS rank, vec_id AS neighbor_id, round(sim, 4) AS sim FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank")),
     QueryDef("c4_text_tokenize_ngram", c4 _, Some(

@@ -10,6 +10,32 @@ import org.apache.spark.sql.functions._
   */
 class Round10PropsSpec extends SparkSpec {
 
+  test("c69: MMR invariants — first pick is c3's rank-1, scores are " +
+      "monotone non-increasing, picks are distinct pool members") {
+    val mmr = graft.SparkEntry.queries("c69_mmr_diversify")(
+      spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(mmr.nonEmpty)
+    val top = graft.SparkEntry.queries("c3_similarity_topk")(
+      spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val rank1 = top.filter(_._2 == 1L).map(t => t._1 -> t._3).toMap
+    mmr.groupBy(_._1).foreach { case (pid, rows) =>
+      val byRank = rows.sortBy(_._2)
+      // greedy's first pick maximizes raw relevance = c3's rank 1
+      assert(byRank.head._3 == rank1(pid),
+        s"probe $pid: MMR rank1 ${byRank.head._3} != c3 ${rank1(pid)}")
+      // the MMR objective is monotone: each later pick's score can
+      // only be <= (penalty grows, candidate set shrinks)
+      val scores = byRank.map(_._4)
+      assert(scores.zip(scores.tail).forall { case (a, b) => b <= a },
+        s"probe $pid: scores not non-increasing: ${scores.toSeq}")
+      // picks distinct
+      assert(rows.map(_._3).distinct.length == rows.length)
+    }
+  }
+
   test("d26: the CDC stream delivers each change exactly once across " +
       "a mid-query merge — batch 1 carries ONLY the new version") {
     val out = graft.SparkEntry.queries("d26_stream_cdc_follow")(
