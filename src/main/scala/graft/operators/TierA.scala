@@ -995,7 +995,54 @@ object TierA {
   private def a41(s: SparkSession, d: String): DataFrame =
     a41Exec(s)._1
 
+  /** a42: JOIN PUSHDOWN (`SupportsPushDownJoin`,
+    * `spark.sql.optimizer.datasourceV2JoinPushdown`) — the newest
+    * DSv2 planner face, with JDBC as Spark's reference
+    * implementation (ship the JOIN to the database): the planner
+    * offers a join of two compatible scans to the connector, and a
+    * connector that can answer it absorbs BOTH relations — the plan
+    * contains NO join operator at all. For pairgen the inner
+    * equi-join on `id` is closed-form (both sides generate identical
+    * rows per id, so the join IS the range intersection), and
+    * pushed filters compose for free: the right side's `id >= 1000`
+    * narrowed its range before the intersection. The aggregate here
+    * deliberately includes a value comparison the source can't
+    * answer, so the JOINED ROW SCAN executes (the spec's twin
+    * asserts the fully-collapsed join+aggregate case too). At 100 TB
+    * this face is how a federated fact-dim join runs IN the remote
+    * store instead of shipping both tables through the cluster.
+    * Unsupported shapes (outer joins, non-id conditions, bucketed
+    * sides) return false and Spark keeps its own join — pushdown is
+    * an optimization contract, never a semantics change.
+    */
+  private val a42Conf = "spark.sql.optimizer.datasourceV2JoinPushdown"
+
+  private[operators] def a42Exec(s: SparkSession, push: Boolean = true)
+      : (DataFrame, String) = {
+    val prev = s.conf.getOption(a42Conf)
+    s.conf.set(a42Conf, push.toString)
+    try {
+      val l = s.read.format("pairgen").option("rows", "100000").load()
+      val r = s.read.format("pairgen").option("rows", "30000").load()
+        .where(col("id") >= 1000)
+      val q = l.join(r, l("id") === r("id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min(l("id")).as("min_id"), max(l("id")).as("max_id"),
+          count(when(l("value") === r("value"), 1)).as("n_value_eq"))
+      val plan = q.queryExecution.executedPlan.toString
+      (q.localCheckpoint(), plan)
+    } finally prev match {
+      case Some(v) => s.conf.set(a42Conf, v)
+      case None    => s.conf.unset(a42Conf)
+    }
+  }
+
+  private def a42(s: SparkSession, d: String): DataFrame =
+    a42Exec(s)._1
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("a42_source_join_pushdown", a42 _, Some(
+      "WITH l AS (SELECT t.i AS id, md5(t.i::VARCHAR) AS value FROM range(100000) t(i)), r AS (SELECT t.i AS id, md5(t.i::VARCHAR) AS v2 FROM range(30000) t(i) WHERE t.i >= 1000) SELECT count(*)::BIGINT AS n_pairs, min(l.id)::BIGINT AS min_id, max(l.id)::BIGINT AS max_id, sum(CASE WHEN value = v2 THEN 1 ELSE 0 END)::BIGINT AS n_value_eq FROM l JOIN r USING (id)")),
     QueryDef("a41_source_column_stats", a41 _, Some(
       "WITH f AS (SELECT t.i AS id, (t.i % 64) AS grp FROM range(100000) t(i)), b AS (SELECT t.i AS id FROM range(100000) t(i)), s AS (SELECT (t.i % 64) AS grp FROM range(2) t(i)) SELECT count(*)::BIGINT AS n_pairs, min(f.id)::BIGINT AS min_id, max(f.id)::BIGINT AS max_id FROM f JOIN b ON f.id = b.id JOIN s ON f.grp = s.grp")),
     QueryDef("a38_source_stats_broadcast", a38 _, Some(

@@ -84,19 +84,103 @@ private[sources] class PairGenTable(
 }
 
 private[sources] class PairGenScanBuilder(
-    rows: Long, slices: Int, batchRows: Long, buckets: Int)
+    rows: Long, slices: Int, batchRows: Long, private val buckets: Int)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
-    with SupportsPushDownLimit with SupportsPushDownTopN {
+    with SupportsPushDownLimit with SupportsPushDownTopN
+    with org.apache.spark.sql.connector.read.SupportsPushDownJoin {
   private var lo = 0L
   private var hi = rows
   private var pushed = Array.empty[Filter]
   private var required: StructType = PairGenSource.schemaFor(buckets)
   private var aggOps: Option[PairGenAggSpec] = None
   private var topNDesc: Option[Boolean] = None // Some(descending?)
+  // JOIN PUSHDOWN (a42): aliased output name → underlying generator
+  // column ("id" / "value"), in output order; nonEmpty = this builder
+  // now produces the JOINED relation
+  private var joinedCols: Seq[(String, String)] = Nil
+
+  /** JOIN PUSHDOWN (a42, `SupportsPushDownJoin`,
+    * `spark.sql.optimizer.datasourceV2JoinPushdown`) — the newest
+    * DSv2 planner face (the JDBC connector is Spark's reference
+    * implementation: ship the JOIN to the database). For a
+    * deterministic generator the inner equi-join of two ranges on
+    * `id` is CLOSED-FORM: both sides emit identical (id, value) for
+    * any id, so the join IS the range intersection
+    * [max(lo₁,lo₂), min(hi₁,hi₂)) with each output column drawn from
+    * the one generator — Spark plans NO join operator at all, and
+    * upstream pushed filters compose for free (they already narrowed
+    * the ranges being intersected). Accepted only for the shape the
+    * closed form covers: INNER, both sides plain unbucketed pairgen
+    * builders with no pushed aggregate/top-N, condition = equality
+    * of the two sides' `id` columns. Everything else returns false
+    * and Spark keeps its own join — pushdown is an optimization
+    * contract, never a semantics change.
+    */
+  override def isOtherSideCompatibleForJoin(
+      other: org.apache.spark.sql.connector.read.SupportsPushDownJoin)
+      : Boolean = other match {
+    case o: PairGenScanBuilder =>
+      joinedCols.isEmpty && o.joinedCols.isEmpty &&
+        aggOps.isEmpty && o.aggOps.isEmpty &&
+        topNDesc.isEmpty && o.topNDesc.isEmpty &&
+        buckets <= 0 && o.buckets <= 0
+    case _ => false
+  }
+
+  override def pushDownJoin(
+      other: org.apache.spark.sql.connector.read.SupportsPushDownJoin,
+      joinType: org.apache.spark.sql.connector.join.JoinType,
+      leftReq: Array[org.apache.spark.sql.connector.read
+        .SupportsPushDownJoin.ColumnWithAlias],
+      rightReq: Array[org.apache.spark.sql.connector.read
+        .SupportsPushDownJoin.ColumnWithAlias],
+      condition: org.apache.spark.sql.connector.expressions.filter
+        .Predicate): Boolean = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    if (joinType != org.apache.spark.sql.connector.join.JoinType
+        .INNER_JOIN) return false
+    val o = other.asInstanceOf[PairGenScanBuilder]
+    def outName(
+        c: org.apache.spark.sql.connector.read.SupportsPushDownJoin
+          .ColumnWithAlias): String =
+      Option(c.alias()).getOrElse(c.colName())
+    // the aliased names the two sides' id columns carry in the join
+    val leftId = leftReq.find(_.colName() == "id").map(outName)
+    val rightId = rightReq.find(_.colName() == "id").map(outName)
+    val condIds = condition match {
+      case p if p.name() == "=" && p.children().length == 2 =>
+        (p.children()(0), p.children()(1)) match {
+          case (a: NamedReference, b: NamedReference) =>
+            Some(Set(a.fieldNames().mkString("."),
+              b.fieldNames().mkString(".")))
+          case _ => None
+        }
+      case _ => None
+    }
+    val ok = (leftId, rightId, condIds) match {
+      case (Some(l), Some(r), Some(cs)) => cs == Set(l, r) && l != r
+      case _                            => false
+    }
+    if (!ok) return false
+    // the join = the range intersection; output = left cols then
+    // right cols under their aliases, every one generated closed-form
+    lo = math.max(lo, o.lo)
+    hi = math.min(hi, o.hi)
+    joinedCols = (leftReq ++ rightReq).toSeq
+      .map(c => outName(c) -> c.colName())
+    required = StructType(joinedCols.map { case (alias, src) =>
+      PairGenSource.schema.fields(
+        PairGenSource.schema.fieldIndex(src)).copy(name = alias)
+    })
+    true
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // after a pushed join the output names are aliases — decline
+    // everything and let Spark evaluate above the scan
+    if (joinedCols.nonEmpty) return filters
     val (sup, unsup) = filters.partition {
       case GreaterThanOrEqual("id", _: java.lang.Number) => true
       case LessThan("id", _: java.lang.Number)           => true
@@ -113,8 +197,15 @@ private[sources] class PairGenScanBuilder(
     unsup // residual filters Spark must still evaluate: none of ours
   }
   override def pushedFilters(): Array[Filter] = pushed
-  override def pruneColumns(requiredSchema: StructType): Unit =
+  override def pruneColumns(requiredSchema: StructType): Unit = {
     required = requiredSchema
+    // keep the alias→source map aligned with the pruned output
+    if (joinedCols.nonEmpty) {
+      val bySrc = joinedCols.toMap
+      joinedCols = requiredSchema.fieldNames.toSeq
+        .map(n => n -> bySrc(n))
+    }
+  }
 
   /** AGGREGATE PUSHDOWN (a35): COUNT(*) / COUNT(id) / MIN(id) /
     * MAX(id), optionally grouped by the bucket key `grp`, are
@@ -212,6 +303,14 @@ private[sources] class PairGenScanBuilder(
 
   override def build(): Scan = aggOps match {
     case Some(spec) => new PairGenAggScan(lo, hi, buckets, spec)
+    case None if joinedCols.nonEmpty =>
+      // joined scan: generate the underlying (id/value) columns, but
+      // REPORT the aliased joined schema
+      val srcSchema = StructType(required.fields.map { f =>
+        f.copy(name = joinedCols.toMap.apply(f.name))
+      })
+      new PairGenScan(lo, hi, slices, batchRows, 0, srcSchema,
+        outputSchema = Some(required))
     case None =>
       new PairGenScan(lo, hi, slices, batchRows, buckets, required,
         ordered = topNDesc, singlePartition = topNDesc.isDefined)
@@ -308,7 +407,8 @@ private[sources] class PairGenAggReaderFactory(spec: PairGenAggSpec)
 private[sources] class PairGenScan(
     lo: Long, hi: Long, slices: Int, batchRows: Long, buckets: Int,
     required: StructType,
-    ordered: Option[Boolean] = None, singlePartition: Boolean = false)
+    ordered: Option[Boolean] = None, singlePartition: Boolean = false,
+    outputSchema: Option[StructType] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
@@ -334,6 +434,10 @@ private[sources] class PairGenScan(
   override def outputOrdering()
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
     import org.apache.spark.sql.connector.expressions.{Expressions => E, SortDirection}
+    // a joined scan's output names are aliases — an ordering report
+    // over the underlying names would not resolve
+    if (outputSchema.isDefined)
+      return Array.empty
     val has = required.fieldNames.toSet
     val idDir =
       if (ordered.contains(true)) SortDirection.DESCENDING
@@ -466,14 +570,16 @@ private[sources] class PairGenScan(
         }
       }
     }
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType =
+    outputSchema.getOrElse(required)
   override def toBatch: Batch = this
   override def toMicroBatchStream(
       checkpointLocation: String): streaming.MicroBatchStream =
     new PairGenMicroBatchStream(lo, hi, slices, batchRows, required)
   override def description(): String =
     s"PairGenScan range=[$lo,$hi) cols=${required.fieldNames.mkString(",")}" +
-      ordered.map(d => s" pushedTopN(desc=$d)").getOrElse("")
+      ordered.map(d => s" pushedTopN(desc=$d)").getOrElse("") +
+      (if (outputSchema.isDefined) " pushedJoin" else "")
   override def planInputPartitions(): Array[InputPartition] =
     if (singlePartition)
       // fully-pushed top-N: ONE partition emitting the narrowed range

@@ -139,6 +139,48 @@ class RelationalPlanSpec extends SparkSpec {
     assert(outCbo.collect().toSeq == outNo.collect().toSeq)
   }
 
+  test("a42: the connector absorbs the join — no join operator with " +
+      "pushdown on, a real join without; results identical") {
+    def hasJoinOp(p: String) = p.contains("SortMergeJoin") ||
+      p.contains("HashJoin") || p.contains("NestedLoop")
+    val (outP, pP) = TierA.a42Exec(spark, push = true)
+    val (outN, pN) = TierA.a42Exec(spark, push = false)
+    assert(!hasJoinOp(pP) && pP.contains("pushedJoin"),
+      s"join was not absorbed by the source:\n$pP")
+    assert(hasJoinOp(pN),
+      s"premise broke — no join operator even without pushdown:\n$pN")
+    assert(outP.collect().toSeq == outN.collect().toSeq)
+    // the fully-collapsed twin: when the aggregate over the joined
+    // relation is itself answerable, join pushdown + complete
+    // aggregate pushdown leave a SINGLE closed-form scan — no join
+    // operator, no aggregate operator
+    val prev = spark.conf.getOption(
+      "spark.sql.optimizer.datasourceV2JoinPushdown")
+    spark.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown",
+      "true")
+    try {
+      import org.apache.spark.sql.functions._
+      val l = spark.read.format("pairgen").option("rows", "9000").load()
+      val r = spark.read.format("pairgen").option("rows", "5000").load()
+        .where(col("id") >= 200)
+      val q = l.join(r, l("id") === r("id"))
+        .agg(count(lit(1)).as("n"), min(l("id")).as("mn"),
+          max(l("id")).as("mx"))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!hasJoinOp(plan) && !plan.contains("HashAggregate") &&
+        plan.contains("PairGenAggScan"),
+        s"join+aggregate did not fully collapse:\n$plan")
+      assert(q.collect().toSeq.map(r0 =>
+        (r0.getLong(0), r0.getLong(1), r0.getLong(2)))
+        == Seq((4800L, 200L, 4999L)))
+    } finally prev match {
+      case Some(v) => spark.conf.set(
+        "spark.sql.optimizer.datasourceV2JoinPushdown", v)
+      case None => spark.conf.unset(
+        "spark.sql.optimizer.datasourceV2JoinPushdown")
+    }
+  }
+
   test("b7: aggregation is partial (map-side) before the exchange") {
     val p = plan("b7_agg_hash")
     assert(p.contains("partial_sum") || p.contains("partial_count"), p)
