@@ -89,6 +89,7 @@ private[sources] class PairGenScanBuilder(
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
     with SupportsPushDownLimit with SupportsPushDownTopN
+    with org.apache.spark.sql.connector.read.SupportsPushDownOffset
     with org.apache.spark.sql.connector.read.SupportsPushDownJoin {
   private var lo = 0L
   private var hi = rows
@@ -274,6 +275,28 @@ private[sources] class PairGenScanBuilder(
       // subtract, don't add: lo + n overflows for extreme row counts
       // (the PairGenOffset lesson applied to the limit clamp)
       if (n < hi - lo) hi = lo + n
+      true
+    }
+
+  /** OFFSET pushdown — the last cell of the limit family: over the
+    * deterministic id-ordered generator `OFFSET n` is pure range
+    * narrowing from the LOW end (`LIMIT` clamps the high end, top-N
+    * both). Spark pushes offset after top-N/limit
+    * (`ORDER BY id LIMIT k OFFSET n` arrives as topN(k+n) then
+    * offset(n)), so the clamp composes with whatever narrowing is
+    * already in place; the scan then emits exactly the requested
+    * window and Spark drops its own offset operator. Declined on the
+    * same shapes as limit (aggregates, bucketed layouts).
+    */
+  override def pushOffset(n: Int): Boolean =
+    if (aggOps.isDefined || buckets > 0 || n < 0) false
+    else {
+      if (topNDesc.contains(true)) {
+        // descending order: skipping n rows drops the HIGHEST ids
+        if (n < hi - lo) hi = hi - n else hi = lo
+      } else {
+        if (n < hi - lo) lo = lo + n else lo = hi
+      }
       true
     }
   override def pushTopN(

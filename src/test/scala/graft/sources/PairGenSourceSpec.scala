@@ -159,6 +159,29 @@ class PairGenSourceSpec extends SparkSpec {
     assert(b.collect().map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
   }
 
+  test("OFFSET pushdown completes the limit family: the scan emits " +
+      "exactly the requested window, ascending and descending") {
+    import org.apache.spark.sql.functions._
+    val t = spark.read.format("pairgen").option("rows", "100000").load()
+    // ORDER BY id LIMIT 5 OFFSET 100 → ids 100..104, range-narrowed
+    val asc = t.orderBy("id").offset(100).limit(5)
+    assert(asc.collect().map(_.getLong(0)).toSeq ==
+      (100L to 104L).toSeq)
+    assert(asc.queryExecution.executedPlan.toString
+      .contains("range=[100,105)"),
+      asc.queryExecution.executedPlan.toString)
+    // descending: OFFSET drops the HIGHEST ids
+    val desc = t.orderBy(col("id").desc).offset(3).limit(4)
+    assert(desc.collect().map(_.getLong(0)).toSeq ==
+      (99996L to 99993L by -1L).toSeq)
+    assert(desc.queryExecution.executedPlan.toString
+      .contains("range=[99993,99997)"),
+      desc.queryExecution.executedPlan.toString)
+    // offset past the range → empty, not negative
+    assert(t.filter(col("id") >= 99998).orderBy("id").offset(10)
+      .collect().isEmpty)
+  }
+
   test("a38: reported statistics drive a PLAN-TIME broadcast (AQE off)") {
     import org.apache.spark.sql.functions._
     val keys = Seq("spark.sql.adaptive.enabled")
