@@ -1968,7 +1968,7 @@ object TierB {
     * sum accumulates in DECIMAL (b60 discipline).
     */
   private def b75(s: SparkSession, d: String): DataFrame = {
-    val tbl = freshGraftmemTable(s, d, "acct",
+    val tbl = graft.util.DemoTables.freshGraftmem(s, d, "acct",
       "(key BIGINT, bal_cents BIGINT)")
     customer(s, d)
       .selectExpr("c_custkey AS key",
@@ -1999,7 +1999,7 @@ object TierB {
     * lakehouse write path is itself the cross-check.
     */
   private def b80(s: SparkSession, d: String): DataFrame = {
-    val tbl = freshGraftmemTable(s, d, "mor",
+    val tbl = graft.util.DemoTables.freshGraftmem(s, d, "mor",
       "(key BIGINT, bal_cents BIGINT) " +
       "TBLPROPERTIES ('graft.row_level' = 'merge-on-read')")
     customer(s, d)
@@ -2031,7 +2031,7 @@ object TierB {
     * governed CALL, not client glue.
     */
   private def b82(s: SparkSession, d: String): DataFrame = {
-    val tbl = freshGraftmemTable(s, d, "morc",
+    val tbl = graft.util.DemoTables.freshGraftmem(s, d, "morc",
       "(key BIGINT, bal_cents BIGINT) " +
       "TBLPROPERTIES ('graft.row_level' = 'merge-on-read')")
     customer(s, d)
@@ -2069,7 +2069,7 @@ object TierB {
     * from the batch definitions with joins — no connector involved.
     */
   private def b83(s: SparkSession, d: String): DataFrame = {
-    val tbl = freshGraftmemTable(s, d, "morl",
+    val tbl = graft.util.DemoTables.freshGraftmem(s, d, "morl",
       "(key BIGINT, bal_cents BIGINT) " +
       "TBLPROPERTIES ('graft.row_level' = 'merge-on-read')")
     customer(s, d)
@@ -2107,7 +2107,7 @@ object TierB {
     * involved.
     */
   private def b84(s: SparkSession, d: String): DataFrame = {
-    val tbl = freshGraftmemTable(s, d, "ttc",
+    val tbl = graft.util.DemoTables.freshGraftmem(s, d, "ttc",
       "(key BIGINT, bal_cents BIGINT)")
     customer(s, d)
       .selectExpr("c_custkey AS key",
@@ -2150,7 +2150,7 @@ object TierB {
     * scanned under the old schema is a loud commit conflict.
     */
   private def b85(s: SparkSession, d: String): DataFrame = {
-    val tbl = freshGraftmemTable(s, d, "sec",
+    val tbl = graft.util.DemoTables.freshGraftmem(s, d, "sec",
       "(key BIGINT, bal_cents BIGINT)")
     val snap = customer(s, d)
       .selectExpr("c_custkey AS key",
@@ -2197,7 +2197,7 @@ object TierB {
     * group narrowing is what keeps it O(reloaded partitions).
     */
   private def b86(s: SparkSession, d: String): DataFrame = {
-    val tbl = freshGraftmemTable(s, d, "owc",
+    val tbl = graft.util.DemoTables.freshGraftmem(s, d, "owc",
       "(key BIGINT, g BIGINT, bal_cents BIGINT) PARTITIONED BY (g)")
     customer(s, d)
       .selectExpr("c_custkey AS key", "c_custkey % 5 AS g",
@@ -2242,7 +2242,7 @@ object TierB {
     * it, and enforcement is plan-level codegen, not a quality job.
     */
   private def b87(s: SparkSession, d: String): DataFrame = {
-    val tbl = freshGraftmemTable(s, d, "ckc",
+    val tbl = graft.util.DemoTables.freshGraftmem(s, d, "ckc",
       "(key BIGINT, bal_cents BIGINT, CONSTRAINT bal_range CHECK " +
         "(bal_cents >= -200000 AND bal_cents < 100000000))")
     customer(s, d)
@@ -2385,7 +2385,7 @@ object TierB {
     * per merge.
     */
   private def b77(s: SparkSession, d: String): DataFrame = {
-    val tbl = freshGraftmemTable(s, d, "acctp",
+    val tbl = graft.util.DemoTables.freshGraftmem(s, d, "acctp",
       "(key BIGINT, g BIGINT, bal_cents BIGINT) PARTITIONED BY (g)")
     customer(s, d)
       .selectExpr("c_custkey AS key", "c_custkey % 5 AS g",
@@ -2458,25 +2458,6 @@ object TierB {
         |  graftmem.db.kmv_distinct(l_partkey) AS est_dparts,
         |  count(DISTINCT l_partkey) AS true_dparts
         |FROM g_lineitem_b79 GROUP BY 1 ORDER BY 1""".stripMargin)
-  }
-
-  /** Shared graftmem demo-table setup (b75/b77/b80/b82–b87, d25–d27):
-    * register the catalog, derive the per-corpus table name (md5
-    * suffix keeps cross-corpus runs disjoint), recreate fresh. `ddl`
-    * is everything after the table name in CREATE TABLE. ONE
-    * definition — a drifted suffix scheme or catalog registration
-    * would surface as cross-corpus table collisions.
-    */
-  private[graft] def freshGraftmemTable(s: SparkSession, d: String,
-      prefix: String, ddl: String): String = {
-    s.conf.set("spark.sql.catalog.graftmem",
-      "graft.sources.GraftMemCatalog")
-    val suf = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-    val tbl = s"graftmem.db.${prefix}_$suf"
-    s.sql(s"DROP TABLE IF EXISTS $tbl")
-    s.sql(s"CREATE TABLE $tbl $ddl")
-    tbl
   }
 
   /** THE CDC round every row-level demo shares (b75 CoW, b80 MoR, b82

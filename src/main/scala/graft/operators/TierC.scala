@@ -149,6 +149,43 @@ object TierC {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Per-partition bounded top-k of candidates against each broadcast
+    * probe, by (sim desc, id asc) — the kernel c3 and c69 share.
+    * dequeue() must evict the WORST element, so the ordering ranks
+    * worse as greater (explicit instance — an implicit val here can
+    * self-resolve and silently invert). `keepVec` controls whether
+    * the candidate vector rides along (c69's greedy needs it; c3
+    * drops it before the shuffle).
+    */
+  private def boundedTopK(it: Iterator[(Long, Array[Float])],
+      ps: Array[(Long, Array[Float])], k: Int, keepVec: Boolean)
+      : Iterator[(Long, Long, Double, Array[Float])] = {
+    val worstFirst = new Ordering[(Double, Long, Array[Float])] {
+      def compare(x: (Double, Long, Array[Float]),
+          y: (Double, Long, Array[Float])): Int = {
+        val c = java.lang.Double.compare(y._1, x._1) // smaller sim = worse
+        if (c != 0) c
+        else java.lang.Long.compare(x._2, y._2) // bigger id = worse
+      }
+    }
+    val heaps = mutable.HashMap.empty[Long,
+      mutable.PriorityQueue[(Double, Long, Array[Float])]]
+    it.foreach { case (cid, cemb) =>
+      ps.foreach { case (pid, pemb) =>
+        if (cid != pid) {
+          val sim = cosine(pemb, cemb)
+          val h = heaps.getOrElseUpdate(pid, mutable.PriorityQueue
+            .empty[(Double, Long, Array[Float])](worstFirst))
+          h.enqueue((sim, cid, if (keepVec) cemb else null))
+          if (h.size > k) h.dequeue()
+        }
+      }
+    }
+    heaps.iterator.flatMap { case (pid, h) =>
+      h.iterator.map { case (sim, cid, v) => (pid, cid, sim, v) }
+    }
+  }
+
   /** c69: MMR-DIVERSIFIED top-k — the curation twin of c3's raw
     * similarity retrieval: pure nearest-neighbor selection returns
     * near-duplicates of each other (the top of a dense cluster), and
@@ -180,32 +217,8 @@ object TierC {
       .as[(Long, Array[Float])].collect()
     val bc = s.sparkContext.broadcast(probes)
     val partials = vecs(s, d)
-      .mapPartitions { it =>
-        val ps = bc.value
-        val worstFirst = new Ordering[(Double, Long, Array[Float])] {
-          def compare(x: (Double, Long, Array[Float]),
-              y: (Double, Long, Array[Float])): Int = {
-            val c = java.lang.Double.compare(y._1, x._1)
-            if (c != 0) c else java.lang.Long.compare(x._2, y._2)
-          }
-        }
-        val heaps = mutable.HashMap.empty[Long,
-          mutable.PriorityQueue[(Double, Long, Array[Float])]]
-        it.foreach { case (cid, cemb) =>
-          ps.foreach { case (pid, pemb) =>
-            if (cid != pid) {
-              val sim = cosine(pemb, cemb)
-              val h = heaps.getOrElseUpdate(pid, mutable.PriorityQueue
-                .empty[(Double, Long, Array[Float])](worstFirst))
-              h.enqueue((sim, cid, cemb))
-              if (h.size > poolN) h.dequeue()
-            }
-          }
-        }
-        heaps.iterator.flatMap { case (pid, h) =>
-          h.iterator.map { case (sim, cid, v) => (pid, cid, sim, v) }
-        }
-      }
+      .mapPartitions(it =>
+        boundedTopK(it, bc.value, poolN, keepVec = true))
       .toDF("probe_id", "neighbor_id", "rel", "vec")
     val w = Window.partitionBy("probe_id")
       .orderBy(col("rel").desc, col("neighbor_id").asc)
@@ -270,34 +283,9 @@ object TierC {
       .as[(Long, Array[Float])].collect()
     val bc = s.sparkContext.broadcast(probes)
     val partials = vecs(s, d)
-      .mapPartitions { it =>
-        val ps = bc.value
-        // per-probe bounded top-k by (sim desc, vec_id asc): dequeue()
-        // must evict the WORST element, so the ordering ranks worse as
-        // greater (explicit instance — an implicit val here can
-        // self-resolve and silently invert).
-        val worstFirst = new Ordering[(Double, Long)] {
-          def compare(x: (Double, Long), y: (Double, Long)): Int = {
-            val c = java.lang.Double.compare(y._1, x._1) // smaller sim = worse
-            if (c != 0) c else java.lang.Long.compare(x._2, y._2) // bigger id = worse
-          }
-        }
-        val heaps = mutable.HashMap.empty[Long, mutable.PriorityQueue[(Double, Long)]]
-        it.foreach { case (cid, cemb) =>
-          ps.foreach { case (pid, pemb) =>
-            if (cid != pid) {
-              val sim = cosine(pemb, cemb)
-              val h = heaps.getOrElseUpdate(pid,
-                mutable.PriorityQueue.empty[(Double, Long)](worstFirst))
-              h.enqueue((sim, cid))
-              if (h.size > k) h.dequeue()
-            }
-          }
-        }
-        heaps.iterator.flatMap { case (pid, h) =>
-          h.iterator.map { case (sim, cid) => (pid, cid, sim) }
-        }
-      }
+      .mapPartitions(it =>
+        boundedTopK(it, bc.value, k, keepVec = false)
+          .map { case (pid, cid, sim, _) => (pid, cid, sim) })
       .toDF("probe_id", "neighbor_id", "sim_raw")
     val w = Window.partitionBy("probe_id")
       .orderBy(col("sim_raw").desc, col("neighbor_id").asc)

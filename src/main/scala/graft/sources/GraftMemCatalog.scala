@@ -223,16 +223,24 @@ class GraftMemCatalog extends TableCatalog with FunctionCatalog
     }
     require(cols.distinct.length == cols.length,
       s"graftmem: duplicate columns in one ALTER: $cols")
-    val existing = t.schema().fieldNames.toSet
-    cols.find(existing).foreach(c => throw new IllegalArgumentException(
-      s"graftmem ${t.name()}: column $c already exists"))
     val apply: String => Unit = t match {
       case g: GraftMemTable    => g.addColumn
       case m: GraftMemMorTable => m.addColumn
       case _ => throw new UnsupportedOperationException(
         s"graftmem: ${t.name()} does not support ALTER")
     }
-    cols.foreach(apply)
+    // hold the TABLE lock across validate + apply (addColumn's own
+    // synchronized is reentrant on the same monitor): without it a
+    // concurrent DDL could land a conflicting column between this
+    // statement's duplicate check and its apply loop and leave a
+    // multi-column ALTER half-applied after all
+    t.synchronized {
+      val existing = t.schema().fieldNames.toSet
+      cols.find(existing).foreach(c =>
+        throw new IllegalArgumentException(
+          s"graftmem ${t.name()}: column $c already exists"))
+      cols.foreach(apply)
+    }
     t
   }
   override def dropTable(ident: Identifier): Boolean =

@@ -269,8 +269,14 @@ private[sources] class PairGenScanBuilder(
     * push order but would compose wrongly) and for any sort key other
     * than bare `id`.
     */
+  // After a pushed join the limit family must DECLINE: the joined
+  // build() branch emits a plain multi-slice scan, so accepting a
+  // top-N there (isPartiallyPushed=false deletes Spark's Sort+Limit)
+  // would silently return wrongly-ordered rows. Aggregates remain
+  // safe post-join (closed-form over the intersected range).
   override def pushLimit(n: Int): Boolean =
-    if (aggOps.isDefined || buckets > 0 || n < 0) false
+    if (aggOps.isDefined || buckets > 0 || n < 0 ||
+      joinedCols.nonEmpty) false
     else {
       // subtract, don't add: lo + n overflows for extreme row counts
       // (the PairGenOffset lesson applied to the limit clamp)
@@ -289,7 +295,8 @@ private[sources] class PairGenScanBuilder(
     * same shapes as limit (aggregates, bucketed layouts).
     */
   override def pushOffset(n: Int): Boolean =
-    if (aggOps.isDefined || buckets > 0 || n < 0) false
+    if (aggOps.isDefined || buckets > 0 || n < 0 ||
+      joinedCols.nonEmpty) false
     else {
       if (topNDesc.contains(true)) {
         // descending order: skipping n rows drops the HIGHEST ids
@@ -304,7 +311,7 @@ private[sources] class PairGenScanBuilder(
       n: Int): Boolean = {
     import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
     val ok = !aggOps.isDefined && buckets <= 0 && n >= 0 &&
-      orders.length == 1 &&
+      joinedCols.isEmpty && orders.length == 1 &&
       (orders(0).expression() match {
         case f: NamedReference => f.fieldNames.sameElements(Array("id"))
         case _                 => false

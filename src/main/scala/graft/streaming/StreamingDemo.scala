@@ -1171,7 +1171,7 @@ object StreamingDemo {
       ev.repartition(2).write.parquet(dir)
       dir
     }
-    val tbl = graft.operators.TierB.freshGraftmemTable(s, d, "morup",
+    val tbl = graft.util.DemoTables.freshGraftmem(s, d, "morup",
       "(user_id BIGINT, cnt BIGINT, val_cents BIGINT) " +
         "TBLPROPERTIES ('graft.row_level' = 'merge-on-read')")
     val src = s.readStream.schema(ev.schema)
@@ -1220,7 +1220,7 @@ object StreamingDemo {
     * changes), the entire point of CDC streaming.
     */
   def streamCdcFollow(s: SparkSession, d: String): DataFrame = {
-    val tbl = graft.operators.TierB.freshGraftmemTable(s, d, "morcdc",
+    val tbl = graft.util.DemoTables.freshGraftmem(s, d, "morcdc",
       "(key BIGINT, bal_cents BIGINT) " +
         "TBLPROPERTIES ('graft.row_level' = 'merge-on-read')")
     graft.util.Tables.customer(s, d)
@@ -1266,7 +1266,7 @@ object StreamingDemo {
     * year of CDC.
     */
   def streamCdcFromVersion(s: SparkSession, d: String): DataFrame = {
-    val tbl = graft.operators.TierB.freshGraftmemTable(s, d, "morfv",
+    val tbl = graft.util.DemoTables.freshGraftmem(s, d, "morfv",
       "(key BIGINT, bal_cents BIGINT) " +
         "TBLPROPERTIES ('graft.row_level' = 'merge-on-read')")
     graft.util.Tables.customer(s, d)
@@ -1362,7 +1362,7 @@ object StreamingDemo {
     * the demo's driver-held rows stand in for that manifest.
     */
   def streamCustomSink(s: SparkSession, d: String): DataFrame = {
-    val tbl = graft.operators.TierB.freshGraftmemTable(s, d, "evsink",
+    val tbl = graft.util.DemoTables.freshGraftmem(s, d, "evsink",
       "(user_id BIGINT, event_id BIGINT)")
     val src = eventStream(s, d).select("user_id", "event_id")
     withStreamPartitions(s) {

@@ -159,6 +159,40 @@ class PairGenSourceSpec extends SparkSpec {
     assert(b.collect().map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
   }
 
+  test("the limit family declines after a pushed join — ORDER BY over " +
+      "the joined relation keeps its Sort and returns correct order") {
+    val prev = spark.conf.getOption(
+      "spark.sql.optimizer.datasourceV2JoinPushdown")
+    spark.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown",
+      "true")
+    try {
+      import org.apache.spark.sql.functions._
+      val l = spark.read.format("pairgen").option("rows", "8000").load()
+      val r = spark.read.format("pairgen").option("rows", "5000").load()
+        .where(col("id") >= 100)
+      val q = l.join(r, l("id") === r("id"))
+        .select(l("id").as("jid"))
+        .orderBy(col("jid").desc).limit(3)
+      val plan = q.queryExecution.executedPlan.toString
+      // the join itself still pushes; the top-N must NOT (the joined
+      // scan is a plain multi-slice emitter — accepting would let
+      // Spark delete its Sort and silently return ascending rows)
+      assert(plan.contains("pushedJoin"), plan)
+      assert(!plan.contains("pushedTopN"), plan)
+      assert(q.collect().map(_.getLong(0)).toSeq ==
+        Seq(4999L, 4998L, 4997L))
+      // offset after join: also declined, still correct
+      val q2 = l.join(r, l("id") === r("id"))
+        .select(l("id").as("jid")).orderBy("jid").offset(2).limit(2)
+      assert(q2.collect().map(_.getLong(0)).toSeq == Seq(102L, 103L))
+    } finally prev match {
+      case Some(v) => spark.conf.set(
+        "spark.sql.optimizer.datasourceV2JoinPushdown", v)
+      case None => spark.conf.unset(
+        "spark.sql.optimizer.datasourceV2JoinPushdown")
+    }
+  }
+
   test("OFFSET pushdown completes the limit family: the scan emits " +
       "exactly the requested window, ascending and descending") {
     import org.apache.spark.sql.functions._
