@@ -258,6 +258,7 @@ class GraftMemCatalogSpec extends SparkSpec {
         s"v1 snapshot drifted (n=$n layout=$layout)")
       assert(snapV(2) == expect,
         s"v2 snapshot != current post-merge state (n=$n layout=$layout)")
+      var cur = expect
       if (layout == "mor") {
         // compaction is invisible: same content, delta log folded away
         spark.sql(s"CALL graftmem.system.compact('db.fuzz_m$i')").collect()
@@ -298,7 +299,27 @@ class GraftMemCatalogSpec extends SparkSpec {
             s"v3 snapshot != post-overwrite state (n=$n)")
           assert(snapV(2) == expect,
             s"overwrite mutated the v2 snapshot (n=$n)")
+          cur = owExpect
         }
+      }
+      // SCHEMA EVOLUTION under the same generated history (half the
+      // runs, generator-derived): ALTER adds a column at the end of
+      // whatever history ran; live reads pad every pre-ALTER row
+      // with the default 0, and the v2 (post-merge) snapshot keeps
+      // the pre-ALTER 3-column schema
+      if ((n + ops.count(_ == 1)) % 2 == 0) {
+        spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (extra BIGINT)")
+        val widened = spark.sql(
+          s"SELECT key, g, bal, extra FROM $tbl ORDER BY key")
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3))).toSeq
+        assert(widened == cur.map(t => (t._1, t._2, t._3, 0L)),
+          s"post-ALTER read diverged (n=$n layout=$layout)")
+        val v2schema = spark.sql(
+          s"SELECT * FROM $tbl VERSION AS OF 2").schema.fieldNames.toSeq
+        assert(v2schema == Seq("key", "g", "bal"),
+          s"pre-ALTER snapshot gained the new column (n=$n)")
       }
     }
   }
