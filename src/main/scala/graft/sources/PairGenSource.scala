@@ -693,8 +693,22 @@ private[sources] case class PairGenOffset(pos: Long)
 private[sources] class PairGenMicroBatchStream(
     lo: Long, hi: Long, slices: Int, batchRows: Long, required: StructType)
     extends streaming.MicroBatchStream
-    with streaming.SupportsAdmissionControl {
+    with streaming.SupportsAdmissionControl
+    with streaming.SupportsTriggerAvailableNow {
   private val step = math.max(1L, batchRows)
+
+  /** `Trigger.AvailableNow` (backfill-and-stop): the engine asks the
+    * source to PIN what "all available" means at query start, drains
+    * to that point respecting the admission-control batch cap, and
+    * stops on its own. A bounded generator's target is always `hi`,
+    * which `latestOffset` already caps at and `reportLatestOffset`
+    * already reports — nothing to snapshot — so the trait's value
+    * here is the CONTRACT: the query drains in ceil(span/step)
+    * rate-limited batches and terminates without processAllAvailable
+    * (spec-asserted). An unbounded source would snapshot its current
+    * end position here.
+    */
+  override def prepareForTriggerAvailableNow(): Unit = ()
   override def initialOffset(): streaming.Offset = PairGenOffset(lo)
   override def latestOffset(): streaming.Offset =
     throw new UnsupportedOperationException(

@@ -193,6 +193,30 @@ class PairGenSourceSpec extends SparkSpec {
     }
   }
 
+  test("Trigger.AvailableNow drains the stream in rate-limited " +
+      "batches and stops on its own") {
+    import org.apache.spark.sql.streaming.Trigger
+    val sink = graft.util.TmpDir.fresh("pairgen-an-sink")
+    val ckpt = graft.util.TmpDir.fresh("pairgen-an-ckpt")
+    val src = spark.readStream.format("pairgen")
+      .option("rows", "1000").option("batchRows", "300").load()
+    val q = src.writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    // the query must TERMINATE without processAllAvailable/stop —
+    // that is AvailableNow's backfill-and-stop contract
+    assert(q.awaitTermination(120000), "AvailableNow did not stop")
+    val got = spark.read.schema(src.schema).parquet(sink)
+    assert(got.count() == 1000)
+    assert(got.agg(org.apache.spark.sql.functions.countDistinct(
+      org.apache.spark.sql.functions.col("id"))).head().getLong(0)
+      == 1000, "drain lost or duplicated rows")
+    // admission control held: 1000 rows at 300/batch = 4 microbatches
+    assert(q.recentProgress.length >= 4,
+      s"expected >= 4 rate-limited batches, got " +
+        s"${q.recentProgress.length}")
+  }
+
   test("OFFSET pushdown completes the limit family: the scan emits " +
       "exactly the requested window, ascending and descending") {
     import org.apache.spark.sql.functions._
