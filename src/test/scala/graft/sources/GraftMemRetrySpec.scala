@@ -157,6 +157,63 @@ class GraftMemRetrySpec extends SparkSpec {
     }
   }
 
+  test("maintenance races writers: MERGEs with retry vs concurrent " +
+      "compaction and snapshot expiry converge on the MoR table") {
+    spark.conf.set("spark.sql.catalog.graftmem",
+      "graft.sources.GraftMemCatalog")
+    val tbl = "graftmem.db.spec_retry_maint"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (key BIGINT, bal BIGINT) " +
+      "TBLPROPERTIES ('graft.row_level' = 'merge-on-read')")
+    spark.range(12).selectExpr("id AS key", "id AS bal")
+      .writeTo(tbl).append()
+    val start = new CountDownLatch(1)
+    val stopMaint = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    // writer: 4 additive increment rounds, each retried on conflict
+    val writer = new Thread(() =>
+      try {
+        start.await(10, TimeUnit.SECONDS)
+        (1 to 4).foreach { i =>
+          GraftMemRetry.retryOnConflict(15) {
+            spark.sql(
+              s"""MERGE INTO $tbl t
+                 |USING (SELECT key FROM $tbl WHERE key % 2 = ${i % 2})
+                 |  b ON t.key = b.key
+                 |WHEN MATCHED THEN UPDATE SET bal = bal + ${i * 100}
+                 |""".stripMargin)
+          }
+        }
+      } catch { case e: Throwable => errs.add(e) }
+      finally stopMaint.set(true))
+    // maintenance: compact + expire in a loop until the writer is done
+    val maint = new Thread(() =>
+      try {
+        start.await(10, TimeUnit.SECONDS)
+        while (!stopMaint.get()) {
+          spark.sql(
+            s"CALL graftmem.system.compact('db.spec_retry_maint')")
+            .collect()
+          spark.sql("CALL graftmem.system.expire_snapshots(" +
+            "'db.spec_retry_maint', 2)").collect()
+          Thread.sleep(20)
+        }
+      } catch { case e: Throwable => errs.add(e) })
+    writer.start(); maint.start(); start.countDown()
+    writer.join(240000); maint.join(240000)
+    assert(errs.isEmpty, s"racer failed: ${errs.peek()}")
+    // increments commute and maintenance is content-invariant, so the
+    // final state is the serial replay regardless of interleaving
+    val got = spark.sql(s"SELECT key, bal FROM $tbl ORDER BY key")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = (0L until 12L).map { k =>
+      val inc = (1 to 4).map(i => if (k % 2 == i % 2) i * 100L else 0L).sum
+      (k, k + inc)
+    }
+    assert(got == want,
+      s"maintenance race corrupted the table:\n$got\nvs\n$want")
+  }
+
   test("two concurrent MERGEs on one table both land through retry " +
       "and converge to the commuted state") {
     val tbl = freshCow("spec_retry_race")
