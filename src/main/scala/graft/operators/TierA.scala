@@ -1040,7 +1040,56 @@ object TierA {
   private def a42(s: SparkSession, d: String): DataFrame =
     a42Exec(s)._1
 
+  /** a43: VARIANT-EXTRACTION PUSHDOWN
+    * (`SupportsPushDownVariantExtractions`,
+    * `spark.sql.variant.pushVariantIntoScan`) — the connector face of
+    * Spark-4 semi-structured data, with parquet's shredded-variant
+    * reader as the engine's reference impl: the planner collects the
+    * `variant_get` paths a query actually extracts and OFFERS them to
+    * the source; on acceptance the scan reports the variant column as
+    * a STRUCT of the accepted extractions (array order = ordinal
+    * contract — the engine rewrites each variant_get into an ordinal
+    * struct access), and the variant BINARY is never built at all.
+    * pairgen's `variant=true` column is
+    * meta = {"k": id % 8, "tag": "t" + (id % 3)}; both paths are
+    * closed-form, so the pushed plan generates two typed columns
+    * straight from arithmetic. Unsupported paths decline
+    * all-or-nothing and the full variant materializes for Spark to
+    * extract from (spec covers pushed, declined, and
+    * pushdown-off — all result-identical). At 100 TB this is reading
+    * two shredded columns instead of decoding every row's variant
+    * blob: the difference between a columnar scan and a JSON parse
+    * of the corpus.
+    */
+  private val a43Conf = "spark.sql.variant.pushVariantIntoScan"
+
+  private[operators] def a43Exec(s: SparkSession, push: Boolean = true)
+      : (DataFrame, String) = {
+    val prev = s.conf.getOption(a43Conf)
+    s.conf.set(a43Conf, push.toString)
+    try {
+      s.read.format("pairgen").option("rows", "100000")
+        .option("variant", "true").load()
+        .createOrReplaceTempView("g_a43_vt")
+      val q = s.sql(
+        """SELECT variant_get(meta, '$.k', 'long') AS k,
+          |  variant_get(meta, '$.tag', 'string') AS tag,
+          |  count(*) AS n, min(id) AS min_id, max(id) AS max_id
+          |FROM g_a43_vt GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+      val plan = q.queryExecution.executedPlan.toString
+      (q.localCheckpoint(), plan)
+    } finally prev match {
+      case Some(v) => s.conf.set(a43Conf, v)
+      case None    => s.conf.unset(a43Conf)
+    }
+  }
+
+  private def a43(s: SparkSession, d: String): DataFrame =
+    a43Exec(s)._1
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("a43_source_variant_pushdown", a43 _, Some(
+      "SELECT (t.i % 8)::BIGINT AS k, 't' || (t.i % 3) AS tag, count(*)::BIGINT AS n, min(t.i)::BIGINT AS min_id, max(t.i)::BIGINT AS max_id FROM range(100000) t(i) GROUP BY 1, 2 ORDER BY 1, 2")),
     QueryDef("a42_source_join_pushdown", a42 _, Some(
       "WITH l AS (SELECT t.i AS id, md5(t.i::VARCHAR) AS value FROM range(100000) t(i)), r AS (SELECT t.i AS id, md5(t.i::VARCHAR) AS v2 FROM range(30000) t(i) WHERE t.i >= 1000) SELECT count(*)::BIGINT AS n_pairs, min(l.id)::BIGINT AS min_id, max(l.id)::BIGINT AS max_id, sum(CASE WHEN value = v2 THEN 1 ELSE 0 END)::BIGINT AS n_value_eq FROM l JOIN r USING (id)")),
     QueryDef("a41_source_column_stats", a41 _, Some(

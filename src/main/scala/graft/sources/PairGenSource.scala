@@ -32,7 +32,8 @@ import org.apache.spark.unsafe.types.UTF8String
 class PairGenSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "pairgen"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    PairGenSource.schemaFor(options.getInt("buckets", 0))
+    PairGenSource.schemaFor(options.getInt("buckets", 0),
+      options.getBoolean("variant", false))
   override def getTable(
       schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
@@ -40,7 +41,8 @@ class PairGenSource extends TableProvider with DataSourceRegister {
       properties.getOrDefault("rows", "1000").toLong,
       properties.getOrDefault("slices", "4").toInt,
       properties.getOrDefault("batchRows", "1000").toLong,
-      properties.getOrDefault("buckets", "0").toInt)
+      properties.getOrDefault("buckets", "0").toInt,
+      properties.getOrDefault("variant", "false").toBoolean)
 }
 
 object PairGenSource {
@@ -55,9 +57,16 @@ object PairGenSource {
     * the Iceberg-bucket-layout shape, so two co-bucketed pairgen scans
     * join with ZERO exchange (storage-partitioned join). See a34.
     */
-  def schemaFor(buckets: Int): StructType =
-    if (buckets <= 0) schema
-    else schema.add(StructField("grp", LongType, nullable = false))
+  def schemaFor(buckets: Int, variant: Boolean = false): StructType = {
+    val base =
+      if (buckets <= 0) schema
+      else schema.add(StructField("grp", LongType, nullable = false))
+    // `variant=true` (a43): a semi-structured column,
+    // meta = {"k": id % 8, "tag": "t" + (id % 3)} as a real VARIANT
+    if (!variant) base
+    else base.add(StructField("meta",
+      org.apache.spark.sql.types.VariantType, nullable = true))
+  }
 
   /** One range-splitting rule for the batch scan AND the microbatch
     * stream (a skew/clamp tweak to one must hit both).
@@ -73,28 +82,80 @@ object PairGenSource {
 }
 
 private[sources] class PairGenTable(
-    rows: Long, slices: Int, batchRows: Long, buckets: Int)
+    rows: Long, slices: Int, batchRows: Long, buckets: Int,
+    variant: Boolean = false)
     extends Table with SupportsRead {
   override def name(): String = s"pairgen($rows)"
-  override def schema(): StructType = PairGenSource.schemaFor(buckets)
+  override def schema(): StructType =
+    PairGenSource.schemaFor(buckets, variant)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new PairGenScanBuilder(rows, slices, batchRows, buckets)
+    new PairGenScanBuilder(rows, slices, batchRows, buckets, variant)
 }
 
 private[sources] class PairGenScanBuilder(
-    rows: Long, slices: Int, batchRows: Long, private val buckets: Int)
+    rows: Long, slices: Int, batchRows: Long, private val buckets: Int,
+    private val variant: Boolean = false)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
     with SupportsPushDownLimit with SupportsPushDownTopN
     with org.apache.spark.sql.connector.read.SupportsPushDownOffset
-    with org.apache.spark.sql.connector.read.SupportsPushDownJoin {
+    with org.apache.spark.sql.connector.read.SupportsPushDownJoin
+    with org.apache.spark.sql.connector.read
+      .SupportsPushDownVariantExtractions {
   private var lo = 0L
   private var hi = rows
   private var pushed = Array.empty[Filter]
-  private var required: StructType = PairGenSource.schemaFor(buckets)
+  private var required: StructType =
+    PairGenSource.schemaFor(buckets, variant)
+
+  /** VARIANT-EXTRACTION PUSHDOWN (a43,
+    * `SupportsPushDownVariantExtractions`,
+    * `spark.sql.variant.pushVariantIntoScan`) — the connector face of
+    * Spark-4 semi-structured data (parquet shredded-variant reads are
+    * the reference impl): the planner collects the `variant_get`
+    * paths a query actually extracts and offers them to the source;
+    * accepted paths replace the variant column with a struct of
+    * TYPED extracted fields in the pruned schema, and the variant
+    * BINARY is never built at all. For the generator both supported
+    * paths are closed-form ($.k → id % 8 as LONG, $.tag →
+    * "t" + id % 3 as STRING); anything else declines and the full
+    * variant value is materialized for Spark to extract from. The
+    * 100 TB analogue: reading two shredded columns instead of
+    * decoding every row's variant blob.
+    */
+  override def pushVariantExtractions(
+      extractions: Array[org.apache.spark.sql.connector.read
+        .VariantExtraction]): Array[Boolean] = {
+    def supported(e: org.apache.spark.sql.connector.read
+        .VariantExtraction): Boolean =
+      variant && e.columnName().sameElements(Array("meta")) && {
+        val path = org.apache.spark.sql.execution.datasources
+          .VariantMetadata.fromMetadata(e.metadata()).path
+        (path == "$.k" && e.expectedDataType() == LongType) ||
+        (path == "$.tag" &&
+          e.expectedDataType() == org.apache.spark.sql.types.StringType)
+      }
+    // all-or-nothing, the reference connector's contract: a partial
+    // acceptance would leave some variant_get calls needing the full
+    // binary anyway. On acceptance the CONTRACT is that this
+    // builder's scan reports `meta` as the STRUCT of the accepted
+    // extractions IN ARRAY ORDER — the engine rewrites each
+    // variant_get into an ordinal struct access against the scan's
+    // reported schema, so order and types must match exactly.
+    if (extractions.nonEmpty && extractions.forall(supported)) {
+      val metaStruct = StructType(extractions.zipWithIndex.map {
+        case (e, i) => StructField(s"_$i", e.expectedDataType(),
+          nullable = false, metadata = e.metadata())
+      })
+      required = StructType(required.fields.map { f =>
+        if (f.name == "meta") f.copy(dataType = metaStruct) else f
+      })
+      Array.fill(extractions.length)(true)
+    } else Array.fill(extractions.length)(false)
+  }
   private var aggOps: Option[PairGenAggSpec] = None
   private var topNDesc: Option[Boolean] = None // Some(descending?)
   // JOIN PUSHDOWN (a42): aliased output name → underlying generator
@@ -771,10 +832,42 @@ private[sources] class PairGenReaderFactory(required: StructType)
       }
       // column generators resolved ONCE per reader, not per row (the
       // per-row path allocates nothing but the emitted values)
-      private val gens: Array[Long => Any] = required.fieldNames.map {
-        case "id"    => (v: Long) => v: Any
-        case "value" => (v: Long) => md5Hex(v): Any
-        case "grp"   => (v: Long) => v % math.max(1, nBuckets): Any
+      private def variantPathGen(path: String): Long => Any =
+        path match {
+          case "$.k" => (v: Long) => java.lang.Long.valueOf(v % 8): Any
+          case "$.tag" =>
+            (v: Long) => UTF8String.fromString("t" + (v % 3)): Any
+          case other => throw new IllegalStateException(
+            s"pairgen: unsupported pushed variant path $other")
+        }
+      private val gens: Array[Long => Any] = required.fields.map { f =>
+        f.name match {
+          case "id"    => (v: Long) => v: Any
+          case "value" => (v: Long) => md5Hex(v): Any
+          case "grp"   => (v: Long) => v % math.max(1, nBuckets): Any
+          case "meta" => f.dataType match {
+            case st: org.apache.spark.sql.types.StructType =>
+              // extraction-pushed shape: a struct of typed fields,
+              // each tagged with its variant path — generated
+              // closed-form, the variant binary never exists
+              val fieldGens = st.fields.map(sf => variantPathGen(
+                org.apache.spark.sql.execution.datasources
+                  .VariantMetadata.fromMetadata(sf.metadata).path))
+              (v: Long) => InternalRow.fromSeq(
+                scala.collection.immutable.ArraySeq
+                  .unsafeWrapArray(fieldGens.map(_(v)))): Any
+            case _ =>
+              // full variant value: build the real binary
+              (v: Long) => {
+                val j = "{\"k\":" + (v % 8) + ",\"tag\":\"t" +
+                  (v % 3) + "\"}"
+                val parsed = org.apache.spark.types.variant
+                  .VariantBuilder.parseJson(j, false)
+                new org.apache.spark.unsafe.types.VariantVal(
+                  parsed.getValue, parsed.getMetadata): Any
+              }
+          }
+        }
       }
       override def next(): Boolean = {
         cur += stride

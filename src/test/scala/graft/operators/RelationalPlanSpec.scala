@@ -181,6 +181,37 @@ class RelationalPlanSpec extends SparkSpec {
     }
   }
 
+  test("a43: variant extractions push into the scan — no variant_get " +
+      "with pushdown on, full-variant evaluation without; identical " +
+      "results; unsupported paths decline") {
+    val (outP, pP) = TierA.a43Exec(spark, push = true)
+    val (outN, pN) = TierA.a43Exec(spark, push = false)
+    assert(!pP.contains("variant_get"),
+      s"extractions were not absorbed by the source:\n$pP")
+    assert(pN.contains("variant_get"),
+      s"premise broke — no variant_get even without pushdown:\n$pN")
+    assert(outP.collect().toSeq == outN.collect().toSeq)
+    // an unsupported path declines all-or-nothing: the full variant
+    // materializes, Spark extracts (and finds nothing at $.nope)
+    val prev = spark.conf.getOption("spark.sql.variant.pushVariantIntoScan")
+    spark.conf.set("spark.sql.variant.pushVariantIntoScan", "true")
+    try {
+      spark.read.format("pairgen").option("rows", "50")
+        .option("variant", "true").load()
+        .createOrReplaceTempView("g_a43_declined")
+      val q = spark.sql("SELECT variant_get(meta, '$.nope', 'long') " +
+        "AS x FROM g_a43_declined WHERE id = 7")
+      assert(q.queryExecution.executedPlan.toString
+        .contains("variant_get"))
+      assert(q.collect().map(r => r.isNullAt(0)).toSeq == Seq(true))
+    } finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.variant.pushVariantIntoScan", v)
+      case None =>
+        spark.conf.unset("spark.sql.variant.pushVariantIntoScan")
+    }
+  }
+
   test("b7: aggregation is partial (map-side) before the exchange") {
     val p = plan("b7_agg_hash")
     assert(p.contains("partial_sum") || p.contains("partial_count"), p)
