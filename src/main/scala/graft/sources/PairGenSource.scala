@@ -103,10 +103,34 @@ private[sources] class PairGenScanBuilder(
     with SupportsPushDownLimit with SupportsPushDownTopN
     with org.apache.spark.sql.connector.read.SupportsPushDownOffset
     with org.apache.spark.sql.connector.read.SupportsPushDownJoin
+    with org.apache.spark.sql.connector.read.SupportsPushDownTableSample
     with org.apache.spark.sql.connector.read
       .SupportsPushDownVariantExtractions {
   private var lo = 0L
   private var hi = rows
+  // TABLESAMPLE pushdown: (lower, upper, seed); the reader keeps id
+  // iff its seeded hash fraction falls in [lower, upper)
+  private var sampleSpec: Option[(Double, Double, Long)] = None
+
+  /** TABLE-SAMPLE PUSHDOWN (`SupportsPushDownTableSample`):
+    * `df.sample(f, seed)` / `TABLESAMPLE (p PERCENT)` executes in the
+    * source — deterministic seeded-hash sampling per id (sampling is
+    * approximate by contract, so a source may sample its own way; the
+    * determinism is what makes it testable and repeatable across
+    * retries — the property a REPEATABLE seed exists for). Declined
+    * with replacement and after/with any face whose closed form a
+    * thinned row stream would silently break (aggregates, the limit
+    * family, a pushed join) — the a42 composition lesson applied in
+    * advance.
+    */
+  override def pushTableSample(lowerBound: Double, upperBound: Double,
+      withReplacement: Boolean, seed: Long): Boolean =
+    if (withReplacement || aggOps.isDefined || topNDesc.isDefined ||
+      joinedCols.nonEmpty || sampleSpec.isDefined) false
+    else {
+      sampleSpec = Some((lowerBound, upperBound, seed))
+      true
+    }
   private var pushed = Array.empty[Filter]
   private var required: StructType =
     PairGenSource.schemaFor(buckets, variant)
@@ -187,6 +211,7 @@ private[sources] class PairGenScanBuilder(
       joinedCols.isEmpty && o.joinedCols.isEmpty &&
         aggOps.isEmpty && o.aggOps.isEmpty &&
         topNDesc.isEmpty && o.topNDesc.isEmpty &&
+        sampleSpec.isEmpty && o.sampleSpec.isEmpty &&
         buckets <= 0 && o.buckets <= 0
     case _ => false
   }
@@ -310,10 +335,13 @@ private[sources] class PairGenScanBuilder(
   }
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate
-        .Aggregation): Boolean = aggSpecOf(agg).isDefined
+        .Aggregation): Boolean =
+    sampleSpec.isEmpty && aggSpecOf(agg).isDefined
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate
         .Aggregation): Boolean = {
+    // a sampled stream breaks the closed-form range arithmetic
+    if (sampleSpec.isDefined) return false
     aggOps = aggSpecOf(agg)
     aggOps.isDefined
   }
@@ -337,7 +365,7 @@ private[sources] class PairGenScanBuilder(
   // safe post-join (closed-form over the intersected range).
   override def pushLimit(n: Int): Boolean =
     if (aggOps.isDefined || buckets > 0 || n < 0 ||
-      joinedCols.nonEmpty) false
+      joinedCols.nonEmpty || sampleSpec.isDefined) false
     else {
       // subtract, don't add: lo + n overflows for extreme row counts
       // (the PairGenOffset lesson applied to the limit clamp)
@@ -357,7 +385,7 @@ private[sources] class PairGenScanBuilder(
     */
   override def pushOffset(n: Int): Boolean =
     if (aggOps.isDefined || buckets > 0 || n < 0 ||
-      joinedCols.nonEmpty) false
+      joinedCols.nonEmpty || sampleSpec.isDefined) false
     else {
       if (topNDesc.contains(true)) {
         // descending order: skipping n rows drops the HIGHEST ids
@@ -372,7 +400,7 @@ private[sources] class PairGenScanBuilder(
       n: Int): Boolean = {
     import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
     val ok = !aggOps.isDefined && buckets <= 0 && n >= 0 &&
-      joinedCols.isEmpty && orders.length == 1 &&
+      joinedCols.isEmpty && sampleSpec.isEmpty && orders.length == 1 &&
       (orders(0).expression() match {
         case f: NamedReference => f.fieldNames.sameElements(Array("id"))
         case _                 => false
@@ -404,7 +432,8 @@ private[sources] class PairGenScanBuilder(
         outputSchema = Some(required))
     case None =>
       new PairGenScan(lo, hi, slices, batchRows, buckets, required,
-        ordered = topNDesc, singlePartition = topNDesc.isDefined)
+        ordered = topNDesc, singlePartition = topNDesc.isDefined,
+        sample = sampleSpec)
   }
 }
 
@@ -499,7 +528,8 @@ private[sources] class PairGenScan(
     lo: Long, hi: Long, slices: Int, batchRows: Long, buckets: Int,
     required: StructType,
     ordered: Option[Boolean] = None, singlePartition: Boolean = false,
-    outputSchema: Option[StructType] = None)
+    outputSchema: Option[StructType] = None,
+    sample: Option[(Double, Double, Long)] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
@@ -701,7 +731,7 @@ private[sources] class PairGenScan(
             .identity("grp")),
           buckets)
   override def createReaderFactory(): PartitionReaderFactory =
-    new PairGenReaderFactory(required)
+    new PairGenReaderFactory(required, sample)
 }
 
 private[sources] case class PairGenPartition(start: Long, end: Long)
@@ -801,8 +831,19 @@ private[sources] class PairGenMicroBatchStream(
   override def stop(): Unit = ()
 }
 
-private[sources] class PairGenReaderFactory(required: StructType)
+private[sources] class PairGenReaderFactory(required: StructType,
+    sample: Option[(Double, Double, Long)] = None)
     extends PartitionReaderFactory {
+  /** Seeded splitmix64 → fraction in [0, 1): the deterministic
+    * per-id sampling hash (same seed ⇒ same subset, repeatable).
+    */
+  private def sampleFrac(v: Long, seed: Long): Double = {
+    var z = v + seed + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    (z >>> 11).toDouble / (1L << 53).toDouble
+  }
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
     // (first, bound, stride): contiguous range for plain partitions; a
@@ -871,7 +912,14 @@ private[sources] class PairGenReaderFactory(required: StructType)
       }
       override def next(): Boolean = {
         cur += stride
-        if (stride > 0) cur < bound else cur >= bound
+        while (if (stride > 0) cur < bound else cur >= bound) {
+          val keep = sample.forall { case (lb, ub, seed) =>
+            val f = sampleFrac(cur, seed); f >= lb && f < ub
+          }
+          if (keep) return true
+          cur += stride
+        }
+        false
       }
       override def get(): InternalRow = {
         val vals = new Array[Any](gens.length)

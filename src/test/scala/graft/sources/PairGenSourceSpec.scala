@@ -193,6 +193,46 @@ class PairGenSourceSpec extends SparkSpec {
     }
   }
 
+  test("TABLESAMPLE pushes into the scan: no Sample operator, " +
+      "deterministic and repeatable; unsafe compositions decline") {
+    import org.apache.spark.sql.functions._
+    val t = spark.read.format("pairgen").option("rows", "20000").load()
+    val s1 = t.sample(withReplacement = false, 0.2, seed = 42)
+    val plan = s1.queryExecution.executedPlan.toString
+    assert(!plan.contains("Sample"),
+      s"sample was not absorbed by the source:\n$plan")
+    val ids1 = s1.select("id").collect().map(_.getLong(0)).toSet
+    // roughly the requested fraction (hash-uniform over 20k ids)
+    assert(ids1.size > 3200 && ids1.size < 4800, s"got ${ids1.size}")
+    // repeatable: same seed = same subset; different seed differs
+    val ids2 = t.sample(withReplacement = false, 0.2, seed = 42)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids2 == ids1, "same seed must resample identically")
+    val ids3 = t.sample(withReplacement = false, 0.2, seed = 7)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids3 != ids1, "different seeds must differ")
+    // pushed filters compose (sample first — the Sample node must sit
+    // directly over the relation for the engine to offer it; the
+    // later filter then narrows the same sampled stream)
+    val f = t.sample(withReplacement = false, 0.2, seed = 42)
+      .filter(col("id") >= 10000)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(f == ids1.filter(_ >= 10000L),
+      "pushed sample + pushed filter must compose")
+    // the limit family declines on a sampled scan — Spark keeps its
+    // own limit, so the row count contract survives
+    val lim = t.sample(withReplacement = false, 0.2, seed = 42).limit(50)
+    assert(lim.count() == 50)
+    // an aggregate over a sampled scan must NOT collapse closed-form
+    val agg = t.sample(withReplacement = false, 0.2, seed = 42)
+      .agg(count(lit(1)))
+    assert(!agg.queryExecution.executedPlan.toString
+      .contains("PairGenAggScan"),
+      "closed-form aggregate over a sampled scan would ignore the " +
+        "sample")
+    assert(agg.head().getLong(0) == ids1.size)
+  }
+
   test("Trigger.AvailableNow drains the stream in rate-limited " +
       "batches and stops on its own") {
     import org.apache.spark.sql.streaming.Trigger
