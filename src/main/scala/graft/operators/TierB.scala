@@ -2460,6 +2460,53 @@ object TierB {
         |FROM g_lineitem_b79 GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** b88: PARTITION MANAGEMENT — explicit partition DDL at the DSv2
+    * extension point (`SupportsAtomicPartitionManagement`): `ALTER
+    * TABLE ... ADD/DROP PARTITION`, `TRUNCATE TABLE ... PARTITION`,
+    * `SHOW PARTITIONS` — the lifecycle operations every
+    * retention/reload pipeline runs against partitioned tables. The
+    * demo loads customer across 5 partitions, DECLARES an empty one
+    * (ADD — the pre-registered landing partition pattern), DROPS one
+    * (data + declaration, one versioned commit: time travel keeps the
+    * dropped data, an in-flight rewrite that scanned it conflicts),
+    * and TRUNCATES another (emptied but still LISTED — the Hive/DSv2
+    * contract that distinguishes retention-truncate from drop).
+    * Declared output joins SHOW PARTITIONS against the per-partition
+    * totals, so all three DDL semantics are visible in one result:
+    * the dropped partition is ABSENT, the truncated and the declared
+    * ones are present with zero rows. At 100 TB partition drop/
+    * truncate is the O(metadata) retention primitive — age-out never
+    * rewrites surviving data — and the atomic multi-partition
+    * contract is what keeps a failed retention batch all-or-nothing.
+    */
+  private def b88(s: SparkSession, d: String): DataFrame = {
+    val tbl = graft.util.DemoTables.freshGraftmem(s, d, "pmg",
+      "(key BIGINT, g BIGINT, bal_cents BIGINT) PARTITIONED BY (g)")
+    customer(s, d)
+      .selectExpr("c_custkey AS key", "c_custkey % 5 AS g",
+        "CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents")
+      .writeTo(tbl).append()
+    s.sql(s"ALTER TABLE $tbl ADD PARTITION (g = 9)")
+    // IF NOT EXISTS / IF EXISTS keep the DDL total on an empty load
+    // (no data ⇒ no data-implied partitions): 4 is declared before
+    // its truncation, 2's drop absorbs absence — same end state
+    // either way, and the empty-corpus contract holds
+    s.sql(s"ALTER TABLE $tbl ADD IF NOT EXISTS PARTITION (g = 4)")
+    s.sql(s"ALTER TABLE $tbl DROP IF EXISTS PARTITION (g = 2)")
+    s.sql(s"TRUNCATE TABLE $tbl PARTITION (g = 4)")
+    val listed = s.sql(s"SHOW PARTITIONS $tbl")
+      .selectExpr("CAST(split(partition, '=')[1] AS BIGINT) AS g")
+    val data = s.sql(
+      s"""SELECT g, count(*) AS n,
+         |  CAST(sum(CAST(bal_cents AS DECIMAL(38,0))) AS BIGINT)
+         |    AS bal_cents_sum
+         |FROM $tbl GROUP BY g""".stripMargin)
+    listed.join(data, Seq("g"), "left_outer")
+      .selectExpr("g", "coalesce(n, CAST(0 AS BIGINT)) AS n",
+        "bal_cents_sum")
+      .orderBy("g")
+  }
+
   /** THE CDC round every row-level demo shares (b75 CoW, b80 MoR, b82
     * compaction, b83 change feed, d26 streaming CDC): update keys ≡3
     * (mod 10) to bal+10000, delete keys ≡7, insert keys ≡0 (mod 100)
@@ -2548,6 +2595,11 @@ object TierB {
     // b82's verbatim; the spec proves violating writes fail loudly.
     QueryDef("b87_check_constraint", b87 _,
       Some(twoRoundMergeOracleSql)),
+    // the dropped partition (2) is absent, the truncated (4) and the
+    // declared-empty (9) surface with zero rows — the oracle encodes
+    // exactly that three-way DDL semantics over the recomputed load
+    QueryDef("b88_partition_management", b88 _, Some(
+      "WITH snap AS (SELECT (c_custkey % 5)::BIGINT AS g, floor(c_acctbal * 100)::BIGINT AS bal FROM customer), data AS (SELECT g, count(*)::BIGINT AS n, sum(bal)::BIGINT AS bal_cents_sum FROM snap WHERE g NOT IN (2, 4) GROUP BY g), decl AS (SELECT unnest([4, 9]::BIGINT[]) AS g) SELECT g, n, bal_cents_sum FROM data UNION ALL SELECT g, 0::BIGINT, NULL::BIGINT FROM decl ORDER BY g")),
     QueryDef("b86_overwrite_partitions", b86 _, Some(
       "WITH snap AS (SELECT c_custkey AS key, (c_custkey % 5)::BIGINT AS g, floor(c_acctbal * 100)::BIGINT AS bal FROM customer), fin AS (SELECT key, g, bal + CASE WHEN g IN (1, 3) THEN 10000 WHEN g = 0 THEN 77 ELSE 0 END AS bal FROM snap) SELECT g, count(*)::BIGINT AS n, sum(bal)::BIGINT AS bal_cents_sum FROM fin GROUP BY 1 ORDER BY 1")),
     QueryDef("b85_schema_evolution", b85 _, Some(

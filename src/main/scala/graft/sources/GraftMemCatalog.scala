@@ -58,7 +58,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * continuous stream stays O(queries), not O(batches).
   */
 class GraftMemCatalog extends TableCatalog with FunctionCatalog
-    with ProcedureCatalog {
+    with ProcedureCatalog with SupportsNamespaces {
   import GraftMemCatalog._
   private var catalogName: String = "graftmem"
   override def initialize(
@@ -277,6 +277,86 @@ class GraftMemCatalog extends TableCatalog with FunctionCatalog
         s"graftmem: no procedure named '$other'")
     }
 
+  /** NAMESPACE face (`SupportsNamespaces`): `CREATE/ALTER/DROP
+    * NAMESPACE`, `SHOW NAMESPACES`, `DESCRIBE NAMESPACE` — the
+    * catalog-hierarchy DDL a real catalog governs alongside its
+    * tables. A namespace EXISTS iff declared by DDL or holding live
+    * tables (the demo's pre-namespace tables stay reachable);
+    * single-level namespaces only (the grammar the demo tables use),
+    * nesting stays loudly unsupported. DROP of a non-empty namespace
+    * requires CASCADE — the engine-side guard against silently
+    * orphaning tables.
+    */
+  private def tablesInNs(ns: Array[String]): Seq[String] = {
+    val p = ns.mkString(".") + "."
+    tables.keySet().toArray(Array.empty[String]).filter(_.startsWith(p))
+      .toSeq
+  }
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespaces.containsKey(namespace.mkString(".")) ||
+      tablesInNs(namespace).nonEmpty
+  override def listNamespaces(): Array[Array[String]] = {
+    val implied = tables.keySet().toArray(Array.empty[String])
+      .map(k => k.substring(0, k.lastIndexOf('.')))
+    (namespaces.keySet().toArray(Array.empty[String]) ++ implied)
+      .distinct.sorted.map(k => k.split('.'): Array[String])
+  }
+  override def listNamespaces(
+      namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty // no nesting
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchNamespaceException(namespace)
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): util.Map[String, String] = {
+    val m = namespaces.get(namespace.mkString("."))
+    if (m != null) new util.HashMap(m)
+    else if (tablesInNs(namespace).nonEmpty)
+      new util.HashMap[String, String]()
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchNamespaceException(namespace)
+  }
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    require(namespace.length == 1,
+      s"graftmem supports single-level namespaces, got " +
+        namespace.mkString("."))
+    if (namespaceExists(namespace) ||
+      namespaces.putIfAbsent(namespace.mkString("."),
+        new util.HashMap(metadata)) != null)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NamespaceAlreadyExistsException(namespace)
+  }
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit = {
+    if (!namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchNamespaceException(namespace)
+    // a data-implied namespace materializes on first ALTER
+    val props = namespaces.computeIfAbsent(namespace.mkString("."),
+      _ => new util.HashMap[String, String]())
+    props.synchronized {
+      changes.foreach {
+        case s: NamespaceChange.SetProperty =>
+          props.put(s.property(), s.value())
+        case r: NamespaceChange.RemoveProperty =>
+          props.remove(r.property())
+        case other => throw new UnsupportedOperationException(
+          s"graftmem: unsupported namespace change $other")
+      }
+    }
+  }
+  override def dropNamespace(
+      namespace: Array[String], cascade: Boolean): Boolean = {
+    val inNs = tablesInNs(namespace)
+    if (inNs.nonEmpty && !cascade)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NonEmptyNamespaceException(namespace)
+    val declared = namespaces.remove(namespace.mkString(".")) != null
+    inNs.foreach(tables.remove)
+    declared || inNs.nonEmpty
+  }
+
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
     Array(Identifier.of(namespace, "cosine_sim"),
       Identifier.of(namespace, "kmv_distinct"))
@@ -296,10 +376,27 @@ object GraftMemCatalog {
     */
   private val tables = new ConcurrentHashMap[String, Table]()
 
+  /** DDL-declared namespaces (name → properties). `db` and `system`
+    * are seeded: the demo's tables and procedures live there without
+    * a CREATE NAMESPACE preamble, the way a warehouse ships a default
+    * database.
+    */
+  private val namespaces =
+    new ConcurrentHashMap[String, util.HashMap[String, String]]()
+  private def seedNamespaces(): Unit = {
+    namespaces.putIfAbsent("db", new util.HashMap[String, String]())
+    namespaces.putIfAbsent("system", new util.HashMap[String, String]())
+  }
+  seedNamespaces()
+
   /** Test/dev reset — drops every table (the catalog equivalent of a
     * fresh warehouse dir).
     */
-  def clearAll(): Unit = tables.clear()
+  def clearAll(): Unit = {
+    tables.clear()
+    namespaces.clear()
+    seedNamespaces()
+  }
 
   /** Procedure-side lookup by full `ns.name` key (null if absent). */
   private[sources] def lookup(fullName: String): Table =
@@ -319,6 +416,7 @@ private[sources] class GraftMemTable(val fullName: String,
     snapshotKeep: Int = 128)
     extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations with SupportsMetadataColumns
+    with SupportsAtomicPartitionManagement
     with GraftSnapshotHistory {
 
   /** TABLE CONSTRAINTS (b87): stored and REPORTED — the engine reads
@@ -428,6 +526,142 @@ private[sources] class GraftMemTable(val fullName: String,
   override def partitioning(): Array[Transform] =
     partitionCol.toArray.map(c =>
       org.apache.spark.sql.connector.expressions.Expressions.identity(c))
+
+  /** PARTITION MANAGEMENT (b88, `SupportsAtomicPartitionManagement`):
+    * explicit partition DDL on the partitioned flavor — `ALTER TABLE
+    * ... ADD/DROP PARTITION`, `TRUNCATE TABLE ... PARTITION`,
+    * `SHOW PARTITIONS`. A partition EXISTS iff declared by DDL or
+    * holding data (data-implied partitions are what identity
+    * partitioning always materializes). DROP removes declaration AND
+    * data as one versioned commit — it stamps the group, so an
+    * in-flight row-level rewrite that scanned it is a loud commit
+    * conflict, and the dropped data stays reachable via `VERSION AS
+    * OF`. TRUNCATE empties the data but keeps the partition LISTED
+    * (the Hive/DSv2 contract), auto-declaring a data-only partition
+    * so the listing survives. Multi-partition DDL is atomic under the
+    * table's swap lock — the same single-synchronized-commit
+    * discipline every write path here follows.
+    */
+  private val declaredParts =
+    scala.collection.mutable.HashMap.empty[Long, Map[String, String]]
+
+  override def partitionSchema(): StructType =
+    partitionCol
+      .map(c => new StructType().add(c, LongType, nullable = false))
+      .getOrElse(new StructType())
+
+  private def partValue(ident: InternalRow): Long = {
+    require(partitionCol.isDefined,
+      s"graftmem $fullName is unpartitioned — no partition DDL")
+    require(ident.numFields == 1,
+      s"graftmem $fullName: expected a 1-field partition identifier, " +
+        s"got ${ident.numFields}")
+    ident.getLong(0)
+  }
+  // callers hold the swap lock
+  private def partExistsLocked(v: Long): Boolean =
+    declaredParts.contains(v) || rows.exists(r => groupOf(r) == v)
+
+  override def partitionExists(ident: InternalRow): Boolean =
+    synchronized(partExistsLocked(partValue(ident)))
+
+  override def createPartitions(idents: Array[InternalRow],
+      props: Array[util.Map[String, String]]): Unit = synchronized {
+    val vs = idents.map(partValue)
+    require(vs.distinct.length == vs.length,
+      s"graftmem $fullName: duplicate partitions in one ADD: " +
+        vs.mkString(", "))
+    val clash = vs.filter(partExistsLocked)
+    if (clash.nonEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .PartitionsAlreadyExistException(fullName,
+          clash.toIndexedSeq.map(v => InternalRow(v): InternalRow),
+          partitionSchema())
+    vs.zip(props).foreach { case (v, p) =>
+      declaredParts(v) =
+        scala.jdk.CollectionConverters.MapHasAsScala(p).asScala.toMap
+    }
+  }
+
+  override def dropPartitions(idents: Array[InternalRow]): Boolean =
+    synchronized {
+      val vs = idents.map(partValue)
+      // all-or-nothing: any absent partition fails the whole DDL
+      // (the engine turns `false` into its IF EXISTS handling)
+      if (!vs.forall(partExistsLocked)) false
+      else {
+        vs.foreach(declaredParts.remove)
+        val gs = vs.toSet
+        if (rows.exists(r => gs.contains(groupOf(r)))) {
+          rows = rows.filterNot(r => gs.contains(groupOf(r)))
+          stampCommit(gs)
+        }
+        true
+      }
+    }
+  // in-memory store: purge (skip-the-trash) and drop coincide
+  override def purgePartitions(idents: Array[InternalRow]): Boolean =
+    dropPartitions(idents)
+  override def purgePartition(ident: InternalRow): Boolean =
+    dropPartitions(Array(ident))
+
+  override def replacePartitionMetadata(ident: InternalRow,
+      props: util.Map[String, String]): Unit = synchronized {
+    val v = partValue(ident)
+    if (!partExistsLocked(v))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchPartitionException(fullName, ident, partitionSchema())
+    declaredParts(v) =
+      scala.jdk.CollectionConverters.MapHasAsScala(props).asScala.toMap
+  }
+
+  override def loadPartitionMetadata(
+      ident: InternalRow): util.Map[String, String] = synchronized {
+    val v = partValue(ident)
+    if (!partExistsLocked(v))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchPartitionException(fullName, ident, partitionSchema())
+    val m = new util.HashMap[String, String]()
+    declaredParts.getOrElse(v, Map.empty).foreach {
+      case (k, x) => m.put(k, x)
+    }
+    m
+  }
+
+  override def listPartitionIdentifiers(names: Array[String],
+      ident: InternalRow): Array[InternalRow] = synchronized {
+    require(names.length == ident.numFields,
+      s"graftmem $fullName: ${names.length} filter names vs " +
+        s"${ident.numFields} filter values")
+    val want: Option[Long] =
+      if (names.isEmpty) None
+      else {
+        require(names.length == 1 && partitionCol.contains(names(0)),
+          s"graftmem $fullName: unknown partition column(s) " +
+            names.mkString(", "))
+        Some(ident.getLong(0))
+      }
+    (declaredParts.keySet ++ rows.iterator.map(groupOf)).toSeq.distinct
+      .filter(v => want.forall(_ == v)).sorted
+      .map(v => InternalRow(v): InternalRow).toArray
+  }
+
+  override def truncatePartitions(idents: Array[InternalRow]): Boolean =
+    synchronized {
+      val vs = idents.map(partValue)
+      vs.find(v => !partExistsLocked(v)).foreach(v =>
+        throw new org.apache.spark.sql.catalyst.analysis
+          .NoSuchPartitionException(fullName, InternalRow(v),
+            partitionSchema()))
+      val gs = vs.toSet
+      // the partition survives its own truncation in SHOW PARTITIONS
+      vs.foreach(v => declaredParts.getOrElseUpdate(v, Map.empty))
+      rows = rows.filterNot(r => gs.contains(groupOf(r)))
+      stampCommit(gs)
+      true
+    }
+  override def truncatePartition(ident: InternalRow): Boolean =
+    truncatePartitions(Array(ident))
 
   override def name(): String = fullName
   override def schema(): StructType = curSchema

@@ -1,0 +1,151 @@
+package graft.sources
+
+import graft.SparkSpec
+
+/** Partition-management (`SupportsAtomicPartitionManagement`, b88) and
+  * namespace (`SupportsNamespaces`) faces of the graftmem catalog: the
+  * DDL a real catalog governs around its tables.
+  */
+class GraftMemPartitionSpec extends SparkSpec {
+
+  private def freshPartitioned(name: String): String = {
+    spark.conf.set("spark.sql.catalog.graftmem",
+      "graft.sources.GraftMemCatalog")
+    val tbl = s"graftmem.db.$name"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (key BIGINT, g BIGINT, bal BIGINT) " +
+      "PARTITIONED BY (g)")
+    spark.range(40).selectExpr("id AS key", "id % 4 AS g", "id * 10 AS bal")
+      .writeTo(tbl).append()
+    tbl
+  }
+
+  private def listedParts(tbl: String): Seq[Long] =
+    spark.sql(s"SHOW PARTITIONS $tbl").collect()
+      .map(_.getString(0).split('=')(1).toLong).toSeq.sorted
+
+  test("SHOW PARTITIONS lists data-implied partitions; ADD declares an " +
+      "empty one; DROP removes declaration AND data; TRUNCATE empties " +
+      "but keeps the partition listed") {
+    val tbl = freshPartitioned("spec_pm")
+    assert(listedParts(tbl) == Seq(0L, 1L, 2L, 3L))
+
+    spark.sql(s"ALTER TABLE $tbl ADD PARTITION (g = 9)")
+    assert(listedParts(tbl) == Seq(0L, 1L, 2L, 3L, 9L))
+    assert(spark.table(tbl).where("g = 9").count() == 0)
+
+    spark.sql(s"ALTER TABLE $tbl DROP PARTITION (g = 2)")
+    assert(listedParts(tbl) == Seq(0L, 1L, 3L, 9L))
+    assert(spark.table(tbl).where("g = 2").count() == 0)
+
+    spark.sql(s"TRUNCATE TABLE $tbl PARTITION (g = 3)")
+    assert(listedParts(tbl) == Seq(0L, 1L, 3L, 9L),
+      "a truncated partition must stay listed (emptied, not dropped)")
+    assert(spark.table(tbl).where("g = 3").count() == 0)
+    assert(spark.table(tbl).count() == 20, "groups 0 and 1 survive")
+
+    // filtered listing
+    assert(spark.sql(s"SHOW PARTITIONS $tbl PARTITION (g = 9)")
+      .count() == 1)
+    assert(spark.sql(s"SHOW PARTITIONS $tbl PARTITION (g = 2)")
+      .count() == 0)
+  }
+
+  test("partition DDL failure modes: duplicate ADD, missing TRUNCATE, " +
+      "missing DROP without IF EXISTS; IF EXISTS/IF NOT EXISTS absorb") {
+    val tbl = freshPartitioned("spec_pmerr")
+    intercept[org.apache.spark.sql.catalyst.analysis
+      .PartitionsAlreadyExistException] {
+      spark.sql(s"ALTER TABLE $tbl ADD PARTITION (g = 1)")
+    }
+    spark.sql(s"ALTER TABLE $tbl ADD IF NOT EXISTS PARTITION (g = 1)")
+    intercept[Exception] {
+      spark.sql(s"TRUNCATE TABLE $tbl PARTITION (g = 77)")
+    }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $tbl DROP PARTITION (g = 77)")
+    }
+    spark.sql(s"ALTER TABLE $tbl DROP IF EXISTS PARTITION (g = 77)")
+    // multi-partition DDL is atomic: one missing partition fails the
+    // whole statement and deletes nothing
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $tbl DROP PARTITION (g = 1), PARTITION (g = 77)")
+    }
+    assert(spark.table(tbl).where("g = 1").count() == 10,
+      "a failed multi-partition DROP must leave every partition intact")
+  }
+
+  test("DROP PARTITION is a versioned commit: time travel still reads " +
+      "the dropped data, and the group's version bump is visible") {
+    val tbl = freshPartitioned("spec_pmtt")
+    val preDrop = spark.table(tbl).count()
+    spark.sql(s"ALTER TABLE $tbl DROP PARTITION (g = 0)")
+    assert(spark.table(tbl).count() == preDrop - 10)
+    assert(spark.sql(s"SELECT * FROM $tbl VERSION AS OF 1").count()
+      == preDrop, "the pre-drop snapshot keeps the dropped partition")
+  }
+
+  test("unpartitioned tables reject partition DDL loudly") {
+    spark.conf.set("spark.sql.catalog.graftmem",
+      "graft.sources.GraftMemCatalog")
+    spark.sql("DROP TABLE IF EXISTS graftmem.db.spec_pmflat")
+    spark.sql(
+      "CREATE TABLE graftmem.db.spec_pmflat (key BIGINT, bal BIGINT)")
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graftmem.db.spec_pmflat " +
+        "ADD PARTITION (key = 1)")
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("namespaces: CREATE/SHOW/DESCRIBE/ALTER/DROP; non-empty needs " +
+      "CASCADE; data-implied namespaces exist") {
+    spark.conf.set("spark.sql.catalog.graftmem",
+      "graft.sources.GraftMemCatalog")
+    spark.sql("DROP NAMESPACE IF EXISTS graftmem.spec_ns CASCADE")
+    spark.sql("CREATE NAMESPACE graftmem.spec_ns " +
+      "COMMENT 'spec namespace'")
+    intercept[org.apache.spark.sql.catalyst.analysis
+      .NamespaceAlreadyExistsException] {
+      spark.sql("CREATE NAMESPACE graftmem.spec_ns")
+    }
+    val shown = spark.sql("SHOW NAMESPACES IN graftmem").collect()
+      .map(_.getString(0)).toSet
+    assert(shown.contains("spec_ns"))
+    assert(shown.contains("db"), "the seeded demo namespace is listed")
+    val desc = spark.sql("DESCRIBE NAMESPACE graftmem.spec_ns").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc.get("Comment").contains("spec namespace"))
+    spark.sql("ALTER NAMESPACE graftmem.spec_ns " +
+      "SET PROPERTIES ('owner_team' = 'graft')")
+    val desc2 = spark.sql(
+      "DESCRIBE NAMESPACE EXTENDED graftmem.spec_ns").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc2("Properties").contains("owner_team"))
+
+    // non-empty namespace refuses a bare DROP, CASCADE drops the lot
+    spark.sql(
+      "CREATE TABLE graftmem.spec_ns.t1 (key BIGINT, bal BIGINT)")
+    // the engine surfaces the connector's NonEmptyNamespaceException
+    // as the standard SCHEMA_NOT_EMPTY analysis error
+    val ne = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("DROP NAMESPACE graftmem.spec_ns")
+    }
+    assert(ne.getCondition == "SCHEMA_NOT_EMPTY",
+      s"got ${ne.getCondition}: ${ne.getMessage}")
+    spark.sql("DROP NAMESPACE graftmem.spec_ns CASCADE")
+    assert(!spark.sql("SHOW NAMESPACES IN graftmem").collect()
+      .map(_.getString(0)).contains("spec_ns"))
+    intercept[Exception] {
+      spark.table("graftmem.spec_ns.t1").count()
+    }
+
+    // a namespace that exists only through its tables is still real
+    spark.sql(
+      "CREATE TABLE graftmem.spec_ns2.t2 (key BIGINT, bal BIGINT)")
+    assert(spark.sql("SHOW NAMESPACES IN graftmem").collect()
+      .map(_.getString(0)).contains("spec_ns2"))
+    spark.sql("SHOW TABLES IN graftmem.spec_ns2").collect()
+    spark.sql("DROP NAMESPACE graftmem.spec_ns2 CASCADE")
+  }
+}
