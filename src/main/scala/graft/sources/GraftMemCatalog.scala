@@ -556,6 +556,10 @@ private[sources] class GraftMemTable(val fullName: String,
     require(ident.numFields == 1,
       s"graftmem $fullName: expected a 1-field partition identifier, " +
         s"got ${ident.numFields}")
+    // getLong on a null cell silently reads 0 — a NULL partition
+    // value must not alias partition 0
+    require(!ident.isNullAt(0),
+      s"graftmem $fullName: NULL partition values are not supported")
     ident.getLong(0)
   }
   // callers hold the swap lock

@@ -85,6 +85,65 @@ class GraftMemPartitionSpec extends SparkSpec {
       == preDrop, "the pre-drop snapshot keeps the dropped partition")
   }
 
+  test("partition DDL participates in optimistic concurrency: a " +
+      "group-narrowed row-level op commits past a DISJOINT drop and " +
+      "conflicts on an OVERLAPPING one") {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    val tbl = freshPartitioned("spec_pmocc")
+    val table = spark.sessionState.catalogManager.catalog("graftmem")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier
+        .of(Array("db"), "spec_pmocc"))
+      .asInstanceOf[GraftMemTable]
+    // one full row-level round, narrowed to group `g`, with `ddl`
+    // interleaved between the scan (which pins the snapshot) and the
+    // commit — the write replaces group g's rows with bal+1
+    def roundWithInterleaved(g: Long)(ddl: => Unit): Unit = {
+      val op = table.newRowLevelOperationBuilder(
+        new org.apache.spark.sql.connector.write.RowLevelOperationInfo {
+          override def command() = org.apache.spark.sql.connector.write
+            .RowLevelOperation.Command.UPDATE
+          override def options() =
+            org.apache.spark.sql.util.CaseInsensitiveStringMap.empty()
+        }).build()
+      val scan = op.newScanBuilder(
+        org.apache.spark.sql.util.CaseInsensitiveStringMap.empty()).build()
+      scan.asInstanceOf[
+        org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering]
+        .filter(Array(new Predicate("IN",
+          Array(Expressions.column("_group"),
+            Expressions.literal(g)))))
+      scan.toBatch.planInputPartitions()
+      val rewritten = spark.sql(
+        s"SELECT key, g, bal + 1 FROM $tbl WHERE g = $g").collect()
+      ddl
+      val bw = op.newWriteBuilder(
+        new org.apache.spark.sql.connector.write.LogicalWriteInfo {
+          override def queryId(): String = "spec_pmocc"
+          override def schema() = table.schema()
+          override def options() =
+            org.apache.spark.sql.util.CaseInsensitiveStringMap.empty()
+        }).build().toBatch
+      val w = bw.createBatchWriterFactory(null).createWriter(0, 0L)
+      rewritten.foreach(r => w.write(org.apache.spark.sql.catalyst
+        .InternalRow(r.getLong(0), r.getLong(1), r.getLong(2))))
+      bw.commit(Array(w.commit()))
+    }
+    // disjoint: rewrite group 1 while partition 3 is dropped — lands
+    roundWithInterleaved(1L) {
+      spark.sql(s"ALTER TABLE $tbl DROP PARTITION (g = 3)")
+    }
+    assert(spark.sql(s"SELECT sum(bal) FROM $tbl WHERE g = 1")
+      .head().getLong(0) == (1L to 37L by 4).map(_ * 10 + 1).sum)
+    // overlapping: partition 1 dropped under the op's feet — conflicts
+    intercept[GraftMemCommitConflictException] {
+      roundWithInterleaved(1L) {
+        spark.sql(s"ALTER TABLE $tbl DROP PARTITION (g = 1)")
+      }
+    }
+  }
+
   test("unpartitioned tables reject partition DDL loudly") {
     spark.conf.set("spark.sql.catalog.graftmem",
       "graft.sources.GraftMemCatalog")
