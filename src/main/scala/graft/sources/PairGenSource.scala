@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{DataSourceRegister, Filter, GreaterThanOrEqual, LessThan}
+import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -20,9 +20,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * Scale surface demonstrated:
   *  - `planInputPartitions` splits the id range into `slices` splits —
   *    the reader parallelizes like any file source;
-  *  - `SupportsPushDownFilters`: `id >= / <` bounds narrow the
-  *    GENERATED range (the analogue of parquet row-group skipping) and
-  *    are removed from the post-scan filter;
+  *  - `SupportsPushDownV2Filters`: comparisons of `id` against long
+  *    literals narrow the GENERATED range (the analogue of parquet
+  *    row-group skipping) and are removed from the post-scan filter;
   *  - `SupportsPushDownRequiredColumns`: unreferenced columns are never
   *    materialized.
   *
@@ -98,7 +98,7 @@ private[sources] class PairGenScanBuilder(
     rows: Long, slices: Int, batchRows: Long, private val buckets: Int,
     private val variant: Boolean = false)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownV2Filters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
     with SupportsPushDownLimit with SupportsPushDownTopN
     with org.apache.spark.sql.connector.read.SupportsPushDownOffset
@@ -131,7 +131,8 @@ private[sources] class PairGenScanBuilder(
       sampleSpec = Some((lowerBound, upperBound, seed))
       true
     }
-  private var pushed = Array.empty[Filter]
+  private var pushed =
+    Array.empty[org.apache.spark.sql.connector.expressions.filter.Predicate]
   private var required: StructType =
     PairGenSource.schemaFor(buckets, variant)
 
@@ -264,26 +265,77 @@ private[sources] class PairGenScanBuilder(
     true
   }
 
-  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+  /** FILTER PUSHDOWN (`SupportsPushDownV2Filters`, the modern
+    * Predicate face — richer and engine-canonical vs the legacy
+    * `sources.Filter` API): any comparison of `id` against a long
+    * literal (=, >, >=, <, <=, either operand order, plus the trivial
+    * IS_NOT_NULL on a non-nullable column) narrows the GENERATED
+    * range [lo, hi) — the analogue of parquet row-group skipping.
+    * Accepted predicates are EXACT (range arithmetic, no
+    * re-evaluation needed), so they drop out of the residual and no
+    * post-scan Filter survives. `>`/`<=`/`=` clamp through a
+    * saturating successor so Long.MaxValue bounds cannot overflow
+    * (the PairGenOffset lesson, applied to comparisons).
+    */
+  override def pushPredicates(
+      predicates: Array[org.apache.spark.sql.connector.expressions
+        .filter.Predicate]): Array[org.apache.spark.sql.connector
+        .expressions.filter.Predicate] = {
+    import org.apache.spark.sql.connector.expressions.{Expression, Literal, NamedReference}
     // after a pushed join the output names are aliases — decline
     // everything and let Spark evaluate above the scan
-    if (joinedCols.nonEmpty) return filters
-    val (sup, unsup) = filters.partition {
-      case GreaterThanOrEqual("id", _: java.lang.Number) => true
-      case LessThan("id", _: java.lang.Number)           => true
-      case _                                             => false
+    if (joinedCols.nonEmpty) return predicates
+    def idRef(e: Expression): Boolean = e match {
+      case f: NamedReference => f.fieldNames.sameElements(Array("id"))
+      case _                 => false
     }
-    sup.foreach {
-      case GreaterThanOrEqual("id", v: java.lang.Number) =>
-        lo = math.max(lo, v.longValue())
-      case LessThan("id", v: java.lang.Number) =>
-        hi = math.min(hi, v.longValue())
-      case _ => ()
+    def longLit(e: Expression): Option[Long] = e match {
+      case l: Literal[_] => l.value() match {
+        case n: java.lang.Number => Some(n.longValue())
+        case _                   => None
+      }
+      case _ => None
+    }
+    // saturating v+1: an upper bound of Long.MaxValue must not wrap
+    def succ(v: Long): Long =
+      if (v == Long.MaxValue) Long.MaxValue else v + 1
+    // (op, literal) with the column on the LEFT; a literal-first
+    // comparison arrives flipped
+    def normalized(p: org.apache.spark.sql.connector.expressions
+        .filter.Predicate): Option[(String, Long)] =
+      p.children() match {
+        case Array(a, b) if idRef(a) =>
+          longLit(b).map(v => (p.name(), v))
+        case Array(a, b) if idRef(b) =>
+          longLit(a).map { v =>
+            val flip = Map(">" -> "<", "<" -> ">",
+              ">=" -> "<=", "<=" -> ">=", "=" -> "=")
+            (flip.getOrElse(p.name(), p.name()), v)
+          }
+        case _ => None
+      }
+    val (sup, unsup) = predicates.partition { p =>
+      (p.name() == "IS_NOT_NULL" && p.children().length == 1 &&
+        idRef(p.children()(0))) ||
+        (Set("=", ">", ">=", "<", "<=")(p.name()) &&
+          normalized(p).isDefined)
+    }
+    sup.foreach { p =>
+      normalized(p).foreach { case (op, v) =>
+        op match {
+          case ">=" => lo = math.max(lo, v)
+          case ">"  => lo = math.max(lo, succ(v))
+          case "<"  => hi = math.min(hi, v)
+          case "<=" => hi = math.min(hi, succ(v))
+          case "="  => lo = math.max(lo, v); hi = math.min(hi, succ(v))
+        }
+      } // IS_NOT_NULL on the non-nullable id: accepted no-op
     }
     pushed = sup
-    unsup // residual filters Spark must still evaluate: none of ours
+    unsup // residual predicates Spark must still evaluate
   }
-  override def pushedFilters(): Array[Filter] = pushed
+  override def pushedPredicates(): Array[
+    org.apache.spark.sql.connector.expressions.filter.Predicate] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit = {
     required = requiredSchema
     // keep the alias→source map aligned with the pruned output

@@ -33,6 +33,29 @@ class PairGenSourceSpec extends SparkSpec {
     assert(!p.contains("Filter ("), s"filter not fully pushed:\n$p")
   }
 
+  test("v2 predicate pushdown covers the whole comparison family: " +
+      "=, >, <=, and literal-first forms all narrow the range") {
+    val t = load(10000, 4)
+    // equality collapses to a one-row range, no post-scan Filter
+    val eq = t.filter(col("id") === lit(7L))
+    assert(eq.queryExecution.executedPlan.toString.contains(
+      "range=[7,8)"), eq.queryExecution.executedPlan.toString)
+    assert(!eq.queryExecution.executedPlan.toString.contains("Filter ("))
+    assert(eq.count() == 1)
+    // strict > and <= clamp through the saturating successor
+    val gt = t.filter(col("id") > lit(9989L) && col("id") <= lit(9994L))
+    assert(gt.queryExecution.executedPlan.toString.contains(
+      "range=[9990,9995)"), gt.queryExecution.executedPlan.toString)
+    assert(gt.collect().map(_.getLong(0)).toSeq ==
+      (9990L to 9994L))
+    // literal-first comparison arrives flipped and still narrows
+    val flipped = t.filter(lit(9995L) <= col("id"))
+    assert(flipped.queryExecution.executedPlan.toString.contains(
+      "range=[9995,10000)"),
+      flipped.queryExecution.executedPlan.toString)
+    assert(flipped.count() == 5)
+  }
+
   test("column pruning reaches the scan schema") {
     val df = load(1000, 4).select("value")
     val scan = df.queryExecution.executedPlan.collectLeaves().head
