@@ -143,6 +143,11 @@ class GraftMemCatalog extends TableCatalog with FunctionCatalog
       properties: util.Map[String, String],
       constraints: Array[org.apache.spark.sql.connector.catalog
         .constraints.Constraint]): Table = {
+    // a namespace-less identifier would store a dot-free key that the
+    // namespace listing cannot decompose
+    require(ident.namespace().nonEmpty,
+      s"graftmem tables live under a namespace (db.tbl), got " +
+        s"'${ident.name()}'")
     // unpartitioned (one rewrite group) or PARTITIONED BY (col) — one
     // identity transform on a LONG column, one rewrite group per value
     val partCol = partitions match {
@@ -297,6 +302,7 @@ class GraftMemCatalog extends TableCatalog with FunctionCatalog
       tablesInNs(namespace).nonEmpty
   override def listNamespaces(): Array[Array[String]] = {
     val implied = tables.keySet().toArray(Array.empty[String])
+      .filter(_.contains(".")) // belt alongside createTable's require
       .map(k => k.substring(0, k.lastIndexOf('.')))
     (namespaces.keySet().toArray(Array.empty[String]) ++ implied)
       .distinct.sorted.map(k => k.split('.'): Array[String])
@@ -310,7 +316,9 @@ class GraftMemCatalog extends TableCatalog with FunctionCatalog
   override def loadNamespaceMetadata(
       namespace: Array[String]): util.Map[String, String] = {
     val m = namespaces.get(namespace.mkString("."))
-    if (m != null) new util.HashMap(m)
+    // copy under the same monitor alterNamespace mutates under — an
+    // unsynchronized iteration could tear against a racing SET
+    if (m != null) m.synchronized(new util.HashMap(m))
     else if (tablesInNs(namespace).nonEmpty)
       new util.HashMap[String, String]()
     else throw new org.apache.spark.sql.catalyst.analysis
@@ -595,10 +603,14 @@ private[sources] class GraftMemTable(val fullName: String,
       if (!vs.forall(partExistsLocked)) false
       else {
         vs.foreach(declaredParts.remove)
-        val gs = vs.toSet
-        if (rows.exists(r => gs.contains(groupOf(r)))) {
-          rows = rows.filterNot(r => gs.contains(groupOf(r)))
-          stampCommit(gs)
+        // version-stamp exactly the groups whose DATA changed — a
+        // declared-only partition's drop is pure metadata and must
+        // not spuriously conflict an in-flight rewrite of its group
+        val touched = vs.toSet
+          .filter(g => rows.exists(r => groupOf(r) == g))
+        if (touched.nonEmpty) {
+          rows = rows.filterNot(r => touched.contains(groupOf(r)))
+          stampCommit(touched)
         }
         true
       }
@@ -643,6 +655,11 @@ private[sources] class GraftMemTable(val fullName: String,
         require(names.length == 1 && partitionCol.contains(names(0)),
           s"graftmem $fullName: unknown partition column(s) " +
             names.mkString(", "))
+        // same NULL discipline as partValue: getLong on a null cell
+        // reads 0 and would alias partition 0
+        require(!ident.isNullAt(0),
+          s"graftmem $fullName: NULL partition filter values are not " +
+            "supported")
         Some(ident.getLong(0))
       }
     (declaredParts.keySet ++ rows.iterator.map(groupOf)).toSeq.distinct
@@ -657,11 +674,17 @@ private[sources] class GraftMemTable(val fullName: String,
         throw new org.apache.spark.sql.catalyst.analysis
           .NoSuchPartitionException(fullName, InternalRow(v),
             partitionSchema()))
-      val gs = vs.toSet
       // the partition survives its own truncation in SHOW PARTITIONS
       vs.foreach(v => declaredParts.getOrElseUpdate(v, Map.empty))
-      rows = rows.filterNot(r => gs.contains(groupOf(r)))
-      stampCommit(gs)
+      // stamp only groups whose data changed: truncating an already-
+      // empty partition is a metadata no-op, not a version bump that
+      // could spuriously conflict an in-flight rewrite
+      val touched = vs.toSet
+        .filter(g => rows.exists(r => groupOf(r) == g))
+      if (touched.nonEmpty) {
+        rows = rows.filterNot(r => touched.contains(groupOf(r)))
+        stampCommit(touched)
+      }
       true
     }
   override def truncatePartition(ident: InternalRow): Boolean =

@@ -639,7 +639,18 @@ private[sources] class PairGenScan(
     */
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics = {
-    val n = math.max(0L, hi - lo)
+    val full = math.max(0L, hi - lo)
+    // a pushed TABLESAMPLE thins the emitted stream — reporting the
+    // FULL range would inflate planner cardinality by 1/fraction and
+    // deny the sampled side the broadcast its true size earns (the
+    // a38/a41 contract, sample-adjusted). Hash-uniform sampling makes
+    // n·fraction the right estimate; NDVs below inherit it through n.
+    val n = sample match {
+      case Some((lb, ub, _)) =>
+        val frac = math.max(0.0, math.min(1.0, ub - lb))
+        math.min(full, math.round(full.toDouble * frac))
+      case None => full
+    }
     val perRow = required.fields.map(_.dataType match {
       case LongType => 8L
       case _        => 32L // value: 32-char md5 string
@@ -752,7 +763,10 @@ private[sources] class PairGenScan(
   override def description(): String =
     s"PairGenScan range=[$lo,$hi) cols=${required.fieldNames.mkString(",")}" +
       ordered.map(d => s" pushedTopN(desc=$d)").getOrElse("") +
-      (if (outputSchema.isDefined) " pushedJoin" else "")
+      (if (outputSchema.isDefined) " pushedJoin" else "") +
+      sample.map { case (lb, ub, seed) =>
+        s" pushedSample([$lb,$ub), seed=$seed)"
+      }.getOrElse("")
   override def planInputPartitions(): Array[InputPartition] =
     if (singlePartition)
       // fully-pushed top-N: ONE partition emitting the narrowed range

@@ -144,6 +144,25 @@ class GraftMemPartitionSpec extends SparkSpec {
     }
   }
 
+  test("no-op partition DDL is metadata-only: truncating or dropping " +
+      "a declared-empty partition bumps no version") {
+    val tbl = freshPartitioned("spec_pmnoop")
+    val table = spark.sessionState.catalogManager.catalog("graftmem")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier
+        .of(Array("db"), "spec_pmnoop"))
+      .asInstanceOf[GraftMemTable]
+    spark.sql(s"ALTER TABLE $tbl ADD PARTITION (g = 9)")
+    val v0 = table.synchronized(table.commitVersion)
+    spark.sql(s"TRUNCATE TABLE $tbl PARTITION (g = 9)") // no data
+    spark.sql(s"ALTER TABLE $tbl DROP PARTITION (g = 9)") // still none
+    assert(table.synchronized(table.commitVersion) == v0,
+      "declared-only partition DDL must not version-stamp its group")
+    // dropping a DATA-holding partition is a real commit
+    spark.sql(s"ALTER TABLE $tbl DROP PARTITION (g = 1)")
+    assert(table.synchronized(table.commitVersion) == v0 + 1)
+  }
+
   test("unpartitioned tables reject partition DDL loudly") {
     spark.conf.set("spark.sql.catalog.graftmem",
       "graft.sources.GraftMemCatalog")

@@ -221,9 +221,14 @@ class PairGenSourceSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val t = spark.read.format("pairgen").option("rows", "20000").load()
     val s1 = t.sample(withReplacement = false, 0.2, seed = 42)
-    val plan = s1.queryExecution.executedPlan.toString
-    assert(!plan.contains("Sample"),
-      s"sample was not absorbed by the source:\n$plan")
+    // no SampleExec operator node (the scan DESCRIPTION now names the
+    // pushed sample, so a plain substring check would self-trip)
+    assert(s1.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.SampleExec => s
+    }.isEmpty,
+      "sample was not absorbed by the source:\n" +
+        s1.queryExecution.executedPlan.toString)
+    assert(s1.queryExecution.executedPlan.toString.contains("pushedSample"))
     val ids1 = s1.select("id").collect().map(_.getLong(0)).toSet
     // roughly the requested fraction (hash-uniform over 20k ids)
     assert(ids1.size > 3200 && ids1.size < 4800, s"got ${ids1.size}")
@@ -254,6 +259,32 @@ class PairGenSourceSpec extends SparkSpec {
       "closed-form aggregate over a sampled scan would ignore the " +
         "sample")
     assert(agg.head().getLong(0) == ids1.size)
+  }
+
+  test("a pushed sample scales the reported statistics: the sampled " +
+      "side of a join broadcasts on its TRUE size, and the plan names " +
+      "the sample") {
+    import org.apache.spark.sql.functions._
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // unsampled, both sides ~90-100M rows: no plan-time broadcast
+      // (a38 proves this); sampling one side at 1e-4 (~9k rows) must
+      // flip it — only the sample-scaled statistics can justify that
+      val big = spark.read.format("pairgen")
+        .option("rows", "100000000").load()
+      val sampled = spark.read.format("pairgen")
+        .option("rows", "90000000").load()
+        .sample(withReplacement = false, 0.0001, seed = 1)
+        .withColumnRenamed("value", "v2")
+      val p = big.join(sampled, Seq("id"))
+        .agg(count(lit(1)).as("n"))
+        .queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"),
+        s"sample-scaled stats did not drive the broadcast:\n$p")
+      // the sampled scan is visible as such in the plan
+      assert(p.contains("pushedSample"), p)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
   test("Trigger.AvailableNow drains the stream in rate-limited " +
