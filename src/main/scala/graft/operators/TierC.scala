@@ -2552,7 +2552,15 @@ object TierC {
     * ×10 000 ratio — no tf·S or dl·N cross products (the b60 ANSI
     * discipline applied at design time rather than patched after).
     */
-  private def c67(s: SparkSession, d: String): DataFrame = {
+  private def c67(s: SparkSession, d: String): DataFrame =
+    bm25Scored(s, d)
+      .orderBy(col("score_bp").desc, col("doc_id")).limit(10)
+
+  /** The shared BM25 scorer (doc_id, n_hit, score_bp) — c67 declares
+    * its top-10; c70 rank-fuses its top-20 with the dense arm. ONE
+    * definition so the two retrieval surfaces can never drift.
+    */
+  private def bm25Scored(s: SparkSession, d: String): DataFrame = {
     val tok = documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
     val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
@@ -2583,7 +2591,64 @@ object TierC {
           s"(10000 * tf + 3000 + (90000000 * dl) div $avgdl10k)"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_hit"), sum("sbp").as("score_bp"))
-      .orderBy(col("score_bp").desc, col("doc_id")).limit(10)
+  }
+
+  /** c70: HYBRID RETRIEVAL via RECIPROCAL-RANK FUSION — the standard
+    * two-arm search shape production retrieval (and RAG-style
+    * training-data mining) runs: a LEXICAL arm (c67's integer-exact
+    * BM25) and a DENSE arm (cosine against a probe embedding, c3's
+    * kernel) each rank the corpus independently, and RRF fuses the
+    * rankings without comparing incommensurable scores:
+    * score(d) = Σ_arms 1/(60 + rank_arm(d)) (Cormack et al. 2009,
+    * k = 60), computed here as ⌊10⁹/(60+rank)⌋ integer terms so the
+    * oracle reproduces every fused score exactly. Rank, not score,
+    * is what crosses arms — which is why the float cosine and the
+    * integer BM25 compose at all. Probe = the smallest-id embedding;
+    * each arm contributes its top-20; declared output = fused top-10
+    * with both per-arm ranks (NULL where an arm missed the doc —
+    * the full-outer shape of real hybrid search).
+    *
+    * Scale shape: the lexical arm is c67's (partial-agg'd counts,
+    * broadcast 3-term query, TakeOrdered); the dense arm is c3's
+    * (broadcast probe, per-partition bounded heaps, window re-rank
+    * over partitions×20 partials); the fusion is a full outer join of
+    * two ≤20-row sides — driver-free, and the rank windows run on
+    * limit-bounded single partitions (the c41 idiom).
+    */
+  private def c70(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val n = 20
+    val wLex = Window.partitionBy()
+      .orderBy(col("score_bp").desc, col("doc_id"))
+    val lex = bm25Scored(s, d)
+      .orderBy(col("score_bp").desc, col("doc_id")).limit(n)
+      .withColumn("lex_rank", row_number().over(wLex).cast("long"))
+      .select(col("doc_id"), col("lex_rank"))
+    // dense arm: ≤1-row probe collect (bounded by construction; the
+    // empty corpus yields an empty arm and the fusion stays total)
+    val probe = vecs(s, d).orderBy(col("vec_id")).limit(1).collect()
+    val dense = probe.headOption match {
+      case None =>
+        s.emptyDataset[(Long, Long)].toDF("doc_id", "dense_rank")
+      case Some((pid, _)) =>
+        val bc = s.sparkContext.broadcast(probe)
+        val wDense = Window.partitionBy("probe_id")
+          .orderBy(col("sim").desc, col("doc_id"))
+        vecs(s, d)
+          .mapPartitions(it =>
+            boundedTopK(it, bc.value, n, keepVec = false)
+              .map { case (p, c, sim, _) => (p, c, sim) })
+          .toDF("probe_id", "doc_id", "sim")
+          .withColumn("rn", row_number().over(wDense))
+          .filter(col("rn") <= n)
+          .select(col("doc_id"), col("rn").cast("long").as("dense_rank"))
+    }
+    lex.join(dense, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(expr("1000000000 div (60 + lex_rank)"), lit(0L)) +
+          coalesce(expr("1000000000 div (60 + dense_rank)"), lit(0L)))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+      .select("doc_id", "lex_rank", "dense_rank", "rrf")
   }
 
   /** c68: UNICODE-NORMALIZATION-INSENSITIVE DEDUP — the canonical-
@@ -2636,6 +2701,11 @@ object TierC {
     // side uses \u escapes for the same reason.)
     QueryDef("c68_dedup_nfc", c68 _, Some(
       "WITH v AS (SELECT doc_id, 'caf' || chr(233) || ' ' || text AS raw FROM documents UNION ALL SELECT doc_id, 'cafe' || chr(769) || ' ' || text FROM documents) SELECT doc_id, count(DISTINCT md5(raw))::BIGINT AS n_raw, count(DISTINCT md5(nfc_normalize(raw)))::BIGINT AS n_norm, min(md5(nfc_normalize(raw))) AS norm_fp FROM v GROUP BY 1 ORDER BY 1")),
+    // the oracle replays BOTH arms (c67's integer BM25 CTEs, the
+    // dense cosine ranking with c3's double contract) and fuses by
+    // integer RRF terms — every fused score matches exactly
+    QueryDef("c70_hybrid_rrf", c70 _, Some(
+      "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents), dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1), tot AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n, count(*)::BIGINT AS s FROM tok), a AS (SELECT greatest(1, (10000 * s) // greatest(1, n)) AS a10k, n FROM tot), dfx AS (SELECT w, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY 1), terms AS (SELECT w, df FROM (SELECT w, df, row_number() OVER (ORDER BY df DESC, w) AS rk FROM dfx) WHERE rk BETWEEN 11 AND 13), tf AS (SELECT t.doc_id, t.w, count(*)::BIGINT AS tf FROM tok t JOIN terms q ON t.w = q.w GROUP BY 1, 2), sc AS (SELECT tf.doc_id, ((length(bin((a.n // q.df))) - 1) * 220000000 * tf.tf) // (10000 * tf.tf + 3000 + (90000000 * d.dl) // a.a10k) AS sbp FROM tf JOIN terms q ON tf.w = q.w JOIN dl d ON tf.doc_id = d.doc_id, a), lexall AS (SELECT doc_id, sum(sbp)::BIGINT AS score_bp FROM sc GROUP BY 1), lex AS (SELECT doc_id, row_number() OVER (ORDER BY score_bp DESC, doc_id)::BIGINT AS lex_rank FROM (SELECT doc_id, score_bp FROM lexall ORDER BY score_bp DESC, doc_id LIMIT 20)), probe AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 1), densetop AS (SELECT e.vec_id AS doc_id, list_cosine_similarity(e.embedding::DOUBLE[], (SELECT embedding::DOUBLE[] FROM probe)) AS sim FROM embeddings e WHERE e.vec_id <> (SELECT vec_id FROM probe) ORDER BY sim DESC, e.vec_id LIMIT 20), dense AS (SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id)::BIGINT AS dense_rank FROM densetop), f AS (SELECT coalesce(l.doc_id, dn.doc_id) AS doc_id, l.lex_rank, dn.dense_rank, (coalesce(1000000000 // (60 + l.lex_rank), 0) + coalesce(1000000000 // (60 + dn.dense_rank), 0))::BIGINT AS rrf FROM lex l FULL JOIN dense dn ON l.doc_id = dn.doc_id) SELECT doc_id, lex_rank, dense_rank, rrf FROM f ORDER BY rrf DESC, doc_id LIMIT 10")),
     QueryDef("c67_bm25", c67 _, Some(
       "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents), dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1), tot AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n, count(*)::BIGINT AS s FROM tok), a AS (SELECT greatest(1, (10000 * s) // greatest(1, n)) AS a10k, n FROM tot), dfx AS (SELECT w, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY 1), terms AS (SELECT w, df FROM (SELECT w, df, row_number() OVER (ORDER BY df DESC, w) AS rk FROM dfx) WHERE rk BETWEEN 11 AND 13), tf AS (SELECT t.doc_id, t.w, count(*)::BIGINT AS tf FROM tok t JOIN terms q ON t.w = q.w GROUP BY 1, 2), sc AS (SELECT tf.doc_id, ((length(bin((a.n // q.df))) - 1) * 220000000 * tf.tf) // (10000 * tf.tf + 3000 + (90000000 * d.dl) // a.a10k) AS sbp FROM tf JOIN terms q ON tf.w = q.w JOIN dl d ON tf.doc_id = d.doc_id, a) SELECT doc_id, count(*)::BIGINT AS n_hit, sum(sbp)::BIGINT AS score_bp FROM sc GROUP BY 1 ORDER BY score_bp DESC, doc_id LIMIT 10")),
     QueryDef("c66_shard_manifest", c66 _, Some(
