@@ -2507,6 +2507,45 @@ object TierB {
       .orderBy("g")
   }
 
+  /** b89: SNAPSHOT TAGS — named retention roots over b84's history
+    * (the Iceberg tag shape): `CALL graftmem.system.create_tag(tbl,
+    * 'baseline', v)` names a snapshot, `VERSION AS OF 'baseline'`
+    * resolves it, and every retention pass — the automatic
+    * per-commit cap AND an explicit expire_snapshots — PINS tagged
+    * versions. The demo makes the pin indispensable: append (v1),
+    * tag it, run both CDC rounds (v2, v3), then
+    * `expire_snapshots(keep_last = 1)` — which expires the UNTAGGED
+    * v2 but must keep the tagged v1 — and declares the summary read
+    * through the tag. Without the pin the read would fail loudly
+    * (spec asserts v2 IS gone); the oracle recomputes the original
+    * append and never mentions history at all. At 100 TB tags are
+    * how "the snapshot we trained run X on" stays readable across
+    * months of retention — a name with a lifetime, not a version
+    * number in a wiki.
+    */
+  private def b89(s: SparkSession, d: String): DataFrame = {
+    val tbl = graft.util.DemoTables.freshGraftmem(s, d, "tagd",
+      "(key BIGINT, bal_cents BIGINT)")
+    customer(s, d)
+      .selectExpr("c_custkey AS key",
+        "CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents")
+      .writeTo(tbl).append() // v1 — the tagged baseline
+    s.sql(s"CALL graftmem.system.create_tag(" +
+      s"'${tbl.stripPrefix("graftmem.")}', 'baseline', 1L)").collect()
+    runCdcMergeRound(s, d, "b89", tbl) // v2
+    runFollowupMergeRound(s, tbl) // v3
+    // retention keeps the newest 1 + every tagged version: v2 expires,
+    // the tagged v1 survives — the read below depends on the pin
+    s.sql(s"CALL graftmem.system.expire_snapshots(" +
+      s"'${tbl.stripPrefix("graftmem.")}', 1)").collect()
+    s.sql(
+      s"""SELECT key % 10 AS key_mod, count(*) AS n,
+         |  CAST(sum(CAST(bal_cents AS DECIMAL(38,0))) AS BIGINT)
+         |    AS bal_cents_sum
+         |FROM $tbl VERSION AS OF 'baseline'
+         |GROUP BY key % 10 ORDER BY key_mod""".stripMargin)
+  }
+
   /** THE CDC round every row-level demo shares (b75 CoW, b80 MoR, b82
     * compaction, b83 change feed, d26 streaming CDC): update keys ≡3
     * (mod 10) to bal+10000, delete keys ≡7, insert keys ≡0 (mod 100)
@@ -2598,6 +2637,11 @@ object TierB {
     // the dropped partition (2) is absent, the truncated (4) and the
     // declared-empty (9) surface with zero rows — the oracle encodes
     // exactly that three-way DDL semantics over the recomputed load
+    // the oracle is the ORIGINAL append's summary — the query reads
+    // it back through a tag that survived a retention pass that
+    // provably expired its untagged sibling
+    QueryDef("b89_snapshot_tag", b89 _, Some(
+      "SELECT (c_custkey % 10)::BIGINT AS key_mod, count(*)::BIGINT AS n, sum(floor(c_acctbal * 100)::BIGINT)::BIGINT AS bal_cents_sum FROM customer GROUP BY 1 ORDER BY 1")),
     QueryDef("b88_partition_management", b88 _, Some(
       "WITH snap AS (SELECT (c_custkey % 5)::BIGINT AS g, floor(c_acctbal * 100)::BIGINT AS bal FROM customer), data AS (SELECT g, count(*)::BIGINT AS n, sum(bal)::BIGINT AS bal_cents_sum FROM snap WHERE g NOT IN (2, 4) GROUP BY g), decl AS (SELECT unnest([4, 9]::BIGINT[]) AS g) SELECT g, n, bal_cents_sum FROM data UNION ALL SELECT g, 0::BIGINT, NULL::BIGINT FROM decl ORDER BY g")),
     QueryDef("b86_overwrite_partitions", b86 _, Some(

@@ -272,11 +272,13 @@ class GraftMemCatalog extends TableCatalog with FunctionCatalog
     */
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Array(Identifier.of(namespace, "compact"),
+      Identifier.of(namespace, "create_tag"),
       Identifier.of(namespace, "expire_snapshots"))
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
     ident.name() match {
       case "compact"          => MorCompactProcedure
+      case "create_tag"       => CreateTagProcedure
       case "expire_snapshots" => ExpireSnapshotsProcedure
       case other => throw new RuntimeException(
         s"graftmem: no procedure named '$other'")

@@ -57,28 +57,60 @@ private[sources] trait GraftSnapshotHistory { self: Table =>
     */
   private[sources] def expireSnapshots(keepLast: Int): (Long, Long, Long)
 
+  /** SNAPSHOT TAGS (b89): named retention roots, the Iceberg tag
+    * shape — `CALL graftmem.system.create_tag(tbl, tag, version)`
+    * names a retained snapshot, `VERSION AS OF '<tag>'` resolves it,
+    * and every retention pass (the automatic per-commit cap AND an
+    * explicit expire_snapshots) PINS tagged versions: a tag is a
+    * promise the snapshot stays readable, which is the whole point of
+    * naming it. Guarded by the table lock.
+    */
+  private[sources] val snapshotTags =
+    scala.collection.mutable.HashMap.empty[String, Long]
+
+  final private[sources] def createTag(tag: String, version: Long): Unit =
+    self.synchronized {
+      require(tag.trim.nonEmpty && !tag.trim.forall(_.isDigit),
+        s"graftmem $historyName: tag must be non-empty and not purely " +
+          s"numeric (a numeric tag '$tag' would shadow version numbers)")
+      require(!snapshotTags.contains(tag),
+        s"graftmem $historyName: tag '$tag' already exists " +
+          s"(-> version ${snapshotTags(tag)})")
+      require(snapshotAt(version).isDefined,
+        s"graftmem $historyName: no retained snapshot for version " +
+          s"$version to tag")
+      snapshotTags(tag) = version
+    }
+
   /** ONE retention implementation for both flavors (and for the
     * automatic per-commit cap): drop all but the newest `keepLast`
-    * entries of `snaps`. Call while holding the table lock.
+    * entries of `snaps` — EXCEPT tagged versions, which survive every
+    * pass (retention roots). Call while holding the table lock.
     */
   final private[sources] def pruneSnapshots(
       snaps: scala.collection.mutable.Map[Long, _], keepLast: Int,
       current: Long): (Long, Long, Long) = {
+    val pinned = snapshotTags.valuesIterator.toSet
     val vs = snaps.keys.toSeq.sorted
-    val drop = vs.dropRight(keepLast)
+    val drop = vs.dropRight(keepLast).filterNot(pinned)
     drop.foreach(snaps.remove)
     (drop.length.toLong, (vs.length - drop.length).toLong, current)
   }
 
-  /** `VERSION AS OF v` — the string is the version number. */
+  /** `VERSION AS OF v` — a commit version number, or a TAG name
+    * (b89) resolving to the version it pins.
+    */
   final private[sources] def travelToVersion(version: String): Table = {
     val v =
       try version.trim.toLong
       catch {
         case _: NumberFormatException =>
-          throw new IllegalArgumentException(
-            s"graftmem $historyName: VERSION AS OF takes a numeric " +
-              s"commit version, got '$version'")
+          self.synchronized(snapshotTags.get(version.trim)).getOrElse(
+            throw new IllegalArgumentException(
+              s"graftmem $historyName: VERSION AS OF takes a numeric " +
+                s"commit version or a snapshot tag; no tag named " +
+                s"'$version' (tags: ${self.synchronized(
+                  snapshotTags.keys.toSeq.sorted.mkString(", "))})"))
       }
     snapshotAt(v) match {
       case Some((rs, sch)) =>
@@ -162,6 +194,65 @@ private[sources] class GraftMemSnapshotTable(parentName: String,
               }
             }
           }
+        }
+      }
+    }
+}
+
+/** `graftmem.system.create_tag(table, tag, version)` — name a
+  * retained snapshot (b89, the Iceberg tag shape). The tag resolves
+  * through `VERSION AS OF '<tag>'` and PINS its snapshot through
+  * every retention pass: expire_snapshots and the automatic
+  * per-commit cap both skip tagged versions. Returns (tag, version)
+  * as the CALL's result set.
+  */
+private[sources] object CreateTagProcedure
+    extends org.apache.spark.sql.connector.catalog.procedures
+      .UnboundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures._
+  import org.apache.spark.sql.types.{LongType => LT, StringType, StructField, StructType => ST}
+
+  override def name(): String = "create_tag"
+  override def description(): String =
+    "name a retained snapshot; the tag resolves via VERSION AS OF " +
+      "and pins the snapshot through retention"
+
+  override def bind(inputType: StructType): BoundProcedure =
+    new BoundProcedure {
+      override def name(): String = "create_tag"
+      override def description(): String =
+        CreateTagProcedure.this.description()
+      override def parameters(): Array[ProcedureParameter] =
+        Array(ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("tag", StringType).build(),
+          ProcedureParameter.in("version", LT).build())
+      override def isDeterministic: Boolean = false
+      private val outSchema = ST(Seq(
+        StructField("tag", StringType, nullable = false),
+        StructField("version", LT, nullable = false)))
+      override def call(input: InternalRow)
+          : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+        val tbl = input.getUTF8String(0).toString
+        val tag = input.getUTF8String(1).toString
+        val version = input.getLong(2)
+        GraftMemCatalog.lookup(tbl) match {
+          case h: GraftSnapshotHistory =>
+            h.createTag(tag, version)
+            val row: InternalRow = InternalRow(
+              org.apache.spark.unsafe.types.UTF8String.fromString(tag),
+              version)
+            val scan: org.apache.spark.sql.connector.read.Scan =
+              new org.apache.spark.sql.connector.read.LocalScan {
+                override def rows(): Array[InternalRow] = Array(row)
+                override def readSchema(): StructType = outSchema
+                override def description(): String =
+                  s"create_tag($tbl, $tag, $version)"
+              }
+            java.util.Collections.singletonList(scan).iterator()
+          case null => throw new IllegalArgumentException(
+            s"create_tag: no graftmem table named '$tbl'")
+          case _ => throw new IllegalArgumentException(
+            s"create_tag: '$tbl' keeps no snapshot history")
         }
       }
     }

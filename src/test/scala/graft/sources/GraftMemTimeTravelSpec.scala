@@ -143,4 +143,49 @@ class GraftMemTimeTravelSpec extends SparkSpec {
     assert(err.getMessage.contains("numeric commit version"),
       err.getMessage)
   }
+
+  test("b89: snapshot tags resolve via VERSION AS OF and PIN their " +
+      "version through retention; duplicates and numeric tags reject") {
+    val tbl = fresh("spec_tt_tag")
+    val short = tbl.stripPrefix("graftmem.")
+    spark.range(5).selectExpr("id AS key", "id AS bal")
+      .writeTo(tbl).append() // v1
+    val tagged = spark.sql(
+      s"CALL graftmem.system.create_tag('$short', 'baseline', 1L)")
+      .collect()
+    assert(tagged.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("baseline", 1L)))
+    spark.sql(s"UPDATE $tbl SET bal = bal + 10 WHERE key < 3") // v2
+    spark.sql(s"UPDATE $tbl SET bal = bal + 100 WHERE key >= 3") // v3
+    // keep_last=1 must expire the UNTAGGED v2 and keep the tagged v1
+    spark.sql(
+      s"CALL graftmem.system.expire_snapshots('$short', 1)").collect()
+    assert(spark.sql(s"SELECT sum(bal) FROM $tbl VERSION AS OF 'baseline'")
+      .head().getLong(0) == 10L, "the tag must pin v1 past retention")
+    val gone = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $tbl VERSION AS OF 2").count()
+    }
+    assert(gone.getMessage.contains("no snapshot"), gone.getMessage)
+    // an unknown tag names the known ones
+    val unk = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $tbl VERSION AS OF 'v_oops'").count()
+    }
+    assert(unk.getMessage.contains("baseline"), unk.getMessage)
+    // duplicate and purely numeric tags reject loudly
+    intercept[Exception] {
+      spark.sql(
+        s"CALL graftmem.system.create_tag('$short', 'baseline', 3L)")
+        .collect()
+    }
+    intercept[Exception] {
+      spark.sql(s"CALL graftmem.system.create_tag('$short', '7', 3L)")
+        .collect()
+    }
+    // tagging an unretained version rejects
+    intercept[Exception] {
+      spark.sql(
+        s"CALL graftmem.system.create_tag('$short', 'ghost', 2L)")
+        .collect()
+    }
+  }
 }
