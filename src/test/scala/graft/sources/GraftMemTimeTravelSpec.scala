@@ -144,6 +144,20 @@ class GraftMemTimeTravelSpec extends SparkSpec {
       err.getMessage)
   }
 
+  test("SHOW PROCEDURES lists the catalog's maintenance actions and " +
+      "DESCRIBE PROCEDURE surfaces their contracts") {
+    spark.conf.set("spark.sql.catalog.graftmem",
+      "graft.sources.GraftMemCatalog")
+    val shown = spark.sql("SHOW PROCEDURES IN graftmem.system")
+      .select("procedure_name").collect().map(_.getString(0)).toSet
+    assert(Set("compact", "create_tag", "expire_snapshots")
+      .subsetOf(shown), s"got $shown")
+    val desc = spark.sql(
+      "DESCRIBE PROCEDURE graftmem.system.create_tag").collect()
+      .map(_.getString(0)).mkString("\n")
+    assert(desc.contains("create_tag"), desc)
+  }
+
   test("b89: snapshot tags resolve via VERSION AS OF and PIN their " +
       "version through retention; duplicates and numeric tags reject") {
     val tbl = fresh("spec_tt_tag")
