@@ -56,6 +56,49 @@ class PairGenSourceSpec extends SparkSpec {
     assert(flipped.count() == 5)
   }
 
+  test("predicate-pushdown fuzz: random comparison conjunctions give " +
+      "the same ids as an in-memory reference filter") {
+    val rows = 2000
+    val t = load(rows, 4)
+    val all = (0L until rows.toLong).toSet
+    val rnd = new scala.util.Random(20260815L)
+    val ops = Seq("=", ">", ">=", "<", "<=")
+    (1 to 40).foreach { i =>
+      val conj = (1 to (1 + rnd.nextInt(3))).map { _ =>
+        // values straddle the range boundary on purpose
+        (ops(rnd.nextInt(ops.length)),
+          rnd.nextLong(rows.toLong + 200L) - 100L,
+          rnd.nextBoolean()) // literal-first form
+      }
+      val df = conj.foldLeft(t) { case (d, (op, v, flipped)) =>
+        d.filter(op match {
+          case "="  => col("id") === lit(v)
+          case ">"  => if (flipped) lit(v) < col("id") else col("id") > lit(v)
+          case ">=" => if (flipped) lit(v) <= col("id") else col("id") >= lit(v)
+          case "<"  => if (flipped) lit(v) > col("id") else col("id") < lit(v)
+          case "<=" => if (flipped) lit(v) >= col("id") else col("id") <= lit(v)
+        })
+      }
+      val expect = conj.foldLeft(all) { case (s, (op, v, _)) =>
+        s.filter(id => op match {
+          case "="  => id == v
+          case ">"  => id > v
+          case ">=" => id >= v
+          case "<"  => id < v
+          case "<=" => id <= v
+        })
+      }
+      val got = df.select("id").collect().map(_.getLong(0)).toSet
+      assert(got == expect,
+        s"case $i: $conj -> got ${got.size} rows, expected " +
+          s"${expect.size}")
+    }
+    // the extreme bounds that motivated the saturating successor
+    assert(t.filter(col("id") <= lit(Long.MaxValue)).count() == rows)
+    assert(t.filter(col("id") > lit(Long.MaxValue)).count() == 0)
+    assert(t.filter(col("id") >= lit(Long.MinValue)).count() == rows)
+  }
+
   test("column pruning reaches the scan schema") {
     val df = load(1000, 4).select("value")
     val scan = df.queryExecution.executedPlan.collectLeaves().head
