@@ -1087,7 +1087,34 @@ object TierA {
   private def a43(s: SparkSession, d: String): DataFrame =
     a43Exec(s)._1
 
+  /** a44: COLUMNAR (VECTORIZED) SOURCE READS — the batch-at-a-time
+    * scan shape every columnar format reader uses (parquet's
+    * vectorized reader is the canonical one), at the DSv2 extension
+    * point: the pairgen factory reports `supportColumnarReads` for
+    * plain id/value partitions and serves 4096-row `ColumnarBatch`es
+    * into on-heap vectors; Spark plans the scan COLUMNAR and inserts
+    * the `ColumnarToRow` transition that feeds whole-stage codegen
+    * (spec-asserted, plus bit-equality of the columnar and row
+    * generators). The query aggregates on the VALUE column
+    * (first-hex-char histogram + per-bucket min/max md5), which no
+    * pushdown face absorbs — so the scan really streams 100k
+    * generated rows through the vectorized path. At 100 TB columnar
+    * batches are the difference between per-row iterator virtual
+    * calls and tight per-column loops — the same reason the parquet
+    * reader vectorizes.
+    */
+  private def a44(s: SparkSession, d: String): DataFrame =
+    s.read.format("pairgen").option("rows", "200000")
+      .option("slices", "8").load()
+      .filter(col("id") >= 50000L && col("id") < 150000L)
+      .groupBy(substring(col("value"), 1, 1).as("b"))
+      .agg(count(lit(1)).as("n"), min("value").as("min_md5"),
+        max("value").as("max_md5"))
+      .orderBy("b")
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("a44_source_columnar", a44 _, Some(
+      "WITH g AS (SELECT t.i AS id, md5(t.i::VARCHAR) AS value FROM range(200000) t(i) WHERE t.i >= 50000 AND t.i < 150000) SELECT substr(value, 1, 1) AS b, count(*)::BIGINT AS n, min(value) AS min_md5, max(value) AS max_md5 FROM g GROUP BY 1 ORDER BY 1")),
     QueryDef("a43_source_variant_pushdown", a43 _, Some(
       "SELECT (t.i % 8)::BIGINT AS k, 't' || (t.i % 3) AS tag, count(*)::BIGINT AS n, min(t.i)::BIGINT AS min_id, max(t.i)::BIGINT AS max_id FROM range(100000) t(i) GROUP BY 1, 2 ORDER BY 1, 2")),
     QueryDef("a42_source_join_pushdown", a42 _, Some(

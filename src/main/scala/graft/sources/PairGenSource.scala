@@ -910,6 +910,76 @@ private[sources] class PairGenReaderFactory(required: StructType,
     z = z ^ (z >>> 31)
     (z >>> 11).toDouble / (1L << 53).toDouble
   }
+  /** COLUMNAR READS (a44, the vectorized-source face every columnar
+    * format reader implements — `PartitionReaderFactory
+    * .supportColumnarReads` + a `ColumnarBatch` reader): plain
+    * ascending id/value partitions emit 4096-row batches into on-heap
+    * column vectors, and Spark plans the scan columnar (a
+    * `ColumnarToRow` feeds whole-stage codegen, exactly like the
+    * parquet vectorized reader). Declined for sampled scans, variant/
+    * struct output, bucketed and descending partitions — those keep
+    * the row reader (Spark requires all-or-nothing per scan, and the
+    * guard keys on the partition + projection shape both paths
+    * share). Values are generated by the SAME md5 kernel as the row
+    * path, so the two paths are bit-identical by construction.
+    */
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    partition.isInstanceOf[PairGenPartition] && sample.isEmpty &&
+      required.fields.forall(f => f.name == "id" || f.name == "value")
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val p = partition.asInstanceOf[PairGenPartition]
+    new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      private var cur = p.start
+      private val cap = 4096
+      private val md = java.security.MessageDigest.getInstance("MD5")
+      private val hexChars = "0123456789abcdef".toCharArray
+      private var batch: org.apache.spark.sql.vectorized.ColumnarBatch =
+        null
+      private def md5HexBytes(v: Long): Array[Byte] = {
+        val dig = md.digest(java.lang.Long.toString(v).getBytes("UTF-8"))
+        val out = new Array[Byte](32)
+        var i = 0
+        while (i < 16) {
+          out(i * 2) = hexChars((dig(i) >> 4) & 0xf).toByte
+          out(i * 2 + 1) = hexChars(dig(i) & 0xf).toByte
+          i += 1
+        }
+        out
+      }
+      override def next(): Boolean = {
+        if (batch != null) { batch.close(); batch = null }
+        if (cur >= p.end) return false
+        val n = math.min(cap.toLong, p.end - cur).toInt
+        val cols = required.fields.map { f =>
+          val v = new org.apache.spark.sql.execution.vectorized
+            .OnHeapColumnVector(n, f.dataType)
+          f.name match {
+            case "id" =>
+              var i = 0
+              while (i < n) { v.putLong(i, cur + i); i += 1 }
+            case "value" =>
+              var i = 0
+              while (i < n) {
+                v.putByteArray(i, md5HexBytes(cur + i)); i += 1
+              }
+            case other => throw new IllegalStateException(
+              s"pairgen columnar: unsupported column $other")
+          }
+          v: org.apache.spark.sql.vectorized.ColumnVector
+        }
+        batch = new org.apache.spark.sql.vectorized.ColumnarBatch(cols, n)
+        cur += n
+        true
+      }
+      override def get()
+          : org.apache.spark.sql.vectorized.ColumnarBatch = batch
+      override def close(): Unit =
+        if (batch != null) { batch.close(); batch = null }
+    }
+  }
+
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
     // (first, bound, stride): contiguous range for plain partitions; a

@@ -99,6 +99,33 @@ class PairGenSourceSpec extends SparkSpec {
     assert(t.filter(col("id") >= lit(Long.MinValue)).count() == rows)
   }
 
+  test("a44: plain scans read COLUMNAR (ColumnarToRow in the plan) " +
+      "and the vectorized path is bit-identical to the row path; " +
+      "sampled/variant scans keep the row reader") {
+    val t = load(10000, 4)
+    val q = t.filter(col("id") >= 100L && col("id") < 200L)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"),
+      s"plain scan did not plan columnar:\n$plan")
+    // bit-equality against the row path: the SAMPLED scan declines
+    // columnar (asserted below) but a full-fraction sample keeps every
+    // row, so it IS the row reader over the same range
+    val viaRow = t.sample(withReplacement = false, 1.0, seed = 1)
+      .filter(col("id") >= 100L && col("id") < 200L)
+    assert(!viaRow.queryExecution.executedPlan.toString
+      .contains("ColumnarToRow"),
+      "sampled scan must keep the row reader")
+    assert(q.collect().map(_.toString).toSeq ==
+      viaRow.collect().map(_.toString).toSeq,
+      "columnar and row generators must be bit-identical")
+    // the variant shape keeps the row reader too
+    val vt = spark.read.format("pairgen").option("rows", "100")
+      .option("variant", "true").load()
+    assert(!vt.queryExecution.executedPlan.toString
+      .contains("ColumnarToRow"))
+    assert(vt.count() == 100)
+  }
+
   test("column pruning reaches the scan schema") {
     val df = load(1000, 4).select("value")
     val scan = df.queryExecution.executedPlan.collectLeaves().head
