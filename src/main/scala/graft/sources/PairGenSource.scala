@@ -851,8 +851,32 @@ private[sources] class PairGenMicroBatchStream(
     lo: Long, hi: Long, slices: Int, batchRows: Long, required: StructType)
     extends streaming.MicroBatchStream
     with streaming.SupportsAdmissionControl
-    with streaming.SupportsTriggerAvailableNow {
+    with streaming.SupportsTriggerAvailableNow
+    with streaming.ReportsSourceMetrics {
   private val step = math.max(1L, batchRows)
+
+  /** SOURCE METRICS (`ReportsSourceMetrics`): per-progress-event
+    * source-side gauges, the face Kafka uses to surface consumer lag.
+    * The generator's lag analogue: ids remaining behind the latest
+    * committed offset. Surfaces in every progress event's
+    * `sources[].metrics` (spec-asserted through the live query).
+    */
+  override def metrics(latestConsumed: java.util.Optional[
+      streaming.Offset]): util.Map[String, String] = {
+    // after a checkpoint restart the engine hands the RAW serialized
+    // offset, not this source's class — parse either form
+    val consumed =
+      if (latestConsumed.isPresent) latestConsumed.get() match {
+        case p: PairGenOffset => p.pos
+        case o                => o.json().toLong
+      }
+      else lo
+    val m = new util.HashMap[String, String]()
+    m.put("idsBehindLatest",
+      java.lang.Long.toString(math.max(0L, hi - consumed)))
+    m.put("rangeEnd", java.lang.Long.toString(hi))
+    m
+  }
 
   /** `Trigger.AvailableNow` (backfill-and-stop): the engine asks the
     * source to PIN what "all available" means at query start, drains

@@ -379,6 +379,16 @@ class PairGenSourceSpec extends SparkSpec {
     assert(q.recentProgress.length >= 4,
       s"expected >= 4 rate-limited batches, got " +
         s"${q.recentProgress.length}")
+    // ReportsSourceMetrics: the source's lag gauge surfaces in every
+    // progress event and reads 0 once the range is drained
+    val metrics = q.recentProgress.last.sources.head.metrics
+    assert(metrics.get("idsBehindLatest") == "0",
+      s"drained source must report zero lag, got $metrics")
+    assert(metrics.get("rangeEnd") == "1000")
+    val firstLag = q.recentProgress.head.sources.head.metrics
+      .get("idsBehindLatest").toLong
+    assert(firstLag > 0 && firstLag <= 1000,
+      s"the first batch must still see lag, got $firstLag")
   }
 
   test("OFFSET pushdown completes the limit family: the scan emits " +
