@@ -139,7 +139,8 @@ object TierD {
     "d20_stream_curation_gate", "d21_stream_lsh_dedup",
     "d22_stream_restart_recovery", "d23_stream_custom_sink",
     "d24_state_store_reader", "d25_stream_mor_upsert",
-    "d26_stream_cdc_follow", "d27_stream_cdc_from_version")
+    "d26_stream_cdc_follow", "d27_stream_cdc_from_version",
+    "d28_stream_continuous")
 
   /** Shared d14/d22 oracle: the one-shot hourly aggregate restricted
     * to watermark-closed windows (ws + 1 h window + 1 h delay ≤ max
@@ -188,6 +189,13 @@ object TierD {
     QueryDef("d12_stream_custom_source",
       (s, d) => graft.streaming.StreamingDemo.streamCustomSource(s, d), Some(
         "SELECT t.i AS id, md5(t.i::VARCHAR) AS value FROM range(10000) t(i) WHERE t.i % 97 = 0 ORDER BY id")),
+    // d28 drains the same deterministic source through the CONTINUOUS
+    // engine (epochs, not microbatches) with idempotent downstream
+    // consumption; the oracle recomputes the summary from the range
+    // and never mentions epochs — exactly-once-by-dedup is the check.
+    QueryDef("d28_stream_continuous",
+      (s, d) => graft.streaming.StreamingDemo.streamContinuous(s, d), Some(
+        "WITH g AS (SELECT t.i AS id, md5(t.i::VARCHAR) AS value FROM range(2000) t(i)) SELECT (id % 10)::BIGINT AS m10, count(*)::BIGINT AS n, min(value) AS min_md5, max(value) AS max_md5 FROM g GROUP BY 1 ORDER BY 1")),
     QueryDef("d18_stream_sliding_append",
       (s, d) => graft.streaming.StreamingDemo.slidingAppend(s, d), Some(
         "WITH m AS (SELECT max(ts) AS mx FROM events), a AS (SELECT (floor(epoch(ts)/900)::BIGINT - j.j) * 900 AS ws, event_type FROM events, (VALUES (0),(1),(2),(3)) j(j)) SELECT ws, event_type, count(*)::BIGINT AS cnt FROM a, m WHERE ws + 7200 <= epoch(mx) GROUP BY 1, 2 ORDER BY 1, 2")),

@@ -68,6 +68,24 @@ object PairGenSource {
       org.apache.spark.sql.types.VariantType, nullable = true))
   }
 
+  /** ONE md5 kernel for every reader path (row, columnar, continuous):
+    * the 32-char lowercase hex of md5(decimal id) as raw ASCII bytes.
+    * A drifted copy would silently split the paths' contents.
+    */
+  private[sources] def md5HexBytes(
+      md: java.security.MessageDigest, v: Long): Array[Byte] = {
+    val dig = md.digest(java.lang.Long.toString(v).getBytes("UTF-8"))
+    val out = new Array[Byte](32)
+    var i = 0
+    while (i < 16) {
+      out(i * 2) = HEX((dig(i) >> 4) & 0xf)
+      out(i * 2 + 1) = HEX(dig(i) & 0xf)
+      i += 1
+    }
+    out
+  }
+  private val HEX = "0123456789abcdef".getBytes("US-ASCII")
+
   /** One range-splitting rule for the batch scan AND the microbatch
     * stream (a skew/clamp tweak to one must hit both).
     */
@@ -89,7 +107,9 @@ private[sources] class PairGenTable(
   override def schema(): StructType =
     PairGenSource.schemaFor(buckets, variant)
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.CONTINUOUS_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new PairGenScanBuilder(rows, slices, batchRows, buckets, variant)
 }
@@ -760,6 +780,9 @@ private[sources] class PairGenScan(
   override def toMicroBatchStream(
       checkpointLocation: String): streaming.MicroBatchStream =
     new PairGenMicroBatchStream(lo, hi, slices, batchRows, required)
+  override def toContinuousStream(
+      checkpointLocation: String): streaming.ContinuousStream =
+    new PairGenContinuousStream(lo, hi, slices, required)
   override def description(): String =
     s"PairGenScan range=[$lo,$hi) cols=${required.fieldNames.mkString(",")}" +
       ordered.map(d => s" pushedTopN(desc=$d)").getOrElse("") +
@@ -921,6 +944,103 @@ private[sources] class PairGenMicroBatchStream(
   override def stop(): Unit = ()
 }
 
+/** CONTINUOUS PROCESSING (d28, `Trigger.Continuous` — the epoch-based
+  * low-latency mode, Spark's other streaming engine): long-running
+  * per-partition reader tasks emit rows as they are produced, the
+  * epoch coordinator snapshots per-partition offsets without stopping
+  * them, and commits are whole epochs — no microbatch planning on the
+  * path. The generator's shape: the id range splits once into
+  * per-slice continuous partitions; each reader emits its slice and
+  * then idles (a bounded source under an engine built for unbounded
+  * ones — the idle loop is where a socket/queue source would block on
+  * poll). Offsets are per-partition positions merged into one global
+  * offset; restart re-plans from the committed positions.
+  */
+private[sources] case class PairGenContinuousOffset(positions: Seq[Long])
+    extends streaming.Offset {
+  override def json(): String = positions.mkString(",")
+}
+private[sources] case class PairGenPartitionOffset(idx: Int, pos: Long)
+    extends streaming.PartitionOffset
+private[sources] case class PairGenContinuousPartition(
+    idx: Int, start: Long, end: Long) extends InputPartition
+
+private[sources] class PairGenContinuousStream(
+    lo: Long, hi: Long, slices: Int, required: StructType)
+    extends streaming.ContinuousStream {
+  private val n = math.max(1, slices)
+  private def sliceBounds: Seq[(Long, Long)] = {
+    val span = math.max(0L, hi - lo)
+    (0 until n).map(i => (lo + span * i / n, lo + span * (i + 1) / n))
+  }
+  override def initialOffset(): streaming.Offset =
+    PairGenContinuousOffset(sliceBounds.map(_._1))
+  override def deserializeOffset(json: String): streaming.Offset =
+    PairGenContinuousOffset(
+      json.split(',').toSeq.filter(_.nonEmpty).map(_.toLong))
+  override def mergeOffsets(
+      offsets: Array[streaming.PartitionOffset]): streaming.Offset =
+    PairGenContinuousOffset(offsets
+      .map(_.asInstanceOf[PairGenPartitionOffset])
+      .sortBy(_.idx).map(_.pos).toSeq)
+  override def planInputPartitions(
+      start: streaming.Offset): Array[InputPartition] = {
+    val pos = start.asInstanceOf[PairGenContinuousOffset].positions
+    sliceBounds.zipWithIndex.map { case ((s, e), i) =>
+      PairGenContinuousPartition(i,
+        if (i < pos.length) math.max(s, pos(i)) else s, e): InputPartition
+    }.toArray
+  }
+  override def createContinuousReaderFactory()
+      : streaming.ContinuousPartitionReaderFactory =
+    new PairGenContinuousReaderFactory(required)
+  override def commit(end: streaming.Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private[sources] class PairGenContinuousReaderFactory(
+    required: StructType)
+    extends streaming.ContinuousPartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+      : streaming.ContinuousPartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[PairGenContinuousPartition]
+    new streaming.ContinuousPartitionReader[InternalRow] {
+      private var cur = p.start - 1
+      private val md = java.security.MessageDigest.getInstance("MD5")
+      private val gens: Array[Long => Any] = required.fields.map { f =>
+        f.name match {
+          case "id" => (v: Long) => v: Any
+          case "value" => (v: Long) =>
+            UTF8String.fromBytes(PairGenSource.md5HexBytes(md, v)): Any
+          case other => throw new IllegalStateException(
+            s"pairgen continuous: unsupported column $other")
+        }
+      }
+      override def next(): Boolean = {
+        cur += 1
+        // bounded range drained: idle like an unbounded source blocked
+        // on poll — the engine interrupts this task on stop/epoch
+        // reconfiguration
+        while (cur >= p.end) {
+          try Thread.sleep(50)
+          catch { case _: InterruptedException => return false }
+        }
+        true
+      }
+      override def get(): InternalRow = {
+        val vals = new Array[Any](gens.length)
+        var i = 0
+        while (i < gens.length) { vals(i) = gens(i)(cur); i += 1 }
+        InternalRow.fromSeq(
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+      }
+      override def getOffset(): streaming.PartitionOffset =
+        PairGenPartitionOffset(p.idx, math.min(cur + 1, p.end))
+      override def close(): Unit = ()
+    }
+  }
+}
+
 private[sources] class PairGenReaderFactory(required: StructType,
     sample: Option[(Double, Double, Long)] = None)
     extends PartitionReaderFactory {
@@ -958,20 +1078,8 @@ private[sources] class PairGenReaderFactory(required: StructType,
       private var cur = p.start
       private val cap = 4096
       private val md = java.security.MessageDigest.getInstance("MD5")
-      private val hexChars = "0123456789abcdef".toCharArray
       private var batch: org.apache.spark.sql.vectorized.ColumnarBatch =
         null
-      private def md5HexBytes(v: Long): Array[Byte] = {
-        val dig = md.digest(java.lang.Long.toString(v).getBytes("UTF-8"))
-        val out = new Array[Byte](32)
-        var i = 0
-        while (i < 16) {
-          out(i * 2) = hexChars((dig(i) >> 4) & 0xf).toByte
-          out(i * 2 + 1) = hexChars(dig(i) & 0xf).toByte
-          i += 1
-        }
-        out
-      }
       override def next(): Boolean = {
         if (batch != null) { batch.close(); batch = null }
         if (cur >= p.end) return false
@@ -986,7 +1094,8 @@ private[sources] class PairGenReaderFactory(required: StructType,
             case "value" =>
               var i = 0
               while (i < n) {
-                v.putByteArray(i, md5HexBytes(cur + i)); i += 1
+                v.putByteArray(i,
+                  PairGenSource.md5HexBytes(md, cur + i)); i += 1
               }
             case other => throw new IllegalStateException(
               s"pairgen columnar: unsupported column $other")
@@ -1019,18 +1128,8 @@ private[sources] class PairGenReaderFactory(required: StructType,
     new PartitionReader[InternalRow] {
       private var cur = first - stride
       private val md = java.security.MessageDigest.getInstance("MD5")
-      private val hexChars = "0123456789abcdef".toCharArray
-      private def md5Hex(v: Long): UTF8String = {
-        val dig = md.digest(java.lang.Long.toString(v).getBytes("UTF-8"))
-        val out = new Array[Char](32)
-        var i = 0
-        while (i < 16) {
-          out(i * 2) = hexChars((dig(i) >> 4) & 0xf)
-          out(i * 2 + 1) = hexChars(dig(i) & 0xf)
-          i += 1
-        }
-        UTF8String.fromString(new String(out))
-      }
+      private def md5Hex(v: Long): UTF8String =
+        UTF8String.fromBytes(PairGenSource.md5HexBytes(md, v))
       // column generators resolved ONCE per reader, not per row (the
       // per-row path allocates nothing but the emitted values)
       private def variantPathGen(path: String): Long => Any =

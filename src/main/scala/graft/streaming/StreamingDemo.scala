@@ -994,6 +994,55 @@ object StreamingDemo {
     }.orderBy("id")
   }
 
+  /** d28: CONTINUOUS PROCESSING (`Trigger.Continuous`) — Spark's OTHER
+    * streaming engine: long-running per-partition reader tasks emit
+    * rows as produced, the epoch coordinator snapshots per-partition
+    * offsets WITHOUT stopping them, and commits are whole epochs — no
+    * microbatch planning on the path (latency ~ms instead of
+    * ~trigger-interval). The pairgen source implements
+    * `ContinuousStream` (per-slice continuous partitions, mergeable
+    * per-partition offsets, readers that idle at range end the way a
+    * queue source blocks on poll). Continuous mode is AT-LEAST-ONCE
+    * into the sink (epoch retries can replay), so the demo applies the
+    * idempotent-consumer pattern every continuous pipeline pairs with
+    * — dedup by key downstream — and declares a per-residue summary
+    * whose oracle never mentions epochs at all. Map-only transforms
+    * only (the engine's documented continuous envelope: no shuffles).
+    */
+  def streamContinuous(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val suf = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val name = s"g_d28_cont_$suf"
+    val rows = 2000L
+    val src = s.readStream.format("pairgen")
+      .option("rows", rows.toString).option("slices", "2").load()
+    val q = src.selectExpr("id", "value")
+      .writeStream.format("memory").queryName(name)
+      .trigger(Trigger.Continuous("200 milliseconds"))
+      .outputMode("append").start()
+    try {
+      val deadline = System.currentTimeMillis() + 120000
+      while (s.table(name).count() < rows &&
+        System.currentTimeMillis() < deadline && q.exception.isEmpty)
+        Thread.sleep(200)
+      q.exception.foreach(e => throw e)
+      require(s.table(name).count() >= rows,
+        s"d28: continuous drain incomplete after 120 s")
+      s.table(name)
+        .dropDuplicates("id") // idempotent consumption of at-least-once
+        .groupBy((col("id") % 10).as("m10"))
+        .agg(count(lit(1)).as("n"), min(col("value")).as("min_md5"),
+          max(col("value")).as("max_md5"))
+        .orderBy("m10")
+        .localCheckpoint() // materialize before the query stops
+    } finally {
+      q.stop()
+      s.catalog.dropTempView(name)
+      ()
+    }
+  }
+
   /** d14: watermarked APPEND-mode windowed aggregation — the semantic
     * d5 (complete mode) deliberately avoids: append emits a window only
     * once the watermark (max event time − 1 h) passes its end, i.e. the

@@ -391,6 +391,36 @@ class PairGenSourceSpec extends SparkSpec {
       s"the first batch must still see lag, got $firstLag")
   }
 
+  test("Trigger.Continuous runs the epoch engine: long-running readers " +
+      "drain the range exactly once into the memory sink") {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = spark.readStream.format("pairgen")
+      .option("rows", "1000").option("slices", "2").load()
+    val q = src.selectExpr("id", "value", "id % 7 AS m7")
+      .writeStream.format("memory").queryName("pg_cont")
+      .trigger(Trigger.Continuous("200 milliseconds"))
+      .outputMode("append").start()
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      while (spark.table("pg_cont").count() < 1000 &&
+        System.currentTimeMillis() < deadline && q.exception.isEmpty)
+        Thread.sleep(200)
+      q.exception.foreach(throw _)
+      // let at least one more epoch commit past the drain, then check
+      // exactly-once: no duplicates, full range, correct content
+      Thread.sleep(500)
+      val got = spark.table("pg_cont").collect()
+      assert(got.length == 1000, s"got ${got.length} rows")
+      assert(got.map(_.getLong(0)).toSet == (0L until 1000L).toSet)
+      val r7 = got.find(_.getLong(0) == 7L).get
+      assert(r7.getString(1) == "8f14e45fceea167a5a36dedd4bea2543")
+      assert(r7.getLong(2) == 0L)
+    } finally {
+      q.stop()
+      spark.sql("DROP VIEW IF EXISTS pg_cont")
+    }
+  }
+
   test("OFFSET pushdown completes the limit family: the scan emits " +
       "exactly the requested window, ascending and descending") {
     import org.apache.spark.sql.functions._
