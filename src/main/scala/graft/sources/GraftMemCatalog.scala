@@ -608,8 +608,9 @@ private[sources] class GraftMemTable(val fullName: String,
         // version-stamp exactly the groups whose DATA changed — a
         // declared-only partition's drop is pure metadata and must
         // not spuriously conflict an in-flight rewrite of its group
-        val touched = vs.toSet
-          .filter(g => rows.exists(r => groupOf(r) == g))
+        // (one pass over rows, not one per dropped value)
+        val present = rows.iterator.map(groupOf).toSet
+        val touched = vs.toSet & present
         if (touched.nonEmpty) {
           rows = rows.filterNot(r => touched.contains(groupOf(r)))
           stampCommit(touched)
@@ -680,9 +681,10 @@ private[sources] class GraftMemTable(val fullName: String,
       vs.foreach(v => declaredParts.getOrElseUpdate(v, Map.empty))
       // stamp only groups whose data changed: truncating an already-
       // empty partition is a metadata no-op, not a version bump that
-      // could spuriously conflict an in-flight rewrite
-      val touched = vs.toSet
-        .filter(g => rows.exists(r => groupOf(r) == g))
+      // could spuriously conflict an in-flight rewrite (one pass over
+      // rows, not one per value)
+      val present = rows.iterator.map(groupOf).toSet
+      val touched = vs.toSet & present
       if (touched.nonEmpty) {
         rows = rows.filterNot(r => touched.contains(groupOf(r)))
         stampCommit(touched)

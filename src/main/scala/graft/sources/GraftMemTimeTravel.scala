@@ -70,16 +70,23 @@ private[sources] trait GraftSnapshotHistory { self: Table =>
 
   final private[sources] def createTag(tag: String, version: Long): Unit =
     self.synchronized {
-      require(tag.trim.nonEmpty && !tag.trim.forall(_.isDigit),
-        s"graftmem $historyName: tag must be non-empty and not purely " +
-          s"numeric (a numeric tag '$tag' would shadow version numbers)")
-      require(!snapshotTags.contains(tag),
-        s"graftmem $historyName: tag '$tag' already exists " +
-          s"(-> version ${snapshotTags(tag)})")
+      // store and validate the TRIMMED tag — resolution trims too, so
+      // an untrimmed key would be creatable yet unreachable; and any
+      // Long-parsable tag ('7', '-1', '+5') would resolve on the
+      // numeric path instead of the tag path
+      val t = tag.trim
+      require(t.nonEmpty &&
+        scala.util.Try(t.toLong).isFailure,
+        s"graftmem $historyName: tag must be non-empty and not parse " +
+          s"as a number (a numeric tag '$tag' would shadow version " +
+          "numbers)")
+      require(!snapshotTags.contains(t),
+        s"graftmem $historyName: tag '$t' already exists " +
+          s"(-> version ${snapshotTags(t)})")
       require(snapshotAt(version).isDefined,
         s"graftmem $historyName: no retained snapshot for version " +
           s"$version to tag")
-      snapshotTags(tag) = version
+      snapshotTags(t) = version
     }
 
   /** ONE retention implementation for both flavors (and for the

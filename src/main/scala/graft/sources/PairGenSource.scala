@@ -969,10 +969,12 @@ private[sources] class PairGenContinuousStream(
     lo: Long, hi: Long, slices: Int, required: StructType)
     extends streaming.ContinuousStream {
   private val n = math.max(1, slices)
-  private def sliceBounds: Seq[(Long, Long)] = {
-    val span = math.max(0L, hi - lo)
-    (0 until n).map(i => (lo + span * i / n, lo + span * (i + 1) / n))
-  }
+  // ONE splitting rule for batch, microbatch AND continuous: the
+  // checkpointed per-slice positions are reinterpreted against these
+  // bounds on restart, so a drifted copy would replay or skip ids
+  private def sliceBounds: Seq[(Long, Long)] =
+    PairGenSource.splitRange(lo, hi, n).toSeq
+      .map { case PairGenPartition(s, e) => (s, e) }
   override def initialOffset(): streaming.Offset =
     PairGenContinuousOffset(sliceBounds.map(_._1))
   override def deserializeOffset(json: String): streaming.Offset =

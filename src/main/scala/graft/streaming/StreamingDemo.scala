@@ -1022,12 +1022,17 @@ object StreamingDemo {
       .trigger(Trigger.Continuous("200 milliseconds"))
       .outputMode("append").start()
     try {
+      // drain check counts DISTINCT ids: an epoch retry can replay
+      // rows (at-least-once), so a raw count could hit `rows` while
+      // ids are still missing
+      def drained: Long =
+        s.table(name).select("id").distinct().count()
       val deadline = System.currentTimeMillis() + 120000
-      while (s.table(name).count() < rows &&
+      while (drained < rows &&
         System.currentTimeMillis() < deadline && q.exception.isEmpty)
         Thread.sleep(200)
       q.exception.foreach(e => throw e)
-      require(s.table(name).count() >= rows,
+      require(drained >= rows,
         s"d28: continuous drain incomplete after 120 s")
       s.table(name)
         .dropDuplicates("id") // idempotent consumption of at-least-once

@@ -195,6 +195,17 @@ class GraftMemTimeTravelSpec extends SparkSpec {
       spark.sql(s"CALL graftmem.system.create_tag('$short', '7', 3L)")
         .collect()
     }
+    // signed numerics would resolve on the numeric path — rejected too
+    intercept[Exception] {
+      spark.sql(s"CALL graftmem.system.create_tag('$short', '-1', 3L)")
+        .collect()
+    }
+    // tags are stored trimmed, so a padded CREATE still resolves
+    spark.sql(
+      s"CALL graftmem.system.create_tag('$short', ' padded ', 3L)")
+      .collect()
+    assert(spark.sql(s"SELECT count(*) FROM $tbl VERSION AS OF 'padded'")
+      .head().getLong(0) == 5L)
     // tagging an unretained version rejects
     intercept[Exception] {
       spark.sql(
