@@ -2507,6 +2507,34 @@ object TierB {
       .orderBy("g")
   }
 
+  /** b90: the `IDENTIFIER()` clause (Spark ≥ 4.0) — SQL-injection-safe
+    * NAME templating, the other half of parameterized SQL: b69 binds
+    * VALUES through typed named parameters; IDENTIFIER binds NAMES
+    * (tables, columns) from constant expressions, so one statement
+    * template serves many tables/columns with the parser — not string
+    * concatenation — enforcing that the parameter is exactly one
+    * identifier. The demo resolves BOTH the table and the group-by
+    * column through IDENTIFIER(:param) and the measure threshold
+    * through a value parameter — the multi-tenant/multi-partition
+    * job-template shape (same query text per tenant, never a SQL
+    * string built by hand). The resolved plan is identical to the
+    * literal query's, so pushdown/pruning are untouched (the clause
+    * is purely a binding-time construct).
+    */
+  private def b90(s: SparkSession, d: String): DataFrame = {
+    lineitem(s, d).createOrReplaceTempView("g_b90_li")
+    s.sql(
+      """SELECT IDENTIFIER(:grpCol) AS flag, count(*) AS n,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+        |    AS BIGINT) AS cents
+        |FROM IDENTIFIER(:tbl)
+        |WHERE l_quantity >= :minQty
+        |GROUP BY IDENTIFIER(:grpCol)
+        |ORDER BY flag""".stripMargin,
+      Map("tbl" -> "g_b90_li", "grpCol" -> "l_returnflag",
+        "minQty" -> 25))
+  }
+
   /** b89: SNAPSHOT TAGS — named retention roots over b84's history
     * (the Iceberg tag shape): `CALL graftmem.system.create_tag(tbl,
     * 'baseline', v)` names a snapshot, `VERSION AS OF 'baseline'`
@@ -2637,6 +2665,8 @@ object TierB {
     // the dropped partition (2) is absent, the truncated (4) and the
     // declared-empty (9) surface with zero rows — the oracle encodes
     // exactly that three-way DDL semantics over the recomputed load
+    QueryDef("b90_sql_identifier", b90 _, Some(
+      "SELECT l_returnflag AS flag, count(*)::BIGINT AS n, sum(floor(l_extendedprice * 100)::BIGINT)::BIGINT AS cents FROM lineitem WHERE l_quantity >= 25 GROUP BY 1 ORDER BY 1")),
     // the oracle is the ORIGINAL append's summary — the query reads
     // it back through a tag that survived a retention pass that
     // provably expired its untagged sibling
