@@ -2014,6 +2014,44 @@ object TierB {
          |FROM $tbl GROUP BY key % 10 ORDER BY key_mod""".stripMargin)
   }
 
+  /** b91: EQUALITY DELETES on the merge-on-read flavor — b80's CDC
+    * batch against `TBLPROPERTIES ('graft.row_level' =
+    * 'merge-on-read', 'graft.mor.deletes' = 'equality')`: the
+    * `SupportsDelta` operation's rowId is the KEY COLUMN itself (not
+    * the `_pos` metadata column), so the engine's WriteDelta plan
+    * addresses every delete/update by key and never materializes a
+    * row position — the Iceberg-v2 equality-delete shape streaming
+    * CDC prefers, because the writer needs no read-before-write to
+    * find positions. Each committed delete is scoped by a position
+    * BOUNDARY (the table's next-position at its commit, the
+    * sequence-number rule): it kills exactly the key's rows written
+    * before it, so the MERGE's own update re-inserts land unharmed in
+    * the same commit. Read-time merge filters (key, boundary) per
+    * split; commit validation pins the scan version and rejects
+    * conflicting equality deletes of the same key (spec-interleaved),
+    * and the spec proves base-row object identity across the MERGE
+    * plus the absence of `_pos` from the delta plan. Identical batch
+    * and summary as b75/b80 — one oracle, now THREE lakehouse write
+    * paths (ReplaceData, positional WriteDelta, equality WriteDelta),
+    * equality of all three being the cross-check.
+    */
+  private def b91(s: SparkSession, d: String): DataFrame = {
+    val tbl = graft.util.DemoTables.freshGraftmem(s, d, "moreq",
+      "(key BIGINT NOT NULL, bal_cents BIGINT) " +
+      "TBLPROPERTIES ('graft.row_level' = 'merge-on-read', " +
+      "'graft.mor.deletes' = 'equality')")
+    customer(s, d)
+      .selectExpr("c_custkey AS key",
+        "CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents")
+      .writeTo(tbl).append()
+    runCdcMergeRound(s, d, "b91", tbl)
+    s.sql(
+      s"""SELECT key % 10 AS key_mod, count(*) AS n,
+         |  CAST(sum(CAST(bal_cents AS DECIMAL(38,0))) AS BIGINT)
+         |    AS bal_cents_sum
+         |FROM $tbl GROUP BY key % 10 ORDER BY key_mod""".stripMargin)
+  }
+
   /** b82: MoR COMPACTION via a DSv2 STORED PROCEDURE — `CALL
     * graftmem.system.compact('db.tbl')` (Spark ≥ 4.0 `ProcedureCatalog`
     * face, the Iceberg `rewrite_data_files` shape): after b80's CDC
@@ -2574,6 +2612,59 @@ object TierB {
          |GROUP BY key % 10 ORDER BY key_mod""".stripMargin)
   }
 
+  /** b92: WRITE-AUDIT-PUBLISH via SNAPSHOT BRANCHES — the governance
+    * gate a 100 TB ingest runs instead of writing straight into the
+    * serving table: `CALL graftmem.system.create_branch(tbl, 'ingest')`
+    * forks main's content by REFERENCE (O(1), b84's manifest-pointer
+    * shape), the producer stages its generation with plain appends to
+    * `tbl__branch_ingest` — where the parent's b87 CHECK constraints
+    * gate every write at the ENGINE level (the audit that needs no
+    * separate quality job) — an explicit audit query inspects the
+    * staged state, and `CALL ... fast_forward(tbl, 'main', 'ingest')`
+    * publishes atomically, REQUIRING main unchanged since the fork
+    * (a diverged main rejects loudly; spec-interleaved). Until that
+    * one commit, main's content, version and history are untouched —
+    * a failed audit simply never publishes, and nothing needs rolling
+    * back. Declared output = the published main; the oracle recomputes
+    * snapshot + staged generation and never mentions branches — their
+    * absence from the math IS the publish-exactness check.
+    */
+  private def b92(s: SparkSession, d: String): DataFrame = {
+    val tbl = graft.util.DemoTables.freshGraftmem(s, d, "wap",
+      "(key BIGINT, bal_cents BIGINT, CONSTRAINT wap_box CHECK " +
+        "(bal_cents >= -200000 AND bal_cents < 100000000))")
+    customer(s, d)
+      .selectExpr("c_custkey AS key",
+        "CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents")
+      .writeTo(tbl).append() // v1 — main's serving content
+    s.sql(s"CALL graftmem.system.create_branch(" +
+      s"'${tbl.stripPrefix("graftmem.")}', 'ingest')").collect()
+    // stage the new generation ON THE BRANCH (re-keyed past max, +777
+    // cents) — every row passes the engine-enforced CHECK gate
+    customer(s, d).createOrReplaceTempView("g_cust_b92")
+    s.sql(
+      """SELECT c_custkey
+        |    + (SELECT max(c_custkey) + 1 FROM g_cust_b92) AS key,
+        |  CAST(floor(c_acctbal * 100) AS BIGINT) + 777 AS bal_cents
+        |FROM g_cust_b92""".stripMargin)
+      .writeTo(s"${tbl}__branch_ingest").append()
+    // the AUDIT: inspect the staged state before anything reaches main
+    // (1-row bounded aggregate — the A9 driver-check class)
+    val audit = s.sql(
+      s"""SELECT count(*) AS staged,
+         |  count(CASE WHEN bal_cents IS NULL THEN 1 END) AS bad
+         |FROM ${tbl}__branch_ingest""".stripMargin).head()
+    require(audit.getLong(1) == 0L,
+      s"b92 audit failed: ${audit.getLong(1)} bad staged rows")
+    s.sql(s"CALL graftmem.system.fast_forward(" +
+      s"'${tbl.stripPrefix("graftmem.")}', 'main', 'ingest')").collect()
+    s.sql(
+      s"""SELECT key % 10 AS key_mod, count(*) AS n,
+         |  CAST(sum(CAST(bal_cents AS DECIMAL(38,0))) AS BIGINT)
+         |    AS bal_cents_sum
+         |FROM $tbl GROUP BY key % 10 ORDER BY key_mod""".stripMargin)
+  }
+
   /** THE CDC round every row-level demo shares (b75 CoW, b80 MoR, b82
     * compaction, b83 change feed, d26 streaming CDC): update keys ≡3
     * (mod 10) to bal+10000, delete keys ≡7, insert keys ≡0 (mod 100)
@@ -2650,6 +2741,16 @@ object TierB {
     // row-level write path (WriteDelta vs ReplaceData) — one oracle,
     // two lakehouse write paths, equality is the cross-check.
     QueryDef("b80_merge_on_read", b80 _, Some(mergeOracleSql)),
+    // b91 recomputes the SAME post-merge state through the THIRD
+    // row-level write path (equality-delete WriteDelta) — one oracle,
+    // three write paths, equality is the cross-check.
+    QueryDef("b91_equality_delete", b91 _, Some(mergeOracleSql)),
+    // b92's oracle recomputes snapshot + staged generation and never
+    // mentions branches — their absence from the math IS the
+    // publish-exactness check (main must equal exactly what was
+    // staged, nothing more, nothing sooner).
+    QueryDef("b92_branch_wap", b92 _, Some(
+      "WITH snap AS (SELECT c_custkey AS key, floor(c_acctbal * 100)::BIGINT AS bal FROM customer), off AS (SELECT max(c_custkey) + 1 AS o FROM customer), gen2 AS (SELECT key + (SELECT o FROM off) AS key, bal + 777 AS bal FROM snap), allr AS (SELECT * FROM snap UNION ALL SELECT * FROM gen2) SELECT (key % 10)::BIGINT AS key_mod, count(*)::BIGINT AS n, sum(bal)::BIGINT AS bal_cents_sum FROM allr GROUP BY 1 ORDER BY 1")),
     // b82 replays BOTH CDC rounds in the oracle and never mentions
     // the compaction between them — that absence IS the invariance
     // check (maintenance must be invisible to readers and writers).

@@ -1,0 +1,241 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** SNAPSHOT BRANCHES + WRITE-AUDIT-PUBLISH (b92) — the governance
+  * pattern that gates 100 TB ingest: a writer stages its commits on a
+  * BRANCH (`CALL graftmem.system.create_branch('db.tbl', 'b')` forks
+  * the table's current content by REFERENCE — O(1), the
+  * manifest-pointer shape b84's snapshots already use), audits the
+  * staged state (the parent's b87 CHECK constraints gate every branch
+  * write at the engine level, and any read can inspect
+  * `db.tbl__branch_b`), and publishes with
+  * `CALL graftmem.system.fast_forward('db.tbl', 'main', 'b')` — one
+  * atomic commit that requires main to be UNCHANGED since the fork
+  * (the fast-forward precondition; a diverged main rejects loudly,
+  * exactly [[GraftMemCommitConflictException]]'s optimistic shape).
+  * Until publish, main's content, version and history are untouched
+  * by construction — the branch is where the risk lives; a failed
+  * audit simply never fast-forwards, and main's history stays clean.
+  *
+  * Scope: the copy-on-write flavor ([[GraftMemTable]]); branch writes
+  * are plain appends (the staging shape — a WAP producer lands its
+  * generation, it does not run row-level rewrites against the fork).
+  * The branch is consumed by its publish (dropped), the ephemeral
+  * audit-staging lifecycle; long-lived named history stays b89's tags.
+  */
+private[sources] final class GraftBranch(val branchName: String,
+    val baseVersion: Long,
+    @volatile var rows: Vector[Array[Long]],
+    var commits: Long)
+
+/** A branch as a read/append table, resolved by the catalog from the
+  * `db.tbl__branch_<name>` identifier convention (b83's suffix
+  * grammar). Reports the PARENT's constraints, so the engine injects
+  * the same CHECK validation into every branch write — the audit half
+  * of write-audit-publish comes from b87's machinery for free.
+  */
+private[sources] class GraftMemBranchTable(parent: GraftMemTable,
+    branch: GraftBranch) extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String =
+    s"${parent.fullName}__branch_${branch.branchName}"
+  override def schema(): StructType = parent.schema()
+  override def constraints(): Array[
+    org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    parent.constraints()
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required: StructType = schema()
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+      override def build(): Scan = new Scan with Batch {
+        private val frozen = parent.synchronized(branch.rows)
+        private val srcIdx: Array[Int] =
+          required.fieldNames.map(parent.schema().fieldIndex)
+        override def readSchema(): StructType = required
+        override def toBatch: Batch = this
+        override def description(): String =
+          s"GraftMemBranchScan(${name()}, rows=${frozen.length})"
+        override def planInputPartitions(): Array[InputPartition] =
+          if (frozen.isEmpty) Array(GraftMemPartition(Vector.empty))
+          else frozen.grouped(math.max(1, (frozen.length + 3) / 4))
+            .map(GraftMemPartition(_): InputPartition).toArray
+        override def createReaderFactory(): PartitionReaderFactory = {
+          val idx = srcIdx
+          new PartitionReaderFactory {
+            override def createReader(
+                p: InputPartition): PartitionReader[InternalRow] = {
+              val data = p.asInstanceOf[GraftMemPartition].data
+              new PartitionReader[InternalRow] {
+                private var i = -1
+                override def next(): Boolean = { i += 1; i < data.length }
+                override def get(): InternalRow =
+                  InternalRow.fromSeq(
+                    scala.collection.immutable.ArraySeq.unsafeWrapArray(
+                      idx.map(j => java.lang.Long.valueOf(
+                        if (j < data(i).length) data(i)(j)
+                        else 0L): Any)))
+                override def close(): Unit = ()
+              }
+            }
+          }
+        }
+      }
+    }
+
+  /** Append-only staging writes. The commit lands on the BRANCH state
+    * under the parent's lock — main's rows/version are never touched
+    * (the spec proves it by object identity and version equality).
+    */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      private val proj: Array[Int] =
+        parent.schema().fieldNames.map(info.schema().fieldIndex)
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new BatchWrite {
+          override def createBatchWriterFactory(
+              pi: PhysicalWriteInfo): DataWriterFactory =
+            new GraftMemWriterFactory(proj)
+          override def commit(messages: Array[WriterCommitMessage]): Unit = {
+            val written = messages.iterator.flatMap {
+              case m: GraftMemCommit => m.data
+            }.toVector
+            parent.synchronized {
+              branch.rows = branch.rows ++ written
+              branch.commits += 1
+            }
+          }
+          override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+        }
+      }
+    }
+}
+
+/** `graftmem.system.create_branch(table, branch)` — fork the table's
+  * current content as a named branch (O(1) reference, never a copy).
+  * Returns (branch, base_version): the version the fast-forward
+  * publish will require main to still be at.
+  */
+private[sources] object CreateBranchProcedure
+    extends org.apache.spark.sql.connector.catalog.procedures
+      .UnboundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures._
+  import org.apache.spark.sql.types.{LongType => LT, StringType, StructField, StructType => ST}
+
+  override def name(): String = "create_branch"
+  override def description(): String =
+    "fork a table's current content as a named write-audit-publish branch"
+
+  override def bind(inputType: StructType): BoundProcedure =
+    new BoundProcedure {
+      override def name(): String = "create_branch"
+      override def description(): String =
+        CreateBranchProcedure.this.description()
+      override def parameters(): Array[ProcedureParameter] =
+        Array(ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("branch", StringType).build())
+      override def isDeterministic: Boolean = false
+      private val outSchema = ST(Seq(
+        StructField("branch", StringType, nullable = false),
+        StructField("base_version", LT, nullable = false)))
+      override def call(input: InternalRow)
+          : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+        val tbl = input.getUTF8String(0).toString
+        val branch = input.getUTF8String(1).toString
+        GraftMemCatalog.lookup(tbl) match {
+          case g: GraftMemTable =>
+            val base = g.createBranch(branch)
+            val row: InternalRow = InternalRow(
+              org.apache.spark.unsafe.types.UTF8String.fromString(
+                branch.trim), base)
+            val scan: org.apache.spark.sql.connector.read.Scan =
+              new org.apache.spark.sql.connector.read.LocalScan {
+                override def rows(): Array[InternalRow] = Array(row)
+                override def readSchema(): StructType = outSchema
+                override def description(): String =
+                  s"create_branch($tbl, $branch)"
+              }
+            java.util.Collections.singletonList(scan).iterator()
+          case null => throw new IllegalArgumentException(
+            s"create_branch: no graftmem table named '$tbl'")
+          case _ => throw new IllegalArgumentException(
+            s"create_branch: '$tbl' is merge-on-read — branches stage " +
+              "batch publishes on the copy-on-write flavor")
+        }
+      }
+    }
+}
+
+/** `graftmem.system.fast_forward(table, 'main', branch)` — publish a
+  * branch: one atomic commit that swaps main's content for the
+  * branch's, REQUIRING main to be unchanged since the fork (the
+  * fast-forward precondition — a diverged main is a loud
+  * [[GraftMemCommitConflictException]], never a silent merge). The
+  * branch is consumed. Returns (published_rows, branch_commits,
+  * new_version).
+  */
+private[sources] object FastForwardProcedure
+    extends org.apache.spark.sql.connector.catalog.procedures
+      .UnboundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures._
+  import org.apache.spark.sql.types.{LongType => LT, StringType, StructField, StructType => ST}
+
+  override def name(): String = "fast_forward"
+  override def description(): String =
+    "publish a branch onto main (atomic; requires main unchanged " +
+      "since the fork)"
+
+  override def bind(inputType: StructType): BoundProcedure =
+    new BoundProcedure {
+      override def name(): String = "fast_forward"
+      override def description(): String =
+        FastForwardProcedure.this.description()
+      override def parameters(): Array[ProcedureParameter] =
+        Array(ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("to", StringType).build(),
+          ProcedureParameter.in("from", StringType).build())
+      override def isDeterministic: Boolean = false
+      private val outSchema = ST(Seq(
+        StructField("published_rows", LT, nullable = false),
+        StructField("branch_commits", LT, nullable = false),
+        StructField("new_version", LT, nullable = false)))
+      override def call(input: InternalRow)
+          : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+        val tbl = input.getUTF8String(0).toString
+        val to = input.getUTF8String(1).toString
+        val from = input.getUTF8String(2).toString
+        require(to == "main",
+          s"fast_forward: the publish target is 'main' (got '$to') — " +
+            "branch-to-branch promotion is not part of the WAP demo")
+        GraftMemCatalog.lookup(tbl) match {
+          case g: GraftMemTable =>
+            val (nRows, nCommits, newV) = g.fastForward(from)
+            val row: InternalRow = InternalRow(nRows, nCommits, newV)
+            val scan: org.apache.spark.sql.connector.read.Scan =
+              new org.apache.spark.sql.connector.read.LocalScan {
+                override def rows(): Array[InternalRow] = Array(row)
+                override def readSchema(): StructType = outSchema
+                override def description(): String =
+                  s"fast_forward($tbl, $to, $from)"
+              }
+            java.util.Collections.singletonList(scan).iterator()
+          case null => throw new IllegalArgumentException(
+            s"fast_forward: no graftmem table named '$tbl'")
+          case _ => throw new IllegalArgumentException(
+            s"fast_forward: '$tbl' keeps no branches")
+        }
+      }
+    }
+}

@@ -93,6 +93,22 @@ class GraftMemCatalog extends TableCatalog with FunctionCatalog
         case _                   => ()
       }
     }
+    // `<name>__branch_<b>` resolves to a write-audit-publish branch
+    // of a copy-on-write parent (b92) — same suffix grammar as the
+    // change feed.
+    val bi = ident.name().lastIndexOf("__branch_")
+    if (bi > 0) {
+      val parentName = ident.name().substring(0, bi)
+      val branch = ident.name().substring(bi + "__branch_".length)
+      tables.get(key(Identifier.of(ident.namespace(), parentName))) match {
+        case g: GraftMemTable =>
+          g.synchronized(g.branches.get(branch)) match {
+            case Some(br) => return new GraftMemBranchTable(g, br)
+            case None     => ()
+          }
+        case _ => ()
+      }
+    }
     throw new org.apache.spark.sql.catalyst.analysis
       .NoSuchTableException(ident)
   }
@@ -192,7 +208,13 @@ class GraftMemCatalog extends TableCatalog with FunctionCatalog
           "graft.write_layout applies to the copy-on-write flavor; " +
             "a merge-on-read table's layout is delta-append by design " +
             "(compaction is where its physical order is restored)")
-        new GraftMemMorTable(key(ident), schema, constraints, keep)
+        // b91: delete addressing — positional `_pos` tombstones
+        // (default) or key-addressed equality deletes scoped by a
+        // position boundary (the Iceberg-v2 sequence-number shape)
+        val delMode = Option(properties.get("graft.mor.deletes"))
+          .getOrElse("position")
+        new GraftMemMorTable(key(ident), schema, constraints, keep,
+          delMode)
       case other => throw new UnsupportedOperationException(
         s"graftmem: unknown graft.row_level flavor '$other'")
     }
@@ -273,12 +295,16 @@ class GraftMemCatalog extends TableCatalog with FunctionCatalog
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Array(Identifier.of(namespace, "compact"),
       Identifier.of(namespace, "create_tag"),
+      Identifier.of(namespace, "create_branch"),
+      Identifier.of(namespace, "fast_forward"),
       Identifier.of(namespace, "expire_snapshots"))
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
     ident.name() match {
       case "compact"          => MorCompactProcedure
       case "create_tag"       => CreateTagProcedure
+      case "create_branch"    => CreateBranchProcedure
+      case "fast_forward"     => FastForwardProcedure
       case "expire_snapshots" => ExpireSnapshotsProcedure
       case other => throw new RuntimeException(
         s"graftmem: no procedure named '$other'")
@@ -506,6 +532,48 @@ private[sources] class GraftMemTable(val fullName: String,
     if (snapshots.size > snapshotKeep)
       pruneSnapshots(snapshots, snapshotKeep, commitVersion)
   }
+
+  /** SNAPSHOT BRANCHES (b92): name → branch fork. A branch is an O(1)
+    * REFERENCE to the content at fork time plus its own staged
+    * appends; main's rows/version are untouched until fast_forward
+    * publishes it (see [[GraftMemBranchTable]]). Guarded by `this`.
+    */
+  private[sources] val branches =
+    scala.collection.mutable.HashMap.empty[String, GraftBranch]
+
+  private[sources] def createBranch(branch: String): Long = synchronized {
+    val b = branch.trim
+    require(b.nonEmpty && b.matches("[A-Za-z0-9_-]+"),
+      s"graftmem $fullName: branch names are [A-Za-z0-9_-]+, got '$branch'")
+    require(!branches.contains(b),
+      s"graftmem $fullName: branch '$b' already exists " +
+        s"(base version ${branches(b).baseVersion})")
+    branches(b) = new GraftBranch(b, commitVersion, rows, 0L)
+    commitVersion
+  }
+
+  /** Publish: atomic swap of main's content for the branch's, gated
+    * on the fast-forward precondition (main unchanged since the
+    * fork). The branch is consumed — WAP staging is ephemeral.
+    */
+  private[sources] def fastForward(branch: String): (Long, Long, Long) =
+    synchronized {
+      val br = branches.getOrElse(branch.trim,
+        throw new IllegalArgumentException(
+          s"graftmem $fullName: no branch named '$branch' " +
+            s"(branches: ${branches.keys.toSeq.sorted.mkString(", ")})"))
+      if (commitVersion != br.baseVersion)
+        throw new GraftMemCommitConflictException(
+          s"graftmem $fullName: cannot fast-forward 'main' to branch " +
+            s"'${br.branchName}' — main moved from version " +
+            s"${br.baseVersion} (the fork point) to $commitVersion; " +
+            "re-stage from a fresh branch")
+      val prev = rows
+      rows = br.rows
+      stampCommit((prev.iterator ++ rows.iterator).map(groupOf).toSet)
+      branches.remove(br.branchName)
+      (rows.length.toLong, br.commits, commitVersion)
+    }
 
   /** SCHEMA EVOLUTION (b85): append one LONG column. Pre-existing
     * rows are NOT rewritten — they are physically narrower than the

@@ -54,15 +54,53 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *
   * Created through [[GraftMemCatalog]] with
   * `TBLPROPERTIES ('graft.row_level' = 'merge-on-read')`.
+  *
+  * DELETE ADDRESSING (b91): `graft.mor.deletes` picks how the delta
+  * writer names the rows it removes —
+  *
+  *   - `'position'` (default): POSITIONAL tombstones addressed by the
+  *     `_pos` row id (Iceberg position deletes / Delta deletion
+  *     vectors). Precise, but the WRITER must know each victim's
+  *     position — fine for engine-planned MERGE (the scan carries
+  *     `_pos`), expensive for streaming CDC that would otherwise have
+  *     to look positions up per batch.
+  *   - `'equality'`: deletes addressed BY KEY (the first schema
+  *     column, required NOT NULL — Spark rejects nullable row ids):
+  *     `SupportsDelta.rowId` is the key column itself, so the delta
+  *     plan never projects `_pos` at all. Each committed delete
+  *     carries a POSITION BOUNDARY (the table's next-position at its
+  *     commit): it kills exactly the rows with that key written
+  *     BEFORE it — the Iceberg-v2 sequence-number rule, which is what
+  *     lets an UPDATE's delete+re-insert of the SAME key land in one
+  *     commit without the delete eating its own insert, and repeated
+  *     streaming upserts of one key (d25's shape) stack correctly.
+  *     Read-time merge filters by (key, boundary) per split; commit
+  *     validation pins the operation's scan version and rejects (a)
+  *     a key equality-deleted by a LATER commit (the
+  *     validate-no-conflicting-deletes check) and (b) a key matching
+  *     no live row (deleted and compacted away since the scan).
   */
 private[sources] class GraftMemMorTable(val fullName: String,
     tblSchema: StructType,
     tblConstraints: Array[org.apache.spark.sql.connector.catalog
       .constraints.Constraint] = Array.empty,
-    snapshotKeep: Int = 128)
+    snapshotKeep: Int = 128,
+    val deleteMode: String = "position")
     extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations with SupportsMetadataColumns
     with GraftSnapshotHistory {
+
+  require(deleteMode == "position" || deleteMode == "equality",
+    s"graft.mor.deletes must be 'position' or 'equality', got '$deleteMode'")
+  private[sources] def isEquality: Boolean = deleteMode == "equality"
+  /** Equality mode's delete key: the FIRST schema column. */
+  private[sources] val keyIdx: Int = 0
+  if (isEquality) {
+    require(tblSchema.fields.nonEmpty && !tblSchema.fields(0).nullable,
+      s"graftmem $fullName: equality-delete mode addresses rows by the " +
+        s"first column, which must be NOT NULL (Spark rejects nullable " +
+        s"row ids); got $tblSchema")
+  }
 
   /** TABLE CONSTRAINTS (b87): see [[GraftMemTable.constraints]]. */
   override def constraints(): Array[
@@ -83,8 +121,8 @@ private[sources] class GraftMemMorTable(val fullName: String,
     */
   private[sources] val snapshots = scala.collection.mutable.HashMap[
     Long, (Vector[(Long, Array[Long])], Vector[(Long, Array[Long])],
-      Set[Long], Long, StructType)](
-    0L -> (Vector.empty, Vector.empty, Set.empty,
+      Set[Long], Vector[(Long, Long)], Long, StructType)](
+    0L -> (Vector.empty, Vector.empty, Set.empty, Vector.empty,
       System.currentTimeMillis() * 1000L, tblSchema))
 
   /** Record the post-commit snapshot — automatically pruned to the
@@ -95,9 +133,30 @@ private[sources] class GraftMemMorTable(val fullName: String,
     */
   private[sources] def recordSnapshot(): Unit = {
     snapshots(commitVersion) = (base, deltaInserts, deleted,
+      eqDeletes.map(e => (e._1, e._2)),
       System.currentTimeMillis() * 1000L, curSchema)
     if (snapshots.size > snapshotKeep)
       pruneSnapshots(snapshots, snapshotKeep, commitVersion)
+  }
+
+  /** Read-time liveness: a row dies to a positional tombstone, or (in
+    * equality mode) to an equality delete of its key whose position
+    * boundary it predates. ONE definition shared by the live scan's
+    * split planning, compaction, snapshot materialization, and the
+    * delta commit's victim lookup.
+    */
+  private[sources] def eqBoundaries(
+      eq: Vector[(Long, Long)]): Map[Long, Long] =
+    eq.groupMapReduce(_._1)(_._2)(math.max)
+  private[sources] def liveRows(
+      b: Vector[(Long, Array[Long])], ins: Vector[(Long, Array[Long])],
+      posDel: Set[Long], eq: Vector[(Long, Long)])
+      : Vector[(Long, Array[Long])] = {
+    val bounds = eqBoundaries(eq)
+    (b ++ ins).filterNot { case (pos, r) =>
+      posDel.contains(pos) ||
+        bounds.get(r(keyIdx)).exists(pos < _)
+    }
   }
 
   /** SCHEMA EVOLUTION (b85) on the merge-on-read flavor — same
@@ -122,12 +181,12 @@ private[sources] class GraftMemMorTable(val fullName: String,
   override private[sources] def historyName: String = fullName
   override private[sources] def retainedVersions: Seq[(Long, Long)] =
     synchronized(snapshots.iterator
-      .map { case (v, (_, _, _, t, _)) => (v, t) }.toSeq.sortBy(_._1))
+      .map { case (v, (_, _, _, _, t, _)) => (v, t) }.toSeq.sortBy(_._1))
   override private[sources] def snapshotAt(
       version: Long): Option[(Vector[Array[Long]], StructType)] =
     synchronized(snapshots.get(version)).map {
-      case (b, ins, del, _, sch) =>
-        ((b ++ ins).filterNot(r => del.contains(r._1)).map(_._2), sch)
+      case (b, ins, del, eq, _, sch) =>
+        (liveRows(b, ins, del, eq).map(_._2), sch)
     }
   override private[sources] def expireSnapshots(
       keepLast: Int): (Long, Long, Long) =
@@ -146,6 +205,19 @@ private[sources] class GraftMemMorTable(val fullName: String,
     */
   @volatile private[sources] var deleted: Set[Long] = Set.empty
   @volatile private[sources] var deltaInserts: Vector[(Long, Array[Long])] =
+    Vector.empty
+
+  /** EQUALITY DELETES (b91, equality mode only): every committed
+    * key-addressed delete as (key, position boundary, commit version).
+    * A delete kills rows of its key with pos < boundary — the
+    * boundary is the table's next-position AT THE DELETE'S COMMIT, so
+    * rows (re-)inserted by the same or a later commit survive it (the
+    * Iceberg sequence-number scoping, expressed in positions, which
+    * are assigned monotonically per commit). The version is what the
+    * commit-conflict validation compares an operation's pinned scan
+    * version against.
+    */
+  @volatile private[sources] var eqDeletes: Vector[(Long, Long, Long)] =
     Vector.empty
 
   /** Next row position + commit counter; guarded by `this`. */
@@ -204,12 +276,14 @@ private[sources] class GraftMemMorTable(val fullName: String,
     * live rows) for the procedure's summary row.
     */
   private[sources] def compact(): (Long, Long, Long) = synchronized {
-    val tomb = deleted.size.toLong
+    val tomb = (deleted.size + eqDeletes.length).toLong
     val folded = deltaInserts.length.toLong
-    val live = (base ++ deltaInserts).filterNot(r => deleted.contains(r._1))
+    val live = liveRows(base, deltaInserts, deleted, eqDeletes.map(e =>
+      (e._1, e._2)))
     base = live
     deltaInserts = Vector.empty
     deleted = Set.empty
+    eqDeletes = Vector.empty
     commitVersion += 1
     recordSnapshot() // a maintenance version: content equals v-1's
     (tomb, folded, live.length.toLong)
@@ -218,33 +292,58 @@ private[sources] class GraftMemMorTable(val fullName: String,
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
     () => new RowLevelOperation with SupportsDelta {
+      // equality mode pins the version its scan read, so the commit
+      // can reject deletes computed from a stale snapshot (positional
+      // mode needs no pin: a position tombstones at most once, so the
+      // intersect/vanished checks are already version-complete)
+      private val scanState = new MorScanState
       override def command(): RowLevelOperation.Command = info.command()
       override def description(): String =
-        s"GraftMemMorRowLevel(${info.command()})"
+        s"GraftMemMorRowLevel(${info.command()}, $deleteMode)"
       override def newScanBuilder(
           options: CaseInsensitiveStringMap): ScanBuilder =
-        new MorScanBuilder(GraftMemMorTable.this)
+        new MorScanBuilder(GraftMemMorTable.this, Some(scanState))
       override def newWriteBuilder(wi: LogicalWriteInfo): DeltaWriteBuilder =
-        new MorDeltaWriteBuilder(GraftMemMorTable.this, wi)
+        new MorDeltaWriteBuilder(GraftMemMorTable.this, wi,
+          Some(scanState))
+      /** Positional mode addresses rows by the `_pos` metadata column;
+        * equality mode by the key DATA column — the delta plan then
+        * never materializes a position at all (the b91 point: no
+        * read-before-write to find positions).
+        */
       override def rowId()
           : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
         Array(org.apache.spark.sql.connector.expressions.Expressions
-          .column("_pos"))
+          .column(if (isEquality) schema().fieldNames(keyIdx) else "_pos"))
       override def requiredMetadataAttributes()
           : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
         Array.empty
     }
 }
 
+/** Driver-side handoff between an equality-mode row-level operation's
+  * scan and its delta commit: the table version the scan pinned
+  * (-1 = no scan built yet). The commit validates incoming delete
+  * keys against equality deletes committed AFTER it — the
+  * validate-no-conflicting-deletes half of optimistic concurrency.
+  */
+private[sources] final class MorScanState {
+  @volatile var scanVersion: Long = -1L
+}
+
 /** One scan split: a chunk of (pos, row) pairs plus EXACTLY the
   * tombstones intersecting it — the read-time merge a MoR reader does
   * per split (a real connector reads the data file and its
   * position-delete subset; nothing global is consulted per row).
-  * `isDelta` marks the delta-insert chunk (metrics only).
+  * `eqDels` is the equality-mode twin: key → max position boundary,
+  * restricted to keys present in the chunk (the per-split
+  * equality-delete-file subset; `keyIdx` locates the key in the
+  * STORED row). `isDelta` marks the delta-insert chunk (metrics only).
   */
 private[sources] case class MorPartition(
     data: Vector[(Long, Array[Long])], dels: Set[Long],
-    isDelta: Boolean = false)
+    isDelta: Boolean = false,
+    eqDels: Map[Long, Long] = Map.empty, keyIdx: Int = 0)
     extends InputPartition
 
 /** DSv2 CUSTOM METRICS for the MoR scan — the read-time merge's cost,
@@ -266,15 +365,22 @@ private[sources] class MorDeltaRowsMetric
     "rows served from the uncompacted delta log"
 }
 
-private[sources] class MorScanBuilder(table: GraftMemMorTable)
+private[sources] class MorScanBuilder(table: GraftMemMorTable,
+    scanState: Option[MorScanState] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = table.schema()
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   override def build(): Scan = new Scan with Batch {
-    // pin one consistent (base, deltas, tombstones) snapshot
-    private val (snapBase, snapIns, snapDel) = table.synchronized(
-      (table.base, table.deltaInserts, table.deleted))
+    // pin one consistent (base, deltas, tombstones, version) snapshot;
+    // the version is what an equality-mode delta commit validates its
+    // delete keys against
+    private val (snapBase, snapIns, snapDel, snapEq, pinnedVersion) =
+      table.synchronized((table.base, table.deltaInserts, table.deleted,
+        table.eqDeletes, table.commitVersion))
+    scanState.foreach(_.scanVersion = pinnedVersion)
+    private val eqBounds: Map[Long, Long] =
+      table.eqBoundaries(snapEq.map(e => (e._1, e._2)))
     private val srcIdx: Array[Int] = required.fieldNames.map {
       case "_pos" => -1
       case n      => table.schema().fieldIndex(n)
@@ -283,20 +389,28 @@ private[sources] class MorScanBuilder(table: GraftMemMorTable)
     override def toBatch: Batch = this
     override def description(): String =
       s"GraftMemMorScan(${table.fullName}, base=${snapBase.length}, " +
-        s"+${snapIns.length}, -${snapDel.size})"
+        s"+${snapIns.length}, -${snapDel.size + snapEq.length})"
 
     /** Base in up-to-4 chunks + one delta chunk, each shipping only
-      * its own tombstone subset — the per-split delete-file shape.
+      * its own tombstone subset — the per-split delete-file shape
+      * (equality mode: the (key → boundary) entries whose key occurs
+      * in the chunk).
       */
     override def planInputPartitions(): Array[InputPartition] = {
       def split(rs: Vector[(Long, Array[Long])], n: Int) =
         if (rs.isEmpty) Vector.empty
         else rs.grouped(math.max(1, (rs.length + n - 1) / n)).toVector
+      def eqOf(c: Vector[(Long, Array[Long])]): Map[Long, Long] =
+        if (eqBounds.isEmpty) Map.empty
+        else c.iterator.map(_._2(table.keyIdx)).filter(eqBounds.contains)
+          .map(k => k -> eqBounds(k)).toMap
       val parts =
         (split(snapBase, 4).map(c => MorPartition(c,
-          c.iterator.map(_._1).filter(snapDel).toSet)) ++
+          c.iterator.map(_._1).filter(snapDel).toSet,
+          eqDels = eqOf(c), keyIdx = table.keyIdx)) ++
         split(snapIns, 1).map(c => MorPartition(c,
-          c.iterator.map(_._1).filter(snapDel).toSet, isDelta = true)))
+          c.iterator.map(_._1).filter(snapDel).toSet, isDelta = true,
+          eqDels = eqOf(c), keyIdx = table.keyIdx)))
           .map(p => p: InputPartition).toArray
       if (parts.isEmpty) Array(MorPartition(Vector.empty, Set.empty))
       else parts
@@ -315,11 +429,15 @@ private[sources] class MorScanBuilder(table: GraftMemMorTable)
             private var cur: (Long, Array[Long]) = _
             private var skipped = 0L
             private var served = 0L
-            // read-time merge, counting what it drops
+            // read-time merge (positional + boundary-scoped equality
+            // deletes), counting what it drops
             override def next(): Boolean = {
               while (it.hasNext) {
                 val e = it.next()
-                if (mp.dels.contains(e._1)) skipped += 1
+                if (mp.dels.contains(e._1) ||
+                    (mp.eqDels.nonEmpty && mp.eqDels
+                      .get(e._2(mp.keyIdx)).exists(e._1 < _)))
+                  skipped += 1
                 else { cur = e; served += 1; return true }
               }
               false
@@ -407,7 +525,8 @@ private[sources] case class MorDeltaCommit(
   * strictly-smaller conflict surface vs copy-on-write's group check.
   */
 private[sources] class MorDeltaWriteBuilder(
-    table: GraftMemMorTable, writeInfo: LogicalWriteInfo)
+    table: GraftMemMorTable, writeInfo: LogicalWriteInfo,
+    scanState: Option[MorScanState] = None)
     extends DeltaWriteBuilder {
   // A pure DELETE's write schema is EMPTY (deltas carry only row ids —
   // no data rows ever reach insert/update), so map by name leniently:
@@ -430,6 +549,7 @@ private[sources] class MorDeltaWriteBuilder(
         messages.foreach { case m: MorDeltaCommit =>
           dels ++= m.dels; ins ++= m.ins
         }
+        if (table.isEquality) { commitEquality(dels.result(), ins.result()); return }
         val delSet = dels.result().toSet
         table.synchronized {
           // ALL validation + lookups happen BEFORE any state mutates,
@@ -477,6 +597,65 @@ private[sources] class MorDeltaWriteBuilder(
         }
       }
       override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+    }
+  }
+
+  /** EQUALITY-MODE commit (b91): deletes are keys, not positions. The
+    * boundary recorded with each delete is the table's next-position
+    * BEFORE this commit assigns insert positions — so the commit's own
+    * re-inserts (an UPDATE's delete+insert pair) and every later row
+    * provably survive it, while all earlier rows of the key die.
+    * Validation (all before any state mutates, the no-trace rule):
+    * (a) a key equality-deleted by a commit AFTER this operation's
+    * pinned scan version is a write-write conflict (the delete was
+    * computed from a stale row — Iceberg's
+    * validate-no-conflicting-deletes); (b) a key matching NO live row
+    * vanished since the scan (deleted then compacted away) — same
+    * conflict, caught even after compaction clears the delete log.
+    * Change-feed entries resolve each victim's content at commit time
+    * (the key→rows join an equality-delete CDC reader performs).
+    */
+  private def commitEquality(delKeys: Vector[Long],
+      ins: Vector[Array[Long]]): Unit = {
+    val keySet = delKeys.toSet
+    table.synchronized {
+      val scanVersion = scanState.map(_.scanVersion).getOrElse(-1L)
+      if (scanVersion >= 0) {
+        val clash = table.eqDeletes.iterator
+          .filter(e => e._3 > scanVersion && keySet.contains(e._1))
+          .map(_._1).toVector.distinct.sorted
+        if (clash.nonEmpty)
+          throw new GraftMemCommitConflictException(
+            s"graftmem MoR commit conflict on ${table.fullName}: " +
+              s"key(s) ${clash.mkString(", ")} were equality-deleted " +
+              s"by a commit after this operation's scan (scan version " +
+              s"$scanVersion, now ${table.commitVersion}); retry from " +
+              "a fresh snapshot")
+      }
+      val live = table.liveRows(table.base, table.deltaInserts,
+        table.deleted, table.eqDeletes.map(e => (e._1, e._2)))
+      val victims = live.filter(r => keySet.contains(r._2(table.keyIdx)))
+      val vanished =
+        keySet -- victims.iterator.map(_._2(table.keyIdx)).toSet
+      if (vanished.nonEmpty)
+        throw new GraftMemCommitConflictException(
+          s"graftmem MoR commit conflict on ${table.fullName}: " +
+            s"key(s) ${vanished.toSeq.sorted.mkString(", ")} match no " +
+            "live row (deleted by a concurrent commit after this " +
+            "operation's scan); retry from a fresh snapshot")
+      val boundary = table.nextPos
+      val assigned = ins.map { r =>
+        val pr = (table.nextPos, r); table.nextPos += 1; pr
+      }
+      table.commitVersion += 1
+      table.eqDeletes = table.eqDeletes ++ keySet.toVector.sorted
+        .map(k => (k, boundary, table.commitVersion))
+      table.deltaInserts = table.deltaInserts ++ assigned
+      table.changeLog = table.changeLog ++
+        victims.sortBy(_._1).map(pr =>
+          (table.commitVersion, false, pr._1, pr._2)) ++
+        assigned.map(pr => (table.commitVersion, true, pr._1, pr._2))
+      table.recordSnapshot()
     }
   }
 }
