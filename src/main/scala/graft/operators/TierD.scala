@@ -140,7 +140,7 @@ object TierD {
     "d22_stream_restart_recovery", "d23_stream_custom_sink",
     "d24_state_store_reader", "d25_stream_mor_upsert",
     "d26_stream_cdc_follow", "d27_stream_cdc_from_version",
-    "d28_stream_continuous")
+    "d28_stream_continuous", "d29_state_metadata", "d30_state_ttl")
 
   /** Shared d14/d22 oracle: the one-shot hourly aggregate restricted
     * to watermark-closed windows (ws + 1 h window + 1 h delay ≤ max
@@ -215,6 +215,20 @@ object TierD {
     QueryDef("d24_state_store_reader",
       (s, d) => graft.streaming.StreamingDemo.stateStoreReader(s, d), Some(
         "WITH m AS (SELECT max(ts) AS mx FROM events), a AS (SELECT date_trunc('hour', ts) AS ws, event_type, count(*)::BIGINT AS cnt FROM events GROUP BY 1, 2) SELECT floor(epoch(ws))::BIGINT AS start_s, event_type, cnt, CASE WHEN ws + INTERVAL 2 HOUR <= mx THEN 'sink' ELSE 'state' END AS src FROM a, m ORDER BY 1, 2")),
+    // d29 = the checkpoint's OWN metadata (operator/store/partitions/
+    // batch range — all determined by the d14 query shape) joined with
+    // the discovered operator's open-window count; the oracle
+    // recomputes the open half from events and pins the shape facts.
+    QueryDef("d29_state_metadata",
+      (s, d) => graft.streaming.StreamingDemo.stateMetadataReader(s, d),
+      Some(
+        "WITH m AS (SELECT max(ts) AS mx FROM events), a AS (SELECT date_trunc('hour', ts) AS ws, event_type FROM events GROUP BY 1, 2) SELECT 'stateStoreSave' AS operator_name, 'default' AS store_name, 4::BIGINT AS num_partitions, 0::BIGINT AS min_batch_id, 1::BIGINT AS max_batch_id, count(*)::BIGINT AS n_open_groups FROM a, m WHERE ws + INTERVAL 2 HOUR > mx")),
+    // d30's all-true admitted column IS the declared TTL behavior:
+    // with TTLConfig.NONE generation 2 would be all-false (the spec's
+    // twin) — the oracle match proves the engine-side expiry fired.
+    QueryDef("d30_state_ttl",
+      (s, d) => graft.streaming.StreamingDemo.streamStateTtl(s, d), Some(
+        "SELECT u.user_id, g.gen, true AS admitted FROM (SELECT DISTINCT user_id FROM events) u, (VALUES (1::BIGINT), (2::BIGINT)) g(gen) ORDER BY 1, 2")),
     QueryDef("d23_stream_custom_sink",
       (s, d) => graft.streaming.StreamingDemo.streamCustomSink(s, d), Some(
         "SELECT user_id, count(*)::BIGINT AS n_events, min(event_id) AS min_ev, max(event_id) AS max_ev FROM events GROUP BY 1 ORDER BY 1")),

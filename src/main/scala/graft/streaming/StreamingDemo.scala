@@ -51,6 +51,73 @@ class LshClaimProcessor
   }
 }
 
+/** d30's input row: one user per generation file (top-level public for
+  * Catalyst codegen).
+  */
+case class GenEv(user_id: Long, gen: Long)
+
+/** d30's `StatefulProcessor` with STATE TTL — Spark 4's declarative
+  * state-retention knob (`TTLConfig`, processing-time based): the
+  * per-key claim d21's dedup ledger documents as "production bound =
+  * TTL", actually exercised. The claim `ValueState` is created with a
+  * TTL; a key arriving while its claim is live is rejected
+  * (admitted = false), but once the TTL elapses the ENGINE expires
+  * the value — `exists()` turns false with no user code, no timers,
+  * no cleanup pass — and the key re-admits. This is the dedup-horizon
+  * shape every unbounded streaming claim set needs: state is bounded
+  * by (arrival rate × TTL), not by stream lifetime. Admission
+  * re-arms the TTL (the sliding-horizon variant; a fixed-window
+  * variant would skip the update on rejection).
+  */
+class TtlClaimProcessor(ttlMs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, GenEv, (Long, Long, Boolean)] {
+  @transient private var claim:
+    org.apache.spark.sql.streaming.ValueState[Long] = _
+  override def init(
+      outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    claim = getHandle.getValueState[Long]("claim",
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.streaming.TTLConfig(
+        java.time.Duration.ofMillis(ttlMs)))
+  override def handleInputRows(
+      key: Long, rows: Iterator[GenEv],
+      tv: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[(Long, Long, Boolean)] =
+    rows.toArray.sortBy(_.gen).iterator.map { e =>
+      val admitted = !claim.exists()
+      if (admitted) claim.update(1L)
+      (e.user_id, e.gen, admitted)
+    }
+}
+
+/** d30's TTL-less twin: identical claim logic, `TTLConfig.NONE` — the
+  * spec's contrast (generation 2 must come back all-rejected) proving
+  * the TTL is what re-admits, not batch boundaries.
+  */
+class NoTtlClaimProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, GenEv, (Long, Long, Boolean)] {
+  @transient private var claim:
+    org.apache.spark.sql.streaming.ValueState[Long] = _
+  override def init(
+      outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    claim = getHandle.getValueState[Long]("claim",
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+  override def handleInputRows(
+      key: Long, rows: Iterator[GenEv],
+      tv: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[(Long, Long, Boolean)] =
+    rows.toArray.sortBy(_.gen).iterator.map { e =>
+      val admitted = !claim.exists()
+      if (admitted) claim.update(1L)
+      (e.user_id, e.gen, admitted)
+    }
+}
+
 /** d6's per-user state: the session-id counter plus the OPEN session
   * carried across microbatches (top-level public for Catalyst codegen).
   */
@@ -1398,6 +1465,135 @@ object StreamingDemo {
           lit("state").as("src"))
       closed.unionByName(open)
     }.orderBy("start_s", "event_type")
+  }
+
+  /** d29: STATE METADATA READER — the `state-metadata` source, the
+    * enumeration half of the state-debugging story d24's `statestore`
+    * source began: given ONLY a checkpoint location, it lists every
+    * stateful operator the query ran (operator id + name), each
+    * operator's state store names, the partition count the state was
+    * sharded into, and the [min, max] batch-id range the checkpoint
+    * retains — the facts an operator needs BEFORE it can point the
+    * statestore source anywhere ("which operator id? which store
+    * name? has the query even committed a batch since the incident?").
+    * The demo runs d14's watermarked hourly aggregate to completion,
+    * reads the checkpoint's metadata, and DRIVES the d24 state read
+    * FROM it — the discovered operatorId/storeName become the
+    * statestore source's options (a 1-row bounded collect, the A9
+    * class) — then declares the metadata row joined with the live
+    * state's open-window count. Every declared field is determined by
+    * the query shape (one stateStoreSave operator, store 'default',
+    * the withStreamPartitions partition count, batch 0 = the data
+    * batch, batch 1 = the watermark-advancing no-data batch that
+    * closed the early windows) and the corpus (open windows = the
+    * trailing watermark hour), so the oracle recomputes it all from
+    * `events`. At 100 TB both sources read checkpoint FILES,
+    * partition-parallel, no query restart, no replay.
+    */
+  def stateMetadataReader(s: SparkSession, d: String): DataFrame = {
+    val ev = eventStream(s, d)
+    withStreamPartitions(s) {
+      val sink = graft.util.TmpDir.fresh("d29-sink")
+      val ckpt = graft.util.TmpDir.fresh("d29-ckpt")
+      val out = ev.withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(expr("unix_micros(window.start) div 1000000").as("start_s"),
+          col("event_type"), col("cnt"))
+      val q = out.writeStream
+        .format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      val meta = s.read.format("state-metadata").load(ckpt)
+      // the forensics handshake: the metadata row's coordinates drive
+      // the state read (1 operator row — bounded by the query's plan
+      // size, never by data)
+      val rows = meta.select("operatorId", "operatorName",
+        "stateStoreName", "numPartitions", "minBatchId", "maxBatchId")
+        .collect()
+      require(rows.length == 1,
+        s"d29 expects one stateful operator, got ${rows.length}")
+      val m = rows(0)
+      val open = s.read.format("statestore")
+        .option("operatorId", m.getLong(0))
+        .option("storeName", m.getString(2))
+        .load(ckpt)
+        .agg(count(lit(1)).as("n_open_groups"))
+      open.select(
+        lit(m.getString(1)).as("operator_name"),
+        lit(m.getString(2)).as("store_name"),
+        lit(m.getInt(3).toLong).as("num_partitions"),
+        lit(m.getLong(4)).as("min_batch_id"),
+        lit(m.getLong(5)).as("max_batch_id"),
+        col("n_open_groups"))
+    }
+  }
+
+  /** d30: STATE TTL — `transformWithState` with a TTL'd `ValueState`
+    * ([[TtlClaimProcessor]]), the declarative retention bound d21's
+    * ledger Scaladoc promises: every distinct user claims once in
+    * generation 1 (admitted), the driver then WAITS OUT the TTL while
+    * the query idles, lands generation 2 (same users) — and every
+    * claim has been expired BY THE ENGINE, so generation 2 re-admits
+    * across the board. The all-true `admitted` column IS the declared
+    * TTL behavior: with `TTLConfig.NONE` the second generation would
+    * be all-false (the spec asserts exactly that twin), so the oracle
+    * match is the proof the expiry fired. Determinism: the sleep is
+    * strictly longer than the TTL and batch 2's processing timestamp
+    * is taken after the sleep, so expiry is guaranteed, never raced
+    * (a slower host only widens the margin). RocksDB store, the
+    * production provider TTL cleanup is built for; at 100 TB this is
+    * the difference between state O(arrival rate × horizon) and state
+    * O(stream lifetime).
+    */
+  def streamStateTtl(s: SparkSession, d: String): DataFrame =
+    streamStateTtlWith(s, d, ttlMs = Some(400L))
+
+  /** `ttlMs = None` runs the TTL-less twin (claims never expire) —
+    * the spec's contrast proving the TTL is what re-admits.
+    */
+  private[graft] def streamStateTtlWith(s: SparkSession, d: String,
+      ttlMs: Option[Long]): DataFrame = {
+    import s.implicits._
+    val users = graft.util.Tables.events(s, d)
+      .select(col("user_id")).distinct()
+    val srcDir = graft.util.TmpDir.fresh("d30-src")
+    def land(gen: Long): Unit =
+      users.withColumn("gen", lit(gen))
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    land(1L)
+    val schema = StructType.fromDDL("user_id BIGINT, gen BIGINT")
+    val claims = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .as[GenEv]
+      .groupByKey(_.user_id)
+      .transformWithState(
+        ttlMs match {
+          case Some(t) => new TtlClaimProcessor(t)
+          case None    => new NoTtlClaimProcessor()
+        },
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        OutputMode.Append())
+      .toDF("user_id", "gen", "admitted")
+    withStreamPartitions(s) { withRocksDB(s) { withoutNoDataBatches(s) {
+      val sink = graft.util.TmpDir.fresh("d30-sink")
+      val ckpt = graft.util.TmpDir.fresh("d30-ckpt")
+      val q = claims.writeStream
+        .format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable() // gen 1: every user claims
+        // wait out the TTL while the query idles — every claim's
+        // expiry lands strictly before batch 2's processing timestamp
+        ttlMs.foreach(t => Thread.sleep(t + 600L))
+        land(2L)
+        q.processAllAvailable() // gen 2: expired claims re-admit
+      } finally q.stop()
+      s.read.schema(claims.schema).parquet(sink)
+    } } }
+      .orderBy("user_id", "gen")
   }
 
   /** d23: CUSTOM EXACTLY-ONCE STREAMING SINK — the write-side twin of
