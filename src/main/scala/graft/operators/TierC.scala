@@ -863,6 +863,22 @@ object TierC {
     * broadcast-codebook map pass in exact integer space; per-cell
     * search is a group-local primitive loop (c10's kernel).
     */
+  /** The trained coarse codebook (c19's recurrence, shared with c72's
+    * search): k seed vectors (vec_id 0..k-1), `rounds` distributed
+    * Lloyd rounds on the integer lattice — ONE copy of the
+    * oracle-sensitive seed/tie/floor/empty-cluster rules.
+    */
+  private def trainCoarse(
+      q: org.apache.spark.sql.Dataset[(Long, Array[Long])], kc: Int,
+      rounds: Int, dim: Int): Array[Array[Long]] = {
+    val seeds = q.filter(_._1 < kc).collect().sortBy(_._1).map(_._2)
+    require(seeds.length == kc,
+      s"expected seed vectors with vec_id 0..${kc - 1}; found ${seeds.length}")
+    CoreMR.iterate(seeds, rounds) { (cur, _) =>
+      IntLattice.update(cur, IntLattice.round(q, cur, dim), dim)
+    } { (_, _) => true }
+  }
+
   private def c19(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val kc = 8; val trainRounds = 2; val dim = 64
@@ -871,14 +887,9 @@ object TierC {
     // one IntLattice.round per training iteration
     val q = all.map { case (id, e) => (id, IntLattice.quantize(e)) }
       .localCheckpoint(false)
-    val seeds = q.filter(_._1 < kc).collect().sortBy(_._1).map(_._2)
-    require(seeds.length == kc,
-      s"c19 expects seed vectors with vec_id 0..${kc - 1}; found ${seeds.length}")
     // a23's Lloyd recurrence, shared via IntLattice (one copy of the
     // oracle-sensitive tie/floor/empty-cluster rules)
-    val cents = CoreMR.iterate(seeds, trainRounds) { (cur, _) =>
-      IntLattice.update(cur, IntLattice.round(q, cur, dim), dim)
-    } { (_, _) => true }
+    val cents = trainCoarse(q, kc, trainRounds, dim)
     val bc = s.sparkContext.broadcast(cents)
     val assigned = all.filter(_._1 >= kc)
       .mapPartitions { it =>
@@ -911,6 +922,161 @@ object TierC {
       .select(col("probe_id"), col("cell"), col("neighbor_id"),
         round(col("sim_raw"), 4).as("sim"))
       .orderBy("probe_id")
+  }
+
+  /** c72: IVF-PQ SEARCH — the ANN loop closed: c19 trained the coarse
+    * quantizer and c43 the product-quantization codebooks as separate
+    * artifacts; this is the actual SEARCH every production vector
+    * index (FAISS IVFPQ, Milvus, Vespa) runs over them, end-to-end and
+    * integer-exact so the whole chain — both trainings, the index
+    * build, the probe routing, the asymmetric distances, the shortlist
+    * — is oracle-checked bit-for-bit, with the float cosine appearing
+    * only in the final exact re-rank (c3's established bit-match
+    * contract):
+    *
+    *   1. INDEX BUILD (one map pass, vectors never shuffle): each
+    *      vector (vec_id ≥ 8, c19's index universe) stores its coarse
+    *      cell + 4 PQ codes — 5 small ints instead of 64 floats, the
+    *      compression that makes 100 TB of embeddings searchable.
+    *   2. PROBE ROUTING: each probe (capped deterministic set) visits
+    *      its nprobe = 4 nearest cells and precomputes the 4×4
+    *      ASYMMETRIC DISTANCE TABLE (probe subvector ↔ PQ centroids,
+    *      exact integer L2) — per-candidate cost collapses to 4 table
+    *      lookups.
+    *   3. ADC SCAN: in-cell candidates score by table-lookup sum into
+    *      per-partition bounded heaps (top-48 by (adc, id)) — work is
+    *      cell occupancy × probes, never corpus size.
+    *   4. EXACT RE-RANK: the ≤48-row shortlist joins its true vectors
+    *      back (broadcast) and the final top-5 ranks by true cosine.
+    *   5. RECALL: ground truth = brute-force top-5 over the same index
+    *      universe (c65's harness); every output row carries its
+    *      probe's recall@5 in basis points — the metric that decides
+    *      whether this index may replace c3 in a pipeline.
+    */
+  private def c72(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val kc = 8; val dim = 64; val nSub = 4; val subDim = 16; val pqK = 4
+    val nprobe = 4; val shortN = 48
+    val k = graft.util.GraftConf.similarityK(s)
+    require(k == 5,
+      s"c72's oracle assumes graft.similarity.k=5; got $k")
+    val maxProbes = graft.util.GraftConf.similarityProbes(s)
+    val q = vecs(s, d).map { case (id, e) => (id, IntLattice.quantize(e)) }
+      .localCheckpoint(false)
+    val cents = trainCoarse(q, kc, 2, dim) // c19's codebook, verbatim
+    val books = trainPqBooks(s, q, nSub, subDim, pqK, 2) // c43's, verbatim
+    val bcC = s.sparkContext.broadcast(cents)
+    val bcB = s.sparkContext.broadcast(books)
+    // (1) the index: (cell, id, codes) — one stateless map pass
+    val index = q.filter(_._1 >= kc).mapPartitions { it =>
+      val cs = bcC.value; val bs = bcB.value
+      it.map { case (id, qv) =>
+        val cell = IntLattice.assign(qv, cs, dim)._1
+        val codes = new Array[Int](nSub)
+        var m = 0
+        while (m < nSub) {
+          val sv = java.util.Arrays.copyOfRange(qv, m * subDim,
+            (m + 1) * subDim)
+          codes(m) = IntLattice.assign(sv, bs(m), subDim)._1
+          m += 1
+        }
+        (cell, id, codes(0), codes(1), codes(2), codes(3))
+      }
+    }
+    // (2) probes: capped deterministic set; per probe the 2 nearest
+    // cells (tie: smaller c) + the 4×4 integer ADC table
+    val probesRaw = vecs(s, d).filter(t => t._1 >= kc && t._1 % 100 == 0)
+      .orderBy(col("vec_id")).limit(maxProbes)
+      .as[(Long, Array[Float])].collect()
+    val probes = probesRaw.map { case (pid, emb) =>
+      val qv = IntLattice.quantize(emb)
+      val byDist = cents.indices.map { c =>
+        var dist = 0L; var i = 0
+        while (i < dim) {
+          val df = qv(i) - cents(c)(i); dist += df * df; i += 1
+        }
+        (dist, c)
+      }.sorted
+      val cells = byDist.take(nprobe).map(_._2).toArray
+      val dtab = Array.tabulate(nSub) { m =>
+        Array.tabulate(pqK) { c =>
+          var dist = 0L; var i = 0
+          while (i < subDim) {
+            val df = qv(m * subDim + i) - books(m)(c)(i)
+            dist += df * df; i += 1
+          }
+          dist
+        }
+      }
+      (pid, cells, dtab)
+    }
+    val bcP = s.sparkContext.broadcast(probes)
+    // (3) ADC scan with bounded per-partition heaps — the natural
+    // (adc, id) ordering ranks worse as greater, so dequeue evicts
+    // the worst (c3's boundedTopK discipline in integer space)
+    val partials = index.mapPartitions { it =>
+      val ps = bcP.value
+      val heaps = mutable.HashMap.empty[Long,
+        mutable.PriorityQueue[(Long, Long)]]
+      it.foreach { case (cell, id, c0, c1, c2, c3) =>
+        var p = 0
+        while (p < ps.length) {
+          val (pid, cells, dtab) = ps(p)
+          if (id != pid && cells.contains(cell)) {
+            val adc = dtab(0)(c0) + dtab(1)(c1) + dtab(2)(c2) + dtab(3)(c3)
+            val h = heaps.getOrElseUpdate(pid,
+              mutable.PriorityQueue.empty[(Long, Long)])
+            h.enqueue((adc, id))
+            if (h.size > shortN) h.dequeue(): Unit
+          }
+          p += 1
+        }
+      }
+      heaps.iterator.flatMap { case (pid, h) =>
+        h.iterator.map { case (adc, id) => (pid, id, adc) }
+      }
+    }.toDF("probe_id", "cand_id", "adc")
+    val wAdc = Window.partitionBy("probe_id")
+      .orderBy(col("adc"), col("cand_id"))
+    val short = partials
+      .withColumn("rn", row_number().over(wAdc)).filter(col("rn") <= shortN)
+      .select("probe_id", "cand_id", "adc")
+    // (4) exact re-rank of the ≤48-row shortlist: candidate vectors
+    // fetched by broadcast join, probe vectors from the probe set
+    val bcPE = s.sparkContext.broadcast(
+      probesRaw.map(p => (p._1, p._2)).toMap)
+    val reranked = broadcast(short)
+      .join(embeddings(s, d), col("cand_id") === col("vec_id"))
+      .select(col("probe_id"), col("cand_id"), col("adc"), col("embedding"))
+      .as[(Long, Long, Long, Array[Float])]
+      .map { case (pid, cid, adc, ce) =>
+        (pid, cid, adc, cosine(bcPE.value(pid), ce))
+      }
+      .toDF("probe_id", "neighbor_id", "adc", "sim_raw")
+    val wSim = Window.partitionBy("probe_id")
+      .orderBy(col("sim_raw").desc, col("neighbor_id"))
+    val ann = reranked
+      .withColumn("rank", row_number().over(wSim).cast("long"))
+      .filter(col("rank") <= k)
+      .localCheckpoint(false) // feeds the output AND the recall join
+    // (5) recall@k vs brute force over the same index universe
+    val bcPr = s.sparkContext.broadcast(probesRaw)
+    val gt = vecs(s, d).filter(_._1 >= kc)
+      .mapPartitions(it => boundedTopK(it, bcPr.value, k, keepVec = false)
+        .map { case (pid, cid, sim, _) => (pid, cid, sim) })
+      .toDF("probe_id", "neighbor_id", "gsim")
+      .withColumn("rn", row_number().over(Window.partitionBy("probe_id")
+        .orderBy(col("gsim").desc, col("neighbor_id"))))
+      .filter(col("rn") <= k)
+      .select("probe_id", "neighbor_id")
+    val nHit = ann.select("probe_id", "neighbor_id").join(gt,
+        Seq("probe_id", "neighbor_id"))
+      .groupBy("probe_id").agg(count(lit(1)).as("n_hit"))
+    ann.join(nHit, Seq("probe_id"), "left")
+      .select(col("probe_id"), col("rank"), col("neighbor_id"), col("adc"),
+        round(col("sim_raw"), 4).as("sim"),
+        (coalesce(col("n_hit"), lit(0L)) * 2000L).as("recall_bp"))
+      .orderBy("probe_id", "rank")
   }
 
   /** c29: deterministic epoch shuffle + sharding — the reproducible
@@ -1545,14 +1711,17 @@ object TierC {
     * code table plus the exact integer quantization error, which pins
     * every centroid of every codebook.
     */
-  private def c43(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val nSub = 4; val subDim = 16; val kc = 4; val rounds = 2
-    val q = vecs(s, d).map { case (id, e) => (id, IntLattice.quantize(e)) }
-      .localCheckpoint(false)
+  /** The trained per-subspace PQ codebooks (c43's recurrence, shared
+    * with c72's search): all `nSub` subspaces train in ONE
+    * combine-style pass per round. ONE copy of the oracle-sensitive
+    * seed/tie/floor/empty-cluster rules.
+    */
+  private def trainPqBooks(s: SparkSession,
+      q: org.apache.spark.sql.Dataset[(Long, Array[Long])], nSub: Int,
+      subDim: Int, kc: Int, rounds: Int): Array[Array[Array[Long]]] = {
     val seeds = q.filter(_._1 < kc).collect().sortBy(_._1).map(_._2)
     require(seeds.length == kc,
-      s"c43 expects seed vectors with vec_id 0..${kc - 1}; found ${seeds.length}")
+      s"expected seed vectors with vec_id 0..${kc - 1}; found ${seeds.length}")
     var books: Array[Array[Array[Long]]] = Array.tabulate(nSub)(m =>
       seeds.map(v => v.slice(m * subDim, (m + 1) * subDim)))
     for (_ <- 1 to rounds) {
@@ -1588,6 +1757,15 @@ object TierC {
         }
       }
     }
+    books
+  }
+
+  private def c43(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val nSub = 4; val subDim = 16; val kc = 4; val rounds = 2
+    val q = vecs(s, d).map { case (id, e) => (id, IntLattice.quantize(e)) }
+      .localCheckpoint(false)
+    val books = trainPqBooks(s, q, nSub, subDim, kc, rounds)
     val bcF = s.sparkContext.broadcast(books)
     q.mapPartitions { it =>
       val bs = bcF.value
@@ -2000,6 +2178,48 @@ object TierC {
         .mkString(", ") +
       ", asg AS (SELECT t.vec_id, t.sub, t.c, t.dist FROM (SELECT q0.vec_id, q0.sub, p.c, sum((q0.q - p.m)*(q0.q - p.m))::BIGINT AS dist FROM q0 JOIN c2 p USING (i) GROUP BY 1, 2, 3) t QUALIFY row_number() OVER (PARTITION BY t.vec_id, t.sub ORDER BY t.dist, t.c) = 1) " +
       "SELECT vec_id, max(CASE WHEN sub = 0 THEN c END)::BIGINT AS c0, max(CASE WHEN sub = 1 THEN c END)::BIGINT AS c1, max(CASE WHEN sub = 2 THEN c END)::BIGINT AS c2, max(CASE WHEN sub = 3 THEN c END)::BIGINT AS c3, sum(dist)::BIGINT AS err FROM asg GROUP BY vec_id ORDER BY vec_id"
+  }
+
+  /** DuckDB twin of c72's FULL search chain: the coarse training
+    * rounds (ivfOracleSql's recurrence, `k*` prefixes) and the PQ
+    * training rounds (pqOracleSql's, `p*` prefixes) share one
+    * quantized q0, then cell assignment + PQ codes build the index,
+    * probes route to their 2 nearest cells with a per-probe ADC
+    * table, candidates score by table-lookup sum, the top-16
+    * shortlist re-ranks by true cosine, and ground truth/recall
+    * replay c65's harness — every integer of the chain recomputed.
+    */
+  private val ivfPqSearchOracleSql: String = {
+    def coarseRound(n: Int, prev: String): String =
+      s"ka$n AS (SELECT q0.vec_id, p.c, sum((q0.q - p.m)*(q0.q - p.m))::BIGINT AS dist FROM q0 JOIN $prev p USING (i) GROUP BY 1, 2), " +
+        s"kb$n AS (SELECT vec_id, c, dist FROM ka$n QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) = 1), " +
+        s"ku$n AS (SELECT kb$n.c, q0.i, floor(sum(q0.q)::DOUBLE / count(*))::BIGINT AS m FROM kb$n JOIN q0 USING (vec_id) GROUP BY 1, 2), " +
+        s"kc$n AS (SELECT p.c, p.i, coalesce(ku$n.m, p.m) AS m FROM $prev p LEFT JOIN ku$n ON ku$n.c = p.c AND ku$n.i = p.i)"
+    def pqRound(n: Int, prev: String): String =
+      s"pa$n AS (SELECT q0.vec_id, q0.sub, p.c, sum((q0.q - p.m)*(q0.q - p.m))::BIGINT AS dist FROM q0 JOIN $prev p USING (i) GROUP BY 1, 2, 3), " +
+        s"pb$n AS (SELECT vec_id, sub, c, dist FROM pa$n QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, c) = 1), " +
+        s"pu$n AS (SELECT pb$n.c, q0.i, floor(sum(q0.q)::DOUBLE / count(*))::BIGINT AS m FROM pb$n JOIN q0 ON q0.vec_id = pb$n.vec_id AND q0.sub = pb$n.sub GROUP BY 1, 2), " +
+        s"pc$n AS (SELECT p.c, p.i, coalesce(pu$n.m, p.m) AS m FROM $prev p LEFT JOIN pu$n ON pu$n.c = p.c AND pu$n.i = p.i)"
+    "WITH q0 AS (SELECT vec_id, i.i AS i, (i.i // 16)::BIGINT AS sub, floor(embedding[i.i+1]::DOUBLE * 1024)::BIGINT AS q FROM embeddings, range(64) i(i)), " +
+      "kc0 AS (SELECT vec_id AS c, i, q AS m FROM q0 WHERE vec_id < 8), " +
+      (1 to 2).map(n => coarseRound(n, if (n == 1) "kc0" else s"kc${n - 1}"))
+        .mkString(", ") + ", " +
+      "pc0 AS (SELECT vec_id AS c, i, q AS m FROM q0 WHERE vec_id < 4), " +
+      (1 to 2).map(n => pqRound(n, if (n == 1) "pc0" else s"pc${n - 1}"))
+        .mkString(", ") +
+      ", asgc AS (SELECT t.vec_id, t.c AS cell FROM (SELECT q0.vec_id, p.c, sum((q0.q - p.m)*(q0.q - p.m))::BIGINT AS dist FROM q0 JOIN kc2 p USING (i) WHERE q0.vec_id >= 8 GROUP BY 1, 2) t QUALIFY row_number() OVER (PARTITION BY t.vec_id ORDER BY t.dist, t.c) = 1)" +
+      ", codes AS (SELECT t.vec_id, t.sub, t.c FROM (SELECT q0.vec_id, q0.sub, p.c, sum((q0.q - p.m)*(q0.q - p.m))::BIGINT AS dist FROM q0 JOIN pc2 p USING (i) WHERE q0.vec_id >= 8 GROUP BY 1, 2, 3) t QUALIFY row_number() OVER (PARTITION BY t.vec_id, t.sub ORDER BY t.dist, t.c) = 1)" +
+      ", probes AS (SELECT vec_id AS probe_id FROM embeddings WHERE vec_id % 100 = 0 AND vec_id >= 8 ORDER BY vec_id LIMIT 32)" +
+      ", pcell AS (SELECT t.probe_id, t.c AS cell FROM (SELECT pr.probe_id, p.c, sum((q0.q - p.m)*(q0.q - p.m))::BIGINT AS dist FROM probes pr JOIN q0 ON q0.vec_id = pr.probe_id JOIN kc2 p USING (i) GROUP BY 1, 2) t QUALIFY row_number() OVER (PARTITION BY t.probe_id ORDER BY t.dist, t.c) <= 4)" +
+      ", dtab AS (SELECT pr.probe_id, q0.sub, p.c, sum((q0.q - p.m)*(q0.q - p.m))::BIGINT AS dist FROM probes pr JOIN q0 ON q0.vec_id = pr.probe_id JOIN pc2 p USING (i) GROUP BY 1, 2, 3)" +
+      ", cand AS (SELECT pc.probe_id, a.vec_id AS cand_id FROM pcell pc JOIN asgc a ON a.cell = pc.cell AND a.vec_id != pc.probe_id)" +
+      ", adc AS (SELECT c.probe_id, c.cand_id, sum(d.dist)::BIGINT AS adc FROM cand c JOIN codes k ON k.vec_id = c.cand_id JOIN dtab d ON d.probe_id = c.probe_id AND d.sub = k.sub AND d.c = k.c GROUP BY 1, 2)" +
+      ", short AS (SELECT probe_id, cand_id, adc FROM adc QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY adc, cand_id) <= 48)" +
+      ", rer AS (SELECT s.probe_id, s.cand_id, s.adc, list_cosine_similarity(pe.embedding::DOUBLE[], ce.embedding::DOUBLE[]) AS sim FROM short s JOIN embeddings pe ON pe.vec_id = s.probe_id JOIN embeddings ce ON ce.vec_id = s.cand_id)" +
+      ", ann AS (SELECT * FROM (SELECT probe_id, cand_id, adc, sim, row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rnk FROM rer) WHERE rnk <= 5)" +
+      ", gt AS (SELECT probe_id, vec_id FROM (SELECT pr.probe_id, e.vec_id, row_number() OVER (PARTITION BY pr.probe_id ORDER BY list_cosine_similarity(pe.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC, e.vec_id) AS rn FROM probes pr JOIN embeddings pe ON pe.vec_id = pr.probe_id JOIN embeddings e ON e.vec_id >= 8 AND e.vec_id != pr.probe_id) WHERE rn <= 5)" +
+      ", nh AS (SELECT a.probe_id, count(*)::BIGINT AS n_hit FROM ann a JOIN gt ON gt.probe_id = a.probe_id AND gt.vec_id = a.cand_id GROUP BY 1) " +
+      "SELECT a.probe_id, a.rnk::BIGINT AS rank, a.cand_id AS neighbor_id, a.adc, round(a.sim, 4) AS sim, (coalesce(nh.n_hit, 0) * 2000)::BIGINT AS recall_bp FROM ann a LEFT JOIN nh ON nh.probe_id = a.probe_id ORDER BY a.probe_id, rank"
   }
 
   /** DuckDB rendering of the c15/c51 sign-LSH bucket assignment: CTE
@@ -2428,6 +2648,83 @@ object TierC {
       .orderBy("doc_id")
   }
 
+  /** c71: QUALITY-CLASSIFIER TRAINING — the train half of the
+    * train/serve loop c63 only serves: a multinomial Naive Bayes
+    * (log-odds) text classifier trained DISTRIBUTED over a
+    * deterministic weak-label split, entirely in exact integer
+    * arithmetic so the trained model itself is bit-reproducible in
+    * the oracle. The pipeline is the real curation bootstrap shape
+    * (fastText-style quality models are trained on exactly this kind
+    * of weak supervision): (1) split by portable hash — ~1/5 of docs
+    * held out for application, the rest train; (2) weak labels from
+    * d20's heuristic gate (≥10 words and ≥2% stopwords = good) — the
+    * teacher no model needs; (3) per-token class counts in ONE
+    * token-keyed partial-agg'd shuffle; (4) per-token integer
+    * log-odds weights via the bit-length floor-log2 idiom (c41):
+    * w(t) = ⌊log₂((cg+1)·(Tb+V))⌋ − ⌊log₂((cb+1)·(Tg+V))⌋ — Laplace
+    * smoothing and the class-size normalization folded into one
+    * integer expression; (5) apply to the held-out docs: token-weight
+    * broadcast join (the c63 serving shape — the model IS data),
+    * unseen tokens get the smoothed zero-count weight, plus the doc
+    * prior ⌊log₂(Ng+1)⌋ − ⌊log₂(Nb+1)⌋. Declared output = per
+    * held-out doc (n_tok, score, pred_good). Scale shape: counts are
+    * one vocabulary-bounded shuffle; the weight table is
+    * vocabulary-sized (broadcast at any corpus scale — production
+    * hashes it into a fixed feature space first, c63's layout); the
+    * only driver-side values are five bounded class scalars (the c67
+    * class). At 100 TB training cost ≈ one wordcount.
+    */
+  private def c71(s: SparkSession, d: String): DataFrame = {
+    // floor-log2 via bit length, matching length(bin(x))-1 on both
+    // engines for x >= 1 (and 0 for x = 0, where bin renders "0")
+    def bitsL(x: Long): Long =
+      if (x <= 0L) 0L else 63L - java.lang.Long.numberOfLeadingZeros(x)
+    val labeled = withWords(documents(s, d))
+      .select(col("doc_id"), col("w"),
+        (pmod(portableHash(concat(lit("c71:"), col("doc_id").cast("string"))),
+          lit(5)) === 0).as("is_apply"))
+      .withColumn("n_words", size(col("w")).cast("long"))
+      .withColumn("stop_cnt",
+        size(expr("filter(w, x -> x IN ('the','a','of','and','to'))"))
+          .cast("long"))
+      .withColumn("good", col("n_words") >= 10 &&
+        expr("stop_cnt * 10000 div n_words") >= 200)
+    val tok = labeled
+      .select(col("doc_id"), col("is_apply"), col("good"),
+        explode(col("w")).as("t"))
+    // (3) per-token class counts — vocabulary-sized after partial agg
+    val counts = tok.filter(!col("is_apply")).groupBy("t").agg(
+      sum(when(col("good"), 1L).otherwise(0L)).as("cg"),
+      sum(when(col("good"), 0L).otherwise(1L)).as("cb"))
+      .localCheckpoint(false) // feeds the scalar agg AND the weights
+    // bounded class scalars (one 3-column head, the c67 discipline)
+    val totRow = counts.agg(sum("cg"), sum("cb"), count(lit(1))).head()
+    val tg = if (totRow.isNullAt(0)) 0L else totRow.getLong(0)
+    val tb = if (totRow.isNullAt(1)) 0L else totRow.getLong(1)
+    val v = totRow.getLong(2)
+    val docRow = labeled.filter(!col("is_apply"))
+      .agg(sum(when(col("good"), 1L).otherwise(0L)), count(lit(1))).head()
+    val ng = if (docRow.isNullAt(0)) 0L else docRow.getLong(0)
+    val nAll = docRow.getLong(1)
+    val prior = bitsL(ng + 1L) - bitsL(nAll - ng + 1L)
+    val unseenW = bitsL(tb + v) - bitsL(tg + v)
+    // (4) the trained model: one integer weight per vocabulary token
+    val weights = counts.select(col("t").as("wt_t"),
+      ((length(bin(expr(s"(cg + 1) * ${tb + v}"))) - 1) -
+        (length(bin(expr(s"(cb + 1) * ${tg + v}"))) - 1))
+        .cast("long").as("wt"))
+    // (5) serve it over the held-out split — c63's broadcast shape
+    tok.filter(col("is_apply"))
+      .join(broadcast(weights), col("t") === col("wt_t"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        sum(coalesce(col("wt"), lit(unseenW))).as("tok_score"))
+      .select(col("doc_id"), col("n_tok"),
+        (col("tok_score") + prior).cast("long").as("score"))
+      .withColumn("pred_good", col("score") > 0)
+      .orderBy("doc_id")
+  }
+
   /** c64: CROSS-SOURCE duplication matrix — which feeds copy from
     * which: docs sharing a head fingerprint (md5 of the first 200
     * chars — the syndicated-article/boilerplate-head signal; whole-text
@@ -2714,6 +3011,11 @@ object TierC {
       s"WITH $lshBucketCtes, probes AS (SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pe FROM embeddings WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 32), sims AS (SELECT probe_id, vec_id, list_cosine_similarity(pe, ce) AS sim FROM probes, (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings) WHERE vec_id != probe_id), gt AS (SELECT probe_id, vec_id FROM (SELECT probe_id, vec_id, row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank FROM sims) WHERE rank <= 5), pb AS (SELECT p.probe_id, b.bucket FROM probes p JOIN buckets b ON b.vec_id = p.probe_id), cd AS (SELECT pb.probe_id, b.vec_id AS cand_id FROM pb JOIN buckets b ON b.bucket = pb.bucket AND b.vec_id <> pb.probe_id), nc AS (SELECT probe_id, count(*)::BIGINT AS n_cand FROM cd GROUP BY 1), nh AS (SELECT gt.probe_id, count(*)::BIGINT AS n_hit FROM gt JOIN cd ON cd.probe_id = gt.probe_id AND cd.cand_id = gt.vec_id GROUP BY 1) SELECT p.probe_id, coalesce(nc.n_cand, 0)::BIGINT AS n_cand, coalesce(nh.n_hit, 0)::BIGINT AS n_hit, (coalesce(nh.n_hit, 0) * 2000)::BIGINT AS recall_bp FROM probes p LEFT JOIN nc USING (probe_id) LEFT JOIN nh USING (probe_id) ORDER BY probe_id")),
     QueryDef("c63_quality_classifier", c63 _, Some(
       s"WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents), f AS (SELECT doc_id, (${duckHash("'feat:' || word")} % 64) AS fh FROM tok) SELECT doc_id, count(*)::BIGINT AS n_tok, sum(${duckHash("'w:' || fh::VARCHAR")} % 2001 - 1000)::BIGINT AS score, (sum(${duckHash("'w:' || fh::VARCHAR")} % 2001 - 1000) > 0) AS kept FROM f GROUP BY doc_id ORDER BY doc_id")),
+    // c71's oracle retrains the whole model: same split, same weak
+    // labels, same integer log-odds — the trained weights are part of
+    // what the hash compare pins.
+    QueryDef("c71_classifier_train", c71 _, Some(
+      s"WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), lab AS (SELECT doc_id, w, (${duckHash("'c71:' || doc_id::VARCHAR")} % 5 = 0) AS is_apply, len(w)::BIGINT AS n_words, len(list_filter(w, x -> x IN ('the','a','of','and','to')))::BIGINT AS stop_cnt FROM w), lab2 AS (SELECT doc_id, w, is_apply, (n_words >= 10 AND stop_cnt * 10000 // n_words >= 200) AS good FROM lab), tok AS (SELECT doc_id, is_apply, good, unnest(w) AS t FROM lab2), counts AS (SELECT t, sum(CASE WHEN good THEN 1 ELSE 0 END)::BIGINT AS cg, sum(CASE WHEN good THEN 0 ELSE 1 END)::BIGINT AS cb FROM tok WHERE NOT is_apply GROUP BY t), tot AS (SELECT coalesce(sum(cg), 0)::BIGINT AS tg, coalesce(sum(cb), 0)::BIGINT AS tb, count(*)::BIGINT AS v FROM counts), dc AS (SELECT coalesce(sum(CASE WHEN good THEN 1 ELSE 0 END), 0)::BIGINT AS ng, count(*)::BIGINT AS n FROM lab2 WHERE NOT is_apply), wt AS (SELECT t, ((length(bin((cg + 1) * (tb + v))) - 1) - (length(bin((cb + 1) * (tg + v))) - 1))::BIGINT AS wt FROM counts, tot), prior AS (SELECT ((length(bin(ng + 1)) - 1) - (length(bin(n - ng + 1)) - 1))::BIGINT AS p FROM dc), unseen AS (SELECT ((length(bin(tb + v)) - 1) - (length(bin(tg + v)) - 1))::BIGINT AS uw FROM tot) SELECT tok.doc_id, count(*)::BIGINT AS n_tok, (sum(coalesce(wt.wt, (SELECT uw FROM unseen))) + (SELECT p FROM prior))::BIGINT AS score, ((sum(coalesce(wt.wt, (SELECT uw FROM unseen))) + (SELECT p FROM prior)) > 0) AS pred_good FROM tok LEFT JOIN wt ON tok.t = wt.t WHERE tok.is_apply GROUP BY tok.doc_id ORDER BY tok.doc_id")),
     QueryDef("c64_cross_source_dup", c64 _, Some(
       "WITH fp AS (SELECT DISTINCT md5(substr(text, 1, 200)) AS fp, source FROM documents) SELECT a.source AS source_a, b.source AS source_b, count(*)::BIGINT AS n_shared FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source GROUP BY 1, 2 ORDER BY 1, 2")),
     QueryDef("c62_inverted_index", c62 _, Some(
@@ -2812,6 +3114,7 @@ object TierC {
       s"WITH $minhashCtes, newb AS (SELECT * FROM sig WHERE doc_id >= 400 AND doc_id < 500), idxb AS (SELECT * FROM sig WHERE doc_id < 400 OR doc_id >= 500), pairs AS (SELECT DISTINCT n.doc_id AS u, i.doc_id AS v FROM newb n JOIN idxb i ON n.band = i.band AND n.minhash = i.minhash), sizes AS (SELECT doc_id, count(*)::BIGINT AS nsh FROM sh GROUP BY 1), inter AS (SELECT p.u, p.v, count(*)::BIGINT AS inter FROM pairs p JOIN sh a ON a.doc_id = p.u JOIN sh b ON b.doc_id = p.v AND b.sh = a.sh GROUP BY 1, 2), scored AS (SELECT p.u, p.v, ((10000 * coalesce(i.inter, 0)) // (sa.nsh + sb.nsh - coalesce(i.inter, 0)))::BIGINT AS bp FROM pairs p JOIN sizes sa ON sa.doc_id = p.u JOIN sizes sb ON sb.doc_id = p.v LEFT JOIN inter i ON i.u = p.u AND i.v = p.v), best AS (SELECT u, v, bp, row_number() OVER (PARTITION BY u ORDER BY bp DESC, v) AS rn FROM scored), agg AS (SELECT u, count(*)::BIGINT AS n_cand FROM scored GROUP BY 1) SELECT doc.doc_id AS new_id, coalesce(a.n_cand, 0)::BIGINT AS n_cand, b.v AS best_match, coalesce(b.bp, 0)::BIGINT AS best_bp, coalesce(b.bp, 0) >= 8000 AS is_dup FROM documents doc LEFT JOIN agg a ON a.u = doc.doc_id LEFT JOIN best b ON b.u = doc.doc_id AND b.rn = 1 WHERE doc.doc_id >= 400 AND doc.doc_id < 500 ORDER BY new_id")),
     QueryDef("c19_ann_ivf", c19 _, Some(ivfOracleSql)),
     QueryDef("c43_ann_pq", c43 _, Some(pqOracleSql)),
+    QueryDef("c72_ivf_pq_search", c72 _, Some(ivfPqSearchOracleSql)),
     QueryDef("c17_similarity_native_expr", c17 _, Some(
       "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1 ORDER BY vec_a")),
     QueryDef("c16_multimodal_binary", c16 _, Some(

@@ -29,6 +29,61 @@ class Round11PropsSpec extends SparkSpec {
       s"d29 n_open_groups ${row.getLong(5)} != d24 state rows $openWindows")
   }
 
+  test("c72: IVF-PQ search earns its keep — recall@5 vs brute force " +
+      "clears the pinned floor, and the output is a well-formed " +
+      "per-probe top-5") {
+    val rows = graft.SparkEntry.queries("c72_ivf_pq_search")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (pid, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.length).toSeq,
+        s"probe $pid: ranks not 1..k: ${rs.map(_._2).toSeq}")
+      // exact re-rank: sims non-increasing with rank
+      val byRank = rs.sortBy(_._2).map(_._5)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => b <= a })
+      assert(rs.forall(_._4 > 0L), "ADC distances must be positive")
+      assert(rs.map(_._6).distinct.length == 1,
+        "recall_bp is a per-probe constant")
+    }
+    // the pinned floor: measured 4000 bp average on this corpus
+    // (uniform unit-sphere embeddings — ANN's worst case); 2000 is
+    // the regression alarm, not the aspiration
+    val perProbe = rows.groupBy(_._1).map(_._2.head._6)
+    val avg = perProbe.sum.toDouble / perProbe.size
+    assert(avg >= 2000.0,
+      s"avg recall@5 fell below the 2000 bp floor: $avg")
+  }
+
+  test("c71: the trained classifier tracks its weak-label teacher on " +
+      "the held-out split") {
+    import org.apache.spark.sql.functions._
+    val pred = graft.SparkEntry.queries("c71_classifier_train")(
+      spark, sf0001)
+    val rows = pred.collect()
+    assert(rows.nonEmpty)
+    // the holdout is ~1/5 of the corpus by the hash split
+    val total = graft.util.Tables.documents(spark, sf0001).count()
+    assert(rows.length < total / 3 && rows.length > total / 10,
+      s"holdout size ${rows.length} of $total looks wrong")
+    // scores are real evidence sums, not one constant
+    assert(rows.map(_.getLong(2)).distinct.length > 5)
+    // accuracy vs the weak-label teacher on the holdout
+    val weak = graft.util.Tables.documents(spark, sf0001)
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("n_words", size(col("w")).cast("long"))
+      .withColumn("stop_cnt",
+        size(expr("filter(w, x -> x IN ('the','a','of','and','to'))"))
+          .cast("long"))
+      .select(col("doc_id"), (col("n_words") >= 10 &&
+        expr("stop_cnt * 10000 div n_words") >= 200).as("good"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val agree = rows.count(r => r.getBoolean(3) == weak(r.getLong(0)))
+    assert(agree.toDouble / rows.length >= 0.75,
+      s"holdout agreement ${agree}/${rows.length} below 75%")
+  }
+
   test("d30 twin: with TTLConfig.NONE the second generation is " +
       "all-REJECTED — the TTL is what re-admits, not batch boundaries") {
     val noTtl = graft.streaming.StreamingDemo
