@@ -2169,21 +2169,27 @@ object TierB {
          |GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
-  /** b85: SCHEMA EVOLUTION — `ALTER TABLE ... ADD COLUMNS` as a
+  /** b85: SCHEMA EVOLUTION with TYPED LITERAL DEFAULTS —
+    * `ALTER TABLE ... ADD COLUMNS (c <type> DEFAULT <literal>)` as a
     * METADATA-ONLY commit (the Iceberg-v3 initial-default / Delta
-    * column-mapping shape): pre-ALTER rows are never rewritten — they
-    * stay physically narrower, and every reader (live scan, snapshot
-    * scan, change feed) surfaces the missing column as its initial
-    * default (0). At 100 TB this is the difference between an ALTER
-    * that finishes in a metadata transaction and one that rewrites
-    * the table. The demo appends customer under the 2-column schema,
-    * widens with `bonus_cents`, appends a re-keyed second batch that
-    * POPULATES it, then runs a row-level UPDATE that touches BOTH
-    * generations (the rewrite pads old rows through the widened
-    * write path), and declares the per-key_mod totals over all three
-    * columns. The oracle recomputes both generations + the update
-    * with the default-0 semantics inline. The ALTER bumps the table
-    * version, so history keeps the pre-ALTER schema
+    * column-mapping shape, generalized in round 11 from BIGINT/0 to
+    * BIGINT, INT, STRING, BOOLEAN and DECIMAL literals): pre-ALTER
+    * rows are never rewritten — they stay physically narrower, and
+    * every reader (live scan, snapshot scan, change feed, MoR merge)
+    * surfaces each missing column as ITS OWN captured default. At
+    * 100 TB this is the difference between an ALTER that finishes in
+    * a metadata transaction and one that rewrites the table. The demo
+    * appends customer under the 2-column schema, widens with THREE
+    * typed columns (`bonus_cents BIGINT DEFAULT 250`,
+    * `tier STRING DEFAULT 'basic'`, `vip BOOLEAN DEFAULT false`),
+    * appends a re-keyed second batch that POPULATES them, then runs a
+    * row-level UPDATE touching BOTH generations and BOTH typed
+    * columns (old rows enter the rewrite as their defaults and come
+    * out materialized), and declares per-(key_mod, tier) totals over
+    * every column — the STRING default flowing through a group-by is
+    * itself part of the check. The oracle recomputes both generations
+    * + the update with the typed defaults inline. The ALTER bumps the
+    * table version per column, so history keeps the pre-ALTER schema
     * (`VERSION AS OF`, spec-asserted) and any in-flight rewrite
     * scanned under the old schema is a loud commit conflict.
     */
@@ -2194,27 +2200,34 @@ object TierB {
       .selectExpr("c_custkey AS key",
         "CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents")
     snap.writeTo(tbl).append() // v1 — 2-col generation
-    s.sql(s"ALTER TABLE $tbl ADD COLUMNS (bonus_cents BIGINT)") // v2
+    s.sql(s"ALTER TABLE $tbl ADD COLUMNS (" +
+      "bonus_cents BIGINT DEFAULT 250, tier STRING DEFAULT 'basic', " +
+      "vip BOOLEAN DEFAULT false)") // v2-v4 (one metadata commit each)
     customer(s, d).createOrReplaceTempView("g_cust_b85")
     s.sql(
       """SELECT c_custkey
         |    + (SELECT max(c_custkey) + 1 FROM g_cust_b85) AS key,
         |  CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents,
-        |  c_custkey % 97 AS bonus_cents
+        |  c_custkey % 97 AS bonus_cents,
+        |  CASE WHEN c_custkey % 3 = 0 THEN 'gold' ELSE 'basic' END
+        |    AS tier,
+        |  c_custkey % 5 = 0 AS vip
         |FROM g_cust_b85""".stripMargin)
-      .writeTo(tbl).append() // v3 — 3-col generation
+      .writeTo(tbl).append() // v5 — 5-col generation
     // row-level UPDATE across BOTH generations through the widened
-    // schema (old rows enter the rewrite as default-0 and come out
-    // materialized)
-    s.sql(s"UPDATE $tbl SET bonus_cents = bonus_cents + 500 " +
-      "WHERE key % 10 = 2") // v4
+    // schema (old rows enter the rewrite as their typed defaults and
+    // come out materialized)
+    s.sql(s"UPDATE $tbl SET bonus_cents = bonus_cents + 500, " +
+      "tier = 'plus' WHERE key % 10 = 2") // v6
     s.sql(
-      s"""SELECT key % 10 AS key_mod, count(*) AS n,
+      s"""SELECT key % 10 AS key_mod, tier, count(*) AS n,
          |  CAST(sum(CAST(bal_cents AS DECIMAL(38,0))) AS BIGINT)
          |    AS bal_cents_sum,
          |  CAST(sum(CAST(bonus_cents AS DECIMAL(38,0))) AS BIGINT)
-         |    AS bonus_cents_sum
-         |FROM $tbl GROUP BY key % 10 ORDER BY key_mod""".stripMargin)
+         |    AS bonus_cents_sum,
+         |  CAST(count_if(vip) AS BIGINT) AS n_vip
+         |FROM $tbl GROUP BY key % 10, tier
+         |ORDER BY key_mod, tier""".stripMargin)
   }
 
   /** b86: OVERWRITE WRITE FACES — the two overwrite modes every batch
@@ -2778,7 +2791,7 @@ object TierB {
     QueryDef("b86_overwrite_partitions", b86 _, Some(
       "WITH snap AS (SELECT c_custkey AS key, (c_custkey % 5)::BIGINT AS g, floor(c_acctbal * 100)::BIGINT AS bal FROM customer), fin AS (SELECT key, g, bal + CASE WHEN g IN (1, 3) THEN 10000 WHEN g = 0 THEN 77 ELSE 0 END AS bal FROM snap) SELECT g, count(*)::BIGINT AS n, sum(bal)::BIGINT AS bal_cents_sum FROM fin GROUP BY 1 ORDER BY 1")),
     QueryDef("b85_schema_evolution", b85 _, Some(
-      "WITH snap AS (SELECT c_custkey AS key, floor(c_acctbal * 100)::BIGINT AS bal FROM customer), off AS (SELECT max(c_custkey) + 1 AS o FROM customer), gen2 AS (SELECT key + (SELECT o FROM off) AS nkey, bal, (key % 97)::BIGINT AS bonus FROM snap), allr AS (SELECT key, bal, 0::BIGINT AS bonus FROM snap UNION ALL SELECT nkey, bal, bonus FROM gen2), upd AS (SELECT key, bal, bonus + CASE WHEN key % 10 = 2 THEN 500 ELSE 0 END AS bonus FROM allr) SELECT (key % 10)::BIGINT AS key_mod, count(*)::BIGINT AS n, sum(bal)::BIGINT AS bal_cents_sum, sum(bonus)::BIGINT AS bonus_cents_sum FROM upd GROUP BY 1 ORDER BY 1")),
+      "WITH snap AS (SELECT c_custkey AS key, floor(c_acctbal * 100)::BIGINT AS bal FROM customer), off AS (SELECT max(c_custkey) + 1 AS o FROM customer), gen1 AS (SELECT key, bal, 250::BIGINT AS bonus, 'basic' AS tier, false AS vip FROM snap), gen2 AS (SELECT key + (SELECT o FROM off) AS key, bal, (key % 97)::BIGINT AS bonus, CASE WHEN key % 3 = 0 THEN 'gold' ELSE 'basic' END AS tier, (key % 5 = 0) AS vip FROM snap), allr AS (SELECT * FROM gen1 UNION ALL SELECT * FROM gen2), upd AS (SELECT key, bal, bonus + CASE WHEN key % 10 = 2 THEN 500 ELSE 0 END AS bonus, CASE WHEN key % 10 = 2 THEN 'plus' ELSE tier END AS tier, vip FROM allr) SELECT (key % 10)::BIGINT AS key_mod, tier, count(*)::BIGINT AS n, sum(bal)::BIGINT AS bal_cents_sum, sum(bonus)::BIGINT AS bonus_cents_sum, sum(CASE WHEN vip THEN 1 ELSE 0 END)::BIGINT AS n_vip FROM upd GROUP BY 1, 2 ORDER BY 1, 2")),
     QueryDef("b84_time_travel", b84 _, Some(
       "WITH snap AS (SELECT c_custkey AS key, floor(c_acctbal * 100)::BIGINT AS bal FROM customer), off AS (SELECT max(c_custkey) + 1 AS o FROM customer), batch AS (SELECT key, bal + 10000 AS nb, 'U' AS op FROM snap WHERE key % 10 = 3 UNION ALL SELECT key, 0, 'D' FROM snap WHERE key % 10 = 7 UNION ALL SELECT key + (SELECT o FROM off), bal, 'I' FROM snap WHERE key % 100 = 0), post AS (SELECT s.key, coalesce(CASE WHEN b.op = 'U' THEN b.nb END, s.bal) AS bal FROM snap s LEFT JOIN batch b ON s.key = b.key WHERE b.op IS NULL OR b.op <> 'D' UNION ALL SELECT key, nb FROM batch WHERE op = 'I'), post2 AS (SELECT key, bal + CASE WHEN key % 10 = 1 THEN 5000 ELSE 0 END AS bal FROM post) SELECT (coalesce(v1.key, now.key) % 10)::BIGINT AS key_mod, (count(*) FILTER (WHERE v1.key IS NULL))::BIGINT AS n_added, (count(*) FILTER (WHERE now.key IS NULL))::BIGINT AS n_removed, (count(*) FILTER (WHERE v1.key IS NOT NULL AND now.key IS NOT NULL AND v1.bal <> now.bal))::BIGINT AS n_changed, sum(coalesce(now.bal, 0) - coalesce(v1.bal, 0))::BIGINT AS delta_cents FROM snap v1 FULL JOIN post2 now ON v1.key = now.key GROUP BY 1 ORDER BY 1")),
     QueryDef("b81_cbo_join_reorder", b81 _, Some(

@@ -1,0 +1,126 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The graftmem cell codec (b85): table rows are `Array[Any]` of
+  * EXTERNALIZED values — java.lang.Long (BIGINT), java.lang.Integer
+  * (INT), java.lang.Boolean (BOOLEAN), String (STRING),
+  * java.math.BigDecimal (DECIMAL) — one codec for every face that
+  * moves a cell between Spark's internal row format and the store
+  * (writers, scan readers, snapshot readers, change-feed readers,
+  * delta writers, branch tables). CREATE-time columns stay BIGINT
+  * (the demo-table contract every existing query builds on); ALTER
+  * ADD COLUMNS accepts the full family with a typed literal DEFAULT,
+  * and rows written before the ALTER stay physically narrower —
+  * readers pad the missing tail with the column's INITIAL DEFAULT
+  * (the Iceberg-v3 shape: a default is fixed at add time, never
+  * rewritten into old rows).
+  *
+  * Cells are never SQL NULL: a null cell arriving at a writer (e.g. a
+  * MERGE insert that doesn't set an ALTER-added column) stores the
+  * column's default — the documented connector semantic since the
+  * LONG/0 era, now typed.
+  */
+private[sources] object GraftCell {
+
+  def supported(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | BooleanType | StringType => true
+    case _: DecimalType                                    => true
+    case _                                                 => false
+  }
+
+  /** The type's zero value — the initial default when the ALTER
+    * declares none (BIGINT keeps the historical 0).
+    */
+  def zeroOf(dt: DataType): Any = dt match {
+    case LongType       => java.lang.Long.valueOf(0L)
+    case IntegerType    => java.lang.Integer.valueOf(0)
+    case BooleanType    => java.lang.Boolean.FALSE
+    case StringType     => ""
+    case d: DecimalType => java.math.BigDecimal.ZERO.setScale(d.scale)
+    case other => throw new UnsupportedOperationException(
+      s"graftmem: unsupported column type $other")
+  }
+
+  /** Externalize a connector literal's (internal) value as a cell of
+    * the target column type. The analyzer folds and casts the DEFAULT
+    * expression before it reaches the catalog, but coerce defensively.
+    */
+  def fromLiteral(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => throw new UnsupportedOperationException(
+      "graftmem: DEFAULT NULL is not supported — this store has no " +
+        "null cells; omit the DEFAULT for the type's zero value")
+    case (n: java.lang.Number, LongType) =>
+      java.lang.Long.valueOf(n.longValue())
+    case (n: java.lang.Number, IntegerType) =>
+      java.lang.Integer.valueOf(n.intValue())
+    case (b: java.lang.Boolean, BooleanType) => b
+    case (s: UTF8String, StringType)         => s.toString
+    case (s: String, StringType)             => s
+    case (d: Decimal, t: DecimalType) =>
+      d.toJavaBigDecimal.setScale(t.scale)
+    case (n: java.lang.Number, t: DecimalType) =>
+      new java.math.BigDecimal(n.toString).setScale(t.scale)
+    case (v, t) => throw new UnsupportedOperationException(
+      s"graftmem: cannot use ${v.getClass.getSimpleName} '$v' as a " +
+        s"$t DEFAULT")
+  }
+
+  /** Read one cell from a writer's InternalRow position. */
+  def read(row: InternalRow, j: Int, dt: DataType): Any = dt match {
+    case LongType    => java.lang.Long.valueOf(row.getLong(j))
+    case IntegerType => java.lang.Integer.valueOf(row.getInt(j))
+    case BooleanType => java.lang.Boolean.valueOf(row.getBoolean(j))
+    case StringType  => row.getUTF8String(j).toString
+    case d: DecimalType =>
+      row.getDecimal(j, d.precision, d.scale).toJavaBigDecimal
+    case other => throw new UnsupportedOperationException(
+      s"graftmem: unsupported column type $other")
+  }
+
+  /** A writer-side cell: absent column (-1) or SQL NULL → the default. */
+  def writeCell(row: InternalRow, j: Int, dt: DataType, dflt: Any): Any =
+    if (j < 0 || row.isNullAt(j)) dflt else read(row, j, dt)
+
+  /** Internal (Catalyst) value for a PartitionReader's output. */
+  def toInternal(v: Any, dt: DataType): Any = dt match {
+    case StringType     => UTF8String.fromString(v.asInstanceOf[String])
+    case _: DecimalType => Decimal(v.asInstanceOf[java.math.BigDecimal])
+    case _              => v // Long / Int / Boolean pass through
+  }
+
+  /** CREATE-time columns are LONG by contract (partition, layout and
+    * MoR-key paths rely on it).
+    */
+  def asLong(v: Any): Long = v.asInstanceOf[java.lang.Number].longValue()
+
+  /** Build the shared read-side projector: (aux, stored row) →
+    * InternalRow of `required`, padding columns beyond a pre-ALTER
+    * row's width with their defaults. `special` resolves metadata
+    * columns (`_group`, `_pos`) — they receive (aux, row) where `aux`
+    * is the caller's per-row long (the position for MoR, unused
+    * elsewhere).
+    */
+  def projector(required: StructType, tableSchema: StructType,
+      defaults: IndexedSeq[Any],
+      special: Map[String, (Long, Array[Any]) => Any] = Map.empty)
+      : (Long, Array[Any]) => InternalRow = {
+    val getters: Array[(Long, Array[Any]) => Any] =
+      required.fields.map { f =>
+        special.get(f.name) match {
+          case Some(g) => g
+          case None =>
+            val j = tableSchema.fieldIndex(f.name)
+            val dt = tableSchema.fields(j).dataType
+            val dflt = toInternal(defaults(j), dt)
+            (_: Long, r: Array[Any]) =>
+              if (j < r.length) toInternal(r(j), dt) else dflt
+        }
+      }
+    (aux, r) => InternalRow.fromSeq(
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(
+        getters.map(_(aux, r))))
+  }
+}

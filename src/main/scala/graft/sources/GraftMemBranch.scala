@@ -33,7 +33,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 private[sources] final class GraftBranch(val branchName: String,
     val baseVersion: Long,
-    @volatile var rows: Vector[Array[Long]],
+    @volatile var rows: Vector[Array[Any]],
     var commits: Long)
 
 /** A branch as a read/append table, resolved by the catalog from the
@@ -61,9 +61,9 @@ private[sources] class GraftMemBranchTable(parent: GraftMemTable,
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
       override def build(): Scan = new Scan with Batch {
-        private val frozen = parent.synchronized(branch.rows)
-        private val srcIdx: Array[Int] =
-          required.fieldNames.map(parent.schema().fieldIndex)
+        private val (frozen, snapSchema, snapDefaults) =
+          parent.synchronized(
+            (branch.rows, parent.schema(), parent.colDefaults))
         override def readSchema(): StructType = required
         override def toBatch: Batch = this
         override def description(): String =
@@ -73,7 +73,8 @@ private[sources] class GraftMemBranchTable(parent: GraftMemTable,
           else frozen.grouped(math.max(1, (frozen.length + 3) / 4))
             .map(GraftMemPartition(_): InputPartition).toArray
         override def createReaderFactory(): PartitionReaderFactory = {
-          val idx = srcIdx
+          val proj = GraftCell.projector(required, snapSchema,
+            snapDefaults)
           new PartitionReaderFactory {
             override def createReader(
                 p: InputPartition): PartitionReader[InternalRow] = {
@@ -81,12 +82,7 @@ private[sources] class GraftMemBranchTable(parent: GraftMemTable,
               new PartitionReader[InternalRow] {
                 private var i = -1
                 override def next(): Boolean = { i += 1; i < data.length }
-                override def get(): InternalRow =
-                  InternalRow.fromSeq(
-                    scala.collection.immutable.ArraySeq.unsafeWrapArray(
-                      idx.map(j => java.lang.Long.valueOf(
-                        if (j < data(i).length) data(i)(j)
-                        else 0L): Any)))
+                override def get(): InternalRow = proj(0L, data(i))
                 override def close(): Unit = ()
               }
             }
@@ -103,11 +99,13 @@ private[sources] class GraftMemBranchTable(parent: GraftMemTable,
     new WriteBuilder {
       private val proj: Array[Int] =
         parent.schema().fieldNames.map(info.schema().fieldIndex)
+      private val tys = parent.schema().fields.map(_.dataType)
+      private val dfl = parent.colDefaults.toArray
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = new BatchWrite {
           override def createBatchWriterFactory(
               pi: PhysicalWriteInfo): DataWriterFactory =
-            new GraftMemWriterFactory(proj)
+            new GraftMemWriterFactory(proj, tys, dfl)
           override def commit(messages: Array[WriterCommitMessage]): Unit = {
             val written = messages.iterator.flatMap {
               case m: GraftMemCommit => m.data

@@ -70,7 +70,10 @@ class GraftMemCatalog extends TableCatalog with FunctionCatalog
     * (the planner gates constraint DDL on this capability).
     */
   override def capabilities(): java.util.Set[TableCatalogCapability] =
-    util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      // b85: ALTER TABLE ... ADD COLUMNS (c <type> DEFAULT <literal>)
+      // — the analyzer folds the default and hands it to alterTable
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val ns = namespace.mkString(".")
@@ -225,12 +228,17 @@ class GraftMemCatalog extends TableCatalog with FunctionCatalog
           (ident.namespace() :+ ident.name()).toSeq)
     t
   }
-  /** SCHEMA EVOLUTION (b85): `ALTER TABLE ... ADD COLUMN (c BIGINT)` —
-    * a METADATA-ONLY commit on both flavors (no data pass; readers
-    * surface the new column on pre-ALTER rows as its initial default
-    * 0 — the Iceberg-v3 default-value shape). Everything else
-    * (drops, renames, type changes, positioned adds) stays loudly
-    * unsupported.
+  /** SCHEMA EVOLUTION (b85): `ALTER TABLE ... ADD COLUMNS
+    * (c <type> [DEFAULT <literal>])` — a METADATA-ONLY commit on both
+    * flavors (no data pass; readers surface the new column on
+    * pre-ALTER rows as its INITIAL DEFAULT — the Iceberg-v3
+    * default-value shape, typed since round 11: BIGINT, INT, STRING,
+    * BOOLEAN and DECIMAL literals, the type's zero value when no
+    * DEFAULT is declared). The analyzer folds the DEFAULT expression
+    * to a literal (gated on SUPPORT_COLUMN_DEFAULT_VALUE) before it
+    * reaches the catalog. Everything genuinely structural (drops,
+    * renames, type changes, positioned adds, nested adds) stays
+    * loudly unsupported.
     */
   override def alterTable(
       ident: Identifier, changes: TableChange*): Table = {
@@ -239,23 +247,33 @@ class GraftMemCatalog extends TableCatalog with FunctionCatalog
     // multi-column ALTER with one unsupported change must leave the
     // table untouched, the same no-trace discipline every write
     // commit follows.
-    val cols = changes.map {
-      case add: TableChange.AddColumn
-          if add.fieldNames().length == 1 &&
-            add.dataType() == LongType && add.position() == null =>
-        add.fieldNames()(0)
-      case other => throw new UnsupportedOperationException(
-        "graftmem: only ALTER TABLE ADD COLUMN (one top-level BIGINT, " +
-          s"appended last) is supported, got $other")
-    }
-    require(cols.distinct.length == cols.length,
-      s"graftmem: duplicate columns in one ALTER: $cols")
-    val apply: String => Unit = t match {
-      case g: GraftMemTable    => g.addColumn
-      case m: GraftMemMorTable => m.addColumn
-      case _ => throw new UnsupportedOperationException(
-        s"graftmem: ${t.name()} does not support ALTER")
-    }
+    val cols: Seq[(String, org.apache.spark.sql.types.DataType, Any)] =
+      changes.map {
+        case add: TableChange.AddColumn
+            if add.fieldNames().length == 1 &&
+              GraftCell.supported(add.dataType()) &&
+              add.position() == null =>
+          val dflt = Option(add.defaultValue())
+            .map(dv => GraftCell.fromLiteral(dv.getValue().value(),
+              add.dataType()))
+            .getOrElse(GraftCell.zeroOf(add.dataType()))
+          (add.fieldNames()(0), add.dataType(), dflt)
+        case other => throw new UnsupportedOperationException(
+          "graftmem: only ALTER TABLE ADD COLUMNS (top-level " +
+            "BIGINT/INT/STRING/BOOLEAN/DECIMAL, appended last, " +
+            s"optional literal DEFAULT) is supported, got $other")
+      }
+    require(cols.map(_._1).distinct.length == cols.length,
+      s"graftmem: duplicate columns in one ALTER: ${cols.map(_._1)}")
+    val apply: ((String, org.apache.spark.sql.types.DataType, Any)) => Unit =
+      t match {
+        case g: GraftMemTable =>
+          c => g.addColumn(c._1, c._2, c._3)
+        case m: GraftMemMorTable =>
+          c => m.addColumn(c._1, c._2, c._3)
+        case _ => throw new UnsupportedOperationException(
+          s"graftmem: ${t.name()} does not support ALTER")
+      }
     // hold the TABLE lock across validate + apply (addColumn's own
     // synchronized is reentrant on the same monitor): without it a
     // concurrent DDL could land a conflicting column between this
@@ -263,7 +281,7 @@ class GraftMemCatalog extends TableCatalog with FunctionCatalog
     // multi-column ALTER half-applied after all
     t.synchronized {
       val existing = t.schema().fieldNames.toSet
-      cols.find(existing).foreach(c =>
+      cols.map(_._1).find(existing).foreach(c =>
         throw new IllegalArgumentException(
           s"graftmem ${t.name()}: column $c already exists"))
       cols.foreach(apply)
@@ -472,10 +490,13 @@ private[sources] class GraftMemTable(val fullName: String,
   override private[sources] def retainedVersions: Seq[(Long, Long)] =
     synchronized(snapshots.iterator
       .map { case (v, (_, t, _)) => (v, t) }.toSeq.sortBy(_._1))
-  override private[sources] def snapshotAt(
-      version: Long): Option[(Vector[Array[Long]], StructType)] =
+  override private[sources] def snapshotAt(version: Long)
+      : Option[(Vector[Array[Any]], StructType, Vector[Any])] =
     synchronized(snapshots.get(version).map {
-      case (rs, _, sch) => (rs, sch)
+      // defaults are fixed at add time, so the current vector's prefix
+      // aligned to the snapshot's (narrower or equal) schema IS that
+      // schema's default vector
+      case (rs, _, sch) => (rs, sch, colDefaults.take(sch.fields.length))
     })
   override private[sources] def expireSnapshots(
       keepLast: Int): (Long, Long, Long) =
@@ -483,13 +504,22 @@ private[sources] class GraftMemTable(val fullName: String,
 
   /** Current committed content. Replaced atomically on commit. Rows
     * appended before an ALTER ADD COLUMN are NARROWER than the
-    * current schema (readers pad the tail with the initial default 0
-    * — see [[addColumn]]).
+    * current schema (readers pad the tail with the column's initial
+    * default — see [[addColumn]]). Cells are externalized values per
+    * [[GraftCell]].
     */
-  @volatile private[sources] var rows: Vector[Array[Long]] = Vector.empty
+  @volatile private[sources] var rows: Vector[Array[Any]] = Vector.empty
 
   /** Current schema; grows via [[addColumn]]. */
   @volatile private var curSchema: StructType = tblSchema
+
+  /** Per-column INITIAL DEFAULTS, aligned with [[curSchema]]: fixed at
+    * column-add time (CREATE columns default 0 — the LONG demo
+    * contract), never rewritten into old rows. What a reader pads a
+    * pre-ALTER row's missing tail with, on every face.
+    */
+  @volatile private[sources] var colDefaults: Vector[Any] =
+    tblSchema.fields.toVector.map(_ => java.lang.Long.valueOf(0L): Any)
 
   /** Commit counter + last-modifying version per rewrite group — the
     * demo's transaction-log metadata. Guarded by `this` (the swap
@@ -513,7 +543,7 @@ private[sources] class GraftMemTable(val fullName: String,
     * exists (the Iceberg expire_snapshots shape). Guarded by `this`.
     */
   private[sources] val snapshots = scala.collection.mutable.HashMap[
-    Long, (Vector[Array[Long]], Long, StructType)](
+    Long, (Vector[Array[Any]], Long, StructType)](
     0L -> (Vector.empty, System.currentTimeMillis() * 1000L, tblSchema))
 
   /** Bump the version, stamp `gs` as modified by it, and record the
@@ -575,31 +605,36 @@ private[sources] class GraftMemTable(val fullName: String,
       (rows.length.toLong, br.commits, commitVersion)
     }
 
-  /** SCHEMA EVOLUTION (b85): append one LONG column. Pre-existing
-    * rows are NOT rewritten — they are physically narrower than the
-    * new schema, and every reader surfaces the missing tail as the
-    * column's INITIAL DEFAULT (0), the Iceberg-v3 default-value /
-    * Delta column-mapping shape: an ALTER is a metadata commit, never
-    * a data pass. The commit stamps EVERY existing group (a schema
-    * change touches all of them), so an in-flight rewrite scanned
-    * under the old schema — group-pruned or full — is a loud commit
-    * conflict; and it records a snapshot, so `VERSION AS OF` a
-    * pre-ALTER version presents the pre-ALTER schema.
+  /** SCHEMA EVOLUTION (b85): append one typed column with its initial
+    * default. Pre-existing rows are NOT rewritten — they are
+    * physically narrower than the new schema, and every reader
+    * surfaces the missing tail as the column's INITIAL DEFAULT, the
+    * Iceberg-v3 default-value / Delta column-mapping shape: an ALTER
+    * is a metadata commit, never a data pass. The commit stamps EVERY
+    * existing group (a schema change touches all of them), so an
+    * in-flight rewrite scanned under the old schema — group-pruned or
+    * full — is a loud commit conflict; and it records a snapshot, so
+    * `VERSION AS OF` a pre-ALTER version presents the pre-ALTER
+    * schema (and its defaults).
     */
-  private[sources] def addColumn(col: String): Unit = synchronized {
-    require(!curSchema.fieldNames.contains(col),
-      s"graftmem $fullName: column $col already exists")
-    curSchema = curSchema.add(col, LongType, nullable = true)
-    stampCommit(rows.iterator.map(groupOf).toSet)
-  }
+  private[sources] def addColumn(col: String,
+      dt: org.apache.spark.sql.types.DataType, dflt: Any): Unit =
+    synchronized {
+      require(!curSchema.fieldNames.contains(col),
+        s"graftmem $fullName: column $col already exists")
+      curSchema = curSchema.add(col, dt, nullable = true)
+      colDefaults = colDefaults :+ dflt
+      stampCommit(rows.iterator.map(groupOf).toSet)
+    }
 
   /** Rewrite-group id of a stored row: the identity-partition value,
-    * or 0 when unpartitioned (single group).
+    * or 0 when unpartitioned (single group). Partition columns are
+    * CREATE-time LONGs by contract.
     */
   private[sources] val groupIdx: Int =
     partitionCol.map(tblSchema.fieldIndex).getOrElse(-1)
-  private[sources] def groupOf(r: Array[Long]): Long =
-    if (groupIdx < 0) 0L else r(groupIdx)
+  private[sources] def groupOf(r: Array[Any]): Long =
+    if (groupIdx < 0) 0L else GraftCell.asLong(r(groupIdx))
 
   override def partitioning(): Array[Transform] =
     partitionCol.toArray.map(c =>
@@ -884,24 +919,18 @@ private[sources] class GraftMemScanBuilder(table: GraftMemTable,
     required = requiredSchema
   override def build(): Scan = new Scan with Batch
       with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
-    // Pin (rows, version) under the swap lock so the pair is one
-    // consistent snapshot — the version is what the matching commit
-    // validates its scanned groups against.
-    private val (snapshot, pinnedVersion) =
-      table.synchronized((table.rows, table.commitVersion))
+    // Pin (rows, version, schema, defaults) under the swap lock so the
+    // tuple is one consistent snapshot — the version is what the
+    // matching commit validates its scanned groups against.
+    private val (snapshot, pinnedVersion, snapSchema, snapDefaults) =
+      table.synchronized((table.rows, table.commitVersion,
+        table.schema(), table.colDefaults))
     groupsOut.foreach(_.scanVersion = pinnedVersion)
     private val gIdx = table.groupIdx
     // runtime-prunable group set (None = all); the op's holder (when
     // present) learns what was scanned so its commit replaces exactly
     // that
     private var allowed: Option[Set[Long]] = None
-    // map each requested field to its position in the stored row;
-    // the `_group` metadata column reads the partition value (0 when
-    // unpartitioned)
-    private val srcIdx: Array[Int] = required.fieldNames.map {
-      case "_group" => -1
-      case n        => table.schema().fieldIndex(n)
-    }
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
     override def description(): String =
@@ -957,8 +986,15 @@ private[sources] class GraftMemScanBuilder(table: GraftMemTable,
         }
     }
     override def createReaderFactory(): PartitionReaderFactory = {
-      val idx = srcIdx
       val g = gIdx
+      // the `_group` metadata column reads the partition value (0
+      // when unpartitioned); data columns beyond a stored row's width
+      // read their initial default (a column added after the row was
+      // written)
+      val proj = GraftCell.projector(required, snapSchema, snapDefaults,
+        Map("_group" -> ((_: Long, r: Array[Any]) =>
+          java.lang.Long.valueOf(
+            if (g >= 0) GraftCell.asLong(r(g)) else 0L): Any)))
       new PartitionReaderFactory {
         override def createReader(
             p: InputPartition): PartitionReader[InternalRow] = {
@@ -966,16 +1002,7 @@ private[sources] class GraftMemScanBuilder(table: GraftMemTable,
           new PartitionReader[InternalRow] {
             private var i = -1
             override def next(): Boolean = { i += 1; i < data.length }
-            // j beyond the stored width = a column added after this
-            // row was written → its initial default (0)
-            override def get(): InternalRow =
-              InternalRow.fromSeq(
-                scala.collection.immutable.ArraySeq.unsafeWrapArray(
-                  idx.map(j => java.lang.Long.valueOf(
-                    if (j >= 0)
-                      (if (j < data(i).length) data(i)(j) else 0L)
-                    else if (g >= 0) data(i)(g)
-                    else 0L): Any)))
+            override def get(): InternalRow = proj(0L, data(i))
             override def close(): Unit = ()
           }
         }
@@ -984,7 +1011,7 @@ private[sources] class GraftMemScanBuilder(table: GraftMemTable,
   }
 }
 
-private[sources] case class GraftMemPartition(data: Vector[Array[Long]])
+private[sources] case class GraftMemPartition(data: Vector[Array[Any]])
     extends InputPartition
 
 /** `replace = false`: INSERT INTO (append), TRUNCATE (overwrite all),
@@ -1017,7 +1044,8 @@ private[sources] class GraftMemWriteBuilder(
     // compile EAGERLY so an unsupported predicate fails at plan time
     // (the engine may fall back to truncate-reappend elsewhere; this
     // connector refuses loudly instead of guessing)
-    GraftMemWriteBuilder.compilePredicates(predicates, table.schema())
+    GraftMemWriteBuilder.compilePredicates(predicates,
+      table.schema(), table.colDefaults)
     overwritePreds = predicates
     this
   }
@@ -1029,6 +1057,9 @@ private[sources] class GraftMemWriteBuilder(
   // columns out BY NAME, never by position.
   private def proj: Array[Int] = table.schema().fieldNames
     .map(writeInfo.schema().fieldIndex)
+  private def colTypes: Array[org.apache.spark.sql.types.DataType] =
+    table.schema().fields.map(_.dataType)
+  private def colDflts: Array[Any] = table.colDefaults.toArray
 
   // Layout-column indices into the PROJECTED row (table order); empty
   // unless the table declares graft.write_layout. Only plain appends
@@ -1078,9 +1109,11 @@ private[sources] class GraftMemWriteBuilder(
     override def toBatch: BatchWrite = new BatchWrite {
       private val p = proj
       private val lay = layout
+      private val tys = colTypes
+      private val dfl = colDflts
       override def createBatchWriterFactory(
           info: PhysicalWriteInfo): DataWriterFactory =
-        new GraftMemWriterFactory(p, lay)
+        new GraftMemWriterFactory(p, tys, dfl, lay)
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
         // clustering half of the a40 contract: one cluster value may
         // come from ONE task only (the ordering half was verified
@@ -1175,7 +1208,7 @@ private[sources] class GraftMemWriteBuilder(
             } else if (overwritePreds != null) {
               // replaceWhere: delete the matching rows, append the new
               val pred = GraftMemWriteBuilder.compilePredicates(
-                overwritePreds, table.schema())
+                overwritePreds, table.schema(), table.colDefaults)
               val (removed, kept) = prev.partition(pred)
               table.rows = kept ++ written
               table.stampCommit(
@@ -1222,10 +1255,12 @@ private[sources] class GraftMemWriteBuilder(
             "foreachBatch")
       new org.apache.spark.sql.connector.write.streaming.StreamingWrite {
         private val p = proj
+        private val tys = colTypes
+        private val dfl = colDflts
         override def createStreamingWriterFactory(
             info: PhysicalWriteInfo): org.apache.spark.sql.connector
               .write.streaming.StreamingDataWriterFactory =
-          new GraftMemStreamingWriterFactory(p)
+          new GraftMemStreamingWriterFactory(p, tys, dfl)
         override def commit(epochId: Long,
             messages: Array[WriterCommitMessage]): Unit =
           table.synchronized {
@@ -1260,25 +1295,36 @@ private[sources] object GraftMemWriteBuilder {
     * delete rows the user scoped out.
     */
   private[sources] def compilePredicates(preds: Array[Predicate],
-      schema: StructType): Array[Long] => Boolean = {
+      schema: StructType,
+      defaults: IndexedSeq[Any]): Array[Any] => Boolean = {
     import org.apache.spark.sql.connector.expressions.Expression
-    // value of a leaf on a given row; None = SQL NULL. Rows narrower
-    // than the schema (pre-ALTER) read the missing column as its
-    // initial default 0.
-    def valueOf(e: Expression): Array[Long] => Option[Long] = e match {
+    // value of a leaf on a given row, normalized for equality
+    // (numbers widen to Long via the CREATE-LONG contract; strings /
+    // booleans compare natively); None = SQL NULL. Rows narrower than
+    // the schema (pre-ALTER) read the missing column as its initial
+    // default.
+    def norm(v: Any): Any = v match {
+      // decimals BEFORE the Number widening (BigDecimal IS a Number;
+      // longValue would truncate 12.34 and 12.99 to the same 12)
+      case d: java.math.BigDecimal => d.stripTrailingZeros()
+      case d: org.apache.spark.sql.types.Decimal =>
+        d.toJavaBigDecimal.stripTrailingZeros()
+      case n: java.lang.Number => java.lang.Long.valueOf(n.longValue())
+      case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+      case other => other
+    }
+    def valueOf(e: Expression): Array[Any] => Option[Any] = e match {
       case f: NamedReference =>
         val idx = schema.fieldIndex(f.fieldNames().mkString("."))
-        r => Some(if (idx < r.length) r(idx) else 0L)
+        r => Some(norm(if (idx < r.length) r(idx) else defaults(idx)))
       case l: V2Literal[_] => l.value() match {
-        case null                => _ => None
-        case n: java.lang.Number => val v = n.longValue(); _ => Some(v)
-        case other => throw new UnsupportedOperationException(
-          s"graftmem overwrite: non-numeric literal $other")
+        case null  => _ => None
+        case v     => val nv = norm(v); _ => Some(nv)
       }
       case other => throw new UnsupportedOperationException(
         s"graftmem overwrite: unsupported operand $other")
     }
-    def compile(p: Predicate): Array[Long] => Boolean = p match {
+    def compile(p: Predicate): Array[Any] => Boolean = p match {
       case _: AlwaysTrue => _ => true
       case p if p.name() == "ALWAYS_FALSE" => _ => false
       case p if p.name() == "AND" =>
@@ -1313,45 +1359,50 @@ private[sources] object GraftMemWriteBuilder {
   }
 }
 
-private[sources] class GraftMemStreamingWriterFactory(proj: Array[Int])
+private[sources] class GraftMemStreamingWriterFactory(proj: Array[Int],
+    types: Array[org.apache.spark.sql.types.DataType],
+    defaults: Array[Any])
     extends org.apache.spark.sql.connector.write.streaming
       .StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    new GraftMemWriterFactory(proj).createWriter(partitionId, taskId)
+    new GraftMemWriterFactory(proj, types, defaults)
+      .createWriter(partitionId, taskId)
 }
 
-private[sources] case class GraftMemCommit(data: Vector[Array[Long]],
+private[sources] case class GraftMemCommit(data: Vector[Array[Any]],
     clusters: Set[Long] = Set.empty)
     extends WriterCommitMessage
 
 /** `layoutIdx` nonempty (a40): the writer VERIFIES the engine honored
   * the required per-task ordering — lexicographic non-decrease over
-  * the layout columns, checked on every row — and records the task's
-  * cluster values for the commit's disjointness check. Empty: the
-  * plain trusting writer all other paths use.
+  * the layout columns (CREATE-time LONGs by contract), checked on
+  * every row — and records the task's cluster values for the commit's
+  * disjointness check. Empty: the plain trusting writer all other
+  * paths use. Cells externalize per column type ([[GraftCell]]); a
+  * null cell (e.g. a MERGE insert that doesn't set an ALTER-added
+  * column) stores the column's initial default.
   */
 private[sources] class GraftMemWriterFactory(proj: Array[Int],
+    types: Array[org.apache.spark.sql.types.DataType],
+    defaults: Array[Any],
     layoutIdx: Array[Int] = Array.empty)
     extends DataWriterFactory {
   override def createWriter(
       partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
-      private val buf = Vector.newBuilder[Array[Long]]
+      private val buf = Vector.newBuilder[Array[Any]]
       private var prevKey: Array[Long] = null
       private val clusters = Set.newBuilder[Long]
       override def write(record: InternalRow): Unit = {
-        val a = new Array[Long](proj.length)
+        val a = new Array[Any](proj.length)
         var i = 0
-        // a null cell (e.g. a MERGE insert that doesn't set a column
-        // added by ALTER) stores the column's initial default (0)
         while (i < proj.length) {
-          val j = proj(i)
-          a(i) = if (record.isNullAt(j)) 0L else record.getLong(j)
+          a(i) = GraftCell.writeCell(record, proj(i), types(i), defaults(i))
           i += 1
         }
         if (layoutIdx.nonEmpty) {
-          val key = layoutIdx.map(a)
+          val key = layoutIdx.map(j => GraftCell.asLong(a(j)))
           if (prevKey != null) {
             val cmp = prevKey.zip(key).collectFirst {
               case (p, c) if p != c => java.lang.Long.compare(p, c)
@@ -1362,7 +1413,7 @@ private[sources] class GraftMemWriterFactory(proj: Array[Int],
                 key.mkString(","))
           }
           prevKey = key
-          clusters += a(layoutIdx(0))
+          clusters += GraftCell.asLong(a(layoutIdx(0)))
         }
         buf += a
       }

@@ -107,10 +107,17 @@ private[sources] class GraftMemMorTable(val fullName: String,
     org.apache.spark.sql.connector.catalog.constraints.Constraint] =
     tblConstraints
   require(tblSchema.fields.forall(_.dataType == LongType),
-    s"graftmem demo table supports LONG columns only, got $tblSchema")
+    s"graftmem demo table supports LONG columns at CREATE, got " +
+      s"$tblSchema (ALTER ADD COLUMNS accepts the typed family, b85)")
 
   /** Current schema; grows via [[addColumn]]. */
   @volatile private var curSchema: StructType = tblSchema
+
+  /** Per-column INITIAL DEFAULTS aligned with [[curSchema]] (b85):
+    * fixed at add time, what every read face pads pre-ALTER rows with.
+    */
+  @volatile private[sources] var colDefaults: Vector[Any] =
+    tblSchema.fields.toVector.map(_ => java.lang.Long.valueOf(0L): Any)
 
   /** SNAPSHOT HISTORY (b84): version → (base, delta-inserts,
     * tombstones, commit micros, schema as of the commit) — immutable
@@ -120,7 +127,7 @@ private[sources] class GraftMemMorTable(val fullName: String,
     * Guarded by `this`.
     */
   private[sources] val snapshots = scala.collection.mutable.HashMap[
-    Long, (Vector[(Long, Array[Long])], Vector[(Long, Array[Long])],
+    Long, (Vector[(Long, Array[Any])], Vector[(Long, Array[Any])],
       Set[Long], Vector[(Long, Long)], Long, StructType)](
     0L -> (Vector.empty, Vector.empty, Set.empty, Vector.empty,
       System.currentTimeMillis() * 1000L, tblSchema))
@@ -149,20 +156,21 @@ private[sources] class GraftMemMorTable(val fullName: String,
       eq: Vector[(Long, Long)]): Map[Long, Long] =
     eq.groupMapReduce(_._1)(_._2)(math.max)
   private[sources] def liveRows(
-      b: Vector[(Long, Array[Long])], ins: Vector[(Long, Array[Long])],
+      b: Vector[(Long, Array[Any])], ins: Vector[(Long, Array[Any])],
       posDel: Set[Long], eq: Vector[(Long, Long)])
-      : Vector[(Long, Array[Long])] = {
+      : Vector[(Long, Array[Any])] = {
     val bounds = eqBoundaries(eq)
     (b ++ ins).filterNot { case (pos, r) =>
       posDel.contains(pos) ||
-        bounds.get(r(keyIdx)).exists(pos < _)
+        (bounds.nonEmpty &&
+          bounds.get(GraftCell.asLong(r(keyIdx))).exists(pos < _))
     }
   }
 
   /** SCHEMA EVOLUTION (b85) on the merge-on-read flavor — same
     * metadata-only contract as [[GraftMemTable.addColumn]]: no data
     * pass, pre-ALTER rows (and change-log entries) surface the new
-    * column as its initial default 0. Note the conflict surface
+    * column as its initial default. Note the conflict surface
     * stays ROW-level (this flavor's contract): an in-flight delta
     * computed under the old schema commits narrower rows, which
     * remain valid — every reader pads them with the initial default —
@@ -170,10 +178,12 @@ private[sources] class GraftMemMorTable(val fullName: String,
     * (its stale FULL rewrite would truncate the new column for
     * untouched rows).
     */
-  private[sources] def addColumn(col: String): Unit = synchronized {
+  private[sources] def addColumn(col: String, dt: DataType,
+      dflt: Any): Unit = synchronized {
     require(!curSchema.fieldNames.contains(col),
       s"graftmem $fullName: column $col already exists")
-    curSchema = curSchema.add(col, LongType, nullable = true)
+    curSchema = curSchema.add(col, dt, nullable = true)
+    colDefaults = colDefaults :+ dflt
     commitVersion += 1
     recordSnapshot()
   }
@@ -182,12 +192,13 @@ private[sources] class GraftMemMorTable(val fullName: String,
   override private[sources] def retainedVersions: Seq[(Long, Long)] =
     synchronized(snapshots.iterator
       .map { case (v, (_, _, _, _, t, _)) => (v, t) }.toSeq.sortBy(_._1))
-  override private[sources] def snapshotAt(
-      version: Long): Option[(Vector[Array[Long]], StructType)] =
-    synchronized(snapshots.get(version)).map {
+  override private[sources] def snapshotAt(version: Long)
+      : Option[(Vector[Array[Any]], StructType, Vector[Any])] =
+    synchronized(snapshots.get(version).map {
       case (b, ins, del, eq, _, sch) =>
-        (liveRows(b, ins, del, eq).map(_._2), sch)
-    }
+        (liveRows(b, ins, del, eq).map(_._2), sch,
+          colDefaults.take(sch.fields.length))
+    })
   override private[sources] def expireSnapshots(
       keepLast: Int): (Long, Long, Long) =
     synchronized(pruneSnapshots(snapshots, keepLast, commitVersion))
@@ -196,7 +207,7 @@ private[sources] class GraftMemMorTable(val fullName: String,
     * operations NEVER modify this vector or its row objects — that is
     * the merge-on-read contract the spec asserts by object identity.
     */
-  @volatile private[sources] var base: Vector[(Long, Array[Long])] =
+  @volatile private[sources] var base: Vector[(Long, Array[Any])] =
     Vector.empty
 
   /** Delta state: positional tombstones and delta-inserted rows.
@@ -204,7 +215,7 @@ private[sources] class GraftMemMorTable(val fullName: String,
     * vectors are replaced atomically under `this`.
     */
   @volatile private[sources] var deleted: Set[Long] = Set.empty
-  @volatile private[sources] var deltaInserts: Vector[(Long, Array[Long])] =
+  @volatile private[sources] var deltaInserts: Vector[(Long, Array[Any])] =
     Vector.empty
 
   /** EQUALITY DELETES (b91, equality mode only): every committed
@@ -238,7 +249,7 @@ private[sources] class GraftMemMorTable(val fullName: String,
     * and serves older reads from snapshots.
     */
   private[sources] var changeLog
-      : Vector[(Long, Boolean, Long, Array[Long])] = Vector.empty
+      : Vector[(Long, Boolean, Long, Array[Any])] = Vector.empty
 
   override def name(): String = fullName
   override def schema(): StructType = curSchema
@@ -341,7 +352,7 @@ private[sources] final class MorScanState {
   * STORED row). `isDelta` marks the delta-insert chunk (metrics only).
   */
 private[sources] case class MorPartition(
-    data: Vector[(Long, Array[Long])], dels: Set[Long],
+    data: Vector[(Long, Array[Any])], dels: Set[Long],
     isDelta: Boolean = false,
     eqDels: Map[Long, Long] = Map.empty, keyIdx: Int = 0)
     extends InputPartition
@@ -378,13 +389,11 @@ private[sources] class MorScanBuilder(table: GraftMemMorTable,
     private val (snapBase, snapIns, snapDel, snapEq, pinnedVersion) =
       table.synchronized((table.base, table.deltaInserts, table.deleted,
         table.eqDeletes, table.commitVersion))
+    private val (snapSchema, snapDefaults) =
+      table.synchronized((table.schema(), table.colDefaults))
     scanState.foreach(_.scanVersion = pinnedVersion)
     private val eqBounds: Map[Long, Long] =
       table.eqBoundaries(snapEq.map(e => (e._1, e._2)))
-    private val srcIdx: Array[Int] = required.fieldNames.map {
-      case "_pos" => -1
-      case n      => table.schema().fieldIndex(n)
-    }
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
     override def description(): String =
@@ -397,13 +406,13 @@ private[sources] class MorScanBuilder(table: GraftMemMorTable,
       * in the chunk).
       */
     override def planInputPartitions(): Array[InputPartition] = {
-      def split(rs: Vector[(Long, Array[Long])], n: Int) =
+      def split(rs: Vector[(Long, Array[Any])], n: Int) =
         if (rs.isEmpty) Vector.empty
         else rs.grouped(math.max(1, (rs.length + n - 1) / n)).toVector
-      def eqOf(c: Vector[(Long, Array[Long])]): Map[Long, Long] =
+      def eqOf(c: Vector[(Long, Array[Any])]): Map[Long, Long] =
         if (eqBounds.isEmpty) Map.empty
-        else c.iterator.map(_._2(table.keyIdx)).filter(eqBounds.contains)
-          .map(k => k -> eqBounds(k)).toMap
+        else c.iterator.map(e => GraftCell.asLong(e._2(table.keyIdx)))
+          .filter(eqBounds.contains).map(k => k -> eqBounds(k)).toMap
       val parts =
         (split(snapBase, 4).map(c => MorPartition(c,
           c.iterator.map(_._1).filter(snapDel).toSet,
@@ -419,14 +428,19 @@ private[sources] class MorScanBuilder(table: GraftMemMorTable,
         : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
       Array(new MorTombstonesMetric, new MorDeltaRowsMetric)
     override def createReaderFactory(): PartitionReaderFactory = {
-      val idx = srcIdx
+      // `_pos` resolves from the reader's aux (the row position);
+      // data columns beyond a stored row's width read their initial
+      // default (a column added after the row was written)
+      val proj = GraftCell.projector(required, snapSchema, snapDefaults,
+        Map("_pos" -> ((pos: Long, _: Array[Any]) =>
+          java.lang.Long.valueOf(pos): Any)))
       new PartitionReaderFactory {
         override def createReader(
             p: InputPartition): PartitionReader[InternalRow] = {
           val mp = p.asInstanceOf[MorPartition]
           new PartitionReader[InternalRow] {
             private val it = mp.data.iterator
-            private var cur: (Long, Array[Long]) = _
+            private var cur: (Long, Array[Any]) = _
             private var skipped = 0L
             private var served = 0L
             // read-time merge (positional + boundary-scoped equality
@@ -436,21 +450,14 @@ private[sources] class MorScanBuilder(table: GraftMemMorTable,
                 val e = it.next()
                 if (mp.dels.contains(e._1) ||
                     (mp.eqDels.nonEmpty && mp.eqDels
-                      .get(e._2(mp.keyIdx)).exists(e._1 < _)))
+                      .get(GraftCell.asLong(e._2(mp.keyIdx)))
+                      .exists(e._1 < _)))
                   skipped += 1
                 else { cur = e; served += 1; return true }
               }
               false
             }
-            // j beyond the stored width = a column added after this
-            // row was written → its initial default (0)
-            override def get(): InternalRow =
-              InternalRow.fromSeq(
-                scala.collection.immutable.ArraySeq.unsafeWrapArray(
-                  idx.map(j => java.lang.Long.valueOf(
-                    if (j >= 0)
-                      (if (j < cur._2.length) cur._2(j) else 0L)
-                    else cur._1): Any)))
+            override def get(): InternalRow = proj(cur._1, cur._2)
             override def currentMetricsValues(): Array[
                 org.apache.spark.sql.connector.metric.CustomTaskMetric] =
               Array(
@@ -484,9 +491,11 @@ private[sources] class MorAppendWriteBuilder(
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new BatchWrite {
       private val p = proj
+      private val tys = table.schema().fields.map(_.dataType)
+      private val dfl = table.colDefaults.toArray
       override def createBatchWriterFactory(
           info: PhysicalWriteInfo): DataWriterFactory =
-        new GraftMemWriterFactory(p)
+        new GraftMemWriterFactory(p, tys, dfl)
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
         val written = messages.iterator.flatMap {
           case m: GraftMemCommit => m.data
@@ -512,7 +521,7 @@ private[sources] class MorAppendWriteBuilder(
   * the position-delete + rewrite-row pair every MoR format encodes.
   */
 private[sources] case class MorDeltaCommit(
-    dels: Vector[Long], ins: Vector[Array[Long]])
+    dels: Vector[Long], ins: Vector[Array[Any]])
     extends WriterCommitMessage
 
 /** The `WriteDelta` face: Spark hands each MergeRows output row to the
@@ -540,12 +549,14 @@ private[sources] class MorDeltaWriteBuilder(
   override def build(): DeltaWrite = new DeltaWrite {
     override def toBatch: DeltaBatchWrite = new DeltaBatchWrite {
       private val p = proj
+      private val tys = table.schema().fields.map(_.dataType)
+      private val dfl = table.colDefaults.toArray
       override def createBatchWriterFactory(
           info: PhysicalWriteInfo): DeltaWriterFactory =
-        new MorDeltaWriterFactory(p)
+        new MorDeltaWriterFactory(p, tys, dfl)
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
         val dels = Vector.newBuilder[Long]
-        val ins = Vector.newBuilder[Array[Long]]
+        val ins = Vector.newBuilder[Array[Any]]
         messages.foreach { case m: MorDeltaCommit =>
           dels ++= m.dels; ins ++= m.ins
         }
@@ -567,7 +578,7 @@ private[sources] class MorDeltaWriteBuilder(
           // files performs) — only the delSet positions, only when
           // there ARE deletes: commit cost stays O(changed rows) in
           // allocation, one filtered pass in time
-          val idx: Map[Long, Array[Long]] =
+          val idx: Map[Long, Array[Any]] =
             if (delSet.isEmpty) Map.empty
             else (table.base.iterator ++ table.deltaInserts.iterator)
               .filter(e => delSet.contains(e._1)).toMap
@@ -616,7 +627,7 @@ private[sources] class MorDeltaWriteBuilder(
     * (the key→rows join an equality-delete CDC reader performs).
     */
   private def commitEquality(delKeys: Vector[Long],
-      ins: Vector[Array[Long]]): Unit = {
+      ins: Vector[Array[Any]]): Unit = {
     val keySet = delKeys.toSet
     table.synchronized {
       val scanVersion = scanState.map(_.scanVersion).getOrElse(-1L)
@@ -634,9 +645,10 @@ private[sources] class MorDeltaWriteBuilder(
       }
       val live = table.liveRows(table.base, table.deltaInserts,
         table.deleted, table.eqDeletes.map(e => (e._1, e._2)))
-      val victims = live.filter(r => keySet.contains(r._2(table.keyIdx)))
-      val vanished =
-        keySet -- victims.iterator.map(_._2(table.keyIdx)).toSet
+      val victims = live.filter(r =>
+        keySet.contains(GraftCell.asLong(r._2(table.keyIdx))))
+      val vanished = keySet --
+        victims.iterator.map(r => GraftCell.asLong(r._2(table.keyIdx))).toSet
       if (vanished.nonEmpty)
         throw new GraftMemCommitConflictException(
           s"graftmem MoR commit conflict on ${table.fullName}: " +
@@ -660,21 +672,22 @@ private[sources] class MorDeltaWriteBuilder(
   }
 }
 
-private[sources] class MorDeltaWriterFactory(proj: Array[Int])
+private[sources] class MorDeltaWriterFactory(proj: Array[Int],
+    types: Array[org.apache.spark.sql.types.DataType],
+    defaults: Array[Any])
     extends DeltaWriterFactory {
   override def createWriter(
       partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new DeltaWriter[InternalRow] {
       private val dels = Vector.newBuilder[Long]
-      private val ins = Vector.newBuilder[Array[Long]]
-      private def dataOf(row: InternalRow): Array[Long] = {
-        val a = new Array[Long](proj.length)
+      private val ins = Vector.newBuilder[Array[Any]]
+      // -1 (absent column) and null cells (e.g. an insert that
+      // doesn't set an ALTER-added column) → the column's default
+      private def dataOf(row: InternalRow): Array[Any] = {
+        val a = new Array[Any](proj.length)
         var i = 0
-        // -1 (absent column) and null cells (e.g. an insert that
-        // doesn't set an ALTER-added column) → initial default 0
         while (i < proj.length) {
-          val j = proj(i)
-          a(i) = if (j < 0 || row.isNullAt(j)) 0L else row.getLong(j)
+          a(i) = GraftCell.writeCell(row, proj(i), types(i), defaults(i))
           i += 1
         }
         a
@@ -812,7 +825,8 @@ private[sources] class MorChangesTable(parent: GraftMemMorTable)
         override def planInputPartitions(): Array[InputPartition] =
           MorChangesTable.chunk(snap)
         override def createReaderFactory(): PartitionReaderFactory =
-          MorChangesTable.readerFactory(parent.schema().fieldNames, req)
+          MorChangesTable.readerFactory(parent.schema(),
+            parent.colDefaults, req)
         /** STREAMING face (d26): the change feed as a MICRO-BATCH
           * SOURCE — offsets are positions in the append-only change
           * log, so any [start, end) replays to identical rows
@@ -841,36 +855,39 @@ private[sources] object MorChangesTable {
       StructField("_pos", LongType, nullable = false)))
 
   private[sources] def chunk(
-      entries: Vector[(Long, Boolean, Long, Array[Long])])
+      entries: Vector[(Long, Boolean, Long, Array[Any])])
       : Array[InputPartition] =
     if (entries.isEmpty) Array(MorChangesPartition(Vector.empty))
     else entries.grouped(math.max(1, (entries.length + 3) / 4))
       .map(MorChangesPartition(_): InputPartition).toArray
 
   /** Shared by the batch scan and the micro-batch stream: project a
-    * change-log entry onto the requested columns.
+    * change-log entry onto the requested columns, typed per the
+    * parent schema; entries logged before an ALTER ADD COLUMN are
+    * narrower than the current schema → the column's initial default.
     */
-  private[sources] def readerFactory(parentFields: Array[String],
+  private[sources] def readerFactory(parentSchema: StructType,
+      defaults: IndexedSeq[Any],
       req: StructType): PartitionReaderFactory = {
-    val getters: Array[((Long, Boolean, Long, Array[Long])) => Any] =
+    val getters: Array[((Long, Boolean, Long, Array[Any])) => Any] =
       req.fieldNames.map {
         case "_change_type" =>
-          (e: (Long, Boolean, Long, Array[Long])) =>
+          (e: (Long, Boolean, Long, Array[Any])) =>
             org.apache.spark.unsafe.types.UTF8String.fromString(
               if (e._2) "insert" else "delete"): Any
         case "_commit_version" =>
-          (e: (Long, Boolean, Long, Array[Long])) =>
+          (e: (Long, Boolean, Long, Array[Any])) =>
             java.lang.Long.valueOf(e._1): Any
         case "_pos" =>
-          (e: (Long, Boolean, Long, Array[Long])) =>
+          (e: (Long, Boolean, Long, Array[Any])) =>
             java.lang.Long.valueOf(e._3): Any
         case n =>
-          val j = parentFields.indexOf(n)
-          // entries logged before an ALTER ADD COLUMN are narrower
-          // than the current schema → initial default (0)
-          (e: (Long, Boolean, Long, Array[Long])) =>
-            java.lang.Long.valueOf(
-              if (j < e._4.length) e._4(j) else 0L): Any
+          val j = parentSchema.fieldIndex(n)
+          val dt = parentSchema.fields(j).dataType
+          val dflt = GraftCell.toInternal(defaults(j), dt)
+          (e: (Long, Boolean, Long, Array[Any])) =>
+            if (j < e._4.length) GraftCell.toInternal(e._4(j), dt)
+            else dflt
       }
     new PartitionReaderFactory {
       override def createReader(
@@ -891,7 +908,7 @@ private[sources] object MorChangesTable {
 }
 
 private[sources] case class MorChangesPartition(
-    data: Vector[(Long, Boolean, Long, Array[Long])])
+    data: Vector[(Long, Boolean, Long, Array[Any])])
     extends InputPartition
 
 /** Offset into the append-only change log (count of entries consumed).
@@ -944,7 +961,8 @@ private[sources] class MorChangesMicroBatchStream(
     MorChangesTable.chunk(slice)
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    MorChangesTable.readerFactory(parent.schema().fieldNames, req)
+    MorChangesTable.readerFactory(parent.schema(), parent.colDefaults,
+      req)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }

@@ -44,13 +44,14 @@ private[sources] trait GraftSnapshotHistory { self: Table =>
   /** Retained (version, commit micros) pairs, ascending. */
   private[sources] def retainedVersions: Seq[(Long, Long)]
 
-  /** Visible rows AND schema at `version`, if retained — a snapshot
-    * pins the schema as of its commit (schema evolution is itself a
-    * commit), so `VERSION AS OF` a pre-ALTER version presents the
-    * pre-ALTER columns.
+  /** Visible rows, schema AND per-column initial defaults at
+    * `version`, if retained — a snapshot pins the schema as of its
+    * commit (schema evolution is itself a commit), so `VERSION AS OF`
+    * a pre-ALTER version presents the pre-ALTER columns; the defaults
+    * are what the snapshot reader pads still-narrower rows with.
     */
-  private[sources] def snapshotAt(
-      version: Long): Option[(Vector[Array[Long]], StructType)]
+  private[sources] def snapshotAt(version: Long)
+      : Option[(Vector[Array[Any]], StructType, Vector[Any])]
 
   /** Drop all but the most recent `keepLast` snapshots; returns
     * (expired, retained, current version).
@@ -120,8 +121,8 @@ private[sources] trait GraftSnapshotHistory { self: Table =>
                   snapshotTags.keys.toSeq.sorted.mkString(", "))})"))
       }
     snapshotAt(v) match {
-      case Some((rs, sch)) =>
-        new GraftMemSnapshotTable(historyName, sch, v, rs)
+      case Some((rs, sch, dflts)) =>
+        new GraftMemSnapshotTable(historyName, sch, v, rs, dflts)
       case None =>
         val r = retainedVersions
         throw new IllegalArgumentException(
@@ -154,7 +155,8 @@ private[sources] trait GraftSnapshotHistory { self: Table =>
   */
 private[sources] class GraftMemSnapshotTable(parentName: String,
     tblSchema: StructType, version: Long,
-    frozen: Vector[Array[Long]]) extends Table with SupportsRead {
+    frozen: Vector[Array[Any]], defaults: Vector[Any])
+    extends Table with SupportsRead {
   override def name(): String = s"$parentName VERSION AS OF $version"
   override def schema(): StructType = tblSchema
   override def capabilities(): util.Set[TableCapability] =
@@ -167,8 +169,6 @@ private[sources] class GraftMemSnapshotTable(parentName: String,
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
       override def build(): Scan = new Scan with Batch {
-        private val srcIdx: Array[Int] =
-          required.fieldNames.map(tblSchema.fieldIndex)
         override def readSchema(): StructType = required
         override def toBatch: Batch = this
         override def description(): String =
@@ -180,7 +180,10 @@ private[sources] class GraftMemSnapshotTable(parentName: String,
             math.max(1, (frozen.length + 3) / 4))
             .map(GraftMemPartition(_): InputPartition).toArray
         override def createReaderFactory(): PartitionReaderFactory = {
-          val idx = srcIdx
+          // rows appended before an ALTER ADD COLUMN are narrower than
+          // this snapshot's schema: the missing tail reads the
+          // column's initial default
+          val proj = GraftCell.projector(required, tblSchema, defaults)
           new PartitionReaderFactory {
             override def createReader(
                 p: InputPartition): PartitionReader[InternalRow] = {
@@ -188,15 +191,7 @@ private[sources] class GraftMemSnapshotTable(parentName: String,
               new PartitionReader[InternalRow] {
                 private var i = -1
                 override def next(): Boolean = { i += 1; i < data.length }
-                // rows appended before an ALTER ADD COLUMN are
-                // narrower than this snapshot's schema: the missing
-                // tail reads the column's initial default (0)
-                override def get(): InternalRow =
-                  InternalRow.fromSeq(
-                    scala.collection.immutable.ArraySeq.unsafeWrapArray(
-                      idx.map(j => java.lang.Long.valueOf(
-                        if (j < data(i).length) data(i)(j)
-                        else 0L): Any)))
+                override def get(): InternalRow = proj(0L, data(i))
                 override def close(): Unit = ()
               }
             }

@@ -44,7 +44,8 @@ class EmptyCorpusSpec extends SparkSpec {
   /** Documented fail-fast contracts: these seed their models from the
     * first k rows and refuse to run without them.
     */
-  private val requiresSeeds = Set("a23_kmeans_iterative", "c19_ann_ivf", "c43_ann_pq")
+  private val requiresSeeds = Set("a23_kmeans_iterative", "c19_ann_ivf",
+    "c43_ann_pq", "c72_ivf_pq_search")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name on an empty corpus") {

@@ -348,7 +348,11 @@ class GraftMemCatalogSpec extends SparkSpec {
       .loadTable(org.apache.spark.sql.connector.catalog.Identifier
         .of(Array("db"), "spec_clust"))
       .asInstanceOf[GraftMemTable]
-    val w = new GraftMemWriterFactory(Array(0, 1), Array(0, 1))
+    val w = new GraftMemWriterFactory(Array(0, 1),
+      Array(org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.LongType),
+      Array(java.lang.Long.valueOf(0L), java.lang.Long.valueOf(0L)),
+      Array(0, 1))
       .createWriter(0, 0L)
     w.write(org.apache.spark.sql.catalyst.InternalRow(5L, 10L))
     val err = intercept[IllegalStateException] {

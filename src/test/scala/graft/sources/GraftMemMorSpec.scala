@@ -68,7 +68,8 @@ class GraftMemMorSpec extends SparkSpec {
     // deltas: updates tombstone+reinsert, deletes tombstone, inserts add
     assert(table.deleted == Set(5L, 6L, 7L, 8L, 9L),
       s"tombstones: ${table.deleted}")
-    assert(table.deltaInserts.map(r => (r._2(0), r._2(1))).sorted ==
+    assert(table.deltaInserts.map(r =>
+      (GraftCell.asLong(r._2(0)), GraftCell.asLong(r._2(1)))).sorted ==
       Seq((6L, 6000L), (8L, 8000L)) ++ (10L to 14L).map(k => (k, k * 1000L)))
     // read-time merge produces the post-merge content
     val got = spark.table(tbl).orderBy("key").collect()

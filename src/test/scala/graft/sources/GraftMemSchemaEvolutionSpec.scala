@@ -84,13 +84,78 @@ class GraftMemSchemaEvolutionSpec extends SparkSpec {
       (3L, "insert", 14000L)))
   }
 
+  test("typed DEFAULTs (round 11): INT/STRING/BOOLEAN/DECIMAL columns " +
+      "with literal defaults resolve on every read face — live scan, " +
+      "snapshot, change feed, MoR merge — and persist through writes") {
+    // ---- CoW flavor: live + snapshot
+    val tbl = fresh("spec_se_typed")
+    spark.range(3).selectExpr("id AS key", "id * 10 AS bal")
+      .writeTo(tbl).append() // v1 — 2-col generation
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (" +
+      "tier STRING DEFAULT 'basic', vip BOOLEAN DEFAULT true, " +
+      "pct INT DEFAULT 7, fee DECIMAL(10,2) DEFAULT 1.25)") // v2-5
+    // pre-ALTER rows surface every default, typed
+    val live = spark.sql(
+      s"SELECT key, tier, vip, pct, fee FROM $tbl ORDER BY key").collect()
+    assert(live.forall(r => r.getString(1) == "basic" && r.getBoolean(2)
+      && r.getInt(3) == 7 &&
+      r.getDecimal(4) == new java.math.BigDecimal("1.25")),
+      live.mkString("; "))
+    // writes through the widened schema persist typed cells
+    spark.sql(s"INSERT INTO $tbl VALUES " +
+      "(100, 1, 'gold', false, 42, 9.99)")
+    val g = spark.sql(s"SELECT tier, vip, pct, fee FROM $tbl " +
+      "WHERE key = 100").head()
+    assert(g.getString(0) == "gold" && !g.getBoolean(1) &&
+      g.getInt(2) == 42 &&
+      g.getDecimal(3) == new java.math.BigDecimal("9.99"))
+    // row-level UPDATE can set the typed columns (old rows enter the
+    // rewrite as defaults, exit materialized)
+    spark.sql(s"UPDATE $tbl SET tier = 'plus', vip = false " +
+      "WHERE key = 1")
+    val u = spark.sql(s"SELECT tier, vip, pct FROM $tbl WHERE key = 1")
+      .head()
+    assert(u.getString(0) == "plus" && !u.getBoolean(1) && u.getInt(2) == 7)
+    // a pre-ALTER snapshot presents the pre-ALTER schema; a
+    // post-ALTER snapshot pads with the typed defaults
+    assert(spark.sql(s"SELECT * FROM $tbl VERSION AS OF 1")
+      .schema.fieldNames.toSeq == Seq("key", "bal"))
+    val snap = spark.sql(
+      s"SELECT tier, vip FROM $tbl VERSION AS OF 5 WHERE key = 0").head()
+    assert(snap.getString(0) == "basic" && snap.getBoolean(1))
+
+    // ---- MoR flavor: merge + change feed
+    spark.sql("DROP TABLE IF EXISTS graftmem.db.spec_se_typed_mor")
+    spark.sql("CREATE TABLE graftmem.db.spec_se_typed_mor " +
+      "(key BIGINT, bal BIGINT) " +
+      "TBLPROPERTIES ('graft.row_level' = 'merge-on-read')")
+    val mor = "graftmem.db.spec_se_typed_mor"
+    spark.range(3).selectExpr("id AS key", "id AS bal")
+      .writeTo(mor).append()
+    spark.sql(s"ALTER TABLE $mor ADD COLUMNS (tag STRING DEFAULT 'x')")
+    spark.sql(s"UPDATE $mor SET tag = 'hit' WHERE key = 1")
+    val morGot = spark.sql(s"SELECT key, tag FROM $mor ORDER BY key")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(morGot == Seq((0L, "x"), (1L, "hit"), (2L, "x")))
+    // the change feed types the column and pads pre-ALTER entries
+    val feed = spark.table(s"${mor}__changes")
+      .selectExpr("_commit_version", "_change_type", "key", "tag")
+      .orderBy("_commit_version", "_change_type", "key").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getString(3))).toSeq
+    assert(feed == Seq(
+      (1L, "insert", 0L, "x"), (1L, "insert", 1L, "x"),
+      (1L, "insert", 2L, "x"),
+      (3L, "delete", 1L, "x"), (3L, "insert", 1L, "hit")), feed)
+  }
+
   test("ALTER is atomic: one unsupported change in a multi-column " +
       "ADD leaves the table untouched") {
     val tbl = fresh("spec_se_atomic")
     val err = intercept[Exception] {
-      spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (a BIGINT, b STRING)")
+      spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (a BIGINT, b DOUBLE)")
     }
-    assert(err.getMessage.contains("only ALTER TABLE ADD COLUMN"))
+    assert(err.getMessage.contains("only ALTER TABLE ADD COLUMNS"))
     assert(spark.table(tbl).schema.fieldNames.toSeq == Seq("key", "bal"),
       "failed multi-column ALTER half-applied")
   }
@@ -175,15 +240,20 @@ class GraftMemSchemaEvolutionSpec extends SparkSpec {
     val e1 = intercept[Exception] {
       spark.sql(s"ALTER TABLE $tbl DROP COLUMN bal")
     }
-    assert(e1.getMessage.contains("only ALTER TABLE ADD COLUMN"))
+    assert(e1.getMessage.contains("only ALTER TABLE ADD COLUMNS"))
     val e2 = intercept[Exception] {
-      spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (txt STRING)")
+      spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (v DOUBLE)")
     }
-    assert(e2.getMessage.contains("only ALTER TABLE ADD COLUMN"))
+    assert(e2.getMessage.contains("only ALTER TABLE ADD COLUMNS"))
     spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (extra BIGINT)")
     val e3 = intercept[Exception] {
       spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (extra BIGINT)")
     }
     assert(e3.getMessage.contains("already exists"))
+    // DEFAULT NULL has no cell representation — loud, not silent
+    val e4 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (n BIGINT DEFAULT NULL)")
+    }
+    assert(e4.getMessage.contains("DEFAULT NULL"), e4.getMessage)
   }
 }

@@ -43,6 +43,13 @@ def load(path, prefer_median):
     return d, None, None, None
 
 
+def load_minima(path):
+    """The noise-floor minima map, if the artifact carries one."""
+    with open(path) as f:
+        d = json.load(f)
+    return d.get("queries") if isinstance(d, dict) else None
+
+
 def main():
     args = [a for a in sys.argv[1:] if a != "--min"]
     use_median = "--min" not in sys.argv[1:]
@@ -89,8 +96,16 @@ def main():
     for k in common:
         if new_q[k] > old_q[k] * ratio and new_q[k] > 0.2:
             flagged.append((new_q[k] / old_q[k], k))
+    # when a MEDIAN moves, show the MINIMA delta for the same query
+    # alongside — the two views must never diverge silently (a median
+    # shift with a flat minimum is host noise; both moving is real)
+    old_m = load_minima(old_p) if use_median and flagged else None
+    new_m = load_minima(new_p) if use_median and flagged else None
     for r, k in sorted(flagged, reverse=True):
-        print(f"REGRESSION {k}: {old_q[k]:.2f} -> {new_q[k]:.2f} s ({r:.1f}x)")
+        line = f"REGRESSION {k}: {old_q[k]:.2f} -> {new_q[k]:.2f} s ({r:.1f}x)"
+        if old_m and new_m and k in old_m and k in new_m:
+            line += f"  [minima: {old_m[k]:.2f} -> {new_m[k]:.2f} s]"
+        print(line)
     if not flagged:
         print("no regressions flagged")
     sys.exit(1 if flagged else 0)
