@@ -140,7 +140,8 @@ object TierD {
     "d22_stream_restart_recovery", "d23_stream_custom_sink",
     "d24_state_store_reader", "d25_stream_mor_upsert",
     "d26_stream_cdc_follow", "d27_stream_cdc_from_version",
-    "d28_stream_continuous", "d29_state_metadata", "d30_state_ttl")
+    "d28_stream_continuous", "d29_state_metadata", "d30_state_ttl",
+    "d31_stream_eq_upsert")
 
   /** Shared d14/d22 oracle: the one-shot hourly aggregate restricted
     * to watermark-closed windows (ws + 1 h window + 1 h delay ≤ max
@@ -255,6 +256,13 @@ object TierD {
         "WITH snap AS (SELECT c_custkey AS key, floor(c_acctbal * 100)::BIGINT AS bal FROM customer), off AS (SELECT max(c_custkey) + 1 AS o FROM customer), batch AS (SELECT key, bal + 10000 AS nb, 'U' AS op FROM snap WHERE key % 10 = 3 UNION ALL SELECT key, 0, 'D' FROM snap WHERE key % 10 = 7 UNION ALL SELECT key + (SELECT o FROM off), bal, 'I' FROM snap WHERE key % 100 = 0), post AS (SELECT s.key, coalesce(CASE WHEN b.op = 'U' THEN b.nb END, s.bal) AS bal FROM snap s LEFT JOIN batch b ON s.key = b.key WHERE b.op IS NULL OR b.op <> 'D' UNION ALL SELECT key, nb FROM batch WHERE op = 'I'), v3 AS (SELECT 'delete' AS ct, bal FROM post WHERE key % 10 = 1 UNION ALL SELECT 'insert', bal + 5000 FROM post WHERE key % 10 = 1) SELECT 3::BIGINT AS _commit_version, ct AS _change_type, count(*)::BIGINT AS n, sum(bal)::BIGINT AS bal_cents_sum FROM v3 GROUP BY 2 ORDER BY 1, 2")),
     QueryDef("d25_stream_mor_upsert",
       (s, d) => graft.streaming.StreamingDemo.streamMorUpsert(s, d), Some(
+        "SELECT user_id, count(*)::BIGINT AS cnt, sum(round(value * 100)::BIGINT)::BIGINT AS val_cents FROM events GROUP BY 1 ORDER BY 1")),
+    // d31 = the SAME dataflow against the equality-delete flavor
+    // (b91): per-batch MERGEs land as key-addressed deltas with no
+    // positional projection; batch-count-invariant integer partials
+    // make it the THIRD write path recomputing d13/d25's state.
+    QueryDef("d31_stream_eq_upsert",
+      (s, d) => graft.streaming.StreamingDemo.streamEqUpsert(s, d), Some(
         "SELECT user_id, count(*)::BIGINT AS cnt, sum(round(value * 100)::BIGINT)::BIGINT AS val_cents FROM events GROUP BY 1 ORDER BY 1")),
     QueryDef("d20_stream_curation_gate",
       (s, d) => graft.streaming.StreamingDemo.streamCurationGate(s, d), Some(

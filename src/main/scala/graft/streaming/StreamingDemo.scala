@@ -1323,6 +1323,67 @@ object StreamingDemo {
     s.table(tbl).orderBy("user_id")
   }
 
+  /** d31: STREAMING UPSERT VIA EQUALITY DELETES — d25's
+    * foreachBatch + MERGE dataflow pointed at the equality-delete MoR
+    * flavor (b91, `graft.mor.deletes = 'equality'`): every
+    * microbatch's MERGE plans WriteDelta with the KEY COLUMN as the
+    * row id, so each batch's updates land as key-addressed deletes +
+    * re-inserts and the plan never materializes a row position — the
+    * read-before-write d25's positional flavor pays per batch is
+    * GONE, which is the entire reason equality deletes exist for
+    * continuous CDC writers. The boundary-scoped delete semantics are
+    * what make the repeated per-batch upserts of the SAME user stack
+    * correctly (each batch's delete kills only rows written before
+    * it, never its own re-insert). Exact integer partials ⇒ the final
+    * table is batch-count-invariant — d13/d25's oracle verbatim, the
+    * three-way write-path equality being the cross-check.
+    */
+  private val d31SrcMemo =
+    new graft.util.BoundedMemo[(SparkSession, String), String]()
+
+  def streamEqUpsert(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graftmem",
+      "graft.sources.GraftMemCatalog")
+    val ev = graft.util.Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val srcDir = d31SrcMemo.get((s, d)) {
+      val dir = graft.util.TmpDir.fresh("d31-src")
+      ev.repartition(2).write.parquet(dir)
+      dir
+    }
+    val tbl = graft.util.DemoTables.freshGraftmem(s, d, "morup31",
+      "(user_id BIGINT NOT NULL, cnt BIGINT, val_cents BIGINT) " +
+        "TBLPROPERTIES ('graft.row_level' = 'merge-on-read', " +
+        "'graft.mor.deletes' = 'equality')")
+    val src = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val upsert: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      Long) => Unit = { (batch, _) =>
+      val ss = batch.sparkSession
+      ss.conf.set("spark.sql.catalog.graftmem",
+        "graft.sources.GraftMemCatalog")
+      batch.groupBy("user_id")
+        .agg(count(lit(1)).as("cnt"), sum("cents").as("val_cents"))
+        .createOrReplaceTempView("g_d31_batch")
+      ss.sql(
+        s"""MERGE INTO $tbl t USING g_d31_batch b
+           |ON t.user_id = b.user_id
+           |WHEN MATCHED THEN UPDATE SET
+           |  cnt = t.cnt + b.cnt, val_cents = t.val_cents + b.val_cents
+           |WHEN NOT MATCHED THEN INSERT (user_id, cnt, val_cents)
+           |  VALUES (b.user_id, b.cnt, b.val_cents)""".stripMargin)
+    }
+    withStreamPartitions(s) {
+      val q = src.writeStream
+        .foreachBatch(upsert)
+        .option("checkpointLocation", graft.util.TmpDir.fresh("d31-ckpt"))
+        .start()
+      try { q.processAllAvailable() } finally { q.stop() }
+    }
+    s.table(tbl).orderBy("user_id")
+  }
+
   /** d26: the CHANGE FEED AS A STREAMING SOURCE — `readStream.table`
     * over `db.tbl__changes` (b83's batch feed given its micro-batch
     * face): offsets are positions in the append-only change log, so
@@ -1548,7 +1609,7 @@ object StreamingDemo {
     * O(stream lifetime).
     */
   def streamStateTtl(s: SparkSession, d: String): DataFrame =
-    streamStateTtlWith(s, d, ttlMs = Some(400L))
+    streamStateTtlWith(s, d, ttlMs = Some(200L))
 
   /** `ttlMs = None` runs the TTL-less twin (claims never expire) —
     * the spec's contrast proving the TTL is what re-admits.
@@ -1587,7 +1648,9 @@ object StreamingDemo {
         q.processAllAvailable() // gen 1: every user claims
         // wait out the TTL while the query idles — every claim's
         // expiry lands strictly before batch 2's processing timestamp
-        ttlMs.foreach(t => Thread.sleep(t + 600L))
+        // (sleep = 3x TTL: the margin absorbs clock granularity, and
+        // a slow host only widens it)
+        ttlMs.foreach(t => Thread.sleep(t * 3))
         land(2L)
         q.processAllAvailable() // gen 2: expired claims re-admit
       } finally q.stop()

@@ -222,6 +222,30 @@ class GraftMemEqDeleteSpec extends SparkSpec {
       s"feed:\n${ch.mkString("\n")}")
   }
 
+  test("d31: the streaming equality upsert equals the positional d25 " +
+      "AND the batch aggregate, with zero positional tombstones in " +
+      "the table it builds") {
+    val a = graft.SparkEntry.queries("d31_stream_eq_upsert")(spark, sf0001)
+      .collect().toSeq
+    val b = graft.SparkEntry.queries("d25_stream_mor_upsert")(spark, sf0001)
+      .collect().toSeq
+    assert(a == b && a.nonEmpty,
+      "equality and positional streaming upserts diverged")
+    // the table d31 built: key-addressed deltas only — no positional
+    // tombstones anywhere, multiple boundary generations from the
+    // per-batch merges
+    val suf = java.security.MessageDigest.getInstance("MD5")
+      .digest(sf0001.getBytes("UTF-8")).map("%02x".format(_))
+      .mkString.take(8)
+    val t = GraftMemCatalog.lookup(s"db.morup31_$suf")
+      .asInstanceOf[GraftMemMorTable]
+    assert(t.isEquality)
+    assert(t.deleted.isEmpty,
+      "equality mode must never write positional tombstones")
+    assert(t.eqDeletes.nonEmpty,
+      "per-batch MERGEs must have landed key-addressed deletes")
+  }
+
   test("creation validation: nullable key and unknown modes reject " +
       "loudly; b91's declared query equals b75/b80's") {
     spark.conf.set("spark.sql.catalog.graftmem",
