@@ -84,6 +84,35 @@ private[sources] object GraftCell {
   def writeCell(row: InternalRow, j: Int, dt: DataType, dflt: Any): Any =
     if (j < 0 || row.isNullAt(j)) dflt else read(row, j, dt)
 
+  /** Per-column writer getters, type-dispatched ONCE per column (the
+    * write path runs per cell — a per-cell match is measurable on the
+    * demo store).
+    */
+  def writeGetters(proj: Array[Int], types: Array[DataType],
+      defaults: Array[Any]): Array[InternalRow => Any] =
+    Array.tabulate(proj.length) { i =>
+      val j = proj(i)
+      val dflt = defaults(i)
+      if (j < 0) (_: InternalRow) => dflt
+      else types(i) match {
+        case LongType => row =>
+          if (row.isNullAt(j)) dflt else java.lang.Long.valueOf(row.getLong(j))
+        case IntegerType => row =>
+          if (row.isNullAt(j)) dflt
+          else java.lang.Integer.valueOf(row.getInt(j))
+        case BooleanType => row =>
+          if (row.isNullAt(j)) dflt
+          else java.lang.Boolean.valueOf(row.getBoolean(j))
+        case StringType => row =>
+          if (row.isNullAt(j)) dflt else row.getUTF8String(j).toString
+        case d: DecimalType => row =>
+          if (row.isNullAt(j)) dflt
+          else row.getDecimal(j, d.precision, d.scale).toJavaBigDecimal
+        case other => throw new UnsupportedOperationException(
+          s"graftmem: unsupported column type $other")
+      }
+    }
+
   /** Internal (Catalyst) value for a PartitionReader's output. */
   def toInternal(v: Any, dt: DataType): Any = dt match {
     case StringType     => UTF8String.fromString(v.asInstanceOf[String])
@@ -115,8 +144,24 @@ private[sources] object GraftCell {
             val j = tableSchema.fieldIndex(f.name)
             val dt = tableSchema.fields(j).dataType
             val dflt = toInternal(defaults(j), dt)
-            (_: Long, r: Array[Any]) =>
-              if (j < r.length) toInternal(r(j), dt) else dflt
+            // type-dispatch once per COLUMN, not per cell: the
+            // pass-through family (Long/Int/Boolean) needs no
+            // conversion at all
+            dt match {
+              case StringType =>
+                (_: Long, r: Array[Any]) =>
+                  if (j < r.length)
+                    UTF8String.fromString(r(j).asInstanceOf[String])
+                  else dflt
+              case _: DecimalType =>
+                (_: Long, r: Array[Any]) =>
+                  if (j < r.length)
+                    Decimal(r(j).asInstanceOf[java.math.BigDecimal])
+                  else dflt
+              case _ =>
+                (_: Long, r: Array[Any]) =>
+                  if (j < r.length) r(j) else dflt
+            }
         }
       }
     (aux, r) => InternalRow.fromSeq(

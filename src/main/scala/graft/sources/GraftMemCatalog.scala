@@ -1394,11 +1394,12 @@ private[sources] class GraftMemWriterFactory(proj: Array[Int],
       private val buf = Vector.newBuilder[Array[Any]]
       private var prevKey: Array[Long] = null
       private val clusters = Set.newBuilder[Long]
+      private val getters = GraftCell.writeGetters(proj, types, defaults)
       override def write(record: InternalRow): Unit = {
         val a = new Array[Any](proj.length)
         var i = 0
         while (i < proj.length) {
-          a(i) = GraftCell.writeCell(record, proj(i), types(i), defaults(i))
+          a(i) = getters(i)(record)
           i += 1
         }
         if (layoutIdx.nonEmpty) {

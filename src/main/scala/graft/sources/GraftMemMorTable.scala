@@ -683,11 +683,12 @@ private[sources] class MorDeltaWriterFactory(proj: Array[Int],
       private val ins = Vector.newBuilder[Array[Any]]
       // -1 (absent column) and null cells (e.g. an insert that
       // doesn't set an ALTER-added column) → the column's default
+      private val getters = GraftCell.writeGetters(proj, types, defaults)
       private def dataOf(row: InternalRow): Array[Any] = {
         val a = new Array[Any](proj.length)
         var i = 0
         while (i < proj.length) {
-          a(i) = GraftCell.writeCell(row, proj(i), types(i), defaults(i))
+          a(i) = getters(i)(row)
           i += 1
         }
         a
