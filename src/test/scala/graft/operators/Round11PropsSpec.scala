@@ -84,6 +84,21 @@ class Round11PropsSpec extends SparkSpec {
       s"holdout agreement ${agree}/${rows.length} below 75%")
   }
 
+  test("plan shapes: c71 serves the model via broadcast join; c72's " +
+      "shortlist re-rank joins broadcast; neither plans a cartesian") {
+    val p71 = graft.SparkEntry.queries("c71_classifier_train")(
+      spark, sf0001).queryExecution.executedPlan.toString
+    assert(p71.contains("BroadcastHashJoin"),
+      s"c71 must broadcast the vocabulary-sized weight table:\n$p71")
+    assert(!p71.contains("CartesianProduct") &&
+      !p71.contains("BroadcastNestedLoopJoin"))
+    val p72 = graft.SparkEntry.queries("c72_ivf_pq_search")(
+      spark, sf0001).queryExecution.executedPlan.toString
+    assert(p72.contains("BroadcastHashJoin"),
+      s"c72's shortlist must join embeddings broadcast:\n$p72")
+    assert(!p72.contains("CartesianProduct"))
+  }
+
   test("d30 twin: with TTLConfig.NONE the second generation is " +
       "all-REJECTED — the TTL is what re-admits, not batch boundaries") {
     val noTtl = graft.streaming.StreamingDemo
