@@ -1079,6 +1079,55 @@ object TierC {
       .orderBy("probe_id", "rank")
   }
 
+  /** c73: TEMPERATURE-WEIGHTED MIXTURE SAMPLING — the data-mix recipe
+    * LM training actually runs (the Pile / multilingual-LM shape):
+    * sampling sources proportionally to their SIZE drowns small
+    * high-quality feeds under the crawl, so the mix weights are
+    * n_s^α with α = 0.5 — the square root compresses the size range
+    * and up-weights the tail. Everything is exact-integer so the
+    * recipe itself is oracle-checked: w_s = isqrt(n_s) (floor(sqrt)
+    * with an explicit ±1 integer correction, so the value is the true
+    * integer square root on BOTH engines regardless of float
+    * rounding), per-source quota k_s = ⌊N·w_s / Σw⌋ capped at n_s,
+    * and the k_s picks per source are the hash-ranked head (c42's
+    * fixed-count without-replacement idiom — reproducible across
+    * engines, reruns and cluster layouts). Declared output = the full
+    * picked mixture with each source's weight.
+    *
+    * Scale shape: per-source counts are one partial-agg'd pass over a
+    * #sources-bounded table; the quota table broadcasts; the
+    * selection is b15's top-k-per-group window — at 100 TB this is a
+    * wordcount plus one bounded window pass, and the mixture spec
+    * (weights, quotas) is an auditable table, not a config file.
+    */
+  private def c73(s: SparkSession, d: String): DataFrame = {
+    val total = 200L
+    val docs = documents(s, d).select(col("doc_id"), col("source"))
+    val quotas = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+      .withColumn("r0", floor(sqrt(col("n_s").cast("double"))).cast("long"))
+      // exact isqrt: correct the float sqrt by one in either direction
+      .withColumn("w", col("r0")
+        - when(col("r0") * col("r0") > col("n_s"), 1L).otherwise(0L)
+        + when((col("r0") + 1) * (col("r0") + 1) <= col("n_s"), 1L)
+          .otherwise(0L))
+      // Σw over the #sources-bounded table (c41's all-rows window —
+      // bounded single partition, never a data-sized funnel)
+      .withColumn("wsum", sum("w").over(Window.partitionBy()))
+      .withColumn("k", least(col("n_s"), expr(s"($total * w) div wsum")))
+      .select("source", "w", "k")
+    val byPick = Window.partitionBy("source")
+      .orderBy(col("pick"), col("doc_id"))
+    docs
+      .withColumn("pick",
+        md5(concat(lit("mix:"), col("doc_id").cast("string"))))
+      .join(broadcast(quotas), "source")
+      .withColumn("rk", row_number().over(byPick).cast("long"))
+      .filter(col("rk") <= col("k"))
+      .select(col("source"), col("rk"), col("doc_id"),
+        col("w").as("weight"))
+      .orderBy("source", "rk")
+  }
+
   /** c29: deterministic epoch shuffle + sharding — the reproducible
     * "new data order each epoch" pass a training job runs: shard =
     * md5(seed:doc_id) % nShards routes docs, within-shard position
@@ -3115,6 +3164,11 @@ object TierC {
     QueryDef("c19_ann_ivf", c19 _, Some(ivfOracleSql)),
     QueryDef("c43_ann_pq", c43 _, Some(pqOracleSql)),
     QueryDef("c72_ivf_pq_search", c72 _, Some(ivfPqSearchOracleSql)),
+    // c73's oracle recomputes the whole recipe — exact isqrt weights,
+    // quotas, hash-ranked picks — so the mixture spec itself is
+    // hash-pinned, not just the row count.
+    QueryDef("c73_mixture_sample", c73 _, Some(
+      "WITH counts AS (SELECT source, count(*)::BIGINT AS n_s FROM documents GROUP BY 1), w0 AS (SELECT source, n_s, floor(sqrt(n_s::DOUBLE))::BIGINT AS r0 FROM counts), wts AS (SELECT source, n_s, (r0 - CASE WHEN r0 * r0 > n_s THEN 1 ELSE 0 END + CASE WHEN (r0 + 1) * (r0 + 1) <= n_s THEN 1 ELSE 0 END)::BIGINT AS w FROM w0), tot AS (SELECT sum(w)::BIGINT AS wsum FROM wts), ks AS (SELECT source, w, CASE WHEN n_s < (200 * w) // wsum THEN n_s ELSE (200 * w) // wsum END AS k FROM wts, tot), ranked AS (SELECT d.source, d.doc_id, row_number() OVER (PARTITION BY d.source ORDER BY md5('mix:' || d.doc_id::VARCHAR), d.doc_id) AS rk FROM documents d) SELECT r.source, r.rk::BIGINT AS rk, r.doc_id, ks.w AS weight FROM ranked r JOIN ks ON ks.source = r.source WHERE r.rk <= ks.k ORDER BY 1, 2")),
     QueryDef("c17_similarity_native_expr", c17 _, Some(
       "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1 ORDER BY vec_a")),
     QueryDef("c16_multimodal_binary", c16 _, Some(
