@@ -2678,6 +2678,40 @@ object TierB {
          |FROM $tbl GROUP BY key % 10 ORDER BY key_mod""".stripMargin)
   }
 
+  /** b93: SNAPSHOT-HISTORY METADATA TABLE — `db.tbl__history`, the
+    * Iceberg `db.tbl.snapshots` / Delta `DESCRIBE HISTORY` face over
+    * b84's retained versions: one row per snapshot with its visible
+    * row count, schema width, pinning tag count and a current marker
+    * — the operational "what happened to this table" read an operator
+    * runs BEFORE picking a `VERSION AS OF` target or a retention
+    * cutoff (the enumeration-before-address pattern d29 applies to
+    * streaming state, here applied to table history). The demo runs
+    * the standard lifecycle — append (v1, tagged 'baseline'), CDC
+    * MERGE (v2), follow-up MERGE (v3) — and declares the full history:
+    * the row-count TRAJECTORY (v1 = the snapshot, v2 = −deletes
+    * +inserts, v3 unchanged — updates move balances, not counts) is
+    * what the oracle recomputes from the batch definitions. Scan cost
+    * is bounded by the snapshot-retention cap — a metadata read,
+    * never a data read; wall-clock commit times are deliberately not
+    * declared (determinism contract), `TIMESTAMP AS OF` stays the
+    * time-addressed face.
+    */
+  private def b93(s: SparkSession, d: String): DataFrame = {
+    val tbl = graft.util.DemoTables.freshGraftmem(s, d, "hist",
+      "(key BIGINT, bal_cents BIGINT)")
+    customer(s, d)
+      .selectExpr("c_custkey AS key",
+        "CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents")
+      .writeTo(tbl).append() // v1
+    s.sql(s"CALL graftmem.system.create_tag(" +
+      s"'${tbl.stripPrefix("graftmem.")}', 'baseline', 1L)").collect()
+    runCdcMergeRound(s, d, "b93", tbl) // v2
+    runFollowupMergeRound(s, tbl) // v3 — current
+    s.sql(
+      s"""SELECT version, live_rows, n_columns, n_tags, is_current
+         |FROM ${tbl}__history ORDER BY version""".stripMargin)
+  }
+
   /** THE CDC round every row-level demo shares (b75 CoW, b80 MoR, b82
     * compaction, b83 change feed, d26 streaming CDC): update keys ≡3
     * (mod 10) to bal+10000, delete keys ≡7, insert keys ≡0 (mod 100)
@@ -2762,6 +2796,11 @@ object TierB {
     // mentions branches — their absence from the math IS the
     // publish-exactness check (main must equal exactly what was
     // staged, nothing more, nothing sooner).
+    // b93's oracle recomputes the row-count TRAJECTORY from the batch
+    // definitions — the history table must agree with what the
+    // lifecycle actually did at every version, not just at the head.
+    QueryDef("b93_table_history", b93 _, Some(
+      "WITH snap AS (SELECT c_custkey AS key FROM customer), n AS (SELECT count(*)::BIGINT AS n1 FROM snap), dd AS (SELECT count(*)::BIGINT AS nd FROM snap WHERE key % 10 = 7), ii AS (SELECT count(*)::BIGINT AS ni FROM snap WHERE key % 100 = 0) SELECT * FROM (SELECT 0::BIGINT AS version, 0::BIGINT AS live_rows, 2 AS n_columns, 0 AS n_tags, false AS is_current UNION ALL SELECT 1, n1, 2, 1, false FROM n UNION ALL SELECT 2, n1 - nd + ni, 2, 0, false FROM n, dd, ii UNION ALL SELECT 3, n1 - nd + ni, 2, 0, true FROM n, dd, ii) ORDER BY version")),
     QueryDef("b92_branch_wap", b92 _, Some(
       "WITH snap AS (SELECT c_custkey AS key, floor(c_acctbal * 100)::BIGINT AS bal FROM customer), off AS (SELECT max(c_custkey) + 1 AS o FROM customer), gen2 AS (SELECT key + (SELECT o FROM off) AS key, bal + 777 AS bal FROM snap), allr AS (SELECT * FROM snap UNION ALL SELECT * FROM gen2) SELECT (key % 10)::BIGINT AS key_mod, count(*)::BIGINT AS n, sum(bal)::BIGINT AS bal_cents_sum FROM allr GROUP BY 1 ORDER BY 1")),
     // b82 replays BOTH CDC rounds in the oracle and never mentions

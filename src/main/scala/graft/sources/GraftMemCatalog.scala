@@ -96,6 +96,19 @@ class GraftMemCatalog extends TableCatalog with FunctionCatalog
         case _                   => ()
       }
     }
+    // `<name>__history` resolves to the snapshot-history metadata
+    // table (b93) over either flavor — the Iceberg `db.tbl.snapshots`
+    // convention with the suffix grammar the feed already uses.
+    if (ident.name().endsWith("__history")) {
+      val parent = tables.get(key(Identifier.of(ident.namespace(),
+        ident.name().stripSuffix("__history"))))
+      parent match {
+        case h: GraftSnapshotHistory =>
+          return new GraftHistoryTable(
+            h.asInstanceOf[Table with GraftSnapshotHistory])
+        case _ => ()
+      }
+    }
     // `<name>__branch_<b>` resolves to a write-audit-publish branch
     // of a copy-on-write parent (b92) — same suffix grammar as the
     // change feed.

@@ -201,6 +201,76 @@ private[sources] class GraftMemSnapshotTable(parentName: String,
     }
 }
 
+/** `db.tbl__history` — the SNAPSHOT-HISTORY metadata table (b93), the
+  * Iceberg `db.tbl.snapshots` / Delta `DESCRIBE HISTORY` shape at the
+  * DSv2 extension point: every retained version as one row of
+  * (version, live_rows, n_columns, n_tags, is_current) — the
+  * operational "what happened to this table" face an operator reads
+  * before picking a `VERSION AS OF` target or a retention cutoff.
+  * Wall-clock commit times exist internally but are deliberately NOT
+  * columns here (the demo's declared outputs are deterministic);
+  * `TIMESTAMP AS OF` remains the time-addressed face. The scan
+  * materializes each retained version's visible row COUNT — bounded
+  * by the snapshot-retention cap (`graft.snapshot_keep`), a
+  * metadata-sized read, never a data-sized one.
+  */
+private[sources] class GraftHistoryTable(parent: Table
+    with GraftSnapshotHistory) extends Table with SupportsRead {
+  import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StructField}
+
+  override def name(): String = parent.name() + "__history"
+  override def schema(): StructType = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("live_rows", LongType, nullable = false),
+    StructField("n_columns", IntegerType, nullable = false),
+    StructField("n_tags", IntegerType, nullable = false),
+    StructField("is_current", BooleanType, nullable = false)))
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan with Batch {
+        // pin one consistent view of the history under the table lock
+        private val rows: Array[InternalRow] = parent.synchronized {
+          val vs = parent.retainedVersions
+          val cur = vs.lastOption.map(_._1).getOrElse(-1L)
+          val tagsByV = parent.snapshotTags.groupBy(_._2)
+            .map { case (v, m) => (v, m.size) }
+          vs.flatMap { case (v, _) =>
+            parent.snapshotAt(v).map { case (rs, sch, _) =>
+              InternalRow(v, rs.length.toLong, sch.fields.length,
+                tagsByV.getOrElse(v, 0), v == cur)
+            }
+          }.toArray
+        }
+        override def readSchema(): StructType = schema()
+        override def toBatch: Batch = this
+        override def description(): String =
+          s"GraftHistoryScan(${parent.name()}, n=${rows.length})"
+        override def planInputPartitions(): Array[InputPartition] =
+          Array(GraftHistoryPartition(rows))
+        override def createReaderFactory(): PartitionReaderFactory =
+          new PartitionReaderFactory {
+            override def createReader(
+                p: InputPartition): PartitionReader[InternalRow] = {
+              val data = p.asInstanceOf[GraftHistoryPartition].rows
+              new PartitionReader[InternalRow] {
+                private var i = -1
+                override def next(): Boolean = { i += 1; i < data.length }
+                override def get(): InternalRow = data(i)
+                override def close(): Unit = ()
+              }
+            }
+          }
+      }
+    }
+}
+
+private[sources] case class GraftHistoryPartition(rows: Array[InternalRow])
+    extends InputPartition
+
 /** `graftmem.system.create_tag(table, tag, version)` — name a
   * retained snapshot (b89, the Iceberg tag shape). The tag resolves
   * through `VERSION AS OF '<tag>'` and PINS its snapshot through

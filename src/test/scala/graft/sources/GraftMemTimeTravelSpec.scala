@@ -26,6 +26,40 @@ class GraftMemTimeTravelSpec extends SparkSpec {
     tbl
   }
 
+  test("b93: the __history metadata table tracks both flavors — " +
+      "compaction is a count-invariant version, expiry prunes " +
+      "untagged rows, tags and the current marker surface") {
+    // MoR: append → delete → update → compact
+    val tbl = fresh("spec_hist_mor",
+      " TBLPROPERTIES ('graft.row_level' = 'merge-on-read')")
+    spark.range(6).selectExpr("id AS key", "id AS bal")
+      .writeTo(tbl).append()                             // v1: 6 rows
+    spark.sql(s"DELETE FROM $tbl WHERE key % 3 = 0")     // v2: 4 rows
+    spark.sql(s"UPDATE $tbl SET bal = bal + 1 WHERE key = 1") // v3: 4
+    spark.sql("CALL graftmem.system.compact('db.spec_hist_mor')")
+      .collect()                                         // v4: 4 rows
+    def hist() = spark.table(s"${tbl}__history")
+      .select("version", "live_rows", "n_tags", "is_current")
+      .orderBy("version").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getBoolean(3)))
+      .toSeq
+    assert(hist() == Seq((0L, 0L, 0, false), (1L, 6L, 0, false),
+      (2L, 4L, 0, false), (3L, 4L, 0, false), (4L, 4L, 0, true)),
+      s"history:\n${hist()}")
+    // a tag pins its version through expiry; untagged history prunes
+    spark.sql("CALL graftmem.system.create_tag(" +
+      "'db.spec_hist_mor', 'keep1', 1L)").collect()
+    spark.sql("CALL graftmem.system.expire_snapshots(" +
+      "'db.spec_hist_mor', 1)").collect()
+    assert(hist() == Seq((1L, 6L, 1, false), (4L, 4L, 0, true)),
+      s"post-expiry history:\n${hist()}")
+    // the suffix resolves only over history-keeping parents
+    val e = intercept[Exception] {
+      spark.table("graftmem.db.nope__history").count()
+    }
+    assert(e.getMessage.toLowerCase.contains("table"), e.getMessage)
+  }
+
   test("CoW: VERSION AS OF reads each committed snapshot; snapshots " +
       "are immutable against later commits") {
     val tbl = fresh("spec_tt_cow")
