@@ -84,6 +84,47 @@ class Round11PropsSpec extends SparkSpec {
       s"holdout agreement ${agree}/${rows.length} below 75%")
   }
 
+  test("c73: mixture invariants — quotas respect the temperature " +
+      "weights, never exceed source sizes, and the total honors the " +
+      "target budget") {
+    val rows = graft.SparkEntry.queries("c73_mixture_sample")(
+      spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty && rows.length <= 200,
+      s"picked ${rows.length} of a 200 budget")
+    val bySource = rows.groupBy(_._1)
+    val counts = graft.util.Tables.documents(spark, sf0001)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def isqrt(n: Long): Long = {
+      var r = math.floor(math.sqrt(n.toDouble)).toLong
+      if (r * r > n) r -= 1
+      if ((r + 1) * (r + 1) <= n) r += 1
+      r
+    }
+    val wsum = counts.values.map(isqrt).sum
+    bySource.foreach { case (src, picked) =>
+      // the declared weight IS the integer sqrt of the source size
+      assert(picked.map(_._4).distinct.toSeq == Seq(isqrt(counts(src))),
+        s"$src: weight drifted")
+      // quota: floor(200*w/Σw) capped at the source size
+      val k = math.min(counts(src), 200L * isqrt(counts(src)) / wsum)
+      assert(picked.length.toLong == k,
+        s"$src: picked ${picked.length}, quota $k")
+      // ranks are 1..k and picks are distinct docs
+      assert(picked.map(_._2).sorted.toSeq == (1L to k).toSeq)
+      assert(picked.map(_._3).distinct.length == picked.length)
+    }
+    // small sources are UP-weighted relative to size: pick share ≥
+    // size share for the smallest source (the recipe's whole point)
+    val smallest = counts.minBy(_._2)
+    val pickShare = bySource(smallest._1).length.toDouble / rows.length
+    val sizeShare = smallest._2.toDouble / counts.values.sum
+    assert(pickShare >= sizeShare,
+      s"temperature failed to up-weight the smallest source: " +
+        s"pick $pickShare vs size $sizeShare")
+  }
+
   test("plan shapes: c71 serves the model via broadcast join; c72's " +
       "shortlist re-rank joins broadcast; neither plans a cartesian") {
     val p71 = graft.SparkEntry.queries("c71_classifier_train")(
