@@ -983,7 +983,7 @@ object TierC {
         (cell, id, codes(0), codes(1), codes(2), codes(3))
       }
     }
-    // (2) probes: capped deterministic set; per probe the 2 nearest
+    // (2) probes: capped deterministic set; per probe the 4 nearest
     // cells (tie: smaller c) + the 4×4 integer ADC table
     val probesRaw = vecs(s, d).filter(t => t._1 >= kc && t._1 % 100 == 0)
       .orderBy(col("vec_id")).limit(maxProbes)
@@ -2233,8 +2233,8 @@ object TierC {
     * rounds (ivfOracleSql's recurrence, `k*` prefixes) and the PQ
     * training rounds (pqOracleSql's, `p*` prefixes) share one
     * quantized q0, then cell assignment + PQ codes build the index,
-    * probes route to their 2 nearest cells with a per-probe ADC
-    * table, candidates score by table-lookup sum, the top-16
+    * probes route to their 4 nearest cells with a per-probe ADC
+    * table, candidates score by table-lookup sum, the top-48
     * shortlist re-ranks by true cosine, and ground truth/recall
     * replay c65's harness — every integer of the chain recomputed.
     */

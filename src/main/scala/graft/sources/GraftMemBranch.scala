@@ -111,6 +111,20 @@ private[sources] class GraftMemBranchTable(parent: GraftMemTable,
               case m: GraftMemCommit => m.data
             }.toVector
             parent.synchronized {
+              // the branch may have been CONSUMED (published by
+              // fast_forward, which removes it) between this write's
+              // scan and its commit — appending to the orphaned
+              // object would "succeed" into unreachable rows, the one
+              // silent-lost-write path in a connector whose contract
+              // is loud optimistic conflicts; reject instead (eq
+              // check: a same-named re-fork is a DIFFERENT branch)
+              if (!parent.branches.get(branch.branchName)
+                  .exists(_ eq branch))
+                throw new GraftMemCommitConflictException(
+                  s"graftmem ${parent.fullName}: branch " +
+                    s"'${branch.branchName}' was published or dropped " +
+                    "after this write's scan; re-stage from a fresh " +
+                    "branch")
               branch.rows = branch.rows ++ written
               branch.commits += 1
             }

@@ -386,11 +386,14 @@ private[sources] class MorScanBuilder(table: GraftMemMorTable,
     // pin one consistent (base, deltas, tombstones, version) snapshot;
     // the version is what an equality-mode delta commit validates its
     // delete keys against
-    private val (snapBase, snapIns, snapDel, snapEq, pinnedVersion) =
+    // (all seven under ONE lock: a commit or ALTER interleaving
+    // between two blocks would pair row data with a newer
+    // schema/defaults vector)
+    private val (snapBase, snapIns, snapDel, snapEq, pinnedVersion,
+        snapSchema, snapDefaults) =
       table.synchronized((table.base, table.deltaInserts, table.deleted,
-        table.eqDeletes, table.commitVersion))
-    private val (snapSchema, snapDefaults) =
-      table.synchronized((table.schema(), table.colDefaults))
+        table.eqDeletes, table.commitVersion, table.schema(),
+        table.colDefaults))
     scanState.foreach(_.scanVersion = pinnedVersion)
     private val eqBounds: Map[Long, Long] =
       table.eqBoundaries(snapEq.map(e => (e._1, e._2)))

@@ -1576,6 +1576,16 @@ object StreamingDemo {
       require(rows.length == 1,
         s"d29 expects one stateful operator, got ${rows.length}")
       val m = rows(0)
+      // the declared num_partitions column is oracle-pinned at 4 (the
+      // withStreamPartitions default); a session configured below 4
+      // shuffle partitions (or a graft.stream.partitions override)
+      // would silently diverge from the oracle — guard it loudly, the
+      // c72 graft.similarity.k discipline
+      require(m.getInt(3) == 4,
+        s"d29's oracle pins num_partitions = 4; the checkpoint was " +
+          s"written with ${m.getInt(3)} — run with " +
+          "spark.sql.shuffle.partitions >= 4 and no " +
+          "graft.stream.partitions override")
       val open = s.read.format("statestore")
         .option("operatorId", m.getLong(0))
         .option("storeName", m.getString(2))

@@ -105,6 +105,51 @@ class GraftMemBranchSpec extends SparkSpec {
     assert(table.synchronized(table.branches.contains("b")))
   }
 
+  test("a branch write whose commit lands AFTER the branch was " +
+      "published rejects loudly (no silent append to the orphaned fork)") {
+    val (tbl, table) = fresh("spec_wap_stale", "(key BIGINT, bal BIGINT)")
+    spark.range(3).selectExpr("id AS key", "id AS bal").writeTo(tbl).append()
+    spark.sql(
+      s"CALL graftmem.system.create_branch('db.spec_wap_stale', 'b')")
+      .collect()
+    val br = table.synchronized(table.branches("b"))
+    val bt = new GraftMemBranchTable(table, br)
+    // build the write BEFORE the publish (the in-flight writer), then
+    // let fast_forward consume the branch under it
+    val winfo = new org.apache.spark.sql.connector.write.LogicalWriteInfo {
+      override def queryId(): String = "spec-stale"
+      override def schema(): org.apache.spark.sql.types.StructType =
+        table.schema()
+      override def options()
+          : org.apache.spark.sql.util.CaseInsensitiveStringMap =
+        org.apache.spark.sql.util.CaseInsensitiveStringMap.empty()
+    }
+    val bw = bt.newWriteBuilder(winfo).build().toBatch
+    spark.sql(
+      s"CALL graftmem.system.fast_forward('db.spec_wap_stale', 'main', 'b')")
+      .collect()
+    val rowsBefore = br.rows
+    val err = intercept[GraftMemCommitConflictException] {
+      bw.commit(Array(GraftMemCommit(Vector(Array[Any](
+        java.lang.Long.valueOf(9L), java.lang.Long.valueOf(9L))))))
+    }
+    assert(err.getMessage.contains("published or dropped"), err.getMessage)
+    assert(br.rows eq rowsBefore,
+      "a rejected stale commit must not touch the orphaned branch either")
+    // same rejection when a SAME-NAMED branch was re-forked meanwhile
+    // (`eq` check: the new fork is a different object)
+    spark.sql(
+      s"CALL graftmem.system.create_branch('db.spec_wap_stale', 'b')")
+      .collect()
+    val err2 = intercept[GraftMemCommitConflictException] {
+      bw.commit(Array(GraftMemCommit(Vector(Array[Any](
+        java.lang.Long.valueOf(9L), java.lang.Long.valueOf(9L))))))
+    }
+    assert(err2.getMessage.contains("published or dropped"), err2.getMessage)
+    assert(spark.table(s"${tbl}__branch_b").count() == 3,
+      "the re-forked branch must not receive the stale writer's rows")
+  }
+
   test("procedure validation: duplicate branch, unknown branch, " +
       "non-main target, MoR parent all reject loudly") {
     val (tbl, _) = fresh("spec_wap_val", "(key BIGINT, bal BIGINT)")
