@@ -2712,6 +2712,57 @@ object TierB {
          |FROM ${tbl}__history ORDER BY version""".stripMargin)
   }
 
+  /** b94: FILE-LEVEL METADATA TABLE — `db.tbl__files`, the Iceberg
+    * `db.tbl.files` / Delta file-manifest face over the merge-on-read
+    * flavor ([[graft.sources.GraftFilesTable]]): one row per live
+    * ledger file with write-time stats (position range, rows written,
+    * min/max key — fixed at commit, the manifest discipline) plus
+    * derived liveness (live vs deleted rows against the current
+    * tombstone state) — the FILE-GRAIN forensics read that compaction
+    * planning actually consumes (c57 derives the same facts from a
+    * data scan because parquet keeps no live manifest; a lakehouse
+    * table keeps one, and this is that read). The demo runs append
+    * (v1 → file 1) and the CDC MERGE (v2 → file 2 + tombstones into
+    * file 1), declares `__files` BEFORE compaction (phase 0: file 1
+    * carries the update+delete tombstones, file 2 the re-inserts +
+    * inserts), compacts (`CALL graftmem.system.compact` — the
+    * rewrite_data_files shape), and declares `__files` AFTER
+    * (phase 1: ONE spanning file, zero deleted rows) — the metadata
+    * trajectory of maintenance, while b82 proves the DATA summary is
+    * compaction-invariant. Both reads are metadata-sized (ledger
+    * rows, the A9 bounded-collect class); the oracle recomputes every
+    * stat from the batch definitions.
+    */
+  private def b94(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val tbl = graft.util.DemoTables.freshGraftmem(s, d, "fmeta",
+      "(key BIGINT, bal_cents BIGINT) " +
+        "TBLPROPERTIES ('graft.row_level' = 'merge-on-read')")
+    customer(s, d)
+      .selectExpr("c_custkey AS key",
+        "CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents")
+      .writeTo(tbl).append() // v1 → file 1
+    runCdcMergeRound(s, d, "b94", tbl) // v2 → file 2 + tombstones
+    val cols = Seq("file_id", "commit_version", "pos_min", "pos_max",
+      "rows_written", "live_rows", "deleted_rows", "min_key", "max_key")
+    // materialize each phase eagerly (DSv2 scans pin state at physical
+    // planning — a lazy union would read both phases post-compaction)
+    def grab(phase: Long): Seq[org.apache.spark.sql.Row] =
+      s.table(s"${tbl}__files")
+        .select(lit(phase).as("phase") +: cols.map(col): _*)
+        .collect().toSeq
+    val pre = grab(0L)
+    s.sql(s"CALL graftmem.system.compact('${tbl.stripPrefix("graftmem.")}')")
+      .collect()
+    val post = grab(1L)
+    val schema = StructType(
+      StructField("phase", LongType, nullable = false) +:
+        cols.map(StructField(_, LongType, nullable = false)))
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame((pre ++ post).asJava, schema)
+      .orderBy("phase", "file_id")
+  }
+
   /** THE CDC round every row-level demo shares (b75 CoW, b80 MoR, b82
     * compaction, b83 change feed, d26 streaming CDC): update keys ≡3
     * (mod 10) to bal+10000, delete keys ≡7, insert keys ≡0 (mod 100)
@@ -2801,6 +2852,12 @@ object TierB {
     // lifecycle actually did at every version, not just at the head.
     QueryDef("b93_table_history", b93 _, Some(
       "WITH snap AS (SELECT c_custkey AS key FROM customer), n AS (SELECT count(*)::BIGINT AS n1 FROM snap), dd AS (SELECT count(*)::BIGINT AS nd FROM snap WHERE key % 10 = 7), ii AS (SELECT count(*)::BIGINT AS ni FROM snap WHERE key % 100 = 0) SELECT * FROM (SELECT 0::BIGINT AS version, 0::BIGINT AS live_rows, 2 AS n_columns, 0 AS n_tags, false AS is_current UNION ALL SELECT 1, n1, 2, 1, false FROM n UNION ALL SELECT 2, n1 - nd + ni, 2, 0, false FROM n, dd, ii UNION ALL SELECT 3, n1 - nd + ni, 2, 0, true FROM n, dd, ii) ORDER BY version")),
+    // b94's oracle recomputes the file ledger's full trajectory —
+    // write-time stats from the batch definitions, liveness from the
+    // CDC round's victim classes, the compacted spanning file from
+    // the post-merge state.
+    QueryDef("b94_files_metadata", b94 _, Some(
+      "WITH snap AS (SELECT c_custkey AS key FROM customer), agg AS (SELECT count(*)::BIGINT AS n1, min(key)::BIGINT AS k1min, max(key)::BIGINT AS k1max, (max(key) + 1)::BIGINT AS o FROM snap), cd AS (SELECT count(*)::BIGINT AS nd FROM snap WHERE key % 10 = 7), cu AS (SELECT count(*)::BIGINT AS nu, min(key)::BIGINT AS kumin FROM snap WHERE key % 10 = 3), ci AS (SELECT count(*)::BIGINT AS ni, max(key)::BIGINT AS kimax FROM snap WHERE key % 100 = 0), lv AS (SELECT min(key)::BIGINT AS klmin FROM snap WHERE key % 10 <> 7) SELECT * FROM (SELECT 0::BIGINT AS phase, 1::BIGINT AS file_id, 1::BIGINT AS commit_version, 0::BIGINT AS pos_min, n1 AS pos_max, n1 AS rows_written, n1 - nd - nu AS live_rows, nd + nu AS deleted_rows, k1min AS min_key, k1max AS max_key FROM agg, cd, cu UNION ALL SELECT 0, 2, 2, n1, n1 + nu + ni, nu + ni, nu + ni, 0, kumin, kimax + o FROM agg, cu, ci UNION ALL SELECT 1, 3, 3, 0, n1 + nu + ni, n1 - nd + ni, n1 - nd + ni, 0, klmin, kimax + o FROM agg, cd, cu, ci, lv) ORDER BY phase, file_id")),
     QueryDef("b92_branch_wap", b92 _, Some(
       "WITH snap AS (SELECT c_custkey AS key, floor(c_acctbal * 100)::BIGINT AS bal FROM customer), off AS (SELECT max(c_custkey) + 1 AS o FROM customer), gen2 AS (SELECT key + (SELECT o FROM off) AS key, bal + 777 AS bal FROM snap), allr AS (SELECT * FROM snap UNION ALL SELECT * FROM gen2) SELECT (key % 10)::BIGINT AS key_mod, count(*)::BIGINT AS n, sum(bal)::BIGINT AS bal_cents_sum FROM allr GROUP BY 1 ORDER BY 1")),
     // b82 replays BOTH CDC rounds in the oracle and never mentions

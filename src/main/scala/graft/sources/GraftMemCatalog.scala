@@ -109,6 +109,25 @@ class GraftMemCatalog extends TableCatalog with FunctionCatalog
         case _ => ()
       }
     }
+    // `<name>__files` / `<name>__partitions` resolve to the
+    // file/partition-grain metadata tables (b94) — the Iceberg
+    // `db.tbl.files` / `db.tbl.partitions` convention on the suffix
+    // grammar: file ledger over merge-on-read, partition stats over
+    // the partitioned copy-on-write flavor.
+    if (ident.name().endsWith("__files")) {
+      tables.get(key(Identifier.of(ident.namespace(),
+        ident.name().stripSuffix("__files")))) match {
+        case m: GraftMemMorTable => return new GraftFilesTable(m)
+        case _                   => ()
+      }
+    }
+    if (ident.name().endsWith("__partitions")) {
+      tables.get(key(Identifier.of(ident.namespace(),
+        ident.name().stripSuffix("__partitions")))) match {
+        case g: GraftMemTable => return new GraftPartitionsTable(g)
+        case _                => ()
+      }
+    }
     // `<name>__branch_<b>` resolves to a write-audit-publish branch
     // of a copy-on-write parent (b92) — same suffix grammar as the
     // change feed.
@@ -670,6 +689,21 @@ private[sources] class GraftMemTable(val fullName: String,
     */
   private val declaredParts =
     scala.collection.mutable.HashMap.empty[Long, Map[String, String]]
+
+  /** Partition-grain metadata (b94, served by
+    * [[GraftPartitionsTable]]): (group key, live row count, last
+    * modifying commit version) per partition — declared OR
+    * data-bearing, the `SHOW PARTITIONS` existence rule. One
+    * consistent snapshot under the swap lock; cost is bounded by the
+    * partition count (the row pass stands in for per-group counts a
+    * real manifest maintains at commit).
+    */
+  private[sources] def partitionStats: Seq[(Long, Long, Long)] =
+    synchronized {
+      val counts = rows.groupBy(groupOf).view.mapValues(_.length.toLong)
+      (declaredParts.keySet ++ counts.keys).toSeq.sorted.map(g =>
+        (g, counts.getOrElse(g, 0L), groupVersion.getOrElse(g, 0L)))
+    }
 
   override def partitionSchema(): StructType =
     partitionCol

@@ -235,6 +235,37 @@ private[sources] class GraftMemMorTable(val fullName: String,
   private[sources] var nextPos: Long = 0L
   private[sources] var commitVersion: Long = 0L
 
+  /** FILE LEDGER (b94): every row-landing commit's contiguous position
+    * range as one "data file" with WRITE-TIME stats (rows written,
+    * min/max of the lead column) — the manifest-entry shape the
+    * `db.tbl__files` metadata table serves ([[GraftFilesTable]]).
+    * Replaced wholesale by compaction (N files → 1 spanning file);
+    * liveness against the current delete state is derived at read
+    * time. Guarded by `this`.
+    */
+  @volatile private[sources] var files: Vector[GraftFile] = Vector.empty
+  private[sources] var nextFileId: Long = 0L
+
+  /** Record one ledger file for `assigned` (a commit's landed rows,
+    * ascending contiguous positions). Call while holding `this`,
+    * AFTER `commitVersion += 1`. No-op for an empty landing — a
+    * delete-only commit cuts no data file.
+    */
+  private[sources] def recordFile(
+      assigned: Vector[(Long, Array[Any])]): Unit =
+    if (assigned.nonEmpty) {
+      nextFileId += 1
+      var mn = Long.MaxValue; var mx = Long.MinValue
+      assigned.foreach { case (_, r) =>
+        val k = GraftCell.asLong(r(keyIdx))
+        if (k < mn) mn = k
+        if (k > mx) mx = k
+      }
+      files = files :+ GraftFile(nextFileId, commitVersion,
+        assigned.head._1, assigned.last._1 + 1,
+        assigned.length.toLong, mn, mx)
+    }
+
   /** CHANGE LOG (b83): every committed row change, stamped with the
     * commit version that produced it — (version, isInsert, pos, row).
     * Appends log their inserts; delta commits log tombstones WITH the
@@ -296,6 +327,22 @@ private[sources] class GraftMemMorTable(val fullName: String,
     deleted = Set.empty
     eqDeletes = Vector.empty
     commitVersion += 1
+    // ledger: N files → ONE spanning file (b94's "rewrite_data_files"
+    // face). Positions are preserved, so the span [0, nextPos) is
+    // sparse — its write-time stats are the rewrite's own
+    nextFileId += 1
+    files =
+      if (live.isEmpty) Vector.empty
+      else {
+        var mn = Long.MaxValue; var mx = Long.MinValue
+        live.foreach { case (_, r) =>
+          val k = GraftCell.asLong(r(keyIdx))
+          if (k < mn) mn = k
+          if (k > mx) mx = k
+        }
+        Vector(GraftFile(nextFileId, commitVersion, 0L, nextPos,
+          live.length.toLong, mn, mx))
+      }
     recordSnapshot() // a maintenance version: content equals v-1's
     (tomb, folded, live.length.toLong)
   }
@@ -509,6 +556,7 @@ private[sources] class MorAppendWriteBuilder(
           }
           table.base = table.base ++ assigned
           table.commitVersion += 1
+          table.recordFile(assigned)
           table.changeLog = table.changeLog ++ assigned.map(pr =>
             (table.commitVersion, true, pr._1, pr._2))
           table.recordSnapshot()
@@ -603,6 +651,7 @@ private[sources] class MorDeltaWriteBuilder(
           table.deleted = table.deleted ++ delSet
           table.deltaInserts = table.deltaInserts ++ assigned
           table.commitVersion += 1
+          table.recordFile(assigned)
           table.changeLog = table.changeLog ++
             delSet.toVector.sorted.map(p =>
               (table.commitVersion, false, p, idx(p))) ++
@@ -663,6 +712,7 @@ private[sources] class MorDeltaWriteBuilder(
         val pr = (table.nextPos, r); table.nextPos += 1; pr
       }
       table.commitVersion += 1
+      table.recordFile(assigned)
       table.eqDeletes = table.eqDeletes ++ keySet.toVector.sorted
         .map(k => (k, boundary, table.commitVersion))
       table.deltaInserts = table.deltaInserts ++ assigned

@@ -1,0 +1,154 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+
+/** b94 — file/partition-level metadata tables: `db.tbl__files` serves
+  * the MoR file ledger (write-time stats + derived liveness),
+  * compaction rewrites the ledger while the data summary stays
+  * invariant, a compaction planner can pick files by delete ratio
+  * from METADATA alone (the read c57 derives from a data scan), and
+  * `db.tbl__partitions` serves per-group stats on the partitioned
+  * copy-on-write flavor.
+  */
+class GraftMemFilesSpec extends SparkSpec {
+
+  private def catalog(): TableCatalog = {
+    spark.conf.set("spark.sql.catalog.graftmem",
+      "graft.sources.GraftMemCatalog")
+    spark.sessionState.catalogManager.catalog("graftmem")
+      .asInstanceOf[TableCatalog]
+  }
+
+  private def fresh(name: String, ddl: String): String = {
+    catalog()
+    val tbl = s"graftmem.db.$name"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl $ddl")
+    tbl
+  }
+
+  test("__files: write-time stats per landing commit, liveness " +
+      "against tombstones, compaction rewrites the ledger while the " +
+      "data summary is invariant") {
+    val tbl = fresh("spec_files", "(key BIGINT, bal BIGINT) " +
+      "TBLPROPERTIES ('graft.row_level' = 'merge-on-read')")
+    spark.range(10).selectExpr("id AS key", "id * 10 AS bal")
+      .writeTo(tbl).append() // file 1: pos [0,10), keys 0..9
+    spark.range(20, 25).selectExpr("id AS key", "id * 10 AS bal")
+      .writeTo(tbl).append() // file 2: pos [10,15), keys 20..24
+    val f0 = spark.table(s"${tbl}__files").orderBy("file_id").collect()
+    assert(f0.length == 2)
+    assert(f0(0).getLong(0) == 1L && f0(0).getLong(1) == 1L &&
+      f0(0).getLong(2) == 0L && f0(0).getLong(3) == 10L &&
+      f0(0).getLong(4) == 10L && f0(0).getLong(5) == 10L &&
+      f0(0).getLong(6) == 0L && f0(0).getLong(7) == 0L &&
+      f0(0).getLong(8) == 9L, f0(0).toString)
+    assert(f0(1).getLong(2) == 10L && f0(1).getLong(3) == 15L &&
+      f0(1).getLong(7) == 20L && f0(1).getLong(8) == 24L,
+      f0(1).toString)
+    // delete keys 0..4 (file 1), update key 20 (file 2): tombstones
+    // land against the RIGHT files, the update's re-insert is file 3
+    spark.sql(s"DELETE FROM $tbl WHERE key < 5")
+    spark.sql(s"UPDATE $tbl SET bal = 999 WHERE key = 20")
+    val f1 = spark.table(s"${tbl}__files").orderBy("file_id").collect()
+    assert(f1.length == 3, f1.mkString(";"))
+    assert(f1(0).getLong(5) == 5L && f1(0).getLong(6) == 5L,
+      s"file 1 live/deleted: ${f1(0)}")
+    assert(f1(1).getLong(5) == 4L && f1(1).getLong(6) == 1L,
+      s"file 2 live/deleted: ${f1(1)}")
+    assert(f1(2).getLong(4) == 1L && f1(2).getLong(5) == 1L &&
+      f1(2).getLong(7) == 20L && f1(2).getLong(8) == 20L,
+      s"file 3 (update re-insert): ${f1(2)}")
+    // a delete-only commit cuts NO data file
+    assert(f1.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    val summaryBefore = spark.sql(
+      s"SELECT count(*), sum(bal) FROM $tbl").collect()(0)
+    spark.sql(s"CALL graftmem.system.compact('db.spec_files')").collect()
+    val f2 = spark.table(s"${tbl}__files").collect()
+    assert(f2.length == 1, "compaction must fold the ledger to one file")
+    assert(f2(0).getLong(2) == 0L && f2(0).getLong(3) == 16L,
+      s"spanning file range: ${f2(0)}") // positions preserved → sparse
+    assert(f2(0).getLong(4) == 10L && f2(0).getLong(5) == 10L &&
+      f2(0).getLong(6) == 0L, s"compacted liveness: ${f2(0)}")
+    val summaryAfter = spark.sql(
+      s"SELECT count(*), sum(bal) FROM $tbl").collect()(0)
+    assert(summaryBefore == summaryAfter,
+      "compaction must be invisible to the data summary")
+  }
+
+  test("a compaction planner picks files by delete ratio from " +
+      "__files metadata alone (the c57 read served from the manifest)") {
+    val tbl = fresh("spec_files_plan", "(key BIGINT, bal BIGINT) " +
+      "TBLPROPERTIES ('graft.row_level' = 'merge-on-read')")
+    spark.range(100).selectExpr("id AS key", "id AS bal")
+      .writeTo(tbl).append() // file 1
+    spark.range(100, 200).selectExpr("id AS key", "id AS bal")
+      .writeTo(tbl).append() // file 2
+    // kill 40% of file 1, 2% of file 2
+    spark.sql(s"DELETE FROM $tbl WHERE key < 40 OR key IN (100, 101)")
+    // the planner: files whose dead fraction >= 30%, from metadata only
+    val pick = spark.sql(
+      s"""SELECT file_id FROM ${tbl}__files
+         |WHERE deleted_rows * 100 >= 30 * rows_written
+         |ORDER BY file_id""".stripMargin).collect().map(_.getLong(0))
+    assert(pick.toSeq == Seq(1L),
+      s"only file 1 crosses the 30% dead-row threshold, got " +
+        pick.mkString(","))
+  }
+
+  test("__files on the equality-delete flavor: boundary-scoped " +
+      "equality deletes count against liveness") {
+    val tbl = fresh("spec_files_eq", "(key BIGINT NOT NULL, bal BIGINT) " +
+      "TBLPROPERTIES ('graft.row_level' = 'merge-on-read', " +
+      "'graft.mor.deletes' = 'equality')")
+    spark.range(10).selectExpr("id AS key", "id AS bal")
+      .writeTo(tbl).append() // file 1
+    spark.sql(s"UPDATE $tbl SET bal = 777 WHERE key = 3") // eq-delete + re-insert (file 2)
+    val f = spark.table(s"${tbl}__files").orderBy("file_id").collect()
+    assert(f.length == 2, f.mkString(";"))
+    assert(f(0).getLong(5) == 9L && f(0).getLong(6) == 1L,
+      s"file 1 must show the equality-deleted row as dead: ${f(0)}")
+    assert(f(1).getLong(5) == 1L && f(1).getLong(6) == 0L,
+      s"the re-insert survives its own commit's boundary: ${f(1)}")
+  }
+
+  test("__partitions on the partitioned CoW flavor: per-group counts " +
+      "+ last-modified version; declared-empty partitions listed") {
+    val tbl = fresh("spec_parts",
+      "(g BIGINT, v BIGINT) PARTITIONED BY (g)")
+    spark.range(20).selectExpr("id % 4 AS g", "id AS v")
+      .writeTo(tbl).append() // v1: groups 0..3, 5 rows each
+    spark.sql(s"ALTER TABLE $tbl ADD PARTITION (g = 9)")
+    val p0 = spark.table(s"${tbl}__partitions").orderBy("group_key")
+      .collect()
+    assert(p0.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((0L, 5L), (1L, 5L), (2L, 5L), (3L, 5L), (9L, 0L)),
+      p0.mkString(";"))
+    assert(p0.filter(_.getLong(0) != 9L).forall(_.getLong(2) == 1L))
+    // a group-pruned MERGE bumps ONLY the touched group's version
+    spark.range(1).selectExpr("CAST(2 AS BIGINT) AS g",
+      "CAST(1000 AS BIGINT) AS v").createOrReplaceTempView("sp_b")
+    spark.sql(
+      s"""MERGE INTO $tbl t USING sp_b b ON t.g = b.g AND t.v = 2
+         |WHEN MATCHED THEN UPDATE SET v = b.v""".stripMargin)
+    val p1 = spark.table(s"${tbl}__partitions").orderBy("group_key")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(p1(2L) == 2L, s"touched group must show the new version: $p1")
+    assert(p1(0L) == 1L && p1(1L) == 1L && p1(3L) == 1L,
+      s"untouched groups keep their version: $p1")
+  }
+
+  test("suffix resolution is flavor-checked: __files needs MoR, " +
+      "__partitions needs CoW") {
+    fresh("spec_files_cow", "(key BIGINT, bal BIGINT)")
+    intercept[Exception] {
+      spark.table("graftmem.db.spec_files_cow__files").count()
+    }
+    fresh("spec_parts_mor", "(key BIGINT, bal BIGINT) " +
+      "TBLPROPERTIES ('graft.row_level' = 'merge-on-read')")
+    intercept[Exception] {
+      spark.table("graftmem.db.spec_parts_mor__partitions").count()
+    }
+  }
+}
