@@ -2763,6 +2763,73 @@ object TierB {
       .orderBy("phase", "file_id")
   }
 
+  /** b95: ROW LINEAGE — stable `_row_id` / `_last_updated_version`
+    * metadata columns on the merge-on-read flavor (the Iceberg-v3
+    * row-lineage shape): a row's id is assigned at its FIRST commit
+    * and PRESERVED through b91's equality-delete UPDATE path (the
+    * delta writer's update() carries the victim→re-insert pairing, so
+    * the new row inherits the victim's identity) and through b82's
+    * compaction — the identity layer that lets an incremental
+    * consumer treat an update AS an update instead of an unrelated
+    * delete+insert pair. The demo appends the customer snapshot as
+    * ONE sorted write task (so v1's `_row_id` = rank(key)−1, an
+    * oracle-recomputable identity map; production writers don't need
+    * this — ids are stable whatever the landing order), runs the CDC
+    * MERGE (v2), compacts (v3 — identity must survive the rewrite),
+    * runs the follow-up MERGE (v4), and declares per update-class:
+    * row count, how many rows kept their original identity (all —
+    * THE claim), the class's uniform last-updated version (min = max
+    * declared to pin uniformity), and the balance sum. Inserted rows'
+    * identity check is range-scoped (ids minted by v2's landing) —
+    * their exact ids depend on distributed landing order, which is
+    * the honest contract. Scale: lineage adds two BIGINTs per row
+    * carried in rewritten files (a real format materializes them at
+    * rewrite; nothing global ships), and update-aware downstream
+    * consumers (d26's shape) stop re-keying on delete+insert pairs.
+    */
+  private def b95(s: SparkSession, d: String): DataFrame = {
+    val tbl = graft.util.DemoTables.freshGraftmem(s, d, "rlin",
+      "(key BIGINT NOT NULL, bal_cents BIGINT) " +
+        "TBLPROPERTIES ('graft.row_level' = 'merge-on-read', " +
+        "'graft.mor.deletes' = 'equality')")
+    customer(s, d)
+      .selectExpr("c_custkey AS key",
+        "CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents")
+      .repartition(1).sortWithinPartitions("key")
+      .writeTo(tbl).append() // v1: _row_id = rank(key) - 1
+    runCdcMergeRound(s, d, "b95", tbl) // v2
+    s.sql(s"CALL graftmem.system.compact('${tbl.stripPrefix("graftmem.")}')")
+      .collect() // v3: identity survives the rewrite
+    runFollowupMergeRound(s, tbl) // v4: +5000 on keys ≡1 (mod 10)
+    customer(s, d).createOrReplaceTempView("g_cust_b95r")
+    s.sql(
+      s"""WITH sc AS (SELECT count(*) AS n1,
+         |    count(CASE WHEN c_custkey % 10 = 3 THEN 1 END) AS nu,
+         |    count(CASE WHEN c_custkey % 100 = 0 THEN 1 END) AS ni
+         |  FROM g_cust_b95r),
+         |rk AS (SELECT c_custkey AS key,
+         |    row_number() OVER (ORDER BY c_custkey) - 1 AS orig_id
+         |  FROM g_cust_b95r),
+         |cur AS (SELECT key, bal_cents, _row_id AS rid,
+         |    _last_updated_version AS luv FROM $tbl)
+         |SELECT
+         |  CASE WHEN rk.key IS NULL THEN
+         |         CASE WHEN cur.key % 10 = 1 THEN 'ins1' ELSE 'ins' END
+         |       WHEN cur.key % 10 = 3 THEN 'upd3'
+         |       WHEN cur.key % 10 = 1 THEN 'upd1'
+         |       ELSE 'kept' END AS cls,
+         |  count(*) AS n,
+         |  count(CASE WHEN (rk.key IS NOT NULL AND rid = rk.orig_id)
+         |    OR (rk.key IS NULL AND rid >= (SELECT n1 FROM sc)
+         |        AND rid < (SELECT n1 + nu + ni FROM sc)) THEN 1 END)
+         |    AS n_id_stable,
+         |  min(luv) AS luv_min, max(luv) AS luv_max,
+         |  CAST(sum(CAST(bal_cents AS DECIMAL(38,0))) AS BIGINT)
+         |    AS bal_cents_sum
+         |FROM cur LEFT JOIN rk ON cur.key = rk.key
+         |GROUP BY 1 ORDER BY cls""".stripMargin)
+  }
+
   /** THE CDC round every row-level demo shares (b75 CoW, b80 MoR, b82
     * compaction, b83 change feed, d26 streaming CDC): update keys ≡3
     * (mod 10) to bal+10000, delete keys ≡7, insert keys ≡0 (mod 100)
@@ -2858,6 +2925,11 @@ object TierB {
     // the post-merge state.
     QueryDef("b94_files_metadata", b94 _, Some(
       "WITH snap AS (SELECT c_custkey AS key FROM customer), agg AS (SELECT count(*)::BIGINT AS n1, min(key)::BIGINT AS k1min, max(key)::BIGINT AS k1max, (max(key) + 1)::BIGINT AS o FROM snap), cd AS (SELECT count(*)::BIGINT AS nd FROM snap WHERE key % 10 = 7), cu AS (SELECT count(*)::BIGINT AS nu, min(key)::BIGINT AS kumin FROM snap WHERE key % 10 = 3), ci AS (SELECT count(*)::BIGINT AS ni, max(key)::BIGINT AS kimax FROM snap WHERE key % 100 = 0), lv AS (SELECT min(key)::BIGINT AS klmin FROM snap WHERE key % 10 <> 7) SELECT * FROM (SELECT 0::BIGINT AS phase, 1::BIGINT AS file_id, 1::BIGINT AS commit_version, 0::BIGINT AS pos_min, n1 AS pos_max, n1 AS rows_written, n1 - nd - nu AS live_rows, nd + nu AS deleted_rows, k1min AS min_key, k1max AS max_key FROM agg, cd, cu UNION ALL SELECT 0, 2, 2, n1, n1 + nu + ni, nu + ni, nu + ni, 0, kumin, kimax + o FROM agg, cu, ci UNION ALL SELECT 1, 3, 3, 0, n1 + nu + ni, n1 - nd + ni, n1 - nd + ni, 0, klmin, kimax + o FROM agg, cd, cu, ci, lv) ORDER BY phase, file_id")),
+    // b95's oracle recomputes the post-lifecycle state per update
+    // class with n_id_stable = n — the engine must prove EVERY row
+    // kept its identity through update, compaction and re-update.
+    QueryDef("b95_row_lineage", b95 _, Some(
+      "WITH snap AS (SELECT c_custkey AS key, floor(c_acctbal * 100)::BIGINT AS bal FROM customer), off AS (SELECT max(key) + 1 AS o FROM snap), orig AS (SELECT key, bal FROM snap WHERE key % 10 <> 7), cl AS (SELECT CASE WHEN key % 10 = 3 THEN 'upd3' WHEN key % 10 = 1 THEN 'upd1' ELSE 'kept' END AS cls, CASE WHEN key % 10 = 3 THEN bal + 10000 WHEN key % 10 = 1 THEN bal + 5000 ELSE bal END AS bal, CASE WHEN key % 10 = 3 THEN 2 WHEN key % 10 = 1 THEN 4 ELSE 1 END AS luv FROM orig UNION ALL SELECT CASE WHEN (key + (SELECT o FROM off)) % 10 = 1 THEN 'ins1' ELSE 'ins' END, CASE WHEN (key + (SELECT o FROM off)) % 10 = 1 THEN bal + 5000 ELSE bal END, CASE WHEN (key + (SELECT o FROM off)) % 10 = 1 THEN 4 ELSE 2 END FROM snap WHERE key % 100 = 0) SELECT cls, count(*)::BIGINT AS n, count(*)::BIGINT AS n_id_stable, min(luv)::BIGINT AS luv_min, max(luv)::BIGINT AS luv_max, sum(bal)::BIGINT AS bal_cents_sum FROM cl GROUP BY 1 ORDER BY cls")),
     QueryDef("b92_branch_wap", b92 _, Some(
       "WITH snap AS (SELECT c_custkey AS key, floor(c_acctbal * 100)::BIGINT AS bal FROM customer), off AS (SELECT max(c_custkey) + 1 AS o FROM customer), gen2 AS (SELECT key + (SELECT o FROM off) AS key, bal + 777 AS bal FROM snap), allr AS (SELECT * FROM snap UNION ALL SELECT * FROM gen2) SELECT (key % 10)::BIGINT AS key_mod, count(*)::BIGINT AS n, sum(bal)::BIGINT AS bal_cents_sum FROM allr GROUP BY 1 ORDER BY 1")),
     // b82 replays BOTH CDC rounds in the oracle and never mentions

@@ -231,6 +231,25 @@ private[sources] class GraftMemMorTable(val fullName: String,
   @volatile private[sources] var eqDeletes: Vector[(Long, Long, Long)] =
     Vector.empty
 
+  /** ROW LINEAGE (b95, the Iceberg-v3 `_row_id` /
+    * `_last_updated_sequence_number` shape): pos → (stable row id,
+    * last-updating commit version). A row's id is assigned at its
+    * FIRST commit (= its first position, unique and never reused) and
+    * PRESERVED through every row-level UPDATE — the delta writer's
+    * update() carries the victim→new-row pairing, so the re-insert
+    * inherits the victim's id while `_last_updated_version` moves to
+    * the updating commit — and through compaction (positions are
+    * preserved; dead entries are pruned). This is the identity layer
+    * that lets an incremental consumer see UPDATES as updates rather
+    * than unrelated delete+insert pairs. Guarded by `this`; pruned to
+    * live rows at compaction, so it holds O(live + uncompacted dead).
+    * A real format materializes these two columns INTO rewritten data
+    * files (nothing global ships with a scan); the demo ships the
+    * snapshot map with the reader factory.
+    */
+  @volatile private[sources] var lineage: Map[Long, (Long, Long)] =
+    Map.empty
+
   /** Next row position + commit counter; guarded by `this`. */
   private[sources] var nextPos: Long = 0L
   private[sources] var commitVersion: Long = 0L
@@ -290,14 +309,27 @@ private[sources] class GraftMemMorTable(val fullName: String,
   /** `_pos` — the stable row position, this table's ROW ID: what the
     * delta writer's deletes/updates address rows by (`SupportsDelta
     * .rowId`). Non-nullable by contract (Spark rejects nullable row
-    * ids).
+    * ids). `_row_id` / `_last_updated_version` are the LINEAGE
+    * columns (b95): stable identity across updates + the version of
+    * the last update, resolved from [[lineage]].
     */
   override def metadataColumns(): Array[MetadataColumn] =
-    Array(new MetadataColumn {
-      override def name(): String = "_pos"
-      override def dataType(): DataType = LongType
-      override def isNullable: Boolean = false
-    })
+    Array(
+      new MetadataColumn {
+        override def name(): String = "_pos"
+        override def dataType(): DataType = LongType
+        override def isNullable: Boolean = false
+      },
+      new MetadataColumn {
+        override def name(): String = "_row_id"
+        override def dataType(): DataType = LongType
+        override def isNullable: Boolean = false
+      },
+      new MetadataColumn {
+        override def name(): String = "_last_updated_version"
+        override def dataType(): DataType = LongType
+        override def isNullable: Boolean = false
+      })
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
@@ -326,6 +358,10 @@ private[sources] class GraftMemMorTable(val fullName: String,
     deltaInserts = Vector.empty
     deleted = Set.empty
     eqDeletes = Vector.empty
+    // lineage survives compaction UNCHANGED for live rows (positions
+    // are preserved — the b95 identity contract); dead entries prune
+    val livePos = live.iterator.map(_._1).toSet
+    lineage = lineage.filter(e => livePos.contains(e._1))
     commitVersion += 1
     // ledger: N files → ONE spanning file (b94's "rewrite_data_files"
     // face). Positions are preserved, so the span [0, nextPos) is
@@ -437,10 +473,10 @@ private[sources] class MorScanBuilder(table: GraftMemMorTable,
     // between two blocks would pair row data with a newer
     // schema/defaults vector)
     private val (snapBase, snapIns, snapDel, snapEq, pinnedVersion,
-        snapSchema, snapDefaults) =
+        snapSchema, snapDefaults, snapLineage) =
       table.synchronized((table.base, table.deltaInserts, table.deleted,
         table.eqDeletes, table.commitVersion, table.schema(),
-        table.colDefaults))
+        table.colDefaults, table.lineage))
     scanState.foreach(_.scanVersion = pinnedVersion)
     private val eqBounds: Map[Long, Long] =
       table.eqBoundaries(snapEq.map(e => (e._1, e._2)))
@@ -481,9 +517,24 @@ private[sources] class MorScanBuilder(table: GraftMemMorTable,
       // `_pos` resolves from the reader's aux (the row position);
       // data columns beyond a stored row's width read their initial
       // default (a column added after the row was written)
+      // lineage columns resolve from the pinned snapshot map; a row
+      // with no entry (pre-lineage history) falls back to the
+      // first-commit identity (id = pos, never updated)
+      val lin = snapLineage
       val proj = GraftCell.projector(required, snapSchema, snapDefaults,
-        Map("_pos" -> ((pos: Long, _: Array[Any]) =>
-          java.lang.Long.valueOf(pos): Any)))
+        Map(
+          "_pos" -> ((pos: Long, _: Array[Any]) =>
+            java.lang.Long.valueOf(pos): Any),
+          "_row_id" -> ((pos: Long, _: Array[Any]) =>
+            java.lang.Long.valueOf(lin.get(pos) match {
+              case Some((id, _)) => id
+              case None          => pos
+            }): Any),
+          "_last_updated_version" -> ((pos: Long, _: Array[Any]) =>
+            java.lang.Long.valueOf(lin.get(pos) match {
+              case Some((_, v)) => v
+              case None         => 0L
+            }): Any)))
       new PartitionReaderFactory {
         override def createReader(
             p: InputPartition): PartitionReader[InternalRow] = {
@@ -557,6 +608,9 @@ private[sources] class MorAppendWriteBuilder(
           table.base = table.base ++ assigned
           table.commitVersion += 1
           table.recordFile(assigned)
+          // lineage (b95): first commit assigns the stable row id
+          table.lineage = table.lineage ++ assigned.iterator.map(pr =>
+            pr._1 -> ((pr._1, table.commitVersion)))
           table.changeLog = table.changeLog ++ assigned.map(pr =>
             (table.commitVersion, true, pr._1, pr._2))
           table.recordSnapshot()
@@ -567,12 +621,16 @@ private[sources] class MorAppendWriteBuilder(
   }
 }
 
-/** Per-task delta: tombstoned positions + inserted rows. An UPDATE is
-  * a tombstone of the old position plus an insert of the new row —
-  * the position-delete + rewrite-row pair every MoR format encodes.
+/** Per-task delta: tombstoned positions, inserted rows, and UPDATES
+  * as explicit (victim row-id value → new row) pairs — semantically a
+  * tombstone + re-insert (the pair every MoR format encodes), carried
+  * paired so the commit can thread ROW LINEAGE (b95) from victim to
+  * re-insert. `upd`'s first element is the victim's rowId-column
+  * value: a position in positional mode, the key in equality mode.
   */
 private[sources] case class MorDeltaCommit(
-    dels: Vector[Long], ins: Vector[Array[Any]])
+    dels: Vector[Long], ins: Vector[Array[Any]],
+    upd: Vector[(Long, Array[Any])] = Vector.empty)
     extends WriterCommitMessage
 
 /** The `WriteDelta` face: Spark hands each MergeRows output row to the
@@ -608,11 +666,18 @@ private[sources] class MorDeltaWriteBuilder(
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
         val dels = Vector.newBuilder[Long]
         val ins = Vector.newBuilder[Array[Any]]
+        val upd = Vector.newBuilder[(Long, Array[Any])]
         messages.foreach { case m: MorDeltaCommit =>
-          dels ++= m.dels; ins ++= m.ins
+          dels ++= m.dels; ins ++= m.ins; upd ++= m.upd
         }
-        if (table.isEquality) { commitEquality(dels.result(), ins.result()); return }
-        val delSet = dels.result().toSet
+        if (table.isEquality) {
+          commitEquality(dels.result(), ins.result(), upd.result())
+          return
+        }
+        // an UPDATE is its victim tombstone + re-insert; the pairing
+        // is kept so the re-insert inherits the victim's row id (b95)
+        val upds = upd.result()
+        val delSet = dels.result().toSet ++ upds.iterator.map(_._1)
         table.synchronized {
           // ALL validation + lookups happen BEFORE any state mutates,
           // so a rejected commit leaves no trace (no phantom
@@ -645,13 +710,26 @@ private[sources] class MorDeltaWriteBuilder(
                 s"row position(s) ${vanished.toSeq.sorted.mkString(", ")} " +
                 "no longer exist (tombstoned and compacted after this " +
                 "operation's scan); retry from a fresh snapshot")
-          val assigned = ins.result().map { r =>
+          val assignedIns = ins.result().map { r =>
             val pr = (table.nextPos, r); table.nextPos += 1; pr
           }
+          val assignedUpd = upds.map { case (victim, r) =>
+            val pr = (table.nextPos, r); table.nextPos += 1; (victim, pr)
+          }
+          val assigned = assignedIns ++ assignedUpd.map(_._2)
           table.deleted = table.deleted ++ delSet
           table.deltaInserts = table.deltaInserts ++ assigned
           table.commitVersion += 1
           table.recordFile(assigned)
+          // lineage: fresh inserts get first-commit identity; update
+          // re-inserts INHERIT the victim's row id (the b95 point)
+          table.lineage = table.lineage ++
+            assignedIns.iterator.map(pr =>
+              pr._1 -> ((pr._1, table.commitVersion))) ++
+            assignedUpd.iterator.map { case (victim, pr) =>
+              pr._1 -> ((table.lineage.get(victim).map(_._1)
+                .getOrElse(victim), table.commitVersion))
+            }
           table.changeLog = table.changeLog ++
             delSet.toVector.sorted.map(p =>
               (table.commitVersion, false, p, idx(p))) ++
@@ -679,8 +757,12 @@ private[sources] class MorDeltaWriteBuilder(
     * (the key→rows join an equality-delete CDC reader performs).
     */
   private def commitEquality(delKeys: Vector[Long],
-      ins: Vector[Array[Any]]): Unit = {
-    val keySet = delKeys.toSet
+      ins: Vector[Array[Any]],
+      upd: Vector[(Long, Array[Any])] = Vector.empty): Unit = {
+    // an UPDATE's victim key joins the delete set; the (key → new
+    // row) pairing survives so the re-insert inherits the victim's
+    // row id (b95)
+    val keySet = delKeys.toSet ++ upd.iterator.map(_._1)
     table.synchronized {
       val scanVersion = scanState.map(_.scanVersion).getOrElse(-1L)
       if (scanVersion >= 0) {
@@ -708,14 +790,33 @@ private[sources] class MorDeltaWriteBuilder(
             "live row (deleted by a concurrent commit after this " +
             "operation's scan); retry from a fresh snapshot")
       val boundary = table.nextPos
-      val assigned = ins.map { r =>
+      val assignedIns = ins.map { r =>
         val pr = (table.nextPos, r); table.nextPos += 1; pr
       }
+      val assignedUpd = upd.map { case (k, r) =>
+        val pr = (table.nextPos, r); table.nextPos += 1; (k, pr)
+      }
+      val assigned = assignedIns ++ assignedUpd.map(_._2)
+      // victim identity per updated key: the LATEST live row of the
+      // key (max position) is what the update semantically replaces
+      val victimId: Map[Long, Long] = assignedUpd.iterator.map(_._1)
+        .toSet[Long].map { k =>
+          val top = victims.iterator
+            .filter(r => GraftCell.asLong(r._2(table.keyIdx)) == k)
+            .maxBy(_._1)
+          k -> table.lineage.get(top._1).map(_._1).getOrElse(top._1)
+        }.toMap
       table.commitVersion += 1
       table.recordFile(assigned)
       table.eqDeletes = table.eqDeletes ++ keySet.toVector.sorted
         .map(k => (k, boundary, table.commitVersion))
       table.deltaInserts = table.deltaInserts ++ assigned
+      table.lineage = table.lineage ++
+        assignedIns.iterator.map(pr =>
+          pr._1 -> ((pr._1, table.commitVersion))) ++
+        assignedUpd.iterator.map { case (k, pr) =>
+          pr._1 -> ((victimId(k), table.commitVersion))
+        }
       table.changeLog = table.changeLog ++
         victims.sortBy(_._1).map(pr =>
           (table.commitVersion, false, pr._1, pr._2)) ++
@@ -746,16 +847,17 @@ private[sources] class MorDeltaWriterFactory(proj: Array[Int],
         }
         a
       }
-      // `id` carries the rowId projection — one `_pos` long
+      private val upd = Vector.newBuilder[(Long, Array[Any])]
+      // `id` carries the rowId projection — one long (`_pos`, or the
+      // key column in equality mode)
       override def delete(meta: InternalRow, id: InternalRow): Unit =
         dels += id.getLong(0)
       override def update(meta: InternalRow, id: InternalRow,
-          row: InternalRow): Unit = {
-        dels += id.getLong(0); ins += dataOf(row)
-      }
+          row: InternalRow): Unit =
+        upd += ((id.getLong(0), dataOf(row)))
       override def insert(row: InternalRow): Unit = ins += dataOf(row)
       override def commit(): WriterCommitMessage =
-        MorDeltaCommit(dels.result(), ins.result())
+        MorDeltaCommit(dels.result(), ins.result(), upd.result())
       override def abort(): Unit = ()
       override def close(): Unit = ()
     }
