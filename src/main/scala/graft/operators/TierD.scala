@@ -141,7 +141,7 @@ object TierD {
     "d24_state_store_reader", "d25_stream_mor_upsert",
     "d26_stream_cdc_follow", "d27_stream_cdc_from_version",
     "d28_stream_continuous", "d29_state_metadata", "d30_state_ttl",
-    "d31_stream_eq_upsert")
+    "d31_stream_eq_upsert", "d32_stream_wap")
 
   /** Shared d14/d22 oracle: the one-shot hourly aggregate restricted
     * to watermark-closed windows (ws + 1 h window + 1 h delay ≤ max
@@ -264,6 +264,13 @@ object TierD {
     QueryDef("d31_stream_eq_upsert",
       (s, d) => graft.streaming.StreamingDemo.streamEqUpsert(s, d), Some(
         "SELECT user_id, count(*)::BIGINT AS cnt, sum(round(value * 100)::BIGINT)::BIGINT AS val_cents FROM events GROUP BY 1 ORDER BY 1")),
+    // d32 = streaming ingest through the write-audit-publish gate:
+    // the oracle recomputes main from the two CLEAN batches alone —
+    // the poisoned batch's absence (whole batch, not just the poison
+    // row: batch atomicity) IS the declared semantics.
+    QueryDef("d32_stream_wap",
+      (s, d) => graft.streaming.StreamingDemo.streamWap(s, d), Some(
+        "SELECT (user_id % 10)::BIGINT AS user_mod, count(*)::BIGINT AS n, sum(round(value * 100)::BIGINT)::BIGINT AS val_cents_sum FROM events WHERE user_id % 3 <> 1 GROUP BY 1 ORDER BY 1")),
     QueryDef("d20_stream_curation_gate",
       (s, d) => graft.streaming.StreamingDemo.streamCurationGate(s, d), Some(
         "WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS wl FROM documents), m AS (SELECT doc_id, lang, len(wl)::BIGINT AS n_words, len(list_filter(wl, x -> x IN ('the','a','of','and','to')))::BIGINT AS stop_cnt FROM w) SELECT doc_id, lang, n_words, stop_cnt FROM m WHERE n_words >= 10 AND stop_cnt * 10000 // n_words >= 200 ORDER BY doc_id")),

@@ -190,6 +190,61 @@ private[sources] object CreateBranchProcedure
     }
 }
 
+/** `graftmem.system.drop_branch(table, branch)` — abandon a staging
+  * branch without publishing: the failed-audit exit of
+  * write-audit-publish (d32's streaming gate drops the branch of a
+  * rejected batch and moves on — main was never touched, so there is
+  * nothing to roll back). Returns (branch, staged_commits).
+  */
+private[sources] object DropBranchProcedure
+    extends org.apache.spark.sql.connector.catalog.procedures
+      .UnboundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures._
+  import org.apache.spark.sql.types.{LongType => LT, StringType, StructField, StructType => ST}
+
+  override def name(): String = "drop_branch"
+  override def description(): String =
+    "abandon a write-audit-publish branch without publishing"
+
+  override def bind(inputType: StructType): BoundProcedure =
+    new BoundProcedure {
+      override def name(): String = "drop_branch"
+      override def description(): String =
+        DropBranchProcedure.this.description()
+      override def parameters(): Array[ProcedureParameter] =
+        Array(ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("branch", StringType).build())
+      override def isDeterministic: Boolean = false
+      private val outSchema = ST(Seq(
+        StructField("branch", StringType, nullable = false),
+        StructField("staged_commits", LT, nullable = false)))
+      override def call(input: InternalRow)
+          : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+        val tbl = input.getUTF8String(0).toString
+        val branch = input.getUTF8String(1).toString
+        GraftMemCatalog.lookup(tbl) match {
+          case g: GraftMemTable =>
+            val staged = g.dropBranch(branch)
+            val row: InternalRow = InternalRow(
+              org.apache.spark.unsafe.types.UTF8String.fromString(
+                branch.trim), staged)
+            val scan: org.apache.spark.sql.connector.read.Scan =
+              new org.apache.spark.sql.connector.read.LocalScan {
+                override def rows(): Array[InternalRow] = Array(row)
+                override def readSchema(): StructType = outSchema
+                override def description(): String =
+                  s"drop_branch($tbl, $branch)"
+              }
+            java.util.Collections.singletonList(scan).iterator()
+          case null => throw new IllegalArgumentException(
+            s"drop_branch: no graftmem table named '$tbl'")
+          case _ => throw new IllegalArgumentException(
+            s"drop_branch: '$tbl' keeps no branches")
+        }
+      }
+    }
+}
+
 /** `graftmem.system.fast_forward(table, 'main', branch)` — publish a
   * branch: one atomic commit that swaps main's content for the
   * branch's, REQUIRING main to be unchanged since the fork (the

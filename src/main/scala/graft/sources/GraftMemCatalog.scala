@@ -347,6 +347,7 @@ class GraftMemCatalog extends TableCatalog with FunctionCatalog
       Identifier.of(namespace, "create_tag"),
       Identifier.of(namespace, "create_branch"),
       Identifier.of(namespace, "fast_forward"),
+      Identifier.of(namespace, "drop_branch"),
       Identifier.of(namespace, "expire_snapshots"))
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
@@ -355,6 +356,7 @@ class GraftMemCatalog extends TableCatalog with FunctionCatalog
       case "create_tag"       => CreateTagProcedure
       case "create_branch"    => CreateBranchProcedure
       case "fast_forward"     => FastForwardProcedure
+      case "drop_branch"      => DropBranchProcedure
       case "expire_snapshots" => ExpireSnapshotsProcedure
       case other => throw new RuntimeException(
         s"graftmem: no procedure named '$other'")
@@ -612,6 +614,19 @@ private[sources] class GraftMemTable(val fullName: String,
         s"(base version ${branches(b).baseVersion})")
     branches(b) = new GraftBranch(b, commitVersion, rows, 0L)
     commitVersion
+  }
+
+  /** Abandon a branch without publishing (the failed-audit exit):
+    * remove it, return its staged commit count. Main was never
+    * touched, so there is nothing else to undo.
+    */
+  private[sources] def dropBranch(branch: String): Long = synchronized {
+    branches.remove(branch.trim) match {
+      case Some(br) => br.commits
+      case None => throw new IllegalArgumentException(
+        s"graftmem $fullName: no branch named '$branch' to drop " +
+          s"(branches: ${branches.keys.toSeq.sorted.mkString(", ")})")
+    }
   }
 
   /** Publish: atomic swap of main's content for the branch's, gated

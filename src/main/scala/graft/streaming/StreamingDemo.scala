@@ -1384,6 +1384,97 @@ object StreamingDemo {
     s.table(tbl).orderBy("user_id")
   }
 
+  /** d32: STREAMING INGEST GATED BY WRITE-AUDIT-PUBLISH — b92's
+    * governance pattern as the per-microbatch production gate: each
+    * batch stages its rows on a FORKED BRANCH
+    * (`CALL graftmem.system.create_branch`), where the parent's b87
+    * CHECK constraints audit every write at the ENGINE level, and
+    * only a clean batch fast-forwards onto main — ONE atomic publish
+    * per batch, so main moves batch-atomically and NEVER holds a
+    * partially-ingested or constraint-violating generation. A batch
+    * that fails the audit is simply DROPPED
+    * (`CALL graftmem.system.drop_branch`): main was untouched by
+    * construction, so there is no rollback, no quarantine table, no
+    * cleanup job — the entire point of staging on a branch. The demo
+    * splits `events` into three deterministic batch files; the middle
+    * one carries a poison row violating the CHECK box, so its WHOLE
+    * batch (poison row AND its innocent neighbors — batch atomicity
+    * is the contract) never reaches main. Declared output = main's
+    * per-user-decade summary, which the oracle recomputes from the
+    * two clean batches alone — the poisoned batch's ABSENCE is the
+    * declared semantics; the engine asserts exactly one rejection.
+    * At 100 TB this is the streaming ingest gate: audit cost is
+    * per-batch metadata + the engine's write-time CHECK, publish is
+    * O(1) pointer swap, and a bad producer can never corrupt the
+    * serving table. No batch retries in the demo run; a production
+    * deployment keys branch names by (runId, batchId) and makes the
+    * publish idempotent with d23's committed-epoch ledger.
+    */
+  def streamWap(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graftmem",
+      "graft.sources.GraftMemCatalog")
+    val ev = graft.util.Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        round(col("value") * 100).cast("long").as("val_cents"))
+    val srcDir = graft.util.TmpDir.fresh("d32-src")
+    // three deterministic batch files: users ≡0, ≡1 (+ the poison
+    // row), ≡2 (mod 3) — one file per microbatch via maxFilesPerTrigger
+    ev.filter(col("user_id") % 3 === 0)
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    ev.filter(col("user_id") % 3 === 1)
+      .unionByName(s.range(1).selectExpr(
+        "CAST(-1 AS BIGINT) AS user_id", "CAST(-1 AS BIGINT) AS event_id",
+        "CAST(-200000000 AS BIGINT) AS val_cents"))
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    ev.filter(col("user_id") % 3 === 2)
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val tbl = graft.util.DemoTables.freshGraftmem(s, d, "wapstream",
+      "(user_id BIGINT, event_id BIGINT, val_cents BIGINT, " +
+        "CONSTRAINT d32_box CHECK (val_cents > -100000000))")
+    val short = tbl.stripPrefix("graftmem.")
+    val rejected = new java.util.concurrent.atomic.AtomicLong(0L)
+    val src = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val gate: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      Long) => Unit = { (batch, id) =>
+      val ss = batch.sparkSession
+      ss.conf.set("spark.sql.catalog.graftmem",
+        "graft.sources.GraftMemCatalog")
+      val br = s"ing$id"
+      ss.sql(s"CALL graftmem.system.create_branch('$short', '$br')")
+        .collect()
+      try {
+        // stage: the engine injects the parent's CHECK validation
+        // into this write — the audit IS the write plan
+        batch.writeTo(s"${tbl}__branch_$br").append()
+        ss.sql(
+          s"CALL graftmem.system.fast_forward('$short', 'main', '$br')")
+          .collect()
+      } catch {
+        case _: Exception =>
+          // failed audit: drop the branch; main was never touched
+          rejected.incrementAndGet()
+          ss.sql(s"CALL graftmem.system.drop_branch('$short', '$br')")
+            .collect()
+      }
+    }
+    withStreamPartitions(s) {
+      val q = src.writeStream
+        .foreachBatch(gate)
+        .option("checkpointLocation", graft.util.TmpDir.fresh("d32-ckpt"))
+        .start()
+      try { q.processAllAvailable() } finally { q.stop() }
+    }
+    require(rejected.get() == 1L,
+      s"d32 expects exactly the poisoned batch rejected, got " +
+        s"${rejected.get()}")
+    s.sql(
+      s"""SELECT user_id % 10 AS user_mod, count(*) AS n,
+         |  CAST(sum(CAST(val_cents AS DECIMAL(38,0))) AS BIGINT)
+         |    AS val_cents_sum
+         |FROM $tbl GROUP BY user_id % 10 ORDER BY user_mod""".stripMargin)
+  }
+
   /** d26: the CHANGE FEED AS A STREAMING SOURCE — `readStream.table`
     * over `db.tbl__changes` (b83's batch feed given its micro-batch
     * face): offsets are positions in the append-only change log, so

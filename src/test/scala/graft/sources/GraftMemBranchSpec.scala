@@ -150,6 +150,36 @@ class GraftMemBranchSpec extends SparkSpec {
       "the re-forked branch must not receive the stale writer's rows")
   }
 
+  test("drop_branch abandons staging without publishing (the " +
+      "failed-audit exit): main untouched, name reusable") {
+    val (tbl, table) = fresh("spec_wap_drop", "(key BIGINT, bal BIGINT)")
+    spark.range(3).selectExpr("id AS key", "id AS bal").writeTo(tbl).append()
+    spark.sql(
+      s"CALL graftmem.system.create_branch('db.spec_wap_drop', 'b')")
+      .collect()
+    spark.range(10, 12).selectExpr("id AS key", "id AS bal")
+      .writeTo(s"${tbl}__branch_b").append()
+    val vBefore = table.synchronized(table.commitVersion)
+    val res = spark.sql(
+      s"CALL graftmem.system.drop_branch('db.spec_wap_drop', 'b')")
+      .collect()
+    assert(res(0).getString(0) == "b" && res(0).getLong(1) == 1L, res(0))
+    assert(spark.table(tbl).count() == 3)
+    assert(table.synchronized(table.commitVersion) == vBefore,
+      "dropping a branch must not commit anything to main")
+    assert(!table.synchronized(table.branches.contains("b")))
+    // the name is free again (per-batch staging reuses the pattern)
+    spark.sql(
+      s"CALL graftmem.system.create_branch('db.spec_wap_drop', 'b')")
+      .collect()
+    val e = intercept[Exception] {
+      spark.sql(
+        s"CALL graftmem.system.drop_branch('db.spec_wap_drop', 'x')")
+        .collect()
+    }
+    assert(e.getMessage.contains("no branch"), e.getMessage)
+  }
+
   test("procedure validation: duplicate branch, unknown branch, " +
       "non-main target, MoR parent all reject loudly") {
     val (tbl, _) = fresh("spec_wap_val", "(key BIGINT, bal BIGINT)")
