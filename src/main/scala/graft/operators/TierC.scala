@@ -1257,6 +1257,96 @@ object TierC {
     ivfRecallEval(s, d, ann, ivfProbeSet(s, d), k)
   }
 
+  /** c75: CALIBRATED CURATION ENSEMBLE — c12's heuristics, c55's
+    * perplexity bucket and c63's classifier each gate ALONE; a
+    * production curation stack combines them, because the members
+    * fail differently (heuristics miss fluent spam, the classifier
+    * inherits its training skew, perplexity punishes rare-domain
+    * text) and a single gate's mistakes are unrecoverable downstream.
+    * One integer-exact keep-score over three calibrated members:
+    *
+    *   - h_bp: c12's heuristic score (already 0..10000 basis points);
+    *   - p_bp: c55's per-language perplexity tertile mapped to
+    *     fluency points (3−tertile)·5000 ∈ {0, 5000, 10000} — rank
+    *     calibration, the CCNet head/middle/tail read as a score;
+    *   - c_bp: c63's classifier weight-sum calibrated by offset+clamp
+    *     into [0, 10000] (min/max/shift only — no negative division,
+    *     the c49 cross-engine hazard);
+    *
+    *   ens_bp = (4·h + 3·p + 3·c) div 10 ∈ [0, 10000].
+    *
+    * The threshold is PER-SOURCE and driven by c61's mixture table:
+    * thr_s = max(3000, 5000 + share_bp − weight_bp) — a source
+    * OVER-represented relative to its temperature weight (share >
+    * weight: the crawl) must clear a higher bar, an under-represented
+    * source (the tail c73 up-weights) keeps its floor. Quality
+    * gating and mixture shaping become ONE auditable table instead
+    * of a config file.
+    *
+    * Scale shape: each member is its own partial-agg'd doc-keyed
+    * pass (exactly its standalone query's plan); the ensemble is two
+    * doc-keyed joins sharing one shuffle key plus a BROADCAST of the
+    * #sources-bounded threshold table; no new shuffle class appears.
+    * The oracle recomputes all three members, the mixture thresholds
+    * and the combination — the whole ensemble, bit-for-bit.
+    */
+  private def c75(s: SparkSession, d: String): DataFrame = {
+    // member 1 — c12's heuristic score
+    val h = withWords(documents(s, d))
+      .withColumn("n_words", size(col("w")).cast("long"))
+      .withColumn("stop_cnt",
+        size(expr("filter(w, x -> x IN ('the','a','of','and','to'))"))
+          .cast("long"))
+      .select(col("doc_id"),
+        floor((least(col("n_words").cast("double") / 100.0, lit(1.0)) * 0.4 +
+          (lit(1.0) - col("stop_cnt").cast("double") / col("n_words")) * 0.6)
+          * 10000.0).cast("long").as("h_bp"))
+    // member 2 — c55's tertile as fluency points
+    val docsMeta = documents(s, d).select(col("doc_id"), col("lang"),
+      col("source"))
+    val p = unigramSurprisal(s, d).join(docsMeta, Seq("doc_id"))
+      .withColumn("tertile", ntile(3).over(
+        Window.partitionBy("lang").orderBy("avg_sur_bp", "doc_id")))
+      .select(col("doc_id"),
+        ((lit(3) - col("tertile")) * 5000L).cast("long").as("p_bp"))
+    // member 3 — c63's classifier, offset+clamp calibrated
+    val weights = s.range(64).select(col("id").as("fh"),
+      (pmod(portableHash(concat(lit("w:"), col("id").cast("string"))),
+        lit(2001)) - 1000).as("wt"))
+    val c = withWords(documents(s, d))
+      .select(col("doc_id"), explode(col("w")).as("word"))
+      .withColumn("fh",
+        pmod(portableHash(concat(lit("feat:"), col("word"))), lit(64)))
+      .join(broadcast(weights), Seq("fh"))
+      .groupBy("doc_id").agg(sum("wt").cast("long").as("score"))
+      .select(col("doc_id"),
+        greatest(lit(0L), least(lit(10000L), lit(5000L) + col("score")))
+          .as("c_bp"))
+    // per-source thresholds from c61's mixture table (window form —
+    // #sources-bounded single partition, then broadcast)
+    val thr = documents(s, d).groupBy("source")
+      .agg(sum(size(split(col("text"), " ")).cast("long")).cast("long")
+        .as("n_tokens"))
+      .withColumn("tot", sum("n_tokens").over(Window.partitionBy()))
+      .withColumn("tot_sq",
+        sum(sqrt(col("n_tokens").cast("double")).cast("decimal(28,12)"))
+          .over(Window.partitionBy()))
+      .select(col("source"),
+        greatest(lit(3000L), lit(5000L) +
+          expr("10000L * n_tokens div tot") -
+          floor(lit(10000d) * sqrt(col("n_tokens").cast("double")) /
+            col("tot_sq").cast("double")).cast("long")).as("thr_bp"))
+    docsMeta.select(col("doc_id"), col("source"))
+      .join(h, Seq("doc_id")).join(p, Seq("doc_id")).join(c, Seq("doc_id"))
+      .join(broadcast(thr), Seq("source"))
+      .withColumn("ens_bp",
+        expr("(4 * h_bp + 3 * p_bp + 3 * c_bp) div 10"))
+      .select(col("doc_id"), col("source"), col("h_bp"), col("p_bp"),
+        col("c_bp"), col("ens_bp"), col("thr_bp"),
+        (col("ens_bp") >= col("thr_bp")).as("kept"))
+      .orderBy("doc_id")
+  }
+
   /** c73: TEMPERATURE-WEIGHTED MIXTURE SAMPLING — the data-mix recipe
     * LM training actually runs (the Pile / multilingual-LM shape):
     * sampling sources proportionally to their SIZE drowns small
@@ -3347,6 +3437,10 @@ object TierC {
     // VERBATIM: same answer through the infrastructure path is the
     // cross-check (the b75/b80/b91 discipline applied to ANN).
     QueryDef("c74_index_search", c74 _, Some(ivfPqSearchOracleSql)),
+    // c75's oracle recomputes all three member scores, the mixture
+    // thresholds and the combination — the whole ensemble bit-for-bit.
+    QueryDef("c75_curation_ensemble", c75 _, Some(
+      s"WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents), h AS (SELECT doc_id, floor((least(len(w)::DOUBLE / 100.0, 1.0) * 0.4 + (1.0 - sc::DOUBLE / len(w)) * 0.6) * 10000)::BIGINT AS h_bp FROM (SELECT doc_id, w, len(list_filter(w, x -> x IN ('the','a','of','and','to'))) AS sc FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))), wc AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w), tot AS (SELECT count(*) AS n FROM tok), sur AS (SELECT w, (length(bin((n // cnt)::BIGINT)) - 1)::BIGINT AS bits FROM wc, tot), pd AS (SELECT t.doc_id, (sum(s.bits) * 10000 // count(*))::BIGINT AS avg_sur_bp FROM tok t JOIN sur s ON t.w = s.w GROUP BY t.doc_id), p AS (SELECT d.doc_id, ((3 - ntile(3) OVER (PARTITION BY d.lang ORDER BY pd.avg_sur_bp, d.doc_id)) * 5000)::BIGINT AS p_bp FROM pd JOIN documents d USING (doc_id)), f AS (SELECT doc_id, (${graft.util.Tables.duckHash("'feat:' || w")} % 64) AS fh FROM tok), c AS (SELECT doc_id, greatest(0, least(10000, 5000 + sum(${graft.util.Tables.duckHash("'w:' || fh::VARCHAR")} % 2001 - 1000)))::BIGINT AS c_bp FROM f GROUP BY doc_id), mixt AS (SELECT source, sum(len(string_split(text, ' ')))::BIGINT AS n_tokens FROM documents GROUP BY 1), g AS (SELECT sum(n_tokens)::BIGINT AS tot, sum(sqrt(n_tokens::DOUBLE)::DECIMAL(28,12)) AS tot_sq FROM mixt), thr AS (SELECT source, greatest(3000, 5000 + (10000 * n_tokens // tot) - floor(10000 * sqrt(n_tokens::DOUBLE) / tot_sq::DOUBLE)::BIGINT)::BIGINT AS thr_bp FROM mixt, g) SELECT d.doc_id, d.source, h.h_bp, p.p_bp, c.c_bp, ((4 * h.h_bp + 3 * p.p_bp + 3 * c.c_bp) // 10)::BIGINT AS ens_bp, thr.thr_bp, ((4 * h.h_bp + 3 * p.p_bp + 3 * c.c_bp) // 10 >= thr.thr_bp) AS kept FROM documents d JOIN h USING (doc_id) JOIN p USING (doc_id) JOIN c USING (doc_id) JOIN thr ON thr.source = d.source ORDER BY d.doc_id")),
     // c73's oracle recomputes the whole recipe — exact isqrt weights,
     // quotas, hash-ranked picks — so the mixture spec itself is
     // hash-pinned, not just the row count.

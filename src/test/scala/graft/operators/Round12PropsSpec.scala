@@ -39,6 +39,46 @@ class Round12PropsSpec extends SparkSpec {
       .forall(_._2.length <= 5))
   }
 
+  test("c75 agrees with its standalone members: h_bp == c12's score, " +
+      "p_bp == c55's tertile mapped, c_bp == c63's clamped score, and " +
+      "the combination is exactly (4h+3p+3c) div 10") {
+    val ens = graft.SparkEntry.queries("c75_curation_ensemble")(
+      spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getBoolean(7)))).toMap
+    assert(ens.nonEmpty)
+    val c12m = graft.SparkEntry.queries("c12_text_quality")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(5)).toMap
+    val c55m = graft.SparkEntry.queries("c55_perplexity_bucket")(
+      spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (3L - r.getLong(3)) * 5000L).toMap
+    val c63m = graft.SparkEntry.queries("c63_quality_classifier")(
+      spark, sf0001).collect()
+      .map(r => r.getLong(0) ->
+        math.max(0L, math.min(10000L, 5000L + r.getLong(2)))).toMap
+    ens.foreach { case (id, (h, p, c, e, thr, kept)) =>
+      assert(h == c12m(id), s"doc $id h_bp: $h vs ${c12m(id)}")
+      assert(p == c55m(id), s"doc $id p_bp: $p vs ${c55m(id)}")
+      assert(c == c63m(id), s"doc $id c_bp: $c vs ${c63m(id)}")
+      assert(e == (4 * h + 3 * p + 3 * c) / 10)
+      assert(kept == (e >= thr))
+      assert(thr >= 3000L)
+    }
+    // the gate is a real gate: both outcomes occur on this corpus
+    val keptN = ens.values.count(_._6)
+    assert(keptN > 0 && keptN < ens.size,
+      s"degenerate gate: $keptN/${ens.size} kept")
+  }
+
+  test("c75 plan: the threshold table joins broadcast; no cartesian") {
+    val p = graft.SparkEntry.queries("c75_curation_ensemble")(
+      spark, sf0001).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"the #sources-bounded threshold table must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("c74 build is incremental: the index table landed as TWO " +
       "append commits (initial build + maintenance), together " +
       "covering the full universe") {
