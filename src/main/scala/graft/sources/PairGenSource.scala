@@ -1059,53 +1059,78 @@ private[sources] class PairGenReaderFactory(required: StructType,
   /** COLUMNAR READS (a44, the vectorized-source face every columnar
     * format reader implements — `PartitionReaderFactory
     * .supportColumnarReads` + a `ColumnarBatch` reader): plain
-    * ascending id/value partitions emit 4096-row batches into on-heap
-    * column vectors, and Spark plans the scan columnar (a
-    * `ColumnarToRow` feeds whole-stage codegen, exactly like the
-    * parquet vectorized reader). Declined for sampled scans, variant/
-    * struct output, bucketed and descending partitions — those keep
+    * ascending id/value partitions AND (round 12) the key-grouped
+    * bucket partitions emit 4096-row batches into on-heap column
+    * vectors, and Spark plans the scan columnar (a `ColumnarToRow`
+    * feeds whole-stage codegen, exactly like the parquet vectorized
+    * reader). A bucket batch strides through its id residue class
+    * with a constant `grp` vector, so a34/a39's exchange-free
+    * storage-partitioned joins get vectorized scans too — COLUMNAR
+    * and ZERO exchanges in one plan (spec-asserted), the Iceberg
+    * bucketed-parquet read shape. Declined for sampled scans,
+    * variant/struct output and descending partitions — those keep
     * the row reader (Spark requires all-or-nothing per scan, and the
     * guard keys on the partition + projection shape both paths
     * share). Values are generated by the SAME md5 kernel as the row
     * path, so the two paths are bit-identical by construction.
     */
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    partition.isInstanceOf[PairGenPartition] && sample.isEmpty &&
-      required.fields.forall(f => f.name == "id" || f.name == "value")
+    (partition.isInstanceOf[PairGenPartition] ||
+      partition.isInstanceOf[PairGenBucketPartition]) && sample.isEmpty &&
+      required.fields.forall(f =>
+        f.name == "id" || f.name == "value" || f.name == "grp")
+
+  /** First id of a bucket partition's residue class — ONE rule shared
+    * by the row and columnar readers (a drifted copy would silently
+    * split their contents).
+    */
+  private def bucketFirst(b: PairGenBucketPartition): Long =
+    b.lo + (((b.bucket - b.lo % b.buckets) + b.buckets) % b.buckets)
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
-    val p = partition.asInstanceOf[PairGenPartition]
+    // (first, bound, stride, grp): contiguous for plain partitions, a
+    // mod-class stride with constant grp for bucketed ones
+    val (first, bound, stride, grpVal) = partition match {
+      case p: PairGenPartition => (p.start, p.end, 1L, -1L)
+      case b: PairGenBucketPartition =>
+        (bucketFirst(b), b.hi, b.buckets.toLong, b.bucket.toLong)
+    }
     new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
-      private var cur = p.start
+      private var cur = first
       private val cap = 4096
       private val md = java.security.MessageDigest.getInstance("MD5")
       private var batch: org.apache.spark.sql.vectorized.ColumnarBatch =
         null
       override def next(): Boolean = {
         if (batch != null) { batch.close(); batch = null }
-        if (cur >= p.end) return false
-        val n = math.min(cap.toLong, p.end - cur).toInt
+        if (cur >= bound) return false
+        // ids remaining in this partition's (strided) sequence
+        val left = (bound - 1 - cur) / stride + 1
+        val n = math.min(cap.toLong, left).toInt
         val cols = required.fields.map { f =>
           val v = new org.apache.spark.sql.execution.vectorized
             .OnHeapColumnVector(n, f.dataType)
           f.name match {
             case "id" =>
               var i = 0
-              while (i < n) { v.putLong(i, cur + i); i += 1 }
+              while (i < n) { v.putLong(i, cur + i * stride); i += 1 }
             case "value" =>
               var i = 0
               while (i < n) {
                 v.putByteArray(i,
-                  PairGenSource.md5HexBytes(md, cur + i)); i += 1
+                  PairGenSource.md5HexBytes(md, cur + i * stride)); i += 1
               }
+            case "grp" =>
+              var i = 0
+              while (i < n) { v.putLong(i, grpVal); i += 1 }
             case other => throw new IllegalStateException(
               s"pairgen columnar: unsupported column $other")
           }
           v: org.apache.spark.sql.vectorized.ColumnVector
         }
         batch = new org.apache.spark.sql.vectorized.ColumnarBatch(cols, n)
-        cur += n
+        cur += n.toLong * stride
         true
       }
       override def get()
@@ -1124,8 +1149,7 @@ private[sources] class PairGenReaderFactory(required: StructType,
       case p: PairGenPartition => (p.start, p.end, 1L, 0)
       case d: PairGenDescPartition => (d.end - 1, d.start, -1L, 0)
       case b: PairGenBucketPartition =>
-        (b.lo + (((b.bucket - b.lo % b.buckets) + b.buckets) % b.buckets),
-          b.hi, b.buckets.toLong, b.buckets)
+        (bucketFirst(b), b.hi, b.buckets.toLong, b.buckets)
     }
     new PartitionReader[InternalRow] {
       private var cur = first - stride

@@ -55,6 +55,11 @@ class RelationalPlanSpec extends SparkSpec {
     assert(p.contains("SortMergeJoin"), p)
     assert(p.contains("BatchScan"), p)
     assert(!p.contains("Exchange hashpartitioning"), p)
+    // round 12: the bucketed layout reads COLUMNAR too — vectorized
+    // scans AND an exchange-free join in the SAME plan (the Iceberg
+    // bucketed-parquet ideal)
+    assert(p.contains("ColumnarToRow"),
+      s"bucketed scans must plan columnar:\n$p")
     val rows = out.collect()
     assert(rows.length == 8, rows.mkString(","))
     // every grp: 625 right-side ids, all with matching generated values

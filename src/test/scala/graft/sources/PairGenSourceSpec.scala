@@ -126,6 +126,36 @@ class PairGenSourceSpec extends SparkSpec {
     assert(vt.count() == 100)
   }
 
+  test("a44+: bucketed scans read COLUMNAR (round 12) and the " +
+      "vectorized bucket reader is bit-identical to the closed form; " +
+      "descending top-N still keeps the row reader") {
+    val bt = spark.read.format("pairgen").option("rows", "1000")
+      .option("buckets", "8").load()
+    val plan = bt.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"),
+      s"bucketed scan did not plan columnar:\n$plan")
+    val got = bt.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val exp = (0L until 1000L).map(i =>
+      (i, new String(PairGenSource.md5HexBytes(md, i), "US-ASCII"), i % 8))
+    assert(got == exp,
+      "bucketed columnar reader must be bit-identical to the generator")
+    // a filter narrows the range inside each strided bucket batch
+    val f = bt.filter(org.apache.spark.sql.functions.col("id") >= 37L &&
+      org.apache.spark.sql.functions.col("id") < 253L)
+    assert(f.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    assert(f.collect().map(_.getLong(0)).sorted.toSeq ==
+      (37L until 253L).toSeq)
+    // the descending fully-pushed top-N partition keeps the row reader
+    val d = spark.read.format("pairgen").option("rows", "1000").load()
+      .orderBy(org.apache.spark.sql.functions.col("id").desc).limit(5)
+    assert(!d.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    assert(d.collect().map(_.getLong(0)).toSeq ==
+      Seq(999L, 998L, 997L, 996L, 995L))
+  }
+
   test("column pruning reaches the scan schema") {
     val df = load(1000, 4).select("value")
     val scan = df.queryExecution.executedPlan.collectLeaves().head
