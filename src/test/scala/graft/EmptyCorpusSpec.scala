@@ -45,7 +45,7 @@ class EmptyCorpusSpec extends SparkSpec {
     * first k rows and refuse to run without them.
     */
   private val requiresSeeds = Set("a23_kmeans_iterative", "c19_ann_ivf",
-    "c43_ann_pq", "c72_ivf_pq_search")
+    "c43_ann_pq", "c72_ivf_pq_search", "c74_index_search")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name on an empty corpus") {
