@@ -141,7 +141,7 @@ object TierD {
     "d24_state_store_reader", "d25_stream_mor_upsert",
     "d26_stream_cdc_follow", "d27_stream_cdc_from_version",
     "d28_stream_continuous", "d29_state_metadata", "d30_state_ttl",
-    "d31_stream_eq_upsert", "d32_stream_wap")
+    "d31_stream_eq_upsert", "d32_stream_wap", "d33_stream_lineage_cdc")
 
   /** Shared d14/d22 oracle: the one-shot hourly aggregate restricted
     * to watermark-closed windows (ws + 1 h window + 1 h delay ≤ max
@@ -254,6 +254,14 @@ object TierD {
       (s, d) => graft.streaming.StreamingDemo.streamCdcFromVersion(s, d),
       Some(
         "WITH snap AS (SELECT c_custkey AS key, floor(c_acctbal * 100)::BIGINT AS bal FROM customer), off AS (SELECT max(c_custkey) + 1 AS o FROM customer), batch AS (SELECT key, bal + 10000 AS nb, 'U' AS op FROM snap WHERE key % 10 = 3 UNION ALL SELECT key, 0, 'D' FROM snap WHERE key % 10 = 7 UNION ALL SELECT key + (SELECT o FROM off), bal, 'I' FROM snap WHERE key % 100 = 0), post AS (SELECT s.key, coalesce(CASE WHEN b.op = 'U' THEN b.nb END, s.bal) AS bal FROM snap s LEFT JOIN batch b ON s.key = b.key WHERE b.op IS NULL OR b.op <> 'D' UNION ALL SELECT key, nb FROM batch WHERE op = 'I'), v3 AS (SELECT 'delete' AS ct, bal FROM post WHERE key % 10 = 1 UNION ALL SELECT 'insert', bal + 5000 FROM post WHERE key % 10 = 1) SELECT 3::BIGINT AS _commit_version, ct AS _change_type, count(*)::BIGINT AS n, sum(bal)::BIGINT AS bal_cents_sum FROM v3 GROUP BY 2 ORDER BY 1, 2")),
+    // d33 = the change feed consumed UPDATE-AWARE via b95's lineage:
+    // D+I pairs sharing (_commit_version, _row_id) reconstruct as
+    // updates; the oracle recomputes the per-version operation census
+    // (updates / pure inserts / pure deletes / exact update deltas)
+    // from the batch definitions.
+    QueryDef("d33_stream_lineage_cdc",
+      (s, d) => graft.streaming.StreamingDemo.streamLineageCdc(s, d), Some(
+        "WITH snap AS (SELECT c_custkey AS key FROM customer), off AS (SELECT max(key) + 1 AS o FROM snap), n AS (SELECT count(*)::BIGINT AS n1 FROM snap), u AS (SELECT count(*)::BIGINT AS nu FROM snap WHERE key % 10 = 3), dd AS (SELECT count(*)::BIGINT AS nd FROM snap WHERE key % 10 = 7), ii AS (SELECT count(*)::BIGINT AS ni FROM snap WHERE key % 100 = 0), post AS (SELECT key FROM snap WHERE key % 10 <> 7 UNION ALL SELECT key + (SELECT o FROM off) FROM snap WHERE key % 100 = 0), p1 AS (SELECT count(*)::BIGINT AS np FROM post WHERE key % 10 = 1) SELECT * FROM (SELECT 1::BIGINT AS _commit_version, 0::BIGINT AS n_updates, n1 AS n_inserts, 0::BIGINT AS n_deletes, 0::BIGINT AS upd_delta_cents FROM n UNION ALL SELECT 2, nu, ni, nd, 10000 * nu FROM u, dd, ii UNION ALL SELECT 3, np, 0, 0, 5000 * np FROM p1) ORDER BY _commit_version")),
     QueryDef("d25_stream_mor_upsert",
       (s, d) => graft.streaming.StreamingDemo.streamMorUpsert(s, d), Some(
         "SELECT user_id, count(*)::BIGINT AS cnt, sum(round(value * 100)::BIGINT)::BIGINT AS val_cents FROM events GROUP BY 1 ORDER BY 1")),

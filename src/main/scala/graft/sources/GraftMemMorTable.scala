@@ -286,7 +286,12 @@ private[sources] class GraftMemMorTable(val fullName: String,
     }
 
   /** CHANGE LOG (b83): every committed row change, stamped with the
-    * commit version that produced it — (version, isInsert, pos, row).
+    * commit version that produced it — (version, isInsert, pos,
+    * rowId, row). The ROW ID is captured AT COMMIT TIME (d33): an
+    * update's delete and re-insert share it, which is what lets a
+    * change-feed consumer reconstruct UPDATES from D+I pairs — and it
+    * must be stored, not derived, because compaction prunes dead
+    * rows' lineage while the feed keeps serving their history.
     * Appends log their inserts; delta commits log tombstones WITH the
     * deleted row's content (looked up at commit time — the same join
     * a position-delete CDC reader does against the data files) and
@@ -299,7 +304,7 @@ private[sources] class GraftMemMorTable(val fullName: String,
     * and serves older reads from snapshots.
     */
   private[sources] var changeLog
-      : Vector[(Long, Boolean, Long, Array[Any])] = Vector.empty
+      : Vector[(Long, Boolean, Long, Long, Array[Any])] = Vector.empty
 
   override def name(): String = fullName
   override def schema(): StructType = curSchema
@@ -612,7 +617,7 @@ private[sources] class MorAppendWriteBuilder(
           table.lineage = table.lineage ++ assigned.iterator.map(pr =>
             pr._1 -> ((pr._1, table.commitVersion)))
           table.changeLog = table.changeLog ++ assigned.map(pr =>
-            (table.commitVersion, true, pr._1, pr._2))
+            (table.commitVersion, true, pr._1, pr._1, pr._2))
           table.recordSnapshot()
         }
       }
@@ -721,19 +726,27 @@ private[sources] class MorDeltaWriteBuilder(
           table.deltaInserts = table.deltaInserts ++ assigned
           table.commitVersion += 1
           table.recordFile(assigned)
+          // row id as of BEFORE this commit (victims keep theirs; an
+          // update's re-insert inherits it — the pairing d33's feed
+          // consumers reconstruct updates from)
+          def ridOf(p: Long): Long =
+            table.lineage.get(p).map(_._1).getOrElse(p)
           // lineage: fresh inserts get first-commit identity; update
           // re-inserts INHERIT the victim's row id (the b95 point)
           table.lineage = table.lineage ++
             assignedIns.iterator.map(pr =>
               pr._1 -> ((pr._1, table.commitVersion))) ++
             assignedUpd.iterator.map { case (victim, pr) =>
-              pr._1 -> ((table.lineage.get(victim).map(_._1)
-                .getOrElse(victim), table.commitVersion))
+              pr._1 -> ((ridOf(victim), table.commitVersion))
             }
           table.changeLog = table.changeLog ++
             delSet.toVector.sorted.map(p =>
-              (table.commitVersion, false, p, idx(p))) ++
-            assigned.map(pr => (table.commitVersion, true, pr._1, pr._2))
+              (table.commitVersion, false, p, ridOf(p), idx(p))) ++
+            assignedIns.map(pr =>
+              (table.commitVersion, true, pr._1, pr._1, pr._2)) ++
+            assignedUpd.map { case (victim, pr) =>
+              (table.commitVersion, true, pr._1, ridOf(victim), pr._2)
+            }
           table.recordSnapshot()
         }
       }
@@ -819,8 +832,13 @@ private[sources] class MorDeltaWriteBuilder(
         }
       table.changeLog = table.changeLog ++
         victims.sortBy(_._1).map(pr =>
-          (table.commitVersion, false, pr._1, pr._2)) ++
-        assigned.map(pr => (table.commitVersion, true, pr._1, pr._2))
+          (table.commitVersion, false, pr._1,
+            table.lineage.get(pr._1).map(_._1).getOrElse(pr._1), pr._2)) ++
+        assignedIns.map(pr =>
+          (table.commitVersion, true, pr._1, pr._1, pr._2)) ++
+        assignedUpd.map { case (k, pr) =>
+          (table.commitVersion, true, pr._1, victimId(k), pr._2)
+        }
       table.recordSnapshot()
     }
   }
@@ -1008,10 +1026,14 @@ private[sources] object MorChangesTable {
     StructType(parent.schema().fields.toSeq ++ Seq(
       StructField("_change_type", StringType, nullable = false),
       StructField("_commit_version", LongType, nullable = false),
-      StructField("_pos", LongType, nullable = false)))
+      StructField("_pos", LongType, nullable = false),
+      // the STABLE row id (b95) as of the change's commit — an
+      // update's delete and re-insert share it, which is what lets a
+      // feed consumer reconstruct UPDATES from D+I pairs (d33)
+      StructField("_row_id", LongType, nullable = false)))
 
   private[sources] def chunk(
-      entries: Vector[(Long, Boolean, Long, Array[Any])])
+      entries: Vector[(Long, Boolean, Long, Long, Array[Any])])
       : Array[InputPartition] =
     if (entries.isEmpty) Array(MorChangesPartition(Vector.empty))
     else entries.grouped(math.max(1, (entries.length + 3) / 4))
@@ -1025,24 +1047,27 @@ private[sources] object MorChangesTable {
   private[sources] def readerFactory(parentSchema: StructType,
       defaults: IndexedSeq[Any],
       req: StructType): PartitionReaderFactory = {
-    val getters: Array[((Long, Boolean, Long, Array[Any])) => Any] =
+    val getters: Array[((Long, Boolean, Long, Long, Array[Any])) => Any] =
       req.fieldNames.map {
         case "_change_type" =>
-          (e: (Long, Boolean, Long, Array[Any])) =>
+          (e: (Long, Boolean, Long, Long, Array[Any])) =>
             org.apache.spark.unsafe.types.UTF8String.fromString(
               if (e._2) "insert" else "delete"): Any
         case "_commit_version" =>
-          (e: (Long, Boolean, Long, Array[Any])) =>
+          (e: (Long, Boolean, Long, Long, Array[Any])) =>
             java.lang.Long.valueOf(e._1): Any
         case "_pos" =>
-          (e: (Long, Boolean, Long, Array[Any])) =>
+          (e: (Long, Boolean, Long, Long, Array[Any])) =>
             java.lang.Long.valueOf(e._3): Any
+        case "_row_id" =>
+          (e: (Long, Boolean, Long, Long, Array[Any])) =>
+            java.lang.Long.valueOf(e._4): Any
         case n =>
           val j = parentSchema.fieldIndex(n)
           val dt = parentSchema.fields(j).dataType
           val dflt = GraftCell.toInternal(defaults(j), dt)
-          (e: (Long, Boolean, Long, Array[Any])) =>
-            if (j < e._4.length) GraftCell.toInternal(e._4(j), dt)
+          (e: (Long, Boolean, Long, Long, Array[Any])) =>
+            if (j < e._5.length) GraftCell.toInternal(e._5(j), dt)
             else dflt
       }
     new PartitionReaderFactory {
@@ -1064,7 +1089,7 @@ private[sources] object MorChangesTable {
 }
 
 private[sources] case class MorChangesPartition(
-    data: Vector[(Long, Boolean, Long, Array[Any])])
+    data: Vector[(Long, Boolean, Long, Long, Array[Any])])
     extends InputPartition
 
 /** Offset into the append-only change log (count of entries consumed).

@@ -1522,6 +1522,75 @@ object StreamingDemo {
     }.orderBy("_commit_version", "_change_type")
   }
 
+  /** d33: UPDATE-AWARE CDC CONSUMPTION — the change feed consumed
+    * THROUGH row lineage (b95): every `__changes` row now carries the
+    * stable `_row_id` captured at its commit, and an UPDATE's delete
+    * and re-insert SHARE it — so a downstream consumer reconstructs
+    * UPDATES from D+I pairs by joining the feed on (_commit_version,
+    * _row_id) instead of re-keying on business columns (which breaks
+    * the moment the business key itself is what changed). This is the
+    * read-side payoff b95 exists for: d26's consumer saw three
+    * change TYPES; this one sees three change OPERATIONS — update
+    * (paired), pure insert (no matching delete), pure delete (no
+    * matching insert) — plus the exact per-update balance delta, the
+    * "what moved and by how much" question a reconciliation pipeline
+    * answers per CDC hop. The demo streams the feed across the
+    * standard lifecycle (append → CDC MERGE → follow-up MERGE, the
+    * follow-up landing mid-query) on the equality-delete flavor and
+    * declares the per-version operation census; the oracle recomputes
+    * it from the batch definitions with no connector involved. Scale:
+    * the pairing is one self-join of a microbatch-sized slice on
+    * (version, row_id) — O(changes), never O(table); lineage ids are
+    * STORED in the log at commit (compaction prunes dead rows'
+    * lineage map entries, so a derived id would vanish under the
+    * feed's retention).
+    */
+  def streamLineageCdc(s: SparkSession, d: String): DataFrame = {
+    val tbl = graft.util.DemoTables.freshGraftmem(s, d, "morlin",
+      "(key BIGINT NOT NULL, bal_cents BIGINT) " +
+        "TBLPROPERTIES ('graft.row_level' = 'merge-on-read', " +
+        "'graft.mor.deletes' = 'equality')")
+    graft.util.Tables.customer(s, d)
+      .selectExpr("c_custkey AS key",
+        "CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents")
+      .writeTo(tbl).append() // v1
+    graft.operators.TierB.runCdcMergeRound(s, d, "d33", tbl) // v2
+    withStreamPartitions(s) {
+      val sink = graft.util.TmpDir.fresh("d33-sink")
+      val ckpt = graft.util.TmpDir.fresh("d33-ckpt")
+      val src = s.readStream.table(s"${tbl}__changes")
+      val q = src.writeStream
+        .format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable() // batch 0: v1 + v2 changes
+        graft.operators.TierB.runFollowupMergeRound(s, tbl) // v3
+        q.processAllAvailable() // batch 1: exactly the v3 changes
+      } finally q.stop()
+      val ch = s.read.schema(src.schema).parquet(sink)
+      // reconstruct operations: an update is a (delete, insert) pair
+      // sharing (_commit_version, _row_id)
+      val dels = ch.filter(col("_change_type") === "delete")
+        .select(col("_commit_version"), col("_row_id"),
+          col("bal_cents").as("old_bal"))
+      val ins = ch.filter(col("_change_type") === "insert")
+        .select(col("_commit_version"), col("_row_id"),
+          col("bal_cents").as("new_bal"))
+      dels.join(ins, Seq("_commit_version", "_row_id"), "full_outer")
+        .groupBy(col("_commit_version"))
+        .agg(
+          count(when(col("old_bal").isNotNull &&
+            col("new_bal").isNotNull, 1)).as("n_updates"),
+          count(when(col("old_bal").isNull, 1)).as("n_inserts"),
+          count(when(col("new_bal").isNull, 1)).as("n_deletes"),
+          coalesce(sum(when(
+            col("old_bal").isNotNull && col("new_bal").isNotNull,
+            (col("new_bal") - col("old_bal")).cast("decimal(38,0)"))),
+            lit(0)).cast("long").as("upd_delta_cents"))
+    }.orderBy("_commit_version")
+  }
+
   /** d27: CDC CONSUMPTION FROM A VERSION — d26's streaming change
     * feed started with `.option("startingVersion", v)`: the consumer
     * declares the commit version it wants history FROM, and the

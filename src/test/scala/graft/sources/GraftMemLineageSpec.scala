@@ -106,6 +106,40 @@ class GraftMemLineageSpec extends SparkSpec {
     assert(lineageOf(tbl)(2L) == ((2L, 5L)))
   }
 
+  test("the change feed carries commit-time row ids (d33): an " +
+      "update's D+I pair shares _row_id, pure inserts mint fresh, " +
+      "and the pairing survives compaction pruning the lineage map") {
+    val (tbl, _) = fresh("spec_lin_feed",
+      "(key BIGINT NOT NULL, bal BIGINT) " +
+        "TBLPROPERTIES ('graft.row_level' = 'merge-on-read', " +
+        "'graft.mor.deletes' = 'equality')")
+    spark.range(4).selectExpr("id AS key", "id * 10 AS bal")
+      .repartition(1).sortWithinPartitions("key")
+      .writeTo(tbl).append() // v1: ids 0..3
+    spark.sql(s"UPDATE $tbl SET bal = 999 WHERE key = 2") // v2
+    spark.sql(s"DELETE FROM $tbl WHERE key = 3") // v3
+    // compaction prunes key 3's lineage entry — its FEED row must
+    // still carry the id it had (stored at commit, not derived)
+    spark.sql(s"CALL graftmem.system.compact('db.spec_lin_feed')")
+    val ch = spark.sql(
+      s"""SELECT _commit_version, _change_type, _row_id, key
+         |FROM ${tbl}__changes ORDER BY _commit_version, _pos""".stripMargin)
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // v1: four inserts with fresh ids 0..3 (sorted single task)
+    assert(ch.filter(_._1 == 1L).map(e => (e._2, e._3)).toSeq ==
+      Seq(("insert", 0L), ("insert", 1L), ("insert", 2L), ("insert", 3L)))
+    // v2: key 2's update = a D+I pair SHARING id 2
+    val v2 = ch.filter(_._1 == 2L)
+    assert(v2.map(e => (e._2, e._3, e._4)).toSet ==
+      Set(("delete", 2L, 2L), ("insert", 2L, 2L)), v2.mkString(";"))
+    // v3: key 3's pure delete keeps its id, no paired insert
+    assert(ch.filter(_._1 == 3L).map(e => (e._2, e._3, e._4)).toSeq ==
+      Seq(("delete", 3L, 3L)))
+    // compaction (v4) contributes nothing to the feed
+    assert(!ch.exists(_._1 == 4L))
+  }
+
   test("changed-row count by lineage == snapshot diff (the b84 " +
       "cross-check)") {
     val (tbl, _) = fresh("spec_lin_diff",
