@@ -2830,6 +2830,63 @@ object TierB {
          |GROUP BY 1 ORDER BY cls""".stripMargin)
   }
 
+  /** b96: METADATA-DRIVEN SELECTIVE FILE REWRITE — the c57→b94→action
+    * loop closed: `CALL graftmem.system.rewrite_files(tbl,
+    * min_dead_bp)` folds ONLY the files whose dead fraction clears
+    * the threshold (planned from the ledger b94 serves — never a data
+    * scan), the real Iceberg `rewrite_data_files` economics where b82's
+    * full compaction is the blunt instrument: at 100 TB you pay
+    * rewrite I/O for exactly the files that earn it, on a schedule
+    * driven by the same `__files` read an operator audits. Victims'
+    * live rows move to ONE new file with NEW positions — the honest
+    * contract (positions are file-physical and change under rewrite;
+    * b95's `_row_id` is the stable identity, carried over with its
+    * last-updated version untouched: maintenance is not an update) —
+    * while healthy files, their stats and their remaining tombstones
+    * are untouched byte-for-byte. The demo appends the snapshot
+    * (file 1), deletes 2-in-10 keys (20% dead), appends a re-keyed
+    * clean generation (file 2, 0% dead), rewrites at a 10% threshold,
+    * and declares the `__files` trajectory: phase 0 shows the skewed
+    * dead ratios, phase 1 shows file 2 IDENTICAL and file 1 replaced
+    * by a fully-live rewrite. Content invariance and lineage
+    * preservation are spec-proven; the feed never sees the rewrite
+    * (maintenance is invisible to history).
+    */
+  private def b96(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val tbl = graft.util.DemoTables.freshGraftmem(s, d, "rwf",
+      "(key BIGINT, bal_cents BIGINT) " +
+        "TBLPROPERTIES ('graft.row_level' = 'merge-on-read')")
+    customer(s, d)
+      .selectExpr("c_custkey AS key",
+        "CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents")
+      .writeTo(tbl).append() // v1 → file 1
+    s.sql(s"DELETE FROM $tbl WHERE key % 10 IN (3, 7)") // v2: 20% dead
+    customer(s, d).createOrReplaceTempView("g_cust_b96")
+    s.sql(
+      """SELECT c_custkey
+        |    + (SELECT max(c_custkey) + 1 FROM g_cust_b96) AS key,
+        |  CAST(floor(c_acctbal * 100) AS BIGINT) + 777 AS bal_cents
+        |FROM g_cust_b96""".stripMargin)
+      .writeTo(tbl).append() // v3 → file 2, fully live
+    val cols = Seq("file_id", "commit_version", "pos_min", "pos_max",
+      "rows_written", "live_rows", "deleted_rows", "min_key", "max_key")
+    def grab(phase: Long): Seq[org.apache.spark.sql.Row] =
+      s.table(s"${tbl}__files")
+        .select(lit(phase).as("phase") +: cols.map(col): _*)
+        .collect().toSeq // ledger-sized, the A9 class
+    val pre = grab(0L)
+    s.sql(s"CALL graftmem.system.rewrite_files(" +
+      s"'${tbl.stripPrefix("graftmem.")}', 1000L)").collect()
+    val post = grab(1L)
+    val schema = StructType(
+      StructField("phase", LongType, nullable = false) +:
+        cols.map(StructField(_, LongType, nullable = false)))
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame((pre ++ post).asJava, schema)
+      .orderBy("phase", "file_id")
+  }
+
   /** THE CDC round every row-level demo shares (b75 CoW, b80 MoR, b82
     * compaction, b83 change feed, d26 streaming CDC): update keys ≡3
     * (mod 10) to bal+10000, delete keys ≡7, insert keys ≡0 (mod 100)
@@ -2930,6 +2987,11 @@ object TierB {
     // kept its identity through update, compaction and re-update.
     QueryDef("b95_row_lineage", b95 _, Some(
       "WITH snap AS (SELECT c_custkey AS key, floor(c_acctbal * 100)::BIGINT AS bal FROM customer), off AS (SELECT max(key) + 1 AS o FROM snap), orig AS (SELECT key, bal FROM snap WHERE key % 10 <> 7), cl AS (SELECT CASE WHEN key % 10 = 3 THEN 'upd3' WHEN key % 10 = 1 THEN 'upd1' ELSE 'kept' END AS cls, CASE WHEN key % 10 = 3 THEN bal + 10000 WHEN key % 10 = 1 THEN bal + 5000 ELSE bal END AS bal, CASE WHEN key % 10 = 3 THEN 2 WHEN key % 10 = 1 THEN 4 ELSE 1 END AS luv FROM orig UNION ALL SELECT CASE WHEN (key + (SELECT o FROM off)) % 10 = 1 THEN 'ins1' ELSE 'ins' END, CASE WHEN (key + (SELECT o FROM off)) % 10 = 1 THEN bal + 5000 ELSE bal END, CASE WHEN (key + (SELECT o FROM off)) % 10 = 1 THEN 4 ELSE 2 END FROM snap WHERE key % 100 = 0) SELECT cls, count(*)::BIGINT AS n, count(*)::BIGINT AS n_id_stable, min(luv)::BIGINT AS luv_min, max(luv)::BIGINT AS luv_max, sum(bal)::BIGINT AS bal_cents_sum FROM cl GROUP BY 1 ORDER BY cls")),
+    // b96's oracle recomputes the selective-rewrite ledger trajectory:
+    // the kept file byte-identical across phases, the victim replaced
+    // by a fully-live rewrite whose stats derive from the survivors.
+    QueryDef("b96_rewrite_files", b96 _, Some(
+      "WITH snap AS (SELECT c_custkey AS key FROM customer), agg AS (SELECT count(*)::BIGINT AS n1, min(key)::BIGINT AS kmin, max(key)::BIGINT AS kmax, (max(key) + 1)::BIGINT AS o FROM snap), dd AS (SELECT count(*)::BIGINT AS nd FROM snap WHERE key % 10 IN (3, 7)), sv AS (SELECT min(key)::BIGINT AS smin, max(key)::BIGINT AS smax FROM snap WHERE key % 10 NOT IN (3, 7)) SELECT * FROM (SELECT 0::BIGINT AS phase, 1::BIGINT AS file_id, 1::BIGINT AS commit_version, 0::BIGINT AS pos_min, n1 AS pos_max, n1 AS rows_written, n1 - nd AS live_rows, nd AS deleted_rows, kmin AS min_key, kmax AS max_key FROM agg, dd UNION ALL SELECT 0, 2, 3, n1, 2 * n1, n1, n1, 0, kmin + o, kmax + o FROM agg UNION ALL SELECT 1, 2, 3, n1, 2 * n1, n1, n1, 0, kmin + o, kmax + o FROM agg UNION ALL SELECT 1, 3, 4, 2 * n1, 3 * n1 - nd, n1 - nd, n1 - nd, 0, smin, smax FROM agg, dd, sv) ORDER BY phase, file_id")),
     QueryDef("b92_branch_wap", b92 _, Some(
       "WITH snap AS (SELECT c_custkey AS key, floor(c_acctbal * 100)::BIGINT AS bal FROM customer), off AS (SELECT max(c_custkey) + 1 AS o FROM customer), gen2 AS (SELECT key + (SELECT o FROM off) AS key, bal + 777 AS bal FROM snap), allr AS (SELECT * FROM snap UNION ALL SELECT * FROM gen2) SELECT (key % 10)::BIGINT AS key_mod, count(*)::BIGINT AS n, sum(bal)::BIGINT AS bal_cents_sum FROM allr GROUP BY 1 ORDER BY 1")),
     // b82 replays BOTH CDC rounds in the oracle and never mentions

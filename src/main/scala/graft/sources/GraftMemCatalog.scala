@@ -348,6 +348,7 @@ class GraftMemCatalog extends TableCatalog with FunctionCatalog
       Identifier.of(namespace, "create_branch"),
       Identifier.of(namespace, "fast_forward"),
       Identifier.of(namespace, "drop_branch"),
+      Identifier.of(namespace, "rewrite_files"),
       Identifier.of(namespace, "expire_snapshots"))
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
@@ -357,6 +358,7 @@ class GraftMemCatalog extends TableCatalog with FunctionCatalog
       case "create_branch"    => CreateBranchProcedure
       case "fast_forward"     => FastForwardProcedure
       case "drop_branch"      => DropBranchProcedure
+      case "rewrite_files"    => RewriteFilesProcedure
       case "expire_snapshots" => ExpireSnapshotsProcedure
       case other => throw new RuntimeException(
         s"graftmem: no procedure named '$other'")

@@ -388,6 +388,62 @@ private[sources] class GraftMemMorTable(val fullName: String,
     (tomb, folded, live.length.toLong)
   }
 
+  /** SELECTIVE FILE REWRITE (b96) — the real `rewrite_data_files`
+    * shape, driven by b94's ledger: fold ONLY the files whose dead
+    * fraction clears `minDeadBp` basis points, leaving healthy files
+    * untouched (full [[compact]] is the blunt instrument; production
+    * maintenance pays for exactly the files that earn it). Victims'
+    * LIVE rows move to ONE new file with NEW positions — the honest
+    * Iceberg contract: positions are file-physical and change under
+    * rewrite, while b95's `_row_id` is the STABLE identity (lineage
+    * entries carry over to the new positions with their
+    * last-updated version UNTOUCHED — maintenance is not an update).
+    * Victim files' positional tombstones are dropped with their rows;
+    * equality-delete boundaries remain correct by monotonicity (a
+    * moved row's new position is ≥ every existing boundary, and it
+    * was live — a row can only be re-checked against deletes it
+    * already survived). The change feed is NOT touched (maintenance
+    * is invisible to history, b83's rule). Content-invariant by
+    * construction; returns (files_rewritten, rows_moved, files_kept).
+    */
+  private[sources] def rewriteFiles(minDeadBp: Long): (Long, Long, Long) =
+    synchronized {
+      val live = liveRows(base, deltaInserts, deleted,
+        eqDeletes.map(e => (e._1, e._2)))
+      val livePos = live.iterator.map(_._1).toSet
+      def liveIn(f: GraftFile): Long =
+        live.count(e => e._1 >= f.posMin && e._1 < f.posMaxExcl).toLong
+      val (victims, kept) = files.partition(f =>
+        (f.rowsWritten - liveIn(f)) * 10000L >= minDeadBp * f.rowsWritten
+          && f.rowsWritten > liveIn(f)) // a fully-live file never rewrites
+      if (victims.isEmpty) return (0L, 0L, files.length.toLong)
+      val inVictim = (pos: Long) => victims.exists(f =>
+        pos >= f.posMin && pos < f.posMaxExcl)
+      val moved = live.filter(e => inVictim(e._1))
+      // reassign: new contiguous positions, lineage carried over with
+      // the last-updated version PRESERVED (identity, not an update)
+      val movedNew = moved.map { case (oldPos, r) =>
+        val np = nextPos; nextPos += 1
+        (oldPos, np, r)
+      }
+      base = base.filterNot(e => inVictim(e._1)) ++
+        movedNew.map(e => (e._2, e._3))
+      deltaInserts = deltaInserts.filterNot(e => inVictim(e._1))
+      // victim tombstones die with their rows; survivors' remain
+      deleted = deleted.filterNot(inVictim)
+      lineage = (lineage -- moved.iterator.map(_._1)) ++
+        movedNew.iterator.map { e =>
+          e._2 -> lineage.getOrElse(e._1, (e._1, 0L))
+        }
+      commitVersion += 1
+      // the rewritten file's write-time stats are the rewrite's own;
+      // all-dead victims simply vanish (no replacement file to cut)
+      files = kept
+      recordFile(movedNew.map(e => (e._2, e._3)))
+      recordSnapshot() // a maintenance version: content equals v-1's
+      (victims.length.toLong, moved.length.toLong, kept.length.toLong)
+    }
+
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
     () => new RowLevelOperation with SupportsDelta {
@@ -934,6 +990,66 @@ private[sources] object MorCompactProcedure
           case _ => throw new IllegalArgumentException(
             s"compact: '$tbl' is copy-on-write — compaction applies to " +
               "merge-on-read tables (its rewrites are already folded)")
+        }
+      }
+    }
+}
+
+/** `graftmem.system.rewrite_files(table, min_dead_bp)` — SELECTIVE
+  * file rewrite (b96): fold only the files whose dead fraction clears
+  * the threshold, the c57 compaction-planning read ([[GraftFilesTable]])
+  * turned into the governed maintenance ACTION — plan from metadata,
+  * rewrite exactly the files that earn it, leave healthy files
+  * untouched. Returns (files_rewritten, rows_moved, files_kept).
+  */
+private[sources] object RewriteFilesProcedure
+    extends org.apache.spark.sql.connector.catalog.procedures
+      .UnboundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures._
+  import org.apache.spark.sql.types.{LongType => LT, StringType, StructField, StructType => ST}
+
+  override def name(): String = "rewrite_files"
+  override def description(): String =
+    "rewrite the merge-on-read files whose dead-row fraction clears " +
+      "min_dead_bp basis points"
+
+  override def bind(inputType: StructType): BoundProcedure =
+    new BoundProcedure {
+      override def name(): String = "rewrite_files"
+      override def description(): String =
+        RewriteFilesProcedure.this.description()
+      override def parameters(): Array[ProcedureParameter] =
+        Array(ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("min_dead_bp", LT).build())
+      override def isDeterministic: Boolean = false
+      private val outSchema = ST(Seq(
+        StructField("files_rewritten", LT, nullable = false),
+        StructField("rows_moved", LT, nullable = false),
+        StructField("files_kept", LT, nullable = false)))
+      override def call(input: InternalRow)
+          : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+        val tbl = input.getUTF8String(0).toString
+        val minDeadBp = input.getLong(1)
+        require(minDeadBp >= 0L && minDeadBp <= 10000L,
+          s"rewrite_files: min_dead_bp is basis points in [0, 10000], " +
+            s"got $minDeadBp")
+        GraftMemCatalog.lookup(tbl) match {
+          case m: GraftMemMorTable =>
+            val (rw, moved, keptN) = m.rewriteFiles(minDeadBp)
+            val row: InternalRow = InternalRow(rw, moved, keptN)
+            val scan: org.apache.spark.sql.connector.read.Scan =
+              new org.apache.spark.sql.connector.read.LocalScan {
+                override def rows(): Array[InternalRow] = Array(row)
+                override def readSchema(): StructType = outSchema
+                override def description(): String =
+                  s"rewrite_files($tbl, $minDeadBp)"
+              }
+            java.util.Collections.singletonList(scan).iterator()
+          case null => throw new IllegalArgumentException(
+            s"rewrite_files: no graftmem table named '$tbl'")
+          case _ => throw new IllegalArgumentException(
+            s"rewrite_files: '$tbl' is copy-on-write — file rewrite " +
+              "applies to merge-on-read tables")
         }
       }
     }

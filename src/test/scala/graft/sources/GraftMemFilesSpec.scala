@@ -139,6 +139,83 @@ class GraftMemFilesSpec extends SparkSpec {
       s"untouched groups keep their version: $p1")
   }
 
+  test("b96 rewrite_files: only threshold-crossing files rewrite; " +
+      "content is invariant, the kept file byte-identical, lineage " +
+      "ids preserved across the position move with luv untouched") {
+    val tbl = fresh("spec_rwf", "(key BIGINT NOT NULL, bal BIGINT) " +
+      "TBLPROPERTIES ('graft.row_level' = 'merge-on-read', " +
+      "'graft.mor.deletes' = 'equality')")
+    spark.range(10).selectExpr("id AS key", "id AS bal")
+      .repartition(1).sortWithinPartitions("key")
+      .writeTo(tbl).append() // file 1, ids 0..9
+    spark.sql(s"UPDATE $tbl SET bal = 100 WHERE key = 2") // v2 (file 2)
+    spark.sql(s"DELETE FROM $tbl WHERE key IN (0, 1)") // v3: file 1 30% dead
+    spark.range(20, 30).selectExpr("id AS key", "id AS bal")
+      .writeTo(tbl).append() // file 3, fully live
+    val contentBefore = spark.sql(
+      s"SELECT key, bal, _row_id, _last_updated_version FROM $tbl")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+    val f3Before = spark.table(s"${tbl}__files")
+      .filter("file_id = 3").collect().toSeq
+    val res = spark.sql(
+      "CALL graftmem.system.rewrite_files('db.spec_rwf', 2000L)")
+      .collect()(0)
+    // file 1 (3/10 dead) and file 2 (the update re-insert is fully
+    // live — never a victim) → exactly one rewrite
+    assert(res.getLong(0) == 1L && res.getLong(1) == 7L &&
+      res.getLong(2) == 2L, res.toString)
+    val contentAfter = spark.sql(
+      s"SELECT key, bal, _row_id, _last_updated_version FROM $tbl")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+    assert(contentAfter == contentBefore,
+      "rewrite must preserve content, row ids AND last-updated versions")
+    val after = spark.table(s"${tbl}__files").orderBy("file_id").collect()
+    assert(after.map(_.getLong(0)).toSeq == Seq(2L, 3L, 4L),
+      after.mkString(";"))
+    assert(after(1).toSeq == f3Before.head.toSeq,
+      "the healthy file's ledger row must be byte-identical")
+    assert(after.forall(_.getLong(6) == 0L),
+      s"post-rewrite no file may carry dead rows here: ${after.mkString(";")}")
+    // row-level operations keep working against the rewritten layout
+    spark.sql(s"UPDATE $tbl SET bal = 777 WHERE key = 5")
+    val l = spark.sql(
+      s"SELECT _row_id, _last_updated_version FROM $tbl WHERE key = 5")
+      .collect()(0)
+    assert(l.getLong(0) == 5L && l.getLong(1) > 4L, l.toString)
+  }
+
+  test("b96 rewrite_files: an all-dead victim vanishes without a " +
+      "replacement file; no victims is a version-preserving no-op") {
+    val tbl = fresh("spec_rwf_edge", "(key BIGINT, bal BIGINT) " +
+      "TBLPROPERTIES ('graft.row_level' = 'merge-on-read')")
+    spark.range(4).selectExpr("id AS key", "id AS bal")
+      .writeTo(tbl).append() // file 1
+    spark.range(10, 14).selectExpr("id AS key", "id AS bal")
+      .writeTo(tbl).append() // file 2
+    spark.sql(s"DELETE FROM $tbl WHERE key < 4") // file 1 fully dead
+    val res = spark.sql(
+      "CALL graftmem.system.rewrite_files('db.spec_rwf_edge', 5000L)")
+      .collect()(0)
+    assert(res.getLong(0) == 1L && res.getLong(1) == 0L &&
+      res.getLong(2) == 1L, res.toString)
+    val after = spark.table(s"${tbl}__files").collect()
+    assert(after.map(_.getLong(0)).toSeq == Seq(2L),
+      s"the all-dead file must vanish: ${after.mkString(";")}")
+    assert(spark.table(tbl).count() == 4L)
+    // nothing crosses the threshold now → no-op, version untouched
+    val vBefore = spark.sql(s"SELECT max(version) FROM ${tbl}__history")
+      .collect()(0).getLong(0)
+    val res2 = spark.sql(
+      "CALL graftmem.system.rewrite_files('db.spec_rwf_edge', 5000L)")
+      .collect()(0)
+    assert(res2.getLong(0) == 0L && res2.getLong(2) == 1L)
+    val vAfter = spark.sql(s"SELECT max(version) FROM ${tbl}__history")
+      .collect()(0).getLong(0)
+    assert(vAfter == vBefore, "a no-op rewrite must not commit")
+  }
+
   test("suffix resolution is flavor-checked: __files needs MoR, " +
       "__partitions needs CoW") {
     fresh("spec_files_cow", "(key BIGINT, bal BIGINT)")
