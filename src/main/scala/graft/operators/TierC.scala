@@ -1290,7 +1290,18 @@ object TierC {
     * The oracle recomputes all three members, the mixture thresholds
     * and the combination — the whole ensemble, bit-for-bit.
     */
-  private def c75(s: SparkSession, d: String): DataFrame = {
+  private def c75(s: SparkSession, d: String): DataFrame =
+    ensembleScores(s, d)
+      .select(col("doc_id"), col("source"), col("h_bp"), col("p_bp"),
+        col("c_bp"), col("ens_bp"), col("thr_bp"),
+        (col("ens_bp") >= col("thr_bp")).as("kept"))
+      .orderBy("doc_id")
+
+  /** The ensemble's per-doc scores + per-source thresholds — ONE copy
+    * of the calibration rules, shared by c75 (the gate) and c76 (the
+    * quality-weighted sampler).
+    */
+  private def ensembleScores(s: SparkSession, d: String): DataFrame = {
     // member 1 — c12's heuristic score
     val h = withWords(documents(s, d))
       .withColumn("n_words", size(col("w")).cast("long"))
@@ -1341,11 +1352,54 @@ object TierC {
       .join(broadcast(thr), Seq("source"))
       .withColumn("ens_bp",
         expr("(4 * h_bp + 3 * p_bp + 3 * c_bp) div 10"))
-      .select(col("doc_id"), col("source"), col("h_bp"), col("p_bp"),
-        col("c_bp"), col("ens_bp"), col("thr_bp"),
-        (col("ens_bp") >= col("thr_bp")).as("kept"))
-      .orderBy("doc_id")
   }
+
+  /** c76: QUALITY-WEIGHTED MIXTURE SAMPLING — c73's temperature
+    * quotas FILLED BY QUALITY instead of by hash: per-source budgets
+    * k_s = ⌊N·isqrt(n_s)/Σ⌋ (c73's exact-integer recipe, one shared
+    * helper) and the k_s picks per source are the TOP documents by
+    * c75's calibrated ensemble score (tie: smaller doc_id) — the
+    * FineWeb/DCLM-shaped stage a production pipeline actually runs:
+    * the mixture decides HOW MUCH of each source, the quality score
+    * decides WHICH documents fill the budget. Both halves are already
+    * oracle-pinned operators; the composition is one broadcast join +
+    * b15's top-k-per-group window — no new shuffle class, and the
+    * recipe (weights, quotas, scores, picks) is one auditable table.
+    * Scale: the score side is c75's plan verbatim, the quota table is
+    * #sources-bounded and broadcasts, the pick is a WindowGroupLimit.
+    */
+  private def c76(s: SparkSession, d: String): DataFrame = {
+    val quotas = temperatureQuotas(
+      documents(s, d).select(col("doc_id"), col("source")), 200L)
+    val byQ = Window.partitionBy("source")
+      .orderBy(col("ens_bp").desc, col("doc_id"))
+    ensembleScores(s, d).select("doc_id", "source", "ens_bp")
+      .join(broadcast(quotas), Seq("source"))
+      .withColumn("rk", row_number().over(byQ).cast("long"))
+      .filter(col("rk") <= col("k"))
+      .select(col("source"), col("rk"), col("doc_id"), col("ens_bp"),
+        col("w").as("weight"))
+      .orderBy("source", "rk")
+  }
+
+  /** c73's exact-integer temperature quotas — (source, w = isqrt(n_s),
+    * k = min(n_s, ⌊total·w/Σw⌋)). ONE copy of the isqrt/quota rules,
+    * shared by c73 (hash-ranked picks) and c76 (quality-ranked picks).
+    */
+  private def temperatureQuotas(
+      docs: DataFrame, total: Long): DataFrame =
+    docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+      .withColumn("r0", floor(sqrt(col("n_s").cast("double"))).cast("long"))
+      // exact isqrt: correct the float sqrt by one in either direction
+      .withColumn("w", col("r0")
+        - when(col("r0") * col("r0") > col("n_s"), 1L).otherwise(0L)
+        + when((col("r0") + 1) * (col("r0") + 1) <= col("n_s"), 1L)
+          .otherwise(0L))
+      // Σw over the #sources-bounded table (c41's all-rows window —
+      // bounded single partition, never a data-sized funnel)
+      .withColumn("wsum", sum("w").over(Window.partitionBy()))
+      .withColumn("k", least(col("n_s"), expr(s"($total * w) div wsum")))
+      .select("source", "w", "k")
 
   /** c73: TEMPERATURE-WEIGHTED MIXTURE SAMPLING — the data-mix recipe
     * LM training actually runs (the Pile / multilingual-LM shape):
@@ -1369,20 +1423,8 @@ object TierC {
     * (weights, quotas) is an auditable table, not a config file.
     */
   private def c73(s: SparkSession, d: String): DataFrame = {
-    val total = 200L
     val docs = documents(s, d).select(col("doc_id"), col("source"))
-    val quotas = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
-      .withColumn("r0", floor(sqrt(col("n_s").cast("double"))).cast("long"))
-      // exact isqrt: correct the float sqrt by one in either direction
-      .withColumn("w", col("r0")
-        - when(col("r0") * col("r0") > col("n_s"), 1L).otherwise(0L)
-        + when((col("r0") + 1) * (col("r0") + 1) <= col("n_s"), 1L)
-          .otherwise(0L))
-      // Σw over the #sources-bounded table (c41's all-rows window —
-      // bounded single partition, never a data-sized funnel)
-      .withColumn("wsum", sum("w").over(Window.partitionBy()))
-      .withColumn("k", least(col("n_s"), expr(s"($total * w) div wsum")))
-      .select("source", "w", "k")
+    val quotas = temperatureQuotas(docs, 200L)
     val byPick = Window.partitionBy("source")
       .orderBy(col("pick"), col("doc_id"))
     docs
@@ -2497,6 +2539,15 @@ object TierC {
       "SELECT vec_id, max(CASE WHEN sub = 0 THEN c END)::BIGINT AS c0, max(CASE WHEN sub = 1 THEN c END)::BIGINT AS c1, max(CASE WHEN sub = 2 THEN c END)::BIGINT AS c2, max(CASE WHEN sub = 3 THEN c END)::BIGINT AS c3, sum(dist)::BIGINT AS err FROM asg GROUP BY vec_id ORDER BY vec_id"
   }
 
+  /** DuckDB twin of the c75/c76 calibrated ensemble: the three member
+    * scores (c12's heuristic, c55's tertile as fluency points, c63's
+    * clamped classifier), c61's mixture thresholds and the combined
+    * `ens` CTE — ONE copy of the calibration rules on the oracle side
+    * too, composed by both queries' final SELECTs.
+    */
+  private val ensembleOracleCtes: String =
+    s"tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents), h AS (SELECT doc_id, floor((least(len(w)::DOUBLE / 100.0, 1.0) * 0.4 + (1.0 - sc::DOUBLE / len(w)) * 0.6) * 10000)::BIGINT AS h_bp FROM (SELECT doc_id, w, len(list_filter(w, x -> x IN ('the','a','of','and','to'))) AS sc FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))), wc AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w), tot AS (SELECT count(*) AS n FROM tok), sur AS (SELECT w, (length(bin((n // cnt)::BIGINT)) - 1)::BIGINT AS bits FROM wc, tot), pd AS (SELECT t.doc_id, (sum(s.bits) * 10000 // count(*))::BIGINT AS avg_sur_bp FROM tok t JOIN sur s ON t.w = s.w GROUP BY t.doc_id), p AS (SELECT d.doc_id, ((3 - ntile(3) OVER (PARTITION BY d.lang ORDER BY pd.avg_sur_bp, d.doc_id)) * 5000)::BIGINT AS p_bp FROM pd JOIN documents d USING (doc_id)), f AS (SELECT doc_id, (${graft.util.Tables.duckHash("'feat:' || w")} % 64) AS fh FROM tok), c AS (SELECT doc_id, greatest(0, least(10000, 5000 + sum(${graft.util.Tables.duckHash("'w:' || fh::VARCHAR")} % 2001 - 1000)))::BIGINT AS c_bp FROM f GROUP BY doc_id), mixt AS (SELECT source, sum(len(string_split(text, ' ')))::BIGINT AS n_tokens FROM documents GROUP BY 1), g AS (SELECT sum(n_tokens)::BIGINT AS tot, sum(sqrt(n_tokens::DOUBLE)::DECIMAL(28,12)) AS tot_sq FROM mixt), thr AS (SELECT source, greatest(3000, 5000 + (10000 * n_tokens // tot) - floor(10000 * sqrt(n_tokens::DOUBLE) / tot_sq::DOUBLE)::BIGINT)::BIGINT AS thr_bp FROM mixt, g), ens AS (SELECT d.doc_id, d.source, h.h_bp, p.p_bp, c.c_bp, ((4 * h.h_bp + 3 * p.p_bp + 3 * c.c_bp) // 10)::BIGINT AS ens_bp, thr.thr_bp FROM documents d JOIN h USING (doc_id) JOIN p USING (doc_id) JOIN c USING (doc_id) JOIN thr ON thr.source = d.source)"
+
   /** DuckDB twin of c72's FULL search chain: the coarse training
     * rounds (ivfOracleSql's recurrence, `k*` prefixes) and the PQ
     * training rounds (pqOracleSql's, `p*` prefixes) share one
@@ -3440,7 +3491,11 @@ object TierC {
     // c75's oracle recomputes all three member scores, the mixture
     // thresholds and the combination — the whole ensemble bit-for-bit.
     QueryDef("c75_curation_ensemble", c75 _, Some(
-      s"WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents), h AS (SELECT doc_id, floor((least(len(w)::DOUBLE / 100.0, 1.0) * 0.4 + (1.0 - sc::DOUBLE / len(w)) * 0.6) * 10000)::BIGINT AS h_bp FROM (SELECT doc_id, w, len(list_filter(w, x -> x IN ('the','a','of','and','to'))) AS sc FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))), wc AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w), tot AS (SELECT count(*) AS n FROM tok), sur AS (SELECT w, (length(bin((n // cnt)::BIGINT)) - 1)::BIGINT AS bits FROM wc, tot), pd AS (SELECT t.doc_id, (sum(s.bits) * 10000 // count(*))::BIGINT AS avg_sur_bp FROM tok t JOIN sur s ON t.w = s.w GROUP BY t.doc_id), p AS (SELECT d.doc_id, ((3 - ntile(3) OVER (PARTITION BY d.lang ORDER BY pd.avg_sur_bp, d.doc_id)) * 5000)::BIGINT AS p_bp FROM pd JOIN documents d USING (doc_id)), f AS (SELECT doc_id, (${graft.util.Tables.duckHash("'feat:' || w")} % 64) AS fh FROM tok), c AS (SELECT doc_id, greatest(0, least(10000, 5000 + sum(${graft.util.Tables.duckHash("'w:' || fh::VARCHAR")} % 2001 - 1000)))::BIGINT AS c_bp FROM f GROUP BY doc_id), mixt AS (SELECT source, sum(len(string_split(text, ' ')))::BIGINT AS n_tokens FROM documents GROUP BY 1), g AS (SELECT sum(n_tokens)::BIGINT AS tot, sum(sqrt(n_tokens::DOUBLE)::DECIMAL(28,12)) AS tot_sq FROM mixt), thr AS (SELECT source, greatest(3000, 5000 + (10000 * n_tokens // tot) - floor(10000 * sqrt(n_tokens::DOUBLE) / tot_sq::DOUBLE)::BIGINT)::BIGINT AS thr_bp FROM mixt, g) SELECT d.doc_id, d.source, h.h_bp, p.p_bp, c.c_bp, ((4 * h.h_bp + 3 * p.p_bp + 3 * c.c_bp) // 10)::BIGINT AS ens_bp, thr.thr_bp, ((4 * h.h_bp + 3 * p.p_bp + 3 * c.c_bp) // 10 >= thr.thr_bp) AS kept FROM documents d JOIN h USING (doc_id) JOIN p USING (doc_id) JOIN c USING (doc_id) JOIN thr ON thr.source = d.source ORDER BY d.doc_id")),
+      s"WITH $ensembleOracleCtes SELECT doc_id, source, h_bp, p_bp, c_bp, ens_bp, thr_bp, (ens_bp >= thr_bp) AS kept FROM ens ORDER BY doc_id")),
+    // c76's oracle composes the ensemble CTEs with c73's quota recipe
+    // (q-prefixed to avoid CTE-name collisions) and ranks by quality.
+    QueryDef("c76_quality_mixture", c76 _, Some(
+      s"WITH $ensembleOracleCtes, qcounts AS (SELECT source, count(*)::BIGINT AS n_s FROM documents GROUP BY 1), qw0 AS (SELECT source, n_s, floor(sqrt(n_s::DOUBLE))::BIGINT AS r0 FROM qcounts), qwts AS (SELECT source, n_s, (r0 - CASE WHEN r0 * r0 > n_s THEN 1 ELSE 0 END + CASE WHEN (r0 + 1) * (r0 + 1) <= n_s THEN 1 ELSE 0 END)::BIGINT AS w FROM qw0), qtot AS (SELECT sum(w)::BIGINT AS wsum FROM qwts), qks AS (SELECT source, w, CASE WHEN n_s < (200 * w) // wsum THEN n_s ELSE (200 * w) // wsum END AS k FROM qwts, qtot), ranked AS (SELECT e.source, e.doc_id, e.ens_bp, row_number() OVER (PARTITION BY e.source ORDER BY e.ens_bp DESC, e.doc_id) AS rk FROM ens e) SELECT r.source, r.rk::BIGINT AS rk, r.doc_id, r.ens_bp, qks.w AS weight FROM ranked r JOIN qks ON qks.source = r.source WHERE r.rk <= qks.k ORDER BY 1, 2")),
     // c73's oracle recomputes the whole recipe — exact isqrt weights,
     // quotas, hash-ranked picks — so the mixture spec itself is
     // hash-pinned, not just the row count.

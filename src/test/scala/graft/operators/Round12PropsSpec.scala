@@ -79,6 +79,39 @@ class Round12PropsSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("c76 fills c73's quotas with c75's best: per-source pick " +
+      "counts equal c73's (same quota recipe), and every pick " +
+      "dominates every non-pick of its source by (ens_bp, doc_id)") {
+    val mix = graft.SparkEntry.queries("c76_quality_mixture")(
+      spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(mix.nonEmpty)
+    val hashMix = graft.SparkEntry.queries("c73_mixture_sample")(
+      spark, sf0001).collect().map(r => r.getString(0))
+    assert(mix.groupBy(_._1).view.mapValues(_.length).toMap ==
+      hashMix.groupBy(identity).view.mapValues(_.length).toMap,
+      "both samplers must honor the same quota table")
+    val scores = graft.SparkEntry.queries("c75_curation_ensemble")(
+      spark, sf0001).collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(5)))
+    mix.groupBy(_._1).foreach { case (src, picks) =>
+      val pickIds = picks.map(_._3).toSet
+      val worstPick = picks.map(p => (p._4, p._3)).max(
+        Ordering.Tuple2(Ordering.Long.reverse, Ordering.Long))
+      scores.filter(s => s._1 == src && !pickIds.contains(s._2))
+        .foreach { case (_, id, ens) =>
+          assert(ens < worstPick._1 ||
+            (ens == worstPick._1 && id > worstPick._2),
+            s"$src: non-pick doc $id (ens $ens) beats worst pick " +
+              s"$worstPick")
+        }
+      // declared ens_bp values agree with c75's
+      val byId = scores.collect { case (s, id, e) if s == src => id -> e }
+        .toMap
+      picks.foreach(p => assert(byId(p._3) == p._4))
+    }
+  }
+
   test("c74 build is incremental: the index table landed as TWO " +
       "append commits (initial build + maintenance), together " +
       "covering the full universe") {
