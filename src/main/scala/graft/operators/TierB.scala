@@ -2887,6 +2887,40 @@ object TierB {
       .orderBy("phase", "file_id")
   }
 
+  /** b97: METADATA-ONLY DELETE — `SupportsDeleteV2`, the last cell of
+    * the row-level matrix: a `DELETE WHERE` constraining ONLY the
+    * partition column executes as a GROUP DROP through
+    * `DeleteFromTableExec` (Spark's
+    * `OptimizeMetadataOnlyDeleteFromTable` converts the analyzed
+    * row-level plan back once the connector accepts) — no scan, no
+    * rewrite, no row moves: the Iceberg partition-predicate metadata
+    * delete, which at 100 TB is the difference between dropping a
+    * day's partition in milliseconds of manifest work and rewriting a
+    * terabyte to remove it. A predicate touching a DATA column
+    * declines and the engine keeps the copy-on-write ReplaceData
+    * rewrite — both paths run in this demo: `DELETE WHERE g IN (2, 4)`
+    * drops two groups by metadata, `DELETE WHERE bal_cents < 0`
+    * rewrites the survivors row-level (the spec plan-asserts each
+    * path and the unpartitioned/declined contrast). Both are
+    * versioned commits: the drop stamps its groups (in-flight
+    * rewrites conflict loudly) and stays time-travelable.
+    */
+  private def b97(s: SparkSession, d: String): DataFrame = {
+    val tbl = graft.util.DemoTables.freshGraftmem(s, d, "mdel",
+      "(key BIGINT, g BIGINT, bal_cents BIGINT) PARTITIONED BY (g)")
+    customer(s, d)
+      .selectExpr("c_custkey AS key", "c_custkey % 8 AS g",
+        "CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents")
+      .writeTo(tbl).append() // v1
+    s.sql(s"DELETE FROM $tbl WHERE g IN (2, 4)") // v2: metadata-only
+    s.sql(s"DELETE FROM $tbl WHERE bal_cents < 0") // v3: row-level
+    s.sql(
+      s"""SELECT g, count(*) AS n,
+         |  CAST(sum(CAST(bal_cents AS DECIMAL(38,0))) AS BIGINT)
+         |    AS bal_cents_sum
+         |FROM $tbl GROUP BY g ORDER BY g""".stripMargin)
+  }
+
   /** THE CDC round every row-level demo shares (b75 CoW, b80 MoR, b82
     * compaction, b83 change feed, d26 streaming CDC): update keys ≡3
     * (mod 10) to bal+10000, delete keys ≡7, insert keys ≡0 (mod 100)
@@ -2992,6 +3026,11 @@ object TierB {
     // by a fully-live rewrite whose stats derive from the survivors.
     QueryDef("b96_rewrite_files", b96 _, Some(
       "WITH snap AS (SELECT c_custkey AS key FROM customer), agg AS (SELECT count(*)::BIGINT AS n1, min(key)::BIGINT AS kmin, max(key)::BIGINT AS kmax, (max(key) + 1)::BIGINT AS o FROM snap), dd AS (SELECT count(*)::BIGINT AS nd FROM snap WHERE key % 10 IN (3, 7)), sv AS (SELECT min(key)::BIGINT AS smin, max(key)::BIGINT AS smax FROM snap WHERE key % 10 NOT IN (3, 7)) SELECT * FROM (SELECT 0::BIGINT AS phase, 1::BIGINT AS file_id, 1::BIGINT AS commit_version, 0::BIGINT AS pos_min, n1 AS pos_max, n1 AS rows_written, n1 - nd AS live_rows, nd AS deleted_rows, kmin AS min_key, kmax AS max_key FROM agg, dd UNION ALL SELECT 0, 2, 3, n1, 2 * n1, n1, n1, 0, kmin + o, kmax + o FROM agg UNION ALL SELECT 1, 2, 3, n1, 2 * n1, n1, n1, 0, kmin + o, kmax + o FROM agg UNION ALL SELECT 1, 3, 4, 2 * n1, 3 * n1 - nd, n1 - nd, n1 - nd, 0, smin, smax FROM agg, dd, sv) ORDER BY phase, file_id")),
+    // b97's oracle recomputes the post-delete state from the two
+    // predicates — the metadata path and the row-level path must
+    // compose to exactly the filtered snapshot.
+    QueryDef("b97_metadata_delete", b97 _, Some(
+      "SELECT (c_custkey % 8)::BIGINT AS g, count(*)::BIGINT AS n, sum(floor(c_acctbal * 100)::BIGINT)::BIGINT AS bal_cents_sum FROM customer WHERE c_custkey % 8 NOT IN (2, 4) AND floor(c_acctbal * 100) >= 0 GROUP BY 1 ORDER BY g")),
     QueryDef("b92_branch_wap", b92 _, Some(
       "WITH snap AS (SELECT c_custkey AS key, floor(c_acctbal * 100)::BIGINT AS bal FROM customer), off AS (SELECT max(c_custkey) + 1 AS o FROM customer), gen2 AS (SELECT key + (SELECT o FROM off) AS key, bal + 777 AS bal FROM snap), allr AS (SELECT * FROM snap UNION ALL SELECT * FROM gen2) SELECT (key % 10)::BIGINT AS key_mod, count(*)::BIGINT AS n, sum(bal)::BIGINT AS bal_cents_sum FROM allr GROUP BY 1 ORDER BY 1")),
     // b82 replays BOTH CDC rounds in the oracle and never mentions

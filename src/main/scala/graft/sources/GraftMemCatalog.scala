@@ -506,8 +506,83 @@ private[sources] class GraftMemTable(val fullName: String,
     snapshotKeep: Int = 128)
     extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations with SupportsMetadataColumns
-    with SupportsAtomicPartitionManagement
+    with SupportsAtomicPartitionManagement with SupportsDeleteV2
     with GraftSnapshotHistory {
+
+  /** METADATA-ONLY DELETE (b97, `SupportsDeleteV2`): a `DELETE WHERE`
+    * whose predicates constrain ONLY the partition column (=, IN, or
+    * the trivial ALWAYS_TRUE / IS_NOT_NULL) executes as a GROUP DROP —
+    * no scan, no rewrite, no row ever moves; Spark's
+    * `OptimizeMetadataOnlyDeleteFromTable` converts the analyzed
+    * row-level plan back into `DeleteFromTableExec` when
+    * [[canDeleteWhere]] accepts (the Iceberg partition-predicate
+    * metadata delete: drop manifests, not data). Anything touching a
+    * data column declines and the engine keeps the copy-on-write
+    * ReplaceData rewrite — pushback is an optimization contract,
+    * never a semantics change. The drop is a versioned commit that
+    * stamps every dropped group (an in-flight rewrite that scanned
+    * one is a loud commit conflict) and records a snapshot (the
+    * dropped data stays time-travelable).
+    */
+  private def partitionOnlyPredicate(
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+      : Option[Long => Boolean] = {
+    import org.apache.spark.sql.connector.expressions.{Literal, NamedReference}
+    def isPart(e: org.apache.spark.sql.connector.expressions.Expression) =
+      e match {
+        case f: NamedReference =>
+          partitionCol.exists(c => f.fieldNames.sameElements(Array(c)))
+        case _ => false
+      }
+    def longLit(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[Long] = e match {
+      case l: Literal[_] => l.value() match {
+        case n: java.lang.Number => Some(n.longValue())
+        case _                   => None
+      }
+      case _ => None
+    }
+    p.name() match {
+      case "ALWAYS_TRUE" => Some(_ => true)
+      case "IS_NOT_NULL" if p.children().length == 1 &&
+          isPart(p.children()(0)) => Some(_ => true)
+      case "=" => p.children() match {
+        case Array(a, b) if isPart(a) =>
+          longLit(b).map(v => (g: Long) => g == v)
+        case Array(a, b) if isPart(b) =>
+          longLit(a).map(v => (g: Long) => g == v)
+        case _ => None
+      }
+      case "IN" if p.children().nonEmpty && isPart(p.children()(0)) =>
+        val vals = p.children().drop(1).map(longLit)
+        if (vals.forall(_.isDefined)) {
+          val set = vals.flatten.toSet
+          Some((g: Long) => set.contains(g))
+        } else None
+      case _ => None
+    }
+  }
+
+  override def canDeleteWhere(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Boolean =
+    partitionCol.isDefined &&
+      predicates.forall(p => partitionOnlyPredicate(p).isDefined)
+
+  override def deleteWhere(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = synchronized {
+    val tests = predicates.map(p => partitionOnlyPredicate(p).getOrElse(
+      throw new UnsupportedOperationException(
+        s"graftmem $fullName: deleteWhere got a non-partition " +
+          s"predicate $p — canDeleteWhere should have declined")))
+    val doomed = (g: Long) => tests.forall(_(g))
+    val dropped = rows.iterator.map(groupOf).filter(doomed).toSet
+    rows = rows.filterNot(r => doomed(groupOf(r)))
+    // a versioned commit even when zero groups matched — the DELETE
+    // statement committed, exactly like an empty row-level rewrite
+    stampCommit(dropped)
+  }
 
   /** TABLE CONSTRAINTS (b87): stored and REPORTED — the engine reads
     * these off the table and injects enforced-CHECK validation into

@@ -24,6 +24,43 @@ class GraftMemPartitionSpec extends SparkSpec {
     spark.sql(s"SHOW PARTITIONS $tbl").collect()
       .map(_.getString(0).split('=')(1).toLong).toSeq.sorted
 
+  test("b97 metadata-only DELETE: a partition-only predicate plans " +
+      "DeleteFromTableExec (no rewrite); a data-column predicate keeps " +
+      "ReplaceData; the drop is versioned and time-travelable") {
+    val tbl = freshPartitioned("spec_mdel")
+    val p1 = spark.sql(s"DELETE FROM $tbl WHERE g IN (1, 3)")
+      .queryExecution.executedPlan.toString
+    assert(p1.contains("DeleteFromTable"),
+      s"partition-only DELETE must plan metadata-only:\n$p1")
+    assert(!p1.contains("ReplaceData"),
+      s"metadata delete must not rewrite:\n$p1")
+    assert(spark.table(tbl).count() == 20L)
+    assert(spark.sql(s"SELECT DISTINCT g FROM $tbl ORDER BY g")
+      .collect().map(_.getLong(0)).toSeq == Seq(0L, 2L))
+    // the drop is a COMMIT: version bumped, pre-drop data reachable
+    assert(spark.sql(s"SELECT count(*) FROM $tbl VERSION AS OF 1")
+      .collect()(0).getLong(0) == 40L)
+    // a data-column predicate declines → copy-on-write rewrite
+    val p2 = spark.sql(s"DELETE FROM $tbl WHERE bal >= 200")
+      .queryExecution.executedPlan.toString
+    assert(p2.contains("ReplaceData"),
+      s"data-column DELETE must keep the row-level rewrite:\n$p2")
+    assert(!p2.contains("DeleteFromTableExec"), p2)
+    assert(spark.table(tbl).count() ==
+      (0L until 40L).count(i => (i % 4 == 0 || i % 4 == 2) && i * 10 < 200))
+    // an unpartitioned table has no metadata-delete grain at all
+    spark.sql("DROP TABLE IF EXISTS graftmem.db.spec_mdel_flat")
+    spark.sql("CREATE TABLE graftmem.db.spec_mdel_flat " +
+      "(key BIGINT, bal BIGINT)")
+    spark.range(5).selectExpr("id AS key", "id AS bal")
+      .writeTo("graftmem.db.spec_mdel_flat").append()
+    val p3 = spark.sql(
+      "DELETE FROM graftmem.db.spec_mdel_flat WHERE key = 1")
+      .queryExecution.executedPlan.toString
+    assert(p3.contains("ReplaceData"), p3)
+    assert(spark.table("graftmem.db.spec_mdel_flat").count() == 4L)
+  }
+
   test("SHOW PARTITIONS lists data-implied partitions; ADD declares an " +
       "empty one; DROP removes declaration AND data; TRUNCATE empties " +
       "but keeps the partition listed") {
