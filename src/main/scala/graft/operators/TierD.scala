@@ -141,7 +141,8 @@ object TierD {
     "d24_state_store_reader", "d25_stream_mor_upsert",
     "d26_stream_cdc_follow", "d27_stream_cdc_from_version",
     "d28_stream_continuous", "d29_state_metadata", "d30_state_ttl",
-    "d31_stream_eq_upsert", "d32_stream_wap", "d33_stream_lineage_cdc")
+    "d31_stream_eq_upsert", "d32_stream_wap", "d33_stream_lineage_cdc",
+    "d34_stream_map_state")
 
   /** Shared d14/d22 oracle: the one-shot hourly aggregate restricted
     * to watermark-closed windows (ws + 1 h window + 1 h delay ≤ max
@@ -230,6 +231,13 @@ object TierD {
     QueryDef("d30_state_ttl",
       (s, d) => graft.streaming.StreamingDemo.streamStateTtl(s, d), Some(
         "SELECT u.user_id, g.gen, true AS admitted FROM (SELECT DISTINCT user_id FROM events) u, (VALUES (1::BIGINT), (2::BIGINT)) g(gen) ORDER BY 1, 2")),
+    // d34's per-batch emissions: gen 1 = even-slice counts, gen 2 =
+    // TOTAL counts for exactly the pairs the odd slice touched — the
+    // cross-batch MapState accumulation recomputed from events.
+    QueryDef("d34_stream_map_state",
+      (s, d) => graft.streaming.StreamingDemo.streamMapStateCounts(s, d),
+      Some(
+        "SELECT * FROM (SELECT user_id, event_type, 1::BIGINT AS gen, count(*)::BIGINT AS cnt FROM events WHERE event_id % 2 = 0 GROUP BY 1, 2 UNION ALL SELECT user_id, event_type, 2::BIGINT, count(*)::BIGINT FROM events GROUP BY 1, 2 HAVING count(CASE WHEN event_id % 2 = 1 THEN 1 END) > 0) ORDER BY 1, 2, 3")),
     QueryDef("d23_stream_custom_sink",
       (s, d) => graft.streaming.StreamingDemo.streamCustomSink(s, d), Some(
         "SELECT user_id, count(*)::BIGINT AS n_events, min(event_id) AS min_ev, max(event_id) AS max_ev FROM events GROUP BY 1 ORDER BY 1")),

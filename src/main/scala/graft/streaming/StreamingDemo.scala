@@ -147,6 +147,48 @@ class UserCountProcessor
   }
 }
 
+/** d34's typed input row (top-level public for Catalyst codegen). */
+case class GenTypedEv(user_id: Long, event_type: String, gen: Long)
+
+/** d34's `StatefulProcessor` — MAP STATE: per user a map of
+  * event_type → running count, updated POINT-WISE
+  * (`MapState.updateValue`) so touching one type reads and writes ONE
+  * state-store entry — the per-entry access pattern that
+  * distinguishes `MapState` from a `ValueState[Map]` blob, which
+  * would deserialize and rewrite the whole map on every arrival. At
+  * 100 TB this is the difference between per-batch I/O proportional
+  * to TOUCHED entries and proportional to accumulated state; MapState
+  * entries also take per-entry TTL (d30's mechanism) where a blob
+  * expires all-or-nothing. Emission: the updated (type, count) pairs
+  * of the batch, in sorted type order (deterministic output).
+  */
+class TypeCountsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, GenTypedEv, (Long, String, Long, Long)] {
+  @transient private var m:
+    org.apache.spark.sql.streaming.MapState[String, Long] = _
+  override def init(
+      outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    m = getHandle.getMapState[String, Long]("counts",
+      org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+  override def handleInputRows(
+      key: Long, rows: Iterator[GenTypedEv],
+      tv: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[(Long, String, Long, Long)] = {
+    val batch = rows.toArray
+    val gen = batch.iterator.map(_.gen).max
+    batch.groupBy(_.event_type).toArray.sortBy(_._1).iterator.map {
+      case (t, es) =>
+        val nv = (if (m.containsKey(t)) m.getValue(t) else 0L) + es.length
+        m.updateValue(t, nv)
+        (key, t, gen, nv)
+    }
+  }
+}
+
 /** Session summary emitted by the stateful operator. */
 case class SessionOut(
     user_id: Long, session_id: Long, cnt: Long, start_s: Long, end_s: Long)
@@ -1827,6 +1869,56 @@ object StreamingDemo {
       s.read.schema(claims.schema).parquet(sink)
     } } }
       .orderBy("user_id", "gen")
+  }
+
+  /** d34: MAP STATE — `transformWithState` with a
+    * [[TypeCountsProcessor per-user MapState]] of event_type → running
+    * count, completing the arbitrary-state type matrix (ValueState
+    * d10/d30, timers d16, ListState d17, MapState here). The demo
+    * lands the even-event slice as generation 1 and the odd slice as
+    * generation 2 (landed mid-query, so the cross-batch accumulation
+    * is real), and declares each batch's UPDATED entries: generation
+    * 1 rows are the even-slice counts, generation 2 rows are the
+    * TOTAL counts for exactly the (user, type) pairs the odd slice
+    * touched — point updates against state carried from batch 1, the
+    * claim under test. RocksDB store; per-entry access means batch
+    * I/O is O(touched types), never O(accumulated map).
+    */
+  def streamMapStateCounts(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = graft.util.Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("event_id"))
+    val srcDir = graft.util.TmpDir.fresh("d34-src")
+    def land(gen: Long, even: Boolean): Unit =
+      ev.filter(pmod(col("event_id"), lit(2)) === (if (even) 0 else 1))
+        .select(col("user_id"), col("event_type"), lit(gen).as("gen"))
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    land(1L, even = true)
+    val schema = StructType.fromDDL(
+      "user_id BIGINT, event_type STRING, gen BIGINT")
+    val counts = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .as[GenTypedEv]
+      .groupByKey(_.user_id)
+      .transformWithState(new TypeCountsProcessor(),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        OutputMode.Append())
+      .toDF("user_id", "event_type", "gen", "cnt")
+    withStreamPartitions(s) { withRocksDB(s) { withoutNoDataBatches(s) {
+      val sink = graft.util.TmpDir.fresh("d34-sink")
+      val ckpt = graft.util.TmpDir.fresh("d34-ckpt")
+      val q = counts.writeStream
+        .format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable() // gen 1: the even slice seeds the maps
+        land(2L, even = false)
+        q.processAllAvailable() // gen 2: point updates on carried state
+      } finally q.stop()
+      s.read.schema(counts.schema).parquet(sink)
+    } } }
+      .orderBy("user_id", "event_type", "gen")
   }
 
   /** d23: CUSTOM EXACTLY-ONCE STREAMING SINK — the write-side twin of
