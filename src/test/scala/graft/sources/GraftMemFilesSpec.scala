@@ -216,6 +216,83 @@ class GraftMemFilesSpec extends SparkSpec {
     assert(vAfter == vBefore, "a no-op rewrite must not commit")
   }
 
+  test("b96 conflict surface: a positional delta scanned BEFORE a " +
+      "rewrite rejects loudly (its positions vanished); an " +
+      "equality delta composes safely (key addressing is " +
+      "position-independent)") {
+    def writeInfo(t: org.apache.spark.sql.connector.catalog.Table) =
+      new org.apache.spark.sql.connector.write.LogicalWriteInfo {
+        override def queryId(): String = "spec-rwc"
+        override def schema(): org.apache.spark.sql.types.StructType =
+          t.schema()
+        override def options()
+            : org.apache.spark.sql.util.CaseInsensitiveStringMap =
+          org.apache.spark.sql.util.CaseInsensitiveStringMap.empty()
+      }
+    def deltaOp(table: GraftMemMorTable) = {
+      val op = table.newRowLevelOperationBuilder(
+        new org.apache.spark.sql.connector.write.RowLevelOperationInfo {
+          override def command() = org.apache.spark.sql.connector.write
+            .RowLevelOperation.Command.MERGE
+          override def options() =
+            org.apache.spark.sql.util.CaseInsensitiveStringMap.empty()
+        }).build().asInstanceOf[
+          org.apache.spark.sql.connector.write.SupportsDelta]
+      op.newScanBuilder(
+        org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
+        .build().toBatch.planInputPartitions() // pin the scan version
+      op.newWriteBuilder(writeInfo(table)).build().toBatch
+    }
+    val cat = catalog()
+    // POSITIONAL: the delta addresses rows by _pos; a rewrite moves
+    // them → the in-flight commit's positions no longer exist
+    val tp = fresh("spec_rwc_pos", "(key BIGINT, bal BIGINT) " +
+      "TBLPROPERTIES ('graft.row_level' = 'merge-on-read')")
+    spark.range(10).selectExpr("id AS key", "id AS bal")
+      .writeTo(tp).append()
+    spark.sql(s"DELETE FROM $tp WHERE key < 4") // 40% dead
+    val tpTbl = cat.loadTable(org.apache.spark.sql.connector.catalog
+      .Identifier.of(Array("db"), "spec_rwc_pos"))
+      .asInstanceOf[GraftMemMorTable]
+    val bwPos = deltaOp(tpTbl) // scans pre-rewrite positions
+    spark.sql(
+      "CALL graftmem.system.rewrite_files('db.spec_rwc_pos', 2000L)")
+      .collect()
+    val wPos = bwPos.createBatchWriterFactory(null)
+      .asInstanceOf[org.apache.spark.sql.connector.write
+        .DeltaWriterFactory].createWriter(0, 0L)
+    // tombstone position 5 (key 5's pre-rewrite position) — moved
+    wPos.delete(null, org.apache.spark.sql.catalyst.InternalRow(5L))
+    val err = intercept[GraftMemCommitConflictException] {
+      bwPos.commit(Array(wPos.commit()))
+    }
+    assert(err.getMessage.contains("no longer exist"), err.getMessage)
+    assert(spark.table(tp).count() == 6L, "rejected commit left traces")
+    // EQUALITY: key addressing survives the move — the same
+    // interleaving commits cleanly and kills the moved row
+    val te = fresh("spec_rwc_eq", "(key BIGINT NOT NULL, bal BIGINT) " +
+      "TBLPROPERTIES ('graft.row_level' = 'merge-on-read', " +
+      "'graft.mor.deletes' = 'equality')")
+    spark.range(10).selectExpr("id AS key", "id AS bal")
+      .writeTo(te).append()
+    spark.sql(s"DELETE FROM $te WHERE key < 4")
+    val teTbl = cat.loadTable(org.apache.spark.sql.connector.catalog
+      .Identifier.of(Array("db"), "spec_rwc_eq"))
+      .asInstanceOf[GraftMemMorTable]
+    val bwEq = deltaOp(teTbl)
+    spark.sql(
+      "CALL graftmem.system.rewrite_files('db.spec_rwc_eq', 2000L)")
+      .collect()
+    val wEq = bwEq.createBatchWriterFactory(null)
+      .asInstanceOf[org.apache.spark.sql.connector.write
+        .DeltaWriterFactory].createWriter(0, 0L)
+    wEq.delete(null, org.apache.spark.sql.catalyst.InternalRow(5L))
+    bwEq.commit(Array(wEq.commit())) // composes: no conflict
+    assert(spark.table(te).collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(4L, 6L, 7L, 8L, 9L),
+      "the key-addressed delete must kill the MOVED row")
+  }
+
   test("suffix resolution is flavor-checked: __files needs MoR, " +
       "__partitions needs CoW") {
     fresh("spec_files_cow", "(key BIGINT, bal BIGINT)")
