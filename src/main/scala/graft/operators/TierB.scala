@@ -2921,6 +2921,48 @@ object TierB {
          |FROM $tbl GROUP BY g ORDER BY g""".stripMargin)
   }
 
+  /** b98: CHANGE-LOG RETENTION — `CALL graftmem.system
+    * .expire_changelog(tbl, from_version)`, the governed bound on
+    * b83's documented demo limitation ("the log grows with total
+    * changes over the table's lifetime"): feed history below the
+    * version prunes away, LOGICAL stream offsets stay stable (the
+    * retained log keeps a pruned-prefix base, so a checkpointed
+    * consumer ahead of the cut resumes untouched — the offsets are
+    * positions in the ORIGINAL log, never re-meanings), and any read
+    * reaching below the floor fails LOUDLY instead of silently
+    * serving partial history (the Delta log-retention / expired-
+    * incremental-read contract; a consumer retention outran must
+    * reprocess from a snapshot). The demo runs the standard lifecycle
+    * (append v1 → CDC MERGE v2 → follow-up v3), expires history below
+    * v3, and declares the feed read at `startingVersion = 3` — d27's
+    * oracle VERBATIM: d27 surfaces exactly the v3 change set by
+    * CHOOSING not to read below the boundary, b98 because the history
+    * below it NO LONGER EXISTS — same answer through both paths is
+    * the cross-check. Table content, version and snapshots are
+    * untouched (retention is feed maintenance, not a commit —
+    * spec-proven), and at 100 TB this is what keeps a year-old CDC
+    * table's log O(retention window), not O(lifetime).
+    */
+  private def b98(s: SparkSession, d: String): DataFrame = {
+    val tbl = graft.util.DemoTables.freshGraftmem(s, d, "morret",
+      "(key BIGINT, bal_cents BIGINT) " +
+        "TBLPROPERTIES ('graft.row_level' = 'merge-on-read')")
+    customer(s, d)
+      .selectExpr("c_custkey AS key",
+        "CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents")
+      .writeTo(tbl).append() // v1
+    runCdcMergeRound(s, d, "b98", tbl) // v2
+    runFollowupMergeRound(s, tbl) // v3
+    s.sql(s"CALL graftmem.system.expire_changelog(" +
+      s"'${tbl.stripPrefix("graftmem.")}', 3L)").collect()
+    s.read.option("startingVersion", "3").table(s"${tbl}__changes")
+      .groupBy(col("_commit_version"), col("_change_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("bal_cents").cast("decimal(38,0)")).cast("long")
+          .as("bal_cents_sum"))
+      .orderBy("_commit_version", "_change_type")
+  }
+
   /** THE CDC round every row-level demo shares (b75 CoW, b80 MoR, b82
     * compaction, b83 change feed, d26 streaming CDC): update keys ≡3
     * (mod 10) to bal+10000, delete keys ≡7, insert keys ≡0 (mod 100)
@@ -3031,6 +3073,10 @@ object TierB {
     // compose to exactly the filtered snapshot.
     QueryDef("b97_metadata_delete", b97 _, Some(
       "SELECT (c_custkey % 8)::BIGINT AS g, count(*)::BIGINT AS n, sum(floor(c_acctbal * 100)::BIGINT)::BIGINT AS bal_cents_sum FROM customer WHERE c_custkey % 8 NOT IN (2, 4) AND floor(c_acctbal * 100) >= 0 GROUP BY 1 ORDER BY g")),
+    // b98 shares d27's oracle VERBATIM: the post-boundary change set
+    // surfaced by retention (the history no longer exists) must equal
+    // the one surfaced by subscription choice (startingVersion).
+    QueryDef("b98_changelog_retention", b98 _, Some(TierD.cdcV3OracleSql)),
     QueryDef("b92_branch_wap", b92 _, Some(
       "WITH snap AS (SELECT c_custkey AS key, floor(c_acctbal * 100)::BIGINT AS bal FROM customer), off AS (SELECT max(c_custkey) + 1 AS o FROM customer), gen2 AS (SELECT key + (SELECT o FROM off) AS key, bal + 777 AS bal FROM snap), allr AS (SELECT * FROM snap UNION ALL SELECT * FROM gen2) SELECT (key % 10)::BIGINT AS key_mod, count(*)::BIGINT AS n, sum(bal)::BIGINT AS bal_cents_sum FROM allr GROUP BY 1 ORDER BY 1")),
     // b82 replays BOTH CDC rounds in the oracle and never mentions

@@ -152,6 +152,17 @@ object TierD {
   private val watermarkAppendOracleSql =
     "WITH m AS (SELECT max(ts) AS mx FROM events), a AS (SELECT date_trunc('hour', ts) AS ws, event_type, count(*)::BIGINT AS cnt FROM events GROUP BY 1, 2) SELECT floor(epoch(ws))::BIGINT AS start_s, event_type, cnt FROM a, m WHERE ws + INTERVAL 2 HOUR <= mx ORDER BY 1, 2"
 
+  /** The v3 change set of the shared CDC lifecycle (append → CDC
+    * MERGE → +5000 follow-up), recomputed from the batch definitions.
+    * Shared by d27 (startingVersion subscription) and b98 (changelog
+    * retention): both must surface EXACTLY the post-boundary history,
+    * one by choosing not to read below the boundary, one because the
+    * history below it no longer exists — same answer through both
+    * paths is the cross-check.
+    */
+  private[operators] val cdcV3OracleSql =
+    "WITH snap AS (SELECT c_custkey AS key, floor(c_acctbal * 100)::BIGINT AS bal FROM customer), off AS (SELECT max(c_custkey) + 1 AS o FROM customer), batch AS (SELECT key, bal + 10000 AS nb, 'U' AS op FROM snap WHERE key % 10 = 3 UNION ALL SELECT key, 0, 'D' FROM snap WHERE key % 10 = 7 UNION ALL SELECT key + (SELECT o FROM off), bal, 'I' FROM snap WHERE key % 100 = 0), post AS (SELECT s.key, coalesce(CASE WHEN b.op = 'U' THEN b.nb END, s.bal) AS bal FROM snap s LEFT JOIN batch b ON s.key = b.key WHERE b.op IS NULL OR b.op <> 'D' UNION ALL SELECT key, nb FROM batch WHERE op = 'I'), v3 AS (SELECT 'delete' AS ct, bal FROM post WHERE key % 10 = 1 UNION ALL SELECT 'insert', bal + 5000 FROM post WHERE key % 10 = 1) SELECT 3::BIGINT AS _commit_version, ct AS _change_type, count(*)::BIGINT AS n, sum(bal)::BIGINT AS bal_cents_sum FROM v3 GROUP BY 2 ORDER BY 1, 2"
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d1_window_tumbling", d1 _, Some(
       "SELECT date_trunc('hour', ts) AS h, event_type, count(*)::BIGINT AS cnt, sum(value::DECIMAL(18,2))::DOUBLE AS sum_value FROM events GROUP BY 1, 2 ORDER BY 1, 2")),
@@ -260,8 +271,7 @@ object TierD {
     // starting boundary held.
     QueryDef("d27_stream_cdc_from_version",
       (s, d) => graft.streaming.StreamingDemo.streamCdcFromVersion(s, d),
-      Some(
-        "WITH snap AS (SELECT c_custkey AS key, floor(c_acctbal * 100)::BIGINT AS bal FROM customer), off AS (SELECT max(c_custkey) + 1 AS o FROM customer), batch AS (SELECT key, bal + 10000 AS nb, 'U' AS op FROM snap WHERE key % 10 = 3 UNION ALL SELECT key, 0, 'D' FROM snap WHERE key % 10 = 7 UNION ALL SELECT key + (SELECT o FROM off), bal, 'I' FROM snap WHERE key % 100 = 0), post AS (SELECT s.key, coalesce(CASE WHEN b.op = 'U' THEN b.nb END, s.bal) AS bal FROM snap s LEFT JOIN batch b ON s.key = b.key WHERE b.op IS NULL OR b.op <> 'D' UNION ALL SELECT key, nb FROM batch WHERE op = 'I'), v3 AS (SELECT 'delete' AS ct, bal FROM post WHERE key % 10 = 1 UNION ALL SELECT 'insert', bal + 5000 FROM post WHERE key % 10 = 1) SELECT 3::BIGINT AS _commit_version, ct AS _change_type, count(*)::BIGINT AS n, sum(bal)::BIGINT AS bal_cents_sum FROM v3 GROUP BY 2 ORDER BY 1, 2")),
+      Some(cdcV3OracleSql)),
     // d33 = the change feed consumed UPDATE-AWARE via b95's lineage:
     // D+I pairs sharing (_commit_version, _row_id) reconstruct as
     // updates; the oracle recomputes the per-version operation census

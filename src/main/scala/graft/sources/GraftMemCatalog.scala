@@ -349,6 +349,7 @@ class GraftMemCatalog extends TableCatalog with FunctionCatalog
       Identifier.of(namespace, "fast_forward"),
       Identifier.of(namespace, "drop_branch"),
       Identifier.of(namespace, "rewrite_files"),
+      Identifier.of(namespace, "expire_changelog"),
       Identifier.of(namespace, "expire_snapshots"))
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
@@ -359,6 +360,7 @@ class GraftMemCatalog extends TableCatalog with FunctionCatalog
       case "fast_forward"     => FastForwardProcedure
       case "drop_branch"      => DropBranchProcedure
       case "rewrite_files"    => RewriteFilesProcedure
+      case "expire_changelog" => ExpireChangelogProcedure
       case "expire_snapshots" => ExpireSnapshotsProcedure
       case other => throw new RuntimeException(
         s"graftmem: no procedure named '$other'")

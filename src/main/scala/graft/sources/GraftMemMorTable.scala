@@ -306,6 +306,37 @@ private[sources] class GraftMemMorTable(val fullName: String,
   private[sources] var changeLog
       : Vector[(Long, Boolean, Long, Long, Array[Any])] = Vector.empty
 
+  /** CHANGE-LOG RETENTION (b98): `changelogBase` counts pruned
+    * entries so LOGICAL stream offsets stay stable across retention
+    * (offset = base + retained index — a checkpointed consumer ahead
+    * of the cut resumes untouched); `changelogFloor` is the lowest
+    * retained commit version (0 = full history) — a read reaching
+    * below it fails LOUDLY instead of silently returning partial
+    * history, the Delta/Iceberg expired-incremental-read contract.
+    * Guarded by `this`.
+    */
+  private[sources] var changelogBase: Long = 0L
+  private[sources] var changelogFloor: Long = 0L
+
+  /** Prune change-log entries below `fromVersion` (a PREFIX — commit
+    * versions are monotone in the append-only log). Administrative
+    * maintenance of the feed, NOT a table commit: content, version
+    * and snapshots are untouched (b83's history/state separation).
+    * Returns (pruned, retained, floor).
+    */
+  private[sources] def expireChangelog(
+      fromVersion: Long): (Long, Long, Long) = synchronized {
+    val keepFrom = changeLog.indexWhere(_._1 >= fromVersion) match {
+      case -1 => changeLog.length
+      case i  => i
+    }
+    val pruned = keepFrom.toLong
+    changeLog = changeLog.drop(keepFrom)
+    changelogBase += pruned
+    changelogFloor = math.max(changelogFloor, fromVersion)
+    (pruned, changeLog.length.toLong, changelogFloor)
+  }
+
   override def name(): String = fullName
   override def schema(): StructType = curSchema
   override def capabilities(): util.Set[TableCapability] =
@@ -1055,6 +1086,66 @@ private[sources] object RewriteFilesProcedure
     }
 }
 
+/** `graftmem.system.expire_changelog(table, from_version)` —
+  * CHANGE-LOG RETENTION (b98): prune feed history below a commit
+  * version, the governed bound on b83's documented "the log grows
+  * with total changes" demo limitation (the Delta log-retention /
+  * Iceberg expire-snapshots-for-incremental-reads shape). Logical
+  * stream offsets stay stable (consumers ahead of the cut resume
+  * untouched); reads reaching below the floor fail loudly. Returns
+  * (pruned_entries, retained_entries, floor_version).
+  */
+private[sources] object ExpireChangelogProcedure
+    extends org.apache.spark.sql.connector.catalog.procedures
+      .UnboundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures._
+  import org.apache.spark.sql.types.{LongType => LT, StringType, StructField, StructType => ST}
+
+  override def name(): String = "expire_changelog"
+  override def description(): String =
+    "prune a merge-on-read table's change-feed history below a " +
+      "commit version"
+
+  override def bind(inputType: StructType): BoundProcedure =
+    new BoundProcedure {
+      override def name(): String = "expire_changelog"
+      override def description(): String =
+        ExpireChangelogProcedure.this.description()
+      override def parameters(): Array[ProcedureParameter] =
+        Array(ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("from_version", LT).build())
+      override def isDeterministic: Boolean = false
+      private val outSchema = ST(Seq(
+        StructField("pruned_entries", LT, nullable = false),
+        StructField("retained_entries", LT, nullable = false),
+        StructField("floor_version", LT, nullable = false)))
+      override def call(input: InternalRow)
+          : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+        val tbl = input.getUTF8String(0).toString
+        val fromVersion = input.getLong(1)
+        require(fromVersion >= 1L,
+          s"expire_changelog: from_version must be >= 1, got $fromVersion")
+        GraftMemCatalog.lookup(tbl) match {
+          case m: GraftMemMorTable =>
+            val (pruned, retained, floor) = m.expireChangelog(fromVersion)
+            val row: InternalRow = InternalRow(pruned, retained, floor)
+            val scan: org.apache.spark.sql.connector.read.Scan =
+              new org.apache.spark.sql.connector.read.LocalScan {
+                override def rows(): Array[InternalRow] = Array(row)
+                override def readSchema(): StructType = outSchema
+                override def description(): String =
+                  s"expire_changelog($tbl, $fromVersion)"
+              }
+            java.util.Collections.singletonList(scan).iterator()
+          case null => throw new IllegalArgumentException(
+            s"expire_changelog: no graftmem table named '$tbl'")
+          case _ => throw new IllegalArgumentException(
+            s"expire_changelog: '$tbl' keeps no change log")
+        }
+      }
+    }
+}
+
 /** `db.tbl__changes` — the CHANGE-FEED metadata table over a
   * merge-on-read table (b83): Iceberg's `db.tbl.changes` / Delta's
   * `table_changes()` shape at the DSv2 extension point. Read-only;
@@ -1104,16 +1195,30 @@ private[sources] class MorChangesTable(parent: GraftMemMorTable)
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
       override def build(): Scan = new Scan with Batch {
-        private val snap = parent.synchronized(parent.changeLog)
-          .dropWhile(_._1 < startingVersion)
+        private val (rawLog, floor) = parent.synchronized(
+          (parent.changeLog, parent.changelogFloor))
+        private val snap = rawLog.dropWhile(_._1 < startingVersion)
         private val req = required
         override def readSchema(): StructType = req
         override def toBatch: Batch = this
         override def description(): String =
           s"MorChangesScan(${parent.fullName}, n=${snap.length}, " +
             s"from=$startingVersion)"
-        override def planInputPartitions(): Array[InputPartition] =
+        override def planInputPartitions(): Array[InputPartition] = {
+          // retention contract (b98): a BATCH read reaching below the
+          // retained floor fails LOUDLY — silent partial history is
+          // how a downstream pipeline quietly diverges. Checked here,
+          // not at scan construction: the streaming path builds this
+          // same Scan, and its own gates (initial-offset sentinel +
+          // planInputPartitions base check) own that contract.
+          if (floor > 0L && startingVersion < floor)
+            throw new IllegalArgumentException(
+              s"${parent.fullName}__changes: history before version " +
+                s"$floor has been expired by changelog retention; " +
+                s"pass .option(\"startingVersion\", >= $floor) (got " +
+                s"$startingVersion)")
           MorChangesTable.chunk(snap)
+        }
         override def createReaderFactory(): PartitionReaderFactory =
           MorChangesTable.readerFactory(parent.schema(),
             parent.colDefaults, req)
@@ -1228,33 +1333,64 @@ private[sources] class MorChangesMicroBatchStream(
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
-  // first log position at or past startingVersion (versions are
-  // monotone); past the current tail = only future changes. Used
-  // only for a FRESH query — a checkpointed restart resumes from its
-  // recorded offset.
+  // first LOGICAL log position at or past startingVersion (versions
+  // are monotone); past the current tail = only future changes.
+  // Logical offsets are base + retained index (b98): changelog
+  // retention shifts the physical vector but never a committed
+  // offset's meaning. Used only for a FRESH query — a checkpointed
+  // restart resumes from its recorded offset.
+  // NOTE the engine may poll initialOffset during RESTART
+  // initialization too (before the offset log is consulted), so this
+  // must never throw for a below-floor request — a legitimately
+  // checkpointed consumer would be unable to resume. Instead a
+  // below-floor request returns position 0 (below the retained base
+  // whenever retention ran), and planInputPartitions is the loud
+  // gate: a fresh subscription's first batch starts there and fails
+  // with the retention error, while a restart's committed offsets
+  // replace this value entirely.
   override def initialOffset(): Offset = MorChangesOffset(
     parent.synchronized {
-      if (startingVersion <= 0L) 0L
+      if (parent.changelogFloor > 0L &&
+          startingVersion < parent.changelogFloor) 0L
+      else if (startingVersion <= 0L) parent.changelogBase
       else {
         val i = parent.changeLog.indexWhere(_._1 >= startingVersion)
-        if (i < 0) parent.changeLog.length.toLong else i.toLong
+        parent.changelogBase +
+          (if (i < 0) parent.changeLog.length.toLong else i.toLong)
       }
     })
   override def latestOffset(): Offset =
-    MorChangesOffset(parent.synchronized(parent.changeLog.length.toLong))
+    MorChangesOffset(parent.synchronized(
+      parent.changelogBase + parent.changeLog.length.toLong))
   override def deserializeOffset(json: String): Offset =
     MorChangesOffset(json.toLong)
   override def planInputPartitions(
       start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[MorChangesOffset].pos.toInt
-    val e = end.asInstanceOf[MorChangesOffset].pos.toInt
+    val sLogical = start.asInstanceOf[MorChangesOffset].pos
+    val eLogical = end.asInstanceOf[MorChangesOffset].pos
     // filter by VERSION as well as position: a subscriber whose
     // startingVersion is past the current tail pins the tail position,
     // but later commits may still carry versions below the boundary —
     // the contract is "changes FROM version v", and the filter is
     // deterministic per [start, end) so replay stays exact
-    val slice = parent.synchronized(parent.changeLog.slice(s, e))
-      .filter(_._1 >= startingVersion)
+    val slice = parent.synchronized {
+      val base = parent.changelogBase
+      // an offset that retention has already pruned past cannot be
+      // served — fail loudly, never partial history. Covers BOTH a
+      // fresh below-floor subscription (its initial offset is the
+      // below-base sentinel) and a checkpointed consumer that
+      // changelog retention outran while it was down.
+      if (sLogical < base)
+        throw new IllegalStateException(
+          s"${parent.fullName}__changes: offset $sLogical predates " +
+            s"the retained log (base $base) — history expired by " +
+            "changelog retention / retention outran this consumer; " +
+            "fresh subscriptions must pass startingVersion >= " +
+            s"${parent.changelogFloor}, an outrun consumer must " +
+            "reprocess from a snapshot")
+      parent.changeLog.slice((sLogical - base).toInt,
+        (eLogical - base).toInt)
+    }.filter(_._1 >= startingVersion)
     MorChangesTable.chunk(slice)
   }
   override def createReaderFactory(): PartitionReaderFactory =
