@@ -2963,6 +2963,40 @@ object TierB {
       .orderBy("_commit_version", "_change_type")
   }
 
+  /** b99: CONNECTOR STATISTICS ON THE LAKEHOUSE TABLES —
+    * `SupportsReportStatistics` on both graftmem scan flavors (exact
+    * live row counts from the pinned snapshot; a real format serves
+    * them from manifest row counts minus delete-file counts): without
+    * the report a DSv2 relation defaults to sizeInBytes = Long.Max —
+    * "never broadcast-able at PLAN time" — so a 25-row catalog
+    * dimension joined against a parquet fact plans a full SHUFFLE
+    * join until AQE rescues it at runtime; with it the planner picks
+    * the broadcast on the FIRST execution, no hint, no runtime probe
+    * (a38/a41 proved this contract on the read-only generator; b99
+    * puts it on the WRITABLE catalog tables, where every lakehouse
+    * dim lives). The demo loads nation into a graftmem dimension and
+    * joins the customer parquet fact against it — the spec asserts
+    * the pre-AQE plan is a hint-free BroadcastHashJoin and that both
+    * flavors' scans report exact live counts (MoR: after deltas).
+    * At 100 TB stats ARE the broadcast-vs-shuffle decision: a missed
+    * 25-row broadcast shuffles the whole fact.
+    */
+  private def b99(s: SparkSession, d: String): DataFrame = {
+    val tbl = graft.util.DemoTables.freshGraftmem(s, d, "dimstat",
+      "(nkey BIGINT, rkey BIGINT)")
+    nation(s, d)
+      .selectExpr("CAST(n_nationkey AS BIGINT) AS nkey",
+        "CAST(n_regionkey AS BIGINT) AS rkey")
+      .writeTo(tbl).append()
+    customer(s, d)
+      .join(s.table(tbl), col("c_nationkey") === col("nkey"))
+      .groupBy("rkey")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("c_acctbal") * 100).cast("long")
+          .cast("decimal(38,0)")).cast("long").as("bal_cents_sum"))
+      .orderBy("rkey")
+  }
+
   /** THE CDC round every row-level demo shares (b75 CoW, b80 MoR, b82
     * compaction, b83 change feed, d26 streaming CDC): update keys ≡3
     * (mod 10) to bal+10000, delete keys ≡7, insert keys ≡0 (mod 100)
@@ -3077,6 +3111,10 @@ object TierB {
     // surfaced by retention (the history no longer exists) must equal
     // the one surfaced by subscription choice (startingVersion).
     QueryDef("b98_changelog_retention", b98 _, Some(TierD.cdcV3OracleSql)),
+    // b99's oracle recomputes the fact-dim join from the parquet
+    // sources the graftmem dimension was loaded from.
+    QueryDef("b99_stats_broadcast", b99 _, Some(
+      "SELECT n.n_regionkey::BIGINT AS rkey, count(*)::BIGINT AS n, sum(floor(c_acctbal * 100)::BIGINT)::BIGINT AS bal_cents_sum FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY 1 ORDER BY 1")),
     QueryDef("b92_branch_wap", b92 _, Some(
       "WITH snap AS (SELECT c_custkey AS key, floor(c_acctbal * 100)::BIGINT AS bal FROM customer), off AS (SELECT max(c_custkey) + 1 AS o FROM customer), gen2 AS (SELECT key + (SELECT o FROM off) AS key, bal + 777 AS bal FROM snap), allr AS (SELECT * FROM snap UNION ALL SELECT * FROM gen2) SELECT (key % 10)::BIGINT AS key_mod, count(*)::BIGINT AS n, sum(bal)::BIGINT AS bal_cents_sum FROM allr GROUP BY 1 ORDER BY 1")),
     // b82 replays BOTH CDC rounds in the oracle and never mentions

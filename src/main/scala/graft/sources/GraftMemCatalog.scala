@@ -1052,6 +1052,20 @@ private[sources] final class RowLevelScanState {
 final class GraftMemCommitConflictException(msg: String)
     extends IllegalStateException(msg)
 
+/** Shared scan statistics (b99): exact rows, bytes ≈ rows × width ×
+  * 16 (boxed demo cells; what matters to the planner is clearing or
+  * missing `autoBroadcastJoinThreshold`, not the exact constant).
+  */
+private[sources] final case class GraftMemStats(rows: Long, width: Int)
+    extends org.apache.spark.sql.connector.read.Statistics {
+  override def sizeInBytes(): java.util.OptionalLong =
+    java.util.OptionalLong.of(
+      try Math.multiplyExact(rows, math.max(1, width).toLong * 16L)
+      catch { case _: ArithmeticException => Long.MaxValue })
+  override def numRows(): java.util.OptionalLong =
+    java.util.OptionalLong.of(rows)
+}
+
 private[sources] class GraftMemScanBuilder(table: GraftMemTable,
     groupsOut: Option[RowLevelScanState] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
@@ -1059,7 +1073,8 @@ private[sources] class GraftMemScanBuilder(table: GraftMemTable,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   override def build(): Scan = new Scan with Batch
-      with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+      with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+      with org.apache.spark.sql.connector.read.SupportsReportStatistics {
     // Pin (rows, version, schema, defaults) under the swap lock so the
     // tuple is one consistent snapshot — the version is what the
     // matching commit validates its scanned groups against.
@@ -1067,6 +1082,20 @@ private[sources] class GraftMemScanBuilder(table: GraftMemTable,
       table.synchronized((table.rows, table.commitVersion,
         table.schema(), table.colDefaults))
     groupsOut.foreach(_.scanVersion = pinnedVersion)
+
+    /** TABLE STATISTICS (b99, `SupportsReportStatistics`): exact row
+      * count + byte estimate from the pinned snapshot — the lakehouse
+      * analogue of summed manifest stats. Without this, a DSv2
+      * relation defaults to sizeInBytes = Long.Max ("never
+      * broadcast-able at plan time"), so a 25-row graftmem dimension
+      * would SHUFFLE against a parquet fact until AQE rescues the
+      * plan at runtime; with it, the planner picks the broadcast on
+      * the FIRST execution with no hint (a38/a41's contract, now on
+      * the writable catalog tables).
+      */
+    override def estimateStatistics()
+        : org.apache.spark.sql.connector.read.Statistics =
+      GraftMemStats(snapshot.length.toLong, required.fields.length)
     private val gIdx = table.groupIdx
     // runtime-prunable group set (None = all); the op's holder (when
     // present) learns what was scanned so its commit replaces exactly

@@ -557,7 +557,8 @@ private[sources] class MorScanBuilder(table: GraftMemMorTable,
   private var required: StructType = table.schema()
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new Scan with Batch {
+  override def build(): Scan = new Scan with Batch
+      with org.apache.spark.sql.connector.read.SupportsReportStatistics {
     // pin one consistent (base, deltas, tombstones, version) snapshot;
     // the version is what an equality-mode delta commit validates its
     // delete keys against
@@ -570,6 +571,18 @@ private[sources] class MorScanBuilder(table: GraftMemMorTable,
         table.eqDeletes, table.commitVersion, table.schema(),
         table.colDefaults, table.lineage))
     scanState.foreach(_.scanVersion = pinnedVersion)
+
+    /** TABLE STATISTICS (b99): exact LIVE row count from the pinned
+      * snapshot (base + deltas − tombstones, the same merge the read
+      * performs) — a real MoR format serves this from manifest row
+      * counts minus delete-file counts, never a data pass.
+      */
+    override def estimateStatistics()
+        : org.apache.spark.sql.connector.read.Statistics =
+      GraftMemStats(
+        table.liveRows(snapBase, snapIns, snapDel,
+          snapEq.map(e => (e._1, e._2))).length.toLong,
+        required.fields.length)
     private val eqBounds: Map[Long, Long] =
       table.eqBoundaries(snapEq.map(e => (e._1, e._2)))
     override def readSchema(): StructType = required

@@ -112,6 +112,48 @@ class Round12PropsSpec extends SparkSpec {
     }
   }
 
+  test("b99: graftmem scans report exact live statistics and the " +
+      "catalog dimension broadcasts at PLAN time with no hint") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+    spark.conf.set("spark.sql.catalog.graftmem",
+      "graft.sources.GraftMemCatalog")
+    val cat = spark.sessionState.catalogManager.catalog("graftmem")
+      .asInstanceOf[TableCatalog]
+    def statsOf(name: String): (Long, Long) = {
+      val scan = cat.loadTable(Identifier.of(Array("db"), name))
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+        .newScanBuilder(
+          org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
+        .build().asInstanceOf[
+          org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      val st = scan.estimateStatistics()
+      (st.numRows().getAsLong, st.sizeInBytes().getAsLong)
+    }
+    // CoW: exact rows
+    spark.sql("DROP TABLE IF EXISTS graftmem.db.spec_stats_cow")
+    spark.sql("CREATE TABLE graftmem.db.spec_stats_cow (k BIGINT, v BIGINT)")
+    spark.range(7).selectExpr("id AS k", "id AS v")
+      .writeTo("graftmem.db.spec_stats_cow").append()
+    val (nCow, szCow) = statsOf("spec_stats_cow")
+    assert(nCow == 7L && szCow > 0L && szCow < 1000000L, s"($nCow, $szCow)")
+    // MoR: LIVE rows after an update + delete (not raw log size)
+    spark.sql("DROP TABLE IF EXISTS graftmem.db.spec_stats_mor")
+    spark.sql("CREATE TABLE graftmem.db.spec_stats_mor (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('graft.row_level' = 'merge-on-read')")
+    spark.range(10).selectExpr("id AS k", "id AS v")
+      .writeTo("graftmem.db.spec_stats_mor").append()
+    spark.sql("UPDATE graftmem.db.spec_stats_mor SET v = 99 WHERE k = 1")
+    spark.sql("DELETE FROM graftmem.db.spec_stats_mor WHERE k IN (2, 3)")
+    assert(statsOf("spec_stats_mor")._1 == 8L,
+      "MoR stats must count LIVE rows, not log entries")
+    // the declared join: pre-AQE plan already picks the broadcast
+    val plan = graft.SparkEntry.queries("b99_stats_broadcast")(
+      spark, sf0001).queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the 25-row graftmem dim must broadcast at plan time:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("c74 build is incremental: the index table landed as TWO " +
       "append commits (initial build + maintenance), together " +
       "covering the full universe") {
