@@ -2997,6 +2997,63 @@ object TierB {
       .orderBy("rkey")
   }
 
+  /** b100: MERGE `WHEN NOT MATCHED BY SOURCE` — the full-table-SYNC
+    * face that completes the MERGE matrix (b75 covered MATCHED
+    * UPDATE/DELETE + NOT MATCHED INSERT): rows present in the TARGET
+    * but absent from the SOURCE are retired (DELETE) or marked
+    * (UPDATE) in the SAME atomic commit as the upserts — the shape
+    * every CDC pipeline needs once sources can SHRINK (a vanished
+    * source row must retire its target row; without the clause that
+    * is a second, non-atomic anti-join DELETE commit, and a reader
+    * between the two commits sees a state that never existed
+    * upstream). Spark plans the three-way row census with a FULL
+    * OUTER join feeding the same MergeRows + group-replacing
+    * ReplaceData write as b75 — no new write machinery, the clause is
+    * pure plan surface (spec-asserted: ReplaceData executes and the
+    * connector sees one commit). Demo: target = the customer
+    * snapshot; source = the "current upstream" where residues 0–4
+    * survive with +10000 balances and fresh keys arrive past max —
+    * so residues 5–9 are NOT MATCHED BY SOURCE: 7s retire (DELETE),
+    * the rest are stamped +1 (UPDATE), both conditions evaluated in
+    * clause order. Declared output: the post-sync census by key
+    * mod 10 (residue 7 absent — the retired class), recomputed by the
+    * oracle with an explicit FULL OUTER join. At 100 TB the sync is
+    * one shuffle-join pass + a rewrite of touched groups, vs two full
+    * passes and a consistency window for the two-commit workaround.
+    */
+  private def b100(s: SparkSession, d: String): DataFrame = {
+    val tbl = graft.util.DemoTables.freshGraftmem(s, d, "sync",
+      "(key BIGINT, bal_cents BIGINT)")
+    customer(s, d)
+      .selectExpr("c_custkey AS key",
+        "CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents")
+      .writeTo(tbl).append()
+    customer(s, d).createOrReplaceTempView("g_cust_b100")
+    s.sql(
+      """SELECT key, bal_cents + 10000 AS nb
+        |FROM (SELECT c_custkey AS key,
+        |        CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |      FROM g_cust_b100) WHERE key % 10 <= 4
+        |UNION ALL
+        |SELECT c_custkey + (SELECT max(c_custkey) + 1 FROM g_cust_b100),
+        |       CAST(floor(c_acctbal * 100) AS BIGINT)
+        |FROM g_cust_b100 WHERE c_custkey % 100 = 0""".stripMargin)
+      .createOrReplaceTempView("g_src_b100")
+    s.sql(
+      s"""MERGE INTO $tbl t USING g_src_b100 b ON t.key = b.key
+         |WHEN MATCHED THEN UPDATE SET bal_cents = b.nb
+         |WHEN NOT MATCHED THEN INSERT (key, bal_cents)
+         |  VALUES (b.key, b.nb)
+         |WHEN NOT MATCHED BY SOURCE AND t.key % 10 = 7 THEN DELETE
+         |WHEN NOT MATCHED BY SOURCE THEN UPDATE
+         |  SET bal_cents = bal_cents + 1""".stripMargin)
+    s.sql(
+      s"""SELECT key % 10 AS key_mod, count(*) AS n,
+         |  CAST(sum(CAST(bal_cents AS DECIMAL(38,0))) AS BIGINT)
+         |    AS bal_cents_sum
+         |FROM $tbl GROUP BY key % 10 ORDER BY key_mod""".stripMargin)
+  }
+
   /** THE CDC round every row-level demo shares (b75 CoW, b80 MoR, b82
     * compaction, b83 change feed, d26 streaming CDC): update keys ≡3
     * (mod 10) to bal+10000, delete keys ≡7, insert keys ≡0 (mod 100)
@@ -3077,6 +3134,13 @@ object TierB {
     // row-level write path (equality-delete WriteDelta) — one oracle,
     // three write paths, equality is the cross-check.
     QueryDef("b91_equality_delete", b91 _, Some(mergeOracleSql)),
+    // b100's oracle recomputes the post-sync state with an explicit
+    // FULL OUTER join — matched rows take the source balance,
+    // source-only rows insert, target-only rows retire (residue 7) or
+    // stamp +1; the retired class's ABSENCE from the census is the
+    // point of the clause.
+    QueryDef("b100_merge_not_matched_by_source", b100 _, Some(
+      "WITH snap AS (SELECT c_custkey AS key, floor(c_acctbal * 100)::BIGINT AS bal FROM customer), off AS (SELECT max(c_custkey) + 1 AS o FROM customer), src AS (SELECT key, bal + 10000 AS nb FROM snap WHERE key % 10 <= 4 UNION ALL SELECT key + (SELECT o FROM off), bal FROM snap WHERE key % 100 = 0), post AS (SELECT coalesce(t.key, b.key) AS key, CASE WHEN b.key IS NOT NULL THEN b.nb ELSE t.bal + 1 END AS bal, (t.key IS NOT NULL AND b.key IS NULL AND t.key % 10 = 7) AS retired FROM snap t FULL OUTER JOIN src b ON t.key = b.key) SELECT (key % 10)::BIGINT AS key_mod, count(*)::BIGINT AS n, sum(bal)::BIGINT AS bal_cents_sum FROM post WHERE NOT retired GROUP BY 1 ORDER BY 1")),
     // b92's oracle recomputes snapshot + staged generation and never
     // mentions branches — their absence from the math IS the
     // publish-exactness check (main must equal exactly what was

@@ -326,6 +326,15 @@ private[sources] class GraftMemMorTable(val fullName: String,
     */
   private[sources] def expireChangelog(
       fromVersion: Long): (Long, Long, Long) = synchronized {
+    // floor invariant: "lowest RETAINED version" — an over-the-head
+    // expire would set the floor past every retained AND future
+    // commit, bricking the feed until commitVersion caught up. The
+    // highest meaningful cut is commitVersion + 1 (drop everything,
+    // retain from the next commit onward); beyond that, fail loudly.
+    require(fromVersion <= commitVersion + 1L,
+      s"expire_changelog: from_version $fromVersion is past the " +
+        s"table head (current version $commitVersion); the highest " +
+        s"valid cut is ${commitVersion + 1L}")
     val keepFrom = changeLog.indexWhere(_._1 >= fromVersion) match {
       case -1 => changeLog.length
       case i  => i
@@ -462,6 +471,14 @@ private[sources] class GraftMemMorTable(val fullName: String,
       deltaInserts = deltaInserts.filterNot(e => inVictim(e._1))
       // victim tombstones die with their rows; survivors' remain
       deleted = deleted.filterNot(inVictim)
+      // lineage: moved live rows carry their entries to the new
+      // positions; DEAD victim rows' entries (positions inside victim
+      // ranges that did NOT move) are pruned here too — mirroring
+      // compact()'s live-position prune — so rewrite-only maintenance
+      // never grows the map with entries for vanished positions
+      lineage = lineage.filter { e =>
+        !inVictim(e._1) || livePos.contains(e._1)
+      }
       lineage = (lineage -- moved.iterator.map(_._1)) ++
         movedNew.iterator.map { e =>
           e._2 -> lineage.getOrElse(e._1, (e._1, 0L))
@@ -575,14 +592,18 @@ private[sources] class MorScanBuilder(table: GraftMemMorTable,
     /** TABLE STATISTICS (b99): exact LIVE row count from the pinned
       * snapshot (base + deltas − tombstones, the same merge the read
       * performs) — a real MoR format serves this from manifest row
-      * counts minus delete-file counts, never a data pass.
+      * counts minus delete-file counts, never a data pass. Computed
+      * ONCE per scan (the snapshot is pinned, so the count can never
+      * change): the planner may call estimateStatistics repeatedly
+      * for one relation, and re-running the O(rows) merge each time
+      * is pure waste.
       */
+    private lazy val pinnedLiveCount: Long =
+      table.liveRows(snapBase, snapIns, snapDel,
+        snapEq.map(e => (e._1, e._2))).length.toLong
     override def estimateStatistics()
         : org.apache.spark.sql.connector.read.Statistics =
-      GraftMemStats(
-        table.liveRows(snapBase, snapIns, snapDel,
-          snapEq.map(e => (e._1, e._2))).length.toLong,
-        required.fields.length)
+      GraftMemStats(pinnedLiveCount, required.fields.length)
     private val eqBounds: Map[Long, Long] =
       table.eqBoundaries(snapEq.map(e => (e._1, e._2)))
     override def readSchema(): StructType = required

@@ -1090,9 +1090,13 @@ private[sources] class PairGenReaderFactory(required: StructType,
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     // (first, bound, stride, grp): contiguous for plain partitions, a
-    // mod-class stride with constant grp for bucketed ones
+    // mod-class stride with constant grp for bucketed ones. A plain
+    // partition's grp is 0 — bit-identical with the row reader's
+    // `v % max(1, nBuckets)` under nBuckets = 0 (unreachable while
+    // bucketed tables only plan bucket partitions, but the two paths
+    // must never be allowed to diverge silently)
     val (first, bound, stride, grpVal) = partition match {
-      case p: PairGenPartition => (p.start, p.end, 1L, -1L)
+      case p: PairGenPartition => (p.start, p.end, 1L, 0L)
       case b: PairGenBucketPartition =>
         (bucketFirst(b), b.hi, b.buckets.toLong, b.bucket.toLong)
     }

@@ -42,6 +42,46 @@ class GraftMemCatalogSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("MERGE WHEN NOT MATCHED BY SOURCE: retire + stamp land in ONE " +
+      "ReplaceData commit, clause order respected (b100)") {
+    val tbl = freshTable("spec_nmbs")
+    spark.range(10).selectExpr("id AS key", "id * 100 AS bal_cents")
+      .writeTo(tbl).append()
+    // source covers keys 0–4 plus fresh keys 20–21; keys 5–9 are
+    // NOT MATCHED BY SOURCE: odd ones retire, even ones stamp +1
+    spark.range(5).selectExpr("id AS key", "id * 1000 AS nb")
+      .union(spark.range(20, 22).selectExpr("id", "id * 1000"))
+      .createOrReplaceTempView("spec_nmbs_src")
+    val vBefore = {
+      val t = GraftMemCatalog.lookup(tbl.stripPrefix("graftmem."))
+        .asInstanceOf[GraftMemTable]
+      t.synchronized(t.commitVersion)
+    }
+    val m = spark.sql(
+      s"""MERGE INTO $tbl t USING spec_nmbs_src b ON t.key = b.key
+         |WHEN MATCHED THEN UPDATE SET bal_cents = b.nb
+         |WHEN NOT MATCHED THEN INSERT (key, bal_cents)
+         |  VALUES (b.key, b.nb)
+         |WHEN NOT MATCHED BY SOURCE AND t.key % 2 = 1 THEN DELETE
+         |WHEN NOT MATCHED BY SOURCE THEN UPDATE
+         |  SET bal_cents = bal_cents + 1""".stripMargin)
+    // the clause is pure plan surface: the SAME group-replacing
+    // ReplaceData write as b75, no delta/two-pass fallback
+    assert(m.queryExecution.executedPlan.toString.contains("ReplaceData"),
+      "NOT MATCHED BY SOURCE must execute through ReplaceData")
+    val t = GraftMemCatalog.lookup(tbl.stripPrefix("graftmem."))
+      .asInstanceOf[GraftMemTable]
+    assert(t.synchronized(t.commitVersion) == vBefore + 1,
+      "the full sync (upserts + retire + stamp) must be ONE commit")
+    val got = spark.table(tbl).orderBy("key").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val expect =
+      (0L to 4L).map(k => (k, k * 1000)) ++       // matched update
+        Seq((6L, 601L), (8L, 801L)) ++            // stamped (5,7,9 retired)
+        Seq((20L, 20000L), (21L, 21000L))         // inserted
+    assert(got == expect)
+  }
+
   test("UPDATE and DELETE route through the same row-level machinery") {
     val tbl = freshTable("spec_ud")
     spark.range(6).selectExpr("id AS key", "id AS bal_cents")
