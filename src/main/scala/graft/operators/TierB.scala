@@ -3054,6 +3054,134 @@ object TierB {
          |FROM $tbl GROUP BY key % 10 ORDER BY key_mod""".stripMargin)
   }
 
+  /** b101: SCHEMA EVOLUTION BEYOND ADD — RENAME COLUMN, DROP COLUMN
+    * and INT→BIGINT TYPE WIDENING as METADATA-ONLY commits on the
+    * copy-on-write flavor, through a stable physical-slot column map
+    * ([[graft.sources.GraftColMap]] — the Iceberg field-id / Delta
+    * column-mapping shape in miniature): a rename moves no slot, a
+    * drop orphans its slot FOREVER (a later ADD gets a fresh one, so
+    * dropped data can never resurrect under a new column — the
+    * classic slot-reuse corruption), and a widen leaves old narrow
+    * cells in place with reads coercing up through the widened-slot
+    * set. Zero data passes across the whole lifecycle (spec-proven by
+    * row-vector object identity across each DDL). The demo runs the
+    * full gauntlet: append the customer snapshot → ADD (cnt INT
+    * DEFAULT 7, scratch BIGINT DEFAULT 1) → append generation 1 with
+    * INT counts → WIDEN cnt to BIGINT → append generation 2 with
+    * counts beyond Int range (storable only because the widen landed)
+    * → RENAME bal→balance → DROP scratch → append generation 3
+    * through the final shape. Declared output: the per-generation
+    * census at TWO points — `VERSION AS OF` the pre-evolution commit
+    * (old names, INT cnt, scratch alive: time travel serves the OLD
+    * shape) and the current table (balance/cnt-as-long, scratch gone,
+    * declared -1) — every generation's rows served through whatever
+    * projection their write-time shape needs. At 100 TB each DDL here
+    * is one metadata commit where a naive engine rewrites the table;
+    * old files are never touched, exactly Iceberg's contract.
+    */
+  private def b101(s: SparkSession, d: String): DataFrame = {
+    val tbl = graft.util.DemoTables.freshGraftmem(s, d, "sevol",
+      "(key BIGINT, bal BIGINT)")
+    val cust = customer(s, d)
+      .selectExpr("c_custkey AS key",
+        "CAST(floor(c_acctbal * 100) AS BIGINT) AS bal")
+    cust.writeTo(tbl).append() // v1: 2-col rows
+    // bounded 1-row agg (the A9 class): the re-keying offset (empty
+    // corpus → 1, every generation filter then selects nothing)
+    val off = cust.agg(coalesce(max(col("key")), lit(0L)))
+      .head.getLong(0) + 1L
+    s.sql(s"ALTER TABLE $tbl ADD COLUMNS (" +
+      "cnt INT DEFAULT 7, scratch BIGINT DEFAULT 1)") // v2, v3
+    cust.filter(col("key") % 10 === 0)
+      .select((col("key") + off).as("key"), col("bal"),
+        (col("key") % 100).cast("int").as("cnt"),
+        lit(2L).as("scratch"))
+      .writeTo(tbl).append() // v4: gen 1, INT counts
+    s.sql(s"ALTER TABLE $tbl ALTER COLUMN cnt TYPE BIGINT") // v5
+    cust.filter(col("key") % 100 === 0)
+      .select((col("key") + 2L * off).as("key"), col("bal"),
+        (lit(1L << 40) + col("key") % 7).as("cnt"),
+        lit(3L).as("scratch"))
+      .writeTo(tbl).append() // v6: gen 2, counts beyond Int range
+    s.sql(s"ALTER TABLE $tbl RENAME COLUMN bal TO balance") // v7
+    s.sql(s"ALTER TABLE $tbl DROP COLUMN scratch") // v8
+    cust.filter(col("key") % 100 === 50)
+      .select((col("key") + 3L * off).as("key"),
+        col("bal").as("balance"), lit(5L).as("cnt"))
+      .writeTo(tbl).append() // v9: gen 3, through the final shape
+    // phase 0: time travel to v4 — the OLD shape (bal/INT cnt/scratch)
+    val past = s.sql(
+      s"""SELECT 0L AS phase, key DIV ${off}L AS gen, count(*) AS n,
+         |  CAST(sum(CAST(bal AS DECIMAL(38,0))) AS BIGINT) AS bal_sum,
+         |  CAST(sum(CAST(cnt AS DECIMAL(38,0))) AS BIGINT) AS cnt_sum,
+         |  CAST(sum(CAST(scratch AS DECIMAL(38,0))) AS BIGINT)
+         |    AS scratch_sum
+         |FROM $tbl VERSION AS OF 4 GROUP BY gen""".stripMargin)
+    // phase 1: the current shape (balance/cnt-as-long; scratch is
+    // GONE — declared as the -1 sentinel, the drop is the claim)
+    val now = s.sql(
+      s"""SELECT 1L AS phase, key DIV ${off}L AS gen, count(*) AS n,
+         |  CAST(sum(CAST(balance AS DECIMAL(38,0))) AS BIGINT) AS bal_sum,
+         |  CAST(sum(CAST(cnt AS DECIMAL(38,0))) AS BIGINT) AS cnt_sum,
+         |  -1L AS scratch_sum
+         |FROM $tbl GROUP BY gen""".stripMargin)
+    past.unionAll(now).orderBy("phase", "gen")
+  }
+
+  /** b102: SORT-STRATEGY REWRITE — `CALL graftmem.system.rewrite_sort
+    * (tbl, n_files)`, the Iceberg sort/z-order `rewrite_data_files`
+    * strategy next to b96's dead-ratio bin-pack: b96 reclaims space
+    * (victims by dead fraction), this restores LAYOUT — the live set
+    * re-sorted by the lead column lands as n_files files whose
+    * write-time (min_key, max_key) stats are TIGHT and DISJOINT. The
+    * demo constructs the pathological layout interleaved ingestion
+    * always produces: four appends, one per key residue class mod 4,
+    * so every ledger file spans the ENTIRE key domain (every file
+    * overlaps every other — min/max skipping prunes nothing), then
+    * rewrites sorted into four files that each own one contiguous key
+    * slice. Declared output: the full `__files` trajectory, phase 0
+    * (wide overlapping ranges) → phase 1 (tight disjoint ranges) —
+    * the b94 metadata read showing the maintenance action did exactly
+    * what the a34/a39/a44 range-skipping layer needs. Content
+    * invariance and b95 lineage preservation are spec-asserted (the
+    * same contracts as b96: maintenance moves bytes, never truth).
+    * At 100 TB this is the scheduled re-cluster that keeps scan
+    * pruning effective as interleaved ingest fragments the key space
+    * — I/O proportional to the files rewritten, planned FROM the
+    * ledger's overlap statistics, never a data scan.
+    */
+  private def b102(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val tbl = graft.util.DemoTables.freshGraftmem(s, d, "sortrw",
+      "(key BIGINT, bal_cents BIGINT) " +
+        "TBLPROPERTIES ('graft.row_level' = 'merge-on-read')")
+    val cust = customer(s, d)
+      .selectExpr("c_custkey AS key",
+        "CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents")
+    // interleaved ingestion: one append per residue class — every
+    // file spans the whole key domain (v1..v4, files 1..4)
+    (0 until 4).foreach(i =>
+      cust.filter(col("key") % 4 === i).writeTo(tbl).append())
+    val cols = Seq("file_id", "commit_version", "pos_min", "pos_max",
+      "rows_written", "live_rows", "min_key", "max_key")
+    // materialize each phase eagerly (DSv2 scans pin state at
+    // physical planning — b94's discipline)
+    def grab(phase: Long): Seq[org.apache.spark.sql.Row] =
+      s.table(s"${tbl}__files")
+        .select(lit(phase).as("phase") +: cols.map(col): _*)
+        .collect().toSeq
+    val pre = grab(0L)
+    s.sql(s"CALL graftmem.system.rewrite_sort(" +
+      s"'${tbl.stripPrefix("graftmem.")}', 4)").collect()
+    val post = grab(1L)
+    val schema = StructType(
+      StructField("phase", LongType, nullable = false) +:
+        cols.map(StructField(_, LongType, nullable = false)))
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame((pre ++ post).asJava, schema)
+      .orderBy("phase", "file_id")
+  }
+
   /** THE CDC round every row-level demo shares (b75 CoW, b80 MoR, b82
     * compaction, b83 change feed, d26 streaming CDC): update keys ≡3
     * (mod 10) to bal+10000, delete keys ≡7, insert keys ≡0 (mod 100)
@@ -3139,6 +3267,19 @@ object TierB {
     // source-only rows insert, target-only rows retire (residue 7) or
     // stamp +1; the retired class's ABSENCE from the census is the
     // point of the clause.
+    // b101's oracle replays the whole evolution lifecycle as plain
+    // relational math: phase 0 = the pre-evolution census (INT cnt,
+    // scratch alive), phase 1 = the final census with the INT-era
+    // cells upcast and generation 2's beyond-Int counts — values only
+    // the widen makes storable; scratch's -1 marks the drop.
+    QueryDef("b101_schema_evolution_rename_widen", b101 _, Some(
+      "WITH snap AS (SELECT c_custkey AS key, floor(c_acctbal * 100)::BIGINT AS bal FROM customer), off AS (SELECT max(key) + 1 AS o FROM snap), g0 AS (SELECT key, bal, 7::BIGINT AS cnt, 1::BIGINT AS scratch FROM snap), g1 AS (SELECT key + (SELECT o FROM off) AS key, bal, (key % 100)::BIGINT AS cnt, 2::BIGINT AS scratch FROM snap WHERE key % 10 = 0), g2 AS (SELECT key + 2 * (SELECT o FROM off) AS key, bal, (1099511627776 + key % 7)::BIGINT AS cnt, 3::BIGINT AS scratch FROM snap WHERE key % 100 = 0), g3 AS (SELECT key + 3 * (SELECT o FROM off) AS key, bal, 5::BIGINT AS cnt FROM snap WHERE key % 100 = 50), past AS (SELECT * FROM g0 UNION ALL SELECT * FROM g1), cur AS (SELECT key, bal, cnt FROM past UNION ALL SELECT key, bal, cnt FROM g2 UNION ALL SELECT key, bal, cnt FROM g3) SELECT 0::BIGINT AS phase, key // (SELECT o FROM off) AS gen, count(*)::BIGINT AS n, sum(bal)::BIGINT AS bal_sum, sum(cnt)::BIGINT AS cnt_sum, sum(scratch)::BIGINT AS scratch_sum FROM past GROUP BY 2 UNION ALL SELECT 1::BIGINT, key // (SELECT o FROM off), count(*)::BIGINT, sum(bal)::BIGINT, sum(cnt)::BIGINT, -1::BIGINT FROM cur GROUP BY 2 ORDER BY phase, gen")),
+    // b102's oracle recomputes the two-phase ledger trajectory: phase
+    // 0 from the residue-class append definitions (overlapping
+    // whole-domain ranges), phase 1 from the sorted-chunk boundaries
+    // (tight disjoint ranges with fresh contiguous positions).
+    QueryDef("b102_rewrite_sort_strategy", b102 _, Some(
+      "WITH snap AS (SELECT c_custkey AS key FROM customer), n AS (SELECT count(*)::BIGINT AS cnt FROM snap), res AS (SELECT (key % 4)::BIGINT AS r, count(*)::BIGINT AS ni, min(key)::BIGINT AS mn, max(key)::BIGINT AS mx FROM snap GROUP BY 1), f0 AS (SELECT 0::BIGINT AS phase, r + 1 AS file_id, r + 1 AS commit_version, (sum(ni) OVER (ORDER BY r) - ni)::BIGINT AS pos_min, (sum(ni) OVER (ORDER BY r))::BIGINT AS pos_max, ni AS rows_written, ni AS live_rows, mn AS min_key, mx AS max_key FROM res), c AS (SELECT ((cnt + 3) // 4)::BIGINT AS c FROM n), rk AS (SELECT key, (row_number() OVER (ORDER BY key) - 1) AS rk FROM snap), g AS (SELECT rk // (SELECT c FROM c) AS grp, count(*)::BIGINT AS ni, min(key)::BIGINT AS mn, max(key)::BIGINT AS mx FROM rk GROUP BY 1), f1 AS (SELECT 1::BIGINT AS phase, 5 + grp AS file_id, 5::BIGINT AS commit_version, ((SELECT cnt FROM n) + grp * (SELECT c FROM c))::BIGINT AS pos_min, ((SELECT cnt FROM n) + grp * (SELECT c FROM c) + ni)::BIGINT AS pos_max, ni, ni, mn, mx FROM g) SELECT * FROM (SELECT * FROM f0 UNION ALL SELECT * FROM f1) ORDER BY phase, file_id")),
     QueryDef("b100_merge_not_matched_by_source", b100 _, Some(
       "WITH snap AS (SELECT c_custkey AS key, floor(c_acctbal * 100)::BIGINT AS bal FROM customer), off AS (SELECT max(c_custkey) + 1 AS o FROM customer), src AS (SELECT key, bal + 10000 AS nb FROM snap WHERE key % 10 <= 4 UNION ALL SELECT key + (SELECT o FROM off), bal FROM snap WHERE key % 100 = 0), post AS (SELECT coalesce(t.key, b.key) AS key, CASE WHEN b.key IS NOT NULL THEN b.nb ELSE t.bal + 1 END AS bal, (t.key IS NOT NULL AND b.key IS NULL AND t.key % 10 = 7) AS retired FROM snap t FULL OUTER JOIN src b ON t.key = b.key) SELECT (key % 10)::BIGINT AS key_mod, count(*)::BIGINT AS n, sum(bal)::BIGINT AS bal_cents_sum FROM post WHERE NOT retired GROUP BY 1 ORDER BY 1")),
     // b92's oracle recomputes snapshot + staged generation and never

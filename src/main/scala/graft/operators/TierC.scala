@@ -1120,14 +1120,18 @@ object TierC {
 
   /** Step (5): recall@k vs brute force over the index universe (c65's
     * harness) joined onto the checkpointed top-k — the declared
-    * output both c72 and c74 share.
+    * output c72, c74 and c77 share. `surviving` narrows the ground
+    * truth to the post-delete universe (c77): recall is only honest
+    * against neighbors that still EXIST — a deleted vector is not a
+    * miss, it is gone.
     */
   private def ivfRecallEval(s: SparkSession, d: String, ann: DataFrame,
-      probesRaw: Array[(Long, Array[Float])], k: Int): DataFrame = {
+      probesRaw: Array[(Long, Array[Float])], k: Int,
+      surviving: Long => Boolean = _ => true): DataFrame = {
     import s.implicits._
     val bcPr = s.sparkContext.broadcast(probesRaw)
     val kc = IvfParams.kc // localized for the closure
-    val gt = vecs(s, d).filter(_._1 >= kc)
+    val gt = vecs(s, d).filter(t => t._1 >= kc && surviving(t._1))
       .mapPartitions(it => boundedTopK(it, bcPr.value, k, keepVec = false)
         .map { case (pid, cid, sim, _) => (pid, cid, sim) })
       .toDF("probe_id", "neighbor_id", "gsim")
@@ -1255,6 +1259,70 @@ object TierC {
     val ann = c74Search(s, d, indexTbl, modelTbl, k)
       .localCheckpoint(false) // feeds the output AND the recall join
     ivfRecallEval(s, d, ann, ivfProbeSet(s, d), k)
+  }
+
+  /** c77: ANN INDEX DELETE-MAINTENANCE — the closure of c74's one
+    * declared edge: c74 maintains on APPEND only, so a vector deleted
+    * from the corpus stayed retrievable forever (a correctness AND
+    * compliance hole — a right-to-be-forgotten delete that search
+    * keeps serving never happened). Here the index lives on the
+    * MERGE-ON-READ flavor keyed by vec_id with EQUALITY DELETES
+    * (b91's machinery applied to index maintenance): the corpus
+    * delete (ids ≡3 mod 10 retire) propagates as one `DELETE FROM
+    * idx WHERE vec_id % 10 = 3` — a WriteDelta commit of key-addressed
+    * tombstones, O(deleted), no index rebuild, NO TRAINING PATH
+    * (spec-asserted: the maintenance plan never touches the model or
+    * the training corpus) — and every subsequent search's ADC scan
+    * reads the post-delete live set through the read-time merge, so
+    * deleted ids are structurally absent from the shortlist (never
+    * filtered post-hoc). Ground truth moves to the SURVIVING universe
+    * — recall is only honest against neighbors that still exist; the
+    * oracle recomputes the whole IVF-PQ search with candidates and
+    * ground truth restricted to survivors, so hash equality proves
+    * both claims at once (deleted ids gone, recall floor held). The
+    * build INSERT-SELECTs c74's persisted index (maintenance reuses
+    * the artifact, never retrains). At 100 TB: a corpus delete is one
+    * equality-delete commit against the index table; compaction folds
+    * tombstones on its own schedule (b82), searches pay one per-split
+    * key-boundary filter until then.
+    */
+  private val c77Memo =
+    new graft.util.BoundedMemo[(SparkSession, String), String]()
+
+  private[graft] def c77Build(s: SparkSession, d: String): String =
+    c77Memo.get((s, d)) {
+      val (indexTbl, _) = c74Build(s, d)
+      val idx2 = graft.util.DemoTables.freshGraftmem(s, d, "annidx2",
+        "(vec_id BIGINT NOT NULL, cell BIGINT, c0 BIGINT, c1 BIGINT, " +
+          "c2 BIGINT, c3 BIGINT) TBLPROPERTIES " +
+          "('graft.row_level' = 'merge-on-read', " +
+          "'graft.mor.deletes' = 'equality')")
+      s.sql(s"INSERT INTO $idx2 SELECT vec_id, cell, c0, c1, c2, c3 " +
+        s"FROM $indexTbl")
+      // the corpus delete lands: propagate to the index as equality
+      // deletes keyed by vec_id — no rebuild, no training, O(deleted)
+      s.sql(s"DELETE FROM $idx2 WHERE vec_id % 10 = 3")
+      idx2
+    }
+
+  private def c77(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = graft.util.GraftConf.similarityK(s)
+    require(k == 5,
+      s"c77's oracle assumes graft.similarity.k=5; got $k")
+    val (_, modelTbl) = c74Build(s, d)
+    val idx2 = c77Build(s, d)
+    val (cents, books) = c74ReadModel(s, modelTbl)
+    // the search sees the post-delete live set through the MoR
+    // read-time merge — deleted ids never reach the ADC scan
+    val index = s.table(idx2)
+      .select("cell", "vec_id", "c0", "c1", "c2", "c3")
+      .as[(Long, Long, Long, Long, Long, Long)]
+    val probes = ivfProbeSet(s, d)
+    val ann = ivfSearchChain(s, d, index, probes, cents, books, k)
+      .localCheckpoint(false)
+    ivfRecallEval(s, d, ann, probes, k,
+      surviving = (id: Long) => id % 10 != 3)
   }
 
   /** c75: CALIBRATED CURATION ENSEMBLE — c12's heuristics, c55's
@@ -2557,7 +2625,14 @@ object TierC {
     * shortlist re-ranks by true cosine, and ground truth/recall
     * replay c65's harness — every integer of the chain recomputed.
     */
-  private val ivfPqSearchOracleSql: String = {
+  /** The IVF-PQ search recomputed wholesale in DuckDB, shared by c72
+    * and c74 (identical index universe) and, with `surviveSql`
+    * narrowing candidates AND ground truth to the post-delete
+    * survivors, by c77 — the model training stays identical in all
+    * three (c77 searches with the PERSISTED pre-delete model; only
+    * the index content shrank).
+    */
+  private def ivfPqOracle(survive: String => String): String = {
     def coarseRound(n: Int, prev: String): String =
       s"ka$n AS (SELECT q0.vec_id, p.c, sum((q0.q - p.m)*(q0.q - p.m))::BIGINT AS dist FROM q0 JOIN $prev p USING (i) GROUP BY 1, 2), " +
         s"kb$n AS (SELECT vec_id, c, dist FROM ka$n QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) = 1), " +
@@ -2580,15 +2655,23 @@ object TierC {
       ", probes AS (SELECT vec_id AS probe_id FROM embeddings WHERE vec_id % 100 = 0 AND vec_id >= 8 ORDER BY vec_id LIMIT 32)" +
       ", pcell AS (SELECT t.probe_id, t.c AS cell FROM (SELECT pr.probe_id, p.c, sum((q0.q - p.m)*(q0.q - p.m))::BIGINT AS dist FROM probes pr JOIN q0 ON q0.vec_id = pr.probe_id JOIN kc2 p USING (i) GROUP BY 1, 2) t QUALIFY row_number() OVER (PARTITION BY t.probe_id ORDER BY t.dist, t.c) <= 4)" +
       ", dtab AS (SELECT pr.probe_id, q0.sub, p.c, sum((q0.q - p.m)*(q0.q - p.m))::BIGINT AS dist FROM probes pr JOIN q0 ON q0.vec_id = pr.probe_id JOIN pc2 p USING (i) GROUP BY 1, 2, 3)" +
-      ", cand AS (SELECT pc.probe_id, a.vec_id AS cand_id FROM pcell pc JOIN asgc a ON a.cell = pc.cell AND a.vec_id != pc.probe_id)" +
+      s", cand AS (SELECT pc.probe_id, a.vec_id AS cand_id FROM pcell pc JOIN asgc a ON a.cell = pc.cell AND a.vec_id != pc.probe_id AND (${survive("a.vec_id")}))" +
       ", adc AS (SELECT c.probe_id, c.cand_id, sum(d.dist)::BIGINT AS adc FROM cand c JOIN codes k ON k.vec_id = c.cand_id JOIN dtab d ON d.probe_id = c.probe_id AND d.sub = k.sub AND d.c = k.c GROUP BY 1, 2)" +
       ", short AS (SELECT probe_id, cand_id, adc FROM adc QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY adc, cand_id) <= 48)" +
       ", rer AS (SELECT s.probe_id, s.cand_id, s.adc, list_cosine_similarity(pe.embedding::DOUBLE[], ce.embedding::DOUBLE[]) AS sim FROM short s JOIN embeddings pe ON pe.vec_id = s.probe_id JOIN embeddings ce ON ce.vec_id = s.cand_id)" +
       ", ann AS (SELECT * FROM (SELECT probe_id, cand_id, adc, sim, row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rnk FROM rer) WHERE rnk <= 5)" +
-      ", gt AS (SELECT probe_id, vec_id FROM (SELECT pr.probe_id, e.vec_id, row_number() OVER (PARTITION BY pr.probe_id ORDER BY list_cosine_similarity(pe.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC, e.vec_id) AS rn FROM probes pr JOIN embeddings pe ON pe.vec_id = pr.probe_id JOIN embeddings e ON e.vec_id >= 8 AND e.vec_id != pr.probe_id) WHERE rn <= 5)" +
+      s", gt AS (SELECT probe_id, vec_id FROM (SELECT pr.probe_id, e.vec_id, row_number() OVER (PARTITION BY pr.probe_id ORDER BY list_cosine_similarity(pe.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC, e.vec_id) AS rn FROM probes pr JOIN embeddings pe ON pe.vec_id = pr.probe_id JOIN embeddings e ON e.vec_id >= 8 AND e.vec_id != pr.probe_id AND (${survive("e.vec_id")})) WHERE rn <= 5)" +
       ", nh AS (SELECT a.probe_id, count(*)::BIGINT AS n_hit FROM ann a JOIN gt ON gt.probe_id = a.probe_id AND gt.vec_id = a.cand_id GROUP BY 1) " +
       "SELECT a.probe_id, a.rnk::BIGINT AS rank, a.cand_id AS neighbor_id, a.adc, round(a.sim, 4) AS sim, (coalesce(nh.n_hit, 0) * 2000)::BIGINT AS recall_bp FROM ann a LEFT JOIN nh ON nh.probe_id = a.probe_id ORDER BY a.probe_id, rank"
   }
+
+  private val ivfPqSearchOracleSql: String = ivfPqOracle(_ => "TRUE")
+
+  /** c77's oracle: the same recomputation with candidates and ground
+    * truth restricted to the post-delete survivors (≢3 mod 10).
+    */
+  private val ivfPqDeleteOracleSql: String =
+    ivfPqOracle(c => s"$c % 10 != 3")
 
   /** DuckDB rendering of the c15/c51 sign-LSH bucket assignment: CTE
     * chain ending in `buckets(vec_id, bucket)`. Exact integer plane
@@ -3488,6 +3571,11 @@ object TierC {
     // VERBATIM: same answer through the infrastructure path is the
     // cross-check (the b75/b80/b91 discipline applied to ANN).
     QueryDef("c74_index_search", c74 _, Some(ivfPqSearchOracleSql)),
+    // c77 recomputes the SAME search with candidates + ground truth
+    // narrowed to the post-delete survivors — hash equality proves
+    // deleted ids are gone AND recall holds over what still exists.
+    QueryDef("c77_index_delete_maintenance", c77 _,
+      Some(ivfPqDeleteOracleSql)),
     // c75's oracle recomputes all three member scores, the mixture
     // thresholds and the combination — the whole ensemble bit-for-bit.
     QueryDef("c75_curation_ensemble", c75 _, Some(

@@ -272,6 +272,16 @@ object TierD {
     QueryDef("d27_stream_cdc_from_version",
       (s, d) => graft.streaming.StreamingDemo.streamCdcFromVersion(s, d),
       Some(cdcV3OracleSql)),
+    // d35 = ONE streaming query bootstrapping a downstream consumer:
+    // snapshot backfill (the post-v2 live state) + the followed v3
+    // re-inserts under ignore-deletes (updates REPLAY — the ≡1 mod 10
+    // class appears twice, old and new balance). The oracle
+    // recomputes exactly that multiset census.
+    QueryDef("d35_stream_table_snapshot_follow",
+      (s, d) =>
+        graft.streaming.StreamingDemo.streamTableSnapshotFollow(s, d),
+      Some(
+        "WITH snap AS (SELECT c_custkey AS key, floor(c_acctbal * 100)::BIGINT AS bal FROM customer), off AS (SELECT max(c_custkey) + 1 AS o FROM customer), batch AS (SELECT key, bal + 10000 AS nb, 'U' AS op FROM snap WHERE key % 10 = 3 UNION ALL SELECT key, 0, 'D' FROM snap WHERE key % 10 = 7 UNION ALL SELECT key + (SELECT o FROM off), bal, 'I' FROM snap WHERE key % 100 = 0), post AS (SELECT s.key, coalesce(CASE WHEN b.op = 'U' THEN b.nb END, s.bal) AS bal FROM snap s LEFT JOIN batch b ON s.key = b.key WHERE b.op IS NULL OR b.op <> 'D' UNION ALL SELECT key, nb FROM batch WHERE op = 'I'), streamed AS (SELECT key, bal FROM post UNION ALL SELECT key, bal + 5000 FROM post WHERE key % 10 = 1) SELECT (key % 10)::BIGINT AS key_mod, count(*)::BIGINT AS n, sum(bal)::BIGINT AS bal_cents_sum FROM streamed GROUP BY 1 ORDER BY 1")),
     // d33 = the change feed consumed UPDATE-AWARE via b95's lineage:
     // D+I pairs sharing (_commit_version, _row_id) reconstruct as
     // updates; the oracle recomputes the per-version operation census

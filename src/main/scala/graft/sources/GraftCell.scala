@@ -23,6 +23,33 @@ import org.apache.spark.unsafe.types.UTF8String
   * column's default — the documented connector semantic since the
   * LONG/0 era, now typed.
   */
+/** COLUMN MAPPING (b101) — the Iceberg field-id / Delta column-mapping
+  * shape in miniature: each SCHEMA column owns a stable PHYSICAL SLOT
+  * in stored row arrays, decoupled from its schema position and name.
+  * That one indirection is what makes RENAME (metadata-only: the slot
+  * doesn't move), DROP (the slot is orphaned, never reused — a later
+  * ADD gets a FRESH slot, so dropped data can never resurrect under a
+  * new column), and type WIDENING (old cells keep their narrow
+  * physical type; `widened` marks the slots whose reads coerce up)
+  * all metadata-only commits with zero data passes.
+  *
+  * `phys(i)` = the physical slot of schema column `i`; `physWidth` =
+  * total slots ever allocated (stored rows written now are this
+  * wide); `widened` = PHYSICAL slots whose schema type widened after
+  * rows were stored (slot-keyed, so it survives drops of other
+  * columns without reindexing).
+  */
+private[sources] final case class GraftColMap(phys: Vector[Int],
+    physWidth: Int, widened: Set[Int]) {
+  require(phys.forall(p => p >= 0 && p < physWidth),
+    s"colmap slots $phys out of range [0, $physWidth)")
+}
+
+private[sources] object GraftColMap {
+  def identity(n: Int): GraftColMap =
+    GraftColMap(Vector.range(0, n), n, Set.empty)
+}
+
 private[sources] object GraftCell {
 
   def supported(dt: DataType): Boolean = dt match {
@@ -130,20 +157,26 @@ private[sources] object GraftCell {
     * row's width with their defaults. `special` resolves metadata
     * columns (`_group`, `_pos`) — they receive (aux, row) where `aux`
     * is the caller's per-row long (the position for MoR, unused
-    * elsewhere).
+    * elsewhere). `colMap` (b101) routes each schema column to its
+    * PHYSICAL slot (null = identity, the pre-evolution fast path);
+    * a slot in `colMap.widened` reads old narrow cells coerced up —
+    * the coercion branch is taken ONLY for widened slots, so
+    * never-widened tables pay nothing.
     */
   def projector(required: StructType, tableSchema: StructType,
       defaults: IndexedSeq[Any],
-      special: Map[String, (Long, Array[Any]) => Any] = Map.empty)
+      special: Map[String, (Long, Array[Any]) => Any] = Map.empty,
+      colMap: GraftColMap = null)
       : (Long, Array[Any]) => InternalRow = {
     val getters: Array[(Long, Array[Any]) => Any] =
       required.fields.map { f =>
         special.get(f.name) match {
           case Some(g) => g
           case None =>
-            val j = tableSchema.fieldIndex(f.name)
-            val dt = tableSchema.fields(j).dataType
-            val dflt = toInternal(defaults(j), dt)
+            val i = tableSchema.fieldIndex(f.name)
+            val j = if (colMap == null) i else colMap.phys(i)
+            val dt = tableSchema.fields(i).dataType
+            val dflt = toInternal(defaults(i), dt)
             // type-dispatch once per COLUMN, not per cell: the
             // pass-through family (Long/Int/Boolean) needs no
             // conversion at all
@@ -157,6 +190,19 @@ private[sources] object GraftCell {
                 (_: Long, r: Array[Any]) =>
                   if (j < r.length)
                     Decimal(r(j).asInstanceOf[java.math.BigDecimal])
+                  else dflt
+              case LongType
+                  if colMap != null && colMap.widened.contains(j) =>
+                // widened slot: rows stored before the widen hold the
+                // narrow cell (Integer) — serve it as the long it
+                // upcasts to, exactly (the b101 old-rows-read-back
+                // contract)
+                (_: Long, r: Array[Any]) =>
+                  if (j < r.length) r(j) match {
+                    case l: java.lang.Long => l
+                    case n: java.lang.Number =>
+                      java.lang.Long.valueOf(n.longValue())
+                  }
                   else dflt
               case _ =>
                 (_: Long, r: Array[Any]) =>

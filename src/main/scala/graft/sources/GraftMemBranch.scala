@@ -61,9 +61,10 @@ private[sources] class GraftMemBranchTable(parent: GraftMemTable,
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
       override def build(): Scan = new Scan with Batch {
-        private val (frozen, snapSchema, snapDefaults) =
+        private val (frozen, snapSchema, snapDefaults, snapColMap) =
           parent.synchronized(
-            (branch.rows, parent.schema(), parent.colDefaults))
+            (branch.rows, parent.schema(), parent.colDefaults,
+              parent.colMap))
         override def readSchema(): StructType = required
         override def toBatch: Batch = this
         override def description(): String =
@@ -74,7 +75,7 @@ private[sources] class GraftMemBranchTable(parent: GraftMemTable,
             .map(GraftMemPartition(_): InputPartition).toArray
         override def createReaderFactory(): PartitionReaderFactory = {
           val proj = GraftCell.projector(required, snapSchema,
-            snapDefaults)
+            snapDefaults, colMap = snapColMap)
           new PartitionReaderFactory {
             override def createReader(
                 p: InputPartition): PartitionReader[InternalRow] = {
@@ -101,11 +102,14 @@ private[sources] class GraftMemBranchTable(parent: GraftMemTable,
         parent.schema().fieldNames.map(info.schema().fieldIndex)
       private val tys = parent.schema().fields.map(_.dataType)
       private val dfl = parent.colDefaults.toArray
+      private val slo = parent.colMap.phys.toArray
+      private val wid = parent.colMap.physWidth
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = new BatchWrite {
           override def createBatchWriterFactory(
               pi: PhysicalWriteInfo): DataWriterFactory =
-            new GraftMemWriterFactory(proj, tys, dfl)
+            new GraftMemWriterFactory(proj, tys, dfl,
+              slots = slo, physWidth = wid)
           override def commit(messages: Array[WriterCommitMessage]): Unit = {
             val written = messages.iterator.flatMap {
               case m: GraftMemCommit => m.data

@@ -260,63 +260,147 @@ class GraftMemCatalog extends TableCatalog with FunctionCatalog
           (ident.namespace() :+ ident.name()).toSeq)
     t
   }
-  /** SCHEMA EVOLUTION (b85): `ALTER TABLE ... ADD COLUMNS
-    * (c <type> [DEFAULT <literal>])` — a METADATA-ONLY commit on both
-    * flavors (no data pass; readers surface the new column on
+  /** SCHEMA EVOLUTION (b85 + b101): `ALTER TABLE ... ADD COLUMNS
+    * (c <type> [DEFAULT <literal>])` is a METADATA-ONLY commit on
+    * both flavors (no data pass; readers surface the new column on
     * pre-ALTER rows as its INITIAL DEFAULT — the Iceberg-v3
     * default-value shape, typed since round 11: BIGINT, INT, STRING,
     * BOOLEAN and DECIMAL literals, the type's zero value when no
     * DEFAULT is declared). The analyzer folds the DEFAULT expression
     * to a literal (gated on SUPPORT_COLUMN_DEFAULT_VALUE) before it
-    * reaches the catalog. Everything genuinely structural (drops,
-    * renames, type changes, positioned adds, nested adds) stays
-    * loudly unsupported.
+    * reaches the catalog. Round 13 adds, on the COPY-ON-WRITE flavor
+    * (the merge-on-read flavor stays ADD-only — its position-keyed
+    * delete/lineage/ledger machinery reads the lead column
+    * physically):
+    *
+    *   - `RENAME COLUMN a TO b` — pure metadata (the physical slot
+    *     doesn't move; [[GraftColMap]]).
+    *   - `DROP COLUMN c` — metadata-only; the slot orphans, never
+    *     reused, so a later ADD can't resurrect dropped data.
+    *   - `ALTER COLUMN c TYPE BIGINT` (from INT) — the Iceberg-v3
+    *     type-widening face: old rows keep narrow cells, reads
+    *     coerce up through the widened-slot set.
+    *
+    * Positioned adds, nested columns and non-widening type changes
+    * stay loudly unsupported.
     */
   override def alterTable(
       ident: Identifier, changes: TableChange*): Table = {
     val t = loadTable(ident)
     // VALIDATE every change before applying ANY — DDL is atomic: a
-    // multi-column ALTER with one unsupported change must leave the
+    // multi-change ALTER with one unsupported change must leave the
     // table untouched, the same no-trace discipline every write
-    // commit follows.
-    val cols: Seq[(String, org.apache.spark.sql.types.DataType, Any)] =
-      changes.map {
-        case add: TableChange.AddColumn
-            if add.fieldNames().length == 1 &&
-              GraftCell.supported(add.dataType()) &&
-              add.position() == null =>
-          val dflt = Option(add.defaultValue())
-            .map(dv => GraftCell.fromLiteral(dv.getValue().value(),
-              add.dataType()))
-            .getOrElse(GraftCell.zeroOf(add.dataType()))
-          (add.fieldNames()(0), add.dataType(), dflt)
+    // commit follows. Validation that needs table state (duplicate
+    // names, column existence) happens under the table lock below;
+    // here each change parses to a closed application thunk.
+    sealed trait Alt
+    case class Add(col: String,
+        dt: org.apache.spark.sql.types.DataType, dflt: Any) extends Alt
+    case class Rename(from: String, to: String) extends Alt
+    case class Drop(col: String) extends Alt
+    case class Widen(col: String,
+        to: org.apache.spark.sql.types.DataType) extends Alt
+    val alts: Seq[Alt] = changes.map {
+      case add: TableChange.AddColumn
+          if add.fieldNames().length == 1 &&
+            GraftCell.supported(add.dataType()) &&
+            add.position() == null =>
+        val dflt = Option(add.defaultValue())
+          .map(dv => GraftCell.fromLiteral(dv.getValue().value(),
+            add.dataType()))
+          .getOrElse(GraftCell.zeroOf(add.dataType()))
+        Add(add.fieldNames()(0), add.dataType(), dflt)
+      case rn: TableChange.RenameColumn if rn.fieldNames().length == 1 =>
+        Rename(rn.fieldNames()(0), rn.newName())
+      case del: TableChange.DeleteColumn if del.fieldNames().length == 1 =>
+        Drop(del.fieldNames()(0))
+      case up: TableChange.UpdateColumnType
+          if up.fieldNames().length == 1 =>
+        Widen(up.fieldNames()(0), up.newDataType())
+      case other => throw new UnsupportedOperationException(
+        "graftmem: supported ALTERs are ADD COLUMNS (top-level " +
+          "BIGINT/INT/STRING/BOOLEAN/DECIMAL, appended last, optional " +
+          "literal DEFAULT), RENAME COLUMN, DROP COLUMN and " +
+          s"ALTER COLUMN TYPE (INT -> BIGINT); got $other")
+    }
+    val added = alts.collect { case Add(c, _, _) => c }
+    require(added.distinct.length == added.length,
+      s"graftmem: duplicate columns in one ALTER: $added")
+    val isCow = t.isInstanceOf[GraftMemTable]
+    if (!isCow && alts.exists(!_.isInstanceOf[Add]))
+      throw new UnsupportedOperationException(
+        s"graftmem: ${t.name()} is merge-on-read — RENAME/DROP/TYPE " +
+          "evolution is supported on the copy-on-write flavor only " +
+          "(this flavor's delete addressing and file ledger key the " +
+          "lead column physically)")
+    val apply: Alt => Unit = t match {
+      case g: GraftMemTable => {
+        case Add(c, dt, dflt) => g.addColumn(c, dt, dflt)
+        case Rename(from, to) => g.renameColumn(from, to)
+        case Drop(c)          => g.dropColumn(c)
+        case Widen(c, to)     => g.widenColumn(c, to)
+      }
+      case m: GraftMemMorTable => {
+        case Add(c, dt, dflt) => m.addColumn(c, dt, dflt)
         case other => throw new UnsupportedOperationException(
-          "graftmem: only ALTER TABLE ADD COLUMNS (top-level " +
-            "BIGINT/INT/STRING/BOOLEAN/DECIMAL, appended last, " +
-            s"optional literal DEFAULT) is supported, got $other")
+          s"graftmem: unreachable non-ADD on merge-on-read: $other")
       }
-    require(cols.map(_._1).distinct.length == cols.length,
-      s"graftmem: duplicate columns in one ALTER: ${cols.map(_._1)}")
-    val apply: ((String, org.apache.spark.sql.types.DataType, Any)) => Unit =
-      t match {
-        case g: GraftMemTable =>
-          c => g.addColumn(c._1, c._2, c._3)
-        case m: GraftMemMorTable =>
-          c => m.addColumn(c._1, c._2, c._3)
-        case _ => throw new UnsupportedOperationException(
-          s"graftmem: ${t.name()} does not support ALTER")
-      }
-    // hold the TABLE lock across validate + apply (addColumn's own
-    // synchronized is reentrant on the same monitor): without it a
-    // concurrent DDL could land a conflicting column between this
+      case _ => throw new UnsupportedOperationException(
+        s"graftmem: ${t.name()} does not support ALTER")
+    }
+    // hold the TABLE lock across validate + apply (each DDL method's
+    // own synchronized is reentrant on the same monitor): without it
+    // a concurrent DDL could land a conflicting column between this
     // statement's duplicate check and its apply loop and leave a
-    // multi-column ALTER half-applied after all
+    // multi-change ALTER half-applied after all
     t.synchronized {
-      val existing = t.schema().fieldNames.toSet
-      cols.map(_._1).find(existing).foreach(c =>
-        throw new IllegalArgumentException(
-          s"graftmem ${t.name()}: column $c already exists"))
-      cols.foreach(apply)
+      // SIMULATE the whole change sequence against a shadow schema
+      // BEFORE applying anything (atomicity): each DDL method
+      // re-validates, but a multi-change statement whose Nth change
+      // would fail must leave the table untouched, not half-evolved.
+      val structural: Set[String] = t match {
+        case g: GraftMemTable =>
+          g.partitionCol.toSet ++ g.writeLayout.toSet
+        case _ => Set.empty
+      }
+      var sim: Vector[(String, org.apache.spark.sql.types.DataType)] =
+        t.schema().fields.toVector.map(f => (f.name, f.dataType))
+      alts.foreach {
+        case Add(c, dt, _) =>
+          require(!sim.exists(_._1 == c),
+            s"graftmem ${t.name()}: column $c already exists")
+          sim = sim :+ ((c, dt))
+        case Rename(from, to) =>
+          val i = sim.indexWhere(_._1 == from)
+          require(i >= 0, s"graftmem ${t.name()}: no column named $from")
+          require(!sim.exists(_._1 == to),
+            s"graftmem ${t.name()}: column $to already exists")
+          require(!to.startsWith("_"),
+            s"graftmem ${t.name()}: '_'-prefixed names are reserved " +
+              s"for metadata columns, got $to")
+          require(!structural.contains(from),
+            s"graftmem ${t.name()}: cannot rename $from — it anchors " +
+              "the table's partition transform / write layout")
+          sim = sim.updated(i, (to, sim(i)._2))
+        case Drop(c) =>
+          require(sim.exists(_._1 == c),
+            s"graftmem ${t.name()}: no column named $c")
+          require(sim.length > 1,
+            s"graftmem ${t.name()}: cannot drop the last column")
+          require(!structural.contains(c),
+            s"graftmem ${t.name()}: cannot drop $c — it anchors the " +
+              "table's partition transform / write layout")
+          sim = sim.filterNot(_._1 == c)
+        case Widen(c, to) =>
+          val i = sim.indexWhere(_._1 == c)
+          require(i >= 0, s"graftmem ${t.name()}: no column named $c")
+          require(sim(i)._2 == org.apache.spark.sql.types.IntegerType &&
+              to == org.apache.spark.sql.types.LongType,
+            s"graftmem ${t.name()}: only INT -> BIGINT widening is " +
+              s"supported, got ${sim(i)._2} -> $to on $c")
+          sim = sim.updated(i, (c, to))
+      }
+      alts.foreach(apply)
     }
     t
   }
@@ -349,6 +433,7 @@ class GraftMemCatalog extends TableCatalog with FunctionCatalog
       Identifier.of(namespace, "fast_forward"),
       Identifier.of(namespace, "drop_branch"),
       Identifier.of(namespace, "rewrite_files"),
+      Identifier.of(namespace, "rewrite_sort"),
       Identifier.of(namespace, "expire_changelog"),
       Identifier.of(namespace, "expire_snapshots"))
   override def loadProcedure(ident: Identifier)
@@ -360,6 +445,7 @@ class GraftMemCatalog extends TableCatalog with FunctionCatalog
       case "fast_forward"     => FastForwardProcedure
       case "drop_branch"      => DropBranchProcedure
       case "rewrite_files"    => RewriteFilesProcedure
+      case "rewrite_sort"     => RewriteSortProcedure
       case "expire_changelog" => ExpireChangelogProcedure
       case "expire_snapshots" => ExpireSnapshotsProcedure
       case other => throw new RuntimeException(
@@ -602,14 +688,14 @@ private[sources] class GraftMemTable(val fullName: String,
   override private[sources] def historyName: String = fullName
   override private[sources] def retainedVersions: Seq[(Long, Long)] =
     synchronized(snapshots.iterator
-      .map { case (v, (_, t, _)) => (v, t) }.toSeq.sortBy(_._1))
+      .map { case (v, (_, t, _, _, _)) => (v, t) }.toSeq.sortBy(_._1))
   override private[sources] def snapshotAt(version: Long)
-      : Option[(Vector[Array[Any]], StructType, Vector[Any])] =
+      : Option[(Vector[Array[Any]], StructType, Vector[Any], GraftColMap)] =
     synchronized(snapshots.get(version).map {
-      // defaults are fixed at add time, so the current vector's prefix
-      // aligned to the snapshot's (narrower or equal) schema IS that
-      // schema's default vector
-      case (rs, _, sch) => (rs, sch, colDefaults.take(sch.fields.length))
+      // schema, defaults AND column map are pinned per commit (b101:
+      // rename/drop/widen make the current vectors non-prefix-aligned
+      // with historical schemas, so each snapshot carries its own)
+      case (rs, _, sch, dflts, cm) => (rs, sch, dflts, cm)
     })
   override private[sources] def expireSnapshots(
       keepLast: Int): (Long, Long, Long) =
@@ -629,10 +715,22 @@ private[sources] class GraftMemTable(val fullName: String,
   /** Per-column INITIAL DEFAULTS, aligned with [[curSchema]]: fixed at
     * column-add time (CREATE columns default 0 — the LONG demo
     * contract), never rewritten into old rows. What a reader pads a
-    * pre-ALTER row's missing tail with, on every face.
+    * pre-ALTER row's missing tail with, on every face. A widen
+    * (b101) upcasts the stored default in place — a reader padding a
+    * BIGINT column must emit a Long, whatever the column's birth type.
     */
   @volatile private[sources] var colDefaults: Vector[Any] =
     tblSchema.fields.toVector.map(_ => java.lang.Long.valueOf(0L): Any)
+
+  /** COLUMN MAPPING (b101): schema position → stable physical slot,
+    * plus the widened-slot set — see [[GraftColMap]]. Every reader
+    * resolves cells THROUGH this (old rows keep serving after
+    * rename/drop/widen with zero data movement); every writer lands
+    * cells AT these slots (width = physWidth, orphaned slots null —
+    * unreachable, since no schema column maps to them).
+    */
+  @volatile private[sources] var colMap: GraftColMap =
+    GraftColMap.identity(tblSchema.fields.length)
 
   /** Commit counter + last-modifying version per rewrite group — the
     * demo's transaction-log metadata. Guarded by `this` (the swap
@@ -656,8 +754,11 @@ private[sources] class GraftMemTable(val fullName: String,
     * exists (the Iceberg expire_snapshots shape). Guarded by `this`.
     */
   private[sources] val snapshots = scala.collection.mutable.HashMap[
-    Long, (Vector[Array[Any]], Long, StructType)](
-    0L -> (Vector.empty, System.currentTimeMillis() * 1000L, tblSchema))
+    Long, (Vector[Array[Any]], Long, StructType, Vector[Any],
+      GraftColMap)](
+    0L -> (Vector.empty, System.currentTimeMillis() * 1000L, tblSchema,
+      tblSchema.fields.toVector.map(_ => java.lang.Long.valueOf(0L): Any),
+      GraftColMap.identity(tblSchema.fields.length)))
 
   /** Bump the version, stamp `gs` as modified by it, and record the
     * post-commit snapshot — automatically pruned to the newest
@@ -671,7 +772,8 @@ private[sources] class GraftMemTable(val fullName: String,
     commitVersion += 1
     gs.foreach(g => groupVersion(g) = commitVersion)
     snapshots(commitVersion) =
-      (rows, System.currentTimeMillis() * 1000L, curSchema)
+      (rows, System.currentTimeMillis() * 1000L, curSchema, colDefaults,
+        colMap)
     if (snapshots.size > snapshotKeep)
       pruneSnapshots(snapshots, snapshotKeep, commitVersion)
   }
@@ -750,8 +852,85 @@ private[sources] class GraftMemTable(val fullName: String,
         s"graftmem $fullName: column $col already exists")
       curSchema = curSchema.add(col, dt, nullable = true)
       colDefaults = colDefaults :+ dflt
+      // a FRESH physical slot, even if columns were dropped before:
+      // slot reuse would resurrect dropped data under the new column
+      colMap = colMap.copy(phys = colMap.phys :+ colMap.physWidth,
+        physWidth = colMap.physWidth + 1)
       stampCommit(rows.iterator.map(groupOf).toSet)
     }
+
+  /** SCHEMA EVOLUTION beyond ADD (b101) — RENAME COLUMN: pure
+    * metadata (the physical slot doesn't move; old AND new rows keep
+    * serving through it — the Delta column-mapping / Iceberg field-id
+    * contract). The partition and layout columns are structural
+    * (their names live in partition transforms and write-distribution
+    * requirements) — renaming them is rejected loudly.
+    */
+  private[sources] def renameColumn(from: String, to: String): Unit =
+    synchronized {
+      val i = curSchema.fieldNames.indexOf(from)
+      require(i >= 0, s"graftmem $fullName: no column named $from")
+      require(!curSchema.fieldNames.contains(to),
+        s"graftmem $fullName: column $to already exists")
+      require(!to.startsWith("_"),
+        s"graftmem $fullName: '_'-prefixed names are reserved for " +
+          s"metadata columns, got $to")
+      require(!partitionCol.contains(from) && !writeLayout.contains(from),
+        s"graftmem $fullName: cannot rename $from — it anchors the " +
+          "table's partition transform / write layout")
+      val f = curSchema.fields(i)
+      curSchema = StructType(curSchema.fields.updated(i,
+        f.copy(name = to)))
+      stampCommit(rows.iterator.map(groupOf).toSet)
+    }
+
+  /** DROP COLUMN (b101): metadata-only — the schema entry, its slot
+    * mapping and its default go; the physical slot is ORPHANED, never
+    * reused (see [[addColumn]]), so no stored row is touched and no
+    * later column can resurrect the dropped data. Time travel keeps
+    * serving the column at pre-drop versions (each snapshot pins its
+    * own schema + map).
+    */
+  private[sources] def dropColumn(col: String): Unit = synchronized {
+    val i = curSchema.fieldNames.indexOf(col)
+    require(i >= 0, s"graftmem $fullName: no column named $col")
+    require(curSchema.fields.length > 1,
+      s"graftmem $fullName: cannot drop the last column")
+    require(!partitionCol.contains(col) && !writeLayout.contains(col),
+      s"graftmem $fullName: cannot drop $col — it anchors the " +
+        "table's partition transform / write layout")
+    curSchema = StructType(
+      curSchema.fields.take(i) ++ curSchema.fields.drop(i + 1))
+    colDefaults = colDefaults.take(i) ++ colDefaults.drop(i + 1)
+    colMap = colMap.copy(
+      phys = colMap.phys.take(i) ++ colMap.phys.drop(i + 1))
+    stampCommit(rows.iterator.map(groupOf).toSet)
+  }
+
+  /** TYPE WIDENING (b101, the Iceberg-v3 widening face): INT →
+    * BIGINT, metadata-only — rows stored before the widen keep their
+    * narrow cells and every reader coerces them up through the
+    * widened-slot set ([[GraftColMap.widened]]); rows written after
+    * store longs natively. The stored DEFAULT upcasts in place (a
+    * BIGINT column must pad with a Long).
+    */
+  private[sources] def widenColumn(col: String,
+      to: org.apache.spark.sql.types.DataType): Unit = synchronized {
+    val i = curSchema.fieldNames.indexOf(col)
+    require(i >= 0, s"graftmem $fullName: no column named $col")
+    val from = curSchema.fields(i).dataType
+    require(from == org.apache.spark.sql.types.IntegerType &&
+        to == LongType,
+      s"graftmem $fullName: only INT -> BIGINT widening is supported, " +
+        s"got $from -> $to on $col")
+    val f = curSchema.fields(i)
+    curSchema = StructType(curSchema.fields.updated(i,
+      f.copy(dataType = LongType)))
+    colDefaults = colDefaults.updated(i, java.lang.Long.valueOf(
+      colDefaults(i).asInstanceOf[java.lang.Number].longValue()))
+    colMap = colMap.copy(widened = colMap.widened + colMap.phys(i))
+    stampCommit(rows.iterator.map(groupOf).toSet)
+  }
 
   /** Rewrite-group id of a stored row: the identity-partition value,
     * or 0 when unpartitioned (single group). Partition columns are
@@ -1078,9 +1257,10 @@ private[sources] class GraftMemScanBuilder(table: GraftMemTable,
     // Pin (rows, version, schema, defaults) under the swap lock so the
     // tuple is one consistent snapshot — the version is what the
     // matching commit validates its scanned groups against.
-    private val (snapshot, pinnedVersion, snapSchema, snapDefaults) =
+    private val (snapshot, pinnedVersion, snapSchema, snapDefaults,
+        snapColMap) =
       table.synchronized((table.rows, table.commitVersion,
-        table.schema(), table.colDefaults))
+        table.schema(), table.colDefaults, table.colMap))
     groupsOut.foreach(_.scanVersion = pinnedVersion)
 
     /** TABLE STATISTICS (b99, `SupportsReportStatistics`): exact row
@@ -1164,7 +1344,8 @@ private[sources] class GraftMemScanBuilder(table: GraftMemTable,
       val proj = GraftCell.projector(required, snapSchema, snapDefaults,
         Map("_group" -> ((_: Long, r: Array[Any]) =>
           java.lang.Long.valueOf(
-            if (g >= 0) GraftCell.asLong(r(g)) else 0L): Any)))
+            if (g >= 0) GraftCell.asLong(r(g)) else 0L): Any)),
+        colMap = snapColMap)
       new PartitionReaderFactory {
         override def createReader(
             p: InputPartition): PartitionReader[InternalRow] = {
@@ -1215,7 +1396,7 @@ private[sources] class GraftMemWriteBuilder(
     // (the engine may fall back to truncate-reappend elsewhere; this
     // connector refuses loudly instead of guessing)
     GraftMemWriteBuilder.compilePredicates(predicates,
-      table.schema(), table.colDefaults)
+      table.schema(), table.colDefaults, table.colMap)
     overwritePreds = predicates
     this
   }
@@ -1230,14 +1411,19 @@ private[sources] class GraftMemWriteBuilder(
   private def colTypes: Array[org.apache.spark.sql.types.DataType] =
     table.schema().fields.map(_.dataType)
   private def colDflts: Array[Any] = table.colDefaults.toArray
+  // b101: where each schema column LANDS in the stored array (the
+  // stable physical slot) and how wide stored rows are now
+  private def colSlots: Array[Int] = table.colMap.phys.toArray
+  private def rowWidth: Int = table.colMap.physWidth
 
-  // Layout-column indices into the PROJECTED row (table order); empty
-  // unless the table declares graft.write_layout. Only plain appends
-  // enforce it — a row-level replace's distribution is the group
-  // machinery's concern.
+  // Layout-column slots into the STORED row (physical); empty unless
+  // the table declares graft.write_layout. Only plain appends enforce
+  // it — a row-level replace's distribution is the group machinery's
+  // concern.
   private def layoutIdx: Array[Int] =
     if (replace) Array.empty
-    else table.writeLayout.map(table.schema().fieldIndex).toArray
+    else table.writeLayout.map(n =>
+      table.colMap.phys(table.schema().fieldIndex(n))).toArray
 
   /** WRITE-SIDE LAYOUT CONTRACT (a40,
     * `RequiresDistributionAndOrdering`): a table created with
@@ -1281,9 +1467,11 @@ private[sources] class GraftMemWriteBuilder(
       private val lay = layout
       private val tys = colTypes
       private val dfl = colDflts
+      private val slo = colSlots
+      private val wid = rowWidth
       override def createBatchWriterFactory(
           info: PhysicalWriteInfo): DataWriterFactory =
-        new GraftMemWriterFactory(p, tys, dfl, lay)
+        new GraftMemWriterFactory(p, tys, dfl, lay, slo, wid)
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
         // clustering half of the a40 contract: one cluster value may
         // come from ONE task only (the ordering half was verified
@@ -1378,7 +1566,8 @@ private[sources] class GraftMemWriteBuilder(
             } else if (overwritePreds != null) {
               // replaceWhere: delete the matching rows, append the new
               val pred = GraftMemWriteBuilder.compilePredicates(
-                overwritePreds, table.schema(), table.colDefaults)
+                overwritePreds, table.schema(), table.colDefaults,
+                table.colMap)
               val (removed, kept) = prev.partition(pred)
               table.rows = kept ++ written
               table.stampCommit(
@@ -1427,10 +1616,12 @@ private[sources] class GraftMemWriteBuilder(
         private val p = proj
         private val tys = colTypes
         private val dfl = colDflts
+        private val slo = colSlots
+        private val wid = rowWidth
         override def createStreamingWriterFactory(
             info: PhysicalWriteInfo): org.apache.spark.sql.connector
               .write.streaming.StreamingDataWriterFactory =
-          new GraftMemStreamingWriterFactory(p, tys, dfl)
+          new GraftMemStreamingWriterFactory(p, tys, dfl, slo, wid)
         override def commit(epochId: Long,
             messages: Array[WriterCommitMessage]): Unit =
           table.synchronized {
@@ -1466,7 +1657,8 @@ private[sources] object GraftMemWriteBuilder {
     */
   private[sources] def compilePredicates(preds: Array[Predicate],
       schema: StructType,
-      defaults: IndexedSeq[Any]): Array[Any] => Boolean = {
+      defaults: IndexedSeq[Any],
+      colMap: GraftColMap = null): Array[Any] => Boolean = {
     import org.apache.spark.sql.connector.expressions.Expression
     // value of a leaf on a given row, normalized for equality
     // (numbers widen to Long via the CREATE-LONG contract; strings /
@@ -1485,8 +1677,12 @@ private[sources] object GraftMemWriteBuilder {
     }
     def valueOf(e: Expression): Array[Any] => Option[Any] = e match {
       case f: NamedReference =>
-        val idx = schema.fieldIndex(f.fieldNames().mkString("."))
-        r => Some(norm(if (idx < r.length) r(idx) else defaults(idx)))
+        val i = schema.fieldIndex(f.fieldNames().mkString("."))
+        // b101: resolve the schema column to its physical slot; norm
+        // already widens Integer cells to Long, so widened slots need
+        // no extra handling here
+        val idx = if (colMap == null) i else colMap.phys(i)
+        r => Some(norm(if (idx < r.length) r(idx) else defaults(i)))
       case l: V2Literal[_] => l.value() match {
         case null  => _ => None
         case v     => val nv = norm(v); _ => Some(nv)
@@ -1531,12 +1727,14 @@ private[sources] object GraftMemWriteBuilder {
 
 private[sources] class GraftMemStreamingWriterFactory(proj: Array[Int],
     types: Array[org.apache.spark.sql.types.DataType],
-    defaults: Array[Any])
+    defaults: Array[Any],
+    slots: Array[Int] = null, physWidth: Int = -1)
     extends org.apache.spark.sql.connector.write.streaming
       .StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    new GraftMemWriterFactory(proj, types, defaults)
+    new GraftMemWriterFactory(proj, types, defaults,
+      slots = slots, physWidth = physWidth)
       .createWriter(partitionId, taskId)
 }
 
@@ -1556,8 +1754,16 @@ private[sources] case class GraftMemCommit(data: Vector[Array[Any]],
 private[sources] class GraftMemWriterFactory(proj: Array[Int],
     types: Array[org.apache.spark.sql.types.DataType],
     defaults: Array[Any],
-    layoutIdx: Array[Int] = Array.empty)
+    layoutIdx: Array[Int] = Array.empty,
+    slots: Array[Int] = null, physWidth: Int = -1)
     extends DataWriterFactory {
+  // b101: land each schema column's cell at its stable PHYSICAL slot;
+  // identity (the pre-evolution fast path) when no map is supplied.
+  // Orphaned slots (dropped columns) stay null in new rows — no
+  // schema column maps to them, so nothing ever reads one.
+  private val slotOf: Array[Int] =
+    if (slots == null) Array.range(0, proj.length) else slots
+  private val width: Int = if (physWidth < 0) proj.length else physWidth
   override def createWriter(
       partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
@@ -1566,10 +1772,10 @@ private[sources] class GraftMemWriterFactory(proj: Array[Int],
       private val clusters = Set.newBuilder[Long]
       private val getters = GraftCell.writeGetters(proj, types, defaults)
       override def write(record: InternalRow): Unit = {
-        val a = new Array[Any](proj.length)
+        val a = new Array[Any](width)
         var i = 0
         while (i < proj.length) {
-          a(i) = getters(i)(record)
+          a(slotOf(i)) = getters(i)(record)
           i += 1
         }
         if (layoutIdx.nonEmpty) {

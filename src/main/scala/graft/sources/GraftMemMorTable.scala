@@ -193,11 +193,14 @@ private[sources] class GraftMemMorTable(val fullName: String,
     synchronized(snapshots.iterator
       .map { case (v, (_, _, _, _, t, _)) => (v, t) }.toSeq.sortBy(_._1))
   override private[sources] def snapshotAt(version: Long)
-      : Option[(Vector[Array[Any]], StructType, Vector[Any])] =
+      : Option[(Vector[Array[Any]], StructType, Vector[Any], GraftColMap)] =
     synchronized(snapshots.get(version).map {
       case (b, ins, del, eq, _, sch) =>
+        // this flavor evolves by ADD COLUMN only, so its map stays
+        // the identity at every version (b101 lives on copy-on-write)
         (liveRows(b, ins, del, eq).map(_._2), sch,
-          colDefaults.take(sch.fields.length))
+          colDefaults.take(sch.fields.length),
+          GraftColMap.identity(sch.fields.length))
     })
   override private[sources] def expireSnapshots(
       keepLast: Int): (Long, Long, Long) =
@@ -349,7 +352,8 @@ private[sources] class GraftMemMorTable(val fullName: String,
   override def name(): String = fullName
   override def schema(): StructType = curSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.MICRO_BATCH_READ)
 
   /** `_pos` — the stable row position, this table's ROW ID: what the
     * delta writer's deletes/updates address rows by (`SupportsDelta
@@ -378,7 +382,7 @@ private[sources] class GraftMemMorTable(val fullName: String,
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new MorScanBuilder(this)
+    new MorScanBuilder(this, options = options)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new MorAppendWriteBuilder(this, info)
@@ -492,6 +496,55 @@ private[sources] class GraftMemMorTable(val fullName: String,
       (victims.length.toLong, moved.length.toLong, kept.length.toLong)
     }
 
+  /** SORT-STRATEGY REWRITE (b102) — the Iceberg sort/z-order
+    * `rewrite_data_files` face next to b96's dead-ratio bin-pack: fold
+    * the ENTIRE live set, RE-SORTED by the lead column, into `nFiles`
+    * equal chunks with fresh contiguous positions — so the ledger's
+    * per-file (min_key, max_key) ranges go from wide-and-overlapping
+    * (interleaved appends: every file spans the whole key domain, no
+    * range-pruning possible) to tight-and-disjoint (each file owns one
+    * key slice — the layout a34/a39/a44-style min/max skipping needs).
+    * Same contracts as b96: content-invariant by construction (the
+    * live set before IS the live set after, b82's check), positions
+    * are file-physical and CHANGE while b95's `_row_id` lineage
+    * carries over with `_last_updated_version` untouched (maintenance
+    * is not an update), tombstones/eq-deletes fold with the rewrite,
+    * and the change feed never sees it (b83's history/state rule).
+    * Returns (files_before, rows_sorted, files_after).
+    */
+  private[sources] def rewriteSort(nFiles: Int): (Long, Long, Long) =
+    synchronized {
+      require(nFiles >= 1,
+        s"rewrite_sort: n_files must be >= 1, got $nFiles")
+      val before = files.length.toLong
+      val live = liveRows(base, deltaInserts, deleted,
+        eqDeletes.map(e => (e._1, e._2)))
+      // stable tiebreak on the old position keeps duplicate keys
+      // deterministic
+      val sorted = live.sortBy(e =>
+        (GraftCell.asLong(e._2(keyIdx)), e._1))
+      val moved = sorted.map { case (oldPos, r) =>
+        val np = nextPos; nextPos += 1
+        (oldPos, np, r)
+      }
+      base = moved.map(e => (e._2, e._3))
+      deltaInserts = Vector.empty
+      deleted = Set.empty
+      eqDeletes = Vector.empty
+      lineage = moved.iterator.map { e =>
+        e._2 -> lineage.getOrElse(e._1, (e._1, 0L))
+      }.toMap
+      commitVersion += 1
+      files = Vector.empty
+      if (moved.nonEmpty) {
+        val chunk = ((moved.length + nFiles - 1) / nFiles).max(1)
+        moved.grouped(chunk).foreach(g =>
+          recordFile(g.map(e => (e._2, e._3))))
+      }
+      recordSnapshot() // a maintenance version: content equals v-1's
+      (before, moved.length.toLong, files.length.toLong)
+    }
+
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
     () => new RowLevelOperation with SupportsDelta {
@@ -569,7 +622,8 @@ private[sources] class MorDeltaRowsMetric
 }
 
 private[sources] class MorScanBuilder(table: GraftMemMorTable,
-    scanState: Option[MorScanState] = None)
+    scanState: Option[MorScanState] = None,
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = table.schema()
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -704,6 +758,20 @@ private[sources] class MorScanBuilder(table: GraftMemMorTable,
         }
       }
     }
+
+    /** STREAMING READ OF THE TABLE ITSELF (d35): `readStream
+      * .table(tbl)` — the Delta streaming contract: serve the INITIAL
+      * SNAPSHOT (the live set at subscription time) as the first
+      * microbatch, then FOLLOW the change feed from the snapshot's
+      * version — one query, backfill + live tail, and a restart from
+      * checkpoint resumes IN THE FEED (never re-snapshots; the
+      * snapshot version rides in every offset).
+      */
+    override def toMicroBatchStream(checkpointLocation: String)
+        : org.apache.spark.sql.connector.read.streaming
+          .MicroBatchStream =
+      new MorTableMicroBatchStream(table, required,
+        options.getOrDefault("graft.stream.deletes", "fail"))
   }
 }
 
@@ -1120,6 +1188,66 @@ private[sources] object RewriteFilesProcedure
     }
 }
 
+/** `graftmem.system.rewrite_sort(table, n_files)` — SORT-STRATEGY
+  * REWRITE (b102): fold the live set re-sorted by the lead column
+  * into n_files tight, disjoint-range files — the Iceberg sort/
+  * z-order `rewrite_data_files` strategy next to b96's dead-ratio
+  * bin-pack: b96 reclaims space, this restores the LAYOUT that
+  * min/max range-skipping needs. Returns (files_before, rows_sorted,
+  * files_after).
+  */
+private[sources] object RewriteSortProcedure
+    extends org.apache.spark.sql.connector.catalog.procedures
+      .UnboundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures._
+  import org.apache.spark.sql.types.{IntegerType, LongType => LT, StringType, StructField, StructType => ST}
+
+  override def name(): String = "rewrite_sort"
+  override def description(): String =
+    "rewrite a merge-on-read table's live set sorted by the lead " +
+      "column into n_files disjoint-range files"
+
+  override def bind(inputType: StructType): BoundProcedure =
+    new BoundProcedure {
+      override def name(): String = "rewrite_sort"
+      override def description(): String =
+        RewriteSortProcedure.this.description()
+      override def parameters(): Array[ProcedureParameter] =
+        Array(ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("n_files", IntegerType).build())
+      override def isDeterministic: Boolean = false
+      private val outSchema = ST(Seq(
+        StructField("files_before", LT, nullable = false),
+        StructField("rows_sorted", LT, nullable = false),
+        StructField("files_after", LT, nullable = false)))
+      override def call(input: InternalRow)
+          : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+        val tbl = input.getUTF8String(0).toString
+        val nFiles = input.getInt(1)
+        require(nFiles >= 1,
+          s"rewrite_sort: n_files must be >= 1, got $nFiles")
+        GraftMemCatalog.lookup(tbl) match {
+          case m: GraftMemMorTable =>
+            val (before, moved, after) = m.rewriteSort(nFiles)
+            val row: InternalRow = InternalRow(before, moved, after)
+            val scan: org.apache.spark.sql.connector.read.Scan =
+              new org.apache.spark.sql.connector.read.LocalScan {
+                override def rows(): Array[InternalRow] = Array(row)
+                override def readSchema(): StructType = outSchema
+                override def description(): String =
+                  s"rewrite_sort($tbl, $nFiles)"
+              }
+            java.util.Collections.singletonList(scan).iterator()
+          case null => throw new IllegalArgumentException(
+            s"rewrite_sort: no graftmem table named '$tbl'")
+          case _ => throw new IllegalArgumentException(
+            s"rewrite_sort: '$tbl' is copy-on-write — sort rewrite " +
+              "applies to merge-on-read tables")
+        }
+      }
+    }
+}
+
 /** `graftmem.system.expire_changelog(table, from_version)` —
   * CHANGE-LOG RETENTION (b98): prune feed history below a commit
   * version, the governed bound on b83's documented "the log grows
@@ -1430,6 +1558,197 @@ private[sources] class MorChangesMicroBatchStream(
   override def createReaderFactory(): PartitionReaderFactory =
     MorChangesTable.readerFactory(parent.schema(), parent.colDefaults,
       req)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** d35's offset: the SNAPSHOT VERSION the subscription pinned plus a
+  * position on ONE combined axis — [0, snapLen) indexes the frozen
+  * snapshot vector, [snapLen, ∞) maps to logical change-feed offsets
+  * from the first post-snapshot entry. Carrying the version in every
+  * offset is what makes a checkpointed restart resume deterministically
+  * (same snapshot, same feed boundary) without ever re-snapshotting.
+  */
+private[sources] case class MorTableOffset(v0: Long, pos: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = s"""{"v":$v0,"p":$pos}"""
+}
+
+/** STREAMING READ OF THE MOR TABLE ITSELF (d35) — snapshot + follow,
+  * the Delta `readStream.table` contract:
+  *
+  *   - `initialOffset` pins the subscription's snapshot version v0
+  *     (the table's current commit) at position 0.
+  *   - The first batch serves the FROZEN live set at v0 (served from
+  *     the retained snapshot — deterministic order, so any [a, b)
+  *     sub-range replays identically; a snapshot expired by retention
+  *     fails LOUDLY rather than silently re-snapshotting newer data).
+  *   - Every later batch is a change-feed slice from the first entry
+  *     with version > v0 — logical offsets (b98's stable-offset
+  *     discipline), so changelog retention never shifts a committed
+  *     offset's meaning, and retention that outran the consumer is a
+  *     loud error, never partial history.
+  *
+  * DELETES in the followed feed: a plain-append downstream can't
+  * represent them, so `graft.stream.deletes = 'fail'` (default)
+  * errors loudly on the first delete-bearing slice (Delta's default
+  * contract), while `'ignore'` serves only the feed's inserts — an
+  * UPDATE's re-insert still flows, so downstream sees updated rows
+  * again (Delta's documented ignoreChanges semantic: replay, not
+  * silence). Both modes are deterministic per [start, end), so
+  * replays stay exact.
+  */
+private[sources] class MorTableMicroBatchStream(
+    parent: GraftMemMorTable, req: StructType, deletesMode: String)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  require(deletesMode == "fail" || deletesMode == "ignore",
+    s"graft.stream.deletes must be 'fail' or 'ignore', got " +
+      s"'$deletesMode'")
+  require(req.fieldNames.forall(parent.schema().fieldNames.contains),
+    s"${parent.fullName}: streaming table reads serve data columns " +
+      s"only (requested ${req.fieldNames.mkString(", ")})")
+
+  /** Everything is a FUNCTION OF THE OFFSET's snapshot version — the
+    * stream holds no mutable pin, so the engine's call order (a
+    * restart polls for new data before converting its checkpointed
+    * offsets; a fresh query may poll before initialOffset) cannot
+    * produce a conflicting pin. Per-version derivation is cached: the
+    * frozen snapshot's rows and the feed's first post-snapshot
+    * logical offset. Deriving from the RETAINED snapshot is the
+    * no-re-snapshot guarantee — if retention dropped it, fail loudly.
+    */
+  private val derived = new java.util.concurrent.ConcurrentHashMap[
+    Long, (Vector[Array[Any]], Long)]()
+  private def snapAt(v: Long): (Vector[Array[Any]], Long) =
+    derived.computeIfAbsent(v, _ => {
+      val rows = parent.snapshotAt(v) match {
+        case Some((rs, _, _, _)) => rs
+        case None => throw new IllegalStateException(
+          s"${parent.fullName}: snapshot version $v expired while " +
+            "this stream's backfill was in flight — re-subscribe (a " +
+            "fresh subscription pins the current version; this one " +
+            "will NOT silently re-snapshot newer data)")
+      }
+      val fs = parent.synchronized {
+        if (parent.changelogFloor > v + 1L)
+          throw new IllegalStateException(
+            s"${parent.fullName}: changelog retention (floor " +
+              s"${parent.changelogFloor}) outran this subscription's " +
+              s"snapshot version $v — the follow history is gone; " +
+              "re-subscribe from a fresh snapshot")
+        val i = parent.changeLog.indexWhere(_._1 > v)
+        parent.changelogBase +
+          (if (i < 0) parent.changeLog.length.toLong else i.toLong)
+      }
+      (rows, fs)
+    })
+
+  /** A fresh subscription pins the table's CURRENT version; a restart
+    * never reaches here (its offsets come from the checkpoint).
+    */
+  override def initialOffset(): Offset = MorTableOffset(
+    parent.synchronized(parent.commitVersion), 0L)
+
+  override def deserializeOffset(json: String): Offset = {
+    // {"v":N,"p":M} — parsed with the same no-deps discipline as the
+    // other demo offsets
+    val m = """\{"v":(-?\d+),"p":(-?\d+)\}""".r
+    json.trim match {
+      case m(v, p) => MorTableOffset(v.toLong, p.toLong)
+      case other => throw new IllegalArgumentException(
+        s"${parent.fullName}: malformed stream offset '$other'")
+    }
+  }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** The admission-control face: the engine hands us the START offset
+    * (checkpointed or initial), which carries the subscription's
+    * snapshot version — so there is nothing to pin statefully. The
+    * no-arg variant below is unreachable once SupportsAdmissionControl
+    * is implemented.
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val v = start.asInstanceOf[MorTableOffset].v0
+    val (snap, feedStart0) = snapAt(v)
+    val feedTail = parent.synchronized(
+      parent.changelogBase + parent.changeLog.length.toLong)
+    MorTableOffset(v,
+      snap.length.toLong + math.max(0L, feedTail - feedStart0))
+  }
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      s"${parent.fullName}: latestOffset(start, limit) is the " +
+        "admission-control entry point")
+
+  override def planInputPartitions(
+      start: Offset, end: Offset): Array[InputPartition] = {
+    val v = start.asInstanceOf[MorTableOffset].v0
+    val (snapRows, feedStart0) = snapAt(v)
+    val a = start.asInstanceOf[MorTableOffset].pos
+    val b = end.asInstanceOf[MorTableOffset].pos
+    val snapLen = snapRows.length.toLong
+    // snapshot segment: a frozen-vector slice (deterministic replay)
+    val snapSlice =
+      if (a < snapLen) snapRows.slice(a.toInt, math.min(b, snapLen).toInt)
+      else Vector.empty
+    // feed segment: logical offsets from the post-snapshot boundary
+    val feedSlice =
+      if (b > snapLen) {
+        val sLogical = feedStart0 + math.max(0L, a - snapLen)
+        val eLogical = feedStart0 + (b - snapLen)
+        val entries = parent.synchronized {
+          val base = parent.changelogBase
+          if (sLogical < base)
+            throw new IllegalStateException(
+              s"${parent.fullName}: offset $sLogical predates the " +
+                s"retained change log (base $base) — retention outran " +
+                "this consumer; re-subscribe from a fresh snapshot")
+          parent.changeLog.slice((sLogical - base).toInt,
+            (eLogical - base).toInt)
+        }
+        if (deletesMode == "fail") {
+          val del = entries.filterNot(_._2)
+          if (del.nonEmpty)
+            throw new IllegalStateException(
+              s"${parent.fullName}: the followed feed contains " +
+                s"${del.length} delete(s) (first at version " +
+                s"${del.head._1}); a plain streaming table read cannot " +
+                "represent them — set graft.stream.deletes = 'ignore' " +
+                "to follow inserts only (updates replay), or consume " +
+                s"${parent.fullName}__changes for full CDC")
+          entries.map(_._5)
+        } else entries.filter(_._2).map(_._5)
+      } else Vector.empty
+    val rows = snapSlice ++ feedSlice
+    if (rows.isEmpty) Array(MorPartition(Vector.empty, Set.empty))
+    else rows.grouped(math.max(1, (rows.length + 3) / 4))
+      .map(c => MorPartition(c.map(r => (0L, r)), Set.empty)
+        : InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // table-shaped rows (snapshot AND feed entries share the stored
+    // layout); pre-ALTER rows pad added columns with their defaults
+    val proj = GraftCell.projector(req, parent.schema(),
+      parent.colDefaults)
+    new PartitionReaderFactory {
+      override def createReader(
+          p: InputPartition): PartitionReader[InternalRow] = {
+        val data = p.asInstanceOf[MorPartition].data
+        new PartitionReader[InternalRow] {
+          private var i = -1
+          override def next(): Boolean = { i += 1; i < data.length }
+          override def get(): InternalRow = proj(0L, data(i)._2)
+          override def close(): Unit = ()
+        }
+      }
+    }
+  }
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }

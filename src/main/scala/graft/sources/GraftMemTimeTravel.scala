@@ -44,14 +44,16 @@ private[sources] trait GraftSnapshotHistory { self: Table =>
   /** Retained (version, commit micros) pairs, ascending. */
   private[sources] def retainedVersions: Seq[(Long, Long)]
 
-  /** Visible rows, schema AND per-column initial defaults at
-    * `version`, if retained — a snapshot pins the schema as of its
+  /** Visible rows, schema, per-column initial defaults AND column map
+    * at `version`, if retained — a snapshot pins all four as of its
     * commit (schema evolution is itself a commit), so `VERSION AS OF`
-    * a pre-ALTER version presents the pre-ALTER columns; the defaults
-    * are what the snapshot reader pads still-narrower rows with.
+    * a pre-ALTER version presents the pre-ALTER columns under the
+    * pre-ALTER names/types/slots; the defaults are what the snapshot
+    * reader pads still-narrower rows with, and the map (b101) routes
+    * each historical column to its stable physical slot.
     */
   private[sources] def snapshotAt(version: Long)
-      : Option[(Vector[Array[Any]], StructType, Vector[Any])]
+      : Option[(Vector[Array[Any]], StructType, Vector[Any], GraftColMap)]
 
   /** Drop all but the most recent `keepLast` snapshots; returns
     * (expired, retained, current version).
@@ -121,8 +123,8 @@ private[sources] trait GraftSnapshotHistory { self: Table =>
                   snapshotTags.keys.toSeq.sorted.mkString(", "))})"))
       }
     snapshotAt(v) match {
-      case Some((rs, sch, dflts)) =>
-        new GraftMemSnapshotTable(historyName, sch, v, rs, dflts)
+      case Some((rs, sch, dflts, cm)) =>
+        new GraftMemSnapshotTable(historyName, sch, v, rs, dflts, cm)
       case None =>
         val r = retainedVersions
         throw new IllegalArgumentException(
@@ -155,7 +157,8 @@ private[sources] trait GraftSnapshotHistory { self: Table =>
   */
 private[sources] class GraftMemSnapshotTable(parentName: String,
     tblSchema: StructType, version: Long,
-    frozen: Vector[Array[Any]], defaults: Vector[Any])
+    frozen: Vector[Array[Any]], defaults: Vector[Any],
+    colMap: GraftColMap = null)
     extends Table with SupportsRead {
   override def name(): String = s"$parentName VERSION AS OF $version"
   override def schema(): StructType = tblSchema
@@ -182,8 +185,10 @@ private[sources] class GraftMemSnapshotTable(parentName: String,
         override def createReaderFactory(): PartitionReaderFactory = {
           // rows appended before an ALTER ADD COLUMN are narrower than
           // this snapshot's schema: the missing tail reads the
-          // column's initial default
-          val proj = GraftCell.projector(required, tblSchema, defaults)
+          // column's initial default; the snapshot's own column map
+          // (b101) routes renamed/widened columns to their slots
+          val proj = GraftCell.projector(required, tblSchema, defaults,
+            colMap = colMap)
           new PartitionReaderFactory {
             override def createReader(
                 p: InputPartition): PartitionReader[InternalRow] = {
@@ -239,7 +244,7 @@ private[sources] class GraftHistoryTable(parent: Table
           val tagsByV = parent.snapshotTags.groupBy(_._2)
             .map { case (v, m) => (v, m.size) }
           vs.flatMap { case (v, _) =>
-            parent.snapshotAt(v).map { case (rs, sch, _) =>
+            parent.snapshotAt(v).map { case (rs, sch, _, _) =>
               InternalRow(v, rs.length.toLong, sch.fields.length,
                 tagsByV.getOrElse(v, 0), v == cur)
             }

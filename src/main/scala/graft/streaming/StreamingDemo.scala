@@ -1633,6 +1633,66 @@ object StreamingDemo {
     }.orderBy("_commit_version")
   }
 
+  /** d35: STREAMING READ OF THE TABLE ITSELF — `readStream.table(tbl)`
+    * on the merge-on-read flavor, the Delta streaming contract d26/d27
+    * could not give a NEW consumer: those follow `__changes` (history
+    * only), so bootstrapping downstream meant hand-stitching a batch
+    * snapshot to a versioned feed read — two queries, one seam, and a
+    * race in the seam. Here ONE query serves the INITIAL SNAPSHOT
+    * (the live set at subscription time — here the post-CDC-merge
+    * state, deletes and all already folded in) as the first
+    * microbatch and then FOLLOWS the change feed from the snapshot's
+    * version: the subscription pins its snapshot version INTO every
+    * offset, so a checkpointed restart resumes in the feed and NEVER
+    * re-snapshots (spec-proven across a stop/restart). Feed DELETES
+    * cannot be represented by a plain append stream — the default
+    * mode fails loudly on the first one (Delta's contract); this demo
+    * subscribes with `graft.stream.deletes = 'ignore'`, Delta's
+    * documented ignoreChanges semantic: the feed's INSERTS flow (an
+    * update's re-insert replays the row downstream — visible
+    * duplication, never silence), deletes don't. Demo: snapshot ←
+    * v1 append + v2 CDC merge; subscribe; drain (backfill); v3
+    * follow-up merge lands MID-STREAM; drain (the v3 re-inserts).
+    * Declared output: the census of everything the stream delivered —
+    * post-v2 state ∪ v3's re-inserted rows (the ≡1 mod 10 class
+    * appears twice, old and new balance: the documented replay).
+    * At 100 TB this is how every new downstream consumer bootstraps:
+    * one query, backfill O(live set) + tail O(changes), no seam.
+    */
+  def streamTableSnapshotFollow(s: SparkSession, d: String): DataFrame = {
+    val tbl = graft.util.DemoTables.freshGraftmem(s, d, "morsnap",
+      "(key BIGINT NOT NULL, bal_cents BIGINT) " +
+        "TBLPROPERTIES ('graft.row_level' = 'merge-on-read', " +
+        "'graft.mor.deletes' = 'equality')")
+    graft.util.Tables.customer(s, d)
+      .selectExpr("c_custkey AS key",
+        "CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents")
+      .writeTo(tbl).append() // v1
+    // v2 BEFORE the subscription: its deletes/updates are baked into
+    // the snapshot — the backfill serves STATE, not history
+    graft.operators.TierB.runCdcMergeRound(s, d, "d35", tbl)
+    withStreamPartitions(s) {
+      val sink = graft.util.TmpDir.fresh("d35-sink")
+      val ckpt = graft.util.TmpDir.fresh("d35-ckpt")
+      val src = s.readStream
+        .option("graft.stream.deletes", "ignore").table(tbl)
+      val q = src.writeStream
+        .format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable() // batch 0: the snapshot backfill
+        graft.operators.TierB.runFollowupMergeRound(s, tbl) // v3
+        q.processAllAvailable() // follow: v3's insert half
+      } finally q.stop()
+      s.read.schema(src.schema).parquet(sink)
+        .groupBy((col("key") % 10).as("key_mod"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("bal_cents").cast("decimal(38,0)")).cast("long")
+            .as("bal_cents_sum"))
+    }.orderBy("key_mod")
+  }
+
   /** d27: CDC CONSUMPTION FROM A VERSION — d26's streaming change
     * feed started with `.option("startingVersion", v)`: the consumer
     * declares the commit version it wants history FROM, and the

@@ -45,7 +45,8 @@ class EmptyCorpusSpec extends SparkSpec {
     * first k rows and refuse to run without them.
     */
   private val requiresSeeds = Set("a23_kmeans_iterative", "c19_ann_ivf",
-    "c43_ann_pq", "c72_ivf_pq_search", "c74_index_search")
+    "c43_ann_pq", "c72_ivf_pq_search", "c74_index_search",
+    "c77_index_delete_maintenance")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name on an empty corpus") {

@@ -155,7 +155,7 @@ class GraftMemSchemaEvolutionSpec extends SparkSpec {
     val err = intercept[Exception] {
       spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (a BIGINT, b DOUBLE)")
     }
-    assert(err.getMessage.contains("only ALTER TABLE ADD COLUMNS"))
+    assert(err.getMessage.contains("supported ALTERs are"))
     assert(spark.table(tbl).schema.fieldNames.toSeq == Seq("key", "bal"),
       "failed multi-column ALTER half-applied")
   }
@@ -235,16 +235,167 @@ class GraftMemSchemaEvolutionSpec extends SparkSpec {
     assert(spark.table(tbl).count() == 21)
   }
 
+  test("b101 RENAME COLUMN: metadata-only — old rows serve through " +
+      "the new name, the old name is gone, time travel keeps it") {
+    val tbl = fresh("spec_se_rename")
+    spark.range(4).selectExpr("id AS key", "id * 10 AS bal")
+      .writeTo(tbl).append() // v1
+    val t = GraftMemCatalog.lookup(tbl.stripPrefix("graftmem."))
+      .asInstanceOf[GraftMemTable]
+    val rowsBefore = t.rows
+    spark.sql(s"ALTER TABLE $tbl RENAME COLUMN bal TO balance") // v2
+    assert(t.rows eq rowsBefore,
+      "RENAME must be metadata-only: the row vector object itself " +
+        "must be untouched")
+    assert(spark.table(tbl).schema.fieldNames.toSeq
+      == Seq("key", "balance"))
+    // old rows serve through the renamed column; writes by the new
+    // name land in the same physical slot
+    spark.range(10, 12).selectExpr("id AS key", "id * 10 AS balance")
+      .writeTo(tbl).append() // v3
+    val got = spark.sql(
+      s"SELECT key, balance FROM $tbl ORDER BY key").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == ((0L until 4L) ++ (10L until 12L)).map(k => (k, k * 10)))
+    // the old name is really gone from the current schema
+    intercept[Exception] {
+      spark.sql(s"SELECT bal FROM $tbl").collect()
+    }
+    // …but VERSION AS OF a pre-rename commit serves the OLD shape
+    val old = spark.sql(s"SELECT bal FROM $tbl VERSION AS OF 1")
+    assert(old.collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(0L, 10L, 20L, 30L))
+  }
+
+  test("b101 DROP COLUMN: metadata-only, slot orphaned — a later ADD " +
+      "gets a fresh slot and can never resurrect dropped data") {
+    val tbl = fresh("spec_se_drop")
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (scratch BIGINT DEFAULT 5)")
+    spark.range(3)
+      .selectExpr("id AS key", "id AS bal", "id + 100 AS scratch")
+      .writeTo(tbl).append() // rows store scratch at its slot
+    val t = GraftMemCatalog.lookup(tbl.stripPrefix("graftmem."))
+      .asInstanceOf[GraftMemTable]
+    val rowsBefore = t.rows
+    spark.sql(s"ALTER TABLE $tbl DROP COLUMN scratch")
+    assert(t.rows eq rowsBefore,
+      "DROP must be metadata-only: no data pass, no rewrite")
+    assert(spark.table(tbl).schema.fieldNames.toSeq == Seq("key", "bal"))
+    intercept[Exception] {
+      spark.sql(s"SELECT scratch FROM $tbl").collect()
+    }
+    // re-add a column under a NEW name: old rows must read ITS
+    // default, never the dropped column's stored cells (the
+    // field-id/slot-reuse resurrection bug this design exists to kill)
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (fresh BIGINT DEFAULT 9)")
+    val got = spark.sql(
+      s"SELECT key, bal, fresh FROM $tbl ORDER BY key").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == (0L until 3L).map(k => (k, k, 9L)),
+      "a fresh column must not resurrect dropped data")
+    // and even re-adding the SAME NAME gets a fresh slot
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (scratch BIGINT DEFAULT 7)")
+    val got2 = spark.sql(s"SELECT scratch FROM $tbl").collect()
+      .map(_.getLong(0)).toSeq
+    assert(got2 == Seq(7L, 7L, 7L),
+      "re-adding a dropped column's name must serve the new default, " +
+        "not the dropped cells")
+  }
+
+  test("b101 WIDEN INT -> BIGINT: old narrow rows read back exactly; " +
+      "post-widen writes store beyond Int range; defaults pad as long") {
+    val tbl = fresh("spec_se_widen")
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (cnt INT DEFAULT 3)")
+    spark.range(2).selectExpr("id AS key", "id AS bal",
+      "CAST(id + 10 AS INT) AS cnt")
+      .writeTo(tbl).append() // narrow Integer cells
+    spark.range(2, 3).selectExpr("id AS key", "id AS bal")
+      .writeTo(tbl).append() // pads cnt with the INT default
+    val t = GraftMemCatalog.lookup(tbl.stripPrefix("graftmem."))
+      .asInstanceOf[GraftMemTable]
+    val rowsBefore = t.rows
+    spark.sql(s"ALTER TABLE $tbl ALTER COLUMN cnt TYPE BIGINT")
+    assert(t.rows eq rowsBefore,
+      "widening must be metadata-only: no data pass, no rewrite")
+    assert(spark.table(tbl).schema("cnt").dataType
+      == org.apache.spark.sql.types.LongType)
+    // post-widen value beyond Int range
+    spark.sql(s"INSERT INTO $tbl VALUES (9, 9, ${1L << 40})")
+    val got = spark.sql(
+      s"SELECT key, cnt FROM $tbl ORDER BY key").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((0L, 10L), (1L, 11L), (2L, 3L), (9L, 1L << 40)),
+      "old Integer cells and the old default must read back exactly " +
+        "as the longs they upcast to")
+    // time travel to the pre-widen version serves the INT shape
+    val oldT = spark.sql(s"SELECT cnt FROM $tbl VERSION AS OF 3")
+    assert(oldT.schema("cnt").dataType
+      == org.apache.spark.sql.types.IntegerType)
+    assert(oldT.collect().map(_.getInt(0)).sorted.toSeq == Seq(3, 10, 11))
+    // narrowing and non-integral changes stay loudly unsupported
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $tbl ALTER COLUMN cnt TYPE INT")
+    }
+    assert(e.getMessage.contains("INT -> BIGINT") ||
+      e.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN") ||
+      e.getMessage.contains("cannot be cast"), e.getMessage)
+  }
+
+  test("b101 structural guards: partition/layout columns can be " +
+      "neither renamed nor dropped; merge-on-read stays ADD-only") {
+    spark.conf.set("spark.sql.catalog.graftmem",
+      "graft.sources.GraftMemCatalog")
+    val part = "graftmem.db.spec_se_guard_part"
+    spark.sql(s"DROP TABLE IF EXISTS $part")
+    spark.sql(s"CREATE TABLE $part (key BIGINT, g BIGINT) " +
+      "PARTITIONED BY (g)")
+    val e1 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $part RENAME COLUMN g TO grp")
+    }
+    assert(e1.getMessage.contains("anchors"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $part DROP COLUMN g")
+    }
+    assert(e2.getMessage.contains("anchors"), e2.getMessage)
+    val mor = "graftmem.db.spec_se_guard_mor"
+    spark.sql(s"DROP TABLE IF EXISTS $mor")
+    spark.sql(s"CREATE TABLE $mor (key BIGINT, bal BIGINT) " +
+      "TBLPROPERTIES ('graft.row_level' = 'merge-on-read')")
+    val e3 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $mor RENAME COLUMN bal TO balance")
+    }
+    assert(e3.getMessage.contains("merge-on-read"), e3.getMessage)
+  }
+
+  test("b101 multi-change ALTER is atomic: a failing later change " +
+      "leaves earlier changes unapplied") {
+    val tbl = fresh("spec_se_multi")
+    val t = GraftMemCatalog.lookup(tbl.stripPrefix("graftmem."))
+      .asInstanceOf[GraftMemTable]
+    // two renames where the second targets the first's SOURCE (gone
+    // by then): the statement must fail as a whole with no trace
+    intercept[Exception] {
+      t.synchronized(()) // touch to ensure table is materialized
+      spark.sessionState.catalogManager.catalog("graftmem")
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+        .alterTable(
+          org.apache.spark.sql.connector.catalog.Identifier
+            .of(Array("db"), "spec_se_multi"),
+          org.apache.spark.sql.connector.catalog.TableChange
+            .renameColumn(Array("bal"), "balance"),
+          org.apache.spark.sql.connector.catalog.TableChange
+            .renameColumn(Array("bal"), "money"))
+    }
+    assert(spark.table(tbl).schema.fieldNames.toSeq == Seq("key", "bal"),
+      "failed multi-change ALTER half-applied")
+  }
+
   test("unsupported alters and duplicate columns fail loudly") {
     val tbl = fresh("spec_se_bad")
-    val e1 = intercept[Exception] {
-      spark.sql(s"ALTER TABLE $tbl DROP COLUMN bal")
-    }
-    assert(e1.getMessage.contains("only ALTER TABLE ADD COLUMNS"))
     val e2 = intercept[Exception] {
       spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (v DOUBLE)")
     }
-    assert(e2.getMessage.contains("only ALTER TABLE ADD COLUMNS"))
+    assert(e2.getMessage.contains("supported ALTERs are"))
     spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (extra BIGINT)")
     val e3 = intercept[Exception] {
       spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (extra BIGINT)")
