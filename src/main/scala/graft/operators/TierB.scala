@@ -3182,6 +3182,74 @@ object TierB {
       .orderBy("phase", "file_id")
   }
 
+  /** b103: PARTITION EVOLUTION — `CALL graftmem.system.set_partition
+    * (tbl, col)` evolves an UNPARTITIONED table to identity
+    * partitioning as ONE metadata commit (the Iceberg
+    * partition-evolution contract): rows written before keep their
+    * LEGACY (unpartitioned) generation — nothing is rewritten, the
+    * spec-tag move is per-file metadata — while new writes land under
+    * the new transform, and ONE scan serves both generations (each
+    * group its own split, the legacy generation one split). The
+    * engine's partition surfaces follow the current spec (SHOW
+    * PARTITIONS lists only current-spec groups — legacy rows have no
+    * partition identifier, exactly Iceberg's old-spec files), the
+    * `__partitions` operational read reports BOTH (an operator must
+    * see the legacy generation to know migration is pending), and
+    * b97's metadata-only DELETE DECLINES while legacy rows exist (a
+    * partition predicate says nothing about them by metadata —
+    * pushback, never a semantics change). MIGRATION IS A REWRITE: a
+    * row-level operation that touches the legacy generation re-lands
+    * its rows under the current spec (rewritten files get the new
+    * spec — Iceberg's rule), so ordinary table maintenance gradually
+    * migrates old data with zero dedicated jobs. Demo: gen 0 (the
+    * customer snapshot, unpartitioned) → evolve on g = key mod 5 →
+    * gen 1 lands partitioned → UPDATE WHERE g = 2 touches gen 1's
+    * group 2 AND the legacy generation (its g=2 rows match), which
+    * migrates ALL legacy rows into g-groups. Declared output: the
+    * `__partitions` trajectory (phase 0: five gen-1 groups + the
+    * legacy generation under its sentinel key; phase 1: five merged
+    * groups, legacy gone) plus the final per-g census. At 100 TB
+    * partition evolution is the difference between re-partitioning a
+    * year of data and a metadata commit that only future writes obey.
+    */
+  private def b103(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val tbl = graft.util.DemoTables.freshGraftmem(s, d, "pevol",
+      "(key BIGINT, g BIGINT, bal_cents BIGINT)")
+    val cust = customer(s, d)
+      .selectExpr("c_custkey AS key", "c_custkey % 5 AS g",
+        "CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents")
+    cust.writeTo(tbl).append() // v1: the legacy (unpartitioned) gen
+    val off = cust.agg(coalesce(max(col("key")), lit(0L)))
+      .head.getLong(0) + 1L
+    s.sql(s"CALL graftmem.system.set_partition(" +
+      s"'${tbl.stripPrefix("graftmem.")}', 'g')").collect() // v2
+    cust.select((col("key") + off).as("key"), col("g"),
+      (col("bal_cents") + 100000L).as("bal_cents"))
+      .writeTo(tbl).append() // v3: gen 1, lands under identity(g)
+    val cols = Seq("phase", "g", "n", "ver", "bal_sum")
+    def parts(phase: Long): Seq[org.apache.spark.sql.Row] =
+      s.table(s"${tbl}__partitions")
+        .select(lit(phase).as("phase"), col("group_key").as("g"),
+          col("row_count").as("n"),
+          col("last_modified_version").as("ver"),
+          lit(-1L).as("bal_sum"))
+        .collect().toSeq
+    val p0 = parts(0L) // legacy + the five gen-1 groups
+    s.sql(s"UPDATE $tbl SET bal_cents = bal_cents + 7 WHERE g = 2") // v4
+    val p1 = parts(1L) // legacy migrated: five merged groups
+    val census = s.sql(
+      s"""SELECT 2L AS phase, g, count(*) AS n, -1L AS ver,
+         |  CAST(sum(CAST(bal_cents AS DECIMAL(38,0))) AS BIGINT)
+         |    AS bal_sum
+         |FROM $tbl GROUP BY g""".stripMargin).collect().toSeq
+    val schema = StructType(
+      cols.map(StructField(_, LongType, nullable = false)))
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame((p0 ++ p1 ++ census).asJava, schema)
+      .orderBy("phase", "g")
+  }
+
   /** THE CDC round every row-level demo shares (b75 CoW, b80 MoR, b82
     * compaction, b83 change feed, d26 streaming CDC): update keys ≡3
     * (mod 10) to bal+10000, delete keys ≡7, insert keys ≡0 (mod 100)
@@ -3280,6 +3348,14 @@ object TierB {
     // (tight disjoint ranges with fresh contiguous positions).
     QueryDef("b102_rewrite_sort_strategy", b102 _, Some(
       "WITH snap AS (SELECT c_custkey AS key FROM customer), n AS (SELECT count(*)::BIGINT AS cnt FROM snap), res AS (SELECT (key % 4)::BIGINT AS r, count(*)::BIGINT AS ni, min(key)::BIGINT AS mn, max(key)::BIGINT AS mx FROM snap GROUP BY 1), f0 AS (SELECT 0::BIGINT AS phase, r + 1 AS file_id, r + 1 AS commit_version, (sum(ni) OVER (ORDER BY r) - ni)::BIGINT AS pos_min, (sum(ni) OVER (ORDER BY r))::BIGINT AS pos_max, ni AS rows_written, ni AS live_rows, mn AS min_key, mx AS max_key FROM res), c AS (SELECT ((cnt + 3) // 4)::BIGINT AS c FROM n), rk AS (SELECT key, (row_number() OVER (ORDER BY key) - 1) AS rk FROM snap), g AS (SELECT rk // (SELECT c FROM c) AS grp, count(*)::BIGINT AS ni, min(key)::BIGINT AS mn, max(key)::BIGINT AS mx FROM rk GROUP BY 1), f1 AS (SELECT 1::BIGINT AS phase, 5 + grp AS file_id, 5::BIGINT AS commit_version, ((SELECT cnt FROM n) + grp * (SELECT c FROM c))::BIGINT AS pos_min, ((SELECT cnt FROM n) + grp * (SELECT c FROM c) + ni)::BIGINT AS pos_max, ni, ni, mn, mx FROM g) SELECT * FROM (SELECT * FROM f0 UNION ALL SELECT * FROM f1) ORDER BY phase, file_id")),
+    // b103's oracle replays the evolution lifecycle: phase 0 = five
+    // gen-1 groups (stamped by the gen-1 append, v3) + the legacy
+    // generation under the sentinel key (stamped by the evolution
+    // commit, v2); phase 1 = the merged groups after the UPDATE
+    // migrated the legacy generation (all stamped v4); phase 2 = the
+    // per-g census with +7 on the g=2 rows of BOTH generations.
+    QueryDef("b103_partition_evolution", b103 _, Some(
+      "WITH snap AS (SELECT c_custkey AS key, (c_custkey % 5)::BIGINT AS g, floor(c_acctbal * 100)::BIGINT AS bal FROM customer), per AS (SELECT g, count(*)::BIGINT AS n, sum(bal)::BIGINT AS balsum FROM snap GROUP BY 1), tot AS (SELECT count(*)::BIGINT AS n FROM snap) SELECT * FROM (SELECT 0::BIGINT AS phase, (-9223372036854775807 - 1)::BIGINT AS g, n, 2::BIGINT AS ver, -1::BIGINT AS bal_sum FROM tot UNION ALL SELECT 0, g, n, 3, -1 FROM per UNION ALL SELECT 1, g, 2 * n, 4, -1 FROM per UNION ALL SELECT 2, g, 2 * n, -1, 2 * balsum + n * 100000 + CASE WHEN g = 2 THEN 2 * n * 7 ELSE 0 END FROM per) ORDER BY phase, g")),
     QueryDef("b100_merge_not_matched_by_source", b100 _, Some(
       "WITH snap AS (SELECT c_custkey AS key, floor(c_acctbal * 100)::BIGINT AS bal FROM customer), off AS (SELECT max(c_custkey) + 1 AS o FROM customer), src AS (SELECT key, bal + 10000 AS nb FROM snap WHERE key % 10 <= 4 UNION ALL SELECT key + (SELECT o FROM off), bal FROM snap WHERE key % 100 = 0), post AS (SELECT coalesce(t.key, b.key) AS key, CASE WHEN b.key IS NOT NULL THEN b.nb ELSE t.bal + 1 END AS bal, (t.key IS NOT NULL AND b.key IS NULL AND t.key % 10 = 7) AS retired FROM snap t FULL OUTER JOIN src b ON t.key = b.key) SELECT (key % 10)::BIGINT AS key_mod, count(*)::BIGINT AS n, sum(bal)::BIGINT AS bal_cents_sum FROM post WHERE NOT retired GROUP BY 1 ORDER BY 1")),
     // b92's oracle recomputes snapshot + staged generation and never

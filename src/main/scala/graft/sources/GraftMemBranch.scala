@@ -33,7 +33,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 private[sources] final class GraftBranch(val branchName: String,
     val baseVersion: Long,
-    @volatile var rows: Vector[Array[Any]],
+    @volatile var rows: Vector[(Long, Array[Any])],
     var commits: Long)
 
 /** A branch as a read/append table, resolved by the catalog from the
@@ -63,7 +63,7 @@ private[sources] class GraftMemBranchTable(parent: GraftMemTable,
       override def build(): Scan = new Scan with Batch {
         private val (frozen, snapSchema, snapDefaults, snapColMap) =
           parent.synchronized(
-            (branch.rows, parent.schema(), parent.colDefaults,
+            (branch.rows.map(_._2), parent.schema(), parent.colDefaults,
               parent.colMap))
         override def readSchema(): StructType = required
         override def toBatch: Batch = this
@@ -129,11 +129,78 @@ private[sources] class GraftMemBranchTable(parent: GraftMemTable,
                     s"'${branch.branchName}' was published or dropped " +
                     "after this write's scan; re-stage from a fresh " +
                     "branch")
-              branch.rows = branch.rows ++ written
+              // staged rows carry their write-time group (b103):
+              // the publish swaps them into main verbatim
+              branch.rows = branch.rows ++
+                written.map(r => (parent.groupOf(r), r))
               branch.commits += 1
             }
           }
           override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+        }
+      }
+    }
+}
+
+/** `graftmem.system.set_partition(table, col)` — PARTITION EVOLUTION
+  * (b103): evolve an unpartitioned copy-on-write table to identity
+  * partitioning on a CREATE-time column, as one metadata commit. Rows
+  * written before keep their legacy (unpartitioned) generation — no
+  * data moves; new writes land under the new transform; a row-level
+  * rewrite that touches the legacy generation migrates it (rewritten
+  * files get the current spec — Iceberg's rule). Returns
+  * (partition_col, legacy_rows, version).
+  */
+private[sources] object SetPartitionProcedure
+    extends org.apache.spark.sql.connector.catalog.procedures
+      .UnboundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures._
+  import org.apache.spark.sql.types.{LongType => LT, StringType, StructField, StructType => ST}
+
+  override def name(): String = "set_partition"
+  override def description(): String =
+    "evolve an unpartitioned table to identity partitioning on a " +
+      "CREATE-time column (metadata-only; legacy rows keep their " +
+      "generation)"
+
+  override def bind(inputType: StructType): BoundProcedure =
+    new BoundProcedure {
+      override def name(): String = "set_partition"
+      override def description(): String =
+        SetPartitionProcedure.this.description()
+      override def parameters(): Array[ProcedureParameter] =
+        Array(ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("col", StringType).build())
+      override def isDeterministic: Boolean = false
+      private val outSchema = ST(Seq(
+        StructField("partition_col", StringType, nullable = false),
+        StructField("legacy_rows", LT, nullable = false),
+        StructField("version", LT, nullable = false)))
+      override def call(input: InternalRow)
+          : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+        val tbl = input.getUTF8String(0).toString
+        val col = input.getUTF8String(1).toString
+        GraftMemCatalog.lookup(tbl) match {
+          case g: GraftMemTable =>
+            val legacy = g.setPartition(col)
+            val v = g.synchronized(g.commitVersion)
+            val row: InternalRow = InternalRow(
+              org.apache.spark.unsafe.types.UTF8String.fromString(col),
+              legacy, v)
+            val scan: org.apache.spark.sql.connector.read.Scan =
+              new org.apache.spark.sql.connector.read.LocalScan {
+                override def rows(): Array[InternalRow] = Array(row)
+                override def readSchema(): StructType = outSchema
+                override def description(): String =
+                  s"set_partition($tbl, $col)"
+              }
+            java.util.Collections.singletonList(scan).iterator()
+          case null => throw new IllegalArgumentException(
+            s"set_partition: no graftmem table named '$tbl'")
+          case _ => throw new IllegalArgumentException(
+            s"set_partition: '$tbl' is merge-on-read — partition " +
+              "evolution applies to the copy-on-write flavor (deltas " +
+              "address rows by position, not by rewrite group)")
         }
       }
     }

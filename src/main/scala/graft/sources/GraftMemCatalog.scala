@@ -360,7 +360,7 @@ class GraftMemCatalog extends TableCatalog with FunctionCatalog
       // would fail must leave the table untouched, not half-evolved.
       val structural: Set[String] = t match {
         case g: GraftMemTable =>
-          g.partitionCol.toSet ++ g.writeLayout.toSet
+          g.curPartCol.toSet ++ g.writeLayout.toSet
         case _ => Set.empty
       }
       var sim: Vector[(String, org.apache.spark.sql.types.DataType)] =
@@ -434,6 +434,7 @@ class GraftMemCatalog extends TableCatalog with FunctionCatalog
       Identifier.of(namespace, "drop_branch"),
       Identifier.of(namespace, "rewrite_files"),
       Identifier.of(namespace, "rewrite_sort"),
+      Identifier.of(namespace, "set_partition"),
       Identifier.of(namespace, "expire_changelog"),
       Identifier.of(namespace, "expire_snapshots"))
   override def loadProcedure(ident: Identifier)
@@ -446,6 +447,7 @@ class GraftMemCatalog extends TableCatalog with FunctionCatalog
       case "drop_branch"      => DropBranchProcedure
       case "rewrite_files"    => RewriteFilesProcedure
       case "rewrite_sort"     => RewriteSortProcedure
+      case "set_partition"    => SetPartitionProcedure
       case "expire_changelog" => ExpireChangelogProcedure
       case "expire_snapshots" => ExpireSnapshotsProcedure
       case other => throw new RuntimeException(
@@ -619,7 +621,7 @@ private[sources] class GraftMemTable(val fullName: String,
     def isPart(e: org.apache.spark.sql.connector.expressions.Expression) =
       e match {
         case f: NamedReference =>
-          partitionCol.exists(c => f.fieldNames.sameElements(Array(c)))
+          curPartCol.exists(c => f.fieldNames.sameElements(Array(c)))
         case _ => false
       }
     def longLit(e: org.apache.spark.sql.connector.expressions.Expression)
@@ -654,8 +656,13 @@ private[sources] class GraftMemTable(val fullName: String,
   override def canDeleteWhere(predicates: Array[
       org.apache.spark.sql.connector.expressions.filter.Predicate])
       : Boolean =
-    partitionCol.isDefined &&
-      predicates.forall(p => partitionOnlyPredicate(p).isDefined)
+    curPartCol.isDefined &&
+      predicates.forall(p => partitionOnlyPredicate(p).isDefined) &&
+      // LEGACY rows (b103) predate the spec: a partition predicate
+      // says nothing about them by metadata, so decline and let the
+      // engine keep the row-level rewrite — pushback is an
+      // optimization contract, never a semantics change (b97's rule)
+      !rows.exists(_._1 == GraftMemTable.LEGACY)
 
   override def deleteWhere(predicates: Array[
       org.apache.spark.sql.connector.expressions.filter.Predicate])
@@ -664,9 +671,11 @@ private[sources] class GraftMemTable(val fullName: String,
       throw new UnsupportedOperationException(
         s"graftmem $fullName: deleteWhere got a non-partition " +
           s"predicate $p — canDeleteWhere should have declined")))
+    // STORED groups: canDeleteWhere declines when legacy rows exist,
+    // so every row here was written under the current spec
     val doomed = (g: Long) => tests.forall(_(g))
-    val dropped = rows.iterator.map(groupOf).filter(doomed).toSet
-    rows = rows.filterNot(r => doomed(groupOf(r)))
+    val dropped = rows.iterator.map(_._1).filter(doomed).toSet
+    rows = rows.filterNot(e => doomed(e._1))
     // a versioned commit even when zero groups matched — the DELETE
     // statement committed, exactly like an empty row-level rewrite
     stampCommit(dropped)
@@ -695,19 +704,25 @@ private[sources] class GraftMemTable(val fullName: String,
       // schema, defaults AND column map are pinned per commit (b101:
       // rename/drop/widen make the current vectors non-prefix-aligned
       // with historical schemas, so each snapshot carries its own)
-      case (rs, _, sch, dflts, cm) => (rs, sch, dflts, cm)
+      case (rs, _, sch, dflts, cm) => (rs.map(_._2), sch, dflts, cm)
     })
   override private[sources] def expireSnapshots(
       keepLast: Int): (Long, Long, Long) =
     synchronized(pruneSnapshots(snapshots, keepLast, commitVersion))
 
-  /** Current committed content. Replaced atomically on commit. Rows
-    * appended before an ALTER ADD COLUMN are NARROWER than the
-    * current schema (readers pad the tail with the column's initial
-    * default — see [[addColumn]]). Cells are externalized values per
-    * [[GraftCell]].
+  /** Current committed content as (STORED GROUP, row). Replaced
+    * atomically on commit. The group is fixed AT WRITE TIME under the
+    * spec current then (b103, the Iceberg manifest-entry partition
+    * tuple): partition evolution re-tags nothing — rows written
+    * before it keep the [[GraftMemTable.LEGACY]] group, rows written
+    * after land under the new transform, and the two generations mix
+    * in one scan. Rows appended before an ALTER ADD COLUMN are
+    * NARROWER than the current schema (readers pad the tail with the
+    * column's initial default — see [[addColumn]]). Cells are
+    * externalized values per [[GraftCell]].
     */
-  @volatile private[sources] var rows: Vector[Array[Any]] = Vector.empty
+  @volatile private[sources] var rows: Vector[(Long, Array[Any])] =
+    Vector.empty
 
   /** Current schema; grows via [[addColumn]]. */
   @volatile private var curSchema: StructType = tblSchema
@@ -754,7 +769,7 @@ private[sources] class GraftMemTable(val fullName: String,
     * exists (the Iceberg expire_snapshots shape). Guarded by `this`.
     */
   private[sources] val snapshots = scala.collection.mutable.HashMap[
-    Long, (Vector[Array[Any]], Long, StructType, Vector[Any],
+    Long, (Vector[(Long, Array[Any])], Long, StructType, Vector[Any],
       GraftColMap)](
     0L -> (Vector.empty, System.currentTimeMillis() * 1000L, tblSchema,
       tblSchema.fields.toVector.map(_ => java.lang.Long.valueOf(0L): Any),
@@ -828,7 +843,7 @@ private[sources] class GraftMemTable(val fullName: String,
             "re-stage from a fresh branch")
       val prev = rows
       rows = br.rows
-      stampCommit((prev.iterator ++ rows.iterator).map(groupOf).toSet)
+      stampCommit((prev.iterator ++ rows.iterator).map(_._1).toSet)
       branches.remove(br.branchName)
       (rows.length.toLong, br.commits, commitVersion)
     }
@@ -856,7 +871,7 @@ private[sources] class GraftMemTable(val fullName: String,
       // slot reuse would resurrect dropped data under the new column
       colMap = colMap.copy(phys = colMap.phys :+ colMap.physWidth,
         physWidth = colMap.physWidth + 1)
-      stampCommit(rows.iterator.map(groupOf).toSet)
+      stampCommit(rows.iterator.map(_._1).toSet)
     }
 
   /** SCHEMA EVOLUTION beyond ADD (b101) — RENAME COLUMN: pure
@@ -875,13 +890,13 @@ private[sources] class GraftMemTable(val fullName: String,
       require(!to.startsWith("_"),
         s"graftmem $fullName: '_'-prefixed names are reserved for " +
           s"metadata columns, got $to")
-      require(!partitionCol.contains(from) && !writeLayout.contains(from),
+      require(!curPartCol.contains(from) && !writeLayout.contains(from),
         s"graftmem $fullName: cannot rename $from — it anchors the " +
           "table's partition transform / write layout")
       val f = curSchema.fields(i)
       curSchema = StructType(curSchema.fields.updated(i,
         f.copy(name = to)))
-      stampCommit(rows.iterator.map(groupOf).toSet)
+      stampCommit(rows.iterator.map(_._1).toSet)
     }
 
   /** DROP COLUMN (b101): metadata-only — the schema entry, its slot
@@ -896,7 +911,7 @@ private[sources] class GraftMemTable(val fullName: String,
     require(i >= 0, s"graftmem $fullName: no column named $col")
     require(curSchema.fields.length > 1,
       s"graftmem $fullName: cannot drop the last column")
-    require(!partitionCol.contains(col) && !writeLayout.contains(col),
+    require(!curPartCol.contains(col) && !writeLayout.contains(col),
       s"graftmem $fullName: cannot drop $col — it anchors the " +
         "table's partition transform / write layout")
     curSchema = StructType(
@@ -904,7 +919,7 @@ private[sources] class GraftMemTable(val fullName: String,
     colDefaults = colDefaults.take(i) ++ colDefaults.drop(i + 1)
     colMap = colMap.copy(
       phys = colMap.phys.take(i) ++ colMap.phys.drop(i + 1))
-    stampCommit(rows.iterator.map(groupOf).toSet)
+    stampCommit(rows.iterator.map(_._1).toSet)
   }
 
   /** TYPE WIDENING (b101, the Iceberg-v3 widening face): INT →
@@ -929,20 +944,75 @@ private[sources] class GraftMemTable(val fullName: String,
     colDefaults = colDefaults.updated(i, java.lang.Long.valueOf(
       colDefaults(i).asInstanceOf[java.lang.Number].longValue()))
     colMap = colMap.copy(widened = colMap.widened + colMap.phys(i))
-    stampCommit(rows.iterator.map(groupOf).toSet)
+    stampCommit(rows.iterator.map(_._1).toSet)
   }
 
-  /** Rewrite-group id of a stored row: the identity-partition value,
-    * or 0 when unpartitioned (single group). Partition columns are
-    * CREATE-time LONGs by contract.
+  /** PARTITION EVOLUTION (b103): the CURRENT spec — the constructor's
+    * partition column until `CALL graftmem.system.set_partition`
+    * evolves an unpartitioned table to identity partitioning. Rows
+    * written before the evolution keep the [[LEGACY]] stored group
+    * (their "file" predates the spec — Iceberg's old-spec files);
+    * only a rewrite that touches them migrates them (a row-level
+    * operation's replaced groups re-land under the current spec).
+    * Guarded by `this` for writes; volatile for lock-free reads.
     */
-  private[sources] val groupIdx: Int =
+  @volatile private[sources] var curPartCol: Option[String] = partitionCol
+  /** The current spec's CREATE-time column slot (-1 = unpartitioned).
+    * CREATE columns are physically first, so every stored row has the
+    * slot (setPartition only accepts CREATE-time columns).
+    */
+  @volatile private[sources] var curGroupSlot: Int =
     partitionCol.map(tblSchema.fieldIndex).getOrElse(-1)
-  private[sources] def groupOf(r: Array[Any]): Long =
-    if (groupIdx < 0) 0L else GraftCell.asLong(r(groupIdx))
+
+  /** Rewrite-group id a row lands under TODAY (the current spec):
+    * the identity-partition value, or 0 when unpartitioned (single
+    * group). Partition columns are CREATE-time LONGs by contract.
+    * A stored row's group is its vector tag, NOT this — this is the
+    * write-time assignment.
+    */
+  private[sources] def groupOf(r: Array[Any]): Long = {
+    val s = curGroupSlot
+    if (s < 0) 0L else GraftCell.asLong(r(s))
+  }
+
+  /** Evolve an UNPARTITIONED table to identity partitioning on a
+    * CREATE-time LONG column (b103) — a metadata commit: no row
+    * moves; pre-evolution rows' stored group becomes [[LEGACY]] (the
+    * spec-tag move is per-FILE metadata in a real format — here the
+    * single unpartitioned group relabels), new writes group by the
+    * column, and a row-level operation that touches the legacy group
+    * MIGRATES its rows to the current spec (rewritten files get the
+    * new spec — Iceberg's rule). One evolution per table: evolving
+    * again means migrating first (loud, not silent re-speccing).
+    * Returns the legacy row count.
+    */
+  private[sources] def setPartition(col: String): Long = synchronized {
+    require(curPartCol.isEmpty,
+      s"graftmem $fullName: already partitioned by ${curPartCol.get} — " +
+        "partition evolution applies to unpartitioned tables (migrate " +
+        "via a full rewrite first)")
+    require(tblSchema.fieldNames.contains(col),
+      s"graftmem $fullName: set_partition takes a CREATE-time column " +
+        s"(LONG by the CREATE contract); got $col")
+    require(curSchema.fieldNames.contains(col),
+      s"graftmem $fullName: column $col was dropped")
+    // pre-evolution rows all live in the single unpartitioned group
+    // (0); they become the LEGACY generation — never rewritten here
+    rows = rows.map { case (_, r) => (GraftMemTable.LEGACY, r) }
+    groupVersion.remove(0L).foreach(v =>
+      groupVersion(GraftMemTable.LEGACY) =
+        math.max(v, groupVersion.getOrElse(GraftMemTable.LEGACY, 0L)))
+    curPartCol = Some(col)
+    curGroupSlot = tblSchema.fieldIndex(col)
+    val legacy = rows.length.toLong
+    // the evolution is a commit: stamp the legacy generation so an
+    // in-flight rewrite that scanned it conflicts loudly
+    stampCommit(if (legacy > 0) Set(GraftMemTable.LEGACY) else Set.empty)
+    legacy
+  }
 
   override def partitioning(): Array[Transform] =
-    partitionCol.toArray.map(c =>
+    curPartCol.toArray.map(c =>
       org.apache.spark.sql.connector.expressions.Expressions.identity(c))
 
   /** PARTITION MANAGEMENT (b88, `SupportsAtomicPartitionManagement`):
@@ -973,18 +1043,18 @@ private[sources] class GraftMemTable(val fullName: String,
     */
   private[sources] def partitionStats: Seq[(Long, Long, Long)] =
     synchronized {
-      val counts = rows.groupBy(groupOf).view.mapValues(_.length.toLong)
+      val counts = rows.groupBy(_._1).view.mapValues(_.length.toLong)
       (declaredParts.keySet ++ counts.keys).toSeq.sorted.map(g =>
         (g, counts.getOrElse(g, 0L), groupVersion.getOrElse(g, 0L)))
     }
 
   override def partitionSchema(): StructType =
-    partitionCol
+    curPartCol
       .map(c => new StructType().add(c, LongType, nullable = false))
       .getOrElse(new StructType())
 
   private def partValue(ident: InternalRow): Long = {
-    require(partitionCol.isDefined,
+    require(curPartCol.isDefined,
       s"graftmem $fullName is unpartitioned — no partition DDL")
     require(ident.numFields == 1,
       s"graftmem $fullName: expected a 1-field partition identifier, " +
@@ -997,7 +1067,7 @@ private[sources] class GraftMemTable(val fullName: String,
   }
   // callers hold the swap lock
   private def partExistsLocked(v: Long): Boolean =
-    declaredParts.contains(v) || rows.exists(r => groupOf(r) == v)
+    declaredParts.contains(v) || rows.exists(_._1 == v)
 
   override def partitionExists(ident: InternalRow): Boolean =
     synchronized(partExistsLocked(partValue(ident)))
@@ -1032,10 +1102,10 @@ private[sources] class GraftMemTable(val fullName: String,
         // declared-only partition's drop is pure metadata and must
         // not spuriously conflict an in-flight rewrite of its group
         // (one pass over rows, not one per dropped value)
-        val present = rows.iterator.map(groupOf).toSet
+        val present = rows.iterator.map(_._1).toSet
         val touched = vs.toSet & present
         if (touched.nonEmpty) {
-          rows = rows.filterNot(r => touched.contains(groupOf(r)))
+          rows = rows.filterNot(e => touched.contains(e._1))
           stampCommit(touched)
         }
         true
@@ -1078,7 +1148,7 @@ private[sources] class GraftMemTable(val fullName: String,
     val want: Option[Long] =
       if (names.isEmpty) None
       else {
-        require(names.length == 1 && partitionCol.contains(names(0)),
+        require(names.length == 1 && curPartCol.contains(names(0)),
           s"graftmem $fullName: unknown partition column(s) " +
             names.mkString(", "))
         // same NULL discipline as partValue: getLong on a null cell
@@ -1088,7 +1158,8 @@ private[sources] class GraftMemTable(val fullName: String,
             "supported")
         Some(ident.getLong(0))
       }
-    (declaredParts.keySet ++ rows.iterator.map(groupOf)).toSeq.distinct
+    (declaredParts.keySet ++ rows.iterator.map(_._1)
+      .filter(_ != GraftMemTable.LEGACY)).toSeq.distinct
       .filter(v => want.forall(_ == v)).sorted
       .map(v => InternalRow(v): InternalRow).toArray
   }
@@ -1106,10 +1177,10 @@ private[sources] class GraftMemTable(val fullName: String,
       // empty partition is a metadata no-op, not a version bump that
       // could spuriously conflict an in-flight rewrite (one pass over
       // rows, not one per value)
-      val present = rows.iterator.map(groupOf).toSet
+      val present = rows.iterator.map(_._1).toSet
       val touched = vs.toSet & present
       if (touched.nonEmpty) {
-        rows = rows.filterNot(r => touched.contains(groupOf(r)))
+        rows = rows.filterNot(e => touched.contains(e._1))
         stampCommit(touched)
       }
       true
@@ -1210,6 +1281,17 @@ private[sources] class GraftMemTable(val fullName: String,
     }
 }
 
+private[sources] object GraftMemTable {
+  /** The stored group of rows written BEFORE partition evolution
+    * (b103): the unpartitioned generation's spec tag. MinValue so no
+    * identity-partition value can collide with it; excluded from the
+    * partition-DDL surface (legacy rows have no partition identifier —
+    * Iceberg's old-spec files), included in the `__partitions`
+    * operational read (they exist and an operator must see them).
+    */
+  val LEGACY: Long = Long.MinValue
+}
+
 /** Driver-side handoff between a row-level operation's scan and its
   * write: the groups the scan actually read (after runtime group
   * filtering; None = all) and the table version it read them AT. The
@@ -1276,7 +1358,6 @@ private[sources] class GraftMemScanBuilder(table: GraftMemTable,
     override def estimateStatistics()
         : org.apache.spark.sql.connector.read.Statistics =
       GraftMemStats(snapshot.length.toLong, required.fields.length)
-    private val gIdx = table.groupIdx
     // runtime-prunable group set (None = all); the op's holder (when
     // present) learns what was scanned so its commit replaces exactly
     // that
@@ -1326,34 +1407,39 @@ private[sources] class GraftMemScanBuilder(table: GraftMemTable,
     // one InputPartition per rewrite GROUP, so the runtime filter can
     // skip whole groups before a row is shipped
     override def planInputPartitions(): Array[InputPartition] = {
-      val byGroup = snapshot.groupBy(r => table.groupOf(r))
+      // one partition per STORED group (write-time spec tag, b103):
+      // a post-evolution table mixes the legacy generation and the
+      // current-spec groups in one scan, each its own split
+      val byGroup = snapshot.groupBy(_._1)
       byGroup.toSeq.sortBy(_._1)
         .filter { case (g, _) => allowed.forall(_.contains(g)) }
-        .map { case (_, rs) => GraftMemPartition(rs): InputPartition }
+        .map { case (g, rs) =>
+          GraftMemPartition(rs.map(_._2), g): InputPartition }
         .toArray match {
           case Array() => Array(GraftMemPartition(Vector.empty))
           case parts   => parts
         }
     }
     override def createReaderFactory(): PartitionReaderFactory = {
-      val g = gIdx
-      // the `_group` metadata column reads the partition value (0
-      // when unpartitioned); data columns beyond a stored row's width
-      // read their initial default (a column added after the row was
-      // written)
+      // the `_group` metadata column reads the partition's STORED
+      // group (0 when unpartitioned, LEGACY for pre-evolution rows) —
+      // carried per split, resolved through the projector's aux
+      // channel; data columns beyond a stored row's width read their
+      // initial default (a column added after the row was written)
       val proj = GraftCell.projector(required, snapSchema, snapDefaults,
-        Map("_group" -> ((_: Long, r: Array[Any]) =>
-          java.lang.Long.valueOf(
-            if (g >= 0) GraftCell.asLong(r(g)) else 0L): Any)),
+        Map("_group" -> ((g: Long, _: Array[Any]) =>
+          java.lang.Long.valueOf(g): Any)),
         colMap = snapColMap)
       new PartitionReaderFactory {
         override def createReader(
             p: InputPartition): PartitionReader[InternalRow] = {
-          val data = p.asInstanceOf[GraftMemPartition].data
+          val mp = p.asInstanceOf[GraftMemPartition]
+          val data = mp.data
+          val g = mp.groupVal
           new PartitionReader[InternalRow] {
             private var i = -1
             override def next(): Boolean = { i += 1; i < data.length }
-            override def get(): InternalRow = proj(0L, data(i))
+            override def get(): InternalRow = proj(g, data(i))
             override def close(): Unit = ()
           }
         }
@@ -1362,7 +1448,8 @@ private[sources] class GraftMemScanBuilder(table: GraftMemTable,
   }
 }
 
-private[sources] case class GraftMemPartition(data: Vector[Array[Any]])
+private[sources] case class GraftMemPartition(data: Vector[Array[Any]],
+    groupVal: Long = 0L)
     extends InputPartition
 
 /** `replace = false`: INSERT INTO (append), TRUNCATE (overwrite all),
@@ -1543,45 +1630,51 @@ private[sources] class GraftMemWriteBuilder(
             val prev = table.rows
             val survivors = scanned match {
               case Some(gs) =>
-                prev.filterNot(r => gs.contains(table.groupOf(r)))
+                prev.filterNot(e => gs.contains(e._1))
               case None => Vector.empty
             }
-            table.rows = survivors ++ written
-            // stamp exactly the replaced groups; a full swap (no
-            // runtime narrowing) modifies every group that existed
-            // before OR exists after
-            table.stampCommit(scanned.getOrElse(
-              (prev.iterator ++ written.iterator)
-                .map(table.groupOf).toSet))
+            // written rows land under the CURRENT spec — this is what
+            // migrates a touched LEGACY group after partition
+            // evolution (rewritten files get the new spec, b103)
+            val tagged = written.map(r => (table.groupOf(r), r))
+            table.rows = survivors ++ tagged
+            // stamp the replaced groups AND the groups the rewrite
+            // landed in (a rewrite may move rows across groups — a
+            // changed partition value, or b103's legacy migration);
+            // a full swap (no runtime narrowing) modifies every group
+            // that existed before or exists after
+            table.stampCommit(scanned match {
+              case Some(gs) => gs ++ tagged.iterator.map(_._1)
+              case None =>
+                (prev.iterator ++ tagged.iterator).map(_._1).toSet
+            })
           } else {
             val prev = table.rows
+            val tagged = written.map(r => (table.groupOf(r), r))
             if (dynamicOverwrite) {
               // replace exactly the groups the new rows land in; all
               // other groups keep their row objects untouched
-              val gs = written.iterator.map(table.groupOf).toSet
+              val gs = tagged.iterator.map(_._1).toSet
               table.rows =
-                prev.filterNot(r => gs.contains(table.groupOf(r))) ++
-                  written
+                prev.filterNot(e => gs.contains(e._1)) ++ tagged
               table.stampCommit(gs)
             } else if (overwritePreds != null) {
               // replaceWhere: delete the matching rows, append the new
               val pred = GraftMemWriteBuilder.compilePredicates(
                 overwritePreds, table.schema(), table.colDefaults,
                 table.colMap)
-              val (removed, kept) = prev.partition(pred)
-              table.rows = kept ++ written
+              val (removed, kept) = prev.partition(e => pred(e._2))
+              table.rows = kept ++ tagged
               table.stampCommit(
-                (removed.iterator ++ written.iterator)
-                  .map(table.groupOf).toSet)
+                (removed.iterator ++ tagged.iterator).map(_._1).toSet)
             } else {
-              table.rows = if (doTruncate) written else prev ++ written
+              table.rows = if (doTruncate) tagged else prev ++ tagged
               // truncate touches every pre-existing group; append
               // only the written rows' groups
               val touched =
                 if (doTruncate)
-                  (prev.iterator ++ written.iterator)
-                    .map(table.groupOf).toSet
-                else written.iterator.map(table.groupOf).toSet
+                  (prev.iterator ++ tagged.iterator).map(_._1).toSet
+                else tagged.iterator.map(_._1).toSet
               table.stampCommit(touched)
             }
           }
@@ -1629,9 +1722,9 @@ private[sources] class GraftMemWriteBuilder(
               val written = messages.iterator.flatMap {
                 case m: GraftMemCommit => m.data
               }.toVector
-              table.rows = table.rows ++ written
-              table.stampCommit(
-                written.iterator.map(table.groupOf).toSet)
+              val tagged = written.map(r => (table.groupOf(r), r))
+              table.rows = table.rows ++ tagged
+              table.stampCommit(tagged.iterator.map(_._1).toSet)
             }
           }
         override def abort(epochId: Long,

@@ -116,7 +116,7 @@ class GraftMemCatalogSpec extends SparkSpec {
         .of(Array("db"), "spec_gp"))
       .asInstanceOf[graft.sources.GraftMemTable]
     // identity map of the UNTOUCHED groups' row instances, pre-merge
-    val before = table.rows.filter(r => r(1) != 1L)
+    val before = table.rows.filter(_._1 != 1L).map(_._2)
       .map(r => System.identityHashCode(r) -> r).toMap
     spark.range(10).selectExpr("id * 4 + 1 AS key", "id * 1000 AS nb")
       .createOrReplaceTempView("spec_gp_batch")
@@ -131,7 +131,7 @@ class GraftMemCatalogSpec extends SparkSpec {
     // …and the commit replaced ONLY group 1: every untouched-group row
     // is the SAME object as before (copy-on-write narrowing — nothing
     // was recomputed or rewritten for groups 0/2/3)
-    val after = table.rows.filter(r => r(1) != 1L)
+    val after = table.rows.filter(_._1 != 1L).map(_._2)
     assert(after.size == 30)
     assert(after.forall(r => before.get(System.identityHashCode(r))
       .exists(_ eq r)),

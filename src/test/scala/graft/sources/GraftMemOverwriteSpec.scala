@@ -37,7 +37,7 @@ class GraftMemOverwriteSpec extends SparkSpec {
     spark.range(20)
       .selectExpr("id AS key", "id % 4 AS g", "id * 10 AS bal")
       .writeTo(tbl).append()
-    val beforeObjs = table.rows.filter(r => table.groupOf(r) != 1L)
+    val beforeObjs = table.rows.filter(_._1 != 1L).map(_._2)
       .map(System.identityHashCode).toSet
     // corrected reload of group 1 only
     spark.range(100, 103)
@@ -48,7 +48,7 @@ class GraftMemOverwriteSpec extends SparkSpec {
       .map(k => (k, k % 4, k * 10)) ++
       (100L until 103L).map(k => (k, 1L, k * 1000))
     assert(snap(tbl) == expect.sortBy(_._1))
-    val afterObjs = table.rows.filter(r => table.groupOf(r) != 1L)
+    val afterObjs = table.rows.filter(_._1 != 1L).map(_._2)
       .map(System.identityHashCode).toSet
     assert(afterObjs == beforeObjs,
       "dynamic overwrite rewrote rows of untouched groups")
