@@ -142,7 +142,7 @@ object TierD {
     "d26_stream_cdc_follow", "d27_stream_cdc_from_version",
     "d28_stream_continuous", "d29_state_metadata", "d30_state_ttl",
     "d31_stream_eq_upsert", "d32_stream_wap", "d33_stream_lineage_cdc",
-    "d34_stream_map_state")
+    "d34_stream_map_state", "d35_stream_table_snapshot_follow")
 
   /** Shared d14/d22 oracle: the one-shot hourly aggregate restricted
     * to watermark-closed windows (ws + 1 h window + 1 h delay ≤ max
