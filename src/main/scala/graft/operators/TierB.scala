@@ -3250,6 +3250,190 @@ object TierB {
       .orderBy("phase", "g")
   }
 
+  /** b104: ROLLBACK / RESTORE — `CALL graftmem.system.rollback(tbl,
+    * v)`, the Delta `RESTORE TABLE ... VERSION AS OF` / Iceberg
+    * `rollback_to_snapshot` face: the ops answer to a bad batch. The
+    * table's CURRENT state moves back to a retained snapshot's —
+    * rows, schema, defaults, column map, everything the snapshot pins
+    * — as ONE NEW COMMIT, and history is PRESERVED: the bad commits
+    * stay time-travelable, the restore is a version in `__history`,
+    * never an erasure (auditability is the difference between RESTORE
+    * and a table rewrite). O(1) data movement — the snapshot's
+    * immutable row vector swaps in by reference, exactly as a real
+    * format's restore commits a new manifest list pointing at the OLD
+    * data files (spec-proven by object identity). Demo: v1 = the
+    * customer snapshot (good) → v2 = the CDC round (the "bad batch")
+    * → v3 = a DELETE making it worse → rollback to 1 (= v4).
+    * Declared output: phase 0 = the current head (must equal the v1
+    * snapshot exactly — the restore's claim), phase 1 = `VERSION AS
+    * OF 3` (the bad state, still readable — the preservation claim).
+    * At 100 TB a restore is one metadata commit vs re-ingesting the
+    * good state; the expired-version and cross-partition-evolution
+    * refusals are loud (spec-pinned).
+    */
+  private def b104(s: SparkSession, d: String): DataFrame = {
+    val tbl = graft.util.DemoTables.freshGraftmem(s, d, "restore",
+      "(key BIGINT, bal_cents BIGINT)")
+    customer(s, d)
+      .selectExpr("c_custkey AS key",
+        "CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents")
+      .writeTo(tbl).append() // v1: the good snapshot
+    runCdcMergeRound(s, d, "b104", tbl) // v2: the bad batch
+    s.sql(s"DELETE FROM $tbl WHERE key % 10 = 1") // v3: worse
+    s.sql(s"CALL graftmem.system.rollback(" +
+      s"'${tbl.stripPrefix("graftmem.")}', 1)").collect() // v4 = v1
+    val now = s.sql(
+      s"""SELECT 0L AS phase, key % 10 AS key_mod, count(*) AS n,
+         |  CAST(sum(CAST(bal_cents AS DECIMAL(38,0))) AS BIGINT)
+         |    AS bal_cents_sum
+         |FROM $tbl GROUP BY key % 10""".stripMargin)
+    val past = s.sql(
+      s"""SELECT 1L AS phase, key % 10 AS key_mod, count(*) AS n,
+         |  CAST(sum(CAST(bal_cents AS DECIMAL(38,0))) AS BIGINT)
+         |    AS bal_cents_sum
+         |FROM $tbl VERSION AS OF 3 GROUP BY key % 10""".stripMargin)
+    now.unionAll(past).orderBy("phase", "key_mod")
+  }
+
+  /** b105: SHALLOW CLONE — `CALL graftmem.system.clone_table(src,
+    * dst)`, the Delta `CREATE TABLE ... CLONE` face: a NEW table
+    * whose version-1 content is the source's current snapshot BY
+    * REFERENCE — ZERO data copied (shared immutable vectors, the
+    * in-memory analogue of a fresh transaction log whose manifests
+    * point at the source's existing data files; spec-proven by object
+    * identity) — after which the two tables evolve INDEPENDENTLY:
+    * that independence is the product (dev/test forks of production
+    * data, stable reporting snapshots, migration staging — all
+    * without 2× storage). Demo: clone the customer snapshot, then
+    * diverge BOTH ways — the CDC round lands on the CLONE only, a
+    * re-keyed append lands on the SOURCE only. Declared output:
+    * phase 0 = the source census (snapshot + the source-only append,
+    * NO trace of the clone's merge), phase 1 = the clone census (the
+    * post-merge state, NO trace of the source's append) — divergence
+    * proven in both directions from one result set. At 100 TB a
+    * clone is one metadata commit; storage grows only with the
+    * DELTA either side writes after it.
+    */
+  private def b105(s: SparkSession, d: String): DataFrame = {
+    val src = graft.util.DemoTables.freshGraftmem(s, d, "clsrc",
+      "(key BIGINT, bal_cents BIGINT)")
+    val dst = src.replace("clsrc_", "cldst_")
+    s.sql(s"DROP TABLE IF EXISTS $dst")
+    val cust = customer(s, d)
+      .selectExpr("c_custkey AS key",
+        "CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents")
+    cust.writeTo(src).append() // src v1
+    s.sql(s"CALL graftmem.system.clone_table(" +
+      s"'${src.stripPrefix("graftmem.")}', " +
+      s"'${dst.stripPrefix("graftmem.")}')").collect()
+    // diverge: the CDC round lands on the CLONE only…
+    runCdcMergeRound(s, d, "b105", dst)
+    // …and a re-keyed append lands on the SOURCE only
+    val off = cust.agg(coalesce(max(col("key")), lit(0L)))
+      .head.getLong(0) + 1L
+    cust.filter(col("key") % 100 === 50)
+      .select((col("key") + off).as("key"),
+        (col("bal_cents") + 123L).as("bal_cents"))
+      .writeTo(src).append()
+    val srcNow = s.sql(
+      s"""SELECT 0L AS phase, key % 10 AS key_mod, count(*) AS n,
+         |  CAST(sum(CAST(bal_cents AS DECIMAL(38,0))) AS BIGINT)
+         |    AS bal_cents_sum
+         |FROM $src GROUP BY key % 10""".stripMargin)
+    val dstNow = s.sql(
+      s"""SELECT 1L AS phase, key % 10 AS key_mod, count(*) AS n,
+         |  CAST(sum(CAST(bal_cents AS DECIMAL(38,0))) AS BIGINT)
+         |    AS bal_cents_sum
+         |FROM $dst GROUP BY key % 10""".stripMargin)
+    srcNow.unionAll(dstNow).orderBy("phase", "key_mod")
+  }
+
+  /** b106: MERGE WITH SCHEMA EVOLUTION — the auto-evolving upsert
+    * (Delta's `withSchemaEvolution` contract, Spark-4 native syntax):
+    * the SOURCE carries a column the TARGET lacks (`seg`), and the
+    * ENGINE evolves the target mid-statement — the analyzer computes
+    * the missing columns (`MergeIntoTable.changesForSchemaEvolution`),
+    * calls the catalog's `alterTable` with the AddColumn changes
+    * (b85's metadata-only commit — zero data movement), reloads the
+    * relation and plans the MERGE against the evolved shape; UPDATE
+    * SET * / INSERT * then cover the new column. Pre-merge rows that
+    * the MERGE never touches surface `seg` as its initial default
+    * (0 — b85's typed-zero contract), matched rows take the source's
+    * value, inserts land complete. One statement, two commits (the
+    * DDL, then the atomic rewrite), no pipeline changes when an
+    * upstream producer adds a field — THE schema-drift story every
+    * long-lived ingest pipeline needs. Declared output: the per-seg
+    * census (untouched rows under seg 0 with their original balances,
+    * the +10000 updates and the re-keyed inserts under their source
+    * segs). At 100 TB the alternative is a coordinated stop-the-world
+    * ALTER across every writer; here drift is absorbed per statement.
+    */
+  private def b106(s: SparkSession, d: String): DataFrame = {
+    val tbl = graft.util.DemoTables.freshGraftmem(s, d, "mevol",
+      "(key BIGINT, bal_cents BIGINT)")
+    customer(s, d)
+      .selectExpr("c_custkey AS key",
+        "CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents")
+      .writeTo(tbl).append()
+    customer(s, d).createOrReplaceTempView("g_cust_b106")
+    // the source's shape DRIFTED: it now carries seg
+    s.sql(
+      """SELECT c_custkey AS key,
+        |  CAST(floor(c_acctbal * 100) AS BIGINT) + 10000 AS bal_cents,
+        |  CAST(c_nationkey % 4 AS BIGINT) AS seg
+        |FROM g_cust_b106 WHERE c_custkey % 10 = 3
+        |UNION ALL
+        |SELECT c_custkey + (SELECT max(c_custkey) + 1 FROM g_cust_b106),
+        |  CAST(floor(c_acctbal * 100) AS BIGINT),
+        |  CAST(c_nationkey % 4 AS BIGINT)
+        |FROM g_cust_b106 WHERE c_custkey % 100 = 0""".stripMargin)
+      .createOrReplaceTempView("g_src_b106")
+    s.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO $tbl t
+         |USING g_src_b106 b ON t.key = b.key
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    s.sql(
+      s"""SELECT seg, count(*) AS n,
+         |  CAST(sum(CAST(bal_cents AS DECIMAL(38,0))) AS BIGINT)
+         |    AS bal_cents_sum
+         |FROM $tbl GROUP BY seg ORDER BY seg""".stripMargin)
+  }
+
+  /** b107: EXECUTE IMMEDIATE + PARAMETERIZED SQL — dynamic SQL as a
+    * first-class, INJECTION-SAFE surface (Spark 4 native): query text
+    * composed at runtime executes with its parameters BOUND, never
+    * string-spliced — `EXECUTE IMMEDIATE '<text>' USING <v> AS name`
+    * (the SQL-scripting face, b72's interpreter sibling) and the
+    * session API `spark.sql(text, args)` (named parameter markers,
+    * the programmatic face). Both paths plan the SAME declarative
+    * query — parameters reach Catalyst as literals BEFORE
+    * optimization, so pushdown/pruning/constant folding all see them
+    * (a spliced string would too, but un-escaped; a PreparedStatement
+    * analogue that hid the literal from the optimizer would lose the
+    * pushdown — this surface gives both safety AND the plan).
+    * Declared output: the same flag census under two different bound
+    * thresholds, one per path — phase 0 via EXECUTE IMMEDIATE, phase
+    * 1 via sql(text, args). At 100 TB parameterized dynamic SQL is
+    * how orchestration composes per-partition/per-tenant queries
+    * without one bespoke string build per run.
+    */
+  private def b107(s: SparkSession, d: String): DataFrame = {
+    lineitem(s, d).createOrReplaceTempView("g_li_b107")
+    // runtime-composed text; no quotes inside, so it embeds verbatim
+    val text = "SELECT l_returnflag AS flag, count(*) AS n, " +
+      "CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) " +
+      "AS DECIMAL(38,0)) AS cents FROM g_li_b107 " +
+      "WHERE l_quantity >= :qmin GROUP BY l_returnflag"
+    val p0 = s.sql(s"EXECUTE IMMEDIATE '$text' USING 25 AS qmin")
+      .selectExpr("0L AS phase", "flag",
+        "n", "CAST(cents AS BIGINT) AS cents_sum")
+    val p1 = s.sql(text, Map("qmin" -> 40))
+      .selectExpr("1L AS phase", "flag",
+        "n", "CAST(cents AS BIGINT) AS cents_sum")
+    p0.unionAll(p1).orderBy("phase", "flag")
+  }
+
   /** THE CDC round every row-level demo shares (b75 CoW, b80 MoR, b82
     * compaction, b83 change feed, d26 streaming CDC): update keys ≡3
     * (mod 10) to bal+10000, delete keys ≡7, insert keys ≡0 (mod 100)
@@ -3356,6 +3540,27 @@ object TierB {
     // per-g census with +7 on the g=2 rows of BOTH generations.
     QueryDef("b103_partition_evolution", b103 _, Some(
       "WITH snap AS (SELECT c_custkey AS key, (c_custkey % 5)::BIGINT AS g, floor(c_acctbal * 100)::BIGINT AS bal FROM customer), per AS (SELECT g, count(*)::BIGINT AS n, sum(bal)::BIGINT AS balsum FROM snap GROUP BY 1), tot AS (SELECT count(*)::BIGINT AS n FROM snap) SELECT * FROM (SELECT 0::BIGINT AS phase, (-9223372036854775807 - 1)::BIGINT AS g, n, 2::BIGINT AS ver, -1::BIGINT AS bal_sum FROM tot UNION ALL SELECT 0, g, n, 3, -1 FROM per UNION ALL SELECT 1, g, 2 * n, 4, -1 FROM per UNION ALL SELECT 2, g, 2 * n, -1, 2 * balsum + n * 100000 + CASE WHEN g = 2 THEN 2 * n * 7 ELSE 0 END FROM per) ORDER BY phase, g")),
+    // b104's oracle replays both phases as plain relational math:
+    // phase 0 = the v1 snapshot (what the restore must bring back,
+    // byte-exact), phase 1 = the bad state at v3 (CDC round, then the
+    // %10=1 delete) — still served by time travel AFTER the restore.
+    QueryDef("b104_rollback_restore", b104 _, Some(
+      "WITH snap AS (SELECT c_custkey AS key, floor(c_acctbal * 100)::BIGINT AS bal FROM customer), off AS (SELECT max(c_custkey) + 1 AS o FROM customer), batch AS (SELECT key, bal + 10000 AS nb, 'U' AS op FROM snap WHERE key % 10 = 3 UNION ALL SELECT key, 0, 'D' FROM snap WHERE key % 10 = 7 UNION ALL SELECT key + (SELECT o FROM off), bal, 'I' FROM snap WHERE key % 100 = 0), post AS (SELECT s.key, coalesce(CASE WHEN b.op = 'U' THEN b.nb END, s.bal) AS bal FROM snap s LEFT JOIN batch b ON s.key = b.key WHERE b.op IS NULL OR b.op <> 'D' UNION ALL SELECT key, nb FROM batch WHERE op = 'I'), bad AS (SELECT key, bal FROM post WHERE key % 10 <> 1) SELECT * FROM (SELECT 0::BIGINT AS phase, (key % 10)::BIGINT AS key_mod, count(*)::BIGINT AS n, sum(bal)::BIGINT AS bal_cents_sum FROM snap GROUP BY 2 UNION ALL SELECT 1::BIGINT, (key % 10)::BIGINT, count(*)::BIGINT, sum(bal)::BIGINT FROM bad GROUP BY 2) ORDER BY phase, key_mod")),
+    // b105's oracle recomputes both divergent histories from their
+    // definitions: the source (snapshot + re-keyed +123 append, no
+    // merge) and the clone (the CDC post-state, no append) — each
+    // side's census must show ONLY its own commits.
+    QueryDef("b105_table_clone", b105 _, Some(
+      "WITH snap AS (SELECT c_custkey AS key, floor(c_acctbal * 100)::BIGINT AS bal FROM customer), off AS (SELECT max(c_custkey) + 1 AS o FROM customer), srcside AS (SELECT key, bal FROM snap UNION ALL SELECT key + (SELECT o FROM off), bal + 123 FROM snap WHERE key % 100 = 50), batch AS (SELECT key, bal + 10000 AS nb, 'U' AS op FROM snap WHERE key % 10 = 3 UNION ALL SELECT key, 0, 'D' FROM snap WHERE key % 10 = 7 UNION ALL SELECT key + (SELECT o FROM off), bal, 'I' FROM snap WHERE key % 100 = 0), post AS (SELECT s.key, coalesce(CASE WHEN b.op = 'U' THEN b.nb END, s.bal) AS bal FROM snap s LEFT JOIN batch b ON s.key = b.key WHERE b.op IS NULL OR b.op <> 'D' UNION ALL SELECT key, nb FROM batch WHERE op = 'I') SELECT * FROM (SELECT 0::BIGINT AS phase, (key % 10)::BIGINT AS key_mod, count(*)::BIGINT AS n, sum(bal)::BIGINT AS bal_cents_sum FROM srcside GROUP BY 2 UNION ALL SELECT 1::BIGINT, (key % 10)::BIGINT, count(*)::BIGINT, sum(bal)::BIGINT FROM post GROUP BY 2) ORDER BY phase, key_mod")),
+    // b106's oracle recomputes the evolved table from the drift
+    // definition: untouched rows under seg 0 (the typed default),
+    // matched rows re-segmented with +10000, inserts complete.
+    QueryDef("b106_merge_schema_evolution", b106 _, Some(
+      "WITH snap AS (SELECT c_custkey AS key, c_nationkey AS nk, floor(c_acctbal * 100)::BIGINT AS bal FROM customer), off AS (SELECT max(c_custkey) + 1 AS o FROM customer), upd AS (SELECT key, bal + 10000 AS bal, (nk % 4)::BIGINT AS seg FROM snap WHERE key % 10 = 3), ins AS (SELECT key + (SELECT o FROM off) AS key, bal, (nk % 4)::BIGINT AS seg FROM snap WHERE key % 100 = 0), post AS (SELECT s.key, coalesce(u.bal, s.bal) AS bal, coalesce(u.seg, 0) AS seg FROM snap s LEFT JOIN upd u ON s.key = u.key UNION ALL SELECT key, bal, seg FROM ins) SELECT seg, count(*)::BIGINT AS n, sum(bal)::BIGINT AS bal_cents_sum FROM post GROUP BY 1 ORDER BY 1")),
+    // b107's oracle replays both bound thresholds as plain filters —
+    // the dynamic path must compute exactly what the static SQL does.
+    QueryDef("b107_execute_immediate", b107 _, Some(
+      "SELECT * FROM (SELECT 0::BIGINT AS phase, l_returnflag AS flag, count(*)::BIGINT AS n, sum(floor(l_extendedprice * 100)::BIGINT)::BIGINT AS cents_sum FROM lineitem WHERE l_quantity >= 25 GROUP BY 2 UNION ALL SELECT 1::BIGINT, l_returnflag, count(*)::BIGINT, sum(floor(l_extendedprice * 100)::BIGINT)::BIGINT FROM lineitem WHERE l_quantity >= 40 GROUP BY 2) ORDER BY phase, flag")),
     QueryDef("b100_merge_not_matched_by_source", b100 _, Some(
       "WITH snap AS (SELECT c_custkey AS key, floor(c_acctbal * 100)::BIGINT AS bal FROM customer), off AS (SELECT max(c_custkey) + 1 AS o FROM customer), src AS (SELECT key, bal + 10000 AS nb FROM snap WHERE key % 10 <= 4 UNION ALL SELECT key + (SELECT o FROM off), bal FROM snap WHERE key % 100 = 0), post AS (SELECT coalesce(t.key, b.key) AS key, CASE WHEN b.key IS NOT NULL THEN b.nb ELSE t.bal + 1 END AS bal, (t.key IS NOT NULL AND b.key IS NULL AND t.key % 10 = 7) AS retired FROM snap t FULL OUTER JOIN src b ON t.key = b.key) SELECT (key % 10)::BIGINT AS key_mod, count(*)::BIGINT AS n, sum(bal)::BIGINT AS bal_cents_sum FROM post WHERE NOT retired GROUP BY 1 ORDER BY 1")),
     // b92's oracle recomputes snapshot + staged generation and never

@@ -2891,6 +2891,67 @@ object TierC {
     * then ONE shuffle by doc_id shared by both window passes; span
     * rows are bounded by duplicated positions, never corpus size.
     */
+  /** c78: EXACT-SUBSTRING DEDUP SCRUB — the REMOVAL half of the
+    * substring-duplication story (c58 DETECTS cross-document
+    * duplicated spans; this SCRUBS them — the "deduplicating training
+    * data" recipe: cut every duplicated occurrence, keep exactly one
+    * canonical copy in the corpus). Rules, all integer-exact: a
+    * 5-gram is DUPLICATED iff it occurs in ≥2 distinct docs; its
+    * CANONICAL holder is the min doc_id containing it; every
+    * NON-canonical occurrence covers its 5 token positions; a doc's
+    * scrubbed text is its tokens with covered positions removed,
+    * order preserved. Declared output per doc: token count, removed
+    * count, and the md5 fingerprint of the scrubbed text — the oracle
+    * recomputes the whole pipeline INCLUDING the rebuilt strings, so
+    * a single mis-kept token anywhere in the corpus breaks the hash.
+    * Shape at 100 TB: gram occurrences shuffle ONCE keyed by the
+    * 60-bit portable gram fingerprint (c58's 8-byte-key discipline);
+    * duplicated grams + canonical holders come out of that one
+    * aggregation; coverage explodes only DUPLICATED occurrences
+    * (bounded by dup volume, never corpus size); the rebuild is one
+    * shuffle by doc_id. No all-pairs term anywhere — the quadratic
+    * lives inside gram groups, exactly like LSH buckets.
+    */
+  private def c78(s: SparkSession, d: String): DataFrame = {
+    val n = 5
+    val toks = documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val grams = toks
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(w)-$n), i -> array_join(slice(w, i+1, $n), ' '))")))
+      .toDF("doc_id", "p", "gram")
+      .select(col("doc_id"), col("p"), portableHash(col("gram")).as("g"))
+    // duplicated grams and their canonical holder, one shuffle on g
+    val dup = grams.groupBy("g")
+      .agg(countDistinct(col("doc_id")).as("nd"),
+        min(col("doc_id")).as("canon"))
+      .filter(col("nd") >= 2)
+      .select("g", "canon")
+    // covered positions: each non-canonical occurrence covers [p, p+4]
+    val covered = grams.join(dup, "g")
+      .filter(col("doc_id") =!= col("canon"))
+      .select(col("doc_id"),
+        explode(expr(s"sequence(p, p + ${n - 1})")).as("t"))
+      .distinct()
+    val tokens = toks
+      .select(col("doc_id"), posexplode(col("w"))).toDF("doc_id", "t", "tok")
+    val kept = tokens
+      .join(covered, Seq("doc_id", "t"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        md5(expr(
+          "array_join(transform(array_sort(collect_list(struct(t, tok)))," +
+            " x -> x.tok), ' ')")).as("fp"))
+    toks.select(col("doc_id"), size(col("w")).cast("long").as("n_tok"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        (col("n_tok") - coalesce(col("n_kept"), lit(0L)))
+          .cast("long").as("n_removed"),
+        coalesce(col("fp"), md5(lit(""))).as("kept_fp"))
+      .orderBy("doc_id")
+  }
+
   private def c58(s: SparkSession, d: String): DataFrame = {
     val n = 5
     val pos = documents(s, d)
@@ -3477,6 +3538,12 @@ object TierC {
       "WITH t AS (SELECT source, sum(len(string_split(text, ' ')))::BIGINT AS n_tokens FROM documents GROUP BY 1), g AS (SELECT sum(n_tokens)::BIGINT AS tot, sum(sqrt(n_tokens::DOUBLE)::DECIMAL(28,12)) AS tot_sq FROM t) SELECT source, n_tokens, (10000 * n_tokens // tot)::BIGINT AS share_bp, floor(10000 * sqrt(n_tokens::DOUBLE) / tot_sq::DOUBLE)::BIGINT AS weight_bp FROM t, g ORDER BY source")),
     QueryDef("c57_compaction_plan", c57 _, Some(
       "WITH m AS (SELECT source, doc_id, n_chars, coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM documents) SELECT source, (cb // 8192)::BIGINT AS grp, count(*)::BIGINT AS n_files, sum(n_chars)::BIGINT AS bytes, min(doc_id) AS first_doc, max(doc_id) AS last_doc FROM m GROUP BY 1, 2 ORDER BY 1, 2")),
+    // c78's oracle recomputes the full scrub INCLUDING every rebuilt
+    // string: duplicated 5-grams (≥2 distinct docs), min-doc canonical
+    // holders, covered positions from non-canonical occurrences, and
+    // the md5 of each doc's surviving tokens in order.
+    QueryDef("c78_span_scrub", c78 _, Some(
+      s"WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), pos AS (SELECT doc_id, i - 1 AS p, ${duckHash("array_to_string(list_slice(ws, i, i + 4), ' ')")} AS g FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 4)) AS i) t WHERE len(ws) >= 5), dup AS (SELECT g, min(doc_id) AS canon FROM (SELECT DISTINCT g, doc_id FROM pos) GROUP BY g HAVING count(*) >= 2), cov AS (SELECT DISTINCT pos.doc_id, p + k AS t FROM pos JOIN dup USING (g), LATERAL (SELECT unnest(generate_series(0, 4)) AS k) kk WHERE pos.doc_id <> dup.canon), tok AS (SELECT doc_id, i - 1 AS t, ws[i] AS tok FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) tt), kept AS (SELECT tok.doc_id, count(*)::BIGINT AS n_kept, md5(string_agg(tok.tok, ' ' ORDER BY tok.t)) AS fp FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.t = cov.t WHERE cov.t IS NULL GROUP BY 1), base AS (SELECT doc_id, len(ws)::BIGINT AS n_tok FROM w) SELECT b.doc_id, b.n_tok, (b.n_tok - coalesce(k.n_kept, 0))::BIGINT AS n_removed, coalesce(k.fp, md5('')) AS kept_fp FROM base b LEFT JOIN kept k USING (doc_id) ORDER BY doc_id")),
     QueryDef("c58_dup_spans", c58 _, Some(
       s"WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), pos AS (SELECT doc_id, i - 1 AS p, ${duckHash("array_to_string(list_slice(ws, i, i + 4), ' ')")} AS gh FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 4)) AS i) t WHERE len(ws) >= 5), dup AS (SELECT gh FROM (SELECT gh, count(DISTINCT doc_id) AS nd FROM pos GROUP BY gh) WHERE nd >= 2), dp AS (SELECT pos.doc_id, pos.p FROM pos JOIN dup USING (gh)), lg AS (SELECT doc_id, p, lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev FROM dp), isl AS (SELECT doc_id, p, sum(CASE WHEN prev IS NULL OR p - prev > 5 THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING) AS g FROM lg) SELECT doc_id, min(p)::BIGINT AS span_start, (max(p) + 4)::BIGINT AS span_end, (max(p) - min(p) + 5)::BIGINT AS span_words FROM isl GROUP BY doc_id, g ORDER BY doc_id, span_start")),
     QueryDef("c59_compaction_exec", c59 _, Some(

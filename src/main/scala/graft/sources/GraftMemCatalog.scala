@@ -436,7 +436,9 @@ class GraftMemCatalog extends TableCatalog with FunctionCatalog
       Identifier.of(namespace, "rewrite_sort"),
       Identifier.of(namespace, "set_partition"),
       Identifier.of(namespace, "expire_changelog"),
-      Identifier.of(namespace, "expire_snapshots"))
+      Identifier.of(namespace, "expire_snapshots"),
+      Identifier.of(namespace, "rollback"),
+      Identifier.of(namespace, "clone_table"))
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
     ident.name() match {
@@ -450,6 +452,8 @@ class GraftMemCatalog extends TableCatalog with FunctionCatalog
       case "set_partition"    => SetPartitionProcedure
       case "expire_changelog" => ExpireChangelogProcedure
       case "expire_snapshots" => ExpireSnapshotsProcedure
+      case "rollback"         => RollbackProcedure
+      case "clone_table"      => CloneTableProcedure
       case other => throw new RuntimeException(
         s"graftmem: no procedure named '$other'")
     }
@@ -581,6 +585,19 @@ object GraftMemCatalog {
   /** Procedure-side lookup by full `ns.name` key (null if absent). */
   private[sources] def lookup(fullName: String): Table =
     tables.get(fullName)
+
+  /** Procedure-side registration (b105, clone_table): land a
+    * procedure-built table under a full `ns.tbl` key, loudly
+    * rejecting an existing name — the same putIfAbsent discipline
+    * createTable uses.
+    */
+  private[sources] def register(fullName: String, t: Table): Unit = {
+    require(fullName.contains("."),
+      s"graftmem tables live under a namespace (db.tbl), got '$fullName'")
+    if (tables.putIfAbsent(fullName, t) != null)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(fullName.split('.').toSeq)
+  }
 }
 
 /** Row payload shipped between driver and executors: externalized
@@ -975,6 +992,94 @@ private[sources] class GraftMemTable(val fullName: String,
     if (s < 0) 0L else GraftCell.asLong(r(s))
   }
 
+  /** ROLLBACK / RESTORE (b104, the Delta `RESTORE` / Iceberg
+    * `rollback_to_snapshot` shape): set the table's CURRENT state back
+    * to a retained snapshot's — rows (with their stored group tags),
+    * schema, per-column defaults and column map, everything the
+    * snapshot pins — as ONE NEW COMMIT. History is PRESERVED: the bad
+    * commits stay time-travelable (`VERSION AS OF` still serves
+    * them), the restore appears in `__history` as its own version,
+    * and an in-flight row-level rewrite that scanned the pre-restore
+    * state conflicts loudly (the restore stamps every group present
+    * before OR after). O(1) data movement — the snapshot's immutable
+    * row vector swaps in by reference, exactly as a real format's
+    * restore commits a new manifest list pointing at the old files.
+    *
+    * Two loud refusals: an EXPIRED version is unrecoverable (the
+    * time-travel contract), and a rollback ACROSS partition evolution
+    * (b103) is rejected — pre-evolution snapshots tag their rows
+    * under the old spec's group ids, which would alias current-spec
+    * partition values if swapped in under the evolved transform.
+    */
+  private[sources] def rollbackTo(version: Long): (Long, Long) =
+    synchronized {
+      require(version != commitVersion,
+        s"graftmem $fullName: already at version $version — nothing " +
+          "to roll back")
+      if (partitionEvolvedAt >= 0 && version < partitionEvolvedAt)
+        throw new UnsupportedOperationException(
+          s"graftmem $fullName: cannot roll back to version $version — " +
+            s"the partition spec evolved at version $partitionEvolvedAt " +
+            "and pre-evolution snapshots tag rows under the old spec; " +
+            "restore the data through an explicit rewrite instead")
+      val snap = snapshots.getOrElse(version, {
+        val r = retainedVersions
+        throw new IllegalArgumentException(
+          s"graftmem $fullName: no retained snapshot for version " +
+            s"$version (retained: ${if (r.isEmpty) "none"
+              else s"${r.head._1}..${r.last._1}"}; expired snapshots " +
+            "are unrecoverable)")
+      })
+      val prev = rows
+      val (rs, _, sch, dflts, cm) = snap
+      rows = rs
+      curSchema = sch
+      colDefaults = dflts
+      colMap = cm
+      stampCommit((prev.iterator ++ rows.iterator).map(_._1).toSet)
+      (rows.length.toLong, commitVersion)
+    }
+
+  /** Version at which [[setPartition]] evolved the spec (-1 = never):
+    * the rollback fence — see [[rollbackTo]].
+    */
+  @volatile private[sources] var partitionEvolvedAt: Long = -1L
+
+  /** SHALLOW CLONE (b105, the Delta `CLONE` / Iceberg snapshot-export
+    * shape): a NEW table whose version-1 content IS this table's
+    * current content BY REFERENCE — the immutable row vectors are
+    * SHARED, never copied (a real clone commits a new transaction log
+    * whose manifests point at the source's existing data files; bytes
+    * move only when either table diverges, and then only the
+    * diverging commit's bytes). The clone carries the source's full
+    * shape — evolved schema, column map, defaults, partition spec,
+    * layout, constraints, retention cap — but starts its OWN history
+    * (version 0 empty, version 1 = the clone) and its own version
+    * counter: commits to either table after the clone are invisible
+    * to the other, which is the entire point (dev/test forks, stable
+    * reporting snapshots, migration staging). Built under both
+    * tables' locks: the content/schema tuple is one consistent
+    * snapshot of the source.
+    */
+  private[sources] def cloneInto(dstName: String): GraftMemTable =
+    synchronized {
+      val t = new GraftMemTable(dstName, tblSchema, curPartCol,
+        writeLayout, tblConstraints, snapshotKeep)
+      t.synchronized {
+        t.curSchema = curSchema
+        t.colDefaults = colDefaults
+        t.colMap = colMap
+        t.curPartCol = curPartCol
+        t.curGroupSlot = curGroupSlot
+        // legacy-tagged rows (b103) stay legacy in the clone — the
+        // clone inherits the migration debt along with the data
+        t.partitionEvolvedAt = if (partitionEvolvedAt >= 0) 1L else -1L
+        t.rows = rows // zero-copy: shared immutable vectors
+        t.stampCommit(rows.iterator.map(_._1).toSet)
+      }
+      t
+    }
+
   /** Evolve an UNPARTITIONED table to identity partitioning on a
     * CREATE-time LONG column (b103) — a metadata commit: no row
     * moves; pre-evolution rows' stored group becomes [[LEGACY]] (the
@@ -1008,6 +1113,7 @@ private[sources] class GraftMemTable(val fullName: String,
     // the evolution is a commit: stamp the legacy generation so an
     // in-flight rewrite that scanned it conflicts loudly
     stampCommit(if (legacy > 0) Set(GraftMemTable.LEGACY) else Set.empty)
+    partitionEvolvedAt = commitVersion
     legacy
   }
 
@@ -1195,7 +1301,12 @@ private[sources] class GraftMemTable(val fullName: String,
       TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.OVERWRITE_DYNAMIC,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.STREAMING_WRITE,
+      // b106: MERGE WITH SCHEMA EVOLUTION — the analyzer may evolve
+      // this table mid-statement (alterTable AddColumn, b85's
+      // metadata-only commit) when the merge source carries columns
+      // the target lacks
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   /** Streaming exactly-once bookkeeping: the MAX committed epoch per
     * queryId. A retried/replayed epoch (engine restart re-commits the

@@ -335,6 +335,133 @@ private[sources] object CreateTagProcedure
     }
 }
 
+/** `graftmem.system.rollback(table, version)` — ROLLBACK / RESTORE
+  * (b104, the Delta `RESTORE TABLE ... VERSION AS OF` / Iceberg
+  * `rollback_to_snapshot` shape): set the table's current state back
+  * to a retained snapshot's as ONE NEW COMMIT — history preserved
+  * (the bad commits stay time-travelable; the restore is a version,
+  * not an erasure). Copy-on-write flavor only: the merge-on-read
+  * flavor's restore would have to reconcile its file ledger, lineage
+  * map and changelog against a historical state — loudly unsupported
+  * rather than silently inconsistent. Returns (restored_version,
+  * live_rows, current_version) as the CALL's result set.
+  */
+private[sources] object RollbackProcedure
+    extends org.apache.spark.sql.connector.catalog.procedures
+      .UnboundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures._
+  import org.apache.spark.sql.types.{LongType => LT, StringType, StructField, StructType => ST}
+
+  override def name(): String = "rollback"
+  override def description(): String =
+    "restore a table to a retained snapshot as a new commit; " +
+      "history is preserved"
+
+  override def bind(inputType: StructType): BoundProcedure =
+    new BoundProcedure {
+      override def name(): String = "rollback"
+      override def description(): String =
+        RollbackProcedure.this.description()
+      override def parameters(): Array[ProcedureParameter] =
+        Array(ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("version", LT).build())
+      override def isDeterministic: Boolean = false
+      private val outSchema = ST(Seq(
+        StructField("restored_version", LT, nullable = false),
+        StructField("live_rows", LT, nullable = false),
+        StructField("current_version", LT, nullable = false)))
+      override def call(input: InternalRow)
+          : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+        val tbl = input.getUTF8String(0).toString
+        val version = input.getLong(1)
+        GraftMemCatalog.lookup(tbl) match {
+          case g: GraftMemTable =>
+            val (liveRows, cur) = g.rollbackTo(version)
+            val row: InternalRow = InternalRow(version, liveRows, cur)
+            val scan: org.apache.spark.sql.connector.read.Scan =
+              new org.apache.spark.sql.connector.read.LocalScan {
+                override def rows(): Array[InternalRow] = Array(row)
+                override def readSchema(): StructType = outSchema
+                override def description(): String =
+                  s"rollback($tbl, $version)"
+              }
+            java.util.Collections.singletonList(scan).iterator()
+          case null => throw new IllegalArgumentException(
+            s"rollback: no graftmem table named '$tbl'")
+          case _ => throw new UnsupportedOperationException(
+            s"rollback: '$tbl' is not a copy-on-write graftmem table " +
+              "(the merge-on-read flavor's ledger/lineage/changelog " +
+              "cannot be rolled back consistently — compact, then " +
+              "restore through an explicit rewrite)")
+        }
+      }
+    }
+}
+
+/** `graftmem.system.clone_table(src, dst)` — SHALLOW CLONE (b105,
+  * the Delta `CREATE TABLE ... CLONE` shape): a NEW table whose
+  * version-1 content is the source's current content BY REFERENCE
+  * (zero data copied — shared immutable vectors, the in-memory
+  * analogue of manifests pointing at the source's data files), after
+  * which the two tables evolve INDEPENDENTLY. Copy-on-write flavor
+  * only. Returns (cloned_rows, src_version) as the CALL's result set.
+  */
+private[sources] object CloneTableProcedure
+    extends org.apache.spark.sql.connector.catalog.procedures
+      .UnboundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures._
+  import org.apache.spark.sql.types.{LongType => LT, StringType, StructField, StructType => ST}
+
+  override def name(): String = "clone_table"
+  override def description(): String =
+    "shallow-clone a table's current snapshot into a new table " +
+      "(zero-copy; independent histories after the clone)"
+
+  override def bind(inputType: StructType): BoundProcedure =
+    new BoundProcedure {
+      override def name(): String = "clone_table"
+      override def description(): String =
+        CloneTableProcedure.this.description()
+      override def parameters(): Array[ProcedureParameter] =
+        Array(ProcedureParameter.in("src", StringType).build(),
+          ProcedureParameter.in("dst", StringType).build())
+      override def isDeterministic: Boolean = false
+      private val outSchema = ST(Seq(
+        StructField("cloned_rows", LT, nullable = false),
+        StructField("src_version", LT, nullable = false)))
+      override def call(input: InternalRow)
+          : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+        val src = input.getUTF8String(0).toString
+        val dst = input.getUTF8String(1).toString
+        GraftMemCatalog.lookup(src) match {
+          case g: GraftMemTable =>
+            // clone under the source lock, register after — a racing
+            // CREATE of dst loses to putIfAbsent, loudly
+            val (t, srcVer) = g.synchronized {
+              (g.cloneInto(dst), g.commitVersion)
+            }
+            GraftMemCatalog.register(dst, t)
+            val row: InternalRow =
+              InternalRow(t.rows.length.toLong, srcVer)
+            val scan: org.apache.spark.sql.connector.read.Scan =
+              new org.apache.spark.sql.connector.read.LocalScan {
+                override def rows(): Array[InternalRow] = Array(row)
+                override def readSchema(): StructType = outSchema
+                override def description(): String =
+                  s"clone_table($src, $dst)"
+              }
+            java.util.Collections.singletonList(scan).iterator()
+          case null => throw new IllegalArgumentException(
+            s"clone_table: no graftmem table named '$src'")
+          case _ => throw new UnsupportedOperationException(
+            s"clone_table: '$src' is not a copy-on-write graftmem " +
+              "table (clone the merge-on-read flavor by compacting " +
+              "into a fresh table)")
+        }
+      }
+    }
+}
+
 /** `graftmem.system.expire_snapshots(table, keep_last)` — snapshot
   * RETENTION as a governed catalog procedure (the other half of b84:
   * time travel is only honest if history has a bounded, administered

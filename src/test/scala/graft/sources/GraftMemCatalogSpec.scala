@@ -417,6 +417,177 @@ class GraftMemCatalogSpec extends SparkSpec {
     assert(err2.getMessage.contains("clustered"))
   }
 
+  test("b104: rollback restores rows AND schema as a new commit; " +
+      "history is preserved; the swap is zero-copy") {
+    val tbl = freshTable("spec_rollback")
+    spark.range(10).selectExpr("id AS key", "id * 100 AS bal_cents")
+      .writeTo(tbl).append() // v1: the good state
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (extra BIGINT DEFAULT 9)") // v2
+    spark.range(50, 55)
+      .selectExpr("id AS key", "id AS bal_cents", "id AS extra")
+      .writeTo(tbl).append() // v3: the bad batch
+    val out = spark.sql(
+      s"CALL graftmem.system.rollback('db.spec_rollback', 1)").collect()
+    assert(out.head.getLong(0) == 1L && out.head.getLong(1) == 10L &&
+      out.head.getLong(2) == 4L) // restored v1, 10 rows, now at v4
+    // current state == v1: 2 columns, 10 rows
+    assert(spark.table(tbl).schema.fieldNames.toSeq ==
+      Seq("key", "bal_cents"))
+    assert(spark.table(tbl).count() == 10)
+    // history preserved: the bad state is still time-travelable with
+    // its OWN (3-column) shape
+    val bad = spark.sql(s"SELECT * FROM $tbl VERSION AS OF 3")
+    assert(bad.schema.fieldNames.toSeq == Seq("key", "bal_cents", "extra"))
+    assert(bad.count() == 15)
+    // the restore is a version in __history, not an erasure
+    val hist = spark.table(s"${tbl}__history")
+      .select("version", "live_rows", "is_current").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sorted
+    assert(hist.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    assert(hist.last == ((4L, 10L, true)))
+    // zero-copy: the live vector IS the v1 snapshot's vector
+    val g = GraftMemCatalog.lookup("db.spec_rollback")
+      .asInstanceOf[GraftMemTable]
+    g.synchronized {
+      assert(g.rows eq g.snapshots(1L)._1,
+        "rollback must swap the snapshot vector in by reference")
+    }
+  }
+
+  test("b104: rollback refuses expired versions, the current version, " +
+      "merge-on-read, and crossing partition evolution") {
+    val tbl = freshTable("spec_rbguard")
+    spark.range(5).selectExpr("id AS key", "id AS bal_cents")
+      .writeTo(tbl).append() // v1
+    spark.range(5, 9).selectExpr("id AS key", "id AS bal_cents")
+      .writeTo(tbl).append() // v2
+    val atHead = intercept[IllegalArgumentException] {
+      spark.sql(s"CALL graftmem.system.rollback('db.spec_rbguard', 2)")
+        .collect()
+    }
+    assert(atHead.getMessage.contains("already at version"))
+    spark.sql(
+      "CALL graftmem.system.expire_snapshots('db.spec_rbguard', 1)")
+      .collect()
+    val expired = intercept[IllegalArgumentException] {
+      spark.sql(s"CALL graftmem.system.rollback('db.spec_rbguard', 1)")
+        .collect()
+    }
+    assert(expired.getMessage.contains("unrecoverable"))
+    // merge-on-read declines
+    spark.sql("DROP TABLE IF EXISTS graftmem.db.spec_rbmor")
+    spark.sql("CREATE TABLE graftmem.db.spec_rbmor " +
+      "(key BIGINT, bal_cents BIGINT) " +
+      "TBLPROPERTIES ('graft.row_level' = 'merge-on-read')")
+    spark.range(3).selectExpr("id AS key", "id AS bal_cents")
+      .writeTo("graftmem.db.spec_rbmor").append()
+    val mor = intercept[UnsupportedOperationException] {
+      spark.sql("CALL graftmem.system.rollback('db.spec_rbmor', 0)")
+        .collect()
+    }
+    assert(mor.getMessage.contains("copy-on-write"))
+    // crossing partition evolution declines: pre-evolution snapshots
+    // tag rows under the old spec
+    spark.sql("DROP TABLE IF EXISTS graftmem.db.spec_rbpevol")
+    spark.sql("CREATE TABLE graftmem.db.spec_rbpevol " +
+      "(key BIGINT, g BIGINT)")
+    spark.range(6).selectExpr("id AS key", "id % 3 AS g")
+      .writeTo("graftmem.db.spec_rbpevol").append() // v1
+    spark.sql(
+      "CALL graftmem.system.set_partition('db.spec_rbpevol', 'g')")
+      .collect() // v2
+    spark.range(6, 9).selectExpr("id AS key", "id % 3 AS g")
+      .writeTo("graftmem.db.spec_rbpevol").append() // v3
+    val across = intercept[UnsupportedOperationException] {
+      spark.sql("CALL graftmem.system.rollback('db.spec_rbpevol', 1)")
+        .collect()
+    }
+    assert(across.getMessage.contains("partition spec evolved"))
+    // rolling back to AT or AFTER the evolution commit is fine
+    spark.sql("CALL graftmem.system.rollback('db.spec_rbpevol', 2)")
+      .collect()
+    assert(spark.table("graftmem.db.spec_rbpevol").count() == 6)
+  }
+
+  test("b105: clone shares row objects (zero-copy) and the histories " +
+      "diverge independently; duplicate names reject loudly") {
+    val src = freshTable("spec_clsrc")
+    spark.sql("DROP TABLE IF EXISTS graftmem.db.spec_cldst")
+    spark.range(10).selectExpr("id AS key", "id * 10 AS bal_cents")
+      .writeTo(src).append() // src v1
+    val out = spark.sql("CALL graftmem.system.clone_table(" +
+      "'db.spec_clsrc', 'db.spec_cldst')").collect()
+    assert(out.head.getLong(0) == 10L && out.head.getLong(1) == 1L)
+    val gs = GraftMemCatalog.lookup("db.spec_clsrc")
+      .asInstanceOf[GraftMemTable]
+    val gd = GraftMemCatalog.lookup("db.spec_cldst")
+      .asInstanceOf[GraftMemTable]
+    // zero-copy at clone time: the clone's vector IS the source's
+    gs.synchronized { gd.synchronized {
+      assert(gd.rows eq gs.rows,
+        "clone_table must share the source's row vector by reference")
+    } }
+    // diverge both ways
+    spark.range(100, 103).selectExpr("id AS key", "id AS bal_cents")
+      .writeTo("graftmem.db.spec_cldst").append()
+    spark.sql(s"DELETE FROM $src WHERE key % 2 = 0")
+    assert(spark.table(src).count() == 5) // deletes invisible to clone
+    assert(spark.table("graftmem.db.spec_cldst").count() == 13)
+    // the clone's pre-divergence rows still ARE the source's v1
+    // snapshot objects (src's own DELETE rewrote ITS live arrays —
+    // copy-on-write — but the shared originals are untouched)
+    gs.synchronized { gd.synchronized {
+      val v1 = gs.snapshots(1L)._1.map(_._2).toSet
+      assert(gd.rows.map(_._2).count(v1.contains) == 10,
+        "the clone's undiverged rows must remain the source snapshot's " +
+          "row objects")
+    } }
+    // a clone into an existing name is loud
+    intercept[org.apache.spark.sql.catalyst.analysis
+      .TableAlreadyExistsException] {
+      spark.sql("CALL graftmem.system.clone_table(" +
+        "'db.spec_clsrc', 'db.spec_cldst')").collect()
+    }
+  }
+
+  test("b106: MERGE WITH SCHEMA EVOLUTION evolves the target " +
+      "mid-statement; without the clause drift never evolves") {
+    val tbl = freshTable("spec_mevol")
+    spark.range(4).selectExpr("id AS key", "id * 100 AS bal_cents")
+      .writeTo(tbl).append() // v1
+    spark.range(2, 6)
+      .selectExpr("id AS key", "id * 1000 AS bal_cents", "id % 2 AS seg")
+      .createOrReplaceTempView("spec_mevol_src")
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO $tbl t
+         |USING spec_mevol_src b ON t.key = b.key
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.table(tbl).schema.fieldNames.toSeq ==
+      Seq("key", "bal_cents", "seg"))
+    val got = spark.table(tbl).orderBy("key").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // untouched rows (0, 1) pad seg with the typed default 0;
+    // matched (2, 3) and inserted (4, 5) take the source's values
+    assert(got == Seq((0L, 0L, 0L), (1L, 100L, 0L), (2L, 2000L, 0L),
+      (3L, 3000L, 1L), (4L, 4000L, 0L), (5L, 5000L, 1L)))
+    // the evolution DDL is its own commit (v2) before the rewrite
+    // (v3): the pre-merge version still serves the pre-drift shape
+    assert(spark.sql(s"SELECT * FROM $tbl VERSION AS OF 1")
+      .schema.fieldNames.toSeq == Seq("key", "bal_cents"))
+    // WITHOUT the clause the same statement must not evolve anything
+    val tbl2 = freshTable("spec_mevol2")
+    spark.range(4).selectExpr("id AS key", "id * 100 AS bal_cents")
+      .writeTo(tbl2).append()
+    spark.sql(
+      s"""MERGE INTO $tbl2 t USING spec_mevol_src b ON t.key = b.key
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.table(tbl2).schema.fieldNames.toSeq ==
+      Seq("key", "bal_cents"),
+      "a plain MERGE must never evolve the target silently")
+  }
+
   test("append is additive; TRUNCATE-overwrite replaces") {
     val tbl = freshTable("spec_app")
     spark.range(3).selectExpr("id AS key", "id AS bal_cents")
