@@ -1103,6 +1103,33 @@ object TierA {
     * calls and tight per-column loops — the same reason the parquet
     * reader vectorizes.
     */
+  /** a45: METADATA COLUMNS on the custom DSv2 source
+    * (`SupportsMetadataColumns`) — row PROVENANCE at the storage
+    * grain, the connector face of `_metadata.file_path` on file
+    * sources: `_split_id` names the planned split that generated each
+    * row, hidden from `SELECT *` (the engine's metadata-column
+    * contract) and materialized only when a query names it — the
+    * engine appends it to the pruned read schema and the source's row
+    * reader emits it per partition. The declared query proves the
+    * planner's actual split geometry: a pushed filter narrows the
+    * range FIRST (a26's composition), the 8 splits then partition the
+    * NARROWED range, and the per-split (count, min, max) census is
+    * closed-form from splitRange's arithmetic — the oracle recomputes
+    * the exact boundaries. min(value) per split additionally proves
+    * real rows flowed through the row path (no pushdown face absorbs
+    * it). At 100 TB metadata columns are how audits attribute rows to
+    * files/splits without a side channel — debugging skew, locating
+    * corruption, building file-grain lineage.
+    */
+  private def a45(s: SparkSession, d: String): DataFrame =
+    s.read.format("pairgen").option("rows", "100000")
+      .option("slices", "8").load()
+      .filter(col("id") >= 1000L)
+      .groupBy(col("_split_id"))
+      .agg(count(lit(1)).as("n_ids"), min("id").as("min_id"),
+        max("id").as("max_id"), min("value").as("min_md5"))
+      .orderBy("_split_id")
+
   private def a44(s: SparkSession, d: String): DataFrame =
     s.read.format("pairgen").option("rows", "200000")
       .option("slices", "8").load()
@@ -1113,6 +1140,11 @@ object TierA {
       .orderBy("b")
 
   val defs: Seq[QueryDef] = Seq(
+    // a45's oracle recomputes splitRange's exact boundary arithmetic
+    // over the filter-narrowed range — the split census is the
+    // planner's geometry, not a black box.
+    QueryDef("a45_source_metadata_columns", a45 _, Some(
+      "WITH s AS (SELECT i AS sp, 1000 + (99000 * i) // 8 AS lo, 1000 + (99000 * (i + 1)) // 8 AS hi FROM range(8) t(i)), g AS (SELECT t.i AS id, md5(t.i::VARCHAR) AS value FROM range(100000) t(i) WHERE t.i >= 1000) SELECT s.sp::BIGINT AS _split_id, count(*)::BIGINT AS n_ids, min(g.id)::BIGINT AS min_id, max(g.id)::BIGINT AS max_id, min(value) AS min_md5 FROM g JOIN s ON g.id >= s.lo AND g.id < s.hi GROUP BY 1 ORDER BY 1")),
     QueryDef("a44_source_columnar", a44 _, Some(
       "WITH g AS (SELECT t.i AS id, md5(t.i::VARCHAR) AS value FROM range(200000) t(i) WHERE t.i >= 50000 AND t.i < 150000) SELECT substr(value, 1, 1) AS b, count(*)::BIGINT AS n, min(value) AS min_md5, max(value) AS max_md5 FROM g GROUP BY 1 ORDER BY 1")),
     QueryDef("a43_source_variant_pushdown", a43 _, Some(

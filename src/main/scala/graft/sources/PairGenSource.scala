@@ -94,7 +94,8 @@ object PairGenSource {
     val n = math.max(1, slices)
     val span = math.max(0L, hi - lo)
     (0 until n).map { i =>
-      PairGenPartition(lo + span * i / n, lo + span * (i + 1) / n): InputPartition
+      PairGenPartition(lo + span * i / n, lo + span * (i + 1) / n,
+        i): InputPartition
     }.toArray
   }
 }
@@ -102,7 +103,8 @@ object PairGenSource {
 private[sources] class PairGenTable(
     rows: Long, slices: Int, batchRows: Long, buckets: Int,
     variant: Boolean = false)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name(): String = s"pairgen($rows)"
   override def schema(): StructType =
     PairGenSource.schemaFor(buckets, variant)
@@ -110,6 +112,30 @@ private[sources] class PairGenTable(
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.CONTINUOUS_READ)
+
+  /** METADATA COLUMNS (a45, `SupportsMetadataColumns`): `_split_id`
+    * exposes WHICH planned split served each row — the connector
+    * analogue of `_metadata.file_path` on file sources (row
+    * provenance at the storage grain). Hidden from `SELECT *`
+    * (the engine's metadata-column contract); materialized only when
+    * a query names it, at which point the engine appends it to the
+    * pruned read schema and this source's row readers emit it per
+    * partition: the range-split ordinal for plain scans, the residue
+    * class (= grp) for bucketed scans, 0 for the single fully-pushed
+    * top-N partition. Columnar reads decline when it is requested
+    * (the all-or-nothing per-scan contract a44 documents) and join
+    * pushdown declines a metadata-bearing side — provenance must
+    * come from a real scan, never be invented by a collapsed one.
+    */
+  override def metadataColumns(): Array[
+      org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = "_split_id"
+      override def dataType(): DataType = LongType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "ordinal of the planned split that generated the row"
+    })
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new PairGenScanBuilder(rows, slices, batchRows, buckets, variant)
 }
@@ -249,6 +275,11 @@ private[sources] class PairGenScanBuilder(
     import org.apache.spark.sql.connector.expressions.NamedReference
     if (joinType != org.apache.spark.sql.connector.join.JoinType
         .INNER_JOIN) return false
+    // a45: a requested metadata column (`_split_id`) is row
+    // PROVENANCE — a collapsed closed-form join has no real splits to
+    // attribute rows to, so it must decline, not invent one
+    if ((leftReq ++ rightReq).exists(c => c.colName().startsWith("_")))
+      return false
     val o = other.asInstanceOf[PairGenScanBuilder]
     def outName(
         c: org.apache.spark.sql.connector.read.SupportsPushDownJoin
@@ -823,7 +854,8 @@ private[sources] class PairGenScan(
     new PairGenReaderFactory(required, sample)
 }
 
-private[sources] case class PairGenPartition(start: Long, end: Long)
+private[sources] case class PairGenPartition(start: Long, end: Long,
+    splitId: Int = 0)
     extends InputPartition
 
 /** Descending emission of [start, end) — the fully-pushed
@@ -974,7 +1006,7 @@ private[sources] class PairGenContinuousStream(
   // bounds on restart, so a drifted copy would replay or skip ids
   private def sliceBounds: Seq[(Long, Long)] =
     PairGenSource.splitRange(lo, hi, n).toSeq
-      .map { case PairGenPartition(s, e) => (s, e) }
+      .map { case PairGenPartition(s, e, _) => (s, e) }
   override def initialOffset(): streaming.Offset =
     PairGenContinuousOffset(sliceBounds.map(_._1))
   override def deserializeOffset(json: String): streaming.Offset =
@@ -1155,6 +1187,14 @@ private[sources] class PairGenReaderFactory(required: StructType,
       case b: PairGenBucketPartition =>
         (bucketFirst(b), b.hi, b.buckets.toLong, b.buckets)
     }
+    // a45: the `_split_id` metadata value this partition serves —
+    // range-split ordinal, bucket residue, or 0 for the single
+    // fully-pushed top-N partition
+    val splitId: Long = partition match {
+      case p: PairGenPartition       => p.splitId.toLong
+      case _: PairGenDescPartition   => 0L
+      case b: PairGenBucketPartition => b.bucket.toLong
+    }
     new PartitionReader[InternalRow] {
       private var cur = first - stride
       private val md = java.security.MessageDigest.getInstance("MD5")
@@ -1175,6 +1215,9 @@ private[sources] class PairGenReaderFactory(required: StructType,
           case "id"    => (v: Long) => v: Any
           case "value" => (v: Long) => md5Hex(v): Any
           case "grp"   => (v: Long) => v % math.max(1, nBuckets): Any
+          case "_split_id" =>
+            val s = java.lang.Long.valueOf(splitId)
+            (_: Long) => s: Any
           case "meta" => f.dataType match {
             case st: org.apache.spark.sql.types.StructType =>
               // extraction-pushed shape: a struct of typed fields,

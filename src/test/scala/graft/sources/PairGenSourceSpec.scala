@@ -156,6 +156,55 @@ class PairGenSourceSpec extends SparkSpec {
       Seq(999L, 998L, 997L, 996L, 995L))
   }
 
+  test("a45: _split_id metadata column — hidden from SELECT *, " +
+      "split-exact when named, grp-valued on buckets, 0 for pushed " +
+      "top-N; columnar and join pushdown decline") {
+    val df = load(1000, 4)
+    // hidden from star expansion (the metadata-column contract)
+    assert(df.schema.fieldNames.toSeq == Seq("id", "value"))
+    // named: every row attributes to the split whose range holds it
+    val per = df.select(col("id"), col("_split_id"))
+      .groupBy("_split_id")
+      .agg(count(lit(1)).as("n"), min("id").as("mn"), max("id").as("mx"))
+      .orderBy("_split_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(per.toSeq == (0 until 4).map(i =>
+      (i.toLong, 250L, i * 250L, i * 250L + 249L)))
+    // metadata columns keep the ROW reader (a44's all-or-nothing)
+    assert(!df.select(col("id"), col("_split_id"))
+      .queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    // bucketed layout: the partition IS the residue class
+    val bt = spark.read.format("pairgen").option("rows", "1000")
+      .option("buckets", "8").load()
+    assert(bt.filter(col("_split_id") =!= col("grp")).count() == 0)
+    // fully-pushed top-N: one partition, split 0, order preserved
+    val d = load(1000, 4)
+      .select(col("id"), col("_split_id"))
+      .orderBy(col("id").desc).limit(3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(d.toSeq == Seq((999L, 0L), (998L, 0L), (997L, 0L)))
+    // join pushdown declines a metadata-bearing side: the plan keeps
+    // a real join and provenance stays split-true
+    val prev = spark.conf.getOption(
+      "spark.sql.optimizer.datasourceV2JoinPushdown")
+    spark.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown", "true")
+    try {
+      val l = load(1000, 4).select(col("id"), col("_split_id"))
+      val r = load(300, 2)
+      val j = l.join(r, "id")
+      assert(j.queryExecution.executedPlan.toString.contains("Join"),
+        "a metadata-bearing side must decline join pushdown")
+      assert(j.count() == 300)
+      assert(j.filter(col("_split_id") =!= (col("id") / 250)
+        .cast("long")).count() == 0)
+    } finally prev match {
+      case Some(v) => spark.conf
+        .set("spark.sql.optimizer.datasourceV2JoinPushdown", v)
+      case None => spark.conf
+        .unset("spark.sql.optimizer.datasourceV2JoinPushdown")
+    }
+  }
+
   test("column pruning reaches the scan schema") {
     val df = load(1000, 4).select("value")
     val scan = df.queryExecution.executedPlan.collectLeaves().head
