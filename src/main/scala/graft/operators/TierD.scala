@@ -142,7 +142,8 @@ object TierD {
     "d26_stream_cdc_follow", "d27_stream_cdc_from_version",
     "d28_stream_continuous", "d29_state_metadata", "d30_state_ttl",
     "d31_stream_eq_upsert", "d32_stream_wap", "d33_stream_lineage_cdc",
-    "d34_stream_map_state", "d35_stream_table_snapshot_follow")
+    "d34_stream_map_state", "d35_stream_table_snapshot_follow",
+    "d36_stream_observe")
 
   /** Shared d14/d22 oracle: the one-shot hourly aggregate restricted
     * to watermark-closed windows (ws + 1 h window + 1 h delay ≤ max
@@ -164,6 +165,13 @@ object TierD {
     "WITH snap AS (SELECT c_custkey AS key, floor(c_acctbal * 100)::BIGINT AS bal FROM customer), off AS (SELECT max(c_custkey) + 1 AS o FROM customer), batch AS (SELECT key, bal + 10000 AS nb, 'U' AS op FROM snap WHERE key % 10 = 3 UNION ALL SELECT key, 0, 'D' FROM snap WHERE key % 10 = 7 UNION ALL SELECT key + (SELECT o FROM off), bal, 'I' FROM snap WHERE key % 100 = 0), post AS (SELECT s.key, coalesce(CASE WHEN b.op = 'U' THEN b.nb END, s.bal) AS bal FROM snap s LEFT JOIN batch b ON s.key = b.key WHERE b.op IS NULL OR b.op <> 'D' UNION ALL SELECT key, nb FROM batch WHERE op = 'I'), v3 AS (SELECT 'delete' AS ct, bal FROM post WHERE key % 10 = 1 UNION ALL SELECT 'insert', bal + 5000 FROM post WHERE key % 10 = 1) SELECT 3::BIGINT AS _commit_version, ct AS _change_type, count(*)::BIGINT AS n, sum(bal)::BIGINT AS bal_cents_sum FROM v3 GROUP BY 2 ORDER BY 1, 2"
 
   val defs: Seq[QueryDef] = Seq(
+    // d36's oracle recomputes the per-microbatch metric trajectory
+    // closed-form from the admission-control contract: 2000-id
+    // slices of the 8000-id range, each batch's (count, sum, min,
+    // max) exact.
+    QueryDef("d36_stream_observe",
+      (s, d) => graft.streaming.StreamingDemo.observedMetrics(s, d), Some(
+        "WITH g AS (SELECT i, i // 2000 AS b FROM range(8000) t(i)) SELECT b::BIGINT AS batch, count(*)::BIGINT AS n, sum(i)::BIGINT AS id_sum, min(i)::BIGINT AS min_id, max(i)::BIGINT AS max_id FROM g GROUP BY 1 ORDER BY 1")),
     QueryDef("d1_window_tumbling", d1 _, Some(
       "SELECT date_trunc('hour', ts) AS h, event_type, count(*)::BIGINT AS cnt, sum(value::DECIMAL(18,2))::DOUBLE AS sum_value FROM events GROUP BY 1, 2 ORDER BY 1, 2")),
     QueryDef("d2_window_sliding", d2 _, Some(

@@ -2095,4 +2095,52 @@ object StreamingDemo {
       .orderBy("start_s", "event_type")
     (out, info)
   }
+
+  /** d36: STREAMING OBSERVED METRICS — `df.observe(name, aggs…)` on a
+    * streaming DataFrame surfaces per-MICROBATCH aggregate metrics in
+    * every `StreamingQueryProgress.observedMetrics` (the b-tier
+    * `observe` face crossed into the streaming engine): data-quality
+    * gauges computed INSIDE the running query, on the rows the batch
+    * actually processed, with zero extra passes — the production
+    * monitoring surface (row counts, domain sums, null rates per
+    * batch) that replaces a shadow aggregation query. The demo
+    * streams the deterministic generator under admission control
+    * (2 000-id microbatches, d12's contract) through an observe of
+    * (count, sum, min, max) into a `noop` sink — the OBSERVATION is
+    * the product, the sink is deliberately nothing — under
+    * `Trigger.AvailableNow` (drain-and-stop, the a-la-batch catch-up
+    * trigger), then declares the full per-batch metric TRAJECTORY
+    * read from the query's progress log. Batch identity is
+    * re-derived as min_id/batchRows, so the declared output also
+    * PROVES the admission-control batching: any drift between the
+    * rate limit and the observed slices breaks the oracle's
+    * closed-form recompute. At 100 TB observed metrics are the only
+    * per-batch quality signal that costs nothing extra — the
+    * aggregation rides the batch's existing pass.
+    */
+  def observedMetrics(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val src = s.readStream.format("pairgen")
+      .option("rows", "8000").option("slices", "4")
+      .option("batchRows", "2000").load()
+    val obs = src.observe("d36_obs",
+      count(lit(1)).as("n"), sum(col("id")).as("id_sum"),
+      min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+    val q = obs.writeStream.format("noop")
+      .option("checkpointLocation", graft.util.TmpDir.fresh("d36-ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    // the progress log holds one observedMetrics row per microbatch;
+    // empty batches (no-data ticks) carry no observation rows worth
+    // declaring — the data batches are the trajectory
+    val rows = q.recentProgress.toSeq
+      .flatMap(p => Option(p.observedMetrics.get("d36_obs")))
+      .filter(_.getLong(0) > 0L)
+      .map(r => (r.getLong(2) / 2000L, r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3)))
+    s.createDataset(rows)
+      .toDF("batch", "n", "id_sum", "min_id", "max_id")
+      .orderBy("batch")
+  }
 }
