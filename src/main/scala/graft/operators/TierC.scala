@@ -1305,6 +1305,66 @@ object TierC {
       idx2
     }
 
+  /** c79: ANN INDEX COMPACTION — the maintenance step that completes
+    * the c74→c77 lifecycle: after c77's equality-delete commits, the
+    * index table carries TOMBSTONES every search pays a read-time
+    * merge for (one per-split key-boundary filter — cheap, but not
+    * free, and it grows with delete volume). `CALL graftmem.system
+    * .compact` folds the delta log into a single fully-live base
+    * (b82's governed maintenance action applied to the INDEX), and
+    * the declared output is the SAME recall-evaluated search run
+    * BEFORE (phase 0) and AFTER (phase 1) the compaction — the two
+    * phases must be IDENTICAL row for row, which is the whole
+    * contract: maintenance moves bytes, never truth (b82's invariant,
+    * here proven through the full IVF-PQ search chain rather than a
+    * census). The spec additionally pins the ledger mechanics: the
+    * folded table is one fully-live file, zero deleted rows, and the
+    * searches are byte-equal. Builds its OWN MoR copy of c74's
+    * persisted index (c77's memoized table must not be mutated by
+    * this query's maintenance — bench runs every query in one
+    * session). At 100 TB index compaction is scheduled off-peak
+    * exactly like data compaction: O(live index) I/O, amortized
+    * across every search that stops paying the merge.
+    */
+  private def c79(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = graft.util.GraftConf.similarityK(s)
+    require(k == 5,
+      s"c79's oracle assumes graft.similarity.k=5; got $k")
+    val (indexTbl, modelTbl) = c74Build(s, d)
+    // this query's OWN deleted index (c77's shape): compacting the
+    // shared memoized table would mutate what c77 declares
+    val idx3 = graft.util.DemoTables.freshGraftmem(s, d, "annidx3",
+      "(vec_id BIGINT NOT NULL, cell BIGINT, c0 BIGINT, c1 BIGINT, " +
+        "c2 BIGINT, c3 BIGINT) TBLPROPERTIES " +
+        "('graft.row_level' = 'merge-on-read', " +
+        "'graft.mor.deletes' = 'equality')")
+    s.sql(s"INSERT INTO $idx3 SELECT vec_id, cell, c0, c1, c2, c3 " +
+      s"FROM $indexTbl")
+    s.sql(s"DELETE FROM $idx3 WHERE vec_id % 10 = 3")
+    val (cents, books) = c74ReadModel(s, modelTbl)
+    val probes = ivfProbeSet(s, d)
+    def searchEval(phase: Long): DataFrame = {
+      val index = s.table(idx3)
+        .select("cell", "vec_id", "c0", "c1", "c2", "c3")
+        .as[(Long, Long, Long, Long, Long, Long)]
+      val ann = ivfSearchChain(s, d, index, probes, cents, books, k)
+        .localCheckpoint(false)
+      // materialize BEFORE the table mutates: phase 0's rows must be
+      // the pre-compaction answer, not a lazy re-read
+      ivfRecallEval(s, d, ann, probes, k,
+        surviving = (id: Long) => id % 10 != 3)
+        .select(lit(phase).as("phase"), col("probe_id"), col("rank"),
+          col("neighbor_id"), col("adc"), col("sim"), col("recall_bp"))
+        .localCheckpoint(false)
+    }
+    val pre = searchEval(0L)
+    s.sql(s"CALL graftmem.system.compact(" +
+      s"'${idx3.stripPrefix("graftmem.")}')").collect()
+    val post = searchEval(1L)
+    pre.unionAll(post).orderBy("phase", "probe_id", "rank")
+  }
+
   private def c77(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val k = graft.util.GraftConf.similarityK(s)
@@ -2673,6 +2733,15 @@ object TierC {
   private val ivfPqDeleteOracleSql: String =
     ivfPqOracle(c => s"$c % 10 != 3")
 
+  /** c79's oracle: c77's post-delete recomputation, declared TWICE —
+    * the pre- and post-compaction searches must both equal it, which
+    * is the maintenance-invariance claim in oracle form.
+    */
+  private val ivfPqCompactOracleSql: String =
+    "SELECT ph.phase::BIGINT AS phase, o.* FROM " +
+      s"($ivfPqDeleteOracleSql) o CROSS JOIN (VALUES (0), (1)) " +
+      "ph(phase) ORDER BY phase, o.probe_id, o.rank"
+
   /** DuckDB rendering of the c15/c51 sign-LSH bucket assignment: CTE
     * chain ending in `buckets(vec_id, bucket)`. Exact integer plane
     * dots on the 2^-10 grid — mirrors the Scala kernel bit-for-bit.
@@ -3643,6 +3712,9 @@ object TierC {
     // deleted ids are gone AND recall holds over what still exists.
     QueryDef("c77_index_delete_maintenance", c77 _,
       Some(ivfPqDeleteOracleSql)),
+    // c79 declares the SAME post-delete search before and after index
+    // compaction — both phases must equal c77's recomputation.
+    QueryDef("c79_index_compaction", c79 _, Some(ivfPqCompactOracleSql)),
     // c75's oracle recomputes all three member scores, the mixture
     // thresholds and the combination — the whole ensemble bit-for-bit.
     QueryDef("c75_curation_ensemble", c75 _, Some(

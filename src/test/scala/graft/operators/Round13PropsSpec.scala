@@ -84,6 +84,35 @@ class Round13PropsSpec extends SparkSpec {
     tbl
   }
 
+  test("c79: index compaction folds every tombstone into one fully-" +
+      "live file and the declared searches are byte-equal across it") {
+    val out = graft.SparkEntry.queries("c79_index_compaction")(
+      spark, sf0001).collect()
+    assert(out.nonEmpty)
+    // the two phases must be identical row for row (maintenance moves
+    // bytes, never truth)
+    val byPhase = out.groupBy(_.getLong(0)).view
+      .mapValues(_.map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getLong(6))).sortBy(t => (t._1, t._2))
+        .toSeq).toMap
+    assert(byPhase.keySet == Set(0L, 1L))
+    assert(byPhase(0L) == byPhase(1L),
+      "pre- and post-compaction searches diverged")
+    // no deleted ids anywhere (c77's contract carried through)
+    assert(out.forall(_.getLong(3) % 10 != 3))
+    // ledger mechanics: the c79-owned index table is now ONE fully-
+    // live file with zero tombstone debt
+    val suf = java.security.MessageDigest.getInstance("MD5")
+      .digest(sf0001.getBytes("UTF-8")).map("%02x".format(_))
+      .mkString.take(8)
+    val files = spark.table(s"graftmem.db.annidx3_${suf}__files")
+      .select("live_rows", "deleted_rows").collect()
+    assert(files.length == 1,
+      s"expected one compacted file, got ${files.length}")
+    assert(files.head.getLong(1) == 0L,
+      "compaction must fold every tombstone")
+  }
+
   test("b102 rewrite_sort: content-invariant, lineage preserved, " +
       "change feed untouched, tombstones folded, ranges disjoint") {
     val tbl = freshMor("spec_b102")
