@@ -173,6 +173,11 @@ object GraftFunctions {
       FunctionIdentifier("kmv_distinct"), kmvInfo, kmvBuilder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("md5long"), md5LongInfo, md5LongBuilder)
+    // b108: the table-valued function registers into the session's
+    // TableFunctionRegistry — the relation-producing sibling of the
+    // scalar registry above
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier(PairsTvf.name), PairsTvf.info, PairsTvf.builder)
     registered.add(spark): Unit
   }
 
@@ -180,6 +185,8 @@ object GraftFunctions {
     e.injectFunction((FunctionIdentifier("cosine_sim"), info, builder))
     e.injectFunction((FunctionIdentifier("kmv_distinct"), kmvInfo, kmvBuilder))
     e.injectFunction((FunctionIdentifier("md5long"), md5LongInfo, md5LongBuilder))
+    e.injectTableFunction(
+      (FunctionIdentifier(PairsTvf.name), PairsTvf.info, PairsTvf.builder))
   }
 }
 

@@ -3434,6 +3434,34 @@ object TierB {
     p0.unionAll(p1).orderBy("phase", "flag")
   }
 
+  /** b108: TABLE-VALUED FUNCTION — `SELECT ... FROM graft_pairs(n)`,
+    * a SQL function that RETURNS A RELATION, resolved through the
+    * session TableFunctionRegistry / `injectTableFunction` (the last
+    * cell of the custom-Catalyst matrix, §7.3: scalar Expression,
+    * Aggregate, Plan+Strategy+Rule, DSv2 source+sink — and now a
+    * relation-producing function). The expansion is a LOGICAL PLAN
+    * (catalyst Range + a Project of built-in expressions computing
+    * the pairgen content contract), NOT a table-returning UDF — so
+    * the optimizer sees through it: the query's id filter lands ON
+    * the Range, the md5 projection rides whole-stage codegen, and
+    * EXPLAIN shows ordinary operators end to end (spec-asserted: no
+    * UDF node, Range in the plan, non-literal arguments rejected
+    * loudly at resolution). Declared output: the first-hex-char
+    * census of the generated pairs under a WHERE — a44's shape
+    * through the TVF surface, so the oracle twin is the same
+    * range()+md5 recompute. At 100 TB a TVF is how parameterized
+    * synthetic relations (calendars, number spines, test harnesses)
+    * stay inside the optimizer instead of becoming opaque UDF scans.
+    */
+  private def b108(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    s.sql(
+      """SELECT substr(value, 1, 1) AS b, count(*) AS n,
+        |  min(id) AS min_id, max(id) AS max_id, min(value) AS min_md5
+        |FROM graft_pairs(100000) WHERE id >= 1000
+        |GROUP BY substr(value, 1, 1) ORDER BY b""".stripMargin)
+  }
+
   /** THE CDC round every row-level demo shares (b75 CoW, b80 MoR, b82
     * compaction, b83 change feed, d26 streaming CDC): update keys ≡3
     * (mod 10) to bal+10000, delete keys ≡7, insert keys ≡0 (mod 100)
@@ -3561,6 +3589,8 @@ object TierB {
     // the dynamic path must compute exactly what the static SQL does.
     QueryDef("b107_execute_immediate", b107 _, Some(
       "SELECT * FROM (SELECT 0::BIGINT AS phase, l_returnflag AS flag, count(*)::BIGINT AS n, sum(floor(l_extendedprice * 100)::BIGINT)::BIGINT AS cents_sum FROM lineitem WHERE l_quantity >= 25 GROUP BY 2 UNION ALL SELECT 1::BIGINT, l_returnflag, count(*)::BIGINT, sum(floor(l_extendedprice * 100)::BIGINT)::BIGINT FROM lineitem WHERE l_quantity >= 40 GROUP BY 2) ORDER BY phase, flag")),
+    QueryDef("b108_table_function", b108 _, Some(
+      "WITH g AS (SELECT t.i AS id, md5(t.i::VARCHAR) AS value FROM range(100000) t(i) WHERE t.i >= 1000) SELECT substr(value, 1, 1) AS b, count(*)::BIGINT AS n, min(id)::BIGINT AS min_id, max(id)::BIGINT AS max_id, min(value) AS min_md5 FROM g GROUP BY 1 ORDER BY 1")),
     QueryDef("b100_merge_not_matched_by_source", b100 _, Some(
       "WITH snap AS (SELECT c_custkey AS key, floor(c_acctbal * 100)::BIGINT AS bal FROM customer), off AS (SELECT max(c_custkey) + 1 AS o FROM customer), src AS (SELECT key, bal + 10000 AS nb FROM snap WHERE key % 10 <= 4 UNION ALL SELECT key + (SELECT o FROM off), bal FROM snap WHERE key % 100 = 0), post AS (SELECT coalesce(t.key, b.key) AS key, CASE WHEN b.key IS NOT NULL THEN b.nb ELSE t.bal + 1 END AS bal, (t.key IS NOT NULL AND b.key IS NULL AND t.key % 10 = 7) AS retired FROM snap t FULL OUTER JOIN src b ON t.key = b.key) SELECT (key % 10)::BIGINT AS key_mod, count(*)::BIGINT AS n, sum(bal)::BIGINT AS bal_cents_sum FROM post WHERE NOT retired GROUP BY 1 ORDER BY 1")),
     // b92's oracle recomputes snapshot + staged generation and never
