@@ -3335,6 +3335,14 @@ object TierB {
       .select((col("key") + off).as("key"),
         (col("bal_cents") + 123L).as("bal_cents"))
       .writeTo(src).append()
+    // phase 2: a VERSIONED clone (the `CLONE ... VERSION AS OF`
+    // face) — src at version 1, BEFORE its own append: the clone's
+    // content is the plain snapshot, untouched by either divergence
+    val dstV = src.replace("clsrc_", "clver_")
+    s.sql(s"DROP TABLE IF EXISTS $dstV")
+    s.sql(s"CALL graftmem.system.clone_table(" +
+      s"'${src.stripPrefix("graftmem.")}', " +
+      s"'${dstV.stripPrefix("graftmem.")}', 1)").collect()
     val srcNow = s.sql(
       s"""SELECT 0L AS phase, key % 10 AS key_mod, count(*) AS n,
          |  CAST(sum(CAST(bal_cents AS DECIMAL(38,0))) AS BIGINT)
@@ -3345,7 +3353,13 @@ object TierB {
          |  CAST(sum(CAST(bal_cents AS DECIMAL(38,0))) AS BIGINT)
          |    AS bal_cents_sum
          |FROM $dst GROUP BY key % 10""".stripMargin)
-    srcNow.unionAll(dstNow).orderBy("phase", "key_mod")
+    val dstVer = s.sql(
+      s"""SELECT 2L AS phase, key % 10 AS key_mod, count(*) AS n,
+         |  CAST(sum(CAST(bal_cents AS DECIMAL(38,0))) AS BIGINT)
+         |    AS bal_cents_sum
+         |FROM $dstV GROUP BY key % 10""".stripMargin)
+    srcNow.unionAll(dstNow).unionAll(dstVer)
+      .orderBy("phase", "key_mod")
   }
 
   /** b106: MERGE WITH SCHEMA EVOLUTION — the auto-evolving upsert
@@ -3574,12 +3588,13 @@ object TierB {
     // %10=1 delete) — still served by time travel AFTER the restore.
     QueryDef("b104_rollback_restore", b104 _, Some(
       "WITH snap AS (SELECT c_custkey AS key, floor(c_acctbal * 100)::BIGINT AS bal FROM customer), off AS (SELECT max(c_custkey) + 1 AS o FROM customer), batch AS (SELECT key, bal + 10000 AS nb, 'U' AS op FROM snap WHERE key % 10 = 3 UNION ALL SELECT key, 0, 'D' FROM snap WHERE key % 10 = 7 UNION ALL SELECT key + (SELECT o FROM off), bal, 'I' FROM snap WHERE key % 100 = 0), post AS (SELECT s.key, coalesce(CASE WHEN b.op = 'U' THEN b.nb END, s.bal) AS bal FROM snap s LEFT JOIN batch b ON s.key = b.key WHERE b.op IS NULL OR b.op <> 'D' UNION ALL SELECT key, nb FROM batch WHERE op = 'I'), bad AS (SELECT key, bal FROM post WHERE key % 10 <> 1) SELECT * FROM (SELECT 0::BIGINT AS phase, (key % 10)::BIGINT AS key_mod, count(*)::BIGINT AS n, sum(bal)::BIGINT AS bal_cents_sum FROM snap GROUP BY 2 UNION ALL SELECT 1::BIGINT, (key % 10)::BIGINT, count(*)::BIGINT, sum(bal)::BIGINT FROM bad GROUP BY 2) ORDER BY phase, key_mod")),
-    // b105's oracle recomputes both divergent histories from their
+    // b105's oracle recomputes all three histories from their
     // definitions: the source (snapshot + re-keyed +123 append, no
-    // merge) and the clone (the CDC post-state, no append) — each
-    // side's census must show ONLY its own commits.
+    // merge), the head clone (the CDC post-state, no append), and the
+    // VERSIONED clone (the plain v1 snapshot, untouched by either
+    // divergence) — each census must show ONLY its own commits.
     QueryDef("b105_table_clone", b105 _, Some(
-      "WITH snap AS (SELECT c_custkey AS key, floor(c_acctbal * 100)::BIGINT AS bal FROM customer), off AS (SELECT max(c_custkey) + 1 AS o FROM customer), srcside AS (SELECT key, bal FROM snap UNION ALL SELECT key + (SELECT o FROM off), bal + 123 FROM snap WHERE key % 100 = 50), batch AS (SELECT key, bal + 10000 AS nb, 'U' AS op FROM snap WHERE key % 10 = 3 UNION ALL SELECT key, 0, 'D' FROM snap WHERE key % 10 = 7 UNION ALL SELECT key + (SELECT o FROM off), bal, 'I' FROM snap WHERE key % 100 = 0), post AS (SELECT s.key, coalesce(CASE WHEN b.op = 'U' THEN b.nb END, s.bal) AS bal FROM snap s LEFT JOIN batch b ON s.key = b.key WHERE b.op IS NULL OR b.op <> 'D' UNION ALL SELECT key, nb FROM batch WHERE op = 'I') SELECT * FROM (SELECT 0::BIGINT AS phase, (key % 10)::BIGINT AS key_mod, count(*)::BIGINT AS n, sum(bal)::BIGINT AS bal_cents_sum FROM srcside GROUP BY 2 UNION ALL SELECT 1::BIGINT, (key % 10)::BIGINT, count(*)::BIGINT, sum(bal)::BIGINT FROM post GROUP BY 2) ORDER BY phase, key_mod")),
+      "WITH snap AS (SELECT c_custkey AS key, floor(c_acctbal * 100)::BIGINT AS bal FROM customer), off AS (SELECT max(c_custkey) + 1 AS o FROM customer), srcside AS (SELECT key, bal FROM snap UNION ALL SELECT key + (SELECT o FROM off), bal + 123 FROM snap WHERE key % 100 = 50), batch AS (SELECT key, bal + 10000 AS nb, 'U' AS op FROM snap WHERE key % 10 = 3 UNION ALL SELECT key, 0, 'D' FROM snap WHERE key % 10 = 7 UNION ALL SELECT key + (SELECT o FROM off), bal, 'I' FROM snap WHERE key % 100 = 0), post AS (SELECT s.key, coalesce(CASE WHEN b.op = 'U' THEN b.nb END, s.bal) AS bal FROM snap s LEFT JOIN batch b ON s.key = b.key WHERE b.op IS NULL OR b.op <> 'D' UNION ALL SELECT key, nb FROM batch WHERE op = 'I') SELECT * FROM (SELECT 0::BIGINT AS phase, (key % 10)::BIGINT AS key_mod, count(*)::BIGINT AS n, sum(bal)::BIGINT AS bal_cents_sum FROM srcside GROUP BY 2 UNION ALL SELECT 1::BIGINT, (key % 10)::BIGINT, count(*)::BIGINT, sum(bal)::BIGINT FROM post GROUP BY 2 UNION ALL SELECT 2::BIGINT, (key % 10)::BIGINT, count(*)::BIGINT, sum(bal)::BIGINT FROM snap GROUP BY 2) ORDER BY phase, key_mod")),
     // b106's oracle recomputes the evolved table from the drift
     // definition: untouched rows under seg 0 (the typed default),
     // matched rows re-segmented with +10000, inserts complete.

@@ -1061,21 +1061,45 @@ private[sources] class GraftMemTable(val fullName: String,
     * tables' locks: the content/schema tuple is one consistent
     * snapshot of the source.
     */
-  private[sources] def cloneInto(dstName: String): GraftMemTable =
+  private[sources] def cloneInto(dstName: String,
+      version: Option[Long] = None): GraftMemTable =
     synchronized {
+      // versioned clone (the Delta `CLONE ... VERSION AS OF` face):
+      // the clone's v1 is a RETAINED SNAPSHOT's state instead of the
+      // head — same fence as rollback: a pre-partition-evolution
+      // snapshot's group tags would alias current-spec values
+      version.foreach { v =>
+        if (partitionEvolvedAt >= 0 && v < partitionEvolvedAt)
+          throw new UnsupportedOperationException(
+            s"graftmem $fullName: cannot clone version $v — the " +
+              s"partition spec evolved at version $partitionEvolvedAt " +
+              "and pre-evolution snapshots tag rows under the old spec")
+        require(snapshots.contains(v), {
+          val r = retainedVersions
+          s"graftmem $fullName: no retained snapshot for version $v " +
+            s"(retained: ${if (r.isEmpty) "none"
+              else s"${r.head._1}..${r.last._1}"})"
+        })
+      }
+      val (srcRows, srcSchema, srcDflts, srcMap) = version match {
+        case Some(v) =>
+          val (rs, _, sch, dflts, cm) = snapshots(v)
+          (rs, sch, dflts, cm)
+        case None => (rows, curSchema, colDefaults, colMap)
+      }
       val t = new GraftMemTable(dstName, tblSchema, curPartCol,
         writeLayout, tblConstraints, snapshotKeep)
       t.synchronized {
-        t.curSchema = curSchema
-        t.colDefaults = colDefaults
-        t.colMap = colMap
+        t.curSchema = srcSchema
+        t.colDefaults = srcDflts
+        t.colMap = srcMap
         t.curPartCol = curPartCol
         t.curGroupSlot = curGroupSlot
         // legacy-tagged rows (b103) stay legacy in the clone — the
         // clone inherits the migration debt along with the data
         t.partitionEvolvedAt = if (partitionEvolvedAt >= 0) 1L else -1L
-        t.rows = rows // zero-copy: shared immutable vectors
-        t.stampCommit(rows.iterator.map(_._1).toSet)
+        t.rows = srcRows // zero-copy: shared immutable vectors
+        t.stampCommit(srcRows.iterator.map(_._1).toSet)
       }
       t
     }

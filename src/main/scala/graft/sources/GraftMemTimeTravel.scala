@@ -417,14 +417,24 @@ private[sources] object CloneTableProcedure
     "shallow-clone a table's current snapshot into a new table " +
       "(zero-copy; independent histories after the clone)"
 
+  /** Two arities: (src, dst) clones the HEAD; (src, dst, version)
+    * clones a retained snapshot — the `CLONE ... VERSION AS OF` face.
+    * The bind branches on the CALL's input shape, the way a real
+    * procedure catalog resolves overloads.
+    */
   override def bind(inputType: StructType): BoundProcedure =
     new BoundProcedure {
+      private val versioned = inputType.fields.length >= 3
       override def name(): String = "clone_table"
       override def description(): String =
         CloneTableProcedure.this.description()
-      override def parameters(): Array[ProcedureParameter] =
-        Array(ProcedureParameter.in("src", StringType).build(),
+      override def parameters(): Array[ProcedureParameter] = {
+        val base = Array(ProcedureParameter.in("src", StringType).build(),
           ProcedureParameter.in("dst", StringType).build())
+        if (versioned)
+          base :+ ProcedureParameter.in("version", LT).build()
+        else base
+      }
       override def isDeterministic: Boolean = false
       private val outSchema = ST(Seq(
         StructField("cloned_rows", LT, nullable = false),
@@ -433,12 +443,15 @@ private[sources] object CloneTableProcedure
           : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
         val src = input.getUTF8String(0).toString
         val dst = input.getUTF8String(1).toString
+        val version: Option[Long] =
+          if (versioned) Some(input.getLong(2)) else None
         GraftMemCatalog.lookup(src) match {
           case g: GraftMemTable =>
             // clone under the source lock, register after — a racing
             // CREATE of dst loses to putIfAbsent, loudly
             val (t, srcVer) = g.synchronized {
-              (g.cloneInto(dst), g.commitVersion)
+              (g.cloneInto(dst, version),
+                version.getOrElse(g.commitVersion))
             }
             GraftMemCatalog.register(dst, t)
             val row: InternalRow =

@@ -550,6 +550,31 @@ class GraftMemCatalogSpec extends SparkSpec {
     }
   }
 
+  test("b105: a VERSIONED clone serves the snapshot's own shape — " +
+      "pre-evolution schema, pre-divergence content") {
+    val src = freshTable("spec_clver")
+    spark.sql("DROP TABLE IF EXISTS graftmem.db.spec_clver_v1")
+    spark.range(5).selectExpr("id AS key", "id * 10 AS bal_cents")
+      .writeTo(src).append() // v1: 2 columns, 5 rows
+    spark.sql(s"ALTER TABLE $src ADD COLUMNS (extra BIGINT DEFAULT 3)") // v2
+    spark.range(5, 8)
+      .selectExpr("id AS key", "id AS bal_cents", "id AS extra")
+      .writeTo(src).append() // v3: 3 columns, 8 rows
+    val out = spark.sql("CALL graftmem.system.clone_table(" +
+      "'db.spec_clver', 'db.spec_clver_v1', 1)").collect()
+    assert(out.head.getLong(0) == 5L && out.head.getLong(1) == 1L)
+    val c = spark.table("graftmem.db.spec_clver_v1")
+    assert(c.schema.fieldNames.toSeq == Seq("key", "bal_cents"),
+      "a versioned clone must carry the snapshot's OWN schema")
+    assert(c.count() == 5)
+    // an expired / unknown version is loud
+    val bad = intercept[IllegalArgumentException] {
+      spark.sql("CALL graftmem.system.clone_table(" +
+        "'db.spec_clver', 'db.spec_clver_v9', 99)").collect()
+    }
+    assert(bad.getMessage.contains("no retained snapshot"))
+  }
+
   test("b106: MERGE WITH SCHEMA EVOLUTION evolves the target " +
       "mid-statement; without the clause drift never evolves") {
     val tbl = freshTable("spec_mevol")
