@@ -46,7 +46,7 @@ class EmptyCorpusSpec extends SparkSpec {
     */
   private val requiresSeeds = Set("a23_kmeans_iterative", "c19_ann_ivf",
     "c43_ann_pq", "c72_ivf_pq_search", "c74_index_search",
-    "c77_index_delete_maintenance")
+    "c77_index_delete_maintenance", "c79_index_compaction")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name on an empty corpus") {

@@ -613,6 +613,52 @@ class GraftMemCatalogSpec extends SparkSpec {
       "a plain MERGE must never evolve the target silently")
   }
 
+  test("rollback fuzz: random append/delete/rollback sequences equal " +
+      "a driver-side replay model at EVERY version, head and history") {
+    import spark.implicits._
+    val tbl = freshTable("spec_rbfuzz")
+    val rnd = new scala.util.Random(13)
+    // model(v) = the key->bal map committed as version v
+    var model = Vector(Map.empty[Long, Long])
+    var nextKey = 0L
+    for (_ <- 1 to 24) {
+      rnd.nextInt(4) match {
+        case 0 | 1 => // append 1..12 fresh keys
+          val n = rnd.nextInt(12) + 1
+          val rows = (0 until n).map(i => (nextKey + i, (nextKey + i) * 7))
+          nextKey += n
+          rows.toDF("key", "bal_cents").coalesce(1).writeTo(tbl).append()
+          model :+= model.last ++ rows.toMap
+        case 2 => // delete a residue class (a commit even when empty —
+          // the DELETE statement committed, like an empty rewrite)
+          val r = rnd.nextInt(5)
+          spark.sql(s"DELETE FROM $tbl WHERE key % 5 = $r")
+          model :+= model.last.filterNot(_._1 % 5 == r)
+        case _ if model.length > 1 => // rollback to a random past version
+          val v = rnd.nextInt(model.length - 1)
+          spark.sql(
+            s"CALL graftmem.system.rollback('db.spec_rbfuzz', $v)")
+            .collect()
+          model :+= model(v)
+        case _ => // nothing to roll back to yet: append one row instead
+          Seq((nextKey, nextKey * 7)).toDF("key", "bal_cents")
+            .coalesce(1).writeTo(tbl).append()
+          model :+= model.last + (nextKey -> nextKey * 7)
+          nextKey += 1
+      }
+      val got = spark.table(tbl).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == model.last,
+        s"head diverged from the model after version ${model.length - 1}")
+    }
+    // time travel: EVERY retained version serves its model state
+    for (v <- model.indices) {
+      val got = spark.sql(s"SELECT * FROM $tbl VERSION AS OF $v")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == model(v), s"VERSION AS OF $v diverged from the model")
+    }
+  }
+
   test("append is additive; TRUNCATE-overwrite replaces") {
     val tbl = freshTable("spec_app")
     spark.range(3).selectExpr("id AS key", "id AS bal_cents")
