@@ -3476,6 +3476,76 @@ object TierB {
         |GROUP BY substr(value, 1, 1) ORDER BY b""".stripMargin)
   }
 
+  /** b109: INCREMENTAL AGGREGATE MAINTENANCE (IVM) — a downstream
+    * aggregate kept current from the CHANGE FEED instead of
+    * recomputed from the table: the materialized-view story every
+    * warehouse eventually needs, built from pieces this engine
+    * already ships (b83's `__changes` with preimage deletes, d27's
+    * `startingVersion`, b75's MERGE). One full pass SEEDS the
+    * per-group (n, bal_sum) aggregate; after that, each maintenance
+    * step reads ONLY the commits since its last checkpoint
+    * (`startingVersion` = lastApplied+1 — O(changes), never O(table)),
+    * folds them to one signed delta row per group (insert → +bal/+1,
+    * delete → −bal/−1; an update's delete+insert pair cancels to its
+    * true delta BEFORE the merge — the feed's preimages are what make
+    * decrements possible at all), and lands it as ONE arithmetic
+    * MERGE: matched groups add the delta, a group counting down to
+    * zero is DELETED (never left as a ghost row), unseen groups
+    * insert. Declared output: the maintained aggregate after each of
+    * two maintenance rounds — and the oracle recomputes BOTH censuses
+    * from scratch, so the incremental path must equal the full
+    * recompute at every step, including the retired residue-7 class.
+    * At 100 TB this is the difference between an hourly full
+    * aggregation of the table and a MERGE of one delta row per
+    * touched group per hop.
+    */
+  private def b109(s: SparkSession, d: String): DataFrame = {
+    val base = graft.util.DemoTables.freshGraftmem(s, d, "ivmbase",
+      "(key BIGINT, bal_cents BIGINT) " +
+        "TBLPROPERTIES ('graft.row_level' = 'merge-on-read')")
+    val agg = graft.util.DemoTables.freshGraftmem(s, d, "ivmagg",
+      "(grp BIGINT, n BIGINT, bal_sum BIGINT)")
+    customer(s, d)
+      .selectExpr("c_custkey AS key",
+        "CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents")
+      .writeTo(base).append() // v1: the seed snapshot
+    // the ONE full pass: seed the aggregate from the v1 state
+    s.sql(s"INSERT INTO $agg SELECT key % 10, count(*), " +
+      s"CAST(sum(CAST(bal_cents AS DECIMAL(38,0))) AS BIGINT) " +
+      s"FROM $base GROUP BY key % 10")
+    def maintain(fromVersion: Long): Unit = {
+      s.read.option("startingVersion", fromVersion.toString)
+        .table(s"${base}__changes")
+        .createOrReplaceTempView("g_delta_b109")
+      s.sql(
+        s"""MERGE INTO $agg t USING (
+           |  SELECT key % 10 AS grp,
+           |    SUM(CASE WHEN _change_type = 'insert' THEN 1L
+           |        ELSE -1L END) AS dn,
+           |    SUM(CASE WHEN _change_type = 'insert' THEN bal_cents
+           |        ELSE -bal_cents END) AS dbal
+           |  FROM g_delta_b109 GROUP BY key % 10) c
+           |ON t.grp = c.grp
+           |WHEN MATCHED AND t.n + c.dn = 0L THEN DELETE
+           |WHEN MATCHED THEN UPDATE
+           |  SET n = t.n + c.dn, bal_sum = t.bal_sum + c.dbal
+           |WHEN NOT MATCHED THEN INSERT (grp, n, bal_sum)
+           |  VALUES (c.grp, c.dn, c.dbal)""".stripMargin)
+      ()
+    }
+    def census(phase: Long): DataFrame =
+      s.sql(s"SELECT ${phase}L AS phase, grp AS key_mod, n, " +
+        s"bal_sum AS bal_cents_sum FROM $agg")
+        .localCheckpoint(false) // pin this round's state eagerly
+    runCdcMergeRound(s, d, "b109", base) // v2: the CDC batch
+    maintain(2L)
+    val p0 = census(0L)
+    runFollowupMergeRound(s, base) // v3: the +5000 follow-up
+    maintain(3L)
+    val p1 = census(1L)
+    p0.unionAll(p1).orderBy("phase", "key_mod")
+  }
+
   /** THE CDC round every row-level demo shares (b75 CoW, b80 MoR, b82
     * compaction, b83 change feed, d26 streaming CDC): update keys ≡3
     * (mod 10) to bal+10000, delete keys ≡7, insert keys ≡0 (mod 100)
@@ -3604,6 +3674,12 @@ object TierB {
     // the dynamic path must compute exactly what the static SQL does.
     QueryDef("b107_execute_immediate", b107 _, Some(
       "SELECT * FROM (SELECT 0::BIGINT AS phase, l_returnflag AS flag, count(*)::BIGINT AS n, sum(floor(l_extendedprice * 100)::BIGINT)::BIGINT AS cents_sum FROM lineitem WHERE l_quantity >= 25 GROUP BY 2 UNION ALL SELECT 1::BIGINT, l_returnflag, count(*)::BIGINT, sum(floor(l_extendedprice * 100)::BIGINT)::BIGINT FROM lineitem WHERE l_quantity >= 40 GROUP BY 2) ORDER BY phase, flag")),
+    // b109's oracle recomputes BOTH maintained censuses from scratch
+    // (round 1 = the shared CDC oracle, round 2 = the two-round
+    // oracle): the incremental path must equal the full recompute at
+    // every step, including the retired residue-7 class's absence.
+    QueryDef("b109_incremental_agg", b109 _, Some(
+      s"SELECT * FROM (SELECT 0::BIGINT AS phase, t1.* FROM ($mergeOracleSql) t1 UNION ALL SELECT 1::BIGINT, t2.* FROM ($twoRoundMergeOracleSql) t2) ORDER BY phase, key_mod")),
     QueryDef("b108_table_function", b108 _, Some(
       "WITH g AS (SELECT t.i AS id, md5(t.i::VARCHAR) AS value FROM range(100000) t(i) WHERE t.i >= 1000) SELECT substr(value, 1, 1) AS b, count(*)::BIGINT AS n, min(id)::BIGINT AS min_id, max(id)::BIGINT AS max_id, min(value) AS min_md5 FROM g GROUP BY 1 ORDER BY 1")),
     QueryDef("b100_merge_not_matched_by_source", b100 _, Some(

@@ -113,6 +113,52 @@ class Round13PropsSpec extends SparkSpec {
       "compaction must fold every tombstone")
   }
 
+  test("b109: the IVM delta merge retires a group that counts to " +
+      "zero — no ghost rows — and reads only the new commits") {
+    spark.conf.set("spark.sql.catalog.graftmem",
+      "graft.sources.GraftMemCatalog")
+    spark.sql("DROP TABLE IF EXISTS graftmem.db.spec_ivm")
+    spark.sql("DROP TABLE IF EXISTS graftmem.db.spec_ivmagg")
+    spark.sql("CREATE TABLE graftmem.db.spec_ivm " +
+      "(key BIGINT, bal_cents BIGINT) " +
+      "TBLPROPERTIES ('graft.row_level' = 'merge-on-read')")
+    spark.sql("CREATE TABLE graftmem.db.spec_ivmagg " +
+      "(grp BIGINT, n BIGINT, bal_sum BIGINT)")
+    spark.range(10)
+      .selectExpr("id AS key", "id * 100 AS bal_cents")
+      .writeTo("graftmem.db.spec_ivm").append() // v1
+    spark.sql("INSERT INTO graftmem.db.spec_ivmagg " +
+      "SELECT key % 2, count(*), sum(bal_cents) " +
+      "FROM graftmem.db.spec_ivm GROUP BY key % 2")
+    // v2: delete ALL odd keys — grp 1 must count to zero and vanish
+    spark.sql("DELETE FROM graftmem.db.spec_ivm WHERE key % 2 = 1")
+    val delta = spark.read.option("startingVersion", "2")
+      .table("graftmem.db.spec_ivm__changes")
+    // the incremental read sees ONLY v2's changes (the 5 deletes)
+    assert(delta.count() == 5)
+    assert(delta.select("_commit_version").distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
+    delta.createOrReplaceTempView("spec_ivm_delta")
+    spark.sql(
+      """MERGE INTO graftmem.db.spec_ivmagg t USING (
+        |  SELECT key % 2 AS grp,
+        |    SUM(CASE WHEN _change_type = 'insert' THEN 1L ELSE -1L END)
+        |      AS dn,
+        |    SUM(CASE WHEN _change_type = 'insert' THEN bal_cents
+        |        ELSE -bal_cents END) AS dbal
+        |  FROM spec_ivm_delta GROUP BY key % 2) c
+        |ON t.grp = c.grp
+        |WHEN MATCHED AND t.n + c.dn = 0L THEN DELETE
+        |WHEN MATCHED THEN UPDATE
+        |  SET n = t.n + c.dn, bal_sum = t.bal_sum + c.dbal
+        |WHEN NOT MATCHED THEN INSERT (grp, n, bal_sum)
+        |  VALUES (c.grp, c.dn, c.dbal)""".stripMargin)
+    val got = spark.table("graftmem.db.spec_ivmagg").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((0L, 5L, 2000L)),
+      s"grp 1 must be DELETED when it counts to zero, got $got")
+  }
+
   test("b102 rewrite_sort: content-invariant, lineage preserved, " +
       "change feed untouched, tombstones folded, ranges disjoint") {
     val tbl = freshMor("spec_b102")
