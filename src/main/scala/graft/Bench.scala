@@ -51,17 +51,14 @@ object Bench {
     // load once per JVM), mirroring the d5-d17 query classes.
     try { graft.streaming.StreamingDemo.warmStreaming(spark) }
     catch { case _: Throwable => () }
-    // Cache the shared scans once: `documents` alone is read ~15× across
-    // the query set; Spark's CacheManager swaps any sameResult parquet
-    // scan for the InMemoryRelation, so per-query file-listing + scan
-    // overhead collapses. (On a real cluster this is the same call —
-    // executors hold the blocks.) `events` is cached as its raw
-    // nanos-as-long scan, which is the fragment every query re-reads.
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-        "lineitem", "events", "documents", "embeddings").foreach { t =>
-      val df = graft.util.Tables.table(spark, sfDir, t)
-      df.cache().count()
-    }
+    // NO base-table cache (round-13 optimization rules): every timed
+    // query computes from the parquet inputs, paying its own scan.
+    // Earlier rounds cached the ten shared scans here; that hid the
+    // per-query scan cost from the timed region and is disallowed as
+    // of the optimization rounds (OPTIMIZATION_r13.md declares the
+    // methodology change; bench_full_r12/r13 carry the old series).
+    // The analyzed-DataFrame memo in Tables.table (file listing +
+    // footer schema + analysis, never rows) is unaffected.
     // Per-query MIN over two passes: this host's timing noise band is
     // ±50%+ (consecutive identical runs measured 47 s vs 100 s), and a
     // single sample turns one GC/compile hiccup into the recorded grade.

@@ -3,8 +3,8 @@ import org.apache.spark.sql.SparkSession
 
 /** Dev harness: time individual declared queries under the SAME session
   * config as [[Bench]] (cpus, shuffle partitions, object-agg threshold,
-  * Kryo, warmups, cached shared scans), so single-query A/B numbers
-  * transfer to the graded bench. `SPARK_GRAFT_CONF="k=v;k=v"` passes
+  * Kryo, warmups), so single-query A/B numbers transfer to the graded
+  * bench. `SPARK_GRAFT_CONF="k=v;k=v"` passes
   * tuning overrides, `SPARK_GRAFT_SF_DIR` picks the corpus.
   */
 object TimeQ {
@@ -26,6 +26,7 @@ object TimeQ {
       })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.util.GraftProfiler.install(spark)
     // SPARK_GRAFT_STREAM_PROFILE=1: dump each microbatch's phase
     // durations (queryPlanning/getBatch/addBatch/walCommit/stateStore
     // commit) so streaming fixed cost can be attributed, not guessed.
@@ -49,10 +50,9 @@ object TimeQ {
     spark.range(100000).selectExpr("sum(id * 2)").collect()
     try { graft.streaming.StreamingDemo.warmStreaming(spark) }
     catch { case _: Throwable => () }
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-        "lineitem", "events", "documents", "embeddings").foreach { t =>
-      graft.util.Tables.table(spark, d, t).cache().count()
-    }
+    // No base-table cache — mirrors Bench (round-13 methodology change;
+    // see OPTIMIZATION_r13.md), so single-query A/B numbers keep
+    // transferring to the graded bench.
     for (name <- args; i <- 1 to 3) {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, d).count()
