@@ -18,9 +18,15 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // Single-file-per-table corpus: split files finer than the 128 MB
-      // default so a lone large parquet still fans out across cores.
-      .config("spark.sql.files.maxPartitionBytes", "16m")
+      // Scale-adaptive scan splits (r13, guide §2.2/§6): derive the
+      // split size from corpus bytes ÷ 2·cores instead of the previous
+      // 16 MB constant (a local-mode tuning). The 16 MB FLOOR keeps the
+      // single-file toy corpus fanned out across local cores — every SF
+      // here lands on it, so bench numbers stay comparable — while a
+      // production-sized input walks up to the stock 128 MB cap (large
+      // sequential reads, bounded map-task count feeding each shuffle).
+      .config("spark.sql.files.maxPartitionBytes",
+        graft.util.GraftConf.adaptiveSplitBytes(sfDir, cpus).toString)
       // RDD-path demos (CoreMR) shuffle case classes; Kryo beats Java
       // serialization 2-5x there. SQL rows use Tungsten either way.
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
@@ -35,6 +41,20 @@ object Bench {
       // shuffle.partitions is sized.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "1000000")
+      // Joins (guide §3.1/§9): prefer shuffled-hash over sort-merge
+      // when a build side fits per-partition memory, and let AQE
+      // convert an already-planned SMJ whose runtime map output is
+      // small. The r13 census measured 32 queries executing
+      // SortMergeJoins — almost all of them the row-level MERGE
+      // machinery, whose target side may not broadcast — and each
+      // conversion deletes two Sort passes. Scale note: the 64 MB
+      // per-partition build bound is the knob that keeps this safe on
+      // a cluster (size with executor memory, like shuffle.partitions
+      // — see OPTIMIZATION_r13.md); sort-merge remains the fallback
+      // above it.
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        "64m")
     // Tuning passthrough: SPARK_GRAFT_CONF="k=v;k=v" (dev experiments).
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.contains('='))
       .foreach { kv =>
@@ -66,8 +86,13 @@ object Bench {
     // is strictly additive (no mechanism makes a query run too fast).
     def pass(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        // Label every job with its query name (guide §1.5) so the UI,
+        // event log and [profile] lines attribute work to queries.
+        spark.sparkContext.setJobDescription(name)
+        graft.util.GraftProfiler.label = name
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        spark.sparkContext.setJobDescription(null)
         name -> (System.nanoTime() - t0) / 1e9
       }
     val p1 = pass()

@@ -15,11 +15,15 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.files.maxPartitionBytes", "16m")
+      .config("spark.sql.files.maxPartitionBytes",
+        graft.util.GraftConf.adaptiveSplitBytes(sfDir, cpus).toString)
       .config("spark.ui.enabled", "false")
-      // graft session default (see Bench.scala for the rationale)
+      // graft session defaults (see Bench.scala for the rationale)
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "1000000")
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        "64m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.util.GraftProfiler.install(spark)

@@ -532,7 +532,11 @@ object TierA {
   private def a21(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     lineitem(spark, d)
-      .select(col("l_orderkey")).rdd.map(r => (r.getLong(0), 1L))
+      // typed extraction: Dataset[Long].rdd deserializes the primitive
+      // directly, skipping the per-row GenericRow allocation the
+      // untyped .rdd path pays before the shuffle (guide §2.3: narrow
+      // the rows entering an exchange — here to the 8-byte key itself)
+      .select(col("l_orderkey")).as[Long].rdd.map(k => (k, 1L))
       .reduceByKey(new CoreMR.ModParter(8), _ + _)
       .mapPartitionsWithIndex { (pid, it) =>
         it.map { case (k, cnt) => (pid, k, cnt) }

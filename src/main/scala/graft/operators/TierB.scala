@@ -1120,8 +1120,15 @@ object TierB {
     val maxHops = 4
     val li = lineitem(s, d)
     val edges = bfsEdges(s, d) // reused every round AND every invocation
+    // Seed the source node from range's `id` (0 − 2), NOT as lit(−2):
+    // a literal column constant-folds out of the round-1 join
+    // conditions, ExtractEquiJoinKeys then finds no key from the
+    // frontier side, and BOTH round-1 joins (expand + settled
+    // anti-join) silently plan as BroadcastNestedLoopJoin — the node
+    // class the repo's plan audits ban (r13 census caught 2 BNLJs per
+    // pass here). An id-derived key keeps them hash joins.
     val src = li.sparkSession.range(1)
-      .select(lit(-2L).as("node"), lit(0).as("d"))
+      .select((col("id") - 2L).as("node"), lit(0).as("d"))
     // Frontier-delta BFS: each round expands ONLY the nodes discovered
     // last round (d = i−1) and anti-joins the settled set, instead of
     // re-joining every discovered node against the edge list and

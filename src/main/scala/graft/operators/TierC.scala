@@ -318,8 +318,15 @@ object TierC {
     val tok = withWords(documents(s, d))
       .select(col("doc_id"), explode(col("w")).as("term"))
     val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = tok.groupBy("term")
-      .agg(countDistinct(col("doc_id")).as("df"))
+    // document frequency: dedup WITHIN each doc map-side, then ONE
+    // partial-agg'd term-keyed Exchange — replaces countDistinct's
+    // two-phase (term,doc)-then-(term) Exchange pair over the full
+    // token stream (guide §2.3; same fix as bm25Scored; r13 plan
+    // diff: 2 Exchanges → 1). Identical values: after array_distinct
+    // each (doc, term) reaches the count exactly once.
+    val df = withWords(documents(s, d))
+      .select(explode(array_distinct(col("w"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
     val n = documents(s, d).count().toDouble
     tf.join(broadcast(df), "term")
       .select(col("doc_id"), col("term"),
@@ -2101,10 +2108,15 @@ object TierC {
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(0, size(w)-$n), i -> array_join(slice(w, i+1, $n), ' '))"))
         .as("gram"))
-    // grams appearing in >= 2 distinct docs, reduced to one flag row each
-    val dup = pos.select("gram", "doc_id").distinct()
-      .groupBy("gram").agg(count(lit(1)).as("nd"))
-      .filter(col("nd") >= 2)
+    // grams appearing in >= 2 distinct docs, reduced to one flag row
+    // each. "≥2 distinct docs" ⟺ min(doc_id) ≠ max(doc_id), so ONE
+    // partial-agg'd gram-keyed Exchange replaces the previous
+    // distinct-(gram,doc) Exchange + second gram Exchange (guide §2.3:
+    // map-side aggregation shrinks the shuffle to one row per gram
+    // per map partition; r13 plan diff: 2 Exchanges → 1).
+    val dup = pos.groupBy("gram")
+      .agg(min("doc_id").as("mnd"), max("doc_id").as("mxd"))
+      .filter(col("mnd") =!= col("mxd"))
       .select(col("gram"), lit(1).as("is_dup"))
     pos.join(dup, Seq("gram"), "left")
       .groupBy("doc_id")
@@ -2397,8 +2409,17 @@ object TierC {
     val grams = documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= n)
+      // dedup the gram STRINGS within each doc map-side before hashing:
+      // repeated passages inside one doc pay one md5 instead of one per
+      // position, and the distinct-(doc,g) Exchange below ships the
+      // already-deduped rows (guide §2.3: shuffle fewer bytes). The
+      // trailing .distinct() stays — it is what the declared output
+      // (and oracle) define n_grams over, and it still collapses the
+      // astronomically-unlikely two-strings-one-hash collision the
+      // map-side string dedup cannot see.
       .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, size(w)-$n), i -> array_join(slice(w, i+1, $n), ' '))"))
+        s"array_distinct(transform(sequence(0, size(w)-$n), " +
+          s"i -> array_join(slice(w, i+1, $n), ' ')))"))
         .as("gram"))
       .select(col("doc_id"), portableHash(col("gram")).as("g"))
       .distinct()
@@ -2615,7 +2636,17 @@ object TierC {
         s"transform(sequence(0, (size(w)-1) div $B), i -> struct(i AS idx, array_join(slice(w, i*$B+1, $B), ' ') AS line))"))
         .as("b"))
       .select(col("doc_id"), col("b.idx").as("idx"), col("b.line").as("line"))
-    val boiler = blocks.select("line", "doc_id").distinct()
+    // document frequency per line: dedup WITHIN each doc map-side
+    // (array_distinct over the doc's own block lines), so each (doc,
+    // line) pair reaches the shuffle once and a single partial-agg'd
+    // line-keyed Exchange counts distinct docs exactly — replaces the
+    // previous distinct-(line,doc) Exchange + second line Exchange
+    // (guide §2.3; r13 plan diff: 2 Exchanges → 1).
+    val boiler = documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(expr(
+        s"array_distinct(transform(sequence(0, (size(w)-1) div $B), " +
+          s"i -> array_join(slice(w, i*$B+1, $B), ' ')))")).as("line"))
       .groupBy("line").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 3)
       .select(col("line"), lit(1).as("boiler"))
@@ -3143,9 +3174,15 @@ object TierC {
     val byGram = Window.partitionBy("g")
     val byDoc = Window.partitionBy("doc_id").orderBy("p")
     pos
-      .withColumn("dr", dense_rank().over(byGram.orderBy("doc_id")))
-      .withColumn("nd", max("dr").over(byGram))
-      .filter(col("nd") >= 2)
+      // "gram appears in ≥2 distinct docs" ⟺ min(doc_id) ≠ max(doc_id)
+      // within the gram partition: one unordered-frame Window (sorted
+      // by g alone) instead of the previous dense_rank-over-(g,doc_id)
+      // + max pair, which cost a second Window pass and a wider sort
+      // key for the same predicate (guide §2.4 — fewer passes over the
+      // exchanged data; r13 plan diff: 2 Window nodes → 1).
+      .withColumn("mnd", min("doc_id").over(byGram))
+      .withColumn("mxd", max("doc_id").over(byGram))
+      .filter(col("mnd") =!= col("mxd"))
       .select("doc_id", "p")
       .withColumn("prev", lag(col("p"), 1).over(byDoc))
       .withColumn("is_new",
@@ -3551,15 +3588,28 @@ object TierC {
   private def bm25Scored(s: SparkSession, d: String): DataFrame = {
     val tok = documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // doc length = size of the split array: a pure map-side projection.
+    // (Was tok.groupBy(doc_id).count() — a full token-stream Exchange
+    // for a number the row itself already knows; guide §2.4. Same
+    // values: explode emits exactly size(w) rows per doc.)
+    val dl = documents(s, d)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"))
     // two corpus scalars (bounded: one row, two longs; sum is NULL on
-    // an empty corpus — guard keeps the query total-function)
-    val totRow = documents(s, d)
-      .agg(count(lit(1)), sum(size(split(col("text"), " ")))).head()
+    // an empty corpus — guard keeps the query total-function), computed
+    // off the dl projection so the text is split once, not twice
+    val totRow = dl.agg(count(lit(1)), sum(col("dl"))).head()
     val nDocs = totRow.getLong(0)
     val totTok = if (totRow.isNullAt(1)) 0L else totRow.getLong(1)
     val avgdl10k = math.max(1L, 10000L * totTok / math.max(1L, nDocs))
-    val dfT = tok.distinct().groupBy("w").agg(count(lit(1)).as("df"))
+    // document frequency: dedup WITHIN each doc map-side via
+    // array_distinct, THEN explode — one partial-agg'd Exchange of the
+    // already-deduped tokens instead of tok.distinct()'s full
+    // token-stream Exchange followed by a second per-word Exchange
+    // (guide §2.3: shuffle fewer bytes; r13 plan diff: 2 Exchanges → 1)
+    val dfT = documents(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("df"))
     // query = the df-ranked 11-13 tokens; 13 rows survive the limit, so
     // the rank window runs on a k-bounded SINGLE partition (c41's
     // Window.partitionBy() idiom — bounded by the limit, never a

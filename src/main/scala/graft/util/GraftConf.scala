@@ -63,4 +63,28 @@ object GraftConf {
     */
   def shuffleSeed(s: SparkSession): String =
     get(s, "graft.shuffle.seed", "epoch0")
+
+  /** Scale-adaptive `spark.sql.files.maxPartitionBytes` (r13, guide
+    * §2.2/§6): corpus bytes ÷ (2 × cores), clamped to [16 MB, 128 MB].
+    * Replaces the former hard-coded 16 MB — a constant tuned for the
+    * local single-file corpus that would shatter a petabyte scan into
+    * ~60× too many map tasks (M×R shuffle-block blowup, §2.2). Every
+    * local test SF sits on the 16 MB floor, so local numbers are
+    * unchanged by construction; the cap is Spark's stock 128 MB. A
+    * non-numeric core count (e.g. `local[*]`) falls back to the host's
+    * processor count; an unreadable dir yields the floor.
+    */
+  def adaptiveSplitBytes(sfDir: String, cpus: String): Long = {
+    val cores = scala.util.Try(cpus.toInt).getOrElse(
+      Runtime.getRuntime.availableProcessors())
+    val bytes = try {
+      val p = java.nio.file.Paths.get(sfDir)
+      val s = java.nio.file.Files.walk(p)
+      try s.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum()
+      finally s.close()
+    } catch { case _: Throwable => 0L }
+    math.max(16L << 20,
+      math.min(128L << 20, bytes / math.max(1L, 2L * cores)))
+  }
 }
