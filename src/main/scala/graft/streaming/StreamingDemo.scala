@@ -1124,8 +1124,27 @@ object StreamingDemo {
       .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
     val name = s"g_d28_cont_$suf"
     val rows = 2000L
+    // Continuous readers are LONG-RUNNING tasks that pin a core each
+    // for the query's whole life (Spark's documented continuous-mode
+    // requirement: cores > #partitions). Size the slice count to the
+    // session's cores MINUS the slot the drain-check/epoch work needs:
+    // at the 4-CPU bench config this stays the historical 2 slices; at
+    // local[2] it drops to 1 so the drain query can actually schedule.
+    // r13 found the hard way that 2 pinned slices on local[2] starve
+    // the memory-sink read FOREVER (the drain loop rode its 120 s
+    // deadline, then q.stop() blocked indefinitely behind the default
+    // infinite stopTimeout — the bench never finished).
+    val slices = math.max(1,
+      math.min(2, s.sparkContext.defaultParallelism - 1))
     val src = s.readStream.format("pairgen")
-      .option("rows", rows.toString).option("slices", "2").load()
+      .option("rows", rows.toString)
+      .option("slices", slices.toString).load()
+    // Belt-and-braces for the same class of wedge: bound stop() so a
+    // future starvation fails THIS query loudly instead of hanging the
+    // whole harness (default stopTimeout is 0 = wait forever).
+    val stopKey = "spark.sql.streaming.stopTimeout"
+    val prevStop = s.conf.getOption(stopKey)
+    s.conf.set(stopKey, "60s")
     val q = src.selectExpr("id", "value")
       .writeStream.format("memory").queryName(name)
       .trigger(Trigger.Continuous("200 milliseconds"))
@@ -1151,8 +1170,14 @@ object StreamingDemo {
         .orderBy("m10")
         .localCheckpoint() // materialize before the query stops
     } finally {
-      q.stop()
-      s.catalog.dropTempView(name)
+      try q.stop()
+      finally {
+        prevStop match {
+          case Some(v) => s.conf.set(stopKey, v)
+          case None    => s.conf.unset(stopKey)
+        }
+        s.catalog.dropTempView(name)
+      }
       ()
     }
   }
