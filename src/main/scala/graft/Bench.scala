@@ -3,12 +3,26 @@ import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 
 /** Benchmark main. Emits, in order:
-  *   1. one JSON line with the full per-query map (may be long),
-  *   2. the same full JSON to `target/bench.json` (tail-proof copy),
-  *   3. a compact total-only JSON line LAST — short enough that any
+  *   1. one JSON line with the full per-query map + raw samples + config
+  *      (long; for tools/bench_fold.py and humans),
+  *   2. the same full JSON to `target/bench.json` and the committed
+  *      artifact path (tail-proof copies),
+  *   3. the per-query MINIMA re-emitted near the END of stdout in
+  *      tail-survivable form (r14, VERDICT r13 item 1): first split
+  *      into parseable chunk lines ≤ ~3.5 KB (each a valid
+  *      `"metric":"total"` object carrying a `part`/`parts` slice of
+  *      `queries`), then ONE driver-contract line
+  *      `{"metric":"total",...,"queries":{all 268 minima},...}`,
+  *   4. a compact total-only JSON line LAST — short enough that any
   *      tail-N stdout capture still sees a parseable `"metric":"total"`.
-  * (Round 1 lost its bench signal because the single ~5 KB line was
-  * truncated by the driver's tail capture → `parsed: null`.)
+  * Rationale: the driver keeps only a stdout TAIL. Through round 13 the
+  * per-query map appeared ONLY in line 1 (several KB, printed first), so
+  * the tail cut it and PERF_r12/r13 had `n_common: 0`, empty
+  * `per_query`/`scaling`, `bench_ok: false`. Emitting the minima again
+  * immediately before the final total line (layered: chunks for a small
+  * tail window, one full line for a larger one, compact total for any)
+  * is a measurement-CONTRACT fix only — the timed region, methodology
+  * and the "queries" values are unchanged.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -41,17 +55,24 @@ object Bench {
       // shuffle.partitions is sized.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "1000000")
-      // Joins (guide §3.1/§9): prefer shuffled-hash over sort-merge
+      // Joins (guide §3.1; §9 "starting configuration"): prefer shuffled-hash over sort-merge
       // when a build side fits per-partition memory, and let AQE
       // convert an already-planned SMJ whose runtime map output is
       // small. The r13 census measured 32 queries executing
       // SortMergeJoins — almost all of them the row-level MERGE
       // machinery, whose target side may not broadcast — and each
-      // conversion deletes two Sort passes. Scale note: the 64 MB
-      // per-partition build bound is the knob that keeps this safe on
-      // a cluster (size with executor memory, like shuffle.partitions
-      // — see OPTIMIZATION_r13.md); sort-merge remains the fallback
-      // above it.
+      // conversion deletes two Sort passes. Scale note (two distinct
+      // paths, r13-ADVICE): the 64 MB threshold bounds ONLY the AQE
+      // SMJ→SHJ conversion, which sees real runtime map sizes;
+      // preferSortMergeJoin=false ALSO lets the STATIC planner pick
+      // SHJ from plan-time size ESTIMATES, a path with no runtime
+      // fallback (a misestimated build side OOMs where SMJ would
+      // spill). Here every statically-SHJ-planned build side is a
+      // graftmem table reporting EXACT SupportsReportStatistics row
+      // counts (no estimate risk) — plans/r14 dumps + Round14OptSpec
+      // pin that no large-side/estimated build is statically
+      // SHJ-planned; parquet-sided joins stay broadcast or SMJ until
+      // AQE converts them under the bounded threshold.
       .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
         "64m")
@@ -63,6 +84,7 @@ object Bench {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.util.GraftProfiler.install(spark)
+    graft.util.GraftProfiler.installPhases(spark)
     // JVM/codegen warmup so the first timed query doesn't absorb
     // whole-stage-codegen compiler startup (~3-4 s once per JVM).
     spark.range(100000).selectExpr("sum(id * 2)").collect()
@@ -140,7 +162,32 @@ object Bench {
       Files.writeString(Paths.get(outPath), full + "\n")
     } catch { case _: Throwable => () }
     spark.stop()
-    // LAST line: compact, tail-capture-proof.
-    println(s"""{"metric":"total","value":$total,"unit":"sec",$sub,"n_queries":${results.size},"sf":"$sfDir"}""")
+    // Tail-survivable per-query minima (r14, VERDICT r13 item 1). The
+    // driver's capture keeps only the last few KB of stdout, so the
+    // minima are re-emitted HERE, at the very end, layered by window
+    // size. Values are rounded to 0.1 ms — ample for speedup ratios.
+    val minEntries = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+    def totalLine(extra: String): String =
+      s"""{"metric":"total","value":$total,"unit":"sec",$sub,"n_queries":${results.size},$extra"sf":"$sfDir"}"""
+    // 3a. Chunk lines: each a COMPLETE, independently parseable
+    //     "metric":"total" object carrying a part/parts slice of the
+    //     queries map, sized ≤ ~3.5 KB so even a small line-truncating
+    //     capture keeps whole parts.
+    val chunks = minEntries.foldLeft(Vector(Vector.empty[String])) {
+      (acc, e) =>
+        if (acc.last.map(_.length + 1).sum + e.length > 3300)
+          acc :+ Vector(e)
+        else acc.init :+ (acc.last :+ e)
+    }.filter(_.nonEmpty)
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      println(totalLine(
+        s""""part":${i + 1},"parts":${chunks.size},"queries":${c.mkString("{", ",", "}")},"""))
+    }
+    // 3b. The driver-contract line: metric/value/unit/queries/sf with
+    //     the FULL minima map (~7.5 KB at 268 queries), right before
+    //     the final total line per VERDICT r13 item 1.
+    println(totalLine(s""""queries":${minEntries.mkString("{", ",", "}")},"""))
+    // 4. LAST line: compact, tail-capture-proof under ANY window size.
+    println(totalLine(""))
   }
 }

@@ -32,6 +32,8 @@ object TimeQ {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.util.GraftProfiler.install(spark)
+    graft.util.GraftProfiler.installPhases(spark)
+    graft.util.GraftProfiler.installJobs(spark)
     // SPARK_GRAFT_STREAM_PROFILE=1: dump each microbatch's phase
     // durations (queryPlanning/getBatch/addBatch/walCommit/stateStore
     // commit) so streaming fixed cost can be attributed, not guessed.

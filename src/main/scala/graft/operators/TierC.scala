@@ -2114,6 +2114,13 @@ object TierC {
     // distinct-(gram,doc) Exchange + second gram Exchange (guide §2.3:
     // map-side aggregation shrinks the shuffle to one row per gram
     // per map partition; r13 plan diff: 2 Exchanges → 1).
+    // PRECONDITION (r13-ADVICE): the identity holds for NON-NULL
+    // doc_id only (min/max skip nulls; the old distinct form counted a
+    // null doc as a member). documents.doc_id is non-null and unique
+    // by fixture contract — pinned by Round14OptSpec's
+    // "documents.doc_id is non-null and unique" invariant test, which
+    // c5/c50/bm25's df rewrites also rely on (dup doc_id would inflate
+    // df there).
     val dup = pos.groupBy("gram")
       .agg(min("doc_id").as("mnd"), max("doc_id").as("mxd"))
       .filter(col("mnd") =!= col("mxd"))

@@ -1508,9 +1508,30 @@ private[sources] class GraftMemScanBuilder(table: GraftMemTable,
     // table as a MERGE's SOURCE) must not: PartitionPruning resolves
     // filterAttributes against the scan's output and fails the whole
     // query on a column that was pruned away.
+    // r14 (guide §1.2 "don't compute things you throw away"): ALSO
+    // require the pinned snapshot to span ≥2 stored groups. On a
+    // single-group table (every unpartitioned lifecycle target)
+    // RowLevelOperationRuntimeGroupFiltering would otherwise inject a
+    // dynamic `_group IN (subquery)` that re-scans the source side,
+    // runs an extra distinct job, and re-optimizes the whole command
+    // plan — to prune a set of one. Iceberg draws the same line: no
+    // runtime group filter on unpartitioned tables. With no filter
+    // the scan's `allowed` stays None = all groups, which for one
+    // group is exactly the unpruned rewrite the commit already
+    // validates; the partitioned-table pruning proof (b77) keeps its
+    // ≥2-group advertisement — pinned by Round14OptSpec.
+    private lazy val multiGroup: Boolean = {
+      var first = Long.MinValue; var n = 0
+      val it = snapshot.iterator
+      while (n < 2 && it.hasNext) {
+        val g = it.next()._1
+        if (n == 0 || g != first) { first = g; n += 1 }
+      }
+      n >= 2
+    }
     override def filterAttributes()
         : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-      if (required.fieldNames.contains("_group"))
+      if (required.fieldNames.contains("_group") && multiGroup)
         Array(org.apache.spark.sql.connector.expressions.Expressions
           .column("_group"))
       else Array.empty

@@ -24,6 +24,72 @@ object GraftProfiler {
     */
   @volatile var label: String = "-"
 
+  /** Dev knob `graft.profile.phases=true` (r14, guide §7.3): per
+    * completed action, print the Catalyst QueryPlanningTracker phase
+    * durations (parsing/analysis/optimization/planning) next to the
+    * wall time, plus the top rules by time. This splits DRIVER-side
+    * plan work from execution for the per-command fixed-cost hunt —
+    * the graftmem lifecycle queries run ~90 sequential commands whose
+    * cost is invisible to task metrics.
+    */
+  def installPhases(s: SparkSession): Unit =
+    if (s.conf.getOption("graft.profile.phases").contains("true")) {
+      s.listenerManager.register(new QueryExecutionListener {
+        override def onSuccess(
+            funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
+          val ph = qe.tracker.phases.toSeq.sortBy(_._2.startTimeMs)
+            .map { case (k, v) => s"$k=${v.durationMs}" }.mkString(" ")
+          val rules = qe.tracker.topRulesByTime(3).map { case (r, s) =>
+            s"${r.substring(r.lastIndexOf('.') + 1)}=${(s.totalTimeNs / 1e6).round}"
+          }.mkString(" ")
+          System.err.println(
+            f"[phases] $label | $funcName wall=${durationNs / 1e6}%.0fms | $ph | top: $rules")
+        }
+        override def onFailure(
+            funcName: String, qe: QueryExecution, error: Exception): Unit = ()
+      })
+    }
+
+  /** Dev knob `graft.profile.jobs=true` (r14, guide §7.1/§7.3): one
+    * `[jobs]` stderr line per Spark job with stage/task counts, summed
+    * task run time and the job's wall time. Wall ≫ summed-task-time/
+    * cores means the cost is DRIVER-side (scheduling, AQE replanning,
+    * commit), not executor work — the discriminator the graftmem
+    * per-command hunt needs.
+    */
+  def installJobs(s: SparkSession): Unit =
+    if (s.conf.getOption("graft.profile.jobs").contains("true")) {
+      import org.apache.spark.scheduler._
+      import java.util.concurrent.ConcurrentHashMap
+      val jobStart = new ConcurrentHashMap[Int, (Long, String)]()
+      val jobTasks = new ConcurrentHashMap[Int, (java.util.concurrent.atomic.LongAdder, java.util.concurrent.atomic.LongAdder)]()
+      val stageToJob = new ConcurrentHashMap[Int, Int]()
+      s.sparkContext.addSparkListener(new SparkListener {
+        override def onJobStart(e: SparkListenerJobStart): Unit = {
+          jobStart.put(e.jobId, (System.nanoTime(), label))
+          jobTasks.put(e.jobId,
+            (new java.util.concurrent.atomic.LongAdder,
+              new java.util.concurrent.atomic.LongAdder))
+          e.stageIds.foreach(sid => stageToJob.put(sid, e.jobId))
+        }
+        override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+          val j = stageToJob.get(e.stageId)
+          val t = jobTasks.get(j)
+          if (t != null && e.taskInfo != null) {
+            t._1.increment()
+            t._2.add(e.taskInfo.duration)
+          }
+        }
+        override def onJobEnd(e: SparkListenerJobEnd): Unit = {
+          val st = jobStart.remove(e.jobId)
+          val t = jobTasks.remove(e.jobId)
+          if (st != null && t != null)
+            System.err.println(
+              f"[jobs] ${st._2} | job=${e.jobId} wall=${(System.nanoTime() - st._1) / 1e6}%.0fms tasks=${t._1.sum()} taskTimeSum=${t._2.sum()}ms")
+        }
+      })
+    }
+
   def install(s: SparkSession): Unit =
     if (s.conf.getOption("graft.profile").contains("true")) {
       s.listenerManager.register(new QueryExecutionListener {
